@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access for the driver-generated testdata (TESTDATA.md / FIXTURES.md).
+  *
+  * `events.ts` is nanosecond-precision parquet. Spark 4 refuses
+  * `TIMESTAMP(NANOS)` unless `spark.sql.legacy.parquet.nanosAsLong=true`, which
+  * instead surfaces the column as a BIGINT of nanoseconds since the epoch. We
+  * lean into that: all oracle-compared event-time arithmetic runs on the exact
+  * ns long (`ts_ns`), which DuckDB reproduces bit-for-bit via `epoch_ns(ts)`.
+  * A µs-truncated `TimestampType` view (`ts`) is kept for window/stream
+  * operators that need a real timestamp.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with exact ns epoch (`ts_ns`) plus µs-truncated TimestampType `ts`
+    * (session TZ is pinned UTC, so renderings match DuckDB's naive ns ts). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+
+  /** Register temp views (events gets the ts_ns/ts treatment) for SQL-surface
+    * queries (subqueries, grouping sets) that go through `spark.sql`. */
+  def registerViews(spark: SparkSession, dir: String, tables: Seq[String] = names): Unit =
+    tables.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.shims
+
+/** Column-level API over the custom Catalyst expressions — the graft
+  * counterpart of `org.apache.spark.sql.functions`. */
+object GraftFunctions {
+  private def c(e: Expression): Column = shims.toColumn(e)
+  private def x(col: Column): Expression = shims.toExpression(col)
+
+  /** cosine similarity of two array<float> columns (codegen, double accum). */
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
+
+  /** sign-random-projection LSH bucket id for an array<float> embedding. */
+  def rp_bucket(v: Column, planes: Int = 16, seed: Long = 42L): Column =
+    c(RandomProjectionBucket(x(v), planes, seed))
+
+  /** k-long MinHash signature of an array<string> token/shingle set. */
+  def minhash_sig(tokens: Column, k: Int = 64, seed: Long = 42L): Column =
+    c(MinHashSignature(x(tokens), k, seed))
+
+  /** 64-bit SimHash of an array<string> token multiset. */
+  def simhash64(tokens: Column): Column = c(SimHash64(x(tokens)))
+
+  /** winnowing rolling-hash document fingerprint of a string column. */
+  def winnow_fp(text: Column, k: Int = 8, w: Int = 4): Column =
+    c(WinnowFingerprint(x(text), k, w))
+
+  /** heuristic language id (letter-frequency profiles) of a string column. */
+  def lang_id(text: Column): Column = c(LanguageId(x(text)))
+}

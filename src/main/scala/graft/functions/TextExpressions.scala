@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature of a token/shingle set (`array<string>` → `array<long>`,
+  * length k). One pass over the tokens: each token is hashed once, then run
+  * through k cheap splitmix permutations, tracking the per-permutation min —
+  * O(tokens × k) with zero allocation besides the output. Partition-local and
+  * seed-deterministic, so signatures computed on different executors agree
+  * (the property LSH banding relies on). SURVEY.md §2.4 X02. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0 && k <= 1024, "k must be in 1..1024")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val seeds: Array[Long] = Hashing.permSeeds(seed, k)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.hashUTF8(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val hj = Hashing.splitmix64(h ^ seeds(j))
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a token multiset (`array<string>` → long): every token
+  * hash votes ±1 on each of 64 bit positions; the sign of the vote sum forms
+  * the output bit. Near-duplicate docs land within a small Hamming distance.
+  * SURVEY.md §2.4 X02. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.hashUTF8(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing document fingerprint (string → long): rolling polynomial hash of
+  * every k-gram of characters, then the minimum hash of each window of w
+  * consecutive k-gram hashes is selected (recording a position only once);
+  * the selected mins are XOR-folded into one 64-bit fingerprint. Order of
+  * selection doesn't matter (XOR is commutative), so the fingerprint is
+  * stable. Standard winnowing scheme (Schleimer, Wilkerson, Aiken; SIGMOD'03).
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return Hashing.hashBytes(s.getBytes("UTF-8"))
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h = (h ^ s.charAt(i + j).toLong) * 0x100000001b3L; j += 1 }
+      grams(i) = Hashing.splitmix64(h)
+      i += 1
+    }
+    var out = 0L
+    var lastPicked = -1
+    i = 0
+    val windows = math.max(m - w + 1, 1)
+    while (i < windows) {
+      var minIdx = i
+      var j = i + 1
+      val end = math.min(i + w, m)
+      while (j < end) { if (grams(j) < grams(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != lastPicked) { out ^= grams(minIdx); lastPicked = minIdx }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Character-frequency language-ID heuristic (string → string lang code).
+  * Scores the letter-frequency profile of the text against small built-in
+  * profiles (top-letter frequencies of en/es/de/fr + a cjk-codepoint check)
+  * and returns the closest code. A real system would use trigram profiles;
+  * the interface and the distributed execution shape are what matter here
+  * (plain per-row expression — no shuffle, codegen-adjacent). G-class.
+  */
+case class LanguageId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  // letter→relative-frequency profiles (public letter-frequency tables)
+  private val profiles: Seq[(String, Map[Char, Double])] = Seq(
+    "en" -> Map('e' -> .127, 't' -> .091, 'a' -> .082, 'o' -> .075, 'i' -> .070,
+      'n' -> .067, 's' -> .063, 'h' -> .061, 'r' -> .060),
+    "es" -> Map('e' -> .137, 'a' -> .125, 'o' -> .086, 's' -> .080, 'r' -> .069,
+      'n' -> .067, 'i' -> .063, 'd' -> .058, 'l' -> .050),
+    "de" -> Map('e' -> .164, 'n' -> .098, 'i' -> .076, 's' -> .073, 'r' -> .070,
+      'a' -> .065, 't' -> .061, 'd' -> .051, 'h' -> .048),
+    "fr" -> Map('e' -> .147, 'a' -> .076, 'i' -> .075, 's' -> .079, 'n' -> .071,
+      'r' -> .066, 't' -> .072, 'o' -> .058, 'l' -> .055))
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    if (s.exists(c => c >= 0x4E00 && c <= 0x9FFF)) return UTF8String.fromString("zh")
+    val counts = new Array[Int](26)
+    var total = 0
+    s.foreach { c => if (c >= 'a' && c <= 'z') { counts(c - 'a') += 1; total += 1 } }
+    if (total == 0) return UTF8String.fromString("und")
+    var best = "und"; var bestDist = Double.MaxValue
+    profiles.foreach { case (code, prof) =>
+      var dist = 0.0
+      prof.foreach { case (ch, f) =>
+        val obs = counts(ch - 'a').toDouble / total
+        dist += (obs - f) * (obs - f)
+      }
+      if (dist < bestDist) { bestDist = dist; best = code }
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

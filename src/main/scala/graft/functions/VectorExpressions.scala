@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity over two `array<float>` embedding columns, computed in a
+  * single fused double-accumulating loop with whole-stage codegen — the hot
+  * inner kernel of the brute-force ANN scan (SURVEY.md §2.4 X03). Unlike a
+  * Scala UDF there is no serialization or boxing per row: the generated Java
+  * reads the unsafe array data in place.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var dot = 0.0; var nx = 0.0; var ny = 0.0
+    while (i < n) {
+      val xv = x.getFloat(i); val yv = y.getFloat(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          float $xv = $a.getFloat($i); float $yv = $b.getFloat($i);
+          $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+        }
+        double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-of-random-projection LSH bucket for an `array<float>` embedding:
+  * `planes` pseudo-random hyperplanes with components derived from
+  * splitmix64(seed, plane, dim) mapped to ±1, packed into an int bucket id.
+  * The scale path for ANN: vectors shuffle by bucket, candidate generation is
+  * a bucket-local join instead of an all-pairs cross product. */
+case class RandomProjectionBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes > 0 && planes <= 30, "planes must be in 1..30")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "rp_bucket"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // ±1 plane component from a counter-based hash — no stored planes,
+        // identical on every executor
+        val h = Hashing.splitmix64(seed ^ (p.toLong << 32) ^ i.toLong)
+        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+        dot += sign * x.getFloat(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

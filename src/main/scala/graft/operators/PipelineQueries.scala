@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Multimodal record: opaque binary payload + typed metadata, the
+  * generalization of the reference's `value: Binary` column
+  * (/root/reference/src/lib.rs:10) to image/audio/video blobs. */
+case class MMRecord(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+
+/** Output of the (stubbed) multimodal decode/feature step. */
+case class MMFeature(doc_id: Long, n_bytes: Long, n_chunks: Long,
+    checksum: Long, head_hex: String)
+
+/** LLM-data-pipeline operators (SURVEY.md §2.4 X01–X05): dedup (exact,
+  * MinHash-LSH, SimHash, exact n-gram Jaccard), vector similarity search
+  * (brute-force + LSH-bucketed), text analysis (stats, tf-idf, lang-id,
+  * fingerprinting), and multimodal binary columns.
+  *
+  * Scale notes (the 100 TB stance): every operator is a shuffle-conscious
+  * composition — hash-partitioned groupBys, inverted-index joins instead of
+  * all-pairs cross products, band-bucket joins for LSH, broadcast for the
+  * small query side of ANN. No driver-side collects anywhere.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+
+  /** documents with word array `w`, distinct 5-gram word shingles `sh`, and
+    * shingle count `nsh` — shared shape of the near-dup operators. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        array_distinct(when(size(col("w")) >= 5,
+          transform(sequence(lit(1), size(col("w")) - 4),
+            i => array_join(slice(col("w"), i, lit(5)), " ")))
+          .otherwise(array(array_join(col("w"), " ")))).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+
+  /** DuckDB-side equivalent of `shingled` (brute-force oracle runs at sf0.01
+    * scale only; the Spark side is the scale path). */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks)"""
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- X01: exact dedup --------------------------------------------------
+    GQuery("x01_exact_dedup",
+      (s, d) => t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .select(col("keeper"), col("n"), col("h"))
+        .orderBy(col("keeper")),
+      Some("""SELECT min(doc_id) AS keeper, count(*) AS n, md5(text) AS h
+FROM documents GROUP BY md5(text) ORDER BY keeper NULLS FIRST""")),
+
+    // ---- X02: near-dup detection -------------------------------------------
+    // Exact shingle-Jaccard pairs >= 0.5 via an inverted-index join on
+    // shingles (shuffle by shingle, count common per pair) — the exact-answer
+    // scale path; the DuckDB oracle brute-forces all pairs, feasible only at
+    // oracle scale.
+    GQuery("x02_ngram_jaccard",
+      (s, d) => {
+        val docs = shingled(s, d)
+        val ex = docs.select(col("doc_id"), col("nsh"), explode(col("sh")).as("sg"))
+        ex.as("a").join(ex.as("b"),
+            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.nsh").as("na"), col("b.nsh").as("nb"))
+          .agg(count(lit(1)).as("common"))
+          .withColumn("j",
+            col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .filter(col("j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("j"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(shingleCte + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
+
+    // MinHash (k=64) + LSH banding (16 bands x 4 rows): candidates collide on
+    // a band hash, then candidates are verified with exact Jaccard >= 0.5.
+    // G-class (approximate recall by construction); the ScalaTest spec
+    // cross-checks it against x02_ngram_jaccard.
+    GQuery("x02_minhash_lsh",
+      (s, d) => {
+        val docs = shingled(s, d).withColumn("sig", minhash_sig(col("sh"), 64, 42L))
+        val bands = docs.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(15)),
+              b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4))))))
+          .toDF("doc_id", "band", "bh")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sh = shingled(s, d).select(col("doc_id"), col("sh"), col("nsh"))
+        cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+          .withColumn("j",
+            col("common").cast("double") / (col("sa.nsh") + col("sb.nsh") - col("common")))
+          .filter(col("j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("j"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // SimHash near-dup: 64-bit simhash over shingles, candidates from 4
+    // 16-bit band collisions, verified by Hamming distance <= 12. G-class.
+    GQuery("x02_simhash",
+      (s, d) => {
+        val docs = shingled(s, d).select(col("doc_id"), simhash64(col("sh")).as("sh64"))
+        def bkey(i: Int) =
+          shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL))
+        val bands = docs.select(col("doc_id"), col("sh64"),
+            explode(array((0 to 3).map(i =>
+              struct(lit(i).as("band"), bkey(i).as("bkey"))): _*)).as("bs"))
+          .select(col("doc_id"), col("sh64"),
+            col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ---- X03: similarity search over embeddings ----------------------------
+    // Brute-force cosine top-5 for the first 20 query vectors: broadcast the
+    // tiny query side, fused codegen cosine kernel, per-query top-k window.
+    // G-class (float scores don't cross-engine hash); spec-tested.
+    GQuery("x03_ann_bruteforce",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine_sim(col("q_emb"), col("embedding")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            col("score").cast("decimal(18,6)").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None),
+
+    // LSH-bucketed ANN (sign random projection, 4 planes -> 16 buckets):
+    // candidates only join within a bucket — the shuffle-friendly scale path
+    // (at 100 TB the bucket join replaces the cross product; more planes +
+    // multi-probe raise precision). G-class.
+    GQuery("x03_ann_lsh",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("bucket", rp_bucket(col("embedding"), 4, 42L))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        e.join(q, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine_sim(col("q_emb"), col("embedding")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            col("score").cast("decimal(18,6)").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None),
+
+    // Embedding cosine near-dup pairs (threshold 0.45). G-class.
+    GQuery("x03_embedding_neardup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            cosine_sim(col("a_emb"), col("b_emb")).as("score"))
+          .filter(col("score") >= 0.45)
+          .select(col("a_id"), col("b_id"), col("score").cast("decimal(18,6)").as("score"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // ---- X04: text analysis ------------------------------------------------
+    GQuery("x04_text_stats",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_tokens"),
+            ((col("n_chars") - size(col("w")) + 1).cast("double") / size(col("w")))
+              .as("avg_tok"),
+            (size(filter(col("w"), x => x.isin(stop: _*))).cast("double")
+              / size(col("w"))).as("stop_ratio"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+              .cast("long").as("n_units"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+    / len(string_split(text, ' ')) AS avg_tok,
+  CAST(len(list_filter(string_split(text, ' '),
+    x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stop_ratio,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_units
+FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+    GQuery("x04_tfidf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        tf.join(dfreq, "word").crossJoin(broadcast(nd))
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("word"),
+            (col("tf") * log(col("nd") / col("df"))).cast("decimal(18,6)").cast("double").as("tfidf"))
+          .orderBy(col("doc_id"), col("word"))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM documents)
+SELECT t.doc_id, t.word, CAST(CAST(t.tf * ln(nd.nd / d.df) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+FROM tf t JOIN df d USING (word) CROSS JOIN nd
+WHERE t.doc_id < 100
+ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
+
+    // Heuristic language-ID vs the labeled lang column. G-class (heuristic).
+    GQuery("x04_langid",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), lang_id(col("text")).as("guess"), col("lang"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // Winnowing rolling-hash fingerprint per document. G-class.
+    GQuery("x04_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), winnow_fp(col("text"), 8, 4).as("fp"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // ---- X05: multimodal binary columns ------------------------------------
+    // Binary payload + typed metadata flow through a typed mapPartitions
+    // "decode" step (partition-parallel, no shuffle). The decode itself is a
+    // clearly-marked deterministic STUB (image/audio libs absent here); the
+    // schema/partitioning/batch plumbing is real and oracle-checked.
+    GQuery("x05_multimodal",
+      (s, d) => {
+        import s.implicits._
+        val mm = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"),
+            lit("text/plain").as("mime"), octet_length(col("text")).cast("long").as("n_bytes"))
+          .as[MMRecord]
+        mm.mapPartitions { it =>
+          it.map { r =>
+            // STUB decode: a real pipeline would decode image/audio here.
+            // Deterministic fake features: byte-sum checksum + head bytes hex.
+            var sum = 0L
+            var i = 0
+            while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+            val head = r.payload.take(8).map(b => f"$b%02X").mkString
+            MMFeature(r.doc_id, r.payload.length.toLong,
+              (r.payload.length.toLong + 255L) / 256L, sum, head)
+          }
+        }.toDF().orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, strlen(text) AS n_bytes, (strlen(text) + 255) // 256 AS n_chunks,
+  CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS checksum,
+  hex(substr(text, 1, 8)) AS head_hex
+FROM documents ORDER BY doc_id NULLS FIRST"""))
+  )
+}

@@ -232,7 +232,7 @@ FROM orders""")),
         .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
         .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(grouping(col("r_name")).as("gr"), grouping(col("n_name")).as("gn"),
+        .agg(grouping(col("r_name")).cast("int").as("gr"), grouping(col("n_name")).cast("int").as("gn"),
           count(lit(1)).as("n"), dbl(sum(dec2(col("c_acctbal")))).as("bal"))
         .select(coalesce(col("r_name"), lit("_ALL_")).as("rname"),
           coalesce(col("n_name"), lit("_ALL_")).as("nname"),
@@ -251,7 +251,7 @@ ORDER BY gr NULLS FIRST, gn NULLS FIRST, rname NULLS FIRST, nname NULLS FIRST"""
       (s, d) => t(s, d, "customer")
         .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
         .cube(col("c_mktsegment"), col("n_name"))
-        .agg(grouping(col("c_mktsegment")).as("gs"), grouping(col("n_name")).as("gn"),
+        .agg(grouping(col("c_mktsegment")).cast("int").as("gs"), grouping(col("n_name")).cast("int").as("gn"),
           count(lit(1)).as("n"))
         .select(coalesce(col("c_mktsegment"), lit("_ALL_")).as("seg"),
           coalesce(col("n_name"), lit("_ALL_")).as("nname"),
@@ -286,8 +286,8 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""")),
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
-            row_number().over(w).as("rn"), rank().over(w).as("rnk"),
-            dense_rank().over(w).as("drnk"), ntile(4).over(w).as("nt"),
+            row_number().over(w).cast("long").as("rn"), rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"), ntile(4).over(w).cast("long").as("nt"),
             percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
           .orderBy(col("o_custkey"), col("rn"))
       },
@@ -444,12 +444,12 @@ ORDER BY ck NULLS FIRST""")),
           rtrim(concat(col("p_name"), lit("  "))).as("s_rtrim"),
           concat_ws("-", col("p_brand"), col("p_type")).as("s_cw"),
           regexp_replace(col("p_name"), "widget", "gadget").as("s_repl"),
-          length(col("p_name")).as("s_len"),
+          length(col("p_name")).cast("long").as("s_len"),
           expr("split_part(p_name, ' ', 1)").as("s_sp"),
           lpad(col("p_brand"), 10, "*").as("s_lpad"),
           rpad(col("p_brand"), 10, "*").as("s_rpad"),
           reverse(col("p_type")).as("s_rev"),
-          expr("instr(p_name, 'a')").as("s_pos"),
+          expr("instr(p_name, 'a')").cast("long").as("s_pos"),
           expr("left(p_name, 3)").as("s_left"),
           expr("right(p_name, 3)").as("s_right"),
           col("p_name").startsWith("small").as("s_starts"),
@@ -485,12 +485,12 @@ FROM part ORDER BY p_partkey NULLS FIRST""")),
       (s, d) => t(s, d, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"))
         .agg(count(lit(1)).as("n"),
-          min(year(col("o_orderdate"))).as("yr"),
-          min(month(col("o_orderdate"))).as("mo"),
-          min(dayofmonth(col("o_orderdate"))).as("min_day"),
-          max(dayofmonth(col("o_orderdate"))).as("max_day"),
+          min(year(col("o_orderdate"))).cast("long").as("yr"),
+          min(month(col("o_orderdate"))).cast("long").as("mo"),
+          min(dayofmonth(col("o_orderdate"))).cast("long").as("min_day"),
+          max(dayofmonth(col("o_orderdate"))).cast("long").as("max_day"),
           min(datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")))
-            .as("min_dd"))
+            .cast("long").as("min_dd"))
         .orderBy(col("month_start")),
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month_start,
   count(*) AS n, min(year(o_orderdate)) AS yr, min(month(o_orderdate)) AS mo,
@@ -500,7 +500,7 @@ FROM orders GROUP BY 1 ORDER BY month_start NULLS FIRST""")),
 
     GQuery("q27_event_hours",
       (s, d) => ev(s, d)
-        .groupBy(hour(col("ts")).as("hr"))
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("hr")),
       Some("""SELECT hour(ts) AS hr, count(*) AS n FROM events
@@ -510,27 +510,27 @@ GROUP BY 1 ORDER BY hr NULLS FIRST""")),
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_orderkey") < 100)
         .select(col("l_orderkey"), col("l_linenumber"),
-          abs(col("l_discount") - 0.05).cast("decimal(18,4)").as("m_abs"),
+          abs(col("l_discount") - 0.05).cast("decimal(18,4)").cast("double").as("m_abs"),
           ceil(col("l_extendedprice")).as("m_ceil"),
           floor(col("l_extendedprice")).as("m_floor"),
-          sqrt(col("l_extendedprice")).cast("decimal(18,6)").as("m_sqrt"),
-          pow(col("l_quantity"), 2).cast("decimal(18,2)").as("m_pow"),
+          sqrt(col("l_extendedprice")).cast("decimal(18,6)").cast("double").as("m_sqrt"),
+          pow(col("l_quantity"), 2).cast("decimal(18,2)").cast("double").as("m_pow"),
           (col("l_orderkey") % 7).as("m_mod"),
           signum(col("l_discount") - 0.05).cast("int").as("m_sign"),
-          exp(col("l_discount")).cast("decimal(18,6)").as("m_exp"),
-          log(col("l_quantity")).cast("decimal(18,6)").as("m_ln"),
-          log10(col("l_extendedprice")).cast("decimal(18,6)").as("m_log10"))
+          exp(col("l_discount")).cast("decimal(18,6)").cast("double").as("m_exp"),
+          log(col("l_quantity")).cast("decimal(18,6)").cast("double").as("m_ln"),
+          log10(col("l_extendedprice")).cast("decimal(18,6)").cast("double").as("m_log10"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
       Some("""SELECT l_orderkey, l_linenumber,
-  CAST(abs(l_discount - 0.05) AS DECIMAL(18,4)) AS m_abs,
-  ceil(l_extendedprice) AS m_ceil, floor(l_extendedprice) AS m_floor,
-  CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS m_sqrt,
-  CAST(pow(l_quantity, 2) AS DECIMAL(18,2)) AS m_pow,
+  CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(18,4)) AS DOUBLE) AS m_abs,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS m_ceil, CAST(floor(l_extendedprice) AS BIGINT) AS m_floor,
+  CAST(CAST(sqrt(l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS m_sqrt,
+  CAST(CAST(pow(l_quantity, 2) AS DECIMAL(18,2)) AS DOUBLE) AS m_pow,
   l_orderkey % 7 AS m_mod,
   CAST(sign(l_discount - 0.05) AS INTEGER) AS m_sign,
-  CAST(exp(l_discount) AS DECIMAL(18,6)) AS m_exp,
-  CAST(ln(l_quantity) AS DECIMAL(18,6)) AS m_ln,
-  CAST(log10(l_extendedprice) AS DECIMAL(18,6)) AS m_log10
+  CAST(CAST(exp(l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS m_exp,
+  CAST(CAST(ln(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS m_ln,
+  CAST(CAST(log10(l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS m_log10
 FROM lineitem WHERE l_orderkey < 100
 ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
 
@@ -557,15 +557,15 @@ ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
     GQuery("q30_array_fns",
       (s, d) => t(s, d, "embeddings")
         .select(col("vec_id"),
-          size(col("embedding")).as("sz"),
-          element_at(col("embedding"), 1).cast("decimal(18,4)").as("e1"),
+          size(col("embedding")).cast("long").as("sz"),
+          element_at(col("embedding"), 1).cast("decimal(18,4)").cast("double").as("e1"),
           element_at(sort_array(slice(col("embedding"), 1, 3)), 1)
-            .cast("decimal(18,4)").as("min3"),
+            .cast("decimal(18,4)").cast("double").as("min3"),
           array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has_e1"))
         .orderBy(col("vec_id")),
       Some("""SELECT vec_id, len(embedding) AS sz,
-  CAST(embedding[1] AS DECIMAL(18,4)) AS e1,
-  CAST(list_sort(embedding[1:3])[1] AS DECIMAL(18,4)) AS min3,
+  CAST(CAST(embedding[1] AS DECIMAL(18,4)) AS DOUBLE) AS e1,
+  CAST(CAST(list_sort(embedding[1:3])[1] AS DECIMAL(18,4)) AS DOUBLE) AS min3,
   list_contains(embedding, embedding[1]) AS has_e1
 FROM embeddings ORDER BY vec_id NULLS FIRST""")),
 
@@ -592,7 +592,7 @@ GROUP BY word ORDER BY n DESC NULLS LAST, word NULLS FIRST""")),
             coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"),
             coalesce(element_at(col("m"), "error"), lit(0L)).as("n_errors"),
             struct(col("user_id").as("u"), size(col("m")).as("k")).getField("k")
-              .as("n_types"))
+              .cast("long").as("n_types"))
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id,

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column ↔ Expression conversion
+  * (Spark 4 routes Column through ColumnNode; `classic.ExpressionUtils` is the
+  * supported classic-session path, but is package-private). Standard extension
+  * -library shim: lives in the org.apache.spark.sql package solely to export
+  * these two conversions to the graft library. */
+object shims {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -38,6 +38,9 @@ for name, sql in sorted(oracle.items()):
     if list(got.columns) != list(exp.columns):
         fails.append((name, f"columns differ: spark={list(got.columns)} duck={list(exp.columns)}"))
         continue
+    for c_ in got.columns:
+        if str(got[c_].dtype) != str(exp[c_].dtype):
+            print(f"WARN {name}.{c_}: dtype spark={got[c_].dtype} duck={exp[c_].dtype}")
     if len(got) != len(exp):
         fails.append((name, f"row count differs: spark={len(got)} duck={len(exp)}"))
         continue

@@ -1,0 +1,258 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{GQuery, Tables}
+import graft.sources.replay.ReplayLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types._
+
+/** The streaming surface (SURVEY.md §2.3 S01–S10): every query is executed as
+  * a REAL Structured Streaming job (micro-batch driver, checkpoint, sink) run
+  * to completion with `Trigger.AvailableNow`, then the sink table is returned
+  * as the result DataFrame. Where the result is batch-expressible the DuckDB
+  * oracle validates it exactly (Structured Streaming's prefix-consistency
+  * guarantee makes streaming ≡ batch on a bounded replay) — the
+  * batch-equivalence oracle class B of SURVEY.md §5.2.
+  *
+  * S01/S06/S10 run through the custom graft-replay DSv2 source (the
+  * reference's own operator); S02–S05/S07–S09 stream the events parquet
+  * through Spark's file source. Output modes exercised: append (S01, S05,
+  * S08, S10), complete (S02, S03, S04, S06, S07), update (S09).
+  */
+object StreamingQueries {
+
+  private val ctr = new AtomicInteger(0)
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink,
+    * return the sink contents as a DataFrame. */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${ctr.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Streaming envelope from the graft-replay source. */
+  private def replayStream(s: SparkSession, d: String,
+      maxRowsPerTrigger: Option[Long] = None, late: Boolean = false): DataFrame = {
+    val log = ReplayLog.ensureLog(s, d, late)
+    val r = s.readStream.format("graft-replay").option("path", log)
+    maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n.toString))
+    r.load()
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming events via Spark's file source (ts normalized like
+    * Tables.events: exact ns long + µs TimestampType). */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+
+  val all: Seq[GQuery] = Seq(
+
+    // S01: the reference's proven end-to-end query over the envelope —
+    // binary→utf8 cast + alias + length + projection
+    // (/root/reference/tests/basic_tests.rs:53-61) — via the custom source.
+    GQuery("s01_replay_envelope",
+      (s, d) => runToMemory(
+        replayStream(s, d).select(
+          col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"),
+          length(col("value").cast("string")).cast("long").as("len"),
+          col("partition").cast("long").as("partition"),
+          col("offset")),
+        "append").orderBy(col("partition"), col("offset")),
+      Some("""SELECT 'Key ' || event_id AS key, props AS value,
+  strlen(props) AS len, event_id % 3 AS "partition", event_id // 3 AS "offset"
+FROM events ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
+    // S02: tumbling event-time window aggregation (complete mode).
+    GQuery("s02_tumbling_window",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "complete")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"), col("sv"))
+        .orderBy(col("ws_sec")),
+      Some("""SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
+
+    // S03: sliding window (10 min window / 5 min slide) — every event lands
+    // in exactly two windows.
+    GQuery("s03_sliding_window",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "complete")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"), col("sv"))
+        .orderBy(col("ws_sec")),
+      Some("""WITH b AS (SELECT (epoch_us(ts) // 300000000) * 300 AS w2, value FROM events),
+u AS (SELECT w2 AS ws_sec, value FROM b
+      UNION ALL SELECT w2 - 300 AS ws_sec, value FROM b)
+SELECT ws_sec, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM u GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
+
+    // S04: session windows (30 min gap) per user; session end = last + gap.
+    GQuery("s04_session_window",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "complete")
+        .select(col("user_id"), col("session_window.start").cast("long").as("ss"),
+          col("session_window.end").cast("long").as("se"), col("n"), col("sv"))
+        .orderBy(col("user_id"), col("ss")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+l AS (SELECT user_id, us, value,
+  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+       THEN 1 ELSE 0 END AS nf FROM e),
+g AS (SELECT user_id, us, value, SUM(nf) OVER (PARTITION BY user_id ORDER BY us
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+SELECT user_id, min(us) // 1000000 AS ss, (max(us) + 1800000000) // 1000000 AS se,
+  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM g GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
+
+    // S05: watermark + late-data drop — adversarial replay (every 20th event
+    // arrives 2h late) through the custom source with small micro-batches so
+    // the watermark genuinely advances between batches; append-mode tumbling
+    // windows. G-class (the dropped set depends on batch boundaries by
+    // design); spec-tested for the drop/keep properties.
+    GQuery("s05_watermark_late_drop",
+      (s, d) => runToMemory(
+        replayStream(s, d, maxRowsPerTrigger = Some(400), late = true)
+          .withColumn("ts", col("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n")),
+        "append")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"))
+        .orderBy(col("ws_sec")),
+      None),
+
+    // S06: streaming dedup on the envelope key via the custom source — two
+    // replay streams unioned (every record twice), exact dedup on
+    // (partition, offset), then batch-side per-partition totals.
+    GQuery("s06_stream_dedup",
+      (s, d) => runToMemory(
+        replayStream(s, d).unionAll(replayStream(s, d))
+          .dropDuplicates("partition", "offset"),
+        "append")
+        .groupBy(col("partition").cast("long").as("partition"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"))
+        .orderBy(col("partition")),
+      Some("""SELECT event_id % 3 AS "partition", count(*) AS n,
+  max(event_id // 3) AS max_offset
+FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
+
+    // S07: stream-static join — streaming events enriched with the static
+    // customer dim (broadcast by Catalyst), aggregated per segment.
+    GQuery("s07_stream_static_join",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .join(Tables.table(s, d, "customer"), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "complete").orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""")),
+
+    // S08: stream-stream time-bounded equi join: purchases within 1h after a
+    // view by the same user, both sides watermarked.
+    GQuery("s08_stream_stream_join",
+      (s, d) => {
+        val views = eventStream(s, d).filter(col("event_type") === "view")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+        val purchases = eventStream(s, d).filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        runToMemory(
+          views.join(purchases,
+            col("v_user") === col("p_user")
+              && col("p_ts") >= col("v_ts")
+              && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")),
+          "append")
+          .select(col("view_id"), col("purchase_id"))
+          .orderBy(col("view_id"), col("purchase_id"))
+      },
+      Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
+
+    // S09: custom stateful aggregation via mapGroupsWithState (update mode):
+    // per-user running purchase spend in exact cents.
+    GQuery("s09_stateful_agg",
+      (s, d) => {
+        import s.implicits._
+        val typed = eventStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), (dec2(col("value")) * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+        val updated = typed.groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+            (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[(Long, Long)]) =>
+              var (n, cents) = st.getOption.getOrElse((0L, 0L))
+              rows.foreach { r => n += 1; cents += r._2 }
+              st.update((n, cents))
+              (uid, n, cents)
+          }.toDF("user_id", "n_purch", "cents")
+        val mem = runToMemory(updated, "update")
+        // last state emitted per user (multi-batch runs emit one row per batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_purch").desc)
+        mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_purch"), col("cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_purch,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
+
+    // S10: processing pacing + run-to-end — bounded micro-batches
+    // (maxRowsPerTrigger ≡ batch_size, execution.rs:87) until EOF
+    // (AvailableNow ≡ PartitionEOF stop, execution.rs:93-96); per-partition
+    // totals prove every offset range was delivered exactly once.
+    GQuery("s10_bounded_replay",
+      (s, d) => runToMemory(
+        replayStream(s, d, maxRowsPerTrigger = Some(500)),
+        "append")
+        .groupBy(col("partition").cast("long").as("partition"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"),
+          countDistinct(col("offset")).as("n_offsets"))
+        .orderBy(col("partition")),
+      Some("""SELECT event_id % 3 AS "partition", count(*) AS n,
+  max(event_id // 3) AS max_offset, count(DISTINCT event_id // 3) AS n_offsets
+FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST"""))
+  )
+}

@@ -1,0 +1,208 @@
+package graft.sources.replay
+
+import java.io.{BufferedInputStream, DataInputStream, FileInputStream}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch source over a [[ReplayLog]] — the Spark-native
+  * re-expression of the reference's entire novel contribution, the
+  * partition-parallel bounded-batch Kafka scan
+  * (/root/reference/src/kafka/execution.rs:30-143):
+  *
+  *   - one `InputPartition` per log partition ≡ one `split_partition_queue`
+  *     consumer per plan partition (execution.rs:75), but discovered
+  *     dynamically from the log layout instead of the hardcoded
+  *     `UnknownPartitioning(3)` (execution.rs:47-49);
+  *   - `maxRowsPerTrigger` admission control ≡ the `batch_size` bound of the
+  *     reference's accumulation loop (execution.rs:87);
+  *   - `Trigger.AvailableNow` ≡ the `PartitionEOF` run-to-end stop
+  *     (execution.rs:93-96); `Trigger.ProcessingTime` ≡ its `time_window`
+  *     pacing (tests/basic_tests.rs:42);
+  *   - real offset bookkeeping via the checkpoint WAL replaces the
+  *     stateless full replay of `StreamingProvider::recv()` +
+  *     `Offset::Beginning` (execution.rs:78,129-131) — the single biggest
+  *     semantic upgrade over the reference;
+  *   - the envelope schema is the reference's `(key, value)` binary pair
+  *     (/root/reference/src/lib.rs:7-12) plus the metadata the reference
+  *     drops (topic/partition/offset/timestamp, execution.rs:135-142),
+  *     matching Spark's own Kafka-source schema contract.
+  *
+  * Options: `path` (log dir, required), `maxRowsPerTrigger` (per-partition
+  * admission cap per micro-batch, optional).
+  */
+class ReplayDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-replay"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplayDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ReplayTable(opts.get("path"),
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
+  }
+}
+
+object ReplayDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+}
+
+class ReplayTable(path: String, maxRowsPerTrigger: Option[Long])
+    extends Table with SupportsRead {
+  require(path != null, "option 'path' is required for the graft-replay source")
+  override def name(): String = s"graft-replay($path)"
+  override def schema(): StructType = ReplayDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ReplayScan(path, maxRowsPerTrigger)
+    }
+}
+
+class ReplayScan(path: String, maxRowsPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = ReplayDataSource.Schema
+  override def description(): String = s"ReplayScan($path)"
+  override def toBatch: Batch = new ReplayBatch(path)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ReplayMicroBatchStream(path, maxRowsPerTrigger)
+}
+
+/** Offsets: one record index per log partition, JSON `{"0":n,"1":m,...}`. */
+case class ReplayOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object ReplayOffset {
+  def fromJson(s: String): ReplayOffset = ReplayOffset(
+    s.trim.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap)
+}
+
+class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val partitions: Seq[Int] = ReplayLog.listPartitions(path)
+  private val ends: Map[Int, Long] =
+    partitions.map(p => p -> ReplayLog.recordCount(path, p)).toMap
+  // end frozen at prepareForTriggerAvailableNow time (run-to-current-end stop)
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ends)
+
+  override def initialOffset(): Offset =
+    ReplayOffset(partitions.map(_ -> 0L).toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].offsets
+    val target = availableNowEnd.getOrElse(ends)
+    val next = limit match {
+      case m: ReadMaxRows =>
+        target.map { case (p, end) =>
+          p -> math.min(end, s.getOrElse(p, 0L) + m.maxRows()) }
+      case _: ReadAllAvailable => target
+      case _ => target
+    }
+    ReplayOffset(next)
+  }
+
+  override def reportLatestOffset(): Offset = ReplayOffset(ends)
+
+  override def deserializeOffset(json: String): Offset = ReplayOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].offsets
+    val e = end.asInstanceOf[ReplayOffset].offsets
+    partitions.flatMap { p =>
+      val (so, eo) = (s.getOrElse(p, 0L), e.getOrElse(p, 0L))
+      if (eo > so) Some(ReplayInputPartition(path, p, so, eo)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class ReplayBatch(path: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    ReplayLog.listPartitions(path).map { p =>
+      ReplayInputPartition(path, p, 0L, ReplayLog.recordCount(path, p))
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
+}
+
+case class ReplayInputPartition(path: String, partition: Int,
+    start: Long, end: Long) extends InputPartition
+
+object ReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ReplayPartitionReader(partition.asInstanceOf[ReplayInputPartition])
+}
+
+/** Sequential record reader for one `[start, end)` offset range: seeks via
+  * the byte index, then streams records — the per-partition analogue of the
+  * reference's consumer loop (execution.rs:80-104), minus the event-loop
+  * poll hack (execution.rs:85-86) that Spark's pull model doesn't need. */
+class ReplayPartitionReader(ip: ReplayInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val topic = UTF8String.fromString("events")
+  private var in: DataInputStream = _
+  private var offset = ip.start
+  private var row: InternalRow = _
+
+  private def open(): Unit = {
+    val pos = ReplayLog.bytePosition(ip.path, ip.partition, ip.start)
+    val fis = new FileInputStream(ReplayLog.logFile(ip.path, ip.partition))
+    var toSkip = pos
+    while (toSkip > 0) toSkip -= fis.skip(toSkip)
+    in = new DataInputStream(new BufferedInputStream(fis, 1 << 16))
+  }
+
+  override def next(): Boolean = {
+    if (in == null) open()
+    if (offset >= ip.end) return false
+    def blob(): Array[Byte] = {
+      val len = in.readInt()
+      if (len < 0) null
+      else { val b = new Array[Byte](len); in.readFully(b); b }
+    }
+    val key = blob(); val value = blob(); val tsUs = in.readLong()
+    row = new GenericInternalRow(Array[Any](key, value, topic,
+      ip.partition, offset, tsUs))
+    offset += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (in != null) in.close()
+}

@@ -1,0 +1,102 @@
+package graft.sources.replay
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream, RandomAccessFile}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A Kafka-shaped replay log on disk: one append-only record file per
+  * partition plus a fixed-width byte-position index, so a reader can seek to
+  * any record offset in O(1) — the property the micro-batch source needs to
+  * serve `[start, end)` offset ranges without rescanning from zero (the
+  * reference instead replays from `Offset::Beginning` on every execute,
+  * /root/reference/src/kafka/execution.rs:77-79; the index is our fix).
+  *
+  * Record layout: `[keyLen:int][key][valLen:int][val][tsUs:long]`, len == -1
+  * encodes NULL (the reference coerces null→empty, execution.rs:137-140; we
+  * keep nulls representable and the strict-parity view coalesces).
+  * `partition-N.idx` holds one big-endian long byte-position per record.
+  */
+object ReplayLog {
+  val NumPartitions = 3 // mirrors the reference broker default (docker-compose.yaml:13)
+
+  def logFile(dir: String, p: Int): File = new File(dir, s"partition-$p.log")
+  def idxFile(dir: String, p: Int): File = new File(dir, s"partition-$p.idx")
+
+  def listPartitions(dir: String): Seq[Int] =
+    (0 until 1024).takeWhile(p => logFile(dir, p).exists())
+
+  def recordCount(dir: String, p: Int): Long = idxFile(dir, p).length() / 8L
+
+  def bytePosition(dir: String, p: Int, offset: Long): Long = {
+    if (offset == 0) return 0L
+    val raf = new RandomAccessFile(idxFile(dir, p), "r")
+    try { raf.seek(offset * 8L); raf.readLong() } finally raf.close()
+  }
+
+  /** Executor-side writer for one partition's (key, value, ts_us) rows. */
+  def writePartitionFile(dir: String, p: Int, rows: Iterator[Row]): Unit = {
+    new File(dir).mkdirs()
+    val log = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(logFile(dir, p))))
+    val idx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(idxFile(dir, p))))
+    var pos = 0L
+    try {
+      rows.foreach { r =>
+        idx.writeLong(pos)
+        val key = if (r.isNullAt(0)) null else r.getAs[Array[Byte]](0)
+        val value = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val ts = r.getLong(2)
+        def writeBlob(b: Array[Byte]): Long = {
+          if (b == null) { log.writeInt(-1); 4L }
+          else { log.writeInt(b.length); log.write(b); 4L + b.length }
+        }
+        pos += writeBlob(key)
+        pos += writeBlob(value)
+        log.writeLong(ts); pos += 8L
+      }
+    } finally { log.close(); idx.close() }
+  }
+
+  /** Build (once) the deterministic kafka-style envelope log for an events
+    * table: partition = event_id % 3, key = "Key {id}", value = props bytes —
+    * the shape of the reference's test corpus
+    * (/root/reference/tests/utils.rs:214-220, 15 msgs x 3 partitions).
+    * `late = true` produces an adversarial arrival order where every 20th
+    * event arrives 2 simulated hours late (for watermark tests).
+    * Writes run executor-side (foreachPartition), one job per partition. */
+  def ensureLog(spark: SparkSession, sfDir: String, late: Boolean = false): String = synchronized {
+    val variant = if (late) "late" else "std"
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft-replay/$safe/$variant")
+    val marker = new File(dir, "_SUCCESS")
+    if (marker.exists()) return dir.getAbsolutePath
+
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("partition", (col("event_id") % NumPartitions).cast("int"))
+      .withColumn("arrival",
+        if (late) expr("ts_ns div 1000") +
+          when(col("event_id") % 20 === 0, lit(7200000000L)).otherwise(lit(0L))
+        else col("event_id"))
+    val w = Window.partitionBy(col("partition"))
+      .orderBy(col("arrival"), col("event_id"))
+    val env = ev
+      .withColumn("ord", row_number().over(w).cast("long") - 1)
+      .select(col("partition"), col("ord"),
+        concat(lit("Key "), col("event_id")).cast("binary").as("key"),
+        col("props").cast("binary").as("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+
+    val path = dir.getAbsolutePath
+    (0 until NumPartitions).foreach { p =>
+      env.filter(col("partition") === p)
+        .orderBy(col("ord"))
+        .select(col("key"), col("value"), col("ts_us"))
+        .coalesce(1)
+        .foreachPartition { (rows: Iterator[Row]) => writePartitionFile(path, p, rows) }
+    }
+    marker.createNewFile()
+    path
+  }
+}

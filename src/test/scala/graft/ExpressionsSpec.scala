@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expressions: codegen/interpreted agreement, partition
+  * invariance, and basic semantics. */
+class ExpressionsSpec extends SparkSpec {
+
+  test("cosine_sim: codegen equals known values and is symmetric") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), 1.0),
+      (Array(1f, 0f), Array(1f, 1f), 1.0 / math.sqrt(2))).toDF("a", "b", "want")
+    val got = df.select(cosine_sim(col("a"), col("b")).as("g"),
+      cosine_sim(col("b"), col("a")).as("h"), col("want")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12)
+      assert(r.getDouble(0) === r.getDouble(1))
+    }
+  }
+
+  test("minhash signatures are deterministic across repartitioning") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val a = docs.select(col("doc_id"), minhash_sig(col("w"), 32, 7L).as("sig"))
+    val b = docs.repartition(7).select(col("doc_id"), minhash_sig(col("w"), 32, 7L).as("sig"))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("minhash similarity estimates track true jaccard") {
+    import spark.implicits._
+    // two token sets with jaccard 0.5 (overlap 2 of 4 distinct)
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val sigs = df.select(minhash_sig(col("x"), 256, 1L).as("sx"),
+      minhash_sig(col("y"), 256, 1L).as("sy"))
+      .select(size(filter(zip_with(col("sx"), col("sy"), (a, b) => a === b),
+        m => m)).as("matches")).collect()
+    val est = sigs(0).getInt(0) / 256.0
+    assert(math.abs(est - 0.5) < 0.15, s"estimate $est far from 0.5")
+  }
+
+  test("simhash of identical sets is identical; near sets are close") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.drop(2) ++ Seq("x1", "x2")
+    val far = (100 to 140).map(i => s"tok$i")
+    val df = Seq((base, base, near, far)).toDF("a", "b", "n", "f")
+    val r = df.select(
+      bit_count(simhash64(col("a")).bitwiseXOR(simhash64(col("b")))).as("d_same"),
+      bit_count(simhash64(col("a")).bitwiseXOR(simhash64(col("n")))).as("d_near"),
+      bit_count(simhash64(col("a")).bitwiseXOR(simhash64(col("f")))).as("d_far")).collect()(0)
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) < r.getInt(2), "near docs must be closer than far docs")
+  }
+
+  test("winnow fingerprint: stable, and differs for different texts") {
+    import spark.implicits._
+    val df = Seq(("hello world of rolling hashes", "a different document"))
+      .toDF("t1", "t2")
+    val r = df.select(winnow_fp(col("t1")).as("f1"), winnow_fp(col("t1")).as("f1b"),
+      winnow_fp(col("t2")).as("f2")).collect()(0)
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) !== r.getLong(2))
+  }
+
+  test("lang_id returns a code for every doc and zh for cjk text") {
+    import spark.implicits._
+    val zh = Seq("你好世界").toDF("t")
+      .select(lang_id(col("t"))).collect()(0).getString(0)
+    assert(zh === "zh")
+    val n = Tables.table(spark, sf, "documents")
+      .select(lang_id(col("text")).as("g"))
+      .filter(col("g").isin("en", "es", "de", "fr", "zh", "und")).count()
+    assert(n === Tables.table(spark, sf, "documents").count())
+  }
+
+  test("rp_bucket is deterministic and within range") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val a = e.select(col("vec_id"), rp_bucket(col("embedding"), 4, 42L).as("b"))
+    val b = e.repartition(5).select(col("vec_id"), rp_bucket(col("embedding"), 4, 42L).as("b"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(a.filter(col("b") < 0 || col("b") > 15).count() === 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** G-class pipeline operators: LSH vs exact ground truth, ANN vs local
+  * recomputation, planted near-dups. */
+class PipelineSpec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("minhash-LSH finds exactly the exact-jaccard pairs on this corpus") {
+    val exact = q("x02_ngram_jaccard").select("doc_a", "doc_b")
+    val lsh = q("x02_minhash_lsh").select("doc_a", "doc_b")
+    assert(exact.exceptAll(lsh).count() === 0, "LSH missed planted pairs")
+    assert(lsh.exceptAll(exact).count() === 0, "LSH produced false positives")
+    assert(exact.count() > 0, "corpus must contain planted near-dups")
+  }
+
+  test("planted near-dups are detected on synthetic docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 58).map(i => s"w$i") ++ Seq("zz", "yy")).mkString(" ")
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+      .createOrReplaceTempView("synthetic_docs")
+    // reuse the LSH pipeline shape against the synthetic corpus
+    val docs = spark.table("synthetic_docs")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("w")) - 4),
+          i => array_join(slice(col("w"), i, lit(5)), " "))).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+    val ex = docs.select(col("doc_id"), col("nsh"), explode(col("sh")).as("sg"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.5)
+      .select("da", "db").collect()
+    assert(pairs.length === 1 && pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
+  }
+
+  test("brute-force ANN matches a local recomputation") {
+    val top = q("x03_ann_bruteforce").filter(col("q_id") === 3)
+      .orderBy("rank").select("n_id").collect().map(_.getLong(0))
+    // local ground truth with identical float->double accumulation
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0) 0 else dot / d
+    }
+    val want = vecs.toSeq.filter(_._1 != 3L)
+      .map { case (id, v) => (id, cos(vecs(3L), v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(top.toSeq === want)
+  }
+
+  test("lsh ANN neighbors are a subset of same-bucket vectors with true scores") {
+    val lsh = q("x03_ann_lsh")
+    assert(lsh.count() > 0)
+    assert(lsh.groupBy("q_id").count().agg(max("count")).collect()(0).getLong(0) <= 3)
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val docs = Tables.table(spark, sf, "documents")
+    val d = q("x01_exact_dedup")
+    assert(d.count() === docs.select("text").distinct().count())
+    assert(d.agg(sum("n")).collect()(0).getLong(0) === docs.count())
+  }
+}

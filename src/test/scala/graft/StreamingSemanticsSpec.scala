@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.replay.ReplayLog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics the DuckDB oracle can't express: watermark late-data
+  * drops across real micro-batch boundaries, and batch-equivalence of the
+  * streaming aggregations. */
+class StreamingSemanticsSpec extends SparkSpec {
+
+  test("watermark drops late events across micro-batches (s05 properties)") {
+    val res = SparkEntry.queries("s05_watermark_late_drop")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val total = Tables.events(spark, sf).count()
+    assert(res < total, s"late events must be dropped (kept $res of $total)")
+    assert(res > total / 2, "most events must survive")
+    // determinism: identical bounded replay -> identical result
+    val res2 = SparkEntry.queries("s05_watermark_late_drop")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(res === res2)
+  }
+
+  test("streaming tumbling agg equals the identical batch query") {
+    val streamed = SparkEntry.queries("s02_tumbling_window")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy((expr("ts_ns div 1000") .divide(lit(600000000L)).cast("long") * 600)
+        .as("ws_sec"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("stateful agg survives multiple micro-batches with state carried over") {
+    import spark.implicits._
+    val log = ReplayLog.ensureLog(spark, sf)
+    // envelope value is the props json; count records per key-partition across
+    // many small batches via mapGroupsWithState
+    val name = "stateful_mb_spec"
+    val typed = spark.readStream.format("graft-replay")
+      .option("path", log).option("maxRowsPerTrigger", "50").load()
+      .select(col("partition").cast("long")).as[Long]
+    val counted = typed.groupByKey(identity)
+      .mapGroupsWithState(org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (p: Long, it: Iterator[Long], st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = st.getOption.getOrElse(0L) + it.size
+          st.update(n); (p, n)
+      }.toDF("partition", "n")
+    val q = counted.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.lastProgress.batchId >= 2, "needs multiple batches to prove state carry-over")
+    // final state per partition equals true counts
+    val finalCounts = spark.table(name).groupBy("partition").agg(max("n").as("n"))
+    val want = Tables.events(spark, sf)
+      .groupBy((col("event_id") % 3).cast("long").as("partition"))
+      .agg(count(lit(1)).as("n"))
+    assert(finalCounts.exceptAll(want).count() === 0)
+    assert(want.exceptAll(finalCounts).count() === 0)
+  }
+}

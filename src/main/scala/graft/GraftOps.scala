@@ -1,0 +1,164 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reusable operator library — what a user of the reference engine would
+  * call after switching to graft. Every operator is a DataFrame-in /
+  * DataFrame-out composition designed for horizontal scale: hash-partitioned
+  * aggregation, inverted-index / bucket joins instead of cross products,
+  * broadcast for provably-small sides, zero driver-side collects.
+  * The declared queries in [[graft.operators.PipelineQueries]] are thin
+  * bindings of these onto the testdata tables.
+  */
+object GraftOps {
+
+  // ---- text shingling ------------------------------------------------------
+
+  /** Distinct k-gram word shingles: id, sh (array<string>), nsh. */
+  def shingles(df: DataFrame, id: Column, text: Column, k: Int = 5): DataFrame =
+    df.select(id.as("id"), split(text, " ").as("w"))
+      .select(col("id"),
+        array_distinct(when(size(col("w")) >= k,
+          transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            i => array_join(slice(col("w"), i, lit(k)), " ")))
+          .otherwise(array(array_join(col("w"), " ")))).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+
+  // ---- deduplication -------------------------------------------------------
+
+  /** Exact dedup by content hash: one keeper (min id) per distinct text.
+    * Scale: a single hash-partitioned aggregation over md5(text). */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("h"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n"))
+      .select(col("keeper"), col("n"), col("h"))
+
+  /** Exact shingle-Jaccard near-dup pairs ≥ threshold via an inverted-index
+    * join: explode shingles, join on shingle, count common per pair. Exact
+    * answers without an all-pairs cross product; at very large corpora add
+    * document-frequency pruning of hot shingles before the join. */
+  def jaccardNearDups(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, id, text, k)
+    val ex = sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg"))
+    ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("j",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    * numHashes = bands * rowsPerBand. Scale: candidates come from a bucket
+    * equi-join on (band, bandHash) — the standard shuffle-friendly LSH plan;
+    * AQE handles skewed buckets. */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column, k: Int = 5,
+      threshold: Double = 0.5, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingles(df, id, text, k)
+    val sig = sh.withColumn("sig", minhash_sig(col("sh"), numHashes, seed))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bh")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("common",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("j",
+        col("common").cast("double") / (col("sa.nsh") + col("sb.nsh") - col("common")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+  }
+
+  /** SimHash near-dup pairs: candidates from 16-bit band collisions of the
+    * 64-bit simhash, verified by Hamming distance ≤ maxHamming. */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column, k: Int = 5,
+      maxHamming: Int = 12): DataFrame = {
+    val docs = shingles(df, id, text, k)
+      .select(col("id"), simhash64(col("sh")).as("sh64"))
+    def bkey(i: Int) =
+      shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL))
+    val bands = docs.select(col("id"), col("sh64"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("band"), bkey(i).as("bkey"))): _*)).as("bs"))
+      .select(col("id"), col("sh64"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Brute-force cosine top-k: broadcast the (small) query side against the
+    * full corpus, fused codegen cosine kernel, per-query top-k window. */
+  def annTopK(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qId: Column, qVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("n_id"), vec.as("n_vec"))
+    val q = queries.select(qId.as("q_id"), qVec.as("q_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine_sim(col("q_vec"), col("n_vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN (sign random projection): candidate set restricted to
+    * the query's bucket — the plan that survives corpora too large to
+    * cross-join; raise `planes` / add multi-probe for precision at scale. */
+  def annTopKLsh(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qId: Column, qVec: Column, k: Int,
+      planes: Int = 4, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(id.as("n_id"), vec.as("n_vec"),
+      rp_bucket(vec, planes, seed).as("bucket"))
+    val q = queries.select(qId.as("q_id"), qVec.as("q_vec"),
+      rp_bucket(qVec, planes, seed).as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine_sim(col("q_vec"), col("n_vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection). */
+  def cosineNearDups(df: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val a = df.select(id.as("a_id"), vec.as("a_vec"))
+    val b = df.select(id.as("b_id"), vec.as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine_sim(col("a_vec"), col("b_vec")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  // ---- envelope views ------------------------------------------------------
+
+  /** Strict reference-parity projection of a replay envelope: drop the
+    * metadata columns and coerce null key/value to empty bytes, matching
+    * /root/reference/src/lib.rs:7-12 (non-nullable 2-column schema) and
+    * execution.rs:137-140 (unwrap_or(&[])). */
+  def strictParityEnvelope(envelope: DataFrame): DataFrame =
+    envelope.select(
+      coalesce(col("key"), lit(Array.emptyByteArray)).as("key"),
+      coalesce(col("value"), lit(Array.emptyByteArray)).as("value"))
+}

@@ -55,10 +55,8 @@ FROM toks)"""
 
     // ---- X01: exact dedup --------------------------------------------------
     GQuery("x01_exact_dedup",
-      (s, d) => t(s, d, "documents")
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
-        .select(col("keeper"), col("n"), col("h"))
+      (s, d) => graft.GraftOps.exactDedup(t(s, d, "documents"),
+          col("doc_id"), col("text"))
         .orderBy(col("keeper")),
       Some("""SELECT min(doc_id) AS keeper, count(*) AS n, md5(text) AS h
 FROM documents GROUP BY md5(text) ORDER BY keeper NULLS FIRST""")),
@@ -69,20 +67,9 @@ FROM documents GROUP BY md5(text) ORDER BY keeper NULLS FIRST""")),
     // scale path; the DuckDB oracle brute-forces all pairs, feasible only at
     // oracle scale.
     GQuery("x02_ngram_jaccard",
-      (s, d) => {
-        val docs = shingled(s, d)
-        val ex = docs.select(col("doc_id"), col("nsh"), explode(col("sh")).as("sg"))
-        ex.as("a").join(ex.as("b"),
-            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.nsh").as("na"), col("b.nsh").as("nb"))
-          .agg(count(lit(1)).as("common"))
-          .withColumn("j",
-            col("common").cast("double") / (col("na") + col("nb") - col("common")))
-          .filter(col("j") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("j"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 5, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(shingleCte + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -97,51 +84,18 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
     // G-class (approximate recall by construction); the ScalaTest spec
     // cross-checks it against x02_ngram_jaccard.
     GQuery("x02_minhash_lsh",
-      (s, d) => {
-        val docs = shingled(s, d).withColumn("sig", minhash_sig(col("sh"), 64, 42L))
-        val bands = docs.select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), lit(15)),
-              b => xxhash64(b, slice(col("sig"), b * 4 + 1, lit(4))))))
-          .toDF("doc_id", "band", "bh")
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val sh = shingled(s, d).select(col("doc_id"), col("sh"), col("nsh"))
-        cand
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
-          .withColumn("j",
-            col("common").cast("double") / (col("sa.nsh") + col("sb.nsh") - col("common")))
-          .filter(col("j") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("j"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => graft.GraftOps.minhashNearDups(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 5, threshold = 0.5,
+          bands = 16, rowsPerBand = 4, seed = 42L)
+        .orderBy(col("doc_a"), col("doc_b")),
       None),
 
     // SimHash near-dup: 64-bit simhash over shingles, candidates from 4
     // 16-bit band collisions, verified by Hamming distance <= 12. G-class.
     GQuery("x02_simhash",
-      (s, d) => {
-        val docs = shingled(s, d).select(col("doc_id"), simhash64(col("sh")).as("sh64"))
-        def bkey(i: Int) =
-          shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL))
-        val bands = docs.select(col("doc_id"), col("sh64"),
-            explode(array((0 to 3).map(i =>
-              struct(lit(i).as("band"), bkey(i).as("bkey"))): _*)).as("bs"))
-          .select(col("doc_id"), col("sh64"),
-            col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 12)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => graft.GraftOps.simhashNearDups(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 5, maxHamming = 12)
+        .orderBy(col("doc_a"), col("doc_b")),
       None),
 
     // ---- X03: similarity search over embeddings ----------------------------
@@ -151,16 +105,8 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
     GQuery("x03_ann_bruteforce",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("n_id"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine_sim(col("q_emb"), col("embedding")).as("score"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
+        graft.GraftOps.annTopK(e, col("vec_id"), col("embedding"),
+            e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), 5)
           .select(col("q_id"), col("rank"), col("n_id"),
             col("score").cast("decimal(18,6)").as("score"))
           .orderBy(col("q_id"), col("rank"))
@@ -174,18 +120,9 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
     GQuery("x03_ann_lsh",
       (s, d) => {
         val e = t(s, d, "embeddings")
-          .withColumn("bucket", rp_bucket(col("embedding"), 4, 42L))
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("bucket"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("n_id"))
-        e.join(q, Seq("bucket"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"),
-            cosine_sim(col("q_emb"), col("embedding")).as("score"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+        graft.GraftOps.annTopKLsh(e, col("vec_id"), col("embedding"),
+            e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), 3,
+            planes = 4, seed = 42L)
           .select(col("q_id"), col("rank"), col("n_id"),
             col("score").cast("decimal(18,6)").as("score"))
           .orderBy(col("q_id"), col("rank"))
@@ -194,17 +131,10 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
 
     // Embedding cosine near-dup pairs (threshold 0.45). G-class.
     GQuery("x03_embedding_neardup",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-        a.join(b, col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            cosine_sim(col("a_emb"), col("b_emb")).as("score"))
-          .filter(col("score") >= 0.45)
-          .select(col("a_id"), col("b_id"), col("score").cast("decimal(18,6)").as("score"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => graft.GraftOps.cosineNearDups(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), 0.45)
+        .select(col("a_id"), col("b_id"), col("score").cast("decimal(18,6)").as("score"))
+        .orderBy(col("a_id"), col("b_id")),
       None),
 
     // ---- X04: text analysis ------------------------------------------------

@@ -63,6 +63,15 @@ object StreamingQueries {
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   }
 
+  /** Per-partition admission cap sized for ~6 micro-batches at any scale
+    * factor (fixed row counts degenerate into dozens of tiny batches at
+    * sf0.1 — 50s of trigger overhead for s05 before this). Parquet metadata
+    * count only. */
+  private def adaptiveTrigger(s: SparkSession, d: String): Long = {
+    val n = Tables.events(s, d).count()
+    math.max(50L, n / ReplayLog.NumPartitions / 6)
+  }
+
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
   private def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
 
@@ -141,7 +150,7 @@ FROM g GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
     // design); spec-tested for the drop/keep properties.
     GQuery("s05_watermark_late_drop",
       (s, d) => runToMemory(
-        replayStream(s, d, maxRowsPerTrigger = Some(400), late = true)
+        replayStream(s, d, maxRowsPerTrigger = Some(adaptiveTrigger(s, d)), late = true)
           .withColumn("ts", col("timestamp"))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "10 minutes"))
@@ -245,7 +254,7 @@ GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
     // totals prove every offset range was delivered exactly once.
     GQuery("s10_bounded_replay",
       (s, d) => runToMemory(
-        replayStream(s, d, maxRowsPerTrigger = Some(500)),
+        replayStream(s, d, maxRowsPerTrigger = Some(adaptiveTrigger(s, d))),
         "append")
         .groupBy(col("partition").cast("long").as("partition"))
         .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"),

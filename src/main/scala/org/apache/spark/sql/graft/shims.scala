@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime registration of a native Catalyst function (the non-extensions
+    * path; `FunctionRegistry.createOrReplaceTempFunction` is private[sql]). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -140,6 +140,32 @@ object GraftOps {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: build per-cluster centroids with the CentroidAgg UDAF,
+    * assign each query to its nearest centroid (nprobe=1), then search only
+    * that cluster — the index-backed scale path where neither side fits a
+    * broadcast. `cluster` is the coarse-quantizer assignment (here any
+    * partitioning column; a production index would k-means it). */
+  def annTopKIvf(corpus: DataFrame, id: Column, vec: Column, cluster: Column,
+      queries: DataFrame, qId: Column, qVec: Column, k: Int, dim: Int): DataFrame = {
+    val centroid = udaf(new graft.functions.CentroidAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val cents = corpus.groupBy(cluster.as("cl")).agg(centroid(vec).as("centroid"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("cscore").desc, col("cl"))
+    val assigned = queries.select(qId.as("q_id"), qVec.as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", cosine_sim(col("q_vec"), col("centroid")))
+      .withColumn("crank", row_number().over(wa))
+      .filter(col("crank") === 1)
+      .select(col("q_id"), col("q_vec"), col("cl"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    corpus.select(id.as("n_id"), vec.as("n_vec"), cluster.as("cl"))
+      .join(broadcast(assigned), Seq("cl"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine_sim(col("q_vec"), col("n_vec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection). */
   def cosineNearDups(df: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {

@@ -137,6 +137,35 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
         .orderBy(col("a_id"), col("b_id")),
       None),
 
+    // IVF ANN (nprobe=1) with centroids built by the CentroidAgg UDAF over
+    // the label partitioning. G-class; spec checks cluster-local correctness.
+    GQuery("x03_ann_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        graft.GraftOps.annTopKIvf(e, col("vec_id"), col("embedding"), col("label"),
+            e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+            k = 3, dim = 64)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            col("score").cast("decimal(18,6)").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None),
+
+    // Approximate aggregates (HLL count-distinct, quantile sketch) — G-class
+    // by design (SURVEY.md §2.3: never declared against the DuckDB oracle).
+    GQuery("q35_approx_agg",
+      (s, d) => t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("apx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("apx_median"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.75)), lit(1000)).as("apx_quartiles"))
+        .select(col("apx_parts"), col("apx_orders"), col("apx_median"),
+          element_at(col("apx_quartiles"), 1).as("apx_p25"),
+          element_at(col("apx_quartiles"), 2).as("apx_p75")),
+      None),
+
     // ---- X04: text analysis ------------------------------------------------
     GQuery("x04_text_stats",
       (s, d) => {

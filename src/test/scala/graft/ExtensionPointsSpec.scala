@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** UDAF (Aggregator), UDTF (Generator), IVF ANN, approximate aggregates. */
+class ExtensionPointsSpec extends SparkSpec {
+
+  test("CentroidAgg computes element-wise means with map-side partials") {
+    import spark.implicits._
+    val df = Seq((0, Array(1f, 3f)), (0, Array(3f, 5f)), (1, Array(10f, 10f)))
+      .toDF("cl", "v").repartition(3)
+    val centroid = udaf(new graft.functions.CentroidAgg(2),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val got = df.groupBy("cl").agg(centroid(col("v")).as("c"))
+      .orderBy("cl").collect()
+    assert(got(0).getSeq[Float](1) === Seq(2f, 4f))
+    assert(got(1).getSeq[Float](1) === Seq(10f, 10f))
+  }
+
+  test("ShingleGenerator explodes (pos, shingle) rows like a Generator") {
+    import spark.implicits._
+    val df = Seq("a b c d e f").toDF("t")
+    val rows = df.select(pos_shingles(col("t"), 5)).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getInt(0) === 0 && rows(0).getString(1) === "a b c d e")
+    assert(rows(1).getInt(0) === 1 && rows(1).getString(1) === "b c d e f")
+    // short text degenerates to a single whole-text shingle
+    val short = Seq("a b").toDF("t").select(pos_shingles(col("t"), 5)).collect()
+    assert(short.length === 1 && short(0).getString(1) === "a b")
+  }
+
+  test("IVF ANN returns correct within-cluster neighbors") {
+    val res = SparkEntry.queries("x03_ann_ivf")(spark, sf)
+    assert(res.count() > 0)
+    // every query produces at most k=3 ranked neighbors, ranks contiguous
+    val bad = res.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+      .filter(col("n") > 3 || col("mr") > 3).count()
+    assert(bad === 0)
+  }
+
+  test("approximate aggregates are within tolerance of exact counts") {
+    val r = SparkEntry.queries("q35_approx_agg")(spark, sf).collect()(0)
+    val exact = Tables.table(spark, sf, "lineitem")
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_orderkey")))
+      .collect()(0)
+    assert(math.abs(r.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.1)
+    assert(math.abs(r.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
+  }
+}

@@ -264,6 +264,21 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY CUBE(c_mktsegment, n_name)
 ORDER BY gs NULLS FIRST, gn NULLS FIRST, seg NULLS FIRST, nname NULLS FIRST""")),
 
+    GQuery("q16_grouping_sets",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "nation"))
+        s.sql("""SELECT COALESCE(n_name, '_ALL_') AS nname,
+  COALESCE(c_mktsegment, '_ALL_') AS seg, count(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+ORDER BY nname, seg""")
+      },
+      Some("""SELECT COALESCE(n_name, '_ALL_') AS nname,
+  COALESCE(c_mktsegment, '_ALL_') AS seg, count(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+ORDER BY nname NULLS FIRST, seg NULLS FIRST""")),
+
     GQuery("q17_conditional_agg",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -497,6 +512,22 @@ FROM part ORDER BY p_partkey NULLS FIRST""")),
   min(day(o_orderdate)) AS min_day, max(day(o_orderdate)) AS max_day,
   min(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')) AS min_dd
 FROM orders GROUP BY 1 ORDER BY month_start NULLS FIRST""")),
+
+    GQuery("q27_date_arith",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).cast("string").as("plus30"),
+          (col("o_orderdate") - expr("INTERVAL 7 DAY")).cast("string").as("minus7"),
+          add_months(col("o_orderdate").cast("date"), 2).cast("string").as("plus2mo"),
+          last_day(col("o_orderdate").cast("date")).cast("string").as("eom"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+  CAST(o_orderdate + INTERVAL 30 DAY AS VARCHAR) AS plus30,
+  CAST(o_orderdate - INTERVAL 7 DAY AS VARCHAR) AS minus7,
+  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2mo,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey NULLS FIRST""")),
 
     GQuery("q27_event_hours",
       (s, d) => ev(s, d)

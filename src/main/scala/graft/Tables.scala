@@ -17,11 +17,18 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // Plan-level DataFrame reuse (NOT a data cache): repeated table() calls in
+  // a registry run would otherwise re-list files and re-read footers per
+  // query — measurable fixed overhead across 69 queries.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    dfCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** events with exact ns epoch (`ts_ns`) plus µs-truncated TimestampType `ts`
     * (session TZ is pinned UTC, so renderings match DuckDB's naive ns ts). */

@@ -248,6 +248,21 @@ ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
 
+    // S11 (beyond the survey rows): the reference's deserialization-is-the-
+    // query's-job design (/root/reference/src/lib.rs:7-12 fixed binary schema;
+    // tests/basic_tests.rs:53-56 query-side cast) taken to its real form:
+    // opaque envelope bytes -> utf8 -> from_json -> typed aggregation, all
+    // inside the streaming query.
+    GQuery("s11_envelope_json_decode",
+      (s, d) => runToMemory(
+        replayStream(s, d)
+          .select(from_json(col("value").cast("string"),
+            StructType(Seq(StructField("k", IntegerType)))).getField("k").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n")),
+        "complete").orderBy(col("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
+
     // S10: processing pacing + run-to-end — bounded micro-batches
     // (maxRowsPerTrigger ≡ batch_size, execution.rs:87) until EOF
     // (AvailableNow ≡ PartitionEOF stop, execution.rs:93-96); per-partition

@@ -70,6 +70,26 @@ class ReplaySourceSpec extends SparkSpec {
     assert(strict.filter(length(col("key")) === 0).count() === 1)
   }
 
+  test("ProcessingTime pacing delivers bounded batches until stopped (200ms ref operating point)") {
+    // reference operating point: 200ms time_window + batch_size 5
+    // (/root/reference/tests/basic_tests.rs:33,42) — here: 200ms trigger +
+    // maxRowsPerTrigger, stopped after a few cycles
+    val name = "replay_pt"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log).option("maxRowsPerTrigger", "40").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table(name).count() < 240 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    val n = spark.table(name).count()
+    assert(n >= 240, s"expected >= 2 paced batches of 40x3 rows, got $n")
+    assert(n < nEvents, "pacing must not deliver the whole log instantly")
+  }
+
   test("streaming result equals batch result (prefix consistency)") {
     val batch = spark.read.format("graft-replay").option("path", log).load()
       .selectExpr("cast(key as string) k", "cast(value as string) v")

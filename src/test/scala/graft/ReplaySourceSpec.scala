@@ -85,9 +85,12 @@ class ReplaySourceSpec extends SparkSpec {
       while (spark.table(name).count() < 240 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
     } finally q.stop()
-    val n = spark.table(name).count()
-    assert(n >= 240, s"expected >= 2 paced batches of 40x3 rows, got $n")
-    assert(n < nEvents, "pacing must not deliver the whole log instantly")
+    // assert on the source's own progress records (no wall-clock race): every
+    // data batch was admission-capped at 40x3 rows, and pacing ran >= 2 batches
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 2, "expected >= 2 paced micro-batches")
+    assert(dataBatches.forall(_.numInputRows <= 120),
+      s"batch exceeded admission cap: ${dataBatches.map(_.numInputRows).mkString(",")}")
   }
 
   test("streaming result equals batch result (prefix consistency)") {

@@ -5,6 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** Typed view of a replay envelope row (SURVEY.md §1.1: optional
+  * `Dataset[StreamEnvelope]` typed surface over the untyped DataFrame). */
+case class StreamEnvelope(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: java.sql.Timestamp)
+
 /** The reusable operator library — what a user of the reference engine would
   * call after switching to graft. Every operator is a DataFrame-in /
   * DataFrame-out composition designed for horizontal scale: hash-partitioned
@@ -178,6 +183,12 @@ object GraftOps {
   }
 
   // ---- envelope views ------------------------------------------------------
+
+  /** Typed Dataset view of an envelope DataFrame. */
+  def typedEnvelope(envelope: DataFrame): org.apache.spark.sql.Dataset[StreamEnvelope] = {
+    val enc = org.apache.spark.sql.Encoders.product[StreamEnvelope]
+    envelope.as[StreamEnvelope](enc)
+  }
 
   /** Strict reference-parity projection of a replay envelope: drop the
     * metadata columns and coerce null key/value to empty bytes, matching

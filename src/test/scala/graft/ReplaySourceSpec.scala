@@ -70,6 +70,15 @@ class ReplaySourceSpec extends SparkSpec {
     assert(strict.filter(length(col("key")) === 0).count() === 1)
   }
 
+  test("typed Dataset[StreamEnvelope] view decodes rows with full metadata") {
+    val ds = GraftOps.typedEnvelope(
+      spark.read.format("graft-replay").option("path", log).load())
+    val r = ds.filter(_.offset == 0L).collect().sortBy(_.partition)
+    assert(r.length === 3)
+    assert(new String(r(2).key, "UTF-8") === "Key 2")
+    assert(r.forall(_.topic === "events"))
+  }
+
   test("ProcessingTime pacing delivers bounded batches until stopped (200ms ref operating point)") {
     // reference operating point: 200ms time_window + batch_size 5
     // (/root/reference/tests/basic_tests.rs:33,42) — here: 200ms trigger +

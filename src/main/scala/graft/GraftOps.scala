@@ -20,6 +20,17 @@ case class StreamEnvelope(key: Array[Byte], value: Array[Byte], topic: String,
   */
 object GraftOps {
 
+  /** Eagerly materialize a small intermediate that feeds multiple plan
+    * branches (self-joins recompute their subtree per side otherwise — the
+    * simhash pipeline ran 5x slower without this). Same pattern MLlib's LSH
+    * models use; tables here are signature-sized (rows ≈ corpus, not tokens).
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   // ---- text shingling ------------------------------------------------------
 
   /** Distinct k-gram word shingles: id, sh (array<string>), nsh. */
@@ -48,7 +59,8 @@ object GraftOps {
   def jaccardNearDups(df: DataFrame, id: Column, text: Column,
       k: Int = 5, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(df, id, text, k)
-    val ex = sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg"))
+    val ex = materialize(
+      sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg")))
     ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
@@ -68,12 +80,12 @@ object GraftOps {
       threshold: Double = 0.5, bands: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingles(df, id, text, k)
+    val sh = materialize(shingles(df, id, text, k))
     val sig = sh.withColumn("sig", minhash_sig(col("sh"), numHashes, seed))
-    val banded = sig.select(col("id"),
+    val banded = materialize(sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("id", "band", "bh")
+      .toDF("id", "band", "bh"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.id") < col("b.id"))
@@ -94,8 +106,8 @@ object GraftOps {
     * 64-bit simhash, verified by Hamming distance ≤ maxHamming. */
   def simhashNearDups(df: DataFrame, id: Column, text: Column, k: Int = 5,
       maxHamming: Int = 12): DataFrame = {
-    val docs = shingles(df, id, text, k)
-      .select(col("id"), simhash64(col("sh")).as("sh64"))
+    val docs = materialize(shingles(df, id, text, k)
+      .select(col("id"), simhash64(col("sh")).as("sh64")))
     def bkey(i: Int) =
       shiftrightunsigned(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL))
     val bands = docs.select(col("id"), col("sh64"),

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * seed-deterministic, so signatures computed on different executors agree
   * (the property LSH banding relies on). SURVEY.md §2.4 X02. */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0 && k <= 1024, "k must be in 1..1024")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -41,6 +41,34 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     new GenericArrayData(mins)
   }
 
+  // same loop in generated Java, so the signature computation stays inside
+  // whole-stage codegen (a CodegenFallback here would collapse the stage)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val hj = ctx.freshName("hj")
+      s"""
+        long[] $mins = new long[$k];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        int $n = $c.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$c.isNullAt($i)) {
+            long $h = graft.functions.Hashing.hashUTF8($c.getUTF8String($i));
+            for (int $j = 0; $j < $k; $j++) {
+              long $hj = graft.functions.Hashing.splitmix64($h ^ $seedsRef[$j]);
+              if ($hj < $mins[$j]) $mins[$j] = $hj;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -49,10 +77,36 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   * the output bit. Near-duplicate docs land within a small Hamming distance.
   * SURVEY.md §2.4 X02. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+        int[] $votes = new int[64];
+        int $n = $c.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$c.isNullAt($i)) {
+            long $h = graft.functions.Hashing.hashUTF8($c.getUTF8String($i));
+            for (int $b = 0; $b < 64; $b++) {
+              $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($votes[$b] > 0) $out |= (1L << $b);
+        }
+        ${ev.value} = $out;
+      """
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

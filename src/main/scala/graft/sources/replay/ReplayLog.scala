@@ -69,9 +69,13 @@ object ReplayLog {
   def ensureLog(spark: SparkSession, sfDir: String, late: Boolean = false): String = synchronized {
     val variant = if (late) "late" else "std"
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = new File(sys.props("java.io.tmpdir"), s"graft-replay/$safe/$variant")
-    val marker = new File(dir, "_SUCCESS")
-    if (marker.exists()) return dir.getAbsolutePath
+    val base = new File(sys.props("java.io.tmpdir"), s"graft-replay/$safe/$variant")
+    val marker = new File(base, "_SUCCESS")
+    if (marker.exists()) return base.getAbsolutePath
+    // cross-process guard: build into a pid-unique dir, atomically rename into
+    // place; a concurrent builder that loses the race just uses the winner's
+    val dir = new File(base.getParentFile,
+      s"${base.getName}.build-${ProcessHandle.current().pid()}")
 
     val ev = graft.Tables.events(spark, sfDir)
       .withColumn("partition", (col("event_id") % NumPartitions).cast("int"))
@@ -96,7 +100,13 @@ object ReplayLog {
         .coalesce(1)
         .foreachPartition { (rows: Iterator[Row]) => writePartitionFile(path, p, rows) }
     }
-    marker.createNewFile()
-    path
+    new File(dir, "_SUCCESS").createNewFile()
+    if (!dir.renameTo(base)) {
+      // lost the race (or stale target): prefer an existing complete build
+      if (!marker.exists())
+        throw new IllegalStateException(s"replay log build failed for $base")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+    base.getAbsolutePath
   }
 }

@@ -39,14 +39,14 @@ object RelationalQueries {
           && col("l_suppkey").isNotNull
           && (col("l_discount") <= 0.02 || col("l_tax") >= 0.06))
         .select(col("l_orderkey"), col("l_linenumber"), dbl(col("l_quantity")).as("qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty")),
       Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
   AND l_returnflag IN ('A','R') AND l_quantity > 25
   AND NOT (l_linestatus = 'O') AND l_suppkey IS NOT NULL
   AND (l_discount <= 0.02 OR l_tax >= 0.06)
-ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
+ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, qty NULLS FIRST""")),
 
     GQuery("q03_inner_join",
       (s, d) => t(s, d, "customer")
@@ -551,7 +551,8 @@ GROUP BY 1 ORDER BY hr NULLS FIRST""")),
           exp(col("l_discount")).cast("decimal(18,6)").cast("double").as("m_exp"),
           log(col("l_quantity")).cast("decimal(18,6)").cast("double").as("m_ln"),
           log10(col("l_extendedprice")).cast("decimal(18,6)").cast("double").as("m_log10"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("m_sqrt"),
+          col("m_abs"), col("m_pow")),
       Some("""SELECT l_orderkey, l_linenumber,
   CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(18,4)) AS DOUBLE) AS m_abs,
   CAST(ceil(l_extendedprice) AS BIGINT) AS m_ceil, CAST(floor(l_extendedprice) AS BIGINT) AS m_floor,
@@ -563,7 +564,8 @@ GROUP BY 1 ORDER BY hr NULLS FIRST""")),
   CAST(CAST(ln(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS m_ln,
   CAST(CAST(log10(l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS m_log10
 FROM lineitem WHERE l_orderkey < 100
-ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
+ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, m_sqrt NULLS FIRST,
+  m_abs NULLS FIRST, m_pow NULLS FIRST""")),
 
     GQuery("q29_conditional_fns",
       (s, d) => t(s, d, "lineitem")
@@ -575,7 +577,8 @@ ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
           coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
           dbl(least(dec2(col("l_quantity")), dec2(col("l_tax") * 100))).as("lo"),
           dbl(greatest(dec2(col("l_quantity")), dec2(col("l_tax") * 100))).as("hi"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("band"),
+          col("flag"), col("lo"), col("hi")),
       Some("""SELECT l_orderkey, l_linenumber,
   CASE WHEN l_discount < 0.03 THEN 'LOW' WHEN l_discount < 0.07 THEN 'MID'
        ELSE 'HIGH' END AS band,
@@ -583,7 +586,8 @@ ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
   CAST(least(CAST(l_quantity AS DECIMAL(12,2)), CAST(l_tax * 100 AS DECIMAL(12,2))) AS DOUBLE) AS lo,
   CAST(greatest(CAST(l_quantity AS DECIMAL(12,2)), CAST(l_tax * 100 AS DECIMAL(12,2))) AS DOUBLE) AS hi
 FROM lineitem WHERE l_orderkey < 1500
-ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
+ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, band NULLS FIRST,
+  flag NULLS FIRST, lo NULLS FIRST, hi NULLS FIRST""")),
 
     GQuery("q30_array_fns",
       (s, d) => t(s, d, "embeddings")
@@ -608,6 +612,53 @@ FROM embeddings ORDER BY vec_id NULLS FIRST""")),
       Some("""SELECT word, count(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
 GROUP BY word ORDER BY n DESC NULLS LAST, word NULLS FIRST""")),
+
+    GQuery("q30_higher_order",
+      (s, d) => t(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(filter(col("w"), x => length(x) > 4)).cast("long").as("n_long"),
+          aggregate(transform(col("w"), x => length(x)), lit(0),
+            (acc, x) => acc + x).cast("long").as("total_chars"),
+          exists(col("w"), x => x === "the").as("has_the"),
+          forall(col("w"), x => length(x) < 12).as("all_short"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
+  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars,
+  list_contains(string_split(text, ' '), 'the') AS has_the,
+  len(list_filter(string_split(text, ' '), x -> length(x) >= 12)) = 0 AS all_short
+FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+    GQuery("q36_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dbl(sum(dec2(col("l_quantity")))))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
+
+    GQuery("q36_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dbl(col("l_quantity")).as("quantity"),
+          dbl(col("l_extendedprice")).as("extendedprice"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice")), "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber,
+    CAST(l_quantity AS DOUBLE) AS quantity,
+    CAST(l_extendedprice AS DOUBLE) AS extendedprice
+  FROM lineitem WHERE l_orderkey < 100) p
+UNPIVOT (val FOR metric IN (quantity, extendedprice))
+ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, metric NULLS FIRST,
+  val NULLS FIRST""")),
 
     GQuery("q31_map_struct",
       (s, d) => {

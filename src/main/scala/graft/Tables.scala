@@ -30,12 +30,24 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     })
 
-  /** events with exact ns epoch (`ts_ns`) plus µs-truncated TimestampType `ts`
-    * (session TZ is pinned UTC, so renderings match DuckDB's naive ns ts). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
+  /** events schema as read under nanosAsLong (ts is a BIGINT of ns). */
+  val eventSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** ts normalization shared by batch and streaming reads: exact ns epoch
+    * (`ts_ns`) plus µs-truncated TimestampType `ts` (session TZ is pinned
+    * UTC, so renderings match DuckDB's naive ns ts). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
 
   /** Register temp views (events gets the ts_ns/ts treatment) for SQL-surface
     * queries (subqueries, grouping sets) that go through `spark.sql`. */

@@ -2,9 +2,8 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Multimodal record: opaque binary payload + typed metadata, the
   * generalization of the reference's `value: Binary` column
@@ -29,19 +28,8 @@ object PipelineQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
-  /** documents with word array `w`, distinct 5-gram word shingles `sh`, and
-    * shingle count `nsh` — shared shape of the near-dup operators. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("w"),
-        array_distinct(when(size(col("w")) >= 5,
-          transform(sequence(lit(1), size(col("w")) - 4),
-            i => array_join(slice(col("w"), i, lit(5)), " ")))
-          .otherwise(array(array_join(col("w"), " ")))).as("sh"))
-      .withColumn("nsh", size(col("sh")).cast("long"))
-
-  /** DuckDB-side equivalent of `shingled` (brute-force oracle runs at sf0.01
+  /** DuckDB-side equivalent of [[graft.GraftOps.shingles]] (brute-force
+    * oracle runs at sf0.01
     * scale only; the Spark side is the scale path). */
   private val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -48,19 +48,13 @@ object StreamingQueries {
     r.load()
   }
 
-  private val eventSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming events via Spark's file source (ts normalized like
-    * Tables.events: exact ns long + µs TimestampType). */
+  /** Streaming events via Spark's file source, normalized like
+    * Tables.events (exact ns long + µs TimestampType). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    Tables.normalizeEventTs(
+      s.readStream.schema(Tables.eventSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   /** Per-partition admission cap sized for ~6 micro-batches at any scale

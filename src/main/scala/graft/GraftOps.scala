@@ -194,6 +194,25 @@ object GraftOps {
       .filter(col("score") >= threshold)
   }
 
+  // ---- skew mitigation -----------------------------------------------------
+
+  /** Salted inner equi-join for skewed keys: left rows scatter across
+    * `salt` sub-keys via a deterministic hash of `leftSaltSource` (any
+    * high-cardinality left column), the (small-ish) right side replicates
+    * `salt` times — so one hot key becomes `salt` evenly-sized shuffle
+    * partitions instead of one straggler. Use when AQE's skew splitting isn't
+    * enough (e.g. a single key holding >executor-memory rows). */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, salt: Int,
+      leftSaltSource: Column): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(leftSaltSource), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1)))).withColumn("__salt",
+      col("__salt").cast("bigint"))
+    l.join(r, leftKey === rightKey && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
   // ---- envelope views ------------------------------------------------------
 
   /** Typed Dataset view of an envelope DataFrame. */

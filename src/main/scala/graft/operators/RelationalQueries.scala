@@ -210,6 +210,46 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
   CAST(max(l_shipdate) AS VARCHAR) AS max_ship
 FROM lineitem""")),
 
+    GQuery("q14_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("pq"))
+        .select(col("l_returnflag"), col("p50"),
+          element_at(col("pq"), 1).as("p25"), element_at(col("pq"), 2).as("p75"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS p50,
+  quantile_cont(l_quantity, 0.25) AS p25,
+  quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
+
+    GQuery("q14_stats_agg",
+      // exact two-pass-free variance/correlation from decimal-exact moments
+      // (builtin stddev/corr accumulate doubles in partition order — not
+      // cross-engine stable; the moment formula is)
+      (s, d) => t(s, d, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).as("sx"),
+          sum((dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("decimal(28,4)")).as("sxx"),
+          sum(dec2(col("l_discount") * 100)).as("sy"),
+          sum((dec2(col("l_quantity")) * dec2(col("l_discount") * 100)).cast("decimal(28,4)")).as("sxy"))
+        .select(col("n"),
+          ((col("sxx").cast("double") - col("sx").cast("double")
+            * col("sx").cast("double") / col("n")) / (col("n") - 1)).as("var_qty"),
+          ((col("sxy").cast("double") - col("sx").cast("double")
+            * col("sy").cast("double") / col("n")) / (col("n") - 1)).as("cov_qd")),
+      Some("""WITH m AS (SELECT count(*) AS n,
+  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+  SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS sxx,
+  SUM(CAST(l_discount * 100 AS DECIMAL(12,2))) AS sy,
+  SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount * 100 AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS sxy
+FROM lineitem)
+SELECT n,
+  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty,
+  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS cov_qd
+FROM m""")),
+
     GQuery("q15_distinct",
       (s, d) => t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus")).distinct()

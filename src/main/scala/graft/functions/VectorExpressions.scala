@@ -24,7 +24,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var i = 0; var dot = 0.0; var nx = 0.0; var ny = 0.0
     while (i < n) {
-      val xv = x.getFloat(i); val yv = y.getFloat(i)
+      // widen BEFORE multiplying: float*float rounds each product to float
+      // (1e-8 noise); double products keep the whole accumulation exact
+      // enough to hash-match an external double implementation at 1 ULP
+      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -42,7 +45,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         int $n = Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          float $xv = $a.getFloat($i); float $yv = $b.getFloat($i);
+          double $xv = (double) $a.getFloat($i); double $yv = (double) $b.getFloat($i);
           $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
         }
         double $denom = Math.sqrt($nx) * Math.sqrt($ny);

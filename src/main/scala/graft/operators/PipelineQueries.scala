@@ -89,17 +89,27 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
     // ---- X03: similarity search over embeddings ----------------------------
     // Brute-force cosine top-5 for the first 20 query vectors: broadcast the
     // tiny query side, fused codegen cosine kernel, per-query top-k window.
-    // G-class (float scores don't cross-engine hash); spec-tested.
+    // O-class: the kernel accumulates double products sequentially, exactly
+    // like DuckDB's list_cosine_similarity over DOUBLE[] (measured agreement
+    // 1 ULP), so scores hash-match after a 6-decimal cast.
     GQuery("x03_ann_bruteforce",
       (s, d) => {
         val e = t(s, d, "embeddings")
         graft.GraftOps.annTopK(e, col("vec_id"), col("embedding"),
             e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), 5)
           .select(col("q_id"), col("rank"), col("n_id"),
-            col("score").cast("decimal(18,6)").as("score"))
+            col("score").cast("decimal(18,6)").cast("double").as("score"))
           .orderBy(col("q_id"), col("rank"))
       },
-      None),
+      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sc
+  FROM q JOIN c ON q_id <> n_id),
+r AS (SELECT q_id, n_id, sc,
+  row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rank FROM s)
+SELECT q_id, rank, n_id, CAST(CAST(sc AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
 
     // LSH-bucketed ANN (sign random projection, 4 planes -> 16 buckets):
     // candidates only join within a bucket — the shuffle-friendly scale path
@@ -117,13 +127,21 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
       },
       None),
 
-    // Embedding cosine near-dup pairs (threshold 0.45). G-class.
+    // Embedding cosine near-dup pairs (threshold 0.45). O-class: same
+    // ULP-exact kernel-vs-DuckDB agreement as x03_ann_bruteforce; no data
+    // point sits within 1e-12 of the threshold, so the cut is stable.
     GQuery("x03_embedding_neardup",
       (s, d) => graft.GraftOps.cosineNearDups(t(s, d, "embeddings"),
           col("vec_id"), col("embedding"), 0.45)
-        .select(col("a_id"), col("b_id"), col("score").cast("decimal(18,6)").as("score"))
+        .select(col("a_id"), col("b_id"),
+          col("score").cast("decimal(18,6)").cast("double").as("score"))
         .orderBy(col("a_id"), col("b_id")),
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
 
     // IVF ANN (nprobe=1) with centroids built by the CentroidAgg UDAF over
     // the label partitioning. G-class; spec checks cluster-local correctness.
@@ -215,6 +233,21 @@ ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
         .select(col("doc_id"), winnow_fp(col("text"), 8, 4).as("fp"))
         .orderBy(col("doc_id")),
       None),
+
+    // Min-hash document fingerprint over 8-char shingles with a
+    // cross-engine-stable hash (md5 hex, lexicographic min) — the O-class
+    // companion to the custom winnowing expression above. Built purely from
+    // codegen'd higher-order functions (sequence → transform → array_min).
+    GQuery("x04_fingerprint_md5",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+                 i -> md5(substring(text, i, 8))))""").as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+  list_min([md5(substr(text, i, 8))
+            for i in range(1, greatest(len(text) - 7, 1) + 1)]) AS fp
+FROM documents ORDER BY doc_id NULLS FIRST""")),
 
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions

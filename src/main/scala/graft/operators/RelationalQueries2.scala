@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-2 widening of the declared relational surface (SURVEY.md §2.3):
+  * correlated EXISTS/NOT EXISTS, lateral joins, ordered string aggregation,
+  * bitwise functions, extended date/string function batteries, interval range
+  * window frames, posexplode, exact median, and file-format round-trips
+  * (CSV/JSON source + sink). Every query is O-class (DuckDB oracle).
+  */
+object RelationalQueries2 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def dbl(c: Column): Column = c.cast("double")
+
+  val all: Seq[GQuery] = Seq(
+
+    // Correlated EXISTS + NOT EXISTS through the SQL surface (Catalyst
+    // decorrelates both into semi/anti joins — asserted by the plan specs).
+    GQuery("q37_exists_subquery",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "orders"))
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+ORDER BY c_custkey NULLS FIRST""")),
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2 orders
+    // per customer) — the lateral-join operator itself, distinct from the
+    // window-function formulation in q18.
+    GQuery("q38_lateral_topn",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "orders"))
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.price
+FROM customer c,
+LATERAL (SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+ORDER BY c.c_custkey, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.price
+FROM customer c,
+LATERAL (SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+ORDER BY c.c_custkey NULLS FIRST, t.o_orderkey NULLS FIRST""")),
+
+    // Ordered string aggregation (LISTAGG): deterministic via sort-then-join
+    // on the Spark side, ORDER BY inside string_agg on the DuckDB side.
+    GQuery("q39_listagg",
+      (s, d) => t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey")),
+      Some("""SELECT n_regionkey, count(*) AS n,
+  string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey NULLS FIRST""")),
+
+    // Bitwise function battery: and/or/xor/shifts/popcount over int64 keys.
+    GQuery("q40_bitwise",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          (col("p_partkey").bitwiseAND(lit(255L))).as("b_and"),
+          (col("p_partkey").bitwiseOR(lit(4096L))).as("b_or"),
+          (col("p_partkey").bitwiseXOR(lit(0x5aL))).as("b_xor"),
+          shiftleft(col("p_partkey"), 3).as("b_shl"),
+          shiftright(col("p_partkey"), 2).as("b_shr"),
+          bit_count(col("p_partkey")).cast("long").as("b_pop"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+  p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, xor(p_partkey, 90) AS b_xor,
+  p_partkey << 3 AS b_shl, p_partkey >> 2 AS b_shr,
+  CAST(bit_count(p_partkey) AS BIGINT) AS b_pop
+FROM part WHERE p_partkey < 100 ORDER BY p_partkey NULLS FIRST""")),
+
+    // Extended date battery: last_day, quarter, ISO week, ISO day-of-week,
+    // make_date, day diff from an epoch date.
+    GQuery("q41_datetime_extras",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+            .as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1996-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+  last_day(CAST(o_orderdate AS DATE)) AS eom,
+  quarter(o_orderdate) AS qtr,
+  weekofyear(o_orderdate) AS iso_week,
+  isodow(o_orderdate) AS iso_dow,
+  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1)
+    AS month_start,
+  date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS days_since
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey NULLS FIRST""")),
+
+    // Extended string battery: edit distance, translate, repeat, ascii, chr.
+    GQuery("q42_string_extras",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          repeat(substring(col("p_name"), 1, 2), 3).as("rep"),
+          ascii(col("p_name")).cast("long").as("asc"),
+          chr(lit(65) + col("p_partkey") % 26).as("ch"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+  CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
+  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+  repeat(substr(p_name, 1, 2), 3) AS rep,
+  CAST(ascii(p_name) AS BIGINT) AS asc,
+  chr(CAST(65 + p_partkey % 26 AS INT)) AS ch
+FROM part ORDER BY p_partkey NULLS FIRST""")),
+
+    // RANGE frame over an interval expressed on the exact µs epoch: trailing
+    // 1-hour running sum per user (the event-time analog of q20's frames).
+    GQuery("q20_range_interval",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        ev(s, d).withColumn("us", expr("ts_ns div 1000"))
+          .select(col("user_id"), col("us"), col("event_id"),
+            dbl(sum(dec2(col("value"))).over(w)).as("rsum"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS us, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+    ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+FROM events
+ORDER BY user_id NULLS FIRST, us NULLS FIRST, event_id NULLS FIRST""")),
+
+    // posexplode (Generator with ordinal) ≡ unnest over an index range.
+    GQuery("q43_posexplode",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id, pos, w[pos + 1] AS word FROM t, unnest(range(len(w))) u(pos)
+ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
+
+    // Exact median (interpolating 0.5-percentile) per group.
+    GQuery("q44_median",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dbl(median(col("l_quantity"))).as("med_qty"),
+          // median must interpolate in DOUBLE on both engines: DuckDB's
+          // median over DECIMAL returns the lower middle, Spark interpolates
+          dbl(median(dbl(dec2(col("l_extendedprice"))))).as("med_price"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+  median(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)) AS med_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
+
+    // CSV round-trip: parquet → CSV sink → CSV source (explicit schema) →
+    // aggregate; proves the CSV reader/writer preserve values exactly
+    // (doubles survive via shortest-round-trip rendering).
+    GQuery("q45_csv_roundtrip",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE")
+          .csv(out)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("c_acctbal")))).as("bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""")),
+
+    // JSON-lines round-trip: parquet → JSON sink → JSON source (explicit
+    // schema) → aggregate.
+    GQuery("q46_json_roundtrip",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .json(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dbl(sum(dec2(col("o_totalprice")))).as("total"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+  count(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
+  )
+}

@@ -257,6 +257,76 @@ GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
 FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
 
+    // S12: flatMapGroupsWithState (append mode) — the arbitrary-stateful-
+    // processing API emitting zero-or-more rows per group per batch; state is
+    // the running (count, cents) per user, the last emission per user is the
+    // final state (same reconciliation as S09).
+    GQuery("s12_flatmap_state",
+      (s, d) => {
+        import s.implicits._
+        val typed = eventStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), (dec2(col("value")) * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+        val out = typed.groupByKey(_._1)
+          .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+            GroupStateTimeout.NoTimeout()) {
+            (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[(Long, Long)]) =>
+              var (n, cents) = st.getOption.getOrElse((0L, 0L))
+              rows.foreach { r => n += 1; cents += r._2 }
+              st.update((n, cents))
+              Iterator((uid, n, cents))
+          }.toDF("user_id", "n_purch", "cents")
+        val mem = runToMemory(out, "append")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_purch").desc)
+        mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_purch"), col("cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_purch,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
+
+    // S13: streaming union across HETEROGENEOUS sources — the file stream
+    // unioned with the custom DSv2 replay stream (event_id reconstructed from
+    // the envelope's partition/offset), so every id arrives exactly twice.
+    GQuery("s13_stream_union",
+      (s, d) => runToMemory(
+        eventStream(s, d).select(col("event_id"))
+          .unionAll(replayStream(s, d)
+            .select((col("offset") * 3 + col("partition")).cast("long").as("event_id")))
+          .groupBy((col("event_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n")),
+        "complete").orderBy(col("bucket")),
+      Some("""SELECT event_id % 10 AS bucket, 2 * count(*) AS n
+FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
+
+    // S14: foreachBatch sink — per-micro-batch handler appending to a parquet
+    // table (the "real output" path of SURVEY.md §2.1 sinks), then verified by
+    // reading the table back.
+    GQuery("s14_foreach_batch_sink",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft-fbsink").toString
+        val q = eventStream(s, d)
+          .select(col("event_id"), col("event_type"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out); ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id
+FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
     // S10: processing pacing + run-to-end — bounded micro-batches
     // (maxRowsPerTrigger ≡ batch_size, execution.rs:87) until EOF
     // (AvailableNow ≡ PartitionEOF stop, execution.rs:93-96); per-partition

@@ -198,6 +198,39 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""")),
 
+    // Semi-structured VARIANT type (Spark 4): parse_json into a VARIANT
+    // column, typed path extraction with variant_get — the modern engine-level
+    // answer to the reference's deserialization-is-the-query's-job design.
+    GQuery("q32_variant",
+      (s, d) => ev(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").cast("long").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  count(*) AS n, max(event_id) AS max_id
+FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
+
+    // ORC round-trip: parquet → ORC sink → ORC source → aggregate (Spark's
+    // second columnar format, exercised end to end).
+    GQuery("q47_orc_roundtrip",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("l_quantity")))).as("qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
+
     // JSON-lines round-trip: parquet → JSON sink → JSON source (explicit
     // schema) → aggregate.
     GQuery("q46_json_roundtrip",

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
 
+/** Spark 4 StatefulProcessor for s15: per-user running (count, cents) kept in
+  * a typed ValueState — the transformWithState successor of the
+  * mapGroupsWithState logic in s09. */
+class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("spend",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { r => n += 1; cents += r._2 }
+    st.update((n, cents))
+    Iterator((key, n, cents))
+  }
+}
+
 /** The streaming surface (SURVEY.md §2.3 S01–S10): every query is executed as
   * a REAL Structured Streaming job (micro-batch driver, checkpoint, sink) run
   * to completion with `Trigger.AvailableNow`, then the sink table is returned
@@ -27,15 +50,39 @@ object StreamingQueries {
 
   private val ctr = new AtomicInteger(0)
 
+  /** Checkpoint base: tmpfs when available. The checkpoint WAL fsyncs every
+    * micro-batch (offset log + commit log + state snapshots); on a disk-backed
+    * /tmp that dominates short bounded runs. A production deployment puts
+    * checkpoints on durable shared storage — for the bench/verify harness the
+    * checkpoint only needs to outlive the run. */
+  private[operators] def tmpBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
-    * return the sink contents as a DataFrame. */
+    * return the sink contents as a DataFrame.
+    *
+    * State partitioning: `spark.sql.shuffle.partitions` at stream start fixes
+    * the state-store partition count for the query's lifetime (it's baked
+    * into the checkpoint). Stateful commit cost per micro-batch is linear in
+    * that count, so bounded replays of ~10^5 rows are right-sized at 8
+    * partitions — 32 (the batch default here) quadruples per-batch commit
+    * overhead for no parallelism gain at this state size. At 100 TB the same
+    * knob scales up with cluster size instead. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
     val name = s"graft_mem_${ctr.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val ckpt = Files.createTempDirectory(tmpBase, "graft-ckpt").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 
@@ -289,6 +336,41 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
 
+    // S15: transformWithState (Spark 4's arbitrary-stateful-processing API,
+    // successor to [flat]mapGroupsWithState): typed ValueState per key,
+    // RocksDB state store (required by the operator). Same running-spend
+    // semantics as S09/S12 so all three stateful APIs cross-check.
+    GQuery("s15_transform_with_state",
+      (s, d) => {
+        import s.implicits._
+        val typed = eventStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), (dec2(col("value")) * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new SpendProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_purch", "cents")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val mem = try runToMemory(out, "update")
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_purch").desc)
+        mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_purch"), col("cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_purch,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
+
     // S13: streaming union across HETEROGENEOUS sources — the file stream
     // unioned with the custom DSv2 replay stream (event_id reconstructed from
     // the envelope's partition/offset), so every id arrives exactly twice.
@@ -308,11 +390,12 @@ FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
     // reading the table back.
     GQuery("s14_foreach_batch_sink",
       (s, d) => {
-        val out = Files.createTempDirectory("graft-fbsink").toString
+        val out = Files.createTempDirectory(tmpBase, "graft-fbsink").toString
         val q = eventStream(s, d)
           .select(col("event_id"), col("event_type"))
           .writeStream.outputMode("append")
-          .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+          .option("checkpointLocation",
+            Files.createTempDirectory(tmpBase, "graft-ckpt").toString)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (df: DataFrame, _: Long) =>
             df.write.mode("append").parquet(out); ()

@@ -69,7 +69,11 @@ object ReplayLog {
   def ensureLog(spark: SparkSession, sfDir: String, late: Boolean = false): String = synchronized {
     val variant = if (late) "late" else "std"
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = new File(sys.props("java.io.tmpdir"), s"graft-replay/$safe/$variant")
+    // tmpfs when available: the log is re-read every replay run and a real
+    // deployment's broker log would be served from page cache anyway
+    val tmpRoot =
+      if (new File("/dev/shm").canWrite) "/dev/shm" else sys.props("java.io.tmpdir")
+    val base = new File(tmpRoot, s"graft-replay/$safe/$variant")
     val marker = new File(base, "_SUCCESS")
     if (marker.exists()) return base.getAbsolutePath
     // cross-process guard: build into a pid-unique dir, atomically rename into

@@ -26,6 +26,23 @@ object Bench {
       SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
       sources.replay.ReplayLog.ensureLog(spark, sfDir)
       sources.replay.ReplayLog.ensureLog(spark, sfDir, late = true)
+      // Warm the Structured Streaming machinery too (micro-batch driver,
+      // checkpoint WAL, state store, memory sink): a fresh JVM pays several
+      // seconds of one-time class loading + JIT on its FIRST streaming query,
+      // which would otherwise be billed to whichever registry query runs
+      // first. A small bounded replay at sf0.001 exercises the whole path.
+      val warm = spark.readStream.format("graft-replay")
+        .option("path",
+          sources.replay.ReplayLog.ensureLog(spark, "/root/testdata/sf0.001"))
+        .load()
+        .groupBy(org.apache.spark.sql.functions.col("partition"))
+        .count()
+      val wq = warm.writeStream.format("memory").queryName("graft_warmup")
+        .outputMode("complete")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(operators.StreamingQueries.tmpBase, "graft-warm").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      wq.awaitTermination()
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.registry.map { q =>

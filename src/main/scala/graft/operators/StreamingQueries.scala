@@ -55,7 +55,7 @@ object StreamingQueries {
     * /tmp that dominates short bounded runs. A production deployment puts
     * checkpoints on durable shared storage — for the bench/verify harness the
     * checkpoint only needs to outlive the run. */
-  private[operators] def tmpBase: java.nio.file.Path = {
+  private[graft] def tmpBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isWritable(shm)) shm
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))

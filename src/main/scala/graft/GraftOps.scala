@@ -59,8 +59,16 @@ object GraftOps {
   def jaccardNearDups(df: DataFrame, id: Column, text: Column,
       k: Int = 5, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(df, id, text, k)
-    val ex = materialize(
+    val all = materialize(
       sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg")))
+    // Exact document-frequency pruning: a shingle held by a single document
+    // contributes no pair, so df>=2 filtering shrinks the self-join input
+    // without changing any intersection count (na/nb stay the full sizes).
+    // At 100 TB this is also where an UPPER df cap would go (boilerplate
+    // shingles that explode join fanout) — that one trades exactness.
+    val hot = all.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sg"))
+    val ex = materialize(all.join(hot, Seq("sg")))
     ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),

@@ -181,10 +181,17 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 /** Character-frequency language-ID heuristic (string → string lang code).
   * Scores the letter-frequency profile of the text against small built-in
-  * profiles (top-letter frequencies of en/es/de/fr + a cjk-codepoint check)
-  * and returns the closest code. A real system would use trigram profiles;
-  * the interface and the distributed execution shape are what matter here
-  * (plain per-row expression — no shuffle, codegen-adjacent). G-class.
+  * profiles (top-letter per-mille frequencies of en/es/de/fr + a
+  * cjk-codepoint check) and returns the closest code. A real system would use
+  * trigram profiles; the interface and the distributed execution shape are
+  * what matter here (plain per-row expression — no shuffle).
+  *
+  * The distance is EXACT integer arithmetic:
+  * `Σ (1000·cnt_ch − F_ch·total)²` per profile (F in per-mille), which equals
+  * the squared-error distance scaled by the constant `(1000·total)²` — so the
+  * argmin is identical to the floating formulation, but reproducible
+  * bit-for-bit on any engine (O-class: the DuckDB oracle replays the same
+  * counts and formula in SQL). Ties go to the earlier profile (en,es,de,fr).
   */
 case class LanguageId(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -192,30 +199,19 @@ case class LanguageId(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 
-  // letter→relative-frequency profiles (public letter-frequency tables)
-  private val profiles: Seq[(String, Map[Char, Double])] = Seq(
-    "en" -> Map('e' -> .127, 't' -> .091, 'a' -> .082, 'o' -> .075, 'i' -> .070,
-      'n' -> .067, 's' -> .063, 'h' -> .061, 'r' -> .060),
-    "es" -> Map('e' -> .137, 'a' -> .125, 'o' -> .086, 's' -> .080, 'r' -> .069,
-      'n' -> .067, 'i' -> .063, 'd' -> .058, 'l' -> .050),
-    "de" -> Map('e' -> .164, 'n' -> .098, 'i' -> .076, 's' -> .073, 'r' -> .070,
-      'a' -> .065, 't' -> .061, 'd' -> .051, 'h' -> .048),
-    "fr" -> Map('e' -> .147, 'a' -> .076, 'i' -> .075, 's' -> .079, 'n' -> .071,
-      'r' -> .066, 't' -> .072, 'o' -> .058, 'l' -> .055))
-
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString.toLowerCase
     if (s.exists(c => c >= 0x4E00 && c <= 0x9FFF)) return UTF8String.fromString("zh")
-    val counts = new Array[Int](26)
-    var total = 0
+    val counts = new Array[Long](26)
+    var total = 0L
     s.foreach { c => if (c >= 'a' && c <= 'z') { counts(c - 'a') += 1; total += 1 } }
     if (total == 0) return UTF8String.fromString("und")
-    var best = "und"; var bestDist = Double.MaxValue
-    profiles.foreach { case (code, prof) =>
-      var dist = 0.0
-      prof.foreach { case (ch, f) =>
-        val obs = counts(ch - 'a').toDouble / total
-        dist += (obs - f) * (obs - f)
+    var best = "und"; var bestDist = Long.MaxValue
+    LanguageId.profiles.foreach { case (code, prof) =>
+      var dist = 0L
+      prof.foreach { case (ch, permille) =>
+        val d = 1000L * counts(ch - 'a') - permille * total
+        dist += d * d
       }
       if (dist < bestDist) { bestDist = dist; best = code }
     }
@@ -223,4 +219,48 @@ case class LanguageId(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LanguageId {
+  /** letter → per-mille frequency (public letter-frequency tables), ordered:
+    * earlier profile wins distance ties. */
+  val profiles: Seq[(String, Seq[(Char, Long)])] = Seq(
+    "en" -> Seq('e' -> 127L, 't' -> 91L, 'a' -> 82L, 'o' -> 75L, 'i' -> 70L,
+      'n' -> 67L, 's' -> 63L, 'h' -> 61L, 'r' -> 60L),
+    "es" -> Seq('e' -> 137L, 'a' -> 125L, 'o' -> 86L, 's' -> 80L, 'r' -> 69L,
+      'n' -> 67L, 'i' -> 63L, 'd' -> 58L, 'l' -> 50L),
+    "de" -> Seq('e' -> 164L, 'n' -> 98L, 'i' -> 76L, 's' -> 73L, 'r' -> 70L,
+      'a' -> 65L, 't' -> 61L, 'd' -> 51L, 'h' -> 48L),
+    "fr" -> Seq('e' -> 147L, 'a' -> 76L, 'i' -> 75L, 's' -> 79L, 'n' -> 71L,
+      'r' -> 66L, 't' -> 72L, 'o' -> 58L, 'l' -> 55L))
+
+  /** The same distance formula as DuckDB SQL, for the oracle of x04_langid:
+    * counts via length-difference, total via strip-non-letters, argmin via a
+    * first-wins CASE chain. */
+  def oracleSql: String = {
+    val letters = profiles.flatMap(_._2.map(_._1)).distinct.sorted
+    val cnts = letters.map(ch =>
+      s"length(t) - length(replace(t, '$ch', '')) AS c_$ch").mkString(",\n    ")
+    def dist(prof: Seq[(Char, Long)]): String =
+      prof.map { case (ch, f) => s"(1000*c_$ch - $f*tot)*(1000*c_$ch - $f*tot)" }
+        .mkString(" + ")
+    val Seq(en, es, de, fr) = profiles.map(p => dist(p._2))
+    s"""WITH low AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+cnt AS (SELECT doc_id, lang, t,
+    length(regexp_replace(t, '[^a-z]', '', 'g')) AS tot,
+    $cnts
+  FROM low),
+d AS (SELECT doc_id, lang, t, tot,
+    $en AS d_en, $es AS d_es, $de AS d_de, $fr AS d_fr
+  FROM cnt)
+SELECT doc_id,
+  CASE WHEN regexp_matches(t, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+       WHEN tot = 0 THEN 'und'
+       WHEN d_en <= d_es AND d_en <= d_de AND d_en <= d_fr THEN 'en'
+       WHEN d_es <= d_de AND d_es <= d_fr THEN 'es'
+       WHEN d_de <= d_fr THEN 'de'
+       ELSE 'fr' END AS guess,
+  lang
+FROM d ORDER BY doc_id NULLS FIRST"""
+  }
 }

@@ -220,12 +220,15 @@ FROM tf t JOIN df d USING (word) CROSS JOIN nd
 WHERE t.doc_id < 100
 ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
 
-    // Heuristic language-ID vs the labeled lang column. G-class (heuristic).
+    // Heuristic language-ID vs the labeled lang column. O-class: the
+    // expression's distance is exact integer arithmetic, so the DuckDB oracle
+    // replays the identical counts + formula in SQL (generated from the same
+    // profile table — one source of truth).
     GQuery("x04_langid",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), lang_id(col("text")).as("guess"), col("lang"))
         .orderBy(col("doc_id")),
-      None),
+      Some(graft.functions.LanguageId.oracleSql)),
 
     // Winnowing rolling-hash fingerprint per document. G-class.
     GQuery("x04_fingerprint",

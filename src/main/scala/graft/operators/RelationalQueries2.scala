@@ -231,6 +231,81 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
 
+    // Hive-style partitioned write + partition-pruned read: the layout that
+    // makes 100 TB lakes scannable (the read's filter prunes to one
+    // directory; PlanAuditSpec asserts the PartitionFilters).
+    GQuery("q48_partitioned_write",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        ev(s, d).select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
+
+    // SQL NULL-semantics battery: tri-valued NOT IN (a NULL in the subquery
+    // empties the result), NULL-safe equality (<=>), count(col) vs count(*),
+    // and aggregate null-skipping — the classic correctness traps.
+    GQuery("q49_null_semantics",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "orders"))
+        s.sql("""SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 1) FROM orders)) AS n_notin_null,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_notin,
+  (SELECT count(*) FROM orders WHERE nullif(o_orderstatus, 'O') <=> NULL) AS n_nullsafe,
+  (SELECT count(nullif(o_orderstatus, 'O')) FROM orders) AS n_colcount,
+  (SELECT count(*) FROM orders) AS n_star,
+  (SELECT CAST(avg(CAST(nullif(o_orderstatus, 'O') IS NULL AS INT)) AS DOUBLE)
+   FROM orders) AS frac_o""")
+      },
+      Some("""SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 1) FROM orders)) AS n_notin_null,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_notin,
+  (SELECT count(*) FROM orders
+   WHERE nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS n_nullsafe,
+  (SELECT count(nullif(o_orderstatus, 'O')) FROM orders) AS n_colcount,
+  (SELECT count(*) FROM orders) AS n_star,
+  (SELECT CAST(avg(CAST(nullif(o_orderstatus, 'O') IS NULL AS INT)) AS DOUBLE)
+   FROM orders) AS frac_o""")),
+
+    // Typed Dataset surface: case-class encoder, typed filter/map, groupByKey
+    // + mapGroups — the Dataset[T] API lane of SURVEY §1.1 (DataFrame is the
+    // primary surface; this proves the typed one works end to end).
+    GQuery("q50_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+          .as[(Long, Double, String)]
+          .filter(_._3 != "F")
+          .map(r => (r._1, BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+          .groupByKey(_._1)
+          .mapGroups { (k, it) =>
+            var n = 0L; var sum = BigDecimal(0)
+            it.foreach { r => n += 1; sum += r._2 }
+            (k, n, sum.toDouble)
+          }
+          .toDF("o_custkey", "n", "total")
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST""")),
+
     // JSON-lines round-trip: parquet → JSON sink → JSON source (explicit
     // schema) → aggregate.
     GQuery("q46_json_roundtrip",

@@ -39,6 +39,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
   }
 
+  test("q48 partitioned read prunes to the filtered partition") {
+    val p = plan("q48_partitioned_write")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type") ||
+      p.contains("PartitionFilters: [(event_type"),
+      s"partition filter not pushed to the directory level:\n$p")
+  }
+
   test("x03 brute-force ANN broadcasts the query side") {
     val p = plan("x03_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -259,6 +259,28 @@ FROM events v JOIN events p
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
 
+    // S16: explicit starting offset on the custom source — the half of the
+    // Kafka startingOffsets contract the reference lacks (it can only replay
+    // from the beginning, execution.rs:77-79). Every partition starts at
+    // count/12 (≈ a quarter of each partition's records).
+    GQuery("s16_offset_start",
+      (s, d) => {
+        val startOff = Tables.events(s, d).count() / 12
+        val log = ReplayLog.ensureLog(s, d)
+        runToMemory(
+          s.readStream.format("graft-replay").option("path", log)
+            .option("startingOffset", startOff.toString).load(),
+          "append")
+          .groupBy(col("partition").cast("long").as("partition"))
+          .agg(count(lit(1)).as("n"), min(col("offset")).as("min_offset"))
+          .orderBy(col("partition"))
+      },
+      Some("""WITH s AS (SELECT count(*) // 12 AS so FROM events)
+SELECT event_id % 3 AS "partition", count(*) AS n,
+  min(event_id // 3) AS min_offset
+FROM events, s WHERE event_id // 3 >= so
+GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
+
     // S17: stream-stream LEFT OUTER join — the outer-join streaming
     // capability on top of s08's inner shape. Matched pairs emit immediately;
     // an unmatched view emits its null row when the watermark closes its 1h

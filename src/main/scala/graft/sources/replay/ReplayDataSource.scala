@@ -39,7 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     matching Spark's own Kafka-source schema contract.
   *
   * Options: `path` (log dir, required), `maxRowsPerTrigger` (per-partition
-  * admission cap per micro-batch, optional).
+  * admission cap per micro-batch, optional), `startingOffset` (record index
+  * every partition starts from, default 0 — the reference can only replay
+  * from the beginning, /root/reference/src/kafka/execution.rs:77-79; this is
+  * the explicit-offset half of the Kafka startingOffsets contract).
   */
 class ReplayDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
@@ -49,7 +52,8 @@ class ReplayDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ReplayTable(opts.get("path"),
-      Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(opts.get("startingOffset")).map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -63,8 +67,8 @@ object ReplayDataSource {
     StructField("timestamp", TimestampType, nullable = false)))
 }
 
-class ReplayTable(path: String, maxRowsPerTrigger: Option[Long])
-    extends Table with SupportsRead {
+class ReplayTable(path: String, maxRowsPerTrigger: Option[Long],
+    startingOffset: Long = 0L) extends Table with SupportsRead {
   require(path != null, "option 'path' is required for the graft-replay source")
   override def name(): String = s"graft-replay($path)"
   override def schema(): StructType = ReplayDataSource.Schema
@@ -72,16 +76,18 @@ class ReplayTable(path: String, maxRowsPerTrigger: Option[Long])
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new ReplayScan(path, maxRowsPerTrigger)
+      override def build(): Scan =
+        new ReplayScan(path, maxRowsPerTrigger, startingOffset)
     }
 }
 
-class ReplayScan(path: String, maxRowsPerTrigger: Option[Long]) extends Scan {
+class ReplayScan(path: String, maxRowsPerTrigger: Option[Long],
+    startingOffset: Long = 0L) extends Scan {
   override def readSchema(): StructType = ReplayDataSource.Schema
   override def description(): String = s"ReplayScan($path)"
-  override def toBatch: Batch = new ReplayBatch(path)
+  override def toBatch: Batch = new ReplayBatch(path, startingOffset)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayMicroBatchStream(path, maxRowsPerTrigger)
+    new ReplayMicroBatchStream(path, maxRowsPerTrigger, startingOffset)
 }
 
 /** Offsets: one record index per log partition, JSON `{"0":n,"1":m,...}`. */
@@ -99,7 +105,8 @@ object ReplayOffset {
     }.toMap)
 }
 
-class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
+class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
+    startingOffset: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val partitions: Seq[Int] = ReplayLog.listPartitions(path)
@@ -112,7 +119,7 @@ class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
     availableNowEnd = Some(ends)
 
   override def initialOffset(): Offset =
-    ReplayOffset(partitions.map(_ -> 0L).toMap)
+    ReplayOffset(partitions.map(p => p -> math.min(startingOffset, ends(p))).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
@@ -152,10 +159,11 @@ class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
   override def stop(): Unit = ()
 }
 
-class ReplayBatch(path: String) extends Batch {
+class ReplayBatch(path: String, startingOffset: Long = 0L) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     ReplayLog.listPartitions(path).map { p =>
-      ReplayInputPartition(path, p, 0L, ReplayLog.recordCount(path, p))
+      val end = ReplayLog.recordCount(path, p)
+      ReplayInputPartition(path, p, math.min(startingOffset, end), end)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
 }

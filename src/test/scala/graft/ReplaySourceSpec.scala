@@ -38,6 +38,25 @@ class ReplaySourceSpec extends SparkSpec {
     assert(got.select("partition", "offset").distinct().count() === nEvents)
   }
 
+  test("startingOffset skips records in every partition (stream and batch)") {
+    val name = "replay_spec_so"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log).option("startingOffset", "50").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name)
+    val perPart = ReplayLog.listPartitions(log)
+      .map(p => math.max(ReplayLog.recordCount(log, p) - 50, 0)).sum
+    assert(got.count() === perPart)
+    assert(got.agg(org.apache.spark.sql.functions.min("offset")).head.getLong(0) === 50L)
+    // batch read honors it too
+    val b = spark.read.format("graft-replay")
+      .option("path", log).option("startingOffset", "50").load()
+    assert(b.count() === perPart)
+  }
+
   test("checkpoint resume: a second run over the same checkpoint reads nothing") {
     val ckpt = Files.createTempDirectory("ck").toString
     val out = Files.createTempDirectory("ckout").toString

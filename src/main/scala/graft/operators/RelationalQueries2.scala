@@ -231,6 +231,85 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
 
+    // ANSI-safe try_* functions: NULL instead of error on bad cast, division
+    // by zero, and numeric overflow.
+    GQuery("q51_try_fns",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          expr("try_divide(p_retailprice, p_partkey % 3)")
+            .cast("decimal(18,6)").cast("double").as("div3"),
+          expr("try_cast(p_type AS INT)").cast("long").as("bad_cast"),
+          expr("try_cast(substring(p_brand, 7, 2) AS INT)").cast("long").as("brand_num"),
+          expr("try_add(p_partkey, 9223372036854775807)").as("overflow_add"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+  CAST(CAST(p_retailprice / (p_partkey % 3) AS DECIMAL(18,6)) AS DOUBLE) AS div3,
+  CAST(TRY_CAST(p_type AS INT) AS BIGINT) AS bad_cast,
+  CAST(TRY_CAST(substr(p_brand, 7, 2) AS INT) AS BIGINT) AS brand_num,
+  TRY_CAST(CAST(p_partkey AS HUGEINT) + 9223372036854775807 AS BIGINT) AS overflow_add
+FROM part ORDER BY p_partkey NULLS FIRST""")),
+
+    // Array battery 2: flatten, position, remove, set ops (sorted for
+    // determinism), indexed transform. Arrays rendered to strings so both
+    // engines hash the same representation.
+    GQuery("q52_array_fns2",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_join(flatten(array(slice(col("w"), 1, 3), slice(col("w"), 4, 3))), ",")
+            .as("first6"),
+          array_position(col("w"), "spark").as("pos_spark"),
+          array_join(array_remove(col("w"), "the"), ",").as("no_the"),
+          array_join(array_sort(array_distinct(col("w"))), ",").as("vocab"),
+          array_join(expr("transform(slice(w, 1, 4), (x, i) -> concat(x, '#', i + 1))"), ",")
+            .as("indexed"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+  array_to_string(flatten([w[1:3], w[4:6]]), ',') AS first6,
+  CAST(coalesce(list_position(w, 'spark'), 0) AS BIGINT) AS pos_spark,
+  array_to_string([x for x in w if x != 'the'], ',') AS no_the,
+  array_to_string(list_sort(list_distinct(w)), ',') AS vocab,
+  array_to_string(list_transform(w[1:4], (x, i) -> x || '#' || i), ',') AS indexed
+FROM t ORDER BY doc_id NULLS FIRST""")),
+
+    // Date-series generation: sequence + explode ≡ generate_series.
+    GQuery("q53_date_series",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") < 50)
+        .withColumn("m0", make_date(year(col("o_orderdate")),
+          month(col("o_orderdate")), lit(1)))
+        .select(col("o_orderkey"),
+          explode(expr("sequence(m0, add_months(m0, 2), interval 1 month)")).as("m"))
+        .orderBy(col("o_orderkey"), col("m")),
+      Some("""SELECT o_orderkey, CAST(unnest(generate_series(m0, m0 + INTERVAL 2 MONTH,
+    INTERVAL 1 MONTH)) AS DATE) AS m
+FROM (SELECT o_orderkey,
+        make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS m0
+      FROM orders WHERE o_orderkey < 50) t
+ORDER BY o_orderkey NULLS FIRST, m NULLS FIRST""")),
+
+    // unionByName: schema-aligned-by-name union of differently-ordered
+    // projections.
+    GQuery("q54_union_by_name",
+      (s, d) => {
+        val a = t(s, d, "customer")
+          .select(col("c_custkey").as("k"), lit("cust").as("src"))
+        val b = t(s, d, "supplier")
+          .select(lit("supp").as("src"), col("s_suppkey").as("k"))
+        a.unionByName(b)
+          .groupBy(col("src")).agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH u AS (
+  SELECT c_custkey AS k, 'cust' AS src FROM customer
+  UNION ALL BY NAME
+  SELECT 'supp' AS src, s_suppkey AS k FROM supplier)
+SELECT src, count(*) AS n, max(k) AS max_k
+FROM u GROUP BY src ORDER BY src NULLS FIRST""")),
+
     // Hive-style partitioned write + partition-pruned read: the layout that
     // makes 100 TB lakes scannable (the read's filter prunes to one
     // directory; PlanAuditSpec asserts the PartitionFilters).

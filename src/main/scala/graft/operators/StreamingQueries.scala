@@ -259,6 +259,25 @@ FROM events v JOIN events p
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
 
+    // S18: dropDuplicatesWithinWatermark — the state-bounded dedup API for
+    // unbounded key spaces (state for a key is held only one watermark delay
+    // past its event time, unlike s06's unbounded dropDuplicates state). Same
+    // doubled replay as s06; duplicates arrive in the same micro-batches, so
+    // the bounded run removes them all.
+    GQuery("s18_dedup_within_watermark",
+      (s, d) => runToMemory(
+        replayStream(s, d).unionAll(replayStream(s, d))
+          .withColumn("ts", col("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("partition", "offset"),
+        "append")
+        .groupBy(col("partition").cast("long").as("partition"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"))
+        .orderBy(col("partition")),
+      Some("""SELECT event_id % 3 AS "partition", count(*) AS n,
+  max(event_id // 3) AS max_offset
+FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
+
     // S16: explicit starting offset on the custom source — the half of the
     // Kafka startingOffsets contract the reference lacks (it can only replay
     // from the beginning, execution.rs:77-79). Every partition starts at

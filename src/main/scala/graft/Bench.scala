@@ -51,7 +51,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries are independent jobs: drop their persisted intermediates so
+      // storage-memory pressure from earlier queries can't tax later ones
+      // (the near-dup ops persist signature tables that would otherwise
+      // accumulate across the whole registry)
+      spark.catalog.clearCache()
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

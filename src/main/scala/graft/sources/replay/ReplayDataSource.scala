@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import java.util.OptionalLong
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -75,19 +76,40 @@ class ReplayTable(path: String, maxRowsPerTrigger: Option[Long],
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning reaches the scan (the reference always materializes
+      // both binary columns, execution.rs:81-102; at scale, queries touching
+      // only offsets/metadata must not deserialize payload bytes)
+      private var pruned: StructType = ReplayDataSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = StructType(ReplayDataSource.Schema.fields
+          .filter(f => requiredSchema.fieldNames.contains(f.name)))
       override def build(): Scan =
-        new ReplayScan(path, maxRowsPerTrigger, startingOffset)
+        new ReplayScan(path, maxRowsPerTrigger, startingOffset, pruned)
     }
 }
 
 class ReplayScan(path: String, maxRowsPerTrigger: Option[Long],
-    startingOffset: Long = 0L) extends Scan {
-  override def readSchema(): StructType = ReplayDataSource.Schema
-  override def description(): String = s"ReplayScan($path)"
-  override def toBatch: Batch = new ReplayBatch(path, startingOffset)
+    startingOffset: Long = 0L,
+    prunedSchema: StructType = ReplayDataSource.Schema)
+    extends Scan with SupportsReportStatistics {
+  private def fieldIdx: Array[Int] =
+    prunedSchema.fieldNames.map(ReplayDataSource.Schema.fieldIndex)
+  override def readSchema(): StructType = prunedSchema
+  override def description(): String =
+    s"ReplayScan($path, columns=[${prunedSchema.fieldNames.mkString(",")}])"
+  override def toBatch: Batch = new ReplayBatch(path, startingOffset, fieldIdx)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayMicroBatchStream(path, maxRowsPerTrigger, startingOffset)
+    new ReplayMicroBatchStream(path, maxRowsPerTrigger, startingOffset, fieldIdx)
+  // honest stats where the reference panics (execution.rs:114-116 todo!()):
+  // exact row count from the O(1) index lengths, bytes from the log files
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val parts = ReplayLog.listPartitions(path)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(parts.map(p => ReplayLog.logFile(path, p).length()).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(parts.map(p => ReplayLog.recordCount(path, p)).sum)
+  }
 }
 
 /** Offsets: one record index per log partition, JSON `{"0":n,"1":m,...}`. */
@@ -106,7 +128,8 @@ object ReplayOffset {
 }
 
 class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
-    startingOffset: Long = 0L)
+    startingOffset: Long = 0L,
+    fields: Array[Int] = Array.range(0, 6))
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val partitions: Seq[Int] = ReplayLog.listPartitions(path)
@@ -150,7 +173,7 @@ class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
     val e = end.asInstanceOf[ReplayOffset].offsets
     partitions.flatMap { p =>
       val (so, eo) = (s.getOrElse(p, 0L), e.getOrElse(p, 0L))
-      if (eo > so) Some(ReplayInputPartition(path, p, so, eo)) else None
+      if (eo > so) Some(ReplayInputPartition(path, p, so, eo, fields)) else None
     }.toArray
   }
 
@@ -159,17 +182,19 @@ class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
   override def stop(): Unit = ()
 }
 
-class ReplayBatch(path: String, startingOffset: Long = 0L) extends Batch {
+class ReplayBatch(path: String, startingOffset: Long = 0L,
+    fields: Array[Int] = Array.range(0, 6)) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     ReplayLog.listPartitions(path).map { p =>
       val end = ReplayLog.recordCount(path, p)
-      ReplayInputPartition(path, p, math.min(startingOffset, end), end)
+      ReplayInputPartition(path, p, math.min(startingOffset, end), end, fields)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
 }
 
 case class ReplayInputPartition(path: String, partition: Int,
-    start: Long, end: Long) extends InputPartition
+    start: Long, end: Long, fields: Array[Int] = Array.range(0, 6))
+    extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -196,17 +221,26 @@ class ReplayPartitionReader(ip: ReplayInputPartition)
     in = new DataInputStream(new BufferedInputStream(fis, 1 << 16))
   }
 
+  private val needKey = ip.fields.contains(0)
+  private val needValue = ip.fields.contains(1)
+
   override def next(): Boolean = {
     if (in == null) open()
     if (offset >= ip.end) return false
-    def blob(): Array[Byte] = {
+    // pruned blobs are SKIPPED, not allocated — a payload-free projection
+    // (counts, offset audits) never copies message bytes
+    def blob(need: Boolean): Array[Byte] = {
       val len = in.readInt()
       if (len < 0) null
-      else { val b = new Array[Byte](len); in.readFully(b); b }
+      else if (need) { val b = new Array[Byte](len); in.readFully(b); b }
+      else { var left = len; while (left > 0) left -= in.skipBytes(left); null }
     }
-    val key = blob(); val value = blob(); val tsUs = in.readLong()
-    row = new GenericInternalRow(Array[Any](key, value, topic,
-      ip.partition, offset, tsUs))
+    val key = blob(needKey); val value = blob(needValue)
+    val tsUs = in.readLong()
+    row = new GenericInternalRow(ip.fields.map[Any] {
+      case 0 => key; case 1 => value; case 2 => topic
+      case 3 => ip.partition; case 4 => offset; case 5 => tsUs
+    })
     offset += 1
     true
   }

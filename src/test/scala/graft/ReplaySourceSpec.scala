@@ -57,6 +57,28 @@ class ReplaySourceSpec extends SparkSpec {
     assert(b.count() === perPart)
   }
 
+  test("column pruning pushes into the scan; payload bytes are never read") {
+    val b = spark.read.format("graft-replay").option("path", log).load()
+      .select("partition", "offset")
+    val planStr = b.queryExecution.executedPlan.toString
+    assert(planStr.contains("columns=[partition,offset]"),
+      s"scan did not prune to the projection:\n$planStr")
+    assert(b.count() === nEvents)
+    // values survive pruning (offsets still dense per partition)
+    val maxOff = b.groupBy("partition")
+      .agg(org.apache.spark.sql.functions.max("offset").as("m"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+    assert(maxOff.filter(org.apache.spark.sql.functions
+      .col("m") =!= org.apache.spark.sql.functions.col("n") - 1).count() === 0)
+  }
+
+  test("scan reports honest statistics (reference panics here)") {
+    val scan = new graft.sources.replay.ReplayScan(log, None)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong === nEvents)
+    assert(st.sizeInBytes().getAsLong > 0)
+  }
+
   test("checkpoint resume: a second run over the same checkpoint reads nothing") {
     val ckpt = Files.createTempDirectory("ck").toString
     val out = Files.createTempDirectory("ckout").toString

@@ -255,6 +255,44 @@ ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
             for i in range(1, greatest(len(text) - 7, 1) + 1, 4)]) AS fp
 FROM documents ORDER BY doc_id NULLS FIRST""")),
 
+    // Document quality score: length / punctuation / stopword / uniqueness
+    // signals combined into one 0..100 score plus a keep/flag/drop band — the
+    // filter a training-data pipeline applies before dedup. Pure integer/
+    // decimal arithmetic so the band edges are exact on both engines.
+    GQuery("x04_quality",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tok", size(col("w")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("score",
+            // `div` (integer division) — Spark's `/` on longs is double
+            expr("""least(n_tok, 400) * 25 div 400
+              + (25 - least(n_stop * 100 div n_tok, 25))
+              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
+          .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("score"),
+            when(col("score") >= 60, "keep")
+              .when(col("score") >= 40, "flag").otherwise("drop").as("band"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, len(w) AS n_tok,
+    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq
+  FROM t),
+sc AS (SELECT doc_id, n_tok, n_uniq,
+    least(n_tok, 400) * 25 // 400
+      + (25 - least(n_stop * 100 // n_tok, 25))
+      + least(n_uniq * 50 // n_tok, 50) AS score
+  FROM m)
+SELECT doc_id, n_tok, n_uniq, score,
+  CASE WHEN score >= 60 THEN 'keep' WHEN score >= 40 THEN 'flag'
+       ELSE 'drop' END AS band
+FROM sc ORDER BY doc_id NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a
@@ -283,6 +321,29 @@ FROM documents ORDER BY doc_id NULLS FIRST""")),
       Some("""SELECT doc_id, strlen(text) AS n_bytes, (strlen(text) + 255) // 256 AS n_chunks,
   CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS checksum,
   hex(substr(text, 1, 8)) AS head_hex
-FROM documents ORDER BY doc_id NULLS FIRST"""))
+FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+    // Frame sampling over an opaque payload: split the blob into fixed
+    // 64-byte frames, keep every 4th (a video keyframe-sampling shape), hash
+    // each kept frame — partition-local generate/transform, no shuffle until
+    // the final order. The "decode" is the deterministic md5 stand-in; the
+    // chunking/sampling plumbing is the real operator.
+    GQuery("x05_frame_sample",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(1, greatest((length(text) + 63) div 64, 1), 4),
+               i -> md5(substring(text, (i - 1) * 64 + 1, 64)))""")))
+        .select(col("doc_id"), col("pos").cast("long").as("frame"),
+          col("col").as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame")),
+      Some("""WITH f AS (SELECT doc_id,
+    [md5(substr(text, (i - 1) * 64 + 1, 64))
+     for i in range(1, greatest((len(text) + 63) // 64, 1) + 1, 4)] AS fr
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id, pos AS frame, fr[pos + 1] AS frame_md5
+FROM f, unnest(range(len(fr))) u(pos)
+ORDER BY doc_id NULLS FIRST, frame NULLS FIRST"""))
   )
 }

@@ -231,6 +231,39 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
 
+    // Per-row as-of join with tolerance: for every probe row (customer), the
+    // latest event of that user at/before a per-row cutoff and within a 7-day
+    // lookback — the general as-of JOIN (q11 is the fixed-cutoff special
+    // case). Shuffle by user key + per-key window; no range explosion.
+    GQuery("q55_asof_join",
+      (s, d) => {
+        val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+        val probes = t(s, d, "customer")
+          .select(col("c_custkey"),
+            (cut - expr("make_interval(0, 0, 0, c_custkey % 10)")).as("cutoff"))
+        val e = ev(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        val w = Window.partitionBy(col("c_custkey"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        probes.join(e, col("user_id") === col("c_custkey")
+            && col("ts") <= col("cutoff")
+            && col("ts") >= col("cutoff") - expr("INTERVAL 7 DAYS"), "inner")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("c_custkey"), col("event_id"),
+            col("ts").cast("long").as("ts_sec"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH probes AS (SELECT c_custkey,
+    TIMESTAMP '2024-01-20 00:00:00' - INTERVAL (c_custkey % 10) DAY AS cutoff
+  FROM customer),
+j AS (SELECT c_custkey, event_id, epoch_us(ts) AS us,
+    row_number() OVER (PARTITION BY c_custkey
+      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM probes JOIN events ON user_id = c_custkey
+    AND epoch_us(ts) <= epoch_us(cutoff)
+    AND epoch_us(ts) >= epoch_us(cutoff - INTERVAL 7 DAY))
+SELECT c_custkey, event_id, us // 1000000 AS ts_sec
+FROM j WHERE rn = 1 ORDER BY c_custkey NULLS FIRST""")),
+
     // ANSI-safe try_* functions: NULL instead of error on bad cast, division
     // by zero, and numeric overflow.
     GQuery("q51_try_fns",

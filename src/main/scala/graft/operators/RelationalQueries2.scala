@@ -343,6 +343,103 @@ ORDER BY o_orderkey NULLS FIRST, m NULLS FIRST""")),
 SELECT src, count(*) AS n, max(k) AS max_k
 FROM u GROUP BY src ORDER BY src NULLS FIRST""")),
 
+    // Cryptographic hash + base-conversion functions.
+    GQuery("q56_hash_fns",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("h_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("h_sha256"),
+          conv(col("c_custkey").cast("string"), 10, 16).as("hex_key"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256,
+  to_base(c_custkey, 16) AS hex_key
+FROM customer WHERE c_custkey < 200 ORDER BY c_custkey NULLS FIRST""")),
+
+    // Boolean aggregates + FILTER'd counts.
+    GQuery("q57_bool_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          count_if(col("l_tax") === 0.0).as("n_taxfree"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, bool_and(l_quantity > 0) AS all_pos,
+  bool_or(l_discount > 0.09) AS any_big_disc,
+  count(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree, count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
+
+    // Map higher-order functions: build event_type→count per user, double
+    // the values (transform_values), keep entries ≥ 4 (map_filter), render
+    // sorted entries — DuckDB reproduces the same pipeline relationally.
+    GQuery("q58_map_higher_order",
+      (s, d) => {
+        val counts = ev(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy(col("user_id"))
+          .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+            .as("m"))
+          .withColumn("m2", expr("transform_values(m, (k, v) -> v * 2)"))
+          .withColumn("mf", expr("map_filter(m2, (k, v) -> v >= 4)"))
+          .filter(size(map_keys(col("mf"))) > 0)
+          .select(col("user_id"),
+            expr("""array_join(transform(array_sort(map_keys(mf)),
+                   k -> concat(k, ':', element_at(mf, k))), ',')""").as("entries"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) * 2 AS v
+  FROM events GROUP BY 1, 2)
+SELECT user_id,
+  string_agg(event_type || ':' || v, ',' ORDER BY event_type) AS entries
+FROM c WHERE v >= 4 GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
+
+    // Linear-regression aggregates (slope/intercept/r²) computed from EXACT
+    // decimal moment sums, then identical scalar double arithmetic on both
+    // engines — native regr_* aggregates accumulate doubles in partition
+    // order and cannot cross-engine hash.
+    GQuery("q59_regression",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sy"),
+          sum(col("l_quantity").cast("decimal(12,2)")
+            * col("l_quantity").cast("decimal(12,2)")).cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("syy"),
+          sum(col("l_quantity").cast("decimal(12,2)")
+            * col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sxy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+            / col("n")).as("intercept"),
+          (((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy")))
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH m AS (SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m ORDER BY l_returnflag NULLS FIRST""")),
+
     // Hive-style partitioned write + partition-pruned read: the layout that
     // makes 100 TB lakes scannable (the read's filter prunes to one
     // directory; PlanAuditSpec asserts the PartitionFilters).

@@ -9,9 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,29 +76,73 @@ class ReplayTable(path: String, maxRowsPerTrigger: Option[Long],
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning reaches the scan (the reference always materializes
       // both binary columns, execution.rs:81-102; at scale, queries touching
       // only offsets/metadata must not deserialize payload bytes)
       private var pruned: StructType = ReplayDataSource.Schema
+      private var scanRange: ScanRange = ScanRange.Full
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = StructType(ReplayDataSource.Schema.fields
           .filter(f => requiredSchema.fieldNames.contains(f.name)))
+      // partition/offset predicates narrow the scan: an offset range becomes
+      // an O(1) index seek instead of a full log read, a partition filter
+      // skips whole log files. Conservative contract: every filter is ALSO
+      // returned for Spark-side re-evaluation (pushedFilters stays empty), so
+      // the narrowing can never change semantics — only skip guaranteed-
+      // non-matching bytes.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        filters.foreach { f => scanRange = scanRange.tighten(f) }
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
       override def build(): Scan =
-        new ReplayScan(path, maxRowsPerTrigger, startingOffset, pruned)
+        new ReplayScan(path, maxRowsPerTrigger, startingOffset, pruned, scanRange)
     }
 }
 
+/** Scan-narrowing ranges derived from pushed partition/offset predicates. */
+case class ScanRange(parts: Option[Set[Int]], offLo: Long, offHi: Long) {
+  private def num(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue()); case _ => None
+  }
+  def tighten(f: Filter): ScanRange = f match {
+    case EqualTo("partition", v) =>
+      num(v).map(n => copy(parts = Some(Set(n.toInt)))).getOrElse(this)
+    case In("partition", vs) =>
+      val ns = vs.toSeq.flatMap(num).map(_.toInt).toSet
+      if (ns.size == vs.length) copy(parts = Some(ns)) else this
+    case EqualTo("offset", v) => num(v).map(n =>
+      copy(offLo = math.max(offLo, n), offHi = math.min(offHi, n + 1))).getOrElse(this)
+    case GreaterThanOrEqual("offset", v) =>
+      num(v).map(n => copy(offLo = math.max(offLo, n))).getOrElse(this)
+    case GreaterThan("offset", v) =>
+      num(v).map(n => copy(offLo = math.max(offLo, n + 1))).getOrElse(this)
+    case LessThan("offset", v) =>
+      num(v).map(n => copy(offHi = math.min(offHi, n))).getOrElse(this)
+    case LessThanOrEqual("offset", v) =>
+      num(v).map(n => copy(offHi = math.min(offHi, n + 1))).getOrElse(this)
+    case _ => this
+  }
+  def describe: String = {
+    val p = parts.map(_.toSeq.sorted.mkString("parts=[", ",", "]")).getOrElse("parts=all")
+    val hi = if (offHi == Long.MaxValue) "end" else offHi.toString
+    s"$p, offsets=[$offLo,$hi)"
+  }
+}
+object ScanRange { val Full: ScanRange = ScanRange(None, 0L, Long.MaxValue) }
+
 class ReplayScan(path: String, maxRowsPerTrigger: Option[Long],
     startingOffset: Long = 0L,
-    prunedSchema: StructType = ReplayDataSource.Schema)
+    prunedSchema: StructType = ReplayDataSource.Schema,
+    range: ScanRange = ScanRange.Full)
     extends Scan with SupportsReportStatistics {
   private def fieldIdx: Array[Int] =
     prunedSchema.fieldNames.map(ReplayDataSource.Schema.fieldIndex)
   override def readSchema(): StructType = prunedSchema
   override def description(): String =
-    s"ReplayScan($path, columns=[${prunedSchema.fieldNames.mkString(",")}])"
-  override def toBatch: Batch = new ReplayBatch(path, startingOffset, fieldIdx)
+    s"ReplayScan($path, columns=[${prunedSchema.fieldNames.mkString(",")}], ${range.describe})"
+  override def toBatch: Batch = new ReplayBatch(path, startingOffset, fieldIdx, range)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ReplayMicroBatchStream(path, maxRowsPerTrigger, startingOffset, fieldIdx)
   // honest stats where the reference panics (execution.rs:114-116 todo!()):
@@ -183,12 +227,17 @@ class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
 }
 
 class ReplayBatch(path: String, startingOffset: Long = 0L,
-    fields: Array[Int] = Array.range(0, 6)) extends Batch {
+    fields: Array[Int] = Array.range(0, 6),
+    range: ScanRange = ScanRange.Full) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    ReplayLog.listPartitions(path).map { p =>
-      val end = ReplayLog.recordCount(path, p)
-      ReplayInputPartition(path, p, math.min(startingOffset, end), end, fields)
-    }.toArray
+    ReplayLog.listPartitions(path)
+      .filter(p => range.parts.forall(_.contains(p)))
+      .flatMap { p =>
+        val end = math.min(ReplayLog.recordCount(path, p), range.offHi)
+        val start = math.max(math.min(startingOffset, end), range.offLo)
+        if (end > start) Some(ReplayInputPartition(path, p, start, end, fields))
+        else None
+      }.toArray
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
 }
 

@@ -72,6 +72,20 @@ class ReplaySourceSpec extends SparkSpec {
       .col("m") =!= org.apache.spark.sql.functions.col("n") - 1).count() === 0)
   }
 
+  test("partition/offset filters narrow the batch scan via the index") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-replay").option("path", log).load()
+      .filter(col("partition") === 1 && col("offset") >= 10 && col("offset") < 20)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("parts=[1], offsets=[10,20)"),
+      s"filters did not narrow the scan:\n$planStr")
+    assert(df.count() === 10)
+    // narrowing never changes results: same rows as the unpushed equivalent
+    val full = spark.read.format("graft-replay").option("path", log).load()
+      .collect().count(r => r.getInt(3) == 1 && r.getLong(4) >= 10 && r.getLong(4) < 20)
+    assert(full === 10)
+  }
+
   test("scan reports honest statistics (reference panics here)") {
     val scan = new graft.sources.replay.ReplayScan(log, None)
     val st = scan.estimateStatistics()

@@ -10,6 +10,33 @@ import org.apache.spark.sql.streaming.Trigger
   * streaming aggregations. */
 class StreamingSemanticsSpec extends SparkSpec {
 
+  test("stateful dedup is exactly-once across a kill + checkpoint resume") {
+    val log = ReplayLog.ensureLog(spark, sf)
+    val ckpt = Files.createTempDirectory("ck-resume").toString
+    val out = Files.createTempDirectory("out-resume").toString
+    val nEvents = Tables.events(spark, sf).count()
+    def doubled() = spark.readStream.format("graft-replay").option("path", log)
+      .option("maxRowsPerTrigger", "50").load()
+      .unionAll(spark.readStream.format("graft-replay").option("path", log)
+        .option("maxRowsPerTrigger", "50").load())
+      .dropDuplicates("partition", "offset")
+      .select(col("partition"), col("offset"))
+    // run 1: small batches, killed mid-stream (wherever it happens to be)
+    val q1 = doubled().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    q1.awaitTermination(2000); q1.stop()
+    // run 2: resume from the same checkpoint, run to the end
+    val q2 = doubled().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // dedup state + sink manifest must survive the restart: every record
+    // exactly once no matter where run 1 died
+    val got = spark.read.parquet(out)
+    assert(got.count() === nEvents, "exactly-once violated across resume")
+    assert(got.distinct().count() === nEvents)
+  }
+
   test("watermark drops late events across micro-batches (s05 properties)") {
     val res = SparkEntry.queries("s05_watermark_late_drop")(spark, sf)
       .agg(sum("n")).collect()(0).getLong(0)

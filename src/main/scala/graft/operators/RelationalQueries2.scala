@@ -17,6 +17,8 @@ object RelationalQueries2 {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def dbl(c: Column): Column = c.cast("double")
+  /** rate cast for (1±discount) factors: 2-decimal fractions near 1 */
+  private def rate(c: Column): Column = c.cast("decimal(4,2)")
 
   val all: Seq[GQuery] = Seq(
 
@@ -267,7 +269,11 @@ FROM j WHERE rn = 1 ORDER BY c_custkey NULLS FIRST""")),
     // ANSI-safe try_* functions: NULL instead of error on bad cast, division
     // by zero, and numeric overflow.
     GQuery("q51_try_fns",
+      // capped row count: every row exercises the exception path by design
+      // (bad cast + guaranteed overflow), and a caught exception per row is
+      // the dominant cost — 2k rows demonstrate the semantics just as well
       (s, d) => t(s, d, "part")
+        .filter(col("p_partkey") < 2000)
         .select(col("p_partkey"),
           expr("try_divide(p_retailprice, p_partkey % 3)")
             .cast("decimal(18,6)").cast("double").as("div3"),
@@ -280,7 +286,7 @@ FROM j WHERE rn = 1 ORDER BY c_custkey NULLS FIRST""")),
   CAST(TRY_CAST(p_type AS INT) AS BIGINT) AS bad_cast,
   CAST(TRY_CAST(substr(p_brand, 7, 2) AS INT) AS BIGINT) AS brand_num,
   TRY_CAST(CAST(p_partkey AS HUGEINT) + 9223372036854775807 AS BIGINT) AS overflow_add
-FROM part ORDER BY p_partkey NULLS FIRST""")),
+FROM part WHERE p_partkey < 2000 ORDER BY p_partkey NULLS FIRST""")),
 
     // Array battery 2: flatten, position, remove, set ops (sorted for
     // determinism), indexed transform. Arrays rendered to strings so both
@@ -342,6 +348,90 @@ ORDER BY o_orderkey NULLS FIRST, m NULLS FIRST""")),
   SELECT 'supp' AS src, s_suppkey AS k FROM supplier)
 SELECT src, count(*) AS n, max(k) AS max_k
 FROM u GROUP BY src ORDER BY src NULLS FIRST""")),
+
+    // Composite analytics 1 (TPC-H Q3 shape): 3-way join, filtered both
+    // sides, grouped revenue, top-10 — the classic planner stress test
+    // (broadcastable dims, partial aggs, TakeOrderedAndProject).
+    GQuery("q60_shipping_priority",
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dbl(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))))
+          .as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS odate
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey NULLS FIRST LIMIT 10""")),
+
+    // Composite analytics 2 (TPC-H Q5 shape): 5-way snowflake join through
+    // region→nation→(customer,supplier)→orders→lineitem with the
+    // same-nation constraint, grouped by nation.
+    GQuery("q61_local_supplier_volume",
+      (s, d) => t(s, d, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dbl(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))))
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n
+FROM region JOIN nation ON r_regionkey = n_regionkey
+  JOIN customer ON n_nationkey = c_nationkey
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY n_name NULLS FIRST""")),
+
+    // Composite analytics 3 (TPC-H Q10 shape): returned-item report — join
+    // four tables, filter a quarter + return flag, top-20 customers by lost
+    // revenue.
+    GQuery("q62_returned_items",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1994-01-01")
+          && col("o_orderdate") < lit("1994-07-01"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dbl(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))))
+          .as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS lost_revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1994-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey NULLS FIRST LIMIT 20""")),
 
     // Cryptographic hash + base-conversion functions.
     GQuery("q56_hash_fns",

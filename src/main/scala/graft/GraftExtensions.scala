@@ -32,7 +32,9 @@ object Graft {
     "lang_id" -> (es => LanguageId(es(0))),
     "rp_bucket" -> (es => RandomProjectionBucket(es(0),
       if (es.length > 1) lit2Int(es(1)) else 16,
-      if (es.length > 2) lit2Long(es(2)) else 42L)))
+      if (es.length > 2) lit2Long(es(2)) else 42L)),
+    "topk_vals" -> (es => TopKAgg(es(0),
+      if (es.length > 1) lit2Int(es(1)) else 10)))
 
   def registerFunctions(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => shims.registerFunction(spark, name, b) }

@@ -33,4 +33,9 @@ object GraftFunctions {
 
   /** UDTF: explode text into (pos, shingle) k-gram word shingle rows. */
   def pos_shingles(text: Column, k: Int = 5): Column = c(ShingleGenerator(x(text), k))
+
+  /** exact top-k values per group, sorted descending (binary-state
+    * TypedImperativeAggregate — O(k) state per group). */
+  def topk_vals(v: Column, k: Int): Column =
+    c(TopKAgg(x(v), k).toAggregateExpression())
 }

@@ -433,6 +433,28 @@ WHERE o_orderdate >= TIMESTAMP '1994-01-01'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY lost_revenue DESC, c_custkey NULLS FIRST LIMIT 20""")),
 
+    // Exact top-k-values aggregate: custom binary-state
+    // TypedImperativeAggregate (O(k) state per group — the shuffle carries k
+    // doubles per group, never the raw values, unlike collect_list+slice).
+    GQuery("q63_topk_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.GraftFunctions
+          .topk_vals(col("l_extendedprice").cast("decimal(12,2)").cast("double"), 5)
+          .as("tk"))
+        .select(col("l_returnflag"),
+          element_at(col("tk"), 1).as("v1"), element_at(col("tk"), 2).as("v2"),
+          element_at(col("tk"), 3).as("v3"), element_at(col("tk"), 4).as("v4"),
+          element_at(col("tk"), 5).as("v5"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH s AS (SELECT l_returnflag,
+    (list_sort(list(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)),
+     'DESC'))[1:5] AS tk
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, tk[1] AS v1, tk[2] AS v2, tk[3] AS v3, tk[4] AS v4,
+  tk[5] AS v5
+FROM s ORDER BY l_returnflag NULLS FIRST""")),
+
     // Cryptographic hash + base-conversion functions.
     GQuery("q56_hash_fns",
       (s, d) => t(s, d, "customer")

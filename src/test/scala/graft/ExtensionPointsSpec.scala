@@ -39,6 +39,25 @@ class ExtensionPointsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("TopKAgg: binary-state partial merge equals a global sort, any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vals = (1 to 997).map(i => ((i * 7919) % 1000).toDouble)
+    val expected = vals.sorted.reverse.take(7)
+    Seq(1, 3, 32).foreach { parts =>
+      val got = vals.toDF("v").repartition(parts)
+        .agg(graft.functions.GraftFunctions.topk_vals(col("v"), 7).as("tk"))
+        .collect()(0).getSeq[Double](0)
+      assert(got == expected, s"parts=$parts")
+    }
+    // SQL registration path too
+    Graft.registerFunctions(spark)
+    vals.toDF("v").createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql("SELECT topk_vals(v, 7) AS tk FROM topk_in")
+      .collect()(0).getSeq[Double](0)
+    assert(viaSql == expected)
+  }
+
   test("approximate aggregates are within tolerance of exact counts") {
     val r = SparkEntry.queries("q35_approx_agg")(spark, sf).collect()(0)
     val exact = Tables.table(spark, sf, "lineitem")

@@ -372,6 +372,33 @@ ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
 
+    // S19: UPDATE-mode windowed aggregation — emits changed windows per
+    // batch; on the single-batch bounded run every window emits exactly its
+    // final value, so the result matches the complete-mode oracle (s02's).
+    GQuery("s19_update_window",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "update")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"), col("sv"))
+        .orderBy(col("ws_sec")),
+      Some("""SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
+
+    // S20: global (keyless) streaming aggregation — one running state row
+    // for the whole stream.
+    GQuery("s20_global_agg",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv"),
+            min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user")),
+        "complete"),
+      Some("""SELECT count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+  min(user_id) AS min_user, max(user_id) AS max_user FROM events""")),
+
     // S11 (beyond the survey rows): the reference's deserialization-is-the-
     // query's-job design (/root/reference/src/lib.rs:7-12 fixed binary schema;
     // tests/basic_tests.rs:53-56 query-side cast) taken to its real form:

@@ -330,6 +330,26 @@ FROM (SELECT o_orderkey,
       FROM orders WHERE o_orderkey < 50) t
 ORDER BY o_orderkey NULLS FIRST, m NULLS FIRST""")),
 
+    // explode_outer / posexplode_outer: generator null semantics — rows with
+    // an empty (or null) array survive with NULL generator output, unlike
+    // plain explode which drops them.
+    GQuery("q64_explode_outer",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 30)
+        .withColumn("rare", filter(split(col("text"), " "), x => x === "quantize"))
+        .select(col("doc_id"), size(col("rare")).cast("long").as("n_rare"),
+          posexplode_outer(col("rare")))
+        .select(col("doc_id"), col("n_rare"),
+          col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""WITH t AS (SELECT doc_id,
+    [x for x in string_split(text, ' ') if x = 'quantize'] AS rare
+  FROM documents WHERE doc_id < 30)
+SELECT doc_id, len(rare) AS n_rare, pos, word
+FROM t LEFT JOIN LATERAL (SELECT p AS pos, rare[p + 1] AS word
+  FROM unnest(range(len(rare))) u(p)) l ON true
+ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
+
     // unionByName: schema-aligned-by-name union of differently-ordered
     // projections.
     GQuery("q54_union_by_name",

@@ -369,6 +369,51 @@ ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
 SELECT src, count(*) AS n, max(k) AS max_k
 FROM u GROUP BY src ORDER BY src NULLS FIRST""")),
 
+    // Recursive CTE (Spark 4): data-seeded bounded recursion — per nation,
+    // walk levels 0..(n_nationkey mod 5); identical SQL text on both engines.
+    GQuery("q65_recursive_cte",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("nation"))
+        s.sql("""WITH RECURSIVE levels(k, lvl) AS (
+  SELECT n_nationkey, 0 FROM nation
+  UNION ALL
+  SELECT k, lvl + 1 FROM levels WHERE lvl < k % 5)
+SELECT k, count(*) AS n_levels, max(lvl) AS max_lvl, sum(lvl) AS sum_lvl
+FROM levels GROUP BY k ORDER BY k""")
+      },
+      Some("""WITH RECURSIVE levels(k, lvl) AS (
+  SELECT n_nationkey, 0 FROM nation
+  UNION ALL
+  SELECT k, lvl + 1 FROM levels WHERE lvl < k % 5)
+SELECT k, count(*) AS n_levels, max(lvl) AS max_lvl,
+  CAST(sum(lvl) AS BIGINT) AS sum_lvl
+FROM levels GROUP BY k ORDER BY k NULLS FIRST""")),
+
+    // SQL session variables + EXECUTE IMMEDIATE (Spark 4 SQL scripting
+    // surface): the oracle is the equivalent constant query.
+    GQuery("q66_sql_variables",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("orders"))
+        s.sql("DECLARE OR REPLACE VARIABLE graft_status STRING DEFAULT 'O'")
+        s.sql("SET VAR graft_status = 'F'")
+        s.sql("""EXECUTE IMMEDIATE
+  'SELECT o_orderstatus, count(*) AS n FROM orders
+   WHERE o_orderstatus = ? GROUP BY o_orderstatus' USING graft_status""")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""")),
+
+    // GROUP BY ALL / ORDER BY ALL (identical modern-SQL shorthand on both
+    // engines).
+    GQuery("q67_group_by_all",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("orders"))
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY ALL ORDER BY ALL""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY ALL ORDER BY ALL NULLS FIRST""")),
+
     // Composite analytics 1 (TPC-H Q3 shape): 3-way join, filtered both
     // sides, grouped revenue, top-10 — the classic planner stress test
     // (broadcastable dims, partial aggs, TakeOrderedAndProject).

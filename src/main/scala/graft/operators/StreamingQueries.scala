@@ -304,9 +304,10 @@ GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
     // capability on top of s08's inner shape. Matched pairs emit immediately;
     // an unmatched view emits its null row when the watermark closes its 1h
     // join window. On a bounded run-to-end replay the final watermark is
-    // max(event time, ms floor) − 1h, so the emitted set is deterministic and
-    // the oracle reproduces it: unmatched views with v_ts + 1h < final
-    // watermark get a null row, later ones are still "open" at stop.
+    // min over BOTH input streams of (max event time, ms floor) − delay, so
+    // the emitted set is deterministic and the oracle reproduces it:
+    // unmatched views with v_ts + 1h < final watermark get a null row, later
+    // ones are still "open" at stop.
     GQuery("s17_stream_stream_left_join",
       (s, d) => {
         val views = eventStream(s, d).filter(col("event_type") === "view")
@@ -331,7 +332,9 @@ GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
   FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id AS pu, event_id AS pi, epoch_us(ts) AS pus
   FROM events WHERE event_type = 'purchase'),
-mx AS (SELECT ((max(epoch_us(ts)) // 1000) - 3600000) * 1000 AS wm_us FROM events),
+mx AS (SELECT (least((SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'view'),
+                     (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+               - 3600000) * 1000 AS wm_us),
 m AS (SELECT vi AS view_id, pi AS purchase_id FROM v JOIN p
   ON vu = pu AND pus >= vus AND pus <= vus + 3600000000),
 um AS (SELECT vi AS view_id, CAST(NULL AS BIGINT) AS purchase_id FROM v, mx
@@ -340,6 +343,55 @@ um AS (SELECT vi AS view_id, CAST(NULL AS BIGINT) AS purchase_id FROM v, mx
     AND vus + 3600000000 < wm_us)
 SELECT view_id, purchase_id FROM m
 UNION ALL SELECT view_id, purchase_id FROM um
+ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
+
+    // S21: stream-stream FULL OUTER join — both unmatched sides emit their
+    // null rows as the watermark closes their windows. A view's 1h window
+    // closes when v_ts + 1h passes the watermark (as in s17); a purchase can
+    // match only views with v_ts ≥ p_ts − 1h, all present once the watermark
+    // passes p_ts, so an unmatched purchase emits when p_ts < the final
+    // watermark (= min over both inputs of max event time (ms floor) − 1h;
+    // empirically pinned).
+    GQuery("s21_stream_stream_full_join",
+      (s, d) => {
+        val views = eventStream(s, d).filter(col("event_type") === "view")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+        val purchases = eventStream(s, d).filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        runToMemory(
+          views.join(purchases,
+            col("v_user") === col("p_user")
+              && col("p_ts") >= col("v_ts")
+              && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+            "full_outer"),
+          "append")
+          .select(col("view_id"), col("purchase_id"))
+          .orderBy(col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH v AS (SELECT user_id AS vu, event_id AS vi, epoch_us(ts) AS vus
+  FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS pu, event_id AS pi, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT (least((SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'view'),
+                     (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+               - 3600000) * 1000 AS wm_us),
+m AS (SELECT vi AS view_id, pi AS purchase_id FROM v JOIN p
+  ON vu = pu AND pus >= vus AND pus <= vus + 3600000000),
+uv AS (SELECT vi AS view_id, CAST(NULL AS BIGINT) AS purchase_id FROM v, mx
+  WHERE NOT EXISTS (SELECT 1 FROM p
+                    WHERE pu = vu AND pus >= vus AND pus <= vus + 3600000000)
+    AND vus + 3600000000 < wm_us),
+up AS (SELECT CAST(NULL AS BIGINT) AS view_id, pi AS purchase_id FROM p, mx
+  WHERE NOT EXISTS (SELECT 1 FROM v
+                    WHERE vu = pu AND pus >= vus AND pus <= vus + 3600000000)
+    AND pus < wm_us)
+SELECT view_id, purchase_id FROM m
+UNION ALL SELECT view_id, purchase_id FROM uv
+UNION ALL SELECT view_id, purchase_id FROM up
 ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
 
     // S09: custom stateful aggregation via mapGroupsWithState (update mode):

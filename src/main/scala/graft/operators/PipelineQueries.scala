@@ -293,6 +293,61 @@ SELECT doc_id, n_tok, n_uniq, score,
        ELSE 'drop' END AS band
 FROM sc ORDER BY doc_id NULLS FIRST""")),
 
+    // ---- X06: the pipeline end-to-end --------------------------------------
+    // The training-data flagship: quality filter → exact dedup → exact
+    // near-dup removal → per-language corpus stats, every stage the
+    // already-oracle-proven operator, composed. At 100 TB each stage is the
+    // documented scale path (integer scoring per row, one hash-partitioned
+    // agg, df-pruned inverted-index join).
+    GQuery("x06_pipeline_e2e",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        val scored = t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tok", size(col("w")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("score",
+            expr("""least(n_tok, 400) * 25 div 400
+              + (25 - least(n_stop * 100 div n_tok, 25))
+              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
+          .filter(col("score") >= 40)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_tok"))
+        val keepers = scored.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val deduped = scored.join(keepers, Seq("doc_id"))
+        val dropIds = graft.GraftOps
+          .jaccardNearDups(deduped, col("doc_id"), col("text"), k = 5, threshold = 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w
+  FROM documents),
+m AS (SELECT doc_id, text, lang, len(w) AS n_tok,
+    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq FROM t0),
+keep AS (SELECT doc_id, text, lang, n_tok FROM m
+  WHERE least(n_tok, 400) * 25 // 400
+      + (25 - least(n_stop * 100 // n_tok, 25))
+      + least(n_uniq * 50 // n_tok, 50) >= 40),
+keepers AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
+ded AS (SELECT k.* FROM keep k JOIN keepers USING (doc_id)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+pairs AS (SELECT b.doc_id AS drop_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+fin AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT drop_id FROM pairs))
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM fin GROUP BY lang ORDER BY lang NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

@@ -394,6 +394,46 @@ UNION ALL SELECT view_id, purchase_id FROM uv
 UNION ALL SELECT view_id, purchase_id FROM up
 ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
 
+    // S22: stream-stream RIGHT OUTER join — the mirror of s17: matched pairs
+    // plus null rows for unmatched purchases once p_ts passes the final
+    // watermark (same eviction rule as the purchase side of s21).
+    GQuery("s22_stream_stream_right_join",
+      (s, d) => {
+        val views = eventStream(s, d).filter(col("event_type") === "view")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+        val purchases = eventStream(s, d).filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        runToMemory(
+          views.join(purchases,
+            col("v_user") === col("p_user")
+              && col("p_ts") >= col("v_ts")
+              && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+            "right_outer"),
+          "append")
+          .select(col("view_id"), col("purchase_id"))
+          .orderBy(col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH v AS (SELECT user_id AS vu, event_id AS vi, epoch_us(ts) AS vus
+  FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS pu, event_id AS pi, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT (least((SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'view'),
+                     (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+               - 3600000) * 1000 AS wm_us),
+m AS (SELECT vi AS view_id, pi AS purchase_id FROM v JOIN p
+  ON vu = pu AND pus >= vus AND pus <= vus + 3600000000),
+up AS (SELECT CAST(NULL AS BIGINT) AS view_id, pi AS purchase_id FROM p, mx
+  WHERE NOT EXISTS (SELECT 1 FROM v
+                    WHERE vu = pu AND pus >= vus AND pus <= vus + 3600000000)
+    AND pus < wm_us)
+SELECT view_id, purchase_id FROM m
+UNION ALL SELECT view_id, purchase_id FROM up
+ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
+
     // S09: custom stateful aggregation via mapGroupsWithState (update mode):
     // per-user running purchase spend in exact cents.
     GQuery("s09_stateful_agg",

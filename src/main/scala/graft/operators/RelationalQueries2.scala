@@ -369,6 +369,54 @@ ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
 SELECT src, count(*) AS n, max(k) AS max_k
 FROM u GROUP BY src ORDER BY src NULLS FIRST""")),
 
+    // QUALIFY-style window dedup: keep the latest (highest-price, tie-broken)
+    // lineitem per order via row_number — the windowed-dedup idiom.
+    GQuery("q68_window_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber").desc)
+        t(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            dbl(dec2(col("l_extendedprice"))).as("price"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+      FROM lineitem) t
+WHERE rn = 1 ORDER BY l_orderkey NULLS FIRST""")),
+
+    // split_part / substring_index battery over structured name strings.
+    GQuery("q69_split_part",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          substring_index(col("c_name"), "#", 1).as("prefix"),
+          substring_index(col("c_name"), "#", -1).as("suffix"),
+          element_at(split(col("c_name"), "#"), 2).as("second"),
+          size(split(col("c_name"), "#")).cast("long").as("n_parts"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+  split_part(c_name, '#', 1) AS prefix,
+  split_part(c_name, '#', -1) AS suffix,
+  split_part(c_name, '#', 2) AS second,
+  len(string_split(c_name, '#')) AS n_parts
+FROM customer WHERE c_custkey < 500 ORDER BY c_custkey NULLS FIRST""")),
+
+    // collect_set (distinct collection) rendered sorted.
+    GQuery("q70_collect_set",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"), count(lit(1)).as("n"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+  count(*) AS n
+FROM orders GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST""")),
+
     // Recursive CTE (Spark 4): data-seeded bounded recursion — per nation,
     // walk levels 0..(n_nationkey mod 5); identical SQL text on both engines.
     GQuery("q65_recursive_cte",

@@ -266,6 +266,37 @@ j AS (SELECT c_custkey, event_id, epoch_us(ts) AS us,
 SELECT c_custkey, event_id, us // 1000000 AS ts_sec
 FROM j WHERE rn = 1 ORDER BY c_custkey NULLS FIRST""")),
 
+    // The as-of join as a FIRST-CLASS operator (custom LogicalPlan +
+    // SparkStrategy + co-partitioned merge SparkPlan, graft.plans.AsOfJoin):
+    // same semantics as q55's join+window formulation but left-outer and
+    // O(n+m) per partition — no candidate-pair fanout. Oracle = the window
+    // formulation in DuckDB.
+    GQuery("q71_asof_merge_operator",
+      (s, d) => {
+        val probes = Tables.table(s, d, "customer")
+          .select(col("c_custkey"),
+            (lit("2024-01-20 00:00:00").cast("timestamp").cast("long") * 1000000L
+              - (col("c_custkey") % 10) * 86400000000L).as("cut_us"))
+        val events = ev(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+        graft.plans.AsOfJoin(probes, events,
+            "c_custkey", "cut_us", "user_id", "us", "event_id",
+            toleranceUs = 7L * 86400000000L)
+          .select(col("c_custkey"), col("event_id"), col("us"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH probes AS (SELECT c_custkey,
+    epoch_us(TIMESTAMP '2024-01-20 00:00:00') - (c_custkey % 10) * 86400000000 AS cut
+  FROM customer),
+e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+cand AS (SELECT c_custkey, event_id, us,
+    row_number() OVER (PARTITION BY c_custkey ORDER BY us DESC, event_id DESC) AS rn
+  FROM probes JOIN e ON user_id = c_custkey
+    AND us <= cut AND us >= cut - 604800000000)
+SELECT p.c_custkey, c.event_id, c.us
+FROM probes p LEFT JOIN cand c ON p.c_custkey = c.c_custkey AND c.rn = 1
+ORDER BY p.c_custkey NULLS FIRST""")),
+
     // ANSI-safe try_* functions: NULL instead of error on bad cast, division
     // by zero, and numeric overflow.
     GQuery("q51_try_fns",

@@ -13,6 +13,14 @@ object shims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame
+    * (`classic.Dataset.ofRows` is private[sql]). */
+  def dfFromPlan(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Runtime registration of a native Catalyst function (the non-extensions
     * path; `FunctionRegistry.createOrReplaceTempFunction` is private[sql]). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The custom as-of-join operator (logical node + strategy + merge exec) must
+  * agree exactly with the compositional join+window formulation, and its
+  * physical plan must be the co-partitioned merge (exchanges+sorts injected
+  * by EnsureRequirements, no fanout join). */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def probes = Tables.table(spark, sf, "customer")
+    .select(col("c_custkey"),
+      (lit("2024-01-20 00:00:00").cast("timestamp").cast("long") * 1000000L
+        - (col("c_custkey") % 10) * 86400000000L).as("cut_us"))
+
+  private def events = Tables.events(spark, sf)
+    .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+
+  private val tol = 7L * 86400000000L
+
+  test("merge as-of join equals the join+window formulation exactly") {
+    val got = plans.AsOfJoin(probes, events,
+      "c_custkey", "cut_us", "user_id", "us", "event_id", tol)
+      .select(col("c_custkey"), col("event_id"), col("us"))
+      .orderBy(col("c_custkey")).collect()
+
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val want = probes.join(events,
+        col("user_id") === col("c_custkey")
+          && col("us") <= col("cut_us") && col("us") >= col("cut_us") - tol,
+        "left_outer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_custkey"), col("event_id"), col("us"))
+      .orderBy(col("c_custkey")).collect()
+
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("physical plan is the merge exec with injected exchanges and sorts") {
+    val df = plans.AsOfJoin(probes, events,
+      "c_custkey", "cut_us", "user_id", "us", "event_id", tol)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"strategy did not plan the operator:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), s"no co-partitioning exchange:\n$p")
+    assert(p.contains("Sort ["), s"no in-partition sort:\n$p")
+  }
+}

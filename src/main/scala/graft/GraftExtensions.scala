@@ -51,5 +51,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         b))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

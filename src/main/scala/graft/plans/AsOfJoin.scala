@@ -48,10 +48,40 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 
   /** Runtime installation (the config-time path is GraftExtensions). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
+}
+
+/** Catalyst treats a foreign logical node as a pushdown barrier: a Filter
+  * above [[AsOfJoinPlan]] would otherwise stay above it and the probe scan
+  * would read everything. Every left row passes through the as-of join
+  * unchanged (left outer, left columns untouched), so conjuncts that
+  * reference only left-side columns commute with the join exactly — this
+  * rule pushes them into the left child, from where the stock rules carry
+  * them down to the scan (`PushedFilters`). The `injectOptimizerRule`
+  * counterpart to the strategy above. */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
@@ -82,8 +112,12 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val rt = BindReferences.bindReference(rightTime, right.output)
     val nRight = right.output.size
     val tol = toleranceUs
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       new Iterator[InternalRow] {
+        // downstream consumers (collect, shuffle writers) expect UnsafeRow
+        private val resultProj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(outAttrs, outAttrs)
         private val rBuf = rit.buffered
         // the single retained candidate: latest right row seen for candKey
         private var candKey = 0L
@@ -113,8 +147,9 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
             } else advance = false
           }
           if (cand != null && candKey == lkv
-              && candTime <= ltv && candTime >= ltv - tol) joiner(l, cand)
-          else joiner(l, nullRight)
+              && candTime <= ltv && candTime >= ltv - tol)
+            resultProj(joiner(l, cand))
+          else resultProj(joiner(l, nullRight))
         }
       }
     }

@@ -39,6 +39,22 @@ class AsOfJoinSpec extends SparkSpec {
     got.zip(want).foreach { case (g, e) => assert(g === e) }
   }
 
+  test("left-only filters push through the as-of join to the probe scan") {
+    val df = plans.AsOfJoin(probes, events,
+      "c_custkey", "cut_us", "user_id", "us", "event_id", tol)
+      .filter(col("c_custkey") < 100 && col("event_id").isNotNull)
+    val p = df.queryExecution.executedPlan.toString
+    // the custom rule must carry the probe-side conjunct all the way into
+    // the customer parquet scan; the right-side conjunct stays above
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]"),
+      s"left-only filter did not reach the probe scan:\n$p")
+    // and results agree with filtering after the join
+    val want = plans.AsOfJoin(probes, events,
+      "c_custkey", "cut_us", "user_id", "us", "event_id", tol)
+      .collect().count(r => r.getLong(0) < 100 && !r.isNullAt(2))
+    assert(df.count() === want)
+  }
+
   test("physical plan is the merge exec with injected exchanges and sorts") {
     val df = plans.AsOfJoin(probes, events,
       "c_custkey", "cut_us", "user_id", "us", "event_id", tol)

@@ -46,6 +46,15 @@ class PlanAuditSpec extends SparkSpec {
       s"partition filter not pushed to the directory level:\n$p")
   }
 
+  test("q10 range join keeps its equi-key (no nested-loop blowup)") {
+    val p = plan("q10_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected an equi-key join with the range as residual:\n$p")
+  }
+
   test("x03 brute-force ANN broadcasts the query side") {
     val p = plan("x03_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -400,6 +400,52 @@ ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
 SELECT src, count(*) AS n, max(k) AS max_k
 FROM u GROUP BY src ORDER BY src NULLS FIRST""")),
 
+    // IGNORE NULLS window semantics: lag / running last_value / running
+    // first_value skipping nulls (planted via a deterministic CASE).
+    GQuery("q72_ignore_nulls",
+      (s, d) => {
+        val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .withColumn("v",
+            when(col("o_orderkey") % 3 === 0, lit(null))
+              .otherwise(dbl(dec2(col("o_totalprice")))))
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("v"), 1, null, ignoreNulls = true).over(byKey).as("prev_v"),
+            last(col("v"), ignoreNulls = true).over(run).as("run_last"),
+            first(col("v"), ignoreNulls = true).over(run).as("run_first"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""WITH t AS (SELECT o_custkey, o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) END AS v
+  FROM orders)
+SELECT o_custkey, o_orderkey,
+  lag(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_v,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_last,
+  first_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_first
+FROM t ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""")),
+
+    // GROUPING() ids over a rollup — distinguishing real NULLs from subtotal
+    // rows.
+    GQuery("q73_grouping_fn",
+      (s, d) => t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g_status"), col("g_prio"), col("o_orderstatus"),
+          col("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+  count(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status NULLS FIRST, g_prio NULLS FIRST,
+  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
     // QUALIFY-style window dedup: keep the latest (highest-price, tie-broken)
     // lineitem per order via row_number — the windowed-dedup idiom.
     GQuery("q68_window_dedup",

@@ -55,6 +55,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.count() === want)
   }
 
+  test("randomized equivalence: merge join matches the window formulation on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // duplicate (key, time) pairs and empty keys on both sides by design
+    val leftRows = (1 to 400).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong * 1000L, i.toLong))
+    val rightRows = (1 to 600).map(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong * 1000L, i.toLong))
+    val tolR = 200000L
+    Seq(1, 3, 16).foreach { parts =>
+      val l = leftRows.toDF("k", "t", "lid").repartition(parts)
+      val r = rightRows.toDF("rk", "rt", "rid").repartition(parts)
+      val got = plans.AsOfJoin(l, r, "k", "t", "rk", "rt", "rid", tolR)
+        .select(col("lid"), col("rid"))
+        .orderBy(col("lid")).collect().map(x =>
+          (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      val w = Window.partitionBy(col("lid"))
+        .orderBy(col("rt").desc, col("rid").desc)
+      val want = l.join(r, col("rk") === col("k")
+          && col("rt") <= col("t") && col("rt") >= col("t") - tolR, "left_outer")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("lid"), col("rid"))
+        .orderBy(col("lid")).collect().map(x =>
+          (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      assert(got.toSeq == want.toSeq, s"parts=$parts")
+    }
+  }
+
   test("physical plan is the merge exec with injected exchanges and sorts") {
     val df = plans.AsOfJoin(probes, events,
       "c_custkey", "cut_us", "user_id", "us", "event_id", tol)

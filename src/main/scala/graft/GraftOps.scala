@@ -191,14 +191,42 @@ object GraftOps {
       .filter(col("rank") <= k)
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection). */
+  /** Embedding near-dup pairs with cosine ≥ threshold: candidates from
+    * sign-random-projection bucket collisions across `tables` independently
+    * seeded hash tables (union), verified with the exact codegen cosine
+    * kernel. The candidate step is a bucket equi-join on (table, bucket) —
+    * never an all-pairs cross product — so the plan shuffles by bucket and
+    * scales horizontally; `distinct` dedupes multi-table collisions before
+    * the kernel runs once per candidate pair.
+    *
+    * Recall tuning: one table collides with probability
+    * `(1 − θ/π)^planes` (θ = angle at the threshold). At real near-dup
+    * thresholds (≥ 0.9 ⇒ p ≈ 0.86) a handful of tables with planes 8–16
+    * gives high recall over tiny candidate sets. A LOW threshold sits deep
+    * in the corpus cosine distribution's tail where exact recall forces the
+    * candidate set toward all-pairs regardless of algorithm — lower `planes`
+    * / raise `tables` there and the union stays exhaustive on the measured
+    * tail (the declared x03 query documents its measured-full-recall
+    * config). The plan SHAPE is the scale contract; the knobs trade recall
+    * against candidate volume without changing it. */
   def cosineNearDups(df: DataFrame, id: Column, vec: Column,
-      threshold: Double): DataFrame = {
-    val a = df.select(id.as("a_id"), vec.as("a_vec"))
-    val b = df.select(id.as("b_id"), vec.as("b_vec"))
-    a.join(b, col("a_id") < col("b_id"))
+      threshold: Double, planes: Int = 8, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val v = materialize(df.select(id.as("id"), vec.as("vec")))
+    val tabSeeds = graft.functions.Hashing.permSeeds(seed, tables)
+    val bucketed = v.select(col("id"),
+        posexplode(array(tabSeeds.map(s => rp_bucket(col("vec"), planes, s)): _*)))
+      .toDF("id", "tab", "bucket")
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tab") === col("b.tab") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cand
+      .join(v.as("va"), col("a_id") === col("va.id"))
+      .join(v.as("vb"), col("b_id") === col("vb.id"))
       .select(col("a_id"), col("b_id"),
-        cosine_sim(col("a_vec"), col("b_vec")).as("score"))
+        cosine_sim(col("va.vec"), col("vb.vec")).as("score"))
       .filter(col("score") >= threshold)
   }
 

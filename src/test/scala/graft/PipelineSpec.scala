@@ -69,6 +69,23 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.groupBy("q_id").count().agg(max("count")).collect()(0).getLong(0) <= 3)
   }
 
+  test("LSH cosine near-dups equal the all-pairs brute force on this corpus") {
+    import spark.implicits._
+    val e = Tables.table(spark, sf, "embeddings")
+    val lsh = q("x03_embedding_neardup").select("a_id", "b_id")
+    // brute-force ground truth built inline (the formulation the operator
+    // replaced — kept here as the oracle-scale cross-check only)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("a_vec"), col("b_vec")).as("score"))
+      .filter(col("score") >= 0.45).select("a_id", "b_id")
+    assert(brute.exceptAll(lsh).count() === 0, "LSH candidates missed a true pair")
+    assert(lsh.exceptAll(brute).count() === 0, "verify step let a false positive through")
+    assert(brute.count() > 0, "corpus must contain pairs above the threshold")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.table(spark, sf, "documents")
     val d = q("x01_exact_dedup")

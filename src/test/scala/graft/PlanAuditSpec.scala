@@ -60,4 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast nested-loop over the tiny query side:\n$p")
   }
+
+  test("x03 embedding near-dup generates candidates via bucket equi-join, never all-pairs") {
+    val p = plan("x03_embedding_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup degraded to an all-pairs plan:\n$p")
+  }
 }

@@ -54,30 +54,60 @@ object GraftOps {
 
   /** Exact shingle-Jaccard near-dup pairs ≥ threshold via an inverted-index
     * join: explode shingles, join on shingle, count common per pair. Exact
-    * answers without an all-pairs cross product; at very large corpora add
-    * document-frequency pruning of hot shingles before the join. */
+    * answers without an all-pairs cross product.
+    *
+    * `maxDf` is the boilerplate escape hatch for skewed corpora: shingles
+    * with document frequency above the cap (navigation chrome, license
+    * headers — the shingles that explode the self-join fanout quadratically)
+    * are dropped from the CANDIDATE index only. Verification then recomputes
+    * the EXACT Jaccard from the full shingle sets, so every reported `j` is
+    * still exact — the cap can only lose pairs whose entire overlap is capped
+    * boilerplate (which near-dup removal wants to ignore anyway). Default
+    * None = fully exact, single-pass join-count formulation. */
   def jaccardNearDups(df: DataFrame, id: Column, text: Column,
-      k: Int = 5, threshold: Double = 0.5): DataFrame = {
+      k: Int = 5, threshold: Double = 0.5,
+      maxDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, id, text, k)
     val all = materialize(
       sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg")))
     // Exact document-frequency pruning: a shingle held by a single document
     // contributes no pair, so df>=2 filtering shrinks the self-join input
     // without changing any intersection count (na/nb stay the full sizes).
-    // At 100 TB this is also where an UPPER df cap would go (boilerplate
-    // shingles that explode join fanout) — that one trades exactness.
-    val hot = all.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sg"))
-    val ex = materialize(all.join(hot, Seq("sg")))
-    ex.as("a").join(ex.as("b"),
-        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("j",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("j"))
+    val dfs = all.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    maxDf match {
+      case None =>
+        val keep = dfs.filter(col("df") >= 2).select(col("sg"))
+        val ex = materialize(all.join(keep, Seq("sg")))
+        ex.as("a").join(ex.as("b"),
+            col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+            col("a.nsh").as("na"), col("b.nsh").as("nb"))
+          .agg(count(lit(1)).as("common"))
+          .withColumn("j",
+            col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .filter(col("j") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("j"))
+      case Some(cap) =>
+        // capped index generates candidates; exact verify on the full sets
+        // (counting common over a pruned index would UNDERcount j — the cap
+        // must never change a reported similarity, only candidate recall)
+        val keep = dfs.filter(col("df") >= 2 && col("df") <= cap).select(col("sg"))
+        val ex = materialize(all.select(col("id"), col("sg")).join(keep, Seq("sg")))
+        val shm = materialize(sh)
+        val cand = ex.as("a").join(ex.as("b"),
+            col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+          .distinct()
+        cand
+          .join(shm.as("sa"), col("doc_a") === col("sa.id"))
+          .join(shm.as("sb"), col("doc_b") === col("sb.id"))
+          .withColumn("common",
+            size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+          .withColumn("j",
+            col("common").cast("double") / (col("sa.nsh") + col("sb.nsh") - col("common")))
+          .filter(col("j") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("j"))
+    }
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.

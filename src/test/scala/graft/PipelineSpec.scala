@@ -86,6 +86,53 @@ class PipelineSpec extends SparkSpec {
     assert(brute.count() > 0, "corpus must contain pairs above the threshold")
   }
 
+  test("df-capped jaccard still finds planted near-dups under heavy boilerplate") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // every doc carries the same boilerplate suffix — its shingles have
+    // df = ndocs, the exact skew the cap exists to prune
+    val boiler = "copyright footer legal notice terms apply all rights reserved worldwide"
+    val params = Gen.Parameters.default
+    val wordGen = Gen.chooseNum(0, 199).map(i => s"w$i")
+    for (seedNo <- 1L to 3L) {
+      val ndocs = 30
+      val docs = (0 until ndocs).map { i =>
+        val len = 30 + (i % 20)
+        val words = Gen.listOfN(len, wordGen)
+          .apply(params, Seed(seedNo * 1000 + i)).get
+        (i.toLong, (words :+ boiler).mkString(" "))
+      }
+      // planted near-dup: doc 0 with two words swapped, appended as a new doc
+      val base = docs.head._2.split(" ")
+      val mutated = (base.take(2) ++ Array("zz", "yy") ++ base.drop(4)).mkString(" ")
+      val corpus = (docs :+ (ndocs.toLong, mutated)).toDF("doc_id", "text")
+
+      // cap at 10× the measured mean shingle df; boilerplate df = ndocs+1
+      // must exceed it or the test isn't exercising pruning
+      val sh = graft.GraftOps.shingles(corpus, col("doc_id"), col("text"))
+        .select(explode(col("sh")).as("sg"))
+      val meanDf = sh.groupBy("sg").count().agg(avg("count")).collect()(0).getDouble(0)
+      val cap = math.round(meanDf * 10)
+      assert(cap < ndocs + 1, s"cap $cap does not prune boilerplate (df=${ndocs + 1})")
+
+      val exact = graft.GraftOps.jaccardNearDups(corpus, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val capped = graft.GraftOps.jaccardNearDups(corpus, col("doc_id"), col("text"),
+          maxDf = Some(cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(capped.contains((0L, ndocs.toLong)),
+        s"seed $seedNo: planted pair lost under df cap $cap")
+      capped.foreach { case (pair, j) =>
+        assert(exact.get(pair).contains(j),
+          s"seed $seedNo: capped j for $pair differs from exact (${exact.get(pair)} vs $j)")
+      }
+      // on this corpus no qualifying pair's overlap is pure boilerplate, so
+      // the capped index loses no pairs at all
+      assert(capped.keySet === exact.keySet, s"seed $seedNo: pair sets differ")
+    }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.table(spark, sf, "documents")
     val d = q("x01_exact_dedup")

@@ -47,22 +47,34 @@ object Bench {
 
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
+      val ok =
+        try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent jobs: drop their persisted intermediates so
       // storage-memory pressure from earlier queries can't tax later ones
       // (the near-dup ops persist signature tables that would otherwise
       // accumulate across the whole registry)
       spark.catalog.clearCache()
-      q.name -> dt
+      (q.name, dt, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // a failed query is OMITTED from the timing map (its time-to-throw is not
+    // a throughput number) and reported in a separate `failed` list instead
+    val good = results.collect { case (k, v, true) => k -> v }
+    val failed = results.collect { case (k, _, false) => k }
+    val qs = good.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // stdout for the driver AND a file: the driver's stdout capture truncates
+    // long lines, which nulled the per-query map in earlier rounds
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     spark.stop()
   }
 }

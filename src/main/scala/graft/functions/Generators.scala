@@ -11,7 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the generator form of [[graft.GraftOps.shingles]], for pipelines that want
   * positions (e.g. winnowing-style locality) without materializing the
   * intermediate array column. Catalyst plans it through the same `Generate`
-  * node as `explode`. */
+  * node as `explode`.
+  *
+  * CodegenFallback is deliberate here, not a gap: `GenerateExec` only has a
+  * codegen path for the built-in explode/inline family (`CollectionGenerator`)
+  * and runs every other `Generator` — including Spark's own `JsonTuple` and
+  * `Stack` — through eval. The per-row cost is one varargs-free eval call
+  * producing an iterator, which the generate loop consumes outside
+  * whole-stage codegen regardless. */
 case class ShingleGenerator(child: Expression, k: Int)
     extends UnaryExpression with Generator with CodegenFallback {
 

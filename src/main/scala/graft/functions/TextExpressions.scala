@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -133,22 +132,17 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Winnowing document fingerprint (string → long): rolling polynomial hash of
-  * every k-gram of characters, then the minimum hash of each window of w
-  * consecutive k-gram hashes is selected (recording a position only once);
-  * the selected mins are XOR-folded into one 64-bit fingerprint. Order of
-  * selection doesn't matter (XOR is commutative), so the fingerprint is
-  * stable. Standard winnowing scheme (Schleimer, Wilkerson, Aiken; SIGMOD'03).
-  */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+/** JVM-static kernels for the text expressions below. Top-level object ⇒
+  * Scala emits static forwarders, so generated Java calls these directly
+  * (`graft.functions.TextKernels.winnow(...)`) — the same pattern the
+  * minhash/simhash codegen uses for [[Hashing]]. Keeping the loop in ONE
+  * compiled method instead of inlining it per call site also keeps the
+  * generated class under Janino's method-size limits. */
+object TextKernels {
 
-  require(k > 0 && w > 0, "k and w must be positive")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "winnow_fp"
-
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** winnowing fingerprint body — see [[WinnowFingerprint]]. */
+  final def winnow(v: UTF8String, k: Int, w: Int): Long = {
+    val s = v.toString
     val n = s.length
     if (n < k) return Hashing.hashBytes(s.getBytes("UTF-8"))
     val m = n - k + 1
@@ -176,6 +170,52 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     out
   }
 
+  /** language-id body — see [[LanguageId]]. */
+  final def langId(v: UTF8String): UTF8String = {
+    val s = v.toString.toLowerCase
+    if (s.exists(c => c >= 0x4E00 && c <= 0x9FFF)) return UTF8String.fromString("zh")
+    val counts = new Array[Long](26)
+    var total = 0L
+    s.foreach { c => if (c >= 'a' && c <= 'z') { counts(c - 'a') += 1; total += 1 } }
+    if (total == 0) return UTF8String.fromString("und")
+    var best = "und"; var bestDist = Long.MaxValue
+    LanguageId.profiles.foreach { case (code, prof) =>
+      var dist = 0L
+      prof.foreach { case (ch, permille) =>
+        val d = 1000L * counts(ch - 'a') - permille * total
+        dist += d * d
+      }
+      if (dist < bestDist) { bestDist = dist; best = code }
+    }
+    UTF8String.fromString(best)
+  }
+}
+
+/** Winnowing document fingerprint (string → long): rolling polynomial hash of
+  * every k-gram of characters, then the minimum hash of each window of w
+  * consecutive k-gram hashes is selected (recording a position only once);
+  * the selected mins are XOR-folded into one 64-bit fingerprint. Order of
+  * selection doesn't matter (XOR is commutative), so the fingerprint is
+  * stable. Standard winnowing scheme (Schleimer, Wilkerson, Aiken; SIGMOD'03).
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  // one static call keeps the fingerprint stage inside whole-stage codegen
+  // (this was a CodegenFallback — each row paid an eval() virtual dispatch
+  // AND collapsed the surrounding stage)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnow($c, $k, $w)")
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -194,29 +234,20 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * counts and formula in SQL). Ties go to the earlier profile (en,es,de,fr).
   */
 case class LanguageId(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
-    if (s.exists(c => c >= 0x4E00 && c <= 0x9FFF)) return UTF8String.fromString("zh")
-    val counts = new Array[Long](26)
-    var total = 0L
-    s.foreach { c => if (c >= 'a' && c <= 'z') { counts(c - 'a') += 1; total += 1 } }
-    if (total == 0) return UTF8String.fromString("und")
-    var best = "und"; var bestDist = Long.MaxValue
-    LanguageId.profiles.foreach { case (code, prof) =>
-      var dist = 0L
-      prof.foreach { case (ch, permille) =>
-        val d = 1000L * counts(ch - 'a') - permille * total
-        dist += d * d
-      }
-      if (dist < bestDist) { bestDist = dist; best = code }
-    }
-    UTF8String.fromString(best)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.langId(v.asInstanceOf[UTF8String])
+
+  // static-call codegen (profile scoring loop lives in TextKernels once,
+  // not re-inlined into every generated class)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langId($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

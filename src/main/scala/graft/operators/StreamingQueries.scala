@@ -300,6 +300,29 @@ SELECT event_id % 3 AS "partition", count(*) AS n,
 FROM events, s WHERE event_id // 3 >= so
 GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
 
+    // S23: Kafka-shaped per-partition startingOffsets JSON — partition 0
+    // starts at record 10, partition 2 at record 25, partition 1 (unlisted)
+    // falls back to earliest. The envelope derivation is deterministic
+    // (partition = event_id % 3, offset = event_id div 3, s01's oracle), so
+    // the per-partition skip is exactly oracle-expressible.
+    GQuery("s23_offsets_json",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        runToMemory(
+          s.readStream.format("graft-replay").option("path", log)
+            .option("startingOffsets", """{"0": 10, "2": 25}""").load()
+            .select(col("partition").cast("long").as("partition"), col("offset"),
+              col("key").cast("string").as("key")),
+          "append").orderBy(col("partition"), col("offset"))
+      },
+      Some("""SELECT event_id % 3 AS "partition", event_id // 3 AS "offset",
+  'Key ' || event_id AS key
+FROM events
+WHERE (event_id % 3 = 0 AND event_id // 3 >= 10)
+   OR (event_id % 3 = 1)
+   OR (event_id % 3 = 2 AND event_id // 3 >= 25)
+ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
     // S17: stream-stream LEFT OUTER join — the outer-join streaming
     // capability on top of s08's inner shape. Matched pairs emit immediately;
     // an unmatched view emits its null row when the watermark closes its 1h

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -22,40 +22,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * (/root/reference/src/kafka/execution.rs:30-143):
   *
   *   - one `InputPartition` per log partition ≡ one `split_partition_queue`
-  *     consumer per plan partition (execution.rs:75), but discovered
-  *     dynamically from the log layout instead of the hardcoded
-  *     `UnknownPartitioning(3)` (execution.rs:47-49);
-  *   - `maxRowsPerTrigger` admission control ≡ the `batch_size` bound of the
-  *     reference's accumulation loop (execution.rs:87);
+  *     consumer per plan partition (execution.rs:75), discovered dynamically
+  *     from the log layout — and RE-discovered every trigger, so a partition
+  *     added mid-stream is picked up (the reference hardcodes 3,
+  *     execution.rs:47-49);
+  *   - `maxRowsPerTrigger` admission control ≡ the `batch_size` bound, and
+  *     `minRowsPerTrigger` + `maxTriggerDelayMs` ≡ the `time_window` bound of
+  *     the reference's accumulation loop (execution.rs:87): a batch closes
+  *     when enough rows arrived OR the delay elapsed, whichever first;
   *   - `Trigger.AvailableNow` ≡ the `PartitionEOF` run-to-end stop
-  *     (execution.rs:93-96); `Trigger.ProcessingTime` ≡ its `time_window`
-  *     pacing (tests/basic_tests.rs:42);
+  *     (execution.rs:93-96); `Trigger.ProcessingTime` ≡ its trigger pacing
+  *     (tests/basic_tests.rs:42);
   *   - real offset bookkeeping via the checkpoint WAL replaces the
   *     stateless full replay of `StreamingProvider::recv()` +
-  *     `Offset::Beginning` (execution.rs:78,129-131) — the single biggest
-  *     semantic upgrade over the reference;
+  *     `Offset::Beginning` (execution.rs:78,129-131);
   *   - the envelope schema is the reference's `(key, value)` binary pair
   *     (/root/reference/src/lib.rs:7-12) plus the metadata the reference
   *     drops (topic/partition/offset/timestamp, execution.rs:135-142),
   *     matching Spark's own Kafka-source schema contract.
   *
-  * Options: `path` (log dir, required), `maxRowsPerTrigger` (per-partition
-  * admission cap per micro-batch, optional), `startingOffset` (record index
-  * every partition starts from, default 0 — the reference can only replay
-  * from the beginning, /root/reference/src/kafka/execution.rs:77-79; this is
-  * the explicit-offset half of the Kafka startingOffsets contract).
+  * Options (Kafka-shaped so a broker-backed implementation can slot in
+  * without API change):
+  *   - `path` (log dir, required);
+  *   - `maxRowsPerTrigger` — per-partition admission cap per micro-batch;
+  *   - `minRowsPerTrigger` + `maxTriggerDelayMs` (default 15 min) — hold a
+  *     trigger until this many rows are available or the delay elapses;
+  *   - `startingOffset` — uniform record index every partition starts from;
+  *   - `startingOffsets` — `"earliest"` or per-partition JSON
+  *     `{"0": 5, "1": 0}` (unlisted partitions fall back to
+  *     `startingOffset`), the explicit-offset half of Kafka's
+  *     startingOffsets contract; malformed JSON is rejected at load time;
+  *   - `failOnDataLoss` (default true) — starting offsets beyond a
+  *     partition's end, offsets named for a partition that doesn't exist, or
+  *     a checkpointed offset past a truncated log throw when true and
+  *     clamp/skip when false;
+  *   - `consumer.*` — opaque pass-through map ≡ the reference's
+  *     `conf: HashMap<String, String>` (execution.rs:34), surfaced via
+  *     `Table.properties()`; this file-backed source doesn't interpret it.
   */
 class ReplayDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ReplayDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val opts = new CaseInsensitiveStringMap(properties)
-    new ReplayTable(opts.get("path"),
-      Option(opts.get("maxRowsPerTrigger")).map(_.toLong),
-      Option(opts.get("startingOffset")).map(_.toLong).getOrElse(0L))
-  }
+      properties: util.Map[String, String]): Table =
+    new ReplayTable(ReplayOptions.parse(new CaseInsensitiveStringMap(properties)))
 }
 
 object ReplayDataSource {
@@ -68,13 +79,63 @@ object ReplayDataSource {
     StructField("timestamp", TimestampType, nullable = false)))
 }
 
-class ReplayTable(path: String, maxRowsPerTrigger: Option[Long],
-    startingOffset: Long = 0L) extends Table with SupportsRead {
+/** Parsed, validated source options. `startFor` resolves the starting record
+  * index for a partition: explicit per-partition entry, else the uniform
+  * default. */
+case class ReplayOptions(
+    path: String,
+    maxRowsPerTrigger: Option[Long],
+    minRowsPerTrigger: Option[Long],
+    maxTriggerDelayMs: Long,
+    startingUniform: Long,
+    startingPerPartition: Map[Int, Long],
+    failOnDataLoss: Boolean,
+    consumerConf: Map[String, String]) {
   require(path != null, "option 'path' is required for the graft-replay source")
-  override def name(): String = s"graft-replay($path)"
+  def startFor(p: Int): Long = startingPerPartition.getOrElse(p, startingUniform)
+}
+
+object ReplayOptions {
+  def parse(opts: CaseInsensitiveStringMap): ReplayOptions = {
+    val perPartition = Option(opts.get("startingOffsets")) match {
+      case None | Some("earliest") => Map.empty[Int, Long]
+      case Some(json) =>
+        try {
+          val m = ReplayOffset.fromJson(json).offsets
+          require(m.values.forall(_ >= 0), "offsets must be >= 0")
+          m
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"""malformed startingOffsets '$json': expected "earliest" or """ +
+              """{"<partition>": <offset>, ...} with non-negative offsets""", e)
+        }
+    }
+    ReplayOptions(
+      path = opts.get("path"),
+      maxRowsPerTrigger = Option(opts.get("maxRowsPerTrigger")).map(_.toLong),
+      minRowsPerTrigger = Option(opts.get("minRowsPerTrigger")).map(_.toLong),
+      maxTriggerDelayMs =
+        Option(opts.get("maxTriggerDelayMs")).map(_.toLong).getOrElse(15L * 60 * 1000),
+      startingUniform = Option(opts.get("startingOffset")).map(_.toLong).getOrElse(0L),
+      startingPerPartition = perPartition,
+      failOnDataLoss = Option(opts.get("failOnDataLoss")).forall(_.toBoolean),
+      // opaque consumer conf pass-through (≡ conf: HashMap, execution.rs:34);
+      // all other unknown keys are ignored like Spark's built-in sources do
+      consumerConf = opts.asCaseSensitiveMap().asScala.toMap.collect {
+        case (k, v) if k.toLowerCase.startsWith("consumer.") =>
+          k.substring("consumer.".length) -> v
+      })
+  }
+}
+
+class ReplayTable(opts: ReplayOptions) extends Table with SupportsRead {
+  override def name(): String = s"graft-replay(${opts.path})"
   override def schema(): StructType = ReplayDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  // the opaque consumer conf is inspectable where a broker client would read it
+  override def properties(): util.Map[String, String] =
+    opts.consumerConf.map { case (k, v) => s"consumer.$k" -> v }.asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning reaches the scan (the reference always materializes
@@ -96,8 +157,7 @@ class ReplayTable(path: String, maxRowsPerTrigger: Option[Long],
         filters
       }
       override def pushedFilters(): Array[Filter] = Array.empty
-      override def build(): Scan =
-        new ReplayScan(path, maxRowsPerTrigger, startingOffset, pruned, scanRange)
+      override def build(): Scan = new ReplayScan(opts, pruned, scanRange)
     }
 }
 
@@ -132,27 +192,30 @@ case class ScanRange(parts: Option[Set[Int]], offLo: Long, offHi: Long) {
 }
 object ScanRange { val Full: ScanRange = ScanRange(None, 0L, Long.MaxValue) }
 
-class ReplayScan(path: String, maxRowsPerTrigger: Option[Long],
-    startingOffset: Long = 0L,
+class ReplayScan(opts: ReplayOptions,
     prunedSchema: StructType = ReplayDataSource.Schema,
     range: ScanRange = ScanRange.Full)
     extends Scan with SupportsReportStatistics {
+  // dev/test convenience constructor (path only, defaults otherwise)
+  def this(path: String, maxRowsPerTrigger: Option[Long]) =
+    this(ReplayOptions(path, maxRowsPerTrigger, None, 15L * 60 * 1000, 0L,
+      Map.empty, failOnDataLoss = true, Map.empty))
   private def fieldIdx: Array[Int] =
     prunedSchema.fieldNames.map(ReplayDataSource.Schema.fieldIndex)
   override def readSchema(): StructType = prunedSchema
   override def description(): String =
-    s"ReplayScan($path, columns=[${prunedSchema.fieldNames.mkString(",")}], ${range.describe})"
-  override def toBatch: Batch = new ReplayBatch(path, startingOffset, fieldIdx, range)
+    s"ReplayScan(${opts.path}, columns=[${prunedSchema.fieldNames.mkString(",")}], ${range.describe})"
+  override def toBatch: Batch = new ReplayBatch(opts, fieldIdx, range)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayMicroBatchStream(path, maxRowsPerTrigger, startingOffset, fieldIdx)
+    new ReplayMicroBatchStream(opts, fieldIdx)
   // honest stats where the reference panics (execution.rs:114-116 todo!()):
   // exact row count from the O(1) index lengths, bytes from the log files
   override def estimateStatistics(): Statistics = new Statistics {
-    private val parts = ReplayLog.listPartitions(path)
+    private val parts = ReplayLog.listPartitions(opts.path)
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(parts.map(p => ReplayLog.logFile(path, p).length()).sum)
+      OptionalLong.of(parts.map(p => ReplayLog.logFile(opts.path, p).length()).sum)
     override def numRows(): OptionalLong =
-      OptionalLong.of(parts.map(p => ReplayLog.recordCount(path, p)).sum)
+      OptionalLong.of(parts.map(p => ReplayLog.recordCount(opts.path, p)).sum)
   }
 }
 
@@ -164,59 +227,132 @@ case class ReplayOffset(offsets: Map[Int, Long]) extends Offset {
 }
 
 object ReplayOffset {
-  def fromJson(s: String): ReplayOffset = ReplayOffset(
-    s.trim.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty).map { kv =>
-      val Array(k, v) = kv.split(":")
-      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
-    }.toMap)
+  def fromJson(s: String): ReplayOffset = {
+    val body = s.trim
+    require(body.startsWith("{") && body.endsWith("}"), s"not a JSON object: $s")
+    ReplayOffset(
+      body.stripPrefix("{").stripSuffix("}").split(",").filter(_.trim.nonEmpty).map { kv =>
+        val parts = kv.split(":")
+        require(parts.length == 2, s"malformed entry '$kv'")
+        parts(0).trim.stripPrefix("\"").stripSuffix("\"").toInt -> parts(1).trim.toLong
+      }.toMap)
+  }
 }
 
-class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
-    startingOffset: Long = 0L,
+class ReplayMicroBatchStream(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6))
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private val partitions: Seq[Int] = ReplayLog.listPartitions(path)
-  private val ends: Map[Int, Long] =
-    partitions.map(p => p -> ReplayLog.recordCount(path, p)).toMap
+  private def path = opts.path
+
+  /** Live (partition → record count) listing — re-taken every trigger so
+    * partitions appended after stream start are discovered (the mid-stream
+    * discovery Kafka users expect; a new partition is read from record 0, or
+    * from its `startingOffsets` entry when one was pre-declared). O(existing
+    * partitions) stat calls against the local index files. */
+  private def listEnds(): Map[Int, Long] =
+    ReplayLog.listPartitions(path).map(p => p -> ReplayLog.recordCount(path, p)).toMap
+
   // end frozen at prepareForTriggerAvailableNow time (run-to-current-end stop)
   @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+  // when the stream last moved its offset forward — the clock for the
+  // minRowsPerTrigger / maxTriggerDelayMs admission gate
+  @volatile private var lastAdvanceMs: Long = System.currentTimeMillis()
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(ends)
+    availableNowEnd = Some(listEnds())
 
-  override def initialOffset(): Offset =
-    ReplayOffset(partitions.map(p => p -> math.min(startingOffset, ends(p))).toMap)
+  /** Starting index for a partition present at stream init, under the
+    * failOnDataLoss contract: an explicit start past the partition's end is
+    * either an error or a clamp. */
+  private def initialStart(p: Int, end: Long): Long = {
+    val req = opts.startFor(p)
+    if (req > end && opts.failOnDataLoss)
+      throw new IllegalStateException(
+        s"startingOffsets requests offset $req past the end ($end) of partition $p " +
+          s"(set failOnDataLoss=false to clamp)")
+    math.min(req, end)
+  }
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def initialOffset(): Offset = {
+    val ends = listEnds()
+    val unknown = opts.startingPerPartition.keySet -- ends.keySet
+    if (unknown.nonEmpty && opts.failOnDataLoss)
+      throw new IllegalStateException(
+        s"startingOffsets names partitions ${unknown.toSeq.sorted.mkString(",")} " +
+          s"that do not exist in $path (set failOnDataLoss=false to defer them " +
+          s"to mid-stream discovery)")
+    ReplayOffset(ends.map { case (p, end) => p -> initialStart(p, end) })
+  }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = opts.maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq ++
+      opts.minRowsPerTrigger.map(n => ReadLimit.minRows(n, opts.maxTriggerDelayMs))
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[ReplayOffset].offsets
-    val target = availableNowEnd.getOrElse(ends)
-    val next = limit match {
-      case m: ReadMaxRows =>
-        target.map { case (p, end) =>
-          p -> math.min(end, s.getOrElse(p, 0L) + m.maxRows()) }
-      case _: ReadAllAvailable => target
-      case _ => target
-    }
-    ReplayOffset(next)
+  private def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+    case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+    case x => Seq(x)
   }
 
-  override def reportLatestOffset(): Offset = ReplayOffset(ends)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].offsets
+    val target = availableNowEnd.getOrElse(listEnds())
+    val gone = s.keySet -- target.keySet
+    if (gone.nonEmpty && opts.failOnDataLoss)
+      throw new IllegalStateException(
+        s"partitions ${gone.toSeq.sorted.mkString(",")} disappeared from $path " +
+          s"(set failOnDataLoss=false to skip them)")
+    // effective per-partition start: checkpointed offset, or the discovery
+    // start for a partition first seen this trigger; a checkpointed offset
+    // past a truncated log is data loss
+    val eff = target.map { case (p, end) =>
+      val from = s.getOrElse(p, math.min(opts.startingPerPartition.getOrElse(p, 0L), end))
+      if (from > end && opts.failOnDataLoss)
+        throw new IllegalStateException(
+          s"checkpointed offset $from is past the end ($end) of partition $p — " +
+            s"the log was truncated (set failOnDataLoss=false to clamp)")
+      p -> math.min(from, end)
+    }
+    val lims = flatten(limit)
+    val maxRows = lims.collectFirst { case m: ReadMaxRows => m.maxRows() }
+    val minRows = lims.collectFirst { case m: ReadMinRows => m }
+    val available = target.map { case (p, end) => math.max(end - eff(p), 0L) }.sum
+    val now = System.currentTimeMillis()
+    // time-OR-rows batch admission ≡ the reference's accumulation loop bound
+    // (execution.rs:87): hold the trigger while too few rows accumulated AND
+    // the delay clock still runs; `available == 0` holds without a batch.
+    val hold = available == 0 ||
+      minRows.exists(m => available < m.minRows && now - lastAdvanceMs < m.maxTriggerDelayMs())
+    if (hold) {
+      ReplayOffset(eff)
+    } else {
+      lastAdvanceMs = now
+      ReplayOffset(target.map { case (p, end) =>
+        p -> maxRows.map(m => math.min(end, eff(p) + m)).getOrElse(end) })
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    ReplayOffset(availableNowEnd.getOrElse(listEnds()))
 
   override def deserializeOffset(json: String): Offset = ReplayOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].offsets
     val e = end.asInstanceOf[ReplayOffset].offsets
-    partitions.flatMap { p =>
-      val (so, eo) = (s.getOrElse(p, 0L), e.getOrElse(p, 0L))
+    (s.keySet ++ e.keySet).toSeq.sorted.flatMap { p =>
+      val eo = e.getOrElse(p, 0L)
+      val so = s.getOrElse(p, math.min(opts.startingPerPartition.getOrElse(p, 0L), eo))
       if (eo > so) Some(ReplayInputPartition(path, p, so, eo, fields)) else None
     }.toArray
   }
@@ -226,16 +362,20 @@ class ReplayMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
   override def stop(): Unit = ()
 }
 
-class ReplayBatch(path: String, startingOffset: Long = 0L,
+class ReplayBatch(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6),
     range: ScanRange = ScanRange.Full) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    ReplayLog.listPartitions(path)
+    ReplayLog.listPartitions(opts.path)
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
-        val end = math.min(ReplayLog.recordCount(path, p), range.offHi)
-        val start = math.max(math.min(startingOffset, end), range.offLo)
-        if (end > start) Some(ReplayInputPartition(path, p, start, end, fields))
+        val end = math.min(ReplayLog.recordCount(opts.path, p), range.offHi)
+        val req = opts.startFor(p)
+        if (req > end && opts.failOnDataLoss)
+          throw new IllegalStateException(
+            s"startingOffsets requests offset $req past the end ($end) of partition $p")
+        val start = math.max(math.min(req, end), range.offLo)
+        if (end > start) Some(ReplayInputPartition(opts.path, p, start, end, fields))
         else None
       }.toArray
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory

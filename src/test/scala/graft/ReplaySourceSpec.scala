@@ -157,6 +157,142 @@ class ReplaySourceSpec extends SparkSpec {
       s"batch exceeded admission cap: ${dataBatches.map(_.numInputRows).mkString(",")}")
   }
 
+  test("startingOffsets JSON starts partitions at different offsets") {
+    val name = "replay_spec_sojson"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log).option("startingOffsets", """{"0": 7, "2": 13}""").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val mins = spark.table(name).groupBy("partition")
+      .agg(org.apache.spark.sql.functions.min("offset").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mins === Map(0 -> 7L, 1 -> 0L, 2 -> 13L))
+  }
+
+  test("malformed startingOffsets JSON is rejected at load time") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-replay")
+        .option("path", log).option("startingOffsets", """{"0": nope""").load()
+        .count()
+    }
+    assert(e.getMessage.contains("malformed startingOffsets"))
+    // negative offsets are malformed too
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-replay")
+        .option("path", log).option("startingOffsets", """{"0": -5}""").load()
+        .count()
+    }
+  }
+
+  test("failOnDataLoss: offset past the end throws by default, clamps when false") {
+    val past = s"""{"0": ${Long.MaxValue / 2}}"""
+    val thrown = intercept[Exception] {
+      spark.read.format("graft-replay")
+        .option("path", log).option("startingOffsets", past).load().count()
+    }
+    assert(thrown.getMessage.contains("past the end")
+      || Option(thrown.getCause).exists(_.getMessage.contains("past the end")))
+    val clamped = spark.read.format("graft-replay")
+      .option("path", log).option("startingOffsets", past)
+      .option("failOnDataLoss", "false").load()
+    // partition 0 clamps to its end (contributes nothing); 1 and 2 are full
+    val perPart = ReplayLog.listPartitions(log).drop(1)
+      .map(p => ReplayLog.recordCount(log, p)).sum
+    assert(clamped.count() === perPart)
+  }
+
+  test("consumer.* options pass through opaquely to the table properties") {
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", log)
+    props.put("consumer.group.id", "graft-dev")
+    props.put("consumer.fetch.min.bytes", "1048576")
+    val table = new graft.sources.replay.ReplayDataSource()
+      .getTable(graft.sources.replay.ReplayDataSource.Schema, Array.empty, props)
+    val got = table.properties()
+    assert(got.get("consumer.group.id") === "graft-dev")
+    assert(got.get("consumer.fetch.min.bytes") === "1048576")
+    // and the source still reads normally with the opaque conf present
+    val n = spark.read.format("graft-replay").option("path", log)
+      .option("consumer.group.id", "graft-dev").load().count()
+    assert(n === nEvents)
+  }
+
+  test("minRowsPerTrigger holds a batch until the time bound, then emits what's available") {
+    import graft.sources.replay.{ReplayMicroBatchStream, ReplayOffset, ReplayOptions}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // admission-control unit contract (deterministic, no wall-clock races):
+    // fewer rows than minRows are available, so the trigger holds until
+    // maxTriggerDelayMs elapses, then closes the batch with what's there —
+    // the reference's time-OR-rows loop bound (execution.rs:87)
+    val opts = ReplayOptions(log, None, Some(Long.MaxValue / 4), 600L, 0L,
+      Map.empty, failOnDataLoss = true, Map.empty)
+    val stream = new ReplayMicroBatchStream(opts)
+    val start = stream.initialOffset()
+    val limit = stream.getDefaultReadLimit
+    val held = stream.latestOffset(start, limit)
+    assert(held.asInstanceOf[ReplayOffset].offsets ===
+      start.asInstanceOf[ReplayOffset].offsets,
+      "trigger must hold while rows < minRows and the delay clock runs")
+    Thread.sleep(700)
+    val fired = stream.latestOffset(start, limit)
+    val ends = ReplayLog.listPartitions(log)
+      .map(p => p -> ReplayLog.recordCount(log, p)).toMap
+    assert(fired.asInstanceOf[ReplayOffset].offsets === ends,
+      "at the time bound the batch closes with fewer than minRows rows")
+    // end-to-end: the wired option produces exactly one data batch holding
+    // everything, released by the time bound
+    val name = "replay_spec_minrows"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log).option("minRowsPerTrigger", (nEvents * 100).toString)
+      .option("maxTriggerDelayMs", "800")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table(name).count() < nEvents && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    assert(spark.table(name).count() === nEvents)
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length === 1,
+      s"expected one held-then-released batch, got ${dataBatches.length}")
+  }
+
+  test("a partition appended mid-stream is discovered and read") {
+    val dir = Files.createTempDirectory("growlog").toString
+    ReplayLog.writePartitionFile(dir, 0, Iterator(
+      Row("k0".getBytes, "v0".getBytes, 1000L)))
+    ReplayLog.writePartitionFile(dir, 1, Iterator(
+      Row("k1".getBytes, "v1".getBytes, 2000L)))
+    val name = "replay_spec_grow"
+    val q = spark.readStream.format("graft-replay").option("path", dir).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table(name).count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(spark.table(name).count() === 2)
+      // the reference hardcodes its partition count (execution.rs:47-49);
+      // here a partition born after stream start must be picked up
+      ReplayLog.writePartitionFile(dir, 2, Iterator(
+        Row("k2".getBytes, "v2".getBytes, 3000L),
+        Row("k3".getBytes, "v3".getBytes, 4000L)))
+      while (spark.table(name).count() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally q.stop()
+    val got = spark.table(name)
+    assert(got.count() === 4)
+    assert(got.filter(col("partition") === 2).count() === 2)
+    assert(got.filter(col("partition") === 2)
+      .agg(org.apache.spark.sql.functions.min("offset")).head.getLong(0) === 0L)
+  }
+
   test("streaming result equals batch result (prefix consistency)") {
     val batch = spark.read.format("graft-replay").option("path", log).load()
       .selectExpr("cast(key as string) k", "cast(value as string) v")

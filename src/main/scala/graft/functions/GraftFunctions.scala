@@ -38,4 +38,13 @@ object GraftFunctions {
     * TypedImperativeAggregate — O(k) state per group). */
   def topk_vals(v: Column, k: Int): Column =
     c(TopKAgg(x(v), k).toAggregateExpression())
+
+  /** decode a binary Avro record column into a struct (flat primitive
+    * records; the envelope-payload decode path). */
+  def avro_decode(value: Column, schemaJson: String): Column =
+    c(AvroDecode(x(value), schemaJson))
+
+  /** encode a struct column as a binary Avro record (producer half). */
+  def avro_encode(record: Column, schemaJson: String): Column =
+    c(AvroEncode(x(record), schemaJson))
 }

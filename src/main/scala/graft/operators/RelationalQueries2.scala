@@ -839,6 +839,37 @@ GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST""")),
       Some("""SELECT o_orderstatus, count(*) AS n,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
   count(DISTINCT o_custkey) AS n_cust
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")),
+
+    // Avro envelope round-trip via the custom codec expressions (the
+    // spark-avro connector isn't on this classpath — only avro-core is, so
+    // avro_encode/avro_decode are built directly on org.apache.avro;
+    // functions/AvroExpressions.scala). The producer half encodes a
+    // nullable-string + long + double record per event; the consumer half
+    // decodes it back — a bit-exact identity the plain-projection oracle
+    // verifies. Per-row expressions, no shuffle; codegen via the referenced-
+    // instance call so the stage stays whole-stage-compiled.
+    GQuery("q74_avro_roundtrip",
+      (s, d) => {
+        val schema = """{"type":"record","name":"ev","fields":[
+          {"name":"event_id","type":"long"},
+          {"name":"event_type","type":["null","string"],"default":null},
+          {"name":"value","type":"double"}]}"""
+        graft.Tables.events(s, d).filter(col("event_id") < 500)
+          .select(graft.functions.GraftFunctions.avro_encode(
+            struct(col("event_id"), col("event_type"), col("value")), schema).as("payload"))
+          .select(graft.functions.GraftFunctions.avro_decode(col("payload"), schema).as("r"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+            col("r.value").as("value"), col("n_bytes"))
+          .orderBy(col("event_id"))
+      },
+      // oracle replays the identity + the exact binary-encoding size:
+      // zigzag-varint(event_id) (1 byte below 64, 2 below 8192) + union index
+      // byte + length-varint byte + utf8 bytes + 8 fixed double bytes
+      Some("""SELECT event_id, event_type, value,
+  CASE WHEN event_id < 64 THEN 1 ELSE 2 END
+  + 1 + 1 + strlen(event_type) + 8 AS n_bytes
+FROM events WHERE event_id < 500 ORDER BY event_id NULLS FIRST"""))
   )
 }

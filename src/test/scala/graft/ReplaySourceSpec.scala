@@ -293,6 +293,30 @@ class ReplaySourceSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.min("offset")).head.getLong(0) === 0L)
   }
 
+  test("columnar and row readers return identical envelopes (incl. nulls)") {
+    val dir = Files.createTempDirectory("collog").toString
+    ReplayLog.writePartitionFile(dir, 0, Iterator(
+      Row("k0".getBytes, "v0".getBytes, 1000L),
+      Row(null, null, 2000L),
+      Row("k2".getBytes, Array.emptyByteArray, 3000L)))
+    def read(mode: String) = spark.read.format("graft-replay")
+      .option("path", dir).option("columnarBatchSize", mode).load()
+      .selectExpr("cast(key as string) k", "cast(value as string) v",
+        "partition", "offset", "cast(timestamp as string) ts")
+    val row = read("0").collect().map(_.toString).sorted
+    val col = read("2").collect().map(_.toString).sorted // batch smaller than data
+    assert(row.toSeq === col.toSeq)
+    assert(row.length === 3)
+    assert(row.count(_.contains("null")) === 1)
+    // default mode (columnar) matches too, on the real log
+    val a = spark.read.format("graft-replay").option("path", log).load()
+      .selectExpr("sum(length(value))", "sum(offset)", "count(*)").head
+    val b = read("0").sparkSession.read.format("graft-replay").option("path", log)
+      .option("columnarBatchSize", "0").load()
+      .selectExpr("sum(length(value))", "sum(offset)", "count(*)").head
+    assert(a === b)
+  }
+
   test("streaming result equals batch result (prefix consistency)") {
     val batch = spark.read.format("graft-replay").option("path", log).load()
       .selectExpr("cast(key as string) k", "cast(value as string) v")

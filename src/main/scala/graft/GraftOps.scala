@@ -260,6 +260,54 @@ object GraftOps {
       .filter(col("score") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document gets the
+    * MINIMUM doc id of its component as `cluster` — the step that turns
+    * pairwise near-dup hits into "keep one representative per duplicate
+    * cluster" (transitive closure: a~b, b~c ⇒ {a,b,c} is one cluster even if
+    * a and c were never compared).
+    *
+    * Algorithm: iterative min-label propagation — each round every node takes
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one shuffle-join + partial
+    * agg; the driver only coordinates the loop and reads a scalar
+    * convergence count (no data collects). Near-dup components are
+    * short-diameter by construction (duplicates of a common source), so
+    * rounds stay in the single digits; a web-scale general graph would swap
+    * in the large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce"), which this API deliberately matches. */
+  def dedupClusters(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int = 50): DataFrame = {
+    val edges = materialize(
+      pairs.select(a.as("src"), b.as("dst"))
+        .union(pairs.select(b.as("src"), a.as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = materialize(labels
+        .join(viaNeighbors.withColumnRenamed("id", "jid"),
+          col("id") === col("jid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIter rounds (component diameter " +
+        s"exceeds the bound — raise maxIter or use a star-contraction variant)")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   // ---- skew mitigation -----------------------------------------------------
 
   /** Salted inner equi-join for skewed keys: left rows scatter across

@@ -362,6 +362,100 @@ fin AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT drop_id FROM pairs))
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM fin GROUP BY lang ORDER BY lang NULLS FIRST""")),
 
+    // ---- X07: duplicate-cluster assignment ---------------------------------
+    // Near-dup PAIRS become per-document cluster ids (min doc id of the
+    // connected component) via iterative min-label propagation — the
+    // transitive-closure step a dedup pipeline needs before "keep one per
+    // cluster" (a~b, b~c ⇒ one cluster of three, even though a,c were never
+    // directly compared). O-class: DuckDB replays the closure with a
+    // recursive CTE over the same exact-Jaccard pair set.
+    GQuery("x07_dedup_clusters",
+      (s, d) => {
+        val pairs = graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 5, threshold = 0.5)
+        graft.GraftOps.dedupClusters(pairs, col("doc_a"), col("doc_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id AS doc_id, min(r) AS cluster FROM reach
+GROUP BY id ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X08: context-window chunking --------------------------------------
+    // Fixed-size token chunks with overlap (50-token windows, stride 40) —
+    // the packing prep before tokenization in a training pipeline. Pure
+    // per-row higher-order functions (sequence → transform → slice →
+    // posexplode): partition-local, codegen'd, no shuffle until the final
+    // order. Chunk count = ceil((n-50)/40)+1 in exact integer arithmetic.
+    GQuery("x08_chunk_documents",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(1, greatest((size(w) - 50 + 39) div 40, 0) + 1),
+               i -> array_join(slice(w, (i - 1) * 40 + 1, 50), ' '))""")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk"),
+          size(split(col("col"), " ")).cast("long").as("n_tokens"),
+          col("col").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 200),
+c AS (SELECT doc_id,
+    [array_to_string(w[(i - 1) * 40 + 1 : (i - 1) * 40 + 50], ' ')
+     for i in range(1, greatest((len(w) - 50 + 39) // 40, 0) + 2)] AS chunks
+  FROM t)
+SELECT doc_id, pos AS chunk,
+  len(string_split(chunks[pos + 1], ' ')) AS n_tokens,
+  chunks[pos + 1] AS chunk_text
+FROM c, unnest(range(len(chunks))) u(pos)
+ORDER BY doc_id NULLS FIRST, chunk NULLS FIRST""")),
+
+    // ---- X09: embedding normalization / int8 quantization ------------------
+    // Per-vector symmetric int8 quantization with a max-abs scale — the
+    // storage/serving compression step for embedding tables. The scale uses
+    // array_max (EXACT — no accumulation-order concerns), and each component
+    // quantizes via one double multiply + floor, so every output is
+    // integer-exact cross-engine; checksums verify all 64 lanes per row.
+    GQuery("x09_embedding_quantize",
+      (s, d) => t(s, d, "embeddings")
+        .filter(col("vec_id") < 500)
+        .withColumn("max_abs",
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .filter(col("max_abs") > 0)
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) / max_abs * 127.0d + 0.5d) as int))"))
+        .select(col("vec_id"),
+          size(col("q")).cast("long").as("dim"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+          expr("array_max(q)").as("q_max"),
+          expr("array_min(q)").as("q_min"))
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 500),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+q AS (SELECT vec_id,
+    list_transform(v, x -> CAST(floor(x / max_abs * 127.0 + 0.5) AS INT)) AS qv
+  FROM m WHERE max_abs > 0)
+SELECT vec_id, len(qv) AS dim,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  list_max(qv) AS q_max, list_min(qv) AS q_min
+FROM q ORDER BY vec_id NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

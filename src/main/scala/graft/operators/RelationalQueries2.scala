@@ -870,6 +870,71 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")),
       Some("""SELECT event_id, event_type, value,
   CASE WHEN event_id < 64 THEN 1 ELSE 2 END
   + 1 + 1 + strlen(event_type) + 8 AS n_bytes
-FROM events WHERE event_id < 500 ORDER BY event_id NULLS FIRST"""))
+FROM events WHERE event_id < 500 ORDER BY event_id NULLS FIRST""")),
+
+    // Deterministic stratified sampling — the reproducible-subset operator a
+    // training pipeline needs (rerun ⇒ identical sample, no RNG state): each
+    // stratum keeps rows whose seeded md5 bucket falls under its rate.
+    // Lowercase-hex strings compare lexicographically = numerically, so the
+    // rate cut is a plain string comparison — bit-identical on any engine,
+    // embarrassingly parallel (per-row predicate, no shuffle before the
+    // verification agg).
+    GQuery("q75_stratified_sample",
+      (s, d) => {
+        val bucket = substring(md5(concat(lit("seed42:"), col("event_id"))), 1, 4)
+        graft.Tables.events(s, d)
+          .filter((col("event_type") === "view" && bucket < "8000") ||
+            (col("event_type") === "click" && bucket < "4000") ||
+            (col("event_type") === "purchase"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT event_id, event_type,
+    substr(md5('seed42:' || event_id), 1, 4) AS bk FROM events)
+SELECT event_type, count(*) AS n_sampled,
+  min(event_id) AS min_id, max(event_id) AS max_id
+FROM b
+WHERE (event_type = 'view' AND bk < '8000')
+   OR (event_type = 'click' AND bk < '4000')
+   OR (event_type = 'purchase')
+GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
+    // Batch sessionization: per-user 30-minute-gap sessions via lag + running
+    // sum — the batch twin of the streaming session window (s04). One shuffle
+    // by user, sort within partition; session numbering is a running sum over
+    // the same sort, so no second exchange (plan keeps a single Window
+    // operator chain). Event-time compared at µs on both engines.
+    GQuery("q76_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        graft.Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .withColumn("is_new",
+            when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("is_new")).over(w))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_events"),
+            ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L)).cast("long")
+              .as("duration_sec"))
+          .orderBy(col("user_id"), col("sess"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+g AS (SELECT user_id, event_id, ts_us,
+    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+  FROM e),
+m AS (SELECT user_id, event_id, ts_us,
+    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM g),
+s AS (SELECT user_id, ts_us,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+  FROM m)
+SELECT user_id, sess, count(*) AS n_events,
+  CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, sess ORDER BY user_id NULLS FIRST, sess NULLS FIRST"""))
   )
 }

@@ -133,6 +133,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters matches a local union-find on generated graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    for (seedNo <- 1L to 4L) {
+      val n = 40
+      val edgeGen = Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+      val raw = edgeGen(params, Seed(seedNo)).get
+        .collect { case (a, b) if a != b => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      // ground truth: classic union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = raw.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(id => id -> {
+          // component min = min over members with same root
+          val root = find(id.toInt)
+          raw.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(m => find(m.toInt) == root).min
+        }).toMap
+      val got = graft.GraftOps.dedupClusters(
+          raw.toDF("doc_a", "doc_b"), col("doc_a"), col("doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"seed $seedNo: components differ")
+    }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.table(spark, sf, "documents")
     val d = q("x01_exact_dedup")

@@ -308,6 +308,35 @@ object GraftOps {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** Greedy sequence packing: documents are packed, in id order, into bins
+    * of at most `capacity` tokens — the context-window packing step before
+    * tokenized training batches. Packing is inherently sequential (bin state
+    * depends on every earlier doc), so parallelism comes from SHARDING:
+    * shard = id / shardSize, each shard packs independently in one sorted
+    * group scan (`flatMapSortedGroups` — Spark sorts/spills the group, the
+    * fold keeps O(1) state). A doc that doesn't fit the open bin starts a
+    * new one; an oversized doc (> capacity) occupies a bin alone. Output:
+    * (doc_id, shard, bin, n_tokens) with bins numbered from 0 per shard. */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+      capacity: Long, shardSize: Long = 100L): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
+      .withColumn("shard", col("id") / lit(shardSize) cast "long")
+      .select(col("shard"), col("id"), col("n")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (shard, rows) =>
+        var bin = 0L; var acc = 0L; var first = true
+        rows.map { case (_, docId, n) =>
+          if (first) { acc = n; first = false }
+          else if (acc + n <= capacity) acc += n
+          else { bin += 1; acc = n }
+          (docId, shard, bin, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tokens")
+  }
+
   // ---- skew mitigation -----------------------------------------------------
 
   /** Salted inner equi-join for skewed keys: left rows scatter across

@@ -456,6 +456,53 @@ SELECT vec_id, len(qv) AS dim,
   list_max(qv) AS q_max, list_min(qv) AS q_min
 FROM q ORDER BY vec_id NULLS FIRST""")),
 
+    // ---- X10: greedy sequence packing --------------------------------------
+    // Context-window packing (capacity 400 tokens, shards of 100 docs):
+    // sequential greedy fold per shard, parallel across shards. O-class: the
+    // DuckDB oracle replays the identical fold as a recursive CTE stepping
+    // row_number-by-row_number within each shard.
+    GQuery("x10_pack_sequences",
+      (s, d) => graft.GraftOps.packSequences(
+          t(s, d, "documents").withColumn("n_tok",
+            size(split(col("text"), " ")).cast("long")),
+          col("doc_id"), col("n_tok"), capacity = 400L, shardSize = 100L)
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, doc_id // 100 AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+  FROM documents),
+r(shard, rn, doc_id, n, bin, acc) AS (
+  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n,
+    CASE WHEN r.acc + d.n <= 400 THEN r.bin ELSE r.bin + 1 END,
+    CASE WHEN r.acc + d.n <= 400 THEN r.acc + d.n ELSE d.n END
+  FROM d JOIN r ON d.shard = r.shard AND d.rn = r.rn + 1)
+SELECT doc_id, shard, bin, n AS n_tokens FROM r
+ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X11: HLL sketch build / merge -------------------------------------
+    // The scalable distinct-count pattern: build one HLL sketch per stratum
+    // (map-side mergeable binary state), union sketches for the rollup —
+    // shuffle volume is sketch bytes, not row count. G-class by design
+    // (estimates; SURVEY §2.3 excludes approx aggs from the oracle);
+    // PipelineSpec pins determinism, merge consistency across
+    // repartitionings, and error vs exact distinct.
+    GQuery("x11_sketch_rollup",
+      (s, d) => {
+        val sk = graft.Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            countDistinct(col("user_id")).as("exact"))
+        val per = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+        val total = sk.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+          .select(lit("ALL").as("event_type"), col("est"), lit(null).cast("long").as("exact"))
+        per.unionByName(total).orderBy(col("event_type"))
+      },
+      None),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

@@ -166,6 +166,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packSequences equals a local greedy fold and respects capacity") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    for (seedNo <- 1L to 3L) {
+      val cap = 100L
+      val docs = Gen.listOfN(120, Gen.chooseNum(1L, 130L))
+        .apply(params, Seed(seedNo)).get.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }
+      val got = graft.GraftOps.packSequences(
+          docs.toDF("doc_id", "n_tok"), col("doc_id"), col("n_tok"),
+          capacity = cap, shardSize = 40L)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // local replay of the same greedy rule per shard
+      val want = docs.groupBy(_._1 / 40).flatMap { case (shard, ds) =>
+        var bin = 0L; var acc = 0L; var first = true
+        ds.sortBy(_._1).map { case (id, n) =>
+          if (first) { acc = n; first = false }
+          else if (acc + n <= cap) acc += n
+          else { bin += 1; acc = n }
+          id -> ((shard, bin, n))
+        }
+      }
+      assert(got === want, s"seed $seedNo: packing differs from local greedy")
+      // capacity invariant: a bin exceeds cap only as a single oversized doc
+      val over = got.values.groupBy(v => (v._1, v._2))
+        .filter { case (_, ds) => ds.map(_._3).sum > cap }
+      assert(over.values.forall(ds => ds.size == 1 && ds.head._3 > cap),
+        s"seed $seedNo: multi-doc bin over capacity")
+    }
+  }
+
+  test("hll sketch rollup: deterministic, merge-consistent, and near exact") {
+    val a = q("x11_sketch_rollup").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = q("x11_sketch_rollup").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b, "sketch estimates must be deterministic run to run")
+    // estimates track exact distincts within HLL error at lgK=12 (<2%)
+    val rows = q("x11_sketch_rollup").filter(col("event_type") =!= "ALL")
+      .collect()
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact < 0.02,
+        s"${r.getString(0)}: $est vs $exact")
+    }
+    // merge consistency: the register-max merge is partition-insensitive, so
+    // the estimate must be identical under any repartitioning
+    val ev = Tables.events(spark, sf)
+    def est(parts: Int): Long = ev.repartition(parts)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .collect()(0).getLong(0)
+    assert(est(1) === est(7) && est(7) === est(32),
+      "sketch estimate changed under repartitioning")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.table(spark, sf, "documents")
     val d = q("x01_exact_dedup")

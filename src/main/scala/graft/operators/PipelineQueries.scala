@@ -503,6 +503,37 @@ ORDER BY doc_id NULLS FIRST""")),
       },
       None),
 
+    // ---- X12: PII redaction -------------------------------------------------
+    // Text-cleaning / policy-masking pass: emails and phone-shaped tokens are
+    // replaced with typed placeholders and counted. The contact lines are
+    // synthesized deterministically (the corpus has no real PII); patterns
+    // stay in the regex subset Java and RE2 dialects share. Pure per-row
+    // expressions — no shuffle until the final order.
+    GQuery("x12_pii_redact",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 300)
+        .withColumn("raw", concat(
+          lit("contact user"), col("doc_id"), lit("@mail.example.com or "),
+          lit("555-"), (col("doc_id") * 7 % 10000), lit(" :: "), col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+"))
+            .cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit("555-[0-9]+")).cast("long").as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "[EMAIL]"),
+            "555-[0-9]+", "[PHONE]").as("clean"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (SELECT doc_id,
+    'contact user' || doc_id || '@mail.example.com or 555-' || (doc_id * 7 % 10000)
+      || ' :: ' || text AS raw
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS n_emails,
+  len(regexp_extract_all(raw, '555-[0-9]+')) AS n_phones,
+  regexp_replace(regexp_replace(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+    '555-[0-9]+', '[PHONE]', 'g') AS clean
+FROM r ORDER BY doc_id NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

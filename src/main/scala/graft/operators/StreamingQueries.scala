@@ -323,6 +323,25 @@ WHERE (event_id % 3 = 0 AND event_id // 3 >= 10)
    OR (event_id % 3 = 2 AND event_id // 3 >= 25)
 ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
 
+    // S24: streaming CONTENT dedup over the replay source — the streaming
+    // half of X01: distinct payloads survive, replays of the same bytes drop.
+    // State is keyed by the md5 of the payload (bounded by distinct-content
+    // count, not stream length — at 100 TB add a watermark via
+    // dropDuplicatesWithinWatermark as in s18).
+    GQuery("s24_stream_content_dedup",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        runToMemory(
+          s.readStream.format("graft-replay").option("path", log).load()
+            .select(md5(col("value")).as("h"),
+              length(col("value")).cast("long").as("len"))
+            .dropDuplicates("h"),
+          "append").orderBy(col("h"))
+      },
+      Some("""SELECT md5(props) AS h, strlen(props) AS len
+FROM (SELECT DISTINCT props FROM events)
+ORDER BY h NULLS FIRST""")),
+
     // S17: stream-stream LEFT OUTER join — the outer-join streaming
     // capability on top of s08's inner shape. Matched pairs emit immediately;
     // an unmatched view emits its null row when the watermark closes its 1h

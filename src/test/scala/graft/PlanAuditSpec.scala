@@ -66,4 +66,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"embedding near-dup degraded to an all-pairs plan:\n$p")
   }
+
+  test("q76 sessionize: window partitioning is reused by the session agg (2 exchanges total)") {
+    // hash-by-user for the window chain satisfies the (user, sess) groupBy's
+    // clustered distribution (subset rule), so the only other exchange is the
+    // final presentation sort — a third exchange means the reuse broke
+    val p = SparkEntry.queries("q76_sessionize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length <= 2, s"extra shuffle appeared:\n$p")
+  }
+
+  test("x10 packing: one key shuffle + presentation sort only") {
+    val p = SparkEntry.queries("x10_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length <= 2, s"extra shuffle appeared:\n$p")
+  }
+
+  test("replay batch scan runs columnar by default") {
+    val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
+    val df = spark.read.format("graft-replay").option("path", log).load()
+      .selectExpr("sum(length(value))")
+    df.collect() // AQE inserts the columnar transition in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"), s"expected the columnar read path:\n$p")
+  }
 }

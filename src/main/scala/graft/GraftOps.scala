@@ -277,35 +277,47 @@ object GraftOps {
     * Components in MapReduce"), which this API deliberately matches. */
   def dedupClusters(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 50): DataFrame = {
-    val edges = materialize(
-      pairs.select(a.as("src"), b.as("dst"))
-        .union(pairs.select(b.as("src"), a.as("dst")))
-        .distinct())
-    var labels = materialize(
-      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
-    var round = 0
-    var converged = false
-    while (!converged && round < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val next = materialize(labels
-        .join(viaNeighbors.withColumnRenamed("id", "jid"),
-          col("id") === col("jid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      round += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIter rounds (component diameter " +
-        s"exceeds the bound — raise maxIter or use a star-contraction variant)")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val s = pairs.sparkSession
+    // the pair graph is orders of magnitude smaller than the corpus that
+    // produced it — right-size the per-round shuffles (the session default is
+    // tuned for corpus-scale scans; stage-scheduling overhead dominates
+    // otherwise). Restored after the loop; a cluster deployment sizes this to
+    // edge-count/partition-budget instead.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = materialize(
+        pairs.select(a.as("src"), b.as("dst"))
+          .union(pairs.select(b.as("src"), a.as("dst")))
+          .distinct())
+      var labels = materialize(
+        edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+      var round = 0
+      var converged = false
+      while (!converged && round < maxIter) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+          .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
+        // carry the did-anything-change flag IN the label table: convergence
+        // is then a filter-count on the persisted result, not a second join
+        val next = materialize(labels
+          .join(viaNeighbors.withColumnRenamed("id", "jid"),
+            col("id") === col("jid"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
+            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+          .select(col("id"), col("newLbl").as("lbl"), col("chg")))
+        val changed = next.filter(col("chg")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        round += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds (component diameter " +
+          s"exceeds the bound — raise maxIter or use a star-contraction variant)")
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Greedy sequence packing: documents are packed, in id order, into bins

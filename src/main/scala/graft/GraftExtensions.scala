@@ -19,6 +19,8 @@ object Graft {
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
   private def lit2Long(e: Expression): Long =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].longValue()
+  private def lit2Str(e: Expression): String =
+    e.asInstanceOf[Literal].value.toString
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
@@ -34,7 +36,11 @@ object Graft {
       if (es.length > 1) lit2Int(es(1)) else 16,
       if (es.length > 2) lit2Long(es(2)) else 42L)),
     "topk_vals" -> (es => TopKAgg(es(0),
-      if (es.length > 1) lit2Int(es(1)) else 10)))
+      if (es.length > 1) lit2Int(es(1)) else 10)),
+    "avro_decode" -> (es => AvroDecode(es(0), lit2Str(es(1)))),
+    "avro_encode" -> (es => AvroEncode(es(0), lit2Str(es(1)))),
+    "pos_shingles" -> (es => ShingleGenerator(es(0),
+      if (es.length > 1) lit2Int(es(1)) else 5)))
 
   def registerFunctions(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => shims.registerFunction(spark, name, b) }

@@ -179,14 +179,23 @@ object GraftOps {
 
   /** LSH-bucketed ANN (sign random projection): candidate set restricted to
     * the query's bucket — the plan that survives corpora too large to
-    * cross-join; raise `planes` / add multi-probe for precision at scale. */
+    * cross-join. `probes` > 0 turns on multi-probe: each query ALSO searches
+    * the `probes` Hamming-1 neighbor buckets (one plane's sign flipped),
+    * trading `probes`× candidate volume for recall without touching the
+    * corpus-side index — the standard knob when raising `planes` for
+    * precision costs too much recall. A corpus vector lives in exactly one
+    * bucket, so probe buckets never produce duplicate (query, neighbor)
+    * candidates. */
   def annTopKLsh(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qId: Column, qVec: Column, k: Int,
-      planes: Int = 4, seed: Long = 42L): DataFrame = {
+      planes: Int = 4, seed: Long = 42L, probes: Int = 0): DataFrame = {
     val c = corpus.select(id.as("n_id"), vec.as("n_vec"),
       rp_bucket(vec, planes, seed).as("bucket"))
+    val b0 = rp_bucket(qVec, planes, seed)
+    val probeBuckets = b0 +: (0 until math.min(probes, planes))
+      .map(i => b0.bitwiseXOR(lit(1 << i)))
     val q = queries.select(qId.as("q_id"), qVec.as("q_vec"),
-      rp_bucket(qVec, planes, seed).as("bucket"))
+      explode(array(probeBuckets: _*)).as("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))

@@ -342,6 +342,41 @@ ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
 FROM (SELECT DISTINCT props FROM events)
 ORDER BY h NULLS FIRST""")),
 
+    // S25: stream-stream INNER join with BOTH sides on the custom replay
+    // source — the stateful-join integration path for the DSv2 source (s08's
+    // shape uses the file source). The two logs hold the same events in
+    // different arrival orders (std vs late-replay), keys are unique per log,
+    // so every envelope joins exactly its twin within the ±1h window; the
+    // oracle replays both logs' offset assignment in SQL.
+    GQuery("s25_replay_stream_join",
+      (s, d) => {
+        val std = s.readStream.format("graft-replay")
+          .option("path", ReplayLog.ensureLog(s, d)).load()
+          .select(col("key").cast("string").as("k1"),
+            col("timestamp").as("t1"), col("offset").as("o1"))
+          .withWatermark("t1", "2 hours")
+        val late = s.readStream.format("graft-replay")
+          .option("path", ReplayLog.ensureLog(s, d, late = true)).load()
+          .select(col("key").cast("string").as("k2"),
+            col("timestamp").as("t2"), col("offset").as("o2"))
+          .withWatermark("t2", "2 hours")
+        runToMemory(
+          std.join(late,
+            col("k1") === col("k2")
+              && col("t2") >= col("t1") - expr("INTERVAL 1 HOUR")
+              && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR")),
+          "append")
+          .select(col("k1"), col("o1"), col("o2"))
+          .orderBy(col("k1"))
+      },
+      Some("""SELECT 'Key ' || event_id AS k1,
+  event_id // 3 AS o1,
+  row_number() OVER (PARTITION BY event_id % 3
+    ORDER BY epoch_us(ts) + CASE WHEN event_id % 20 = 0 THEN 7200000000 ELSE 0 END,
+             event_id) - 1 AS o2
+FROM events
+ORDER BY k1 NULLS FIRST""")),
+
     // S17: stream-stream LEFT OUTER join — the outer-join streaming
     // capability on top of s08's inner shape. Matched pairs emit immediately;
     // an unmatched view emits its null row when the watermark closes its 1h

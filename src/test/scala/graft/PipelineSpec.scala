@@ -69,6 +69,26 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.groupBy("q_id").count().agg(max("count")).collect()(0).getLong(0) <= 3)
   }
 
+  test("multi-probe LSH ANN recall dominates single-bucket recall") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = topk(graft.GraftOps.annTopK(e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), 3)
+      .select(col("q_id"), col("rank"), col("n_id")))
+    def recall(probes: Int): Double = {
+      val got = topk(graft.GraftOps.annTopKLsh(e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), 3,
+        planes = 4, seed = 42L, probes = probes)
+        .select(col("q_id"), col("rank"), col("n_id")))
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r0 = recall(0); val r3 = recall(3)
+    assert(r3 >= r0, s"multi-probe lowered recall: $r3 < $r0")
+    assert(r3 > 0.4, s"multi-probe recall unexpectedly low: $r3")
+  }
+
   test("LSH cosine near-dups equal the all-pairs brute force on this corpus") {
     import spark.implicits._
     val e = Tables.table(spark, sf, "embeddings")

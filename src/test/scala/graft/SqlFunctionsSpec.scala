@@ -17,4 +17,19 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getString(2).nonEmpty)
     assert(r.getInt(4) === 16)
   }
+
+  test("avro codec and shingle generator are callable from SQL") {
+    Graft.registerFunctions(spark)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""
+    val rt = spark.sql(
+      s"""SELECT avro_decode(avro_encode(named_struct('id', 7L), '$schema'),
+         |                   '$schema').id AS id""".stripMargin).collect()(0)
+    assert(rt.getLong(0) === 7L)
+    val sh = spark.sql(
+      """SELECT pos, shingle
+        |FROM (SELECT 'a b c d e f' AS t)
+        |LATERAL VIEW pos_shingles(t, 5) AS pos, shingle""".stripMargin).collect()
+    assert(sh.length === 2 && sh(0).getString(1) === "a b c d e")
+  }
 }

@@ -287,18 +287,20 @@ object GraftOps {
   def dedupClusters(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 50): DataFrame = {
     val s = pairs.sparkSession
-    // the pair graph is orders of magnitude smaller than the corpus that
-    // produced it — right-size the per-round shuffles (the session default is
-    // tuned for corpus-scale scans; stage-scheduling overhead dominates
-    // otherwise). Restored after the loop; a cluster deployment sizes this to
-    // edge-count/partition-budget instead.
+    // materialize the pair graph FIRST, under the caller's session conf: the
+    // lazy `pairs` plan is usually corpus-scale (e.g. the inverted-index
+    // shingle self-join) and must keep its full shuffle parallelism
+    val edges = materialize(
+      pairs.select(a.as("src"), b.as("dst"))
+        .union(pairs.select(b.as("src"), a.as("dst")))
+        .distinct())
+    // the persisted pair graph is orders of magnitude smaller than the corpus
+    // that produced it — right-size the PER-ROUND shuffles only (stage-
+    // scheduling overhead dominates otherwise). Restored after the loop; a
+    // cluster deployment sizes this to edge-count/partition-budget instead.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val edges = materialize(
-        pairs.select(a.as("src"), b.as("dst"))
-          .union(pairs.select(b.as("src"), a.as("dst")))
-          .distinct())
       var labels = materialize(
         edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
       var round = 0
@@ -343,7 +345,10 @@ object GraftOps {
     val s = df.sparkSession
     import s.implicits._
     df.select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
-      .withColumn("shard", col("id") / lit(shardSize) cast "long")
+      // exact integer FLOOR division (negative ids shard like DuckDB's `//`;
+      // a double divide would truncate toward zero and lose precision > 2^53)
+      .withColumn("shard",
+        expr(s"(id - pmod(id, ${shardSize}L)) div ${shardSize}L"))
       .select(col("shard"), col("id"), col("n")).as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("id")) { (shard, rows) =>

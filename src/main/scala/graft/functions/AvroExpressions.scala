@@ -54,11 +54,14 @@ object AvroCatalyst {
     })
   }
 
-  /** avro runtime value → Catalyst internal value. */
+  /** avro runtime value → Catalyst internal value. The Utf8 branch must COPY:
+    * the datum reader reuses the record AND its Utf8 backing buffer row to
+    * row, so an aliasing UTF8String would be silently overwritten by the next
+    * decode (spark-avro's AvroDeserializer copies for the same reason). */
   def toInternal(v: AnyRef): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 =>
-      UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(u.getBytes, 0, u.getByteLength))
     case s: java.lang.String => UTF8String.fromString(s)
     case b: ByteBuffer =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out

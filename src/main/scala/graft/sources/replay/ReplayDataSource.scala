@@ -48,10 +48,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `minRowsPerTrigger` + `maxTriggerDelayMs` (default 15 min) — hold a
   *     trigger until this many rows are available or the delay elapses;
   *   - `startingOffset` — uniform record index every partition starts from;
-  *   - `startingOffsets` — `"earliest"` or per-partition JSON
-  *     `{"0": 5, "1": 0}` (unlisted partitions fall back to
-  *     `startingOffset`), the explicit-offset half of Kafka's
-  *     startingOffsets contract; malformed JSON is rejected at load time;
+  *   - `startingOffsets` — `"earliest"`, `"latest"` (case-insensitive, like
+  *     Kafka's parsing; latest reads only records appended after start) or
+  *     per-partition JSON `{"0": 5, "1": 0}` (unlisted partitions fall back
+  *     to `startingOffset`), the Kafka startingOffsets contract; malformed
+  *     JSON is rejected at load time;
   *   - `failOnDataLoss` (default true) — starting offsets beyond a
   *     partition's end, offsets named for a partition that doesn't exist, or
   *     a checkpointed offset past a truncated log throw when true and
@@ -95,24 +96,34 @@ case class ReplayOptions(
     startingPerPartition: Map[Int, Long],
     failOnDataLoss: Boolean,
     consumerConf: Map[String, String],
-    columnarBatchSize: Int = 0) {
+    columnarBatchSize: Int = 0,
+    startingLatest: Boolean = false) {
   require(path != null, "option 'path' is required for the graft-replay source")
-  def startFor(p: Int): Long = startingPerPartition.getOrElse(p, startingUniform)
+  /** starting record index for partition p with current end `end`; the
+    * "latest" sentinel starts at the end (only new records are read). */
+  def startFor(p: Int, end: Long = Long.MaxValue): Long =
+    if (startingLatest) end
+    else startingPerPartition.getOrElse(p, startingUniform)
 }
 
 object ReplayOptions {
   def parse(opts: CaseInsensitiveStringMap): ReplayOptions = {
-    val perPartition = Option(opts.get("startingOffsets")) match {
-      case None | Some("earliest") => Map.empty[Int, Long]
-      case Some(json) =>
+    // sentinels are matched case-insensitively like Kafka's option parsing
+    val raw = Option(opts.get("startingOffsets"))
+    val sentinel = raw.map(_.trim.toLowerCase)
+    val startLatest = sentinel.contains("latest")
+    val perPartition = (raw, sentinel) match {
+      case (None, _) | (_, Some("earliest")) | (_, Some("latest")) =>
+        Map.empty[Int, Long]
+      case (Some(json), _) =>
         try {
           val m = ReplayOffset.fromJson(json).offsets
           require(m.values.forall(_ >= 0), "offsets must be >= 0")
           m
         } catch {
           case e: Exception => throw new IllegalArgumentException(
-            s"""malformed startingOffsets '$json': expected "earliest" or """ +
-              """{"<partition>": <offset>, ...} with non-negative offsets""", e)
+            s"""malformed startingOffsets '$json': expected "earliest", "latest" """ +
+              """or {"<partition>": <offset>, ...} with non-negative offsets""", e)
         }
     }
     ReplayOptions(
@@ -135,7 +146,8 @@ object ReplayOptions {
       // streaming envelope run; identical results. 0 switches back to the
       // row-at-a-time reader.
       columnarBatchSize =
-        Option(opts.get("columnarBatchSize")).map(_.toInt).getOrElse(4096))
+        Option(opts.get("columnarBatchSize")).map(_.toInt).getOrElse(4096),
+      startingLatest = startLatest)
   }
 }
 
@@ -262,7 +274,8 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     * from its `startingOffsets` entry when one was pre-declared). O(existing
     * partitions) stat calls against the local index files. */
   private def listEnds(): Map[Int, Long] =
-    ReplayLog.listPartitions(path).map(p => p -> ReplayLog.recordCount(path, p)).toMap
+    ReplayLog.listPartitions(path)
+      .map(p => p -> ReplayLog.safeRecordCount(path, p)).toMap
 
   // end frozen at prepareForTriggerAvailableNow time (run-to-current-end stop)
   @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
@@ -277,7 +290,7 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     * failOnDataLoss contract: an explicit start past the partition's end is
     * either an error or a clamp. */
   private def initialStart(p: Int, end: Long): Long = {
-    val req = opts.startFor(p)
+    val req = opts.startFor(p, end)
     if (req > end && opts.failOnDataLoss)
       throw new IllegalStateException(
         s"startingOffsets requests offset $req past the end ($end) of partition $p " +
@@ -342,8 +355,12 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     // time-OR-rows batch admission ≡ the reference's accumulation loop bound
     // (execution.rs:87): hold the trigger while too few rows accumulated AND
     // the delay clock still runs; `available == 0` holds without a batch.
+    // Under Trigger.AvailableNow the run-to-end contract OVERRIDES the
+    // min-rows pacing (matching Spark's Kafka source): holding there would
+    // end the run empty instead of draining to the prepared end.
     val hold = available == 0 ||
-      minRows.exists(m => available < m.minRows && now - lastAdvanceMs < m.maxTriggerDelayMs())
+      (availableNowEnd.isEmpty &&
+        minRows.exists(m => available < m.minRows && now - lastAdvanceMs < m.maxTriggerDelayMs()))
     if (hold) {
       ReplayOffset(eff)
     } else {
@@ -382,8 +399,8 @@ class ReplayBatch(opts: ReplayOptions,
     ReplayLog.listPartitions(opts.path)
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
-        val end = math.min(ReplayLog.recordCount(opts.path, p), range.offHi)
-        val req = opts.startFor(p)
+        val end = math.min(ReplayLog.safeRecordCount(opts.path, p), range.offHi)
+        val req = opts.startFor(p, end)
         if (req > end && opts.failOnDataLoss)
           throw new IllegalStateException(
             s"startingOffsets requests offset $req past the end ($end) of partition $p")
@@ -432,45 +449,27 @@ class ReplayColumnarReader(ip: ReplayInputPartition)
   private val vectors = types.map(t => new OnHeapColumnVector(ip.columnarBatchSize, t))
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))
-  private var in: DataInputStream = _
+  private val frames = new FrameStream(ip.path, ip.partition, ip.start,
+    ip.fields.contains(0), ip.fields.contains(1))
   private var offset = ip.start
 
-  private def open(): Unit = {
-    val pos = ReplayLog.bytePosition(ip.path, ip.partition, ip.start)
-    val fis = new FileInputStream(ReplayLog.logFile(ip.path, ip.partition))
-    var toSkip = pos
-    while (toSkip > 0) toSkip -= fis.skip(toSkip)
-    in = new DataInputStream(new BufferedInputStream(fis, 1 << 16))
-  }
-
-  private val needKey = ip.fields.contains(0)
-  private val needValue = ip.fields.contains(1)
-
   override def next(): Boolean = {
-    if (in == null) open()
     if (offset >= ip.end) return false
     vectors.foreach(_.reset())
     var n = 0
     while (n < ip.columnarBatchSize && offset < ip.end) {
-      def blob(need: Boolean): Array[Byte] = {
-        val len = in.readInt()
-        if (len < 0) null
-        else if (need) { val b = new Array[Byte](len); in.readFully(b); b }
-        else { var left = len; while (left > 0) left -= in.skipBytes(left); null }
-      }
-      val key = blob(needKey); val value = blob(needValue)
-      val tsUs = in.readLong()
+      frames.readFrame()
       var c = 0
       while (c < ip.fields.length) {
         ip.fields(c) match {
-          case 0 => if (key == null) vectors(c).putNull(n)
-            else vectors(c).putByteArray(n, key)
-          case 1 => if (value == null) vectors(c).putNull(n)
-            else vectors(c).putByteArray(n, value)
+          case 0 => if (frames.key == null) vectors(c).putNull(n)
+            else vectors(c).putByteArray(n, frames.key)
+          case 1 => if (frames.value == null) vectors(c).putNull(n)
+            else vectors(c).putByteArray(n, frames.value)
           case 2 => vectors(c).putByteArray(n, topicBytes)
           case 3 => vectors(c).putInt(n, ip.partition)
           case 4 => vectors(c).putLong(n, offset)
-          case 5 => vectors(c).putLong(n, tsUs)
+          case 5 => vectors(c).putLong(n, frames.tsUs)
         }
         c += 1
       }
@@ -482,7 +481,45 @@ class ReplayColumnarReader(ip: ReplayInputPartition)
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = if (in != null) in.close()
+  override def close(): Unit = frames.close()
+}
+
+/** SINGLE owner of the on-disk wire format on the read side
+  * (`[keyLen][key][valLen][val][tsUs]`, len == -1 ⇒ NULL): both the row and
+  * the columnar reader decode through this, so the framing cannot drift
+  * between the two paths. Pruned blobs are SKIPPED, not allocated — a
+  * payload-free projection (counts, offset audits) never copies message
+  * bytes. */
+private[replay] final class FrameStream(path: String, partition: Int, start: Long,
+    needKey: Boolean, needValue: Boolean) {
+  private var in: DataInputStream = _
+  var key: Array[Byte] = _
+  var value: Array[Byte] = _
+  var tsUs: Long = _
+
+  private def open(): Unit = {
+    val pos = ReplayLog.bytePosition(path, partition, start)
+    val fis = new FileInputStream(ReplayLog.logFile(path, partition))
+    var toSkip = pos
+    while (toSkip > 0) toSkip -= fis.skip(toSkip)
+    in = new DataInputStream(new BufferedInputStream(fis, 1 << 16))
+  }
+
+  /** decode the next frame into key/value/tsUs. */
+  def readFrame(): Unit = {
+    if (in == null) open()
+    def blob(need: Boolean): Array[Byte] = {
+      val len = in.readInt()
+      if (len < 0) null
+      else if (need) { val b = new Array[Byte](len); in.readFully(b); b }
+      else { var left = len; while (left > 0) left -= in.skipBytes(left); null }
+    }
+    key = blob(needKey)
+    value = blob(needValue)
+    tsUs = in.readLong()
+  }
+
+  def close(): Unit = if (in != null) in.close()
 }
 
 /** Sequential record reader for one `[start, end)` offset range: seeks via
@@ -493,42 +530,22 @@ class ReplayPartitionReader(ip: ReplayInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val topic = UTF8String.fromString("events")
-  private var in: DataInputStream = _
+  private val frames = new FrameStream(ip.path, ip.partition, ip.start,
+    ip.fields.contains(0), ip.fields.contains(1))
   private var offset = ip.start
   private var row: InternalRow = _
 
-  private def open(): Unit = {
-    val pos = ReplayLog.bytePosition(ip.path, ip.partition, ip.start)
-    val fis = new FileInputStream(ReplayLog.logFile(ip.path, ip.partition))
-    var toSkip = pos
-    while (toSkip > 0) toSkip -= fis.skip(toSkip)
-    in = new DataInputStream(new BufferedInputStream(fis, 1 << 16))
-  }
-
-  private val needKey = ip.fields.contains(0)
-  private val needValue = ip.fields.contains(1)
-
   override def next(): Boolean = {
-    if (in == null) open()
     if (offset >= ip.end) return false
-    // pruned blobs are SKIPPED, not allocated — a payload-free projection
-    // (counts, offset audits) never copies message bytes
-    def blob(need: Boolean): Array[Byte] = {
-      val len = in.readInt()
-      if (len < 0) null
-      else if (need) { val b = new Array[Byte](len); in.readFully(b); b }
-      else { var left = len; while (left > 0) left -= in.skipBytes(left); null }
-    }
-    val key = blob(needKey); val value = blob(needValue)
-    val tsUs = in.readLong()
+    frames.readFrame()
     row = new GenericInternalRow(ip.fields.map[Any] {
-      case 0 => key; case 1 => value; case 2 => topic
-      case 3 => ip.partition; case 4 => offset; case 5 => tsUs
+      case 0 => frames.key; case 1 => frames.value; case 2 => topic
+      case 3 => ip.partition; case 4 => offset; case 5 => frames.tsUs
     })
     offset += 1
     true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = if (in != null) in.close()
+  override def close(): Unit = frames.close()
 }

@@ -28,6 +28,35 @@ object ReplayLog {
 
   def recordCount(dir: String, p: Int): Long = idxFile(dir, p).length() / 8L
 
+  /** Record count bounded to frames FULLY present in the log file. The idx
+    * and log are separate buffered streams, so a concurrent writer can flush
+    * index entries ahead of their record bytes; planning a read past the
+    * flushed log tail would kill the stream with an EOF mid-batch. Walks back
+    * from the raw count until the last frame validates — the walk is bounded
+    * by the writer's buffered tail, and on a quiescent log the first probe
+    * succeeds. */
+  def safeRecordCount(dir: String, p: Int): Long = {
+    var c = recordCount(dir, p)
+    if (c == 0) return 0L
+    val logLen = logFile(dir, p).length()
+    while (c > 0 && !frameComplete(dir, p, c - 1, logLen)) c -= 1
+    c
+  }
+
+  private def frameComplete(dir: String, p: Int, i: Long, logLen: Long): Boolean = {
+    val pos = bytePosition(dir, p, i)
+    if (pos + 4 > logLen) return false
+    val raf = new RandomAccessFile(logFile(dir, p), "r")
+    try {
+      raf.seek(pos)
+      val kBytes = math.max(raf.readInt(), 0)
+      if (pos + 4 + kBytes + 4 > logLen) return false
+      raf.seek(pos + 4 + kBytes)
+      val vBytes = math.max(raf.readInt(), 0)
+      pos + 4 + kBytes + 4 + vBytes + 8 <= logLen
+    } finally raf.close()
+  }
+
   def bytePosition(dir: String, p: Int, offset: Long): Long = {
     if (offset == 0) return 0L
     val raf = new RandomAccessFile(idxFile(dir, p), "r")

@@ -262,6 +262,59 @@ class ReplaySourceSpec extends SparkSpec {
       s"expected one held-then-released batch, got ${dataBatches.length}")
   }
 
+  test("AvailableNow overrides the minRows hold (run-to-end never ends empty)") {
+    // regression: with minRows unreachable, the hold gate starved the
+    // AvailableNow pass and the query terminated having delivered NOTHING
+    val name = "replay_spec_an_minrows"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log)
+      .option("minRowsPerTrigger", Long.MaxValue./(4).toString)
+      .option("maxTriggerDelayMs", "600000")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow run did not terminate")
+    assert(spark.table(name).count() === nEvents,
+      "run-to-end must drain the log even when minRows is unreachable")
+  }
+
+  test("earliest/latest sentinels parse case-insensitively; latest reads only new records") {
+    // EARLIEST in any case = full read
+    val n = spark.read.format("graft-replay").option("path", log)
+      .option("startingOffsets", "Earliest").load().count()
+    assert(n === nEvents)
+    // latest on a static stream run-to-end: nothing to read
+    val name = "replay_spec_latest"
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log).option("startingOffsets", "LATEST").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).count() === 0,
+      "latest must start at the end of every partition")
+  }
+
+  test("safeRecordCount excludes frames whose log bytes are not fully flushed") {
+    val dir = Files.createTempDirectory("trunclog").toString
+    ReplayLog.writePartitionFile(dir, 0, Iterator(
+      Row("k0".getBytes, "v0".getBytes, 1L),
+      Row("k1".getBytes, "v1".getBytes, 2L),
+      Row("k2".getBytes, "v2".getBytes, 3L)))
+    assert(ReplayLog.safeRecordCount(dir, 0) === 3L)
+    // simulate an index flushed ahead of the log: chop the log's tail
+    val logF = ReplayLog.logFile(dir, 0)
+    val raf = new java.io.RandomAccessFile(logF, "rw")
+    try raf.setLength(logF.length() - 5) finally raf.close()
+    assert(ReplayLog.recordCount(dir, 0) === 3L, "raw count still sees 3")
+    assert(ReplayLog.safeRecordCount(dir, 0) === 2L,
+      "safe count must stop before the incomplete frame")
+    // a batch read plans only the safe range — no EOF mid-task
+    val got = spark.read.format("graft-replay").option("path", dir).load().count()
+    assert(got === 2L)
+  }
+
   test("a partition appended mid-stream is discovered and read") {
     val dir = Files.createTempDirectory("growlog").toString
     ReplayLog.writePartitionFile(dir, 0, Iterator(

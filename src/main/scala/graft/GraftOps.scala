@@ -363,6 +363,37 @@ object GraftOps {
       .toDF("doc_id", "shard", "bin", "n_tokens")
   }
 
+  /** Benchmark decontamination: per-document count of k-gram shingles shared
+    * with an evaluation set — the train/test-leak scan a training-data
+    * pipeline runs before any model sees the corpus.
+    *
+    * Scale: the eval side (held-out benchmarks) is tiny relative to a 100 TB
+    * corpus, so its distinct shingle set is BROADCAST and the corpus side
+    * probes it partition-locally — corpus shingles are never shuffled; the
+    * only exchange is the per-document hit count (hash-partitioned by id).
+    * Output: (doc_id, nsh, n_hits, contam_frac, flagged) for every corpus
+    * doc, zero-hit docs included. `contam_frac` is a single exact IEEE
+    * division rounded through decimal(18,6) for cross-engine stability. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      id: Column, text: Column, k: Int = 3,
+      flagFrac: Double = 0.2): DataFrame = {
+    val evalGrams = shingles(evalSet, id, text, k)
+      .select(explode(col("sh")).as("g")).distinct()
+    val base = shingles(corpus, id, text, k)
+    // shingles() already de-dups per doc, so count(*) = distinct hits
+    val hits = base.select(col("id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    base.select(col("id"), col("nsh"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("nsh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contam_frac",
+        (col("n_hits").cast("double") / col("nsh").cast("double"))
+          .cast("decimal(18,6)").cast("double"))
+      .withColumn("flagged", col("contam_frac") >= lit(flagFrac))
+  }
+
   // ---- skew mitigation -----------------------------------------------------
 
   /** Salted inner equi-join for skewed keys: left rows scatter across

@@ -534,6 +534,135 @@ SELECT doc_id,
     '555-[0-9]+', '[PHONE]', 'g') AS clean
 FROM r ORDER BY doc_id NULLS FIRST""")),
 
+    // ---- X13: benchmark decontamination ------------------------------------
+    // Train/test-leak scan: every corpus doc is scored by how many of its
+    // 3-gram shingles appear in a held-out eval set (here the deterministic
+    // doc_id % 20 = 0 slice stands in for the benchmark suite). The eval
+    // shingle set is BROADCAST (benchmarks are tiny vs a 100 TB corpus), the
+    // corpus probes it partition-locally, and the only shuffle is the
+    // per-doc hit count. O-class.
+    GQuery("x13_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.GraftOps.decontaminate(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (g) GROUP BY doc_id),
+base AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE doc_id % 20 <> 0)
+SELECT b.doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
+  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
+    AS contam_frac,
+  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
+    >= 0.2 AS flagged
+FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X14: repetition quality filter ------------------------------------
+    // Gopher-style repetition heuristics, adapted to this corpus: per-doc
+    // distinct-word fraction and most-common-bigram fraction, with a
+    // keep/drop verdict. Entirely per-row higher-order expressions (the
+    // bigram mode is a tiny per-row quadratic over ~40 words) — NO shuffle
+    // at all before the final presentation sort, so it streams at scan
+    // speed over 100 TB. O-class.
+    GQuery("x14_repetition_filter",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .withColumn("top_bg", expr(
+          "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          (size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"))
+            .cast("decimal(18,6)").cast("double").as("distinct_frac"),
+          (col("top_bg").cast("double") / size(col("bg")).cast("double"))
+            .cast("decimal(18,6)").cast("double").as("top_bigram_frac"))
+        .withColumn("keep",
+          col("distinct_frac") >= 0.4 && col("top_bigram_frac") <= 0.1)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS (SELECT doc_id, w,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM tk WHERE len(w) >= 2),
+m AS (SELECT doc_id, len(w) AS n_words,
+    CAST(CAST(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS DECIMAL(18,6)) AS DOUBLE)
+      AS distinct_frac,
+    CAST(CAST(CAST(list_max(list_transform(list_distinct(bg),
+        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+      AS DECIMAL(18,6)) AS DOUBLE) AS top_bigram_frac
+  FROM b)
+SELECT doc_id, n_words, distinct_frac, top_bigram_frac,
+  distinct_frac >= 0.4 AND top_bigram_frac <= 0.1 AS keep
+FROM m ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X15: deterministic corpus split -----------------------------------
+    // Reproducible train/val/test assignment from a seeded content-free hash
+    // of the id (md5 hex prefix, string-compared — the exact q75 idiom):
+    // ~80/10/10, stable under re-runs, re-partitioning, and corpus growth
+    // (a doc's split never depends on other docs). Pure per-row map + one
+    // hash agg — the split of a 100 TB corpus is one scan. O-class.
+    GQuery("x15_corpus_split",
+      (s, d) => {
+        val bk = substring(md5(concat(lit("split42:"), col("doc_id"))), 1, 4)
+        t(s, d, "documents")
+          .withColumn("split",
+            when(bk < "cccc", "train").when(bk < "e666", "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH b AS (SELECT doc_id, text,
+    CASE WHEN substr(md5('split42:' || doc_id), 1, 4) < 'cccc' THEN 'train'
+         WHEN substr(md5('split42:' || doc_id), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT split, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+  min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM b GROUP BY split ORDER BY split NULLS FIRST""")),
+
+    // ---- X16: source mixture weighting -------------------------------------
+    // Temperature-reweighted sampling mix across sources (alpha = 0.5 via
+    // sqrt — IEEE-exact in every engine, unlike pow): weight_s proportional
+    // to sqrt(n_s), plus the integer doc budget each source gets out of
+    // 10000. The per-source table is tiny (one row per corpus source), so
+    // the normalizer join is a BROADCAST; upstream it is one hash agg over
+    // the corpus. Budgets floor AFTER the decimal(18,6) rounding so both
+    // engines floor the identical value. O-class.
+    GQuery("x16_source_mixture",
+      (s, d) => {
+        val per = t(s, d, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val z = per.agg(sum(sqrt(col("n").cast("double"))).as("z"))
+        per.join(broadcast(z))
+          .select(col("source"), col("n").as("n_docs"),
+            (sqrt(col("n").cast("double")) / col("z"))
+              .cast("decimal(18,6)").cast("double").as("weight"),
+            floor((sqrt(col("n").cast("double")) / col("z") * 10000)
+              .cast("decimal(18,6)")).cast("long").as("budget_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM per)
+SELECT source, n AS n_docs,
+  CAST(CAST(sqrt(CAST(n AS DOUBLE)) / z AS DECIMAL(18,6)) AS DOUBLE) AS weight,
+  CAST(floor(CAST(sqrt(CAST(n AS DOUBLE)) / z * 10000 AS DECIMAL(18,6))) AS BIGINT)
+    AS budget_docs
+FROM per, z ORDER BY source NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

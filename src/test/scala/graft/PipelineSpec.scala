@@ -248,4 +248,45 @@ class PipelineSpec extends SparkSpec {
     assert(d.count() === docs.select("text").distinct().count())
     assert(d.agg(sum("n")).collect()(0).getLong(0) === docs.count())
   }
+
+  test("decontaminate flags planted eval overlap and nothing else") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta"
+    // leaked: contains the eval trigram "beta gamma delta"; clean: disjoint
+    val leaked = "xx beta gamma delta yy zz ww"
+    val clean = "one two three four five six seven"
+    val corpus = Seq((10L, leaked), (11L, clean)).toDF("doc_id", "text")
+    val ev = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val out = GraftOps.decontaminate(corpus, ev, col("doc_id"), col("text"),
+      k = 3, flagFrac = 0.1).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // leaked trigrams {xx beta gamma, beta gamma delta, gamma delta yy, …}
+    // ∩ eval trigrams {alpha beta gamma, beta gamma delta, …} = {beta gamma delta}
+    assert(byId(10L).getLong(2) === 1L, s"unexpected hit count: ${byId(10L)}")
+    assert(byId(11L).getLong(2) === 0L && !byId(11L).getBoolean(4),
+      "clean doc must have zero hits and no flag")
+    assert(byId(10L).getBoolean(4), "leaked doc must be flagged")
+  }
+
+  test("corpus split is deterministic and partition-invariant") {
+    val docs = Tables.table(spark, sf, "documents")
+    val a = q("x15_corpus_split").collect()
+    val b = q("x15_corpus_split").collect() // re-run: identical assignment
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.getLong(1)).sum === docs.count(), "splits must partition the corpus")
+    val frac = a.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(frac("train") / n > 0.7 && frac("train") / n < 0.9,
+      s"train fraction off: ${frac("train") / n}")
+  }
+
+  test("source mixture budgets sum to at most the total and weights to ~1") {
+    val rows = q("x16_source_mixture").collect()
+    val wSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    val bSum = rows.map(_.getLong(3)).sum
+    assert(bSum <= 10000 && bSum > 10000 - rows.length,
+      s"floored budgets must sum into (10000 - nSources, 10000]: $bSum")
+  }
 }

@@ -82,6 +82,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 2, s"extra shuffle appeared:\n$p")
   }
 
+  test("x13 decontamination broadcasts the eval shingle set") {
+    val p = plan("x13_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast — corpus shingles must never shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degraded to an all-pairs shape:\n$p")
+  }
+
+  test("x14 repetition filter is shuffle-free before the presentation sort") {
+    val p = SparkEntry.queries("x14_repetition_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // only the final orderBy's range exchange is allowed — the metrics are
+    // pure per-row expressions and must stream at scan speed
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row metrics must not hash-shuffle:\n$p")
+  }
+
+  test("x16 mixture normalizer joins via broadcast") {
+    val p = plan("x16_source_mixture")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row normalizer must broadcast:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

@@ -379,15 +379,16 @@ object GraftOps {
       flagFrac: Double = 0.2): DataFrame = {
     val evalGrams = shingles(evalSet, id, text, k)
       .select(explode(col("sh")).as("g")).distinct()
-    val base = shingles(corpus, id, text, k)
-    // shingles() already de-dups per doc, so count(*) = distinct hits
-    val hits = base.select(col("id"), explode(col("sh")).as("g"))
-      .join(broadcast(evalGrams), "g")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
-    base.select(col("id"), col("nsh"))
-      .join(hits, Seq("id"), "left")
-      .select(col("id").as("doc_id"), col("nsh"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit", lit(1L))
+    // one shingle pass + one broadcast LEFT probe per gram: zero-hit docs
+    // stay in the stream, so no second join back to the corpus is needed
+    // (shingles() de-dups per doc, so sum(hit) = distinct hits)
+    shingles(corpus, id, text, k)
+      .select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("id"), col("nsh"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("id").as("doc_id"), col("nsh"), col("n_hits"))
       .withColumn("contam_frac",
         (col("n_hits").cast("double") / col("nsh").cast("double"))
           .cast("decimal(18,6)").cast("double"))

@@ -580,8 +580,18 @@ FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY doc_id NULLS FIRST""")),
         .filter(size(col("w")) >= 2)
         .withColumn("bg", expr(
           "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        // most-common-bigram multiplicity as a sorted run-length fold:
+        // O(n log n) per row vs the naive O(n²) distinct×filter scan
+        // (2.6 s → ~1 s over sf0.1; same value, the oracle recomputes it
+        // as list_max over distinct multiplicities)
         .withColumn("top_bg", expr(
-          "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))"))
+          """aggregate(array_sort(bg),
+               named_struct('prev', '', 'run', 0L, 'best', 0L),
+               (s, x) -> named_struct(
+                 'prev', x,
+                 'run', if(x = s.prev, s.run + 1L, 1L),
+                 'best', greatest(s.best, if(x = s.prev, s.run + 1L, 1L))),
+               s -> s.best)"""))
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_words"),
           (size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"))

@@ -673,6 +673,64 @@ SELECT source, n AS n_docs,
     AS budget_docs
 FROM per, z ORDER BY source NULLS FIRST""")),
 
+    // ---- X17: unigram surprisal scoring ------------------------------------
+    // Cheap LM-free quality proxy: each doc's mean negative log-likelihood
+    // under the corpus's own unigram distribution (high = rare-word-heavy or
+    // noisy). Two corpus passes: a hash agg builds the vocab (tiny — it is
+    // the distinct word set), which BROADCASTS back onto the exploded words;
+    // per-doc sums shuffle once by doc id. Rounded through decimal(18,6)
+    // after the sum — ln() agrees across engines to 1 ulp and the ~50-term
+    // sum keeps the error ~8 orders below the rounding grain. O-class.
+    GQuery("x17_unigram_surprisal",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val vocab = words.groupBy(col("w"))
+          .agg(count(lit(1)).cast("double").as("c"))
+        val total = vocab.agg(sum(col("c")).as("tot"))
+        val logp = vocab.join(broadcast(total))
+          .select(col("w"), log(col("c") / col("tot")).as("lp"))
+        words.join(broadcast(logp), "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            (-sum(col("lp")) / count(lit(1)))
+              .cast("decimal(18,6)").cast("double").as("surprisal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS tot FROM vocab),
+logp AS (SELECT w, ln(c / tot) AS lp FROM vocab, tot)
+SELECT doc_id, count(*) AS n_words,
+  CAST(CAST(-sum(lp) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS surprisal
+FROM words JOIN logp USING (w)
+GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X18: incremental snapshot dedup -----------------------------------
+    // The daily-ingest shape of X01: a NEW batch (the doc_id % 10 = 7 slice
+    // stands in for today's crawl) dedups against the HISTORICAL corpus by
+    // content hash — a hash-partitioned LEFT ANTI join on md5, the exact
+    // plan a 100 TB incremental pipeline runs nightly (both sides shuffle
+    // only their 16-byte hashes + ids; no broadcast assumption since history
+    // is the big side). Survivors also self-dedup (min-id keeper). O-class.
+    GQuery("x18_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val hist = docs.filter(col("doc_id") % 10 =!= 7).select(md5(col("text")).as("h"))
+        val fresh = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        fresh.join(hist, Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_new"))
+          .orderBy(col("keeper"))
+      },
+      Some("""WITH fresh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7)
+SELECT h, min(doc_id) AS keeper, count(*) AS n_new
+FROM fresh WHERE h NOT IN (SELECT h FROM hist)
+GROUP BY h ORDER BY keeper NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

@@ -935,6 +935,30 @@ s AS (SELECT user_id, ts_us,
   FROM m)
 SELECT user_id, sess, count(*) AS n_events,
   CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
-FROM s GROUP BY user_id, sess ORDER BY user_id NULLS FIRST, sess NULLS FIRST"""))
+FROM s GROUP BY user_id, sess ORDER BY user_id NULLS FIRST, sess NULLS FIRST""")),
+
+    // Selective dim-fact join in its CLUSTER shape: the merge hint models the
+    // 100 TB case where orders is too big to broadcast, so the join runs as a
+    // shuffle SMJ — exactly the plan Spark's runtime bloom filter targets
+    // (creation side = the filtered dim, application side = the fact scan).
+    // The injection itself is size-gated (application side must scan ~10 GB),
+    // so it cannot fire at sf0.1 — PlanAuditSpec lowers the thresholds and
+    // pins the might_contain filter appearing on the lineitem side.
+    GQuery("q77_selective_fact_join",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        t(s, d, "lineitem").hint("merge")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderdate"))
+          .agg(count(lit(1)).as("n_items"),
+            dec2(sum(col("l_extendedprice"))).as("revenue"))
+          .orderBy(col("o_orderdate"))
+      },
+      Some("""SELECT o_orderdate, count(*) AS n_items,
+  CAST(sum(l_extendedprice) AS DECIMAL(12,2)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST"""))
   )
 }

@@ -689,6 +689,39 @@ FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
       Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id
 FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // S26: streaming quality routing — the streaming half of the X14
+    // repetition/quality filter: documents arrive continuously, each is
+    // scored with per-row expressions (no state), and a complete-mode agg
+    // tracks the keep/drop token budget per language. At 100 TB the verdict
+    // column routes to per-quality sinks via foreachBatch (s14's shape);
+    // the scoring itself streams at scan speed.
+    GQuery("s26_stream_quality_route",
+      (s, d) => {
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val docs = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val scored = docs
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("keep", size(col("w")) >= 10 &&
+            size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double") >= 0.4)
+        runToMemory(
+          scored.groupBy(col("lang"), col("keep"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(col("w")).cast("long")).as("n_tokens")),
+          "complete").orderBy(col("lang"), col("keep"))
+      },
+      Some("""WITH sc AS (SELECT lang, len(string_split(text, ' ')) AS nw,
+    len(string_split(text, ' ')) >= 10 AND
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.4 AS keep
+  FROM documents)
+SELECT lang, keep, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+FROM sc GROUP BY lang, keep
+ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
+
     // S10: processing pacing + run-to-end — bounded micro-batches
     // (maxRowsPerTrigger ≡ batch_size, execution.rs:87) until EOF
     // (AvailableNow ≡ PartitionEOF stop, execution.rs:93-96); per-partition

@@ -105,6 +105,33 @@ class PlanAuditSpec extends SparkSpec {
       s"the one-row normalizer must broadcast:\n$p")
   }
 
+  test("q77 runtime bloom filter injects onto the fact side at scale thresholds") {
+    // The injection is size-gated (application side must scan ~10 GB), so at
+    // bench scale it stays off; this pin lowers the gates to prove the 100 TB
+    // plan: a bloom filter built from the filtered dim probes the fact scan
+    // BEFORE the join shuffle.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      // at 100 TB neither side broadcasts — model that, or the injector sees
+      // a would-be-broadcast join and (correctly) skips the bloom filter
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "100MB")
+      conf.set(keys(2), "true")
+      conf.set(keys(3), "-1")
+      val p = SparkEntry.queries("q77_selective_fact_join")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"runtime bloom filter did not inject:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

@@ -722,6 +722,46 @@ SELECT lang, keep, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
 FROM sc GROUP BY lang, keep
 ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
 
+    // S27: streaming decontamination — the streaming half of X13: documents
+    // stream in, their 3-gram shingles probe a STATIC broadcast eval set
+    // (stream-static joins never keep state; the eval side loads once per
+    // micro-batch plan), and a complete-mode agg tracks per-doc hit counts.
+    // State is bounded by CONTAMINATED docs only (the inner join drops clean
+    // grams before the agg) — rare by construction at 100 TB.
+    GQuery("s27_stream_decontaminate",
+      (s, d) => {
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val evalGrams = graft.GraftOps.shingles(
+            Tables.table(s, d, "documents").filter(col("doc_id") % 20 === 0),
+            col("doc_id"), col("text"), k = 3)
+          .select(explode(col("sh")).as("g")).distinct()
+        val streamGrams = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(CASE WHEN size(split(text, ' ')) >= 3
+                 THEN transform(sequence(1, size(split(text, ' ')) - 2),
+                   i -> array_join(slice(split(text, ' '), i, 3), ' '))
+                 ELSE array(array_join(split(text, ' '), ' ')) END)""")).as("g"))
+        runToMemory(
+          streamGrams.join(broadcast(evalGrams), "g")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")),
+          "complete").orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
+SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (g)
+GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
     // S10: processing pacing + run-to-end — bounded micro-batches
     // (maxRowsPerTrigger ≡ batch_size, execution.rs:87) until EOF
     // (AvailableNow ≡ PartitionEOF stop, execution.rs:93-96); per-partition

@@ -322,15 +322,17 @@ object GraftOps {
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
           .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
-        // carry the did-anything-change flag IN the label table: convergence
-        // is then a filter-count on the persisted result, not a second join
-        val next = materialize(labels
+        // carry the did-anything-change flag IN the label table: the
+        // convergence check IS the materializing action (one job per round —
+        // the filter-count populates every cached partition on the way)
+        val next = labels
           .join(viaNeighbors.withColumnRenamed("id", "jid"),
             col("id") === col("jid"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
             (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-          .select(col("id"), col("newLbl").as("lbl"), col("chg")))
+          .select(col("id"), col("newLbl").as("lbl"), col("chg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val changed = next.filter(col("chg")).count()
         labels.unpersist()
         labels = next

@@ -685,8 +685,12 @@ FROM per, z ORDER BY source NULLS FIRST""")),
       (s, d) => {
         val words = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        // persist the (tiny) vocab so the normalizer's sum doesn't replay
+        // the corpus-wide word count a second time
         val vocab = words.groupBy(col("w"))
           .agg(count(lit(1)).cast("double").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vocab.count()
         val total = vocab.agg(sum(col("c")).as("tot"))
         val logp = vocab.join(broadcast(total))
           .select(col("w"), log(col("c") / col("tot")).as("lp"))

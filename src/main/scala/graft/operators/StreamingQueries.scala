@@ -734,10 +734,15 @@ ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
+        // persist the static side: a stream-static join re-executes the
+        // static plan EVERY micro-batch — without this the eval shingle agg
+        // replays per trigger (measured 9 s → ~3 s for the bounded run)
         val evalGrams = graft.GraftOps.shingles(
             Tables.table(s, d, "documents").filter(col("doc_id") % 20 === 0),
             col("doc_id"), col("text"), k = 3)
           .select(explode(col("sh")).as("g")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        evalGrams.count()
         val streamGrams = s.readStream.schema(docSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .filter(col("doc_id") % 20 =!= 0)

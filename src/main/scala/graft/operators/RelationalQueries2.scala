@@ -959,6 +959,47 @@ FROM s GROUP BY user_id, sess ORDER BY user_id NULLS FIRST, sess NULLS FIRST""")
   CAST(sum(l_extendedprice) AS DECIMAL(12,2)) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
-GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST"""))
+GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST""")),
+
+    // TPC-H Q14 shape: promo revenue share over a ship-date slice — the
+    // date filter pushes into the lineitem scan, part joins on its key
+    // (broadcast at this size, shuffle at 100 TB), and the ratio reduces to
+    // one row via partial aggs. Ratio of two same-order sums is stable far
+    // below the decimal(12,4) grain.
+    GQuery("q78_promo_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("decimal(12,4)").as("promo_pct")),
+      Some("""SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+  / sum(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(12,4)) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""")),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates — the
+    // OR-of-ANDs stays a residual filter on one equi-join (no union-of-scans
+    // rewrite needed), counting on Catalyst to push the common l_quantity
+    // bound and prune part columns.
+    GQuery("q79_brand_volume",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15)
+            && col("l_quantity") >= 10) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 30)
+            && col("l_quantity") >= 20))
+        .agg(dec2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(12,2)) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)"""))
   )
 }

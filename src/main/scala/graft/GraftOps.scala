@@ -81,16 +81,20 @@ object GraftOps {
       k: Int = 5, threshold: Double = 0.5,
       maxDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, id, text, k)
-    val all = materialize(
-      sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg")))
     // Exact document-frequency pruning: a shingle held by a single document
     // contributes no pair, so df>=2 filtering shrinks the self-join input
     // without changing any intersection count (na/nb stay the full sizes).
-    val dfs = all.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    // The df comes from a count-over-shingle WINDOW on the exploded index —
+    // the same by-shingle shuffle the self-join needs anyway, replacing the
+    // earlier aggregate + join-back round trip (measured 3.0→2.3 s at sf0.1;
+    // a hot shingle skews this window exactly as it would the join, which is
+    // what `maxDf` caps).
+    val withDf = sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
     maxDf match {
       case None =>
-        val keep = dfs.filter(col("df") >= 2).select(col("sg"))
-        val ex = materialize(all.join(keep, Seq("sg")))
+        val ex = materialize(withDf.filter(col("df") >= 2).drop("df"))
         ex.as("a").join(ex.as("b"),
             col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
@@ -104,8 +108,8 @@ object GraftOps {
         // capped index generates candidates; exact verify on the full sets
         // (counting common over a pruned index would UNDERcount j — the cap
         // must never change a reported similarity, only candidate recall)
-        val keep = dfs.filter(col("df") >= 2 && col("df") <= cap).select(col("sg"))
-        val ex = materialize(all.select(col("id"), col("sg")).join(keep, Seq("sg")))
+        val ex = materialize(withDf
+          .filter(col("df") >= 2 && col("df") <= cap).select(col("id"), col("sg")))
         val shm = materialize(sh)
         val cand = ex.as("a").join(ex.as("b"),
             col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))

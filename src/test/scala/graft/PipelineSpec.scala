@@ -281,6 +281,62 @@ class PipelineSpec extends SparkSpec {
       s"train fraction off: ${frac("train") / n}")
   }
 
+  test("sorted run-length bigram mode equals the naive distinct-filter count") {
+    // x14 replaced the O(n²) mode computation with a sorted fold — pin the
+    // equivalence on generated word sequences (incl. all-equal and all-
+    // distinct edges)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = 2 + rnd.nextInt(30)
+      val vocabSize = 1 + rnd.nextInt(4) // small vocab → heavy repetition
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(vocabSize)}").mkString(" "))
+    } :+ (1000L, "a a a a a a") :+ (1001L, "b c d e f g")
+    val df = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+      .withColumn("fold", expr(
+        """aggregate(array_sort(bg),
+             named_struct('prev', '', 'run', 0L, 'best', 0L),
+             (s, x) -> named_struct(
+               'prev', x,
+               'run', if(x = s.prev, s.run + 1L, 1L),
+               'best', greatest(s.best, if(x = s.prev, s.run + 1L, 1L))),
+             s -> s.best)"""))
+      .withColumn("naive", expr(
+        "cast(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) as long)"))
+    assert(df.filter(col("fold") =!= col("naive")).count() === 0,
+      df.filter(col("fold") =!= col("naive")).limit(3).collect().mkString(","))
+  }
+
+  test("incremental dedup survivors are absent from history and self-distinct") {
+    val out = q("x18_incremental_dedup")
+    val docs = Tables.table(spark, sf, "documents")
+    val histHashes = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(md5(col("text")).as("h"))
+    assert(out.join(histHashes, Seq("h")).count() === 0,
+      "a surviving hash exists in history")
+    assert(out.select("h").distinct().count() === out.count(), "duplicate keeper hashes")
+  }
+
+  test("unigram surprisal ranks rare-word docs above common-word docs") {
+    import spark.implicits._
+    val common = (1 to 30).map(_ => "the").mkString(" ")
+    val rare = (1 to 30).map(i => s"rare$i").mkString(" ")
+    val corpus = Seq((0L, common), (1L, common), (2L, common), (3L, rare))
+      .toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("surprisal_corpus")
+    val words = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val tot = vocab.agg(sum("c").as("tot"))
+    val nll = words.join(broadcast(vocab.join(broadcast(tot))
+        .select(col("w"), (-log(col("c") / col("tot"))).as("s"))), "w")
+      .groupBy("doc_id").agg((sum("s") / count(lit(1))).as("surprisal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nll(3L) > nll(0L), s"rare doc must score higher: $nll")
+  }
+
   test("source mixture budgets sum to at most the total and weights to ~1") {
     val rows = q("x16_source_mixture").collect()
     val wSum = rows.map(_.getDouble(2)).sum

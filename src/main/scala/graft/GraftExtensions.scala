@@ -40,6 +40,8 @@ object Graft {
     "avro_decode" -> (es => AvroDecode(es(0), lit2Str(es(1)))),
     "avro_encode" -> (es => AvroEncode(es(0), lit2Str(es(1)))),
     "pos_shingles" -> (es => ShingleGenerator(es(0),
+      if (es.length > 1) lit2Int(es(1)) else 5)),
+    "word_shingles" -> (es => WordShingles(es(0),
       if (es.length > 1) lit2Int(es(1)) else 5)))
 
   def registerFunctions(spark: SparkSession): Unit =

@@ -46,14 +46,12 @@ object GraftOps {
 
   /** Distinct k-gram word shingles: id, sh (array<string>), nsh. The input
     * is spread to cluster parallelism first (no-op at scale) — shingling is
-    * the CPU-bound stage of every near-dup pipeline. */
+    * the CPU-bound stage of every near-dup pipeline, so it runs as the
+    * one-pass native `word_shingles` expression (codegen; ExpressionsSpec
+    * pins its equivalence to the split/transform/array_distinct SQL chain). */
   def shingles(df: DataFrame, id: Column, text: Column, k: Int = 5): DataFrame =
-    spreadSmall(df).select(id.as("id"), split(text, " ").as("w"))
-      .select(col("id"),
-        array_distinct(when(size(col("w")) >= k,
-          transform(sequence(lit(1), size(col("w")) - (k - 1)),
-            i => array_join(slice(col("w"), i, lit(k)), " ")))
-          .otherwise(array(array_join(col("w"), " ")))).as("sh"))
+    spreadSmall(df)
+      .select(id.as("id"), word_shingles(text, k).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
 
   // ---- deduplication -------------------------------------------------------

@@ -31,6 +31,9 @@ object GraftFunctions {
   /** heuristic language id (letter-frequency profiles) of a string column. */
   def lang_id(text: Column): Column = c(LanguageId(x(text)))
 
+  /** one-pass distinct k-gram word shingles of a string column. */
+  def word_shingles(text: Column, k: Int = 5): Column = c(WordShingles(x(text), k))
+
   /** UDTF: explode text into (pos, shingle) k-gram word shingle rows. */
   def pos_shingles(text: Column, k: Int = 5): Column = c(ShingleGenerator(x(text), k))
 

@@ -5,6 +5,64 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** One-pass distinct k-gram word shingles (`string` → `array<string>`) —
+  * the native form of the split → transform(sequence) → array_join →
+  * array_distinct chain in [[graft.GraftOps.shingles]]: one tokenize, one
+  * reused string builder per shingle, one insertion-ordered set, zero
+  * intermediate arrays. Exact parity with the SQL chain (including the
+  * whole-text fallback for docs shorter than k, Spark's keep-trailing-empty
+  * split semantics, and array_distinct's first-occurrence order). Feeds
+  * every near-dup/decontamination pipeline, so it stays inside whole-stage
+  * codegen via a single static call. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  /** Static body shared by eval and generated code. */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    // limit -1 keeps trailing empty tokens, matching Spark's split()
+    val words = s.toString.split(" ", -1)
+    if (words.length < k)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(words.mkString(" "))))
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** MinHash signature of a token/shingle set (`array<string>` → `array<long>`,
   * length k). One pass over the tokens: each token is hashed once, then run
   * through k cheap splitmix permutations, tracking the per-permutation min —

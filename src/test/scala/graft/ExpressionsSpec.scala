@@ -83,4 +83,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
     assert(a.filter(col("b") < 0 || col("b") > 15).count() === 0)
   }
+
+  test("word_shingles equals the SQL split/transform/array_distinct chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edge = Seq("", "one", "a b", "a b c d e", "x x x x x x x",
+      "a  b", "trail ", " lead") // doubled/leading/trailing spaces
+    val docs = (edge ++ (0 until 300).map { _ =>
+      val n = rnd.nextInt(60)
+      (0 until n).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+    }).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(1, 3, 5)) {
+      val native = docs.select(col("id"), word_shingles(col("text"), k).as("sh"))
+      val sql = docs.select(col("id"), split(col("text"), " ").as("w"))
+        .select(col("id"),
+          array_distinct(when(size(col("w")) >= k,
+            transform(sequence(lit(1), size(col("w")) - (k - 1)),
+              i => array_join(slice(col("w"), i, lit(k)), " ")))
+            .otherwise(array(array_join(col("w"), " ")))).as("sh"))
+      assert(native.exceptAll(sql).count() === 0 &&
+        sql.exceptAll(native).count() === 0, s"mismatch at k=$k")
+    }
+    // SQL registration round-trip
+    graft.Graft.registerFunctions(spark)
+    docs.createOrReplaceTempView("ws_docs")
+    val viaSql = spark.sql("SELECT id, word_shingles(text, 3) AS sh FROM ws_docs")
+    val direct = docs.select(col("id"), word_shingles(col("text"), 3).as("sh"))
+    assert(viaSql.exceptAll(direct).count() === 0)
+  }
 }

@@ -97,7 +97,8 @@ case class ReplayOptions(
     failOnDataLoss: Boolean,
     consumerConf: Map[String, String],
     columnarBatchSize: Int = 0,
-    startingLatest: Boolean = false) {
+    startingLatest: Boolean = false,
+    minPartitions: Int = 0) {
   require(path != null, "option 'path' is required for the graft-replay source")
   /** starting record index for partition p with current end `end`; the
     * "latest" sentinel starts at the end (only new records are read). */
@@ -147,7 +148,34 @@ object ReplayOptions {
       // row-at-a-time reader.
       columnarBatchSize =
         Option(opts.get("columnarBatchSize")).map(_.toInt).getOrElse(4096),
-      startingLatest = startLatest)
+      startingLatest = startLatest,
+      // Kafka's minPartitions contract: plan AT LEAST this many input splits
+      // by dividing offset ranges, for topics with fewer partitions than the
+      // cluster has cores. 0/absent = one split per log partition.
+      minPartitions =
+        Option(opts.get("minPartitions")).map(_.toInt).getOrElse(0))
+  }
+
+  /** Kafka-style `minPartitions` range splitting: when fewer planned splits
+    * than requested, divide each partition's offset range into chunks
+    * proportional to its share of the total backlog. Row set and per-row
+    * (partition, offset) values are unchanged — only task granularity grows,
+    * so a 3-partition topic can still use a 32-core cluster. */
+  private[replay] def splitToMin(parts: Array[ReplayInputPartition],
+      minPartitions: Int): Array[ReplayInputPartition] = {
+    if (minPartitions <= parts.length || parts.isEmpty) return parts
+    val total = parts.map(p => p.end - p.start).sum.toDouble
+    if (total <= 0) return parts
+    parts.flatMap { p =>
+      val size = p.end - p.start
+      // ceil keeps the "at least minPartitions" guarantee (round would plan
+      // 15 for minPartitions=16 over 3 equal partitions)
+      val pieces = math.max(1, math.ceil(minPartitions * size / total).toInt)
+      val step = math.max(1L, (size + pieces - 1) / pieces)
+      (p.start until p.end by step).map { s =>
+        p.copy(start = s, end = math.min(s + step, p.end))
+      }
+    }
   }
 }
 
@@ -378,13 +406,15 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].offsets
     val e = end.asInstanceOf[ReplayOffset].offsets
-    (s.keySet ++ e.keySet).toSeq.sorted.flatMap { p =>
+    val planned = (s.keySet ++ e.keySet).toSeq.sorted.flatMap { p =>
       val eo = e.getOrElse(p, 0L)
       val so = s.getOrElse(p, math.min(opts.startingPerPartition.getOrElse(p, 0L), eo))
       if (eo > so)
         Some(ReplayInputPartition(path, p, so, eo, fields, opts.columnarBatchSize))
       else None
     }.toArray
+    ReplayOptions.splitToMin(planned, opts.minPartitions)
+      .asInstanceOf[Array[InputPartition]]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
@@ -395,8 +425,8 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
 class ReplayBatch(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6),
     range: ScanRange = ScanRange.Full) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
-    ReplayLog.listPartitions(opts.path)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = ReplayLog.listPartitions(opts.path)
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
         val end = math.min(ReplayLog.safeRecordCount(opts.path, p), range.offHi)
@@ -410,6 +440,9 @@ class ReplayBatch(opts: ReplayOptions,
             opts.columnarBatchSize))
         else None
       }.toArray
+    ReplayOptions.splitToMin(planned, opts.minPartitions)
+      .asInstanceOf[Array[InputPartition]]
+  }
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
 }
 

@@ -384,4 +384,31 @@ class ReplaySourceSpec extends SparkSpec {
     assert(spark.table(name).exceptAll(batch).count() === 0)
     assert(batch.exceptAll(spark.table(name)).count() === 0)
   }
+
+  test("minPartitions splits offset ranges without changing the row set") {
+    val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
+    val plain = spark.read.format("graft-replay").option("path", log).load()
+    val split = spark.read.format("graft-replay").option("path", log)
+      .option("minPartitions", "16").load()
+    assert(plain.rdd.getNumPartitions === 3, "log has 3 partitions")
+    assert(split.rdd.getNumPartitions >= 16,
+      s"expected >=16 splits, got ${split.rdd.getNumPartitions}")
+    val a = plain.selectExpr("partition", "offset", "cast(value as string) v")
+    val b = split.selectExpr("partition", "offset", "cast(value as string) v")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "row set must be identical under range splitting")
+    // streaming: same envelope totals per partition with splits active
+    val name = "replay_minparts"
+    val q = spark.readStream.format("graft-replay").option("path", log)
+      .option("minPartitions", "16").load()
+      .groupBy(col("partition")).count()
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val per = spark.table(name).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = plain.groupBy(col("partition")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(per === want, s"streaming per-partition counts drifted: $per vs $want")
+  }
 }

@@ -689,6 +689,50 @@ FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
       Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id
 FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // S28: streaming as-of enrichment — the custom AsOfJoin merge operator
+    // (graft.plans, q71's plan) running INSIDE a streaming pipeline: each
+    // micro-batch of 'view' events as-of joins the static 'purchase' table
+    // in foreachBatch and appends to parquet. Stream-static per batch, so
+    // results are batching-invariant (the only deterministic as-of shape
+    // Structured Streaming admits — state-based streaming as-of would make
+    // results depend on trigger boundaries). Exercises the custom
+    // LogicalPlan+Strategy+merge SparkPlan on the streaming path.
+    GQuery("s28_stream_asof_enrich",
+      (s, d) => {
+        val quotes = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("q_user"), expr("ts_ns div 1000").as("q_us"),
+            col("event_id").as("q_id"))
+        val out = Files.createTempDirectory(tmpBase, "graft-asof-sink").toString
+        val q = eventStream(s, d).filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("v_us"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory(tmpBase, "graft-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.plans.AsOfJoin(batch, quotes,
+                "user_id", "v_us", "q_user", "q_us", "q_id",
+                toleranceUs = 30L * 86400000000L)
+              .select(col("event_id"), col("q_id"), col("q_us"))
+              .write.mode("append").parquet(out)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'),
+q AS (SELECT user_id AS q_user, event_id AS q_id, epoch_us(ts) AS q_us
+  FROM events WHERE event_type = 'purchase'),
+cand AS (SELECT event_id, q_id, q_us,
+    row_number() OVER (PARTITION BY event_id ORDER BY q_us DESC, q_id DESC) AS rn
+  FROM v JOIN q ON q_user = user_id
+    AND q_us <= v_us AND q_us >= v_us - 2592000000000)
+SELECT v.event_id, c.q_id, c.q_us
+FROM v LEFT JOIN cand c ON v.event_id = c.event_id AND c.rn = 1
+ORDER BY v.event_id NULLS FIRST""")),
+
     // S26: streaming quality routing — the streaming half of the X14
     // repetition/quality filter: documents arrive continuously, each is
     // scored with per-row expressions (no state), and a complete-mode agg

@@ -689,6 +689,21 @@ FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
       Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id
 FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // S29: streaming sketch rollup — the streaming half of X11: per-type HLL
+    // sketches build incrementally in a complete-mode agg (mergeable binary
+    // state — shuffle volume is sketch bytes, not row count). HLL registers
+    // are a MAX over hashed values, so the estimate is ORDER- and
+    // BATCHING-invariant: PipelineSpec pins streaming == batch exactly.
+    // G-class by design (approx estimates are outside the DuckDB oracle).
+    GQuery("s29_stream_sketch",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+            .as("est")),
+        "complete").orderBy(col("event_type")),
+      None),
+
     // S28: streaming as-of enrichment — the custom AsOfJoin merge operator
     // (graft.plans, q71's plan) running INSIDE a streaming pipeline: each
     // micro-batch of 'view' events as-of joins the static 'purchase' table

@@ -242,6 +242,17 @@ class PipelineSpec extends SparkSpec {
       "sketch estimate changed under repartitioning")
   }
 
+  test("streaming sketch rollup equals the batch sketch exactly") {
+    // HLL registers are a max over hashed values → order/batching invariant
+    val streaming = q("s29_stream_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streaming === batch, s"streaming $streaming != batch $batch")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.table(spark, sf, "documents")
     val d = q("x01_exact_dedup")

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -292,9 +292,28 @@ object ReplayOffset {
 
 class ReplayMicroBatchStream(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6))
-    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private def path = opts.path
+
+  /** Per-progress source metrics (Kafka parity: its source reports
+    * offsets-behind-latest). Surfaces in
+    * `StreamingQueryProgress.sources[i].metrics`. */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val ends = ReplayLog.listPartitions(path)
+      .map(p => p -> ReplayLog.safeRecordCount(path, p)).toMap
+    val consumed: Map[Int, Long] =
+      if (latestConsumed.isPresent)
+        latestConsumed.get.asInstanceOf[ReplayOffset].offsets
+      else Map.empty
+    val behind = ends.map { case (p, e) =>
+      math.max(0L, e - consumed.getOrElse(p, 0L)) }.sum
+    Map(
+      "recordsBehindLatest" -> behind.toString,
+      "numPartitions" -> ends.size.toString).asJava
+  }
 
   /** Live (partition → record count) listing — re-taken every trigger so
     * partitions appended after stream start are discovered (the mid-stream

@@ -55,4 +55,20 @@ class ObservabilitySpec extends SparkSpec {
         "bounded admission should produce multiple non-empty micro-batches")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("replay source reports recordsBehindLatest in source metrics (Kafka parity)") {
+    val log = sources.replay.ReplayLog.ensureLog(spark, sf)
+    val q = spark.readStream.format("graft-replay")
+      .option("path", log).load()
+      .writeStream.format("memory").queryName("obs_metrics")
+      .option("checkpointLocation", Files.createTempDirectory("obs-ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty, "expected at least one progress")
+    val metrics = progresses.last.sources.head.metrics
+    assert(metrics.get("numPartitions") === "3", s"metrics: $metrics")
+    // the run consumed to the end, so the final progress reports zero behind
+    assert(metrics.get("recordsBehindLatest") === "0", s"metrics: $metrics")
+  }
 }

@@ -735,6 +735,46 @@ SELECT h, min(doc_id) AS keeper, count(*) AS n_new
 FROM fresh WHERE h NOT IN (SELECT h FROM hist)
 GROUP BY h ORDER BY keeper NULLS FIRST""")),
 
+    // ---- X19: cross-source overlap matrix ----------------------------------
+    // Dataset diagnostics: pairwise distinct 3-gram overlap between corpus
+    // sources — the "which feeds duplicate which" matrix a curation team
+    // reads before setting mixture weights (X16) or dedup order. Inverted
+    // index by gram (the one shuffle), pairs counted per gram — never a
+    // source-by-source cross product of documents. Overlap normalizes by the
+    // smaller side's vocabulary.
+    GQuery("x19_source_overlap",
+      (s, d) => {
+        val sg = t(s, d, "documents")
+          .select(col("source"),
+            explode(word_shingles(col("text"), 3)).as("g")).distinct()
+        val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        sg.as("a").join(sg.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(tot.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+          .join(tot.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+              .cast("decimal(18,6)").cast("double").as("overlap"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT source,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS sl
+FROM toks),
+sg AS (SELECT DISTINCT source, unnest(sl) AS g FROM sh),
+tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+  CAST(CAST(CAST(n_shared AS DOUBLE) / least(ta.n, tb.n) AS DECIMAL(18,6)) AS DOUBLE)
+    AS overlap
+FROM pairs JOIN tot ta ON ta.source = source_a JOIN tot tb ON tb.source = source_b
+ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

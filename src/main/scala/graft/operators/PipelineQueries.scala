@@ -775,6 +775,63 @@ SELECT source_a, source_b, n_shared,
 FROM pairs JOIN tot ta ON ta.source = source_a JOIN tot tb ON tb.source = source_b
 ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
 
+    // ---- X20: curation pipeline end-to-end ---------------------------------
+    // The round-3 ops composed the way a curation run executes them:
+    // repetition/quality gate (X14) → decontamination drop (X13) →
+    // deterministic split (X15) → per-split token budget. Every stage is the
+    // proven scale path (per-row exprs → broadcast probe → per-row hash →
+    // one agg); the oracle replays the identical chain as CTEs.
+    GQuery("x20_curation_e2e",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gated = docs
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 10 &&
+            size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double") >= 0.4)
+          .select(col("doc_id"), col("text"))
+        val contaminated = graft.GraftOps.decontaminate(
+            gated.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
+          .filter(col("flagged")).select(col("doc_id"))
+        val kept = gated.filter(col("doc_id") % 20 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val bk = substring(md5(concat(lit("split42:"), col("doc_id"))), 1, 4)
+        kept
+          .withColumn("split",
+            when(bk < "cccc", "train").when(bk < "e666", "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 10
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) >= 0.4),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS sl
+FROM toks),
+ev AS (SELECT DISTINCT unnest(sl) AS g FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT s2.doc_id, len(s2.sl) AS nsh, unnest(s2.sl) AS g FROM sh s2
+  JOIN gated ON gated.doc_id = s2.doc_id WHERE s2.doc_id % 20 <> 0),
+contam AS (SELECT doc_id FROM (
+    SELECT tr.doc_id, any_value(nsh) AS nsh, count(*) AS n_hits
+    FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
+  WHERE CAST(CAST(CAST(n_hits AS DOUBLE) / nsh AS DECIMAL(18,6)) AS DOUBLE) >= 0.2),
+kept AS (SELECT doc_id, text FROM gated
+  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT CASE WHEN substr(md5('split42:' || doc_id), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5('split42:' || doc_id), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1 ORDER BY split NULLS FIRST""")),
+
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
     // "decode" step (partition-parallel, no shuffle). The decode itself is a

@@ -1001,5 +1001,25 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""")),
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
    OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)"""))
+  ,
+
+    // Salted skew join as a declared query: one hot key becomes `salt`
+    // evenly-sized shuffle partitions (the manual escape hatch when AQE's
+    // skew splitting can't cut a single giant key). The oracle is the plain
+    // join — salting must be result-invariant; SaltedJoinSpec additionally
+    // pins the equality on a second skew profile.
+    GQuery("q80_salted_skew_join",
+      (s, d) => graft.GraftOps.saltedJoin(
+          t(s, d, "lineitem"), t(s, d, "orders"),
+          col("l_orderkey"), col("o_orderkey"), salt = 8,
+          leftSaltSource = col("l_partkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice")).cast("decimal(18,2)").as("revenue"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+  CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
   )
 }

@@ -304,9 +304,11 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
       : java.util.Map[String, String] = {
     val ends = ReplayLog.listPartitions(path)
       .map(p => p -> ReplayLog.safeRecordCount(path, p)).toMap
+    // after a checkpoint resume the engine passes a SerializedOffset (raw
+    // JSON wrapper), not our ReplayOffset — go through json() for both
     val consumed: Map[Int, Long] =
       if (latestConsumed.isPresent)
-        latestConsumed.get.asInstanceOf[ReplayOffset].offsets
+        ReplayOffset.fromJson(latestConsumed.get.json()).offsets
       else Map.empty
     val behind = ends.map { case (p, e) =>
       math.max(0L, e - consumed.getOrElse(p, 0L)) }.sum

@@ -125,7 +125,10 @@ object GraftOps {
     }
   }
 
-  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard
+    * (resemblance sketching per Broder, "On the resemblance and containment
+    * of documents", 1997; banding per Leskovec/Rajaraman/Ullman, Mining of
+    * Massive Datasets ch. 3).
     * numHashes = bands * rowsPerBand. Scale: candidates come from a bucket
     * equi-join on (band, bandHash) — the standard shuffle-friendly LSH plan;
     * AQE handles skewed buckets. */

@@ -129,7 +129,9 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 64-bit SimHash of a token multiset (`array<string>` → long): every token
+/** 64-bit SimHash (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC'02) of a token multiset
+  * (`array<string>` → long): every token
   * hash votes ±1 on each of 64 bit positions; the sign of the vote sum forms
   * the output bit. Near-duplicate docs land within a small Hamming distance.
   * SURVEY.md §2.4 X02. */

@@ -689,6 +689,38 @@ FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
       Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id
 FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // S30: streaming incremental dedup — the streaming half of X18: arriving
+    // documents anti-join the STATIC historical hash index (stream-static
+    // left anti keeps no state), then self-dedup within the stream by
+    // content hash. The ingest-side shape of nightly dedup: history probes
+    // are per-batch, stream state is bounded by distinct NEW content.
+    GQuery("s30_stream_incremental_dedup",
+      (s, d) => {
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val hist = Tables.table(s, d, "documents")
+          .filter(col("doc_id") % 10 =!= 7).select(md5(col("text")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hist.count()
+        val fresh = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        // aggregate over the hash SET (deterministic) — which doc_id
+        // represents a duplicated hash depends on arrival order
+        runToMemory(
+          fresh.join(hist, Seq("h"), "left_anti").dropDuplicates("h"),
+          "append")
+          .agg(count(lit(1)).as("n_new"), min(col("h")).as("min_h"),
+            max(col("h")).as("max_h"))
+      },
+      Some("""WITH fresh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+surv AS (SELECT DISTINCT h FROM fresh WHERE h NOT IN (SELECT h FROM hist))
+SELECT count(*) AS n_new, min(h) AS min_h, max(h) AS max_h FROM surv""")),
+
     // S29: streaming sketch rollup — the streaming half of X11: per-type HLL
     // sketches build incrementally in a complete-mode agg (mergeable binary
     // state — shuffle volume is sketch bytes, not row count). HLL registers

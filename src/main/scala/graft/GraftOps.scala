@@ -272,7 +272,8 @@ object GraftOps {
     val v = materialize(df.select(id.as("id"), vec.as("vec")))
     val tabSeeds = graft.functions.Hashing.permSeeds(seed, tables)
     val bucketed = v.select(col("id"),
-        posexplode(array(tabSeeds.map(s => rp_bucket(col("vec"), planes, s)): _*)))
+        posexplode(array(tabSeeds.toIndexedSeq.map(s =>
+          rp_bucket(col("vec"), planes, s)): _*)))
       .toDF("id", "tab", "bucket")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tab") === col("b.tab") && col("a.bucket") === col("b.bucket")

@@ -951,12 +951,15 @@ FROM s GROUP BY user_id, sess ORDER BY user_id NULLS FIRST, sess NULLS FIRST""")
         t(s, d, "lineitem").hint("merge")
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderdate"))
+          // Determinism rule 2 (SURVEY §2.3): cast the double to decimal
+          // BEFORE the sum so the reduction is exact integer arithmetic on
+          // both engines — a multi-term double sum is merge-order-dependent.
           .agg(count(lit(1)).as("n_items"),
-            dec2(sum(col("l_extendedprice"))).as("revenue"))
+            dec2(sum(dec2(col("l_extendedprice")))).as("revenue"))
           .orderBy(col("o_orderdate"))
       },
       Some("""SELECT o_orderdate, count(*) AS n_items,
-  CAST(sum(l_extendedprice) AS DECIMAL(12,2)) AS revenue
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST""")),
@@ -967,17 +970,27 @@ GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST""")),
     // one row via partial aggs. Ratio of two same-order sums is stable far
     // below the decimal(12,4) grain.
     GQuery("q78_promo_revenue",
-      (s, d) => t(s, d, "lineitem")
-        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
-        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
-        .agg((lit(100.0) *
-            sum(when(col("p_type") === "PROMO",
-              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
-            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("decimal(12,4)").as("promo_pct")),
-      Some("""SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
-    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-  / sum(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(12,4)) AS promo_pct
+      (s, d) => {
+        // cast-before-sum on both sums, then ONE double multiply + ONE double
+        // divide (each exactly rounded under IEEE-754 on both engines) — the
+        // previous double-sum ratio was order-stable in practice but not by
+        // construction.
+        val discPrice = dec2(col("l_extendedprice")) *
+          (lit(1) - rate(col("l_discount"))).cast("decimal(4,2)")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(sum(when(col("p_type") === "PROMO", discPrice)).as("pnum"),
+            sum(discPrice).as("pden"))
+          .select((lit(100.0) * dbl(col("pnum")) / dbl(col("pden")))
+            .cast("decimal(12,4)").as("promo_pct"))
+      },
+      Some("""SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+  AS DECIMAL(12,4)) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""")),
 
@@ -993,10 +1006,18 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""")),
             && col("l_quantity") >= 10) ||
           (col("p_brand") === "Brand#17" && col("p_size").between(10, 30)
             && col("l_quantity") >= 20))
-        .agg(dec2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        // cast-before-sum (q13 pattern): decimal product summed exactly, so
+        // partition/merge order cannot move a cent across engines. The final
+        // cast is to DOUBLE, not a narrower decimal — rounding the exact
+        // scale-4 sum to 2 decimals can land on a half-cent tie that the two
+        // engines break differently, while the decimal→double conversion is
+        // exact (< 2^53 scaled units).
+        .agg(dbl(sum(dec2(col("l_extendedprice"))
+              * (lit(1) - rate(col("l_discount"))).cast("decimal(4,2)")))
             .as("revenue"),
           count(lit(1)).as("n_items")),
-      Some("""SELECT CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(12,2)) AS revenue,
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
   count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
@@ -1014,11 +1035,13 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
           col("l_orderkey"), col("o_orderkey"), salt = 8,
           leftSaltSource = col("l_partkey"))
         .groupBy(col("o_orderstatus"))
+        // cast-before-sum: only 3 output groups, but the same cross-engine
+        // double-sum hazard as q77 — make the reduction exact decimal.
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice")).cast("decimal(18,2)").as("revenue"))
+          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("revenue"))
         .orderBy(col("o_orderstatus")),
       Some("""SELECT o_orderstatus, count(*) AS n,
-  CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS revenue
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
   )

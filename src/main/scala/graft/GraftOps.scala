@@ -309,47 +309,54 @@ object GraftOps {
     // materialize the pair graph FIRST, under the caller's session conf: the
     // lazy `pairs` plan is usually corpus-scale (e.g. the inverted-index
     // shingle self-join) and must keep its full shuffle parallelism
-    val edges = materialize(
+    val edgesRaw = materialize(
       pairs.select(a.as("src"), b.as("dst"))
         .union(pairs.select(b.as("src"), a.as("dst")))
         .distinct())
-    // the persisted pair graph is orders of magnitude smaller than the corpus
-    // that produced it — right-size the PER-ROUND shuffles only (stage-
-    // scheduling overhead dominates otherwise). Restored after the loop; a
-    // cluster deployment sizes this to edge-count/partition-budget instead.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      var labels = materialize(
-        edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
-      var round = 0
-      var converged = false
-      while (!converged && round < maxIter) {
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-          .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
-        // carry the did-anything-change flag IN the label table: the
-        // convergence check IS the materializing action (one job per round —
-        // the filter-count populates every cached partition on the way)
-        val next = labels
-          .join(viaNeighbors.withColumnRenamed("id", "jid"),
-            col("id") === col("jid"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
-            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-          .select(col("id"), col("newLbl").as("lbl"), col("chg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.filter(col("chg")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        round += 1
-      }
-      if (!converged) throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxIter rounds (component diameter " +
-          s"exceeds the bound — raise maxIter or use a star-contraction variant)")
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // right-size the PER-ROUND exchanges with explicit repartitioning, never
+    // the session conf (a session-global knob leaks into any concurrently
+    // running query): the persisted pair graph is orders of magnitude smaller
+    // than the corpus that produced it, so size partitions from the actual
+    // edge count (~1M edges each), floored for latency, capped at 4x cores.
+    val n = math.max(8, math.min(s.sparkContext.defaultParallelism * 4,
+      (edgesRaw.count() / 1000000L + 1).toInt))
+    // pre-partition the static join side ONCE by dst: every round's
+    // neighbor join is then exchange-free on the edge side, and keeping all
+    // per-round tables HashPartitioning(key, n) makes the label joins
+    // co-partitioned (zero extra shuffles inside the loop).
+    val edges = materialize(edgesRaw.repartition(n, col("dst")))
+    edgesRaw.unpersist()
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
+        .repartition(n, col("id")))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .repartition(n, col("src"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
+      // carry the did-anything-change flag IN the label table: the
+      // convergence check IS the materializing action (one job per round —
+      // the filter-count populates every cached partition on the way)
+      val next = labels
+        .join(viaNeighbors.withColumnRenamed("id", "jid"),
+          col("id") === col("jid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .select(col("id"), col("newLbl").as("lbl"), col("chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.filter(col("chg")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIter rounds (component diameter " +
+        s"exceeds the bound — raise maxIter or use a star-contraction variant)")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
   /** Greedy sequence packing: documents are packed, in id order, into bins

@@ -72,19 +72,36 @@ object StreamingQueries {
     * overhead for no parallelism gain at this state size. At 100 TB the same
     * knob scales up with cluster size instead. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
-    val s = df.sparkSession
+    // the 8-partition state sizing lives on the per-parent CLONED session
+    // (streamSession) that every query fn here runs on — never set session-
+    // globally, which would leak into concurrent batch queries.
     val name = s"graft_mem_${ctr.incrementAndGet()}"
     val ckpt = Files.createTempDirectory(tmpBase, "graft-ckpt").toString
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     df.sparkSession.table(name)
   }
+
+  /** Dedicated streaming-harness session per parent session. The state-store
+    * partition count of a streaming query is fixed at stream start from
+    * `spark.sql.shuffle.partitions` (baked into the checkpoint); bounded
+    * replays of ~10^5 rows are right-sized at 8 — per-batch stateful commit
+    * cost is linear in the count, and 32 quadruples it for no parallelism
+    * gain at this state size. Cloning isolates that knob: the parent session
+    * and anything running concurrently on it keep full batch parallelism.
+    * At 100 TB the same knob scales with cluster size on the job's own
+    * session. `newSession` shares the SparkContext and cached data, so the
+    * replay source, parquet reads and the memory sink behave identically. */
+  private val harness =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def streamSession(parent: SparkSession): SparkSession =
+    harness.computeIfAbsent(parent, p => {
+      val c = p.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", "8")
+      c
+    })
 
   /** Streaming envelope from the graft-replay source. */
   private def replayStream(s: SparkSession, d: String,
@@ -116,7 +133,8 @@ object StreamingQueries {
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
   private def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
 
-  val all: Seq[GQuery] = Seq(
+  /** Declared queries run verbatim on `streamSession(s)` — see `all`. */
+  private val declared: Seq[GQuery] = Seq(
 
     // S01: the reference's proven end-to-end query over the envelope —
     // binary→utf8 cast + alias + length + projection
@@ -874,4 +892,10 @@ GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
   max(event_id // 3) AS max_offset, count(DISTINCT event_id // 3) AS n_offsets
 FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST"""))
   )
+
+  /** Public registry: each declared query body runs against the dedicated
+    * harness session, so its streaming-state conf never touches the caller's
+    * session. */
+  val all: Seq[GQuery] =
+    declared.map(q => q.copy(fn = (s, d) => q.fn(streamSession(s), d)))
 }

@@ -339,6 +339,11 @@ object GraftOps {
       // carry the did-anything-change flag IN the label table: the
       // convergence check IS the materializing action (one job per round —
       // the filter-count populates every cached partition on the way)
+      // localCheckpoint (lazy) both persists the round result AND truncates
+      // its lineage — each round's plan references the previous one several
+      // times, so without truncation the logical plan grows exponentially
+      // with round count (OOMs in plan stringification long before the data
+      // is big). The convergence count below is the materializing action.
       val next = labels
         .join(viaNeighbors.withColumnRenamed("id", "jid"),
           col("id") === col("jid"), "left")
@@ -346,7 +351,7 @@ object GraftOps {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("newLbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .select(col("id"), col("newLbl").as("lbl"), col("chg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next
@@ -355,8 +360,102 @@ object GraftOps {
     }
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge in $maxIter rounds (component diameter " +
-        s"exceeds the bound — raise maxIter or use a star-contraction variant)")
+        s"exceeds the bound — raise maxIter or use dedupClustersStar)")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** Star-contraction connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the high-diameter
+    * fallback [[dedupClusters]] documents. Alternating large-star/small-star
+    * edge rewrites converge in O(log n) rounds regardless of component
+    * diameter (min-label propagation needs O(diameter) rounds — ~n on a path
+    * graph), at the cost of a slightly heavier round (two rewrites, each one
+    * shuffle). Same contract as [[dedupClusters]]: every node appearing in
+    * `pairs` is labeled with the MINIMUM id of its connected component.
+    *
+    * Use min-label for near-dup graphs (short diameter by construction);
+    * star-contraction for arbitrary graphs — equivalence is property-tested
+    * on random graphs in StarContractionSpec. */
+  def dedupClustersStar(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int = 50): DataFrame =
+    starContraction(pairs, a, b, maxIter)._1
+
+  /** Implementation of [[dedupClustersStar]], returning (labels, rounds) so
+    * the O(log n) convergence bound is assertable in specs. Edges are kept
+    * canonical (hi > lo); the fixed point is a star forest rooted at each
+    * component minimum. */
+  private[graft] def starContraction(pairs: DataFrame, a: Column, b: Column,
+      maxIter: Int): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    val edges0 = materialize(
+      pairs.select(greatest(a, b).as("hi"), least(a, b).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
+    // explicit per-round exchange sizing from the edge count, same policy as
+    // dedupClusters (never the session conf)
+    val n = math.max(8, math.min(s.sparkContext.defaultParallelism * 4,
+      (edges0.count() / 1000000L + 1).toInt))
+
+    // large-star (paper §3): every node u re-points each strictly-LARGER
+    // neighbor v at m = min(N(u) ∪ {u}). Each canonical edge is processed at
+    // its lo end, so the whole rewrite is one groupBy(u) + join.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+        .repartition(n, col("u"))
+      val m = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // v > u >= m: canonical
+        .repartition(n, col("hi"), col("lo")).distinct()
+    }
+
+    // small-star (paper §3): every node u re-points its smaller-or-equal
+    // neighbors (the lo ends of canonical edges grouped by hi) plus itself at
+    // the group minimum. Group-min via window, so each member row emits.
+    def smallStar(e: DataFrame): DataFrame = {
+      val withMin = e.repartition(n, col("hi"))
+        .withColumn("m", min(col("lo")).over(Window.partitionBy(col("hi"))))
+      withMin.select(col("lo").as("hi"), col("m").as("lo")) // lo_i >= m
+        .unionAll(withMin.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .repartition(n, col("hi"), col("lo")).distinct()
+    }
+
+    // convergence = edge-set fixed point, detected by an order-independent
+    // (count, sum-of-hashes) signature — one scalar agg per round instead of
+    // two anti-joins.
+    def signature(e: DataFrame): (Long, String) = {
+      // hash-sum as decimal(38,0): a long sum overflows under ANSI mode
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+
+    var e = edges0
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // lazy localCheckpoint: persists AND truncates lineage (the rewrites
+      // reference `e` several times — an un-truncated loop plan grows
+      // exponentially with rounds); signature() materializes it.
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nsig = signature(next)
+      e.unpersist()
+      e = next
+      converged = nsig == sig
+      sig = nsig
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContraction did not converge in $maxIter rounds")
+    // fixed point is a star forest: every non-root points at its component
+    // min; roots label themselves.
+    val labels = e.select(col("hi").as("doc_id"), col("lo").as("cluster"))
+      .unionAll(e.select(col("lo").as("doc_id"), col("lo").as("cluster")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Greedy sequence packing: documents are packed, in id order, into bins

@@ -39,6 +39,29 @@ sh AS (SELECT doc_id,
   ELSE [array_to_string(w, ' ')] END AS s
 FROM toks)"""
 
+  /** Connected-components oracle shared by x07 (min-label) and x07b
+    * (star-contraction): DuckDB replays the transitive closure with a
+    * recursive CTE over the same exact-Jaccard pair set. */
+  private val x07OracleSql =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id AS doc_id, min(r) AS cluster FROM reach
+GROUP BY id ORDER BY doc_id NULLS FIRST"""
+
   val all: Seq[GQuery] = Seq(
 
     // ---- X01: exact dedup --------------------------------------------------
@@ -376,24 +399,21 @@ FROM fin GROUP BY lang ORDER BY lang NULLS FIRST""")),
         graft.GraftOps.dedupClusters(pairs, col("doc_a"), col("doc_b"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-edges AS (SELECT da AS src, db AS dst FROM pairs
-  UNION ALL SELECT db, da FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-SELECT id AS doc_id, min(r) AS cluster FROM reach
-GROUP BY id ORDER BY doc_id NULLS FIRST""")),
+      Some(x07OracleSql)),
+
+    // X07b: the same cluster assignment via star-contraction (Kiveris et al.
+    // large-star/small-star) — the O(log n)-round variant for graphs whose
+    // component diameter min-label propagation can't bound (a path-graph
+    // worst case is spec-pinned in StarContractionSpec). Identical result to
+    // x07 by construction, so it shares the recursive-CTE oracle.
+    GQuery("x07_dedup_clusters_star",
+      (s, d) => {
+        val pairs = graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 5, threshold = 0.5)
+        graft.GraftOps.dedupClustersStar(pairs, col("doc_a"), col("doc_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some(x07OracleSql)),
 
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —

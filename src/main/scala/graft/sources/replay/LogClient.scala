@@ -1,0 +1,76 @@
+package graft.sources.replay
+
+/** Executor-side sequential frame cursor over one partition, starting at a
+  * record offset: call [[readFrame]] then read `key`/`value`/`tsUs`. The
+  * file-backed implementation is [[FrameStream]]; a broker-backed client
+  * returns a cursor over its consumer poll loop. */
+trait FrameReader extends AutoCloseable {
+  def readFrame(): Unit
+  def key: Array[Byte]
+  def value: Array[Byte]
+  def tsUs: Long
+  override def close(): Unit
+}
+
+/** The broker-client seam of the replay source — the surface a real Kafka
+  * consumer implements to slot in behind [[ReplayDataSource]] without
+  * touching any offset/admission/planning logic. It is exactly the contract
+  * the reference holds against rdkafka
+  * (/root/reference/src/kafka/execution.rs:74-88): list partitions, read the
+  * high watermark, and consume a record range sequentially.
+  *
+  * Planning-side methods ([[listPartitions]], [[endOffset]]) run on the
+  * driver every trigger; [[openFrames]] runs on executors — implementations
+  * are constructed per-use from [[LogClient.create]] (a registered factory by
+  * kind), so they need no serialization, only classpath presence on
+  * executors.
+  */
+trait LogClient {
+  /** Current partition ids — re-listed every trigger for mid-stream
+    * partition discovery. */
+  def listPartitions(): Seq[Int]
+  /** Exclusive end offset (high watermark) of complete, readable records. */
+  def endOffset(p: Int): Long
+  /** Raw record count for statistics (may include in-flight tail records). */
+  def recordCount(p: Int): Long
+  /** On-wire byte size for statistics; best-effort. */
+  def sizeInBytes(p: Int): Long
+  /** Sequential frames of partition `p` from record `start`. `needKey` /
+    * `needValue` let the implementation skip payload decode for pruned
+    * columns. */
+  def openFrames(p: Int, start: Long, needKey: Boolean,
+      needValue: Boolean): FrameReader
+}
+
+object LogClient {
+  type Factory = String => LogClient
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Factory]()
+  registry.put("file", path => new FileLogClient(path))
+
+  /** Register an alternate client kind (e.g. a broker consumer, or the fake
+    * in LogClientSpec). On a multi-JVM cluster the registration must happen
+    * in a static initializer reachable from executors; the `file` default
+    * needs none. */
+  def register(kind: String, f: Factory): Unit = registry.put(kind, f)
+
+  def create(kind: String, path: String): LogClient = {
+    val f = registry.get(kind)
+    require(f != null,
+      s"no LogClient registered for client kind '$kind' (option `client`)")
+    f(path)
+  }
+}
+
+/** Default client: the local file-backed [[ReplayLog]] (length-prefixed
+  * frames + fixed-width byte index). */
+final class FileLogClient(path: String) extends LogClient {
+  override def listPartitions(): Seq[Int] = ReplayLog.listPartitions(path)
+  override def endOffset(p: Int): Long = ReplayLog.safeRecordCount(path, p)
+  override def recordCount(p: Int): Long = ReplayLog.recordCount(path, p)
+  override def sizeInBytes(p: Int): Long = ReplayLog.logFile(path, p).length()
+  override def openFrames(p: Int, start: Long, needKey: Boolean,
+      needValue: Boolean): FrameReader =
+    new FrameStream(path, p, start, needKey, needValue)
+}

@@ -57,9 +57,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     partition's end, offsets named for a partition that doesn't exist, or
   *     a checkpointed offset past a truncated log throw when true and
   *     clamp/skip when false;
-  *   - `consumer.*` — opaque pass-through map ≡ the reference's
-  *     `conf: HashMap<String, String>` (execution.rs:34), surfaced via
-  *     `Table.properties()`; this file-backed source doesn't interpret it;
+  *   - `client` (default `file`) — which [[LogClient]] implementation backs
+  *     the source; the seam a real broker consumer implements (the
+  *     reference's actual transport, execution.rs:74-88). All planning,
+  *     offset and admission logic is client-agnostic;
+  *   - `consumer.*` — the reference's `conf: HashMap<String, String>`
+  *     (execution.rs:34), surfaced via `Table.properties()`. Two keys are
+  *     interpreted: `consumer.auto.offset.reset` (`latest`/`earliest`) is
+  *     the start-position fallback when no `startingOffset(s)` option is
+  *     given (Kafka's no-committed-offset semantics), and
+  *     `consumer.group.id` is reported in source metrics. Everything else
+  *     (`bootstrap.servers`, timeouts, ...) is carried opaquely for the
+  *     broker-backed client — this file-backed default has no use for them;
   *   - `columnarBatchSize` (default 4096) — records per `ColumnarBatch`
   *     handed to Spark, the analogue of the reference's native Arrow
   *     `RecordBatch` construction (execution.rs:81-102); 0 falls back to the
@@ -98,13 +107,16 @@ case class ReplayOptions(
     consumerConf: Map[String, String],
     columnarBatchSize: Int = 0,
     startingLatest: Boolean = false,
-    minPartitions: Int = 0) {
+    minPartitions: Int = 0,
+    clientKind: String = "file") {
   require(path != null, "option 'path' is required for the graft-replay source")
   /** starting record index for partition p with current end `end`; the
     * "latest" sentinel starts at the end (only new records are read). */
   def startFor(p: Int, end: Long = Long.MaxValue): Long =
     if (startingLatest) end
     else startingPerPartition.getOrElse(p, startingUniform)
+  /** planning-side log client (driver): fresh per use, clients are cheap. */
+  def client: LogClient = LogClient.create(clientKind, path)
 }
 
 object ReplayOptions {
@@ -112,7 +124,15 @@ object ReplayOptions {
     // sentinels are matched case-insensitively like Kafka's option parsing
     val raw = Option(opts.get("startingOffsets"))
     val sentinel = raw.map(_.trim.toLowerCase)
-    val startLatest = sentinel.contains("latest")
+    // consumer.auto.offset.reset supplies the start position ONLY when no
+    // explicit startingOffset(s) option is present — Kafka's semantics for
+    // "no committed offset" (an explicit option is the stronger contract)
+    val autoReset = Option(opts.get("consumer.auto.offset.reset"))
+      .map(_.trim.toLowerCase)
+      .filter(_ => raw.isEmpty && opts.get("startingOffset") == null)
+    autoReset.foreach(v => require(v == "earliest" || v == "latest",
+      s"consumer.auto.offset.reset must be 'earliest' or 'latest', got '$v'"))
+    val startLatest = sentinel.contains("latest") || autoReset.contains("latest")
     val perPartition = (raw, sentinel) match {
       case (None, _) | (_, Some("earliest")) | (_, Some("latest")) =>
         Map.empty[Int, Long]
@@ -153,7 +173,8 @@ object ReplayOptions {
       // by dividing offset ranges, for topics with fewer partitions than the
       // cluster has cores. 0/absent = one split per log partition.
       minPartitions =
-        Option(opts.get("minPartitions")).map(_.toInt).getOrElse(0))
+        Option(opts.get("minPartitions")).map(_.toInt).getOrElse(0),
+      clientKind = Option(opts.get("client")).getOrElse("file"))
   }
 
   /** Kafka-style `minPartitions` range splitting: when fewer planned splits
@@ -262,11 +283,12 @@ class ReplayScan(opts: ReplayOptions,
   // honest stats where the reference panics (execution.rs:114-116 todo!()):
   // exact row count from the O(1) index lengths, bytes from the log files
   override def estimateStatistics(): Statistics = new Statistics {
-    private val parts = ReplayLog.listPartitions(opts.path)
+    private val client = opts.client
+    private val parts = client.listPartitions()
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(parts.map(p => ReplayLog.logFile(opts.path, p).length()).sum)
+      OptionalLong.of(parts.map(client.sizeInBytes).sum)
     override def numRows(): OptionalLong =
-      OptionalLong.of(parts.map(p => ReplayLog.recordCount(opts.path, p)).sum)
+      OptionalLong.of(parts.map(client.recordCount).sum)
   }
 }
 
@@ -300,10 +322,11 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
   /** Per-progress source metrics (Kafka parity: its source reports
     * offsets-behind-latest). Surfaces in
     * `StreamingQueryProgress.sources[i].metrics`. */
+  private val client = opts.client
+
   override def metrics(latestConsumed: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
-    val ends = ReplayLog.listPartitions(path)
-      .map(p => p -> ReplayLog.safeRecordCount(path, p)).toMap
+    val ends = listEnds()
     // after a checkpoint resume the engine passes a SerializedOffset (raw
     // JSON wrapper), not our ReplayOffset — go through json() for both
     val consumed: Map[Int, Long] =
@@ -312,19 +335,21 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
       else Map.empty
     val behind = ends.map { case (p, e) =>
       math.max(0L, e - consumed.getOrElse(p, 0L)) }.sum
-    Map(
+    val base = Map(
       "recordsBehindLatest" -> behind.toString,
-      "numPartitions" -> ends.size.toString).asJava
+      "numPartitions" -> ends.size.toString)
+    // group.id is one of the two interpreted consumer.* keys: reported so a
+    // monitoring stack can attribute progress the way it would for Kafka
+    (base ++ opts.consumerConf.get("group.id").map("groupId" -> _)).asJava
   }
 
   /** Live (partition → record count) listing — re-taken every trigger so
     * partitions appended after stream start are discovered (the mid-stream
     * discovery Kafka users expect; a new partition is read from record 0, or
     * from its `startingOffsets` entry when one was pre-declared). O(existing
-    * partitions) stat calls against the local index files. */
+    * partitions) client calls. */
   private def listEnds(): Map[Int, Long] =
-    ReplayLog.listPartitions(path)
-      .map(p => p -> ReplayLog.safeRecordCount(path, p)).toMap
+    client.listPartitions().map(p => p -> client.endOffset(p)).toMap
 
   // end frozen at prepareForTriggerAvailableNow time (run-to-current-end stop)
   @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
@@ -431,7 +456,8 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
       val eo = e.getOrElse(p, 0L)
       val so = s.getOrElse(p, math.min(opts.startingPerPartition.getOrElse(p, 0L), eo))
       if (eo > so)
-        Some(ReplayInputPartition(path, p, so, eo, fields, opts.columnarBatchSize))
+        Some(ReplayInputPartition(path, p, so, eo, fields, opts.columnarBatchSize,
+          opts.clientKind))
       else None
     }.toArray
     ReplayOptions.splitToMin(planned, opts.minPartitions)
@@ -447,10 +473,11 @@ class ReplayBatch(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6),
     range: ScanRange = ScanRange.Full) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val planned = ReplayLog.listPartitions(opts.path)
+    val client = opts.client
+    val planned = client.listPartitions()
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
-        val end = math.min(ReplayLog.safeRecordCount(opts.path, p), range.offHi)
+        val end = math.min(client.endOffset(p), range.offHi)
         val req = opts.startFor(p, end)
         if (req > end && opts.failOnDataLoss)
           throw new IllegalStateException(
@@ -458,7 +485,7 @@ class ReplayBatch(opts: ReplayOptions,
         val start = math.max(math.min(req, end), range.offLo)
         if (end > start)
           Some(ReplayInputPartition(opts.path, p, start, end, fields,
-            opts.columnarBatchSize))
+            opts.columnarBatchSize, opts.clientKind))
         else None
       }.toArray
     ReplayOptions.splitToMin(planned, opts.minPartitions)
@@ -469,8 +496,12 @@ class ReplayBatch(opts: ReplayOptions,
 
 case class ReplayInputPartition(path: String, partition: Int,
     start: Long, end: Long, fields: Array[Int] = Array.range(0, 6),
-    columnarBatchSize: Int = 0)
-    extends InputPartition
+    columnarBatchSize: Int = 0, clientKind: String = "file")
+    extends InputPartition {
+  /** executor-side frame cursor via the registered client factory */
+  def openFrames(needKey: Boolean, needValue: Boolean): FrameReader =
+    LogClient.create(clientKind, path).openFrames(partition, start, needKey, needValue)
+}
 
 object ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -503,8 +534,7 @@ class ReplayColumnarReader(ip: ReplayInputPartition)
   private val vectors = types.map(t => new OnHeapColumnVector(ip.columnarBatchSize, t))
   private val batch = new ColumnarBatch(vectors.map(v =>
     v: org.apache.spark.sql.vectorized.ColumnVector))
-  private val frames = new FrameStream(ip.path, ip.partition, ip.start,
-    ip.fields.contains(0), ip.fields.contains(1))
+  private val frames = ip.openFrames(ip.fields.contains(0), ip.fields.contains(1))
   private var offset = ip.start
 
   override def next(): Boolean = {
@@ -545,7 +575,7 @@ class ReplayColumnarReader(ip: ReplayInputPartition)
   * payload-free projection (counts, offset audits) never copies message
   * bytes. */
 private[replay] final class FrameStream(path: String, partition: Int, start: Long,
-    needKey: Boolean, needValue: Boolean) {
+    needKey: Boolean, needValue: Boolean) extends FrameReader {
   private var in: DataInputStream = _
   var key: Array[Byte] = _
   var value: Array[Byte] = _
@@ -584,8 +614,7 @@ class ReplayPartitionReader(ip: ReplayInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val topic = UTF8String.fromString("events")
-  private val frames = new FrameStream(ip.path, ip.partition, ip.start,
-    ip.fields.contains(0), ip.fields.contains(1))
+  private val frames = ip.openFrames(ip.fields.contains(0), ip.fields.contains(1))
   private var offset = ip.start
   private var row: InternalRow = _
 

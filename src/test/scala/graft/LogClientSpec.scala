@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.replay.{FrameReader, LogClient, ReplayOptions}
+
+/** The broker-client seam: a synthetic in-memory LogClient slots in behind
+  * the graft-replay source via the `client` option, with every offset /
+  * planning / admission path unchanged — proving a real Kafka consumer could
+  * do the same (the reference's actual transport,
+  * /root/reference/src/kafka/execution.rs:74-88). Also pins the two
+  * interpreted consumer.* keys. */
+object LogClientSpec {
+  /** Deterministic fake log: `path` is "mem://<partitions>x<records>";
+    * record (p, o) has key "k-p-o", value "v-p-o", ts = o seconds. */
+  final class FakeLogClient(path: String) extends LogClient {
+    private val Array(nParts, nRecs) =
+      path.stripPrefix("mem://").split("x").map(_.toInt)
+    override def listPartitions(): Seq[Int] = 0 until nParts
+    override def endOffset(p: Int): Long = nRecs.toLong
+    override def recordCount(p: Int): Long = nRecs.toLong
+    override def sizeInBytes(p: Int): Long = nRecs.toLong * 16
+    override def openFrames(p: Int, start: Long, needKey: Boolean,
+        needValue: Boolean): FrameReader = new FrameReader {
+      private var off = start - 1
+      var key: Array[Byte] = _
+      var value: Array[Byte] = _
+      var tsUs: Long = _
+      override def readFrame(): Unit = {
+        off += 1
+        key = if (needKey) s"k-$p-$off".getBytes("UTF-8") else null
+        value = if (needValue) s"v-$p-$off".getBytes("UTF-8") else null
+        tsUs = off * 1000000L
+      }
+      override def close(): Unit = ()
+    }
+  }
+
+  // registered once at class-load — the pattern a broker client would use on
+  // a real cluster (static initializer reachable from executors)
+  LogClient.register("fake", p => new FakeLogClient(p))
+}
+
+class LogClientSpec extends SparkSpec {
+  LogClientSpec // force the registration
+
+  test("batch read runs against an alternate client") {
+    val df = spark.read.format("graft-replay")
+      .option("client", "fake").option("path", "mem://2x5").load()
+    assert(df.count() === 10)
+    val r = df.select(col("key").cast("string"), col("value").cast("string"),
+        col("partition"), col("offset"))
+      .where(col("partition") === 1 && col("offset") === 3).head()
+    assert(r.getString(0) === "k-1-3")
+    assert(r.getString(1) === "v-1-3")
+  }
+
+  test("micro-batch stream with admission control against the fake client") {
+    import spark.implicits._
+    val out = spark.readStream.format("graft-replay")
+      .option("client", "fake").option("path", "mem://3x7")
+      .option("maxRowsPerTrigger", "2")
+      .load()
+      .select(col("partition"), col("offset"))
+    val name = "logclient_fake_stream"
+    val ckpt = java.nio.file.Files.createTempDirectory("logclient-ckpt").toString
+    val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name).as[(Int, Long)].collect().toSet
+    assert(rows === (for (p <- 0 until 3; o <- 0 until 7) yield (p, o.toLong)).toSet)
+  }
+
+  test("consumer.auto.offset.reset=latest is the start fallback") {
+    // no explicit startingOffset(s): reset=latest means "only new records"
+    val viaReset = ReplayOptions.parse(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", "mem://1x4", "consumer.auto.offset.reset", "latest")))
+    assert(viaReset.startingLatest)
+    assert(viaReset.startFor(0, end = 4L) === 4L)
+    // an explicit startingOffsets option overrides the consumer fallback
+    val explicitWins = ReplayOptions.parse(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", "mem://1x4", "startingOffsets", "earliest",
+        "consumer.auto.offset.reset", "latest")))
+    assert(!explicitWins.startingLatest)
+    // and the batch scan honors it: latest start = empty read
+    val df = spark.read.format("graft-replay")
+      .option("client", "fake").option("path", "mem://2x5")
+      .option("consumer.auto.offset.reset", "latest").load()
+    assert(df.count() === 0)
+  }
+
+  test("unknown consumer.* keys stay opaque; group.id is interpreted") {
+    val o = ReplayOptions.parse(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", "mem://1x1",
+        "consumer.group.id", "graft-test",
+        "consumer.bootstrap.servers", "broker:9092")))
+    assert(o.consumerConf("group.id") === "graft-test")
+    assert(o.consumerConf("bootstrap.servers") === "broker:9092")
+  }
+}

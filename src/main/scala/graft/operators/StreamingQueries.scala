@@ -202,6 +202,73 @@ SELECT user_id, min(us) // 1000000 AS ss, (max(us) + 1800000000) // 1000000 AS s
   count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
 FROM g GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
 
+    // S31-S33: append-mode + watermark twins of S02-S04. Complete mode keeps
+    // every window in state forever — unbounded at 100 TB; with a watermark,
+    // append mode emits each window once when it CLOSES (window.end <= final
+    // watermark) and evicts its state. The emitted set is deterministic for
+    // in-order replays: final watermark = floor(max event-time ms) - delay,
+    // and a window emits iff end_us <= wm_ms * 1000 — exactly the HAVING
+    // restriction in the oracles. See SCALE.md (state eviction).
+    GQuery("s31_tumbling_append",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "append")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"), col("sv"))
+        .orderBy(col("ws_sec")),
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events)
+SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events, wm
+GROUP BY ws_sec, wm_ms
+HAVING (ws_sec + 600) * 1000 <= wm_ms
+ORDER BY ws_sec NULLS FIRST""")),
+
+    GQuery("s32_sliding_append",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "append")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"), col("sv"))
+        .orderBy(col("ws_sec")),
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+b AS (SELECT (epoch_us(ts) // 300000000) * 300 AS w2, value FROM events),
+u AS (SELECT w2 AS ws_sec, value FROM b
+      UNION ALL SELECT w2 - 300 AS ws_sec, value FROM b)
+SELECT ws_sec, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM u, wm
+GROUP BY ws_sec, wm_ms
+HAVING (ws_sec + 600) * 1000 <= wm_ms
+ORDER BY ws_sec NULLS FIRST""")),
+
+    GQuery("s33_session_append",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "append")
+        .select(col("user_id"), col("session_window.start").cast("long").as("ss"),
+          col("session_window.end").cast("long").as("se"), col("n"), col("sv"))
+        .orderBy(col("user_id"), col("ss")),
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+l AS (SELECT user_id, us, value,
+  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+       THEN 1 ELSE 0 END AS nf FROM e),
+g AS (SELECT user_id, us, value, SUM(nf) OVER (PARTITION BY user_id ORDER BY us
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+SELECT user_id, min(us) // 1000000 AS ss, (max(us) + 1800000000) // 1000000 AS se,
+  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM g, wm GROUP BY user_id, sid, wm_ms
+HAVING max(us) + 1800000000 <= wm_ms * 1000
+ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
+
     // S05: watermark + late-data drop — adversarial replay (every 20th event
     // arrives 2h late) through the custom source with small micro-batches so
     // the watermark genuinely advances between batches; append-mode tumbling

@@ -954,15 +954,21 @@ FROM s GROUP BY user_id, sess ORDER BY user_id NULLS FIRST, sess NULLS FIRST""")
           // Determinism rule 2 (SURVEY §2.3): cast the double to decimal
           // BEFORE the sum so the reduction is exact integer arithmetic on
           // both engines — a multi-term double sum is merge-order-dependent.
+          // Determinism rule 3: the FINAL projection leaves no DECIMAL and no
+          // bare TIMESTAMP — the driver hashes rendered values, and
+          // decimal(12,2) "818372.70" vs float64 "818372.7" (and timestamp vs
+          // date renderings) differ as strings even when numerically equal.
           .agg(count(lit(1)).as("n_items"),
-            dec2(sum(dec2(col("l_extendedprice")))).as("revenue"))
-          .orderBy(col("o_orderdate"))
+            dbl(dec2(sum(dec2(col("l_extendedprice"))))).as("revenue"))
+          .select(col("o_orderdate").cast("date").as("odate"),
+            col("n_items"), col("revenue"))
+          .orderBy(col("odate"))
       },
-      Some("""SELECT o_orderdate, count(*) AS n_items,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS revenue
+      Some("""SELECT CAST(o_orderdate AS DATE) AS odate, count(*) AS n_items,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
-GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST""")),
+GROUP BY o_orderdate ORDER BY odate NULLS FIRST""")),
 
     // TPC-H Q14 shape: promo revenue share over a ship-date slice — the
     // date filter pushes into the lineitem scan, part joins on its key
@@ -982,15 +988,18 @@ GROUP BY o_orderdate ORDER BY o_orderdate NULLS FIRST""")),
           .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
           .agg(sum(when(col("p_type") === "PROMO", discPrice)).as("pnum"),
             sum(discPrice).as("pden"))
-          .select((lit(100.0) * dbl(col("pnum")) / dbl(col("pden")))
-            .cast("decimal(12,4)").as("promo_pct"))
+          // rule 3: round at the decimal(12,4) grain but RETURN double — a
+          // decimal final column renders trailing zeros ("15.2000") that the
+          // oracle's float64 ("15.2") does not.
+          .select(dbl((lit(100.0) * dbl(col("pnum")) / dbl(col("pden")))
+            .cast("decimal(12,4)")).as("promo_pct"))
       },
-      Some("""SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      Some("""SELECT CAST(CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
     THEN CAST(l_extendedprice AS DECIMAL(12,2))
       * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) END) AS DOUBLE)
   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
-  AS DECIMAL(12,4)) AS promo_pct
+  AS DECIMAL(12,4)) AS DOUBLE) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""")),
 
@@ -1036,12 +1045,14 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
           leftSaltSource = col("l_partkey"))
         .groupBy(col("o_orderstatus"))
         // cast-before-sum: only 3 output groups, but the same cross-engine
-        // double-sum hazard as q77 — make the reduction exact decimal.
+        // double-sum hazard as q77 — make the reduction exact decimal, then
+        // surface it as DOUBLE (rule 3: no DECIMAL in the final schema, or
+        // trailing-zero cents render differently across engines).
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("revenue"))
+          dbl(sum(dec2(col("l_extendedprice")))).as("revenue"))
         .orderBy(col("o_orderstatus")),
       Some("""SELECT o_orderstatus, count(*) AS n,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
   )

@@ -102,3 +102,63 @@ class DeterminismAuditSpec extends AnyFunSuite {
     assert(hit, "self-test: the audit must flag a raw double sum")
   }
 }
+
+/** Guards determinism rule 3 (learned the hard way on q77, rounds 3–4): the
+  * driver hashes RENDERED values, and DuckDB results pass through pandas,
+  * which converts DECIMAL to float64. A Spark result column left as
+  * DecimalType therefore renders trailing-zero cents ("818372.70") that the
+  * oracle's float64 ("818372.7") does not — rows and schema match, hash
+  * doesn't, and only on rows whose value happens to land on a trailing zero
+  * (q77 broke on 163/1714 rows; q80/q78 carried the identical latent hazard).
+  * The mechanical fix is `CAST(decimal_expr AS DOUBLE)` on BOTH engines
+  * (exact for < 2^53 scaled units); this spec bans the whole class: no
+  * oracle-checked batch query may leave a DECIMAL column in its final schema.
+  *
+  * TimestampType output keys carry the same rendering risk (engine-dependent
+  * second/fraction rendering) — queries group on DATE-cast keys instead
+  * (q60/q77 pattern); the timestamp audit pins the ones already clean.
+  */
+class OutputSchemaAuditSpec extends SparkSpec {
+  import org.apache.spark.sql.types.{DataType, DecimalType, StructType, ArrayType, MapType, TimestampType}
+
+  private def typesOf(dt: DataType): Iterator[DataType] = dt match {
+    case s: StructType => Iterator(s) ++ s.fields.iterator.flatMap(f => typesOf(f.dataType))
+    case a: ArrayType => Iterator(a) ++ typesOf(a.elementType)
+    case m: MapType => Iterator(m) ++ typesOf(m.keyType) ++ typesOf(m.valueType)
+    case other => Iterator(other)
+  }
+
+  /** Batch O-queries: every oracle-hashed query whose DataFrame can be built
+    * without running a stream (s* queries execute micro-batch runs on
+    * construction; their outputs are audited at the source — all money sums
+    * are dbl(sum(dec2(...))) and all keys long/string/window-struct). */
+  private lazy val batchOracleQueries: Seq[String] =
+    SparkEntry.oracleSql.keys.filter(!_.startsWith("s")).toSeq.sorted
+
+  test("no oracle-checked batch query outputs a DECIMAL column (rule 3)") {
+    val offenders = for {
+      name <- batchOracleQueries
+      df = SparkEntry.queries(name)(spark, sf)
+      f <- df.schema.fields
+      t <- typesOf(f.dataType)
+      if t.isInstanceOf[DecimalType]
+    } yield s"$name: column `${f.name}` is ${f.dataType.simpleString}"
+    assert(offenders.isEmpty,
+      "\nDECIMAL in an O-query final schema renders trailing zeros the " +
+        "float64 oracle does not — CAST(... AS DOUBLE) on BOTH engines:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("no oracle-checked batch query outputs a raw TIMESTAMP column") {
+    val offenders = for {
+      name <- batchOracleQueries
+      df = SparkEntry.queries(name)(spark, sf)
+      f <- df.schema.fields
+      if f.dataType == TimestampType
+    } yield s"$name: column `${f.name}` is TIMESTAMP (group/output on a " +
+      "DATE cast or epoch micros instead — q60/q77 pattern)"
+    assert(offenders.isEmpty,
+      "\nraw TIMESTAMP output columns risk cross-engine rendering drift:\n  " +
+        offenders.mkString("\n  "))
+  }
+}

@@ -774,6 +774,33 @@ FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST""")),
       Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id
 FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // S34: exactly-once twin of S14 — the same foreachBatch parquet sink but
+    // idempotent on batchId (dynamic partition overwrite on `_batch_id`), so
+    // a batch replayed after a crash-between-write-and-commit overwrites
+    // itself instead of duplicating. ExactlyOnceSinkSpec kill-tests the
+    // restart path; here the happy path must stay oracle-exact.
+    GQuery("s34_idempotent_sink",
+      (s, d) => {
+        val out = Files.createTempDirectory(tmpBase, "graft-eosink").toString
+        val q = replayStream(s, d, maxRowsPerTrigger = Some(adaptiveTrigger(s, d)))
+          .select(col("partition"), col("offset"),
+            col("value").cast("string").as("props"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory(tmpBase, "graft-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(graft.streaming.IdempotentSink.parquet(out) _)
+          .start()
+        q.awaitTermination()
+        graft.streaming.IdempotentSink.read(s, out)
+          .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .agg(count(lit(1)).as("n"), max(col("offset")).as("max_off"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  count(*) AS n, max(event_id // 3) AS max_off
+FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
+
     // S30: streaming incremental dedup — the streaming half of X18: arriving
     // documents anti-join the STATIC historical hash index (stream-static
     // left anti keeps no state), then self-dedup within the stream by

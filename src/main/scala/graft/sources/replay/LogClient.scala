@@ -48,6 +48,7 @@ object LogClient {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Factory]()
   registry.put("file", path => new FileLogClient(path))
+  registry.put("socket", path => new SocketLogClient(path))
 
   /** Register an alternate client kind (e.g. a broker consumer, or the fake
     * in LogClientSpec). On a multi-JVM cluster the registration must happen

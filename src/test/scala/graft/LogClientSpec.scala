@@ -92,6 +92,71 @@ class LogClientSpec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("batch read over a real TCP hop matches the file client bit-for-bit") {
+    val dir = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
+    val server = new graft.sources.replay.SocketLogServer(dir)
+    try {
+      def read(client: String, path: String) = spark.read.format("graft-replay")
+        .option("client", client).option("path", path).load()
+        .select(col("partition"), col("offset"), col("key").cast("string"),
+          col("value").cast("string"), col("timestamp"))
+        .collect().toSet
+      val viaSocket = read("socket", server.address)
+      val viaFile = read("file", dir)
+      assert(viaSocket.nonEmpty)
+      assert(viaSocket === viaFile)
+    } finally server.close()
+  }
+
+  test("socket fetch prunes payload bytes for a payload-free projection") {
+    val dir = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
+    val server = new graft.sources.replay.SocketLogServer(dir)
+    try {
+      // counts only — key/value are pruned, so the server ships NULL blobs;
+      // the count must still see every record.
+      val n = spark.read.format("graft-replay")
+        .option("client", "socket").option("path", server.address).load()
+        .select(col("offset")).count()
+      val nFile = spark.read.format("graft-replay")
+        .option("path", dir).load().count()
+      assert(n === nFile)
+    } finally server.close()
+  }
+
+  test("micro-batch stream over TCP: admission, checkpointed offsets, clean resume") {
+    import spark.implicits._
+    val dir = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
+    val server = new graft.sources.replay.SocketLogServer(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("socket-ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("socket-sink").toString
+    try {
+      val total = spark.read.format("graft-replay").option("path", dir).load().count()
+      // parquet sink (memory cannot recover a checkpoint): run twice against
+      // the SAME checkpoint + output dir
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-replay")
+          .option("client", "socket").option("path", server.address)
+          .option("maxRowsPerTrigger", (total / 4).max(1).toString)
+          .load()
+          .select(col("partition"), col("offset"))
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // first run drains the log in several admitted batches over the network
+      run()
+      val first = spark.read.parquet(sink).as[(Int, Long)].collect()
+      assert(first.length.toLong === total)
+      assert(first.distinct.length === first.length, "duplicate (partition, offset)")
+      // a restart from the same checkpoint resumes AT the committed end:
+      // nothing new to read, nothing re-read
+      run()
+      assert(spark.read.parquet(sink).count() === total)
+    } finally server.close()
+  }
+
   test("unknown consumer.* keys stay opaque; group.id is interpreted") {
     val o = ReplayOptions.parse(new CaseInsensitiveStringMap(
       java.util.Map.of("path", "mem://1x1",

@@ -1054,6 +1054,40 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
       Some("""SELECT o_orderstatus, count(*) AS n,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
+GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")),
+
+    // TPC-H Q21 shape: the classic double-correlated-subquery planner
+    // stressor — EXISTS and NOT EXISTS against the SAME fact table,
+    // correlated on the outer row's join key. Suppliers who are the sole
+    // returned-item supplier in a finished multi-supplier order (the
+    // testdata has no commit/receipt dates, so returnflag='R' plays the
+    // "late" role). Catalyst must decorrelate both subqueries into one
+    // LeftSemi and one LeftAnti shuffle join against lineitem — never a
+    // per-row nested loop (pinned in PlanAuditSpec). The (numwait DESC,
+    // s_name) order is a total order, so LIMIT 10 is tie-safe.
+    GQuery("q81_waiting_supplier",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("supplier", "lineitem", "orders"))
+        s.sql("""SELECT s_name, count(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+  JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""")
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+  JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name NULLS FIRST LIMIT 10"""))
   )
 }

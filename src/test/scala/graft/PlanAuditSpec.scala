@@ -132,6 +132,17 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("q81 double-correlated subqueries decorrelate to semi + anti joins") {
+    // TPC-H Q21 shape: EXISTS and NOT EXISTS against the same fact must both
+    // decorrelate — a leftover correlated subquery would run the fact scan
+    // per outer row at 100 TB.
+    val p = plan("q81_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery fell back to a nested loop:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

@@ -1088,6 +1088,67 @@ WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
   AND NOT EXISTS (SELECT 1 FROM lineitem l3
               WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                 AND l3.l_returnflag = 'R')
-GROUP BY s_name ORDER BY numwait DESC, s_name NULLS FIRST LIMIT 10"""))
+GROUP BY s_name ORDER BY numwait DESC, s_name NULLS FIRST LIMIT 10""")),
+
+    // TPC-H Q17 shape: correlated scalar AGGREGATE subquery in the filter —
+    // "lineitems far below their part's average order size". Catalyst must
+    // decorrelate the per-part average into one aggregate + join on
+    // l_partkey (pinned), not a per-row re-scan. Determinism: the threshold
+    // is sum_dec/(5*count) — an exact decimal sum cast to double, then ONE
+    // IEEE division (exactly rounded on both engines); avg() over a raw
+    // double would be merge-order-dependent (rule 2). Final /7.0 is likewise
+    // a single exact division; output is DOUBLE (rule 3).
+    GQuery("q82_small_quantity_revenue",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("lineitem", "part"))
+        s.sql("""SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+    AS DECIMAL(16,2)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2'
+  AND l.l_quantity < (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        / (5 * count(*))
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+      },
+      Some("""SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+    AS DECIMAL(16,2)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2'
+  AND l.l_quantity < (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        / (5 * count(*))
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // TPC-H Q22 shape: an UNCORRELATED scalar subquery (global average,
+    // broadcast as a one-row literal) + correlated NOT EXISTS (anti join) —
+    // "above-average-balance customers in selected nations with no urgent
+    // order". nationkey plays Q22's cntrycode role (the fixtures carry no
+    // phone column). Threshold = exact decimal sum / count, one IEEE
+    // division — bitwise identical on both engines, so the > comparison
+    // cannot flip on a tie.
+    GQuery("q83_global_sales_opportunity",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "orders"))
+        s.sql("""SELECT c_nationkey AS cntry, count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (0,3,7,11,17)
+  AND c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*)
+                   FROM customer c2
+                   WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (0,3,7,11,17))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY cntry""")
+      },
+      Some("""SELECT c_nationkey AS cntry, count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (0,3,7,11,17)
+  AND c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*)
+                   FROM customer c2
+                   WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (0,3,7,11,17))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY cntry NULLS FIRST"""))
   )
 }

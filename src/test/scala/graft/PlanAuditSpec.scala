@@ -143,6 +143,24 @@ class PlanAuditSpec extends SparkSpec {
       s"correlated subquery fell back to a nested loop:\n$p")
   }
 
+  test("q82 correlated scalar aggregate decorrelates to aggregate + join") {
+    // TPC-H Q17 shape: the per-part average must become ONE aggregate over
+    // lineitem joined back on l_partkey — a leftover correlated subquery
+    // re-scans the fact per outer row.
+    val p = plan("q82_small_quantity_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar aggregate fell back to a nested loop:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no decorrelated aggregate in the plan:\n$p")
+  }
+
+  test("q83 NOT EXISTS decorrelates to an anti join beside the scalar subquery") {
+    val p = plan("q83_global_sales_opportunity")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the plan:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

@@ -253,6 +253,30 @@ ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
   len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_units
 FROM documents ORDER BY doc_id NULLS FIRST""")),
 
+    // BPE-ish pre-tokenizer counting over a corpus WITH punctuation (the
+    // documents table is plain space-separated words, so the regex branches
+    // would be vacuous there; events.props JSON exercises contraction /
+    // letter-run / digit-run / punctuation / space alternatives). The
+    // pattern is the GPT-2 pre-tokenizer family minus its \s+(?!\S)
+    // lookahead (RE2 — DuckDB's engine — has no lookahead; both engines are
+    // leftmost-first on this alternation, verified piece-for-piece).
+    GQuery("x04_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+        Tables.events(s, d)
+          .select(col("event_id"), col("props"))
+          .withColumn("n_bpe",
+            size(regexp_extract_all(col("props"), lit(pat), lit(0))).cast("long"))
+          .withColumn("n_ws", size(split(col("props"), " ")).cast("long"))
+          .select(col("event_id"), col("n_bpe"), col("n_ws"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  len(regexp_extract_all(props,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS n_bpe,
+  len(string_split(props, ' ')) AS n_ws
+FROM events ORDER BY event_id NULLS FIRST""")),
+
     GQuery("x04_tfidf",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -801,6 +801,33 @@ FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
   count(*) AS n, max(event_id // 3) AS max_off
 FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
 
+    // S35: the replay stream consumed over a REAL network hop — the declared
+    // twin of s01/s23 running through `client=socket` against an in-process
+    // TCP broker double (length-prefixed frames, the reference's transport
+    // shape). Same offsets, same admission, same checkpointing; the only
+    // difference is the wire. The oracle is the same envelope arithmetic as
+    // s23 (partition = event_id % 3, offset = event_id // 3).
+    GQuery("s35_socket_replay",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        val server = new graft.sources.replay.SocketLogServer(log)
+        try {
+          runToMemory(
+            s.readStream.format("graft-replay")
+              .option("client", "socket").option("path", server.address)
+              .option("maxRowsPerTrigger", adaptiveTrigger(s, d).toString)
+              .load()
+              .select(col("partition").cast("long").as("partition"), col("offset"),
+                col("key").cast("string").as("key"),
+                length(col("value").cast("string")).cast("long").as("vlen")),
+            "append").orderBy(col("partition"), col("offset"))
+        } finally server.close()
+      },
+      Some("""SELECT event_id % 3 AS "partition", event_id // 3 AS "offset",
+  'Key ' || event_id AS key, len(props) AS vlen
+FROM events
+ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
     // S30: streaming incremental dedup — the streaming half of X18: arriving
     // documents anti-join the STATIC historical hash index (stream-static
     // left anti keeps no state), then self-dedup within the stream by

@@ -1149,6 +1149,140 @@ WHERE c_nationkey IN (0,3,7,11,17)
                    WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (0,3,7,11,17))
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT')
-GROUP BY c_nationkey ORDER BY cntry NULLS FIRST"""))
+GROUP BY c_nationkey ORDER BY cntry NULLS FIRST""")),
+
+    // TPC-H Q7 shape: the long snowflake join chain — fact (lineitem) joined
+    // through orders to BOTH dimension paths (supplier→nation, customer→
+    // nation), with the same tiny dim table (nation, 25 rows) appearing twice
+    // under different aliases and a disjunctive cross-path predicate. At
+    // scale the two nation joins and supplier (10^4 rows at SF100k) broadcast
+    // — only lineitem⋈orders shuffles, on the key both sides already need.
+    // Determinism: volume = dec2(price) × dec4_2(1−disc) stays exact decimal
+    // through the sum, ONE cast to double at the end (rule 2/3).
+    GQuery("q84_volume_shipping",
+      (s, d) => {
+        Tables.registerViews(s, d,
+          Seq("supplier", "lineitem", "orders", "customer", "nation"))
+        s.sql("""SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS volume
+  FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_9'))
+    AND l_shipdate >= '1995-01-01' AND l_shipdate < '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST, l_year NULLS FIRST""")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS volume
+  FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_9'))
+    AND l_shipdate >= '1995-01-01' AND l_shipdate < '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST, l_year NULLS FIRST""")),
+
+    // TPC-H Q8 shape: market share — an 8-table join (both nation paths plus
+    // region gating the customer side) feeding a conditional-ratio aggregate:
+    // share(year) = Σ(volume where supp_nation=X) / Σ(volume). The CASE
+    // keeps ONE aggregation pass over the joined rows (no second scan, no
+    // self-join). Numerator and denominator are exact decimal sums; one
+    // IEEE division, rounded at decimal(12,6), surfaced as DOUBLE — the
+    // q78 idiom, so the ratio is bitwise-stable across engines and
+    // partition orders.
+    GQuery("q85_market_share",
+      (s, d) => {
+        Tables.registerViews(s, d,
+          Seq("part", "supplier", "lineitem", "orders", "customer",
+            "nation", "region"))
+        s.sql("""SELECT o_year, CAST(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9'
+      THEN volume ELSE 0 END) AS DOUBLE)
+    / CAST(sum(volume) AS DOUBLE) AS DECIMAL(12,6)) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS volume,
+    n2.n_name AS supp_nation
+  FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND o_orderdate >= '1995-01-01'
+    AND o_orderdate < '1997-01-01' AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year ORDER BY o_year NULLS FIRST""")
+      },
+      Some("""SELECT o_year, CAST(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9'
+      THEN volume ELSE 0 END) AS DOUBLE)
+    / CAST(sum(volume) AS DOUBLE) AS DECIMAL(12,6)) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS volume,
+    n2.n_name AS supp_nation
+  FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND o_orderdate >= '1995-01-01'
+    AND o_orderdate < '1997-01-01' AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year ORDER BY o_year NULLS FIRST""")),
+
+    // TPC-H Q13 shape: count-of-counts — a LEFT join whose RESIDUAL predicate
+    // lives in the join condition (filtering orders without dropping
+    // order-less customers, which a WHERE would), then two stacked
+    // aggregations at different grains (per-customer count, then the
+    // distribution over that count). Pure integer arithmetic: no rendering
+    // hazard. At scale: one shuffle on custkey serves both the join and the
+    // first aggregation; the second groupBy reduces 10^9 customers to ~10^2
+    // distinct counts — a near-free exchange.
+    GQuery("q86_customer_distribution",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "orders"))
+        s.sql("""SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""")
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""))
   )
 }

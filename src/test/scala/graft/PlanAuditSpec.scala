@@ -161,6 +161,42 @@ class PlanAuditSpec extends SparkSpec {
       s"nested loop in the plan:\n$p")
   }
 
+  test("q84 snowflake chain broadcasts every dim; only the fact path shuffles") {
+    // TPC-H Q7 shape: nation (×2 aliases), supplier, customer are all dims —
+    // each must broadcast. The one permissible shuffle pair is
+    // lineitem⋈orders; a dim landing on a shuffle join would re-exchange the
+    // 100 TB fact for a kilobyte table.
+    val p = plan("q84_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected >=3 broadcast dim joins (nation x2, supplier/customer):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the snowflake chain:\n$p")
+  }
+
+  test("q85 market share: one aggregation pass, dims broadcast") {
+    // TPC-H Q8 shape: the conditional ratio must come from ONE HashAggregate
+    // pair (partial+final) over the joined rows — a second scan or self-join
+    // of lineitem would double the fact read at scale.
+    val p = plan("q85_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected broadcast joins for part/nation x2/region/supplier/customer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the join chain:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 8,
+      s"a table is scanned twice — the CASE ratio must be one pass:\n$p")
+  }
+
+  test("q86 count-of-counts: LEFT join keeps its residual predicate, aggregates partially") {
+    // TPC-H Q13 shape: the orders filter must ride the join condition (a
+    // WHERE would drop order-less customers), and the per-customer count
+    // must partial-aggregate before its exchange.
+    val p = plan("q86_customer_distribution")
+    assert(p.contains("LeftOuter"), s"left join lost its outer side:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial count:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the plan:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

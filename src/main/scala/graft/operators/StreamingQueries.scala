@@ -33,6 +33,74 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** Spark 4 StatefulProcessor for s36: session assembly with EVENT-TIME TIMERS
+  * — the transformWithState capability s15 doesn't touch. One ValueState
+  * holds the key's OPEN session `(startUs, lastUs, n, cents)`; rows that
+  * arrive more than the 30-min gap after `lastUs` close it inline (emitted
+  * from handleInputRows, exactly like batch sessionization), and the final
+  * open session is closed by a timer registered at `lastUs + gap` that fires
+  * when the watermark passes it — Spark's own session_window eviction
+  * protocol, hand-built on the public timer API. In-order replay guarantees
+  * a timer never fires while in-gap rows are still pending (gap 30 min <
+  * watermark delay 1 h). State is O(1) per key; the per-batch row buffer is
+  * bounded by the source's admission control. */
+class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long), (Long, Long, Long, Long, Long)] {
+  @transient private var open:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+  private val GapUs = 1800000000L
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    open = getHandle.getValueState[(Long, Long, Long, Long)]("open",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  /** Timer slot for a session whose last event is at `lastUs`: the first
+    * whole millisecond at-or-after the session end (timers are ms-grain,
+    * event times µs-grain). */
+  private def expiryMs(lastUs: Long): Long = (lastUs + GapUs + 999L) / 1000L
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Long, Long)] = {
+    val sorted = rows.toArray.sortBy(_._2)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var cur: Option[(Long, Long, Long, Long)] =
+      if (open.exists()) Some(open.get()) else None
+    cur.foreach(c => getHandle.deleteTimer(expiryMs(c._2)))
+    sorted.foreach { case (_, us, cents) =>
+      cur match {
+        case Some((ss, last, n, cs)) if us - last > GapUs =>
+          out += ((key, ss, last + GapUs, n, cs))
+          cur = Some((us, us, 1L, cents))
+        case Some((ss, last, n, cs)) =>
+          cur = Some((ss, math.max(last, us), n + 1, cs + cents))
+        case None =>
+          cur = Some((us, us, 1L, cents))
+      }
+    }
+    cur.foreach { c => open.update(c); getHandle.registerTimer(expiryMs(c._2)) }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long, Long)] = {
+    if (open.exists()) {
+      val (ss, last, n, cs) = open.get()
+      // fire only for the session this timer was armed for — a stale timer
+      // must not close a session that has since rolled forward
+      if (expiryMs(last) <= expiredTimerInfo.getExpiryTimeInMs) {
+        open.clear()
+        Iterator((key, ss, last + GapUs, n, cs))
+      } else Iterator.empty
+    } else Iterator.empty
+  }
+}
+
 /** The streaming surface (SURVEY.md §2.3 S01–S10): every query is executed as
   * a REAL Structured Streaming job (micro-batch driver, checkpoint, sink) run
   * to completion with `Trigger.AvailableNow`, then the sink table is returned
@@ -827,6 +895,54 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
   'Key ' || event_id AS key, len(props) AS vlen
 FROM events
 ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
+    // S36: event-time TIMERS on transformWithState — hand-built session
+    // windows (SessionProcessor): gap-closed sessions emit inline, the
+    // trailing open session emits when the watermark passes its end via a
+    // registered timer (exactly session_window's append-mode eviction, so
+    // the oracle is s33's with one extra clause: a user's non-final sessions
+    // always emit, the final one only if end <= watermark). RocksDB state
+    // store (required by the operator).
+    GQuery("s36_timer_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val typed = eventStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .as[(Long, Long, Long)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new SessionProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "ss_us", "se_us", "n", "cents")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val mem = try runToMemory(out, "append")
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        mem.orderBy(col("user_id"), col("ss_us"))
+      },
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+l AS (SELECT user_id, us, value,
+  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+       THEN 1 ELSE 0 END AS nf FROM e),
+g AS (SELECT user_id, us, value, SUM(nf) OVER (PARTITION BY user_id ORDER BY us
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+sess AS (SELECT user_id, sid, min(us) AS ss_us, max(us) + 1800000000 AS se_us,
+    count(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+  FROM g GROUP BY user_id, sid),
+mx AS (SELECT user_id, max(sid) AS msid FROM sess GROUP BY user_id)
+SELECT s.user_id, s.ss_us, s.se_us, s.n, s.cents
+FROM sess s JOIN mx ON s.user_id = mx.user_id, wm
+WHERE s.sid < mx.msid OR s.se_us <= wm_ms * 1000
+ORDER BY s.user_id NULLS FIRST, s.ss_us NULLS FIRST""")),
 
     // S30: streaming incremental dedup — the streaming half of X18: arriving
     // documents anti-join the STATIC historical hash index (stream-static

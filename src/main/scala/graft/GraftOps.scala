@@ -63,6 +63,44 @@ object GraftOps {
       .agg(min(id).as("keeper"), count(lit(1)).as("n"))
       .select(col("keeper"), col("n"), col("h"))
 
+  /** Incremental near-dup gate: screen a FRESH ingest batch against the
+    * HISTORY corpus at exact shingle-Jaccard ≥ threshold — the near-dup twin
+    * of the exact-hash incremental dedup (X18). Returns one row per fresh
+    * doc: `(doc_id, n_matches, verdict)` with verdict `drop` when any
+    * history doc matches.
+    *
+    * Scale stance (the nightly-ingest shape): the fresh batch is small
+    * relative to history, so its exploded shingle index BROADCASTS and
+    * history streams past it map-side — history is never shuffled and never
+    * self-joined (the x13 decontamination pattern). Only matched candidate
+    * rows reach the pair-count exchange. Exactness: candidates need one
+    * shared shingle, and `common` counts distinct shared shingles, so every
+    * Jaccard is exact — no sketch recall loss. For a fresh batch too large
+    * to broadcast, drop the hint and the same plan degrades to a shuffle
+    * join on `sg`; boilerplate-shingle skew is capped the same way as
+    * [[jaccardNearDups]]'s `maxDf`. */
+  def incrementalNearDups(fresh: DataFrame, hist: DataFrame,
+      id: Column, text: Column, k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val shF = materialize(shingles(fresh, id, text, k))
+    val exF = shF.select(col("id").as("fid"), col("nsh").as("nf"),
+      explode(col("sh")).as("sg"))
+    val exH = shingles(hist, id, text, k)
+      .select(col("id").as("hid"), col("nsh").as("nh"), explode(col("sh")).as("sg"))
+    val matches = exH.join(broadcast(exF), Seq("sg"))
+      .groupBy(col("fid"), col("hid"), col("nf"), col("nh"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double")
+        / (col("nf") + col("nh") - col("common")) >= threshold)
+      .groupBy(col("fid")).agg(count(lit(1)).as("n_matches"))
+    shF.select(col("id").as("doc_id"))
+      .join(matches, col("doc_id") === col("fid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(coalesce(col("n_matches"), lit(0L)) > 0, "drop")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** Exact shingle-Jaccard near-dup pairs ≥ threshold via an inverted-index
     * join: explode shingles, join on shingle, count common per pair. Exact
     * answers without an all-pairs cross product.

@@ -796,6 +796,39 @@ SELECT h, min(doc_id) AS keeper, count(*) AS n_new
 FROM fresh WHERE h NOT IN (SELECT h FROM hist)
 GROUP BY h ORDER BY keeper NULLS FIRST""")),
 
+    // X21: incremental NEAR-dup gate — the same nightly-ingest split as x18
+    // but at shingle-Jaccard >= 0.5 instead of exact hash: fresh docs that
+    // near-duplicate ANY history doc are verdicted 'drop'. Scale: the fresh
+    // batch's exploded shingle index broadcasts; history streams past it
+    // map-side, never shuffled, never self-joined (plan-pinned). Output is
+    // integer/string only — the j threshold compares one exact IEEE division
+    // identically on both engines.
+    GQuery("x21_incremental_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.GraftOps.incrementalNearDups(
+            docs.filter(col("doc_id") % 10 === 7),
+            docs.filter(col("doc_id") % 10 =!= 7),
+            col("doc_id"), col("text"), k = 5, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+f AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
+h AS (SELECT * FROM sh WHERE doc_id % 10 <> 7),
+m AS (SELECT f.doc_id, count(*) AS n_matches
+  FROM f JOIN h ON CAST(len(list_intersect(f.s, h.s)) AS DOUBLE)
+      / (len(f.s) + len(h.s) - len(list_intersect(f.s, h.s))) >= 0.5
+  GROUP BY f.doc_id)
+SELECT f.doc_id, coalesce(m.n_matches, 0) AS n_matches,
+  CASE WHEN coalesce(m.n_matches, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+FROM f LEFT JOIN m ON f.doc_id = m.doc_id
+ORDER BY f.doc_id NULLS FIRST""")),
+
     // ---- X19: cross-source overlap matrix ----------------------------------
     // Dataset diagnostics: pairwise distinct 3-gram overlap between corpus
     // sources — the "which feeds duplicate which" matrix a curation team

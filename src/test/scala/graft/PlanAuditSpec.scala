@@ -197,6 +197,19 @@ class PlanAuditSpec extends SparkSpec {
       s"nested loop in the plan:\n$p")
   }
 
+  test("x21 incremental near-dup broadcasts the fresh index; history never shuffles on the shingle") {
+    // the candidate join must be broadcast(fresh-exploded) probed by the
+    // history stream — an exchange keyed on `sg` on either side would mean
+    // the 100 TB history gets re-partitioned for a kilobyte-scale ingest
+    val p = plan("x21_incremental_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fresh shingle index must broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(sg"),
+      s"no side may shuffle on the shingle key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the incremental gate:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

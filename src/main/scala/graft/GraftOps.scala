@@ -63,6 +63,24 @@ object GraftOps {
       .agg(min(id).as("keeper"), count(lit(1)).as("n"))
       .select(col("keeper"), col("n"), col("h"))
 
+  /** Small-file compaction: coalesce a fragmented table's scan down to
+    * ceil(totalBytes / targetBytes) output partitions. The 100 TB operational
+    * problem this solves: streaming sinks and fine-grained ingest leave
+    * thousands of KB-scale files per partition, and every downstream scan
+    * pays per-file open/footer cost. `coalesce` is the scale-correct move —
+    * a NARROW dependency that merges co-located splits without shuffling a
+    * byte (a `repartition` compaction would re-exchange the whole table).
+    * Sizing reads only file-status metadata, never data. */
+  def compact(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    df.coalesce(n)
+  }
+
   /** Incremental near-dup gate: screen a FRESH ingest batch against the
     * HISTORY corpus at exact shingle-Jaccard ≥ threshold — the near-dup twin
     * of the exact-hash incremental dedup (X18). Returns one row per fresh

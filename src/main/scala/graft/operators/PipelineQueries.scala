@@ -829,6 +829,30 @@ SELECT f.doc_id, coalesce(m.n_matches, 0) AS n_matches,
 FROM f LEFT JOIN m ON f.doc_id = m.doc_id
 ORDER BY f.doc_id NULLS FIRST""")),
 
+    // X22: small-file compaction — fragment the events table into 48 files
+    // (the streaming-sink pathology), then compact with the size-targeted
+    // narrow coalesce and prove the rewrite lossless via the oracle. File
+    // counts and no-shuffle shape are pinned by CompactionSpec; this query
+    // pins content preservation.
+    GQuery("x22_compact_files",
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        ev.repartition(48).write.mode("overwrite").parquet(s"$base/frag")
+        graft.GraftOps.compact(s.read.parquet(s"$base/frag"), 4L << 20)
+          .write.mode("overwrite").parquet(s"$base/out")
+        s.read.parquet(s"$base/out")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
     // ---- X19: cross-source overlap matrix ----------------------------------
     // Dataset diagnostics: pairwise distinct 3-gram overlap between corpus
     // sources — the "which feeds duplicate which" matrix a curation team

@@ -1283,6 +1283,37 @@ FROM (SELECT c_custkey, count(o_orderkey) AS c_count
         ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
       GROUP BY c_custkey) c_orders
 GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC"""))
+ORDER BY custdist DESC, c_count DESC""")),
+
+    // Schema evolution round-trip: a table written in two generations — the
+    // old files lack a column the new files carry — read back under
+    // `mergeSchema`, with the missing column null-filled for old rows. This
+    // is the long-lived-dataset reality at 100 TB (no one rewrites history
+    // to add a column); the oracle models the null-fill with a year-gated
+    // CASE over the raw table. count(col) vs count(*) pins exactly which
+    // rows carry the evolved column.
+    GQuery("q87_schema_evolution",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val o = t(s, d, "orders")
+        o.filter(year(col("o_orderdate")) < 1997)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(out)
+        o.filter(year(col("o_orderdate")) >= 1997)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_totalprice")).as("with_price"),
+            dbl(sum(dec2(col("o_totalprice")))).as("late_rev"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+  count(CASE WHEN year(o_orderdate) >= 1997 THEN 1 END) AS with_price,
+  CAST(sum(CASE WHEN year(o_orderdate) >= 1997
+    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS late_rev
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
   )
 }

@@ -33,6 +33,38 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** Spark 4 StatefulProcessorWithInitialState for s37: the warm-start
+  * migration pattern — per-user running spend whose state is BOOTSTRAPPED
+  * from a batch aggregate (the historical half of the corpus) before the
+  * stream's first micro-batch, via handleInitialState. At 100 TB this is how
+  * a streaming job takes over from a batch pipeline without replaying years
+  * of history through the stream. */
+class WarmStartSpendProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, (Long, Long), (Long, Long, Long), (Long, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("spend",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initialState: (Long, Long),
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+    st.update(initialState)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { r => n += 1; cents += r._2 }
+    st.update((n, cents))
+    Iterator((key, n, cents))
+  }
+}
+
 /** Spark 4 StatefulProcessor for s36: session assembly with EVENT-TIME TIMERS
   * — the transformWithState capability s15 doesn't touch. One ValueState
   * holds the key's OPEN session `(startUs, lastUs, n, cents)`; rows that
@@ -895,6 +927,52 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
   'Key ' || event_id AS key, len(props) AS vlen
 FROM events
 ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
+    // S37: warm-start state bootstrap — transformWithState with
+    // initialState: the even-event_id half of purchase history is aggregated
+    // BATCH-side and loaded through handleInitialState; only the odd half
+    // streams. The oracle totals BOTH halves per user (restricted to users
+    // the stream actually touches), so a correct result is impossible unless
+    // the batch bootstrap landed in the state store before batch 0.
+    GQuery("s37_warm_start_state",
+      (s, d) => {
+        import s.implicits._
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val hist = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 2 === 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        val streamed = eventStream(s, d)
+          .filter(col("event_type") === "purchase" && col("event_id") % 2 === 1)
+          .select(col("user_id"), cents.as("cents"))
+          .as[(Long, Long)]
+        val out = streamed.groupByKey(_._1)
+          .transformWithState(new WarmStartSpendProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(), hist)
+          .toDF("user_id", "n_purch", "cents")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val mem = try runToMemory(out, "update")
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_purch").desc)
+        mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_purch"), col("cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_purch,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase'
+  AND user_id IN (SELECT user_id FROM events
+                  WHERE event_type = 'purchase' AND event_id % 2 = 1)
+GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
 
     // S36: event-time TIMERS on transformWithState — hand-built session
     // windows (SessionProcessor): gap-closed sessions emit inline, the

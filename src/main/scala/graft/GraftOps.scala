@@ -597,6 +597,37 @@ object GraftOps {
       .drop("__salt")
   }
 
+  /** Point-in-interval join WITHOUT an equi key, as a bin-bucketed equi join.
+    *
+    * Spark plans a keyless `p.join(i, start <= point && point < end)` as a
+    * BroadcastNestedLoopJoin (or a cartesian product when neither side fits
+    * in memory) — O(|points| × |intervals|) comparisons, the classic range-
+    * join scale killer. Binning converts it to a hash join: every interval is
+    * exploded into the fixed-width bins it overlaps (`ceil(len/width)+1`
+    * rows), every point maps to exactly ONE bin, and the join runs as an
+    * equi join on the bin id with the range predicate as a residual filter.
+    * Because a point lives in a single bin, each qualifying (point, interval)
+    * pair matches exactly once — no post-join dedup. Shuffle volume is
+    * O(|points| + |intervals| × fanout); pick `binWidth` near the median
+    * interval length so fanout stays ~2. Both sides hash-partition on the
+    * bin, so the plan scales horizontally and AQE can split hot bins.
+    *
+    * `point`/`start`/`end` are long-valued expressions over their side
+    * (intervals are half-open `[start, end)`).
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      point: Column, start: Column, end: Column, binWidth: Long): DataFrame = {
+    val w = lit(binWidth)
+    val binned = intervals.filter(end > start)
+      .withColumn("__bin", explode(sequence(floor(start / w).cast("long"),
+        floor((end - 1) / w).cast("long"))))
+    points
+      .withColumn("__bin", floor(point / w).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(start <= point && point < end)
+      .drop("__bin")
+  }
+
   // ---- envelope views ------------------------------------------------------
 
   /** Typed Dataset view of an envelope DataFrame. */

@@ -9,6 +9,7 @@ object SparkEntry {
   /** Full declared registry (SURVEY.md §2.3 + §2.4). */
   def registry: Seq[GQuery] =
     operators.RelationalQueries.all ++ operators.RelationalQueries2.all ++
+      operators.RelationalQueries3.all ++
       operators.PipelineQueries.all ++ operators.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

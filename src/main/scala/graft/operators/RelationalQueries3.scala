@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 widening (continuation): the table-maintenance operators a lake
+  * pipeline runs between queries — CDC changelog merge (the MERGE INTO
+  * shape), SCD2 dimension history build, the keyless point-in-interval join
+  * via bin bucketing ([[graft.GraftOps.pointInIntervalJoin]]), and the
+  * bucketed co-located fact-fact join as a DECLARED query (the 100 TB
+  * shuffle-elimination path BucketingSpec pins on the plan). Every query is
+  * O-class (DuckDB oracle).
+  */
+object RelationalQueries3 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def dbl(c: Column): Column = c.cast("double")
+
+  val all: Seq[GQuery] = Seq(
+
+    // CDC changelog merge (MERGE INTO semantics, engine-level): apply a
+    // change stream to a snapshot with latest-wins conflict resolution —
+    // inserts (key absent from the snapshot), updates (key present), deletes
+    // (latest change is a tombstone; 'error' plays that role here). The
+    // changelog collapses to one row per key FIRST (window rank over the
+    // exact ns event time), so the merge join moves one row per touched key,
+    // not the whole history; both sides then hash-partition on the key — the
+    // same plan Delta/Iceberg MERGE lowers to, with no table format needed.
+    // At 100 TB: snapshot and changelog co-partition (or bucket) on the key;
+    // shuffle volume is |snapshot| + |touched keys|, never |history|.
+    GQuery("q88_changelog_merge",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns").desc, col("event_id").desc)
+        // events replay a profile-balance changelog: key space offset so the
+        // tail of the customer snapshot overlaps (updates/deletes) and the
+        // range beyond it is net-new (inserts)
+        val latest = Tables.events(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select((col("user_id") + 1450L).as("mkey"),
+            col("event_type").as("op"), dec2(col("value")).as("newbal"))
+        val snap = t(s, d, "customer")
+          .select(col("c_custkey").as("mkey"), col("c_name"),
+            dec2(col("c_acctbal")).as("bal0"))
+        snap.join(latest, Seq("mkey"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "error")
+          .select(col("mkey"), col("c_name"),
+            dbl(coalesce(col("newbal"), col("bal0"))).as("bal"),
+            when(col("op").isNull, "kept")
+              .when(col("bal0").isNull, "inserted")
+              .otherwise("updated").as("action"))
+          .orderBy(col("mkey"))
+      },
+      Some("""WITH latest AS (
+  SELECT user_id + 1450 AS mkey, event_type AS op,
+         CAST(value AS DECIMAL(12,2)) AS newbal
+  FROM (SELECT user_id, event_type, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events) q
+  WHERE rn = 1),
+snap AS (SELECT c_custkey AS mkey, c_name,
+                CAST(c_acctbal AS DECIMAL(12,2)) AS bal0 FROM customer)
+SELECT coalesce(s.mkey, l.mkey) AS mkey, s.c_name AS c_name,
+  CAST(coalesce(l.newbal, s.bal0) AS DOUBLE) AS bal,
+  CASE WHEN l.op IS NULL THEN 'kept'
+       WHEN s.mkey IS NULL THEN 'inserted'
+       ELSE 'updated' END AS action
+FROM snap s FULL OUTER JOIN latest l ON s.mkey = l.mkey
+WHERE l.op IS NULL OR l.op <> 'error'
+ORDER BY mkey NULLS FIRST""")),
+
+    // SCD2 dimension-history build: turn a change event stream into
+    // effective-dated version rows — valid_from = the change's event time,
+    // valid_to = the NEXT change's time (half-open; null = current row).
+    // One shuffle by the dimension key, then both the version number and the
+    // interval close are window functions over the same (key, time) sort, so
+    // Catalyst plans a single Window operator chain — no self-join, which is
+    // how SCD2 is usually (quadratically) written. At 100 TB the history
+    // table stays sorted-within-partition by key/time for free downstream
+    // as-of lookups.
+    GQuery("q89_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("vf_us"), col("event_id"))
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("vf_us"), dec2(col("value")).as("val2"))
+          .select(col("user_id"),
+            row_number().over(w).as("ver"),
+            col("vf_us"),
+            lead(col("vf_us"), 1).over(w).as("vt_us"),
+            dbl(col("val2")).as("val"),
+            lead(col("vf_us"), 1).over(w).isNull.as("is_current"))
+          .orderBy(col("user_id"), col("ver"))
+      },
+      Some("""SELECT user_id,
+  row_number() OVER (PARTITION BY user_id ORDER BY vf_us, event_id) AS ver,
+  vf_us,
+  lead(vf_us) OVER (PARTITION BY user_id ORDER BY vf_us, event_id) AS vt_us,
+  CAST(val2 AS DOUBLE) AS val,
+  lead(vf_us) OVER (PARTITION BY user_id ORDER BY vf_us, event_id) IS NULL
+    AS is_current
+FROM (SELECT user_id, event_id, epoch_us(ts) AS vf_us,
+        CAST(value AS DECIMAL(12,2)) AS val2
+      FROM events WHERE event_type = 'purchase') e
+ORDER BY user_id NULLS FIRST, ver NULLS FIRST""")),
+
+    // Keyless point-in-interval join via bin bucketing: lineitems shipping
+    // inside each urgent order's first-day window, with NO equi key used —
+    // the raw formulation is a BroadcastNestedLoopJoin (O(n×m), the range-
+    // join scale killer); GraftOps.pointInIntervalJoin rewrites it to an
+    // equi join on a day-width bin id + residual range filter. Each point
+    // owns exactly one bin so pairs match exactly once; PlanAuditSpec pins
+    // the absence of BNLJ/cartesian from this plan.
+    GQuery("q90_interval_bin_join",
+      (s, d) => {
+        val dayUs = 86400L * 1000000L
+        // parquet dates here are TIMESTAMP_NTZ; the session TZ is pinned UTC,
+        // so the LTZ cast unix_micros needs is an identity conversion
+        def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+        val points = t(s, d, "lineitem")
+          .select(col("l_quantity"), us(col("l_shipdate")).as("p_us"))
+        val intervals = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderdate"), us(col("o_orderdate")).as("iv_s"),
+            (us(col("o_orderdate")) + dayUs).as("iv_e"))
+        graft.GraftOps.pointInIntervalJoin(points, intervals,
+            col("p_us"), col("iv_s"), col("iv_e"), binWidth = dayUs)
+          .groupBy(col("o_orderdate").cast("date").as("odate"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("l_quantity")))).as("qty"))
+          .orderBy(col("odate"))
+      },
+      Some("""SELECT CAST(o_orderdate AS DATE) AS odate, count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 1 DAY
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY odate ORDER BY odate NULLS FIRST""")),
+
+    // Bucketed co-located fact-fact join as a DECLARED query: both facts are
+    // written as 8-bucket tables on the join key (external location, so the
+    // warehouse stays in tmp), and the merge-hinted join then reads bucket i
+    // against bucket i with NO exchange on either side — the shuffle that
+    // dominates a 100 TB fact-fact join is paid once at write time and
+    // amortized over every subsequent join. BucketingSpec pins the
+    // exchange-free plan; this query pins the RESULT equivalence vs the
+    // plain (unbucketed) join the oracle runs.
+    GQuery("q91_bucketed_join",
+      (s, d) => {
+        val suf = math.abs(d.hashCode).toString
+        val base = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+          "graft-bucket").toString
+        val li = s"graft_b_li_$suf"; val ord = s"graft_b_ord_$suf"
+        s.sql(s"DROP TABLE IF EXISTS $li")
+        s.sql(s"DROP TABLE IF EXISTS $ord")
+        t(s, d, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/li").mode("overwrite").saveAsTable(li)
+        t(s, d, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/ord").mode("overwrite").saveAsTable(ord)
+        s.table(li).hint("merge")
+          .join(s.table(ord).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dbl(sum(dec2(col("l_extendedprice")))).as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
+  )
+}

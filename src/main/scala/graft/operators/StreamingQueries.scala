@@ -133,6 +133,37 @@ class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** Spark 4 StatefulProcessor for s39: per-user MAP state — event_type →
+  * (count, cents). MapState is the right shape when the per-key sub-keyspace
+  * is unbounded-ish: RocksDB stores each (key, mapKey) pair as its own state
+  * row, so updating one event type reads/writes ONE row, not the whole map —
+  * a ValueState[Map[...]] would deserialize+rewrite the entire map per row.
+  * Emits only the types touched by the batch (update semantics). */
+class TypeSpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, String, Long), (Long, String, Long, Long)] {
+  @transient private var m:
+    org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    m = getHandle.getMapState[String, (Long, Long)]("bytype",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { case (_, t, cents) =>
+      val (n0, c0) = if (m.containsKey(t)) m.getValue(t) else (0L, 0L)
+      m.updateValue(t, (n0 + 1, c0 + cents))
+      touched += t
+    }
+    touched.iterator.map { t => val (n, c) = m.getValue(t); (key, t, n, c) }
+  }
+}
+
 /** The streaming surface (SURVEY.md §2.3 S01–S10): every query is executed as
   * a REAL Structured Streaming job (micro-batch driver, checkpoint, sink) run
   * to completion with `Trigger.AvailableNow`, then the sink table is returned
@@ -1190,6 +1221,72 @@ ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
 tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
 SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (g)
 GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+    // S38: CHAINED stateful operators in one streaming query — streaming
+    // dedup feeding a windowed aggregation, both with event-time state, in
+    // append mode (Spark's multiple-stateful-operator support; watermark is
+    // propagated between the operators, so each evicts independently). The
+    // duplicates are injected structurally: the same file stream unioned
+    // with itself, so every row arrives exactly twice and the dedup must
+    // remove exactly half. Downstream windows then match the s31 oracle:
+    // a window emits iff it CLOSED under the final watermark. At 100 TB this
+    // is the standard ingest topology — dedup-at-the-edge into windowed
+    // rollups as ONE checkpointed query instead of two jobs with a table
+    // in between.
+    GQuery("s38_chained_stateful",
+      (s, d) => runToMemory(
+        eventStream(s, d).select(col("event_id"), col("ts"), col("value"))
+          .unionAll(eventStream(s, d).select(col("event_id"), col("ts"), col("value")))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id", "ts")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "append")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"), col("sv"))
+        .orderBy(col("ws_sec")),
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events)
+SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events, wm
+GROUP BY ws_sec, wm_ms
+HAVING (ws_sec + 600) * 1000 <= wm_ms
+ORDER BY ws_sec NULLS FIRST""")),
+
+    // S39: transformWithState with MAP state — per-user spend broken out by
+    // event type. Each (user, type) lives as its own RocksDB state row
+    // (see TypeSpendProcessor), the update-mode twin of a two-column groupBy:
+    // the memory sink keeps every batch's emission, so the final value per
+    // (user, type) is the max-count row, exactly like s15's running totals.
+    GQuery("s39_map_state_spend",
+      (s, d) => {
+        import s.implicits._
+        val typed = eventStream(s, d)
+          .select(col("user_id"), col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .as[(Long, String, Long)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new TypeSpendProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "event_type", "n", "cents")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val mem = try runToMemory(out, "update")
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type")).orderBy(col("n").desc)
+        mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("n"), col("cents"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+FROM events GROUP BY user_id, event_type
+ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""")),
 
     // S10: processing pacing + run-to-end — bounded micro-batches
     // (maxRowsPerTrigger ≡ batch_size, execution.rs:87) until EOF

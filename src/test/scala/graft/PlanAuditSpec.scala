@@ -55,6 +55,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected an equi-key join with the range as residual:\n$p")
   }
 
+  test("q90 keyless interval join runs as a bin equi-join, never a nested loop") {
+    val p = plan("q90_interval_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"expected an equi join on the bin id with the range as residual:\n$p")
+  }
+
+  test("q88 changelog merge: latest-wins collapses BELOW the merge join") {
+    // the row_number window must sit under the full-outer join in the plan —
+    // the join then moves one row per touched key, not the whole history
+    val p = plan("q88_changelog_merge")
+    assert(p.contains("FullOuter"), s"expected a full-outer merge join:\n$p")
+    val join = p.indexOf("SortMergeJoin")
+    val win = p.indexOf("Window")
+    assert(join >= 0 && win > join,
+      s"changelog collapse is not below the merge join:\n$p")
+  }
+
   test("x03 brute-force ANN broadcasts the query side") {
     val p = plan("x03_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"),

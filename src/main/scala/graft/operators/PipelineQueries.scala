@@ -1001,6 +1001,85 @@ FROM documents ORDER BY doc_id NULLS FIRST""")),
   FROM documents WHERE doc_id < 100)
 SELECT doc_id, pos AS frame, fr[pos + 1] AS frame_md5
 FROM f, unnest(range(len(fr))) u(pos)
-ORDER BY doc_id NULLS FIRST, frame NULLS FIRST"""))
+ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
+
+    // ---- X23: span-level exact substring dedup -----------------------------
+    // The OTHER dedup axis (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): X01/X02 drop whole near-duplicate
+    // documents, but boilerplate (headers, license blocks, navigation) reuses
+    // SPANS across otherwise-distinct docs. Distinct 8-token spans build an
+    // inverted index (one hash shuffle on the span — never doc×doc); a span
+    // seen in >= 2 distinct docs is duplicated text, and each doc reports its
+    // duplicated-span fraction plus the keep/trim/drop routing a curation
+    // pipeline acts on. At 100 TB the spans would be 64-bit hashes, not
+    // strings (same join shape, ~10 bytes/span of shuffle); the count-then-
+    // join-back here is two shuffles of the span table, with the hot-span
+    // skew capped naturally because the index carries only counts.
+    GQuery("x23_span_dedup",
+      (s, d) => {
+        val sp = t(s, d, "documents")
+          .select(col("doc_id"), explode(word_shingles(col("text"), 8)).as("sp"))
+        val idx = sp.groupBy(col("sp"))
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+        sp.join(idx, "sp")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("dup_frac"),
+            when(col("n_dup_spans").cast("double") / col("n_spans").cast("double")
+                >= 0.5, "drop")
+              .when(col("n_dup_spans").cast("double") / col("n_spans").cast("double")
+                >= 0.1, "trim")
+              .otherwise("keep").as("action"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sp AS (SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 8 THEN list_distinct(list_transform(range(1, len(w) - 6),
+      i -> array_to_string(w[i:i+7], ' ')))
+    ELSE [array_to_string(w, ' ')] END) AS sp
+  FROM toks),
+idx AS (SELECT sp, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY sp),
+per AS (SELECT doc_id, count(*) AS n_spans,
+    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM sp JOIN idx USING (sp) GROUP BY doc_id)
+SELECT doc_id, n_spans, n_dup_spans,
+  CAST(CAST(CAST(n_dup_spans AS DOUBLE) / n_spans AS DECIMAL(18,6)) AS DOUBLE)
+    AS dup_frac,
+  CASE WHEN CAST(n_dup_spans AS DOUBLE) / n_spans >= 0.5 THEN 'drop'
+       WHEN CAST(n_dup_spans AS DOUBLE) / n_spans >= 0.1 THEN 'trim'
+       ELSE 'keep' END AS action
+FROM per ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X24: deterministic stratified sampling ----------------------------
+    // Exactly-k-per-stratum sampling, seeded and growth-stable in ORDER: docs
+    // rank within their source by md5(seed || doc_id), so the sample is a
+    // reproducible function of (seed, doc_id, source) — rerunning on the same
+    // corpus gives the same rows, and adding docs only displaces from the
+    // tail of each stratum. One window shuffle on the stratum key; at 100 TB
+    // exact-k per stratum stays a single per-stratum top-k (Spark lowers
+    // rank-filter windows to a bounded TakeOrdered-style operator per key —
+    // no full sort of the corpus), which is the distributed answer to
+    // "reservoir sample per source" with none of the reservoir's
+    // sequential-scan dependence.
+    GQuery("x24_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("sample42:"), col("doc_id"))), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 25)
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""SELECT source, doc_id, lang, n_chars, rk FROM (
+  SELECT source, doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5('sample42:' || doc_id), doc_id) AS rk
+  FROM documents) q
+WHERE rk <= 25 ORDER BY source NULLS FIRST, rk NULLS FIRST"""))
   )
 }

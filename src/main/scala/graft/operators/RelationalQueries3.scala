@@ -91,7 +91,7 @@ ORDER BY mkey NULLS FIRST""")),
           .select(col("user_id"), col("event_id"),
             expr("ts_ns div 1000").as("vf_us"), dec2(col("value")).as("val2"))
           .select(col("user_id"),
-            row_number().over(w).as("ver"),
+            row_number().over(w).cast("long").as("ver"),
             col("vf_us"),
             lead(col("vf_us"), 1).over(w).as("vt_us"),
             dbl(col("val2")).as("val"),
@@ -174,6 +174,77 @@ GROUP BY odate ORDER BY odate NULLS FIRST""")),
       Some("""SELECT o_orderstatus, count(*) AS n,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
+GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")),
+
+    // Dynamic partition pruning as a DECLARED query: the fact is laid out
+    // hive-partitioned on the join key (here customer by c_nationkey — at
+    // 100 TB this is the date/tenant partitioning every lake table has), the
+    // dim carries the selective predicate (region = AMERICA-like slice), and
+    // Spark injects the dim's post-filter key set into the fact scan as a
+    // runtime PartitionFilter — the fact reads 5/25 partitions, not 25, with
+    // zero static pruning possible (the predicate is on the OTHER table).
+    // The broadcast exchange is reused as the pruning subquery, so DPP costs
+    // nothing beyond the join's own broadcast. PlanAuditSpec pins the
+    // `dynamicpruning` expression on the scan; the oracle is the plain join
+    // over the unpartitioned table — layout must not change results.
+    GQuery("q92_dynamic_partition_pruning",
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        t(s, d, "customer")
+          .write.mode("overwrite").partitionBy("c_nationkey").parquet(base)
+        val fact = s.read.parquet(base)
+        val dim = t(s, d, "nation").filter(col("n_regionkey") === 1)
+        fact.join(broadcast(dim), fact("c_nationkey") === dim("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            dbl(sum(dec2(col("c_acctbal")))).as("acctbal"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_cust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 1
+GROUP BY n_name ORDER BY n_name NULLS FIRST""")),
+
+    // Incremental materialized-view maintenance: the MV is an algebraic
+    // aggregate (count + exact decimal sum per (user, event_type)), so
+    // refresh = combine the STORED partials with the delta's partials — the
+    // history is never rescanned. The stored MV round-trips through parquet
+    // (decimal partial state is a first-class column), the delta aggregates
+    // alone, and the union re-aggregates: sum-of-counts / sum-of-sums. At
+    // 100 TB both sides hash-partition on the group key and the refresh
+    // moves |MV| + |delta groups| — the full-recompute oracle the driver
+    // runs is exactly what this avoids paying. Decimal partials make the
+    // merge order-insensitive (exact arithmetic), which is what licenses
+    // the incremental plan in the first place.
+    GQuery("q93_incremental_mv",
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val cutNs = 1706054400000000000L // 2024-01-24T00:00:00Z
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ns"),
+            dec2(col("value")).as("v2"))
+        // nightly state: partial aggregate of everything before the cutoff,
+        // persisted as the MV table (decimal sum = mergeable exact state)
+        ev.filter(col("ts_ns") < cutNs)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v2")).as("sv"))
+          .write.mode("overwrite").parquet(base)
+        // today's refresh: aggregate ONLY the delta, then merge with the MV
+        val delta = ev.filter(col("ts_ns") >= cutNs)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v2")).as("sv"))
+        s.read.parquet(base).unionByName(delta)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(col("n")).as("n_events"), dbl(sum(col("sv"))).as("total"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""))
   )
 }

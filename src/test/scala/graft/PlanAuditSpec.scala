@@ -152,6 +152,31 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("q92 dim filter prunes fact partitions at runtime (DPP)") {
+    // The pruning decision is stats-gated; disable the stats estimate so the
+    // fallback ratio applies (at 100 TB the fact side dwarfs the subquery
+    // overhead and the stats gate passes on its own). reuseBroadcastOnly is
+    // left at its default: the dim broadcast IS the pruning subquery, so DPP
+    // costs nothing beyond the join's own exchange.
+    val conf = spark.conf
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prev = conf.getOption(key)
+    try {
+      conf.set(key, "false")
+      val p = SparkEntry.queries("q92_dynamic_partition_pruning")(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning filter on the fact scan:\n$p")
+    } finally prev.fold(conf.unset(key))(conf.set(key, _))
+  }
+
+  test("x23 span index joins on the span hash — never doc-by-doc") {
+    val p = plan("x23_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup degraded to an all-pairs plan:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("q81 double-correlated subqueries decorrelate to semi + anti joins") {
     // TPC-H Q21 shape: EXISTS and NOT EXISTS against the same fact must both
     // decorrelate — a leftover correlated subquery would run the fact scan

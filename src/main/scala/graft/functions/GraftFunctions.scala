@@ -50,4 +50,27 @@ object GraftFunctions {
   /** encode a struct column as a binary Avro record (producer half). */
   def avro_encode(record: Column, schemaJson: String): Column =
     c(AvroEncode(x(record), schemaJson))
+
+  /** point-query a serialized Count-Min sketch for a long item's frequency. */
+  def cms_estimate(sketch: Column, item: Column): Column =
+    c(CmsEstimate(x(sketch), x(item)))
+
+  /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
+    * and `b` (odd positions) so lexicographic order on the result is a
+    * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions
+    * into each file's min/max envelope. Pure builtin bit ops (shift/or/and),
+    * so the whole computation stays inside whole-stage codegen; inputs must
+    * already be normalized to [0, 65535]. */
+  def zvalue16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(org.apache.spark.sql.functions.shiftleft(spread16(b), 1))
+
+  /** spread the low 16 bits of v: bit i moves to position 2i. */
+  private def spread16(v: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    var z = v.cast("long").bitwiseAND(lit(0xFFFFL))
+    z = z.bitwiseOR(shiftleft(z, 8)).bitwiseAND(lit(0x00FF00FFL))
+    z = z.bitwiseOR(shiftleft(z, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    z = z.bitwiseOR(shiftleft(z, 2)).bitwiseAND(lit(0x33333333L))
+    z.bitwiseOR(shiftleft(z, 1)).bitwiseAND(lit(0x55555555L))
+  }
 }

@@ -1080,6 +1080,82 @@ FROM per ORDER BY doc_id NULLS FIRST""")),
     row_number() OVER (PARTITION BY source
       ORDER BY md5('sample42:' || doc_id), doc_id) AS rk
   FROM documents) q
-WHERE rk <= 25 ORDER BY source NULLS FIRST, rk NULLS FIRST"""))
+WHERE rk <= 25 ORDER BY source NULLS FIRST, rk NULLS FIRST""")),
+
+    // ---- X25: Count-Min frequency sketch rollup ----------------------------
+    // The frequency twin of X11's HLL distinct-count: per-stratum Count-Min
+    // sketches (Spark's builtin `count_min_sketch` aggregate — mergeable
+    // binary state, shuffle = sketch bytes not row count), probed with the
+    // custom `cms_estimate` expression against a small fixed user set, with
+    // the exact counts alongside. G-class by design (estimates are excluded
+    // from the oracle; the CMS guarantee est ∈ [exact, exact + εN] and
+    // partition-invariance are pinned by CountMinSpec). At 100 TB the
+    // sketches are the only thing crossing the wire — heavy-hitter
+    // candidates come from the sketch, exact verification from a keyed
+    // lookup of just those candidates, never a full-corpus count.
+    GQuery("x25_cms_freq",
+      (s, d) => {
+        val ev = graft.Tables.events(s, d)
+        val sk = ev.groupBy(col("event_type"))
+          .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42))
+              .as("sk"),
+            count(lit(1)).as("n_rows"))
+        val probes = ev.filter(col("user_id") < 8)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("exact"))
+        probes.join(sk, "event_type")
+          .select(col("event_type"), col("user_id"), col("exact"),
+            cms_estimate(col("sk"), col("user_id")).as("est"))
+          .orderBy(col("event_type"), col("user_id"))
+      },
+      None),
+
+    // ---- X26: multi-dimensional z-order clustering -------------------------
+    // Data-skipping layout: interleave (user, time) into a Morton z-value
+    // (pure builtin bit ops — whole-stage codegen), range-partition + sort by
+    // it, and write. Each parquet file's (user_id, ts) min/max envelope then
+    // covers a z-curve segment — a RECTANGLE predicate on either or both
+    // dimensions prunes files, where a time-sorted ingest layout can only
+    // prune time. ZOrderSpec measures the claim (file envelopes overlapping a
+    // user slice: z-order strictly fewer than time-sorted); this query pins
+    // losslessness — the oracle computes the same rectangle aggregate over
+    // the original table. The normalization bounds come from one tiny
+    // broadcast aggregate, never a driver collect. At 100 TB this is the
+    // OPTIMIZE ZORDER maintenance pass: rewritten once, skipped by every
+    // subsequent scan's file-level stats pruning.
+    GQuery("x26_zorder_layout",
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts_ns"))
+        val mm = ev.agg(min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+          min(col("ts_ns")).as("t0"), max(col("ts_ns")).as("t1"))
+        val un = least((col("user_id") - col("u0")) * 65535L /
+          greatest(col("u1") - col("u0"), lit(1L)), lit(65535L))
+        val tn = least((col("ts_ns") - col("t0")) /
+          greatest((col("t1") - col("t0")) / lit(65535L), lit(1L)), lit(65535L))
+        ev.crossJoin(broadcast(mm))
+          .withColumn("zn", graft.functions.GraftFunctions.zvalue16(un, tn))
+          .repartitionByRange(8, col("zn")).sortWithinPartitions(col("zn"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts_ns"))
+          .write.mode("overwrite").parquet(s"$base/z")
+        s.read.parquet(s"$base/z")
+          .filter(col("user_id").between(40, 60) &&
+            col("ts_ns") >= 1704672000000000000L && // 2024-01-08T00:00:00Z
+            col("ts_ns") < 1705276800000000000L)    // 2024-01-15T00:00:00Z
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM events
+WHERE user_id BETWEEN 40 AND 60
+  AND epoch_ns(ts) >= 1704672000000000000 AND epoch_ns(ts) < 1705276800000000000
+GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
   )
 }

@@ -245,6 +245,68 @@ GROUP BY n_name ORDER BY n_name NULLS FIRST""")),
   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
 FROM events
 GROUP BY user_id, event_type
-ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""))
+ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""")),
+
+    // TPC-H Q2 shape: the min-within-group decorrelation — "suppliers selling
+    // a part at that part's minimum observed price". The correlated scalar
+    // MIN subquery must decorrelate into ONE per-part aggregate joined back
+    // on the key (pinned in PlanAuditSpec) — a per-outer-row re-scan of the
+    // fact is the classic O(n²) planner failure here. MIN over doubles is an
+    // exact selection (no accumulation), so the comparison is deterministic
+    // with no decimal staging; duplicate (part, supplier) matches at the min
+    // price yield identical rows, which the total order renders stably.
+    GQuery("q94_min_price_supplier",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("part", "supplier", "lineitem"))
+        s.sql("""SELECT p.p_partkey, s.s_name, l.l_extendedprice AS price
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 5
+  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_name""")
+      },
+      Some("""SELECT p.p_partkey, s.s_name, l.l_extendedprice AS price
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 5
+  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey NULLS FIRST, s.s_name NULLS FIRST""")),
+
+    // TPC-H Q20 shape: a nested IN chain with a TWO-column correlated scalar
+    // aggregate at the bottom — "suppliers with an outsized single shipment
+    // of a promo part" (lineitem plays partsupp's role: the inner aggregate
+    // correlates on BOTH l_partkey and l_suppkey). Catalyst must decorrelate
+    // the inner avg into one (part, supp) aggregate + join AND turn both INs
+    // into semi joins — three fact passes total, zero per-row re-scans. The
+    // threshold is decimal-sum / count (exact) scaled by 1.5 (exactly
+    // representable), so the double comparison agrees across engines.
+    GQuery("q95_excess_shipment_supplier",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("part", "supplier", "lineitem"))
+        s.sql("""SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l.l_quantity > 1.5 *
+      (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              / count(*)
+       FROM lineitem l2
+       WHERE l2.l_partkey = l.l_partkey AND l2.l_suppkey = l.l_suppkey))
+ORDER BY s.s_suppkey""")
+      },
+      Some("""SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l.l_quantity > 1.5 *
+      (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              / count(*)
+       FROM lineitem l2
+       WHERE l2.l_partkey = l.l_partkey AND l2.l_suppkey = l.l_suppkey))
+ORDER BY s.s_suppkey NULLS FIRST"""))
   )
 }

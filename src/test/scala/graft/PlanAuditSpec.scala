@@ -177,6 +177,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q94 correlated MIN decorrelates to one per-part aggregate + join") {
+    val p = plan("q94_min_price_supplier")
+    assert(p.contains("partial_min") || p.contains("min("),
+      s"no per-part aggregate for the correlated MIN:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated MIN fell back to a nested loop:\n$p")
+  }
+
+  test("q95 nested IN + two-column correlated aggregate fully decorrelates") {
+    val p = plan("q95_excess_shipment_supplier")
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated aggregate fell back to a nested loop:\n$p")
+  }
+
   test("q81 double-correlated subqueries decorrelate to semi + anti joins") {
     // TPC-H Q21 shape: EXISTS and NOT EXISTS against the same fact must both
     // decorrelate — a leftover correlated subquery would run the fact scan

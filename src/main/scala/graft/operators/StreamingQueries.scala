@@ -164,6 +164,90 @@ class TypeSpendProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   }
 }
 
+/** Spark 4 StatefulProcessor for s40: a TRUE incremental stream-stream as-of
+  * join — both sides arrive as streams, per-key state buffers them, and a
+  * probe row emits only once the event-time watermark guarantees every
+  * earlier reference row has arrived. This is the operator Structured
+  * Streaming lacks natively (its stream-stream joins are equi/interval, not
+  * "latest at-or-before"); s28 sidesteps it with per-batch stream-static
+  * merges, this processor solves it with bounded state:
+  *   - views (probe side) buffer until `view_ms <= watermark`, then match;
+  *   - quotes (reference side) evict down to the single latest at-or-before
+  *     the watermark plus everything newer — exactly what any future probe
+  *     (which must be > watermark) can still reference;
+  *   - an event-time timer armed at the earliest pending view fires the
+  *     flush when no further input arrives for the key.
+  * Emission therefore depends only on the watermark, never on trigger
+  * boundaries — the batching-invariance that makes the DuckDB oracle exact.
+  * State per key = O(pending-within-watermark + 1), the provable floor for
+  * as-of semantics. */
+class StreamAsOfProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long, Long), (Long, Long, Option[Long])] {
+  @transient private var views:
+    org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+  @transient private var quotes:
+    org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+  @transient private var tmr:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+    views = getHandle.getListState[(Long, Long)]("views", enc, ttl)
+    quotes = getHandle.getListState[(Long, Long)]("quotes", enc, ttl)
+    tmr = getHandle.getValueState[Long]("tmr",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+  }
+
+  /** Emit every buffered view at-or-before the watermark (ms grain, matching
+    * Spark's timer clock), evict quotes the emitted views were the last
+    * possible readers of, and re-arm the timer for the earliest survivor. */
+  private def flush(key: Long, wMs: Long)
+      : Iterator[(Long, Long, Option[Long])] = {
+    val vs = views.get().toArray
+    val qs = quotes.get().toArray.sorted
+    val (ripe, keep) = vs.partition(v => v._1 / 1000 <= wMs)
+    val out = ripe.sorted.map { case (vUs, vId) =>
+      var best: Option[Long] = None
+      var i = 0
+      while (i < qs.length && qs(i)._1 <= vUs) { best = Some(qs(i)._2); i += 1 }
+      (key, vId, best)
+    }
+    views.clear()
+    if (keep.nonEmpty) views.put(keep)
+    val (old, fresh) = qs.partition(q => q._1 / 1000 <= wMs)
+    val kq = old.takeRight(1) ++ fresh
+    quotes.clear()
+    if (kq.nonEmpty) quotes.put(kq)
+    if (tmr.exists()) { getHandle.deleteTimer(tmr.get()); tmr.clear() }
+    if (keep.nonEmpty) {
+      val t = keep.map(_._1).min / 1000 // fires when watermark >= earliest view
+      getHandle.registerTimer(t)
+      tmr.update(t)
+    }
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, String, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Option[Long])] = {
+    rows.foreach { case (_, kind, us, id) =>
+      if (kind == "view") views.appendValue((us, id))
+      else quotes.appendValue((us, id))
+    }
+    flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Option[Long])] =
+    flush(key, timerValues.getCurrentWatermarkInMs())
+}
+
 /** The streaming surface (SURVEY.md §2.3 S01–S10): every query is executed as
   * a REAL Structured Streaming job (micro-batch driver, checkpoint, sink) run
   * to completion with `Trigger.AvailableNow`, then the sink table is returned
@@ -1302,7 +1386,56 @@ ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""")),
         .orderBy(col("partition")),
       Some("""SELECT event_id % 3 AS "partition", count(*) AS n,
   max(event_id // 3) AS max_offset, count(DISTINCT event_id // 3) AS n_offsets
-FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST"""))
+FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
+
+    // S40: TRUE incremental stream-stream AS-OF join ([[StreamAsOfProcessor]])
+    // — 'view' probes match the latest at-or-before 'purchase' on the SAME
+    // stream key, with both sides arriving as streams and per-key state doing
+    // the buffering/eviction. Emission gates on the event-time watermark
+    // (never on trigger boundaries), so the result is batching-invariant and
+    // the oracle is exact: views newer than the final watermark stay pending
+    // (the same cutoff rule as s36, modeled by the `wm` CTE). Quote state
+    // evicts to one-latest-behind-watermark + newer — the provable floor for
+    // as-of semantics — so state is bounded by the watermark delay, not the
+    // stream length.
+    GQuery("s40_stream_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val typed = eventStream(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("us"), col("event_id"))
+          .as[(Long, String, Long, Long)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new StreamAsOfProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "view_id", "q_id")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val mem = try runToMemory(out, "append")
+        finally prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        mem.select(col("user_id"), col("view_id"), col("q_id"))
+          .orderBy(col("view_id"))
+      },
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'),
+q AS (SELECT user_id, event_id AS q_id, epoch_us(ts) AS q_us
+  FROM events WHERE event_type = 'purchase'),
+ripe AS (SELECT v.* FROM v, wm WHERE v_us // 1000 <= wm_ms),
+cand AS (SELECT ripe.view_id, q.q_id,
+    row_number() OVER (PARTITION BY ripe.view_id
+      ORDER BY q.q_us DESC, q.q_id DESC) AS rn
+  FROM ripe JOIN q ON q.user_id = ripe.user_id AND q.q_us <= ripe.v_us)
+SELECT r.user_id, r.view_id, c.q_id
+FROM ripe r LEFT JOIN cand c ON r.view_id = c.view_id AND c.rn = 1
+ORDER BY r.view_id NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

@@ -307,6 +307,85 @@ WHERE s.s_suppkey IN (
               / count(*)
        FROM lineitem l2
        WHERE l2.l_partkey = l.l_partkey AND l2.l_suppkey = l.l_suppkey))
-ORDER BY s.s_suppkey NULLS FIRST"""))
+ORDER BY s.s_suppkey NULLS FIRST""")),
+
+    // Table diff (data reconciliation): the regression gate a pipeline runs
+    // between two snapshot versions — added / removed / changed rows from ONE
+    // full-outer join on the key with value comparison as the residual. The
+    // "new" snapshot is derived deterministically from the old (deletes %17,
+    // balance updates %5, inserts %13 at shifted keys) so both engines build
+    // identical inputs. At 100 TB both snapshots co-partition (or bucket) on
+    // the key — the diff moves each side once, and the 'same' class (the
+    // overwhelming majority) is filtered before anything is returned. This
+    // is q88's changelog-merge inverted: merge applies known changes, diff
+    // discovers them.
+    GQuery("q96_table_diff",
+      (s, d) => {
+        val a = t(s, d, "customer").select(col("c_custkey").as("k"),
+          dec2(col("c_acctbal")).as("bal"), col("c_mktsegment").as("seg"))
+        val b = a.filter(col("k") % 17 =!= 0)
+          .withColumn("bal",
+            when(col("k") % 5 === 0, col("bal") + 10).otherwise(col("bal")))
+          .unionByName(a.filter(col("k") % 13 === 0)
+            .select((col("k") + 100000L).as("k"), col("bal"), col("seg")))
+        a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+          .select(coalesce(col("a.k"), col("b.k")).as("k"),
+            when(col("a.k").isNull, "added")
+              .when(col("b.k").isNull, "removed")
+              .when(col("a.bal") =!= col("b.bal")
+                || col("a.seg") =!= col("b.seg"), "changed")
+              .otherwise("same").as("change"),
+            dbl(col("a.bal")).as("old_bal"), dbl(col("b.bal")).as("new_bal"))
+          .filter(col("change") =!= "same")
+          .orderBy(col("k"))
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+    c_mktsegment AS seg FROM customer),
+b AS (SELECT k, CASE WHEN k % 5 = 0 THEN bal + 10 ELSE bal END AS bal, seg
+    FROM a WHERE k % 17 <> 0
+  UNION ALL
+  SELECT k + 100000, bal, seg FROM a WHERE k % 13 = 0),
+d AS (SELECT coalesce(a.k, b.k) AS k,
+    CASE WHEN a.k IS NULL THEN 'added' WHEN b.k IS NULL THEN 'removed'
+         WHEN a.bal <> b.bal OR a.seg <> b.seg THEN 'changed'
+         ELSE 'same' END AS change,
+    CAST(a.bal AS DOUBLE) AS old_bal, CAST(b.bal AS DOUBLE) AS new_bal
+  FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT k, change, old_bal, new_bal FROM d WHERE change <> 'same'
+ORDER BY k NULLS FIRST""")),
+
+    // TPC-H Q15 shape: aggregate → max-of-aggregate → join back ("the top
+    // revenue supplier(s)"). Q15 defines the revenue relation as a VIEW used
+    // twice; Spark's inline-CTE plan would aggregate the fact TWICE (a
+    // scalar subquery does not share exchanges with the join side — verified
+    // on the executed plan), so the view is materialized ONCE via
+    // localCheckpoint — the same materialize-the-expensive-artifact move as
+    // the near-dup pair table — and both consumers (the tiny broadcast MAX
+    // and the supplier join) read the materialized rows. The equality
+    // filters on the EXACT decimal sum (doubles could tie-break differently
+    // across engines); only the final projection converts to DOUBLE.
+    GQuery("q97_top_revenue_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01"
+            && col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec2(col("l_extendedprice"))).as("r"))
+          .localCheckpoint()
+        val mx = rev.agg(max(col("r")).as("mr"))
+        rev.join(broadcast(mx), col("r") === col("mr"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), dbl(col("r")).as("total_rev"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+  SELECT l_suppkey AS sk, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = sk
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey NULLS FIRST"""))
   )
 }

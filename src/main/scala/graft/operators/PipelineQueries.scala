@@ -1156,6 +1156,61 @@ WHERE rk <= 25 ORDER BY source NULLS FIRST, rk NULLS FIRST""")),
 FROM events
 WHERE user_id BETWEEN 40 AND 60
   AND epoch_ns(ts) >= 1704672000000000000 AND epoch_ns(ts) < 1705276800000000000
-GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
+GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
+    // ---- X27: bigram-LM surprisal gate -------------------------------------
+    // The CCNet/KenLM-shaped quality gate one level up from X17's unigram
+    // model: per-doc mean negative log-likelihood under a corpus-self BIGRAM
+    // model with add-one smoothing, p(w2|w1) = (c12+1)/(c1+V). Bigrams come
+    // from a lead() window per doc (one doc-keyed shuffle — never a
+    // positional self-join); the bigram/unigram count tables join
+    // inverted-index style; V broadcasts as one row. Cross-engine float
+    // discipline as in X17: ln() sums round at the decimal(18,6) grain
+    // BEFORE comparison/threshold, so ULP noise cannot flip the gate. At
+    // 100 TB the count tables shard by their gram keys and the model tables
+    // are the only reused artifacts — this is perplexity filtering with the
+    // LM trained on the corpus itself.
+    GQuery("x27_bigram_surprisal",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "w")
+        val bi = toks.withColumn("w2", lead(col("w"), 1).over(w))
+          .filter(col("w2").isNotNull)
+        val uni = toks.groupBy(col("w"))
+          .agg(count(lit(1)).cast("double").as("c1"))
+        val big = bi.groupBy(col("w"), col("w2"))
+          .agg(count(lit(1)).cast("double").as("c12"))
+        val v = uni.agg(count(lit(1)).cast("double").as("vsz"))
+        val lp = big.join(uni, "w").join(broadcast(v))
+          .select(col("w"), col("w2"),
+            log((col("c12") + 1.0d) / (col("c1") + col("vsz"))).as("lp"))
+        val nll = (-sum(col("lp")) / count(lit(1)))
+          .cast("decimal(18,6)").cast("double")
+        bi.join(lp, Seq("w", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), nll.as("nll"))
+          .withColumn("action", when(col("nll") > 8.0, "flag").otherwise("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+  FROM t0, unnest(range(1, len(ws) + 1)) r(i)),
+bi AS (SELECT doc_id, w,
+    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+bi2 AS (SELECT doc_id, w, w2 FROM bi WHERE w2 IS NOT NULL),
+uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1 FROM toks GROUP BY w),
+big AS (SELECT w, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bi2 GROUP BY w, w2),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
+lp AS (SELECT w, w2, ln((c12 + 1) / (c1 + vsz)) AS lp
+  FROM big JOIN uni USING (w), v),
+agg AS (SELECT doc_id, count(*) AS n_bigrams,
+    CAST(CAST(-sum(lp) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS nll
+  FROM bi2 JOIN lp USING (w, w2) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, nll,
+  CASE WHEN nll > 8.0 THEN 'flag' ELSE 'keep' END AS action
+FROM agg ORDER BY doc_id NULLS FIRST"""))
   )
 }

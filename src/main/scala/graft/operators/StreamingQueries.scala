@@ -1435,7 +1435,34 @@ cand AS (SELECT ripe.view_id, q.q_id,
   FROM ripe JOIN q ON q.user_id = ripe.user_id AND q.q_us <= ripe.v_us)
 SELECT r.user_id, r.view_id, c.q_id
 FROM ripe r LEFT JOIN cand c ON r.view_id = c.view_id AND c.rn = 1
-ORDER BY r.view_id NULLS FIRST"""))
+ORDER BY r.view_id NULLS FIRST""")),
+
+    // S41: streaming windowed TOP-K through the custom TypedImperativeAggregate
+    // (q63's TopKAgg) — proves the O(k)-state binary-accumulator UDAF runs
+    // unchanged on the streaming path (partial aggregation + state-store
+    // merge per window). Complete mode; the top-3 cents arrays leave as
+    // comma-joined strings (arrays never reach a hashed output raw). At
+    // 100 TB the per-window state is k longs however many events land in the
+    // window — the whole point of the bounded accumulator.
+    GQuery("s41_stream_window_topk",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(graft.functions.GraftFunctions.topk_vals(
+            (dec2(col("value")) * 100).cast("long"), 3).as("top3"),
+            count(lit(1)).as("n")),
+        "complete")
+        .select(col("window.start").cast("long").as("ws_sec"), col("n"),
+          // TopKAgg accumulates doubles; the cents are integral, so the
+          // element cast back to BIGINT is exact
+          concat_ws(",", expr("transform(top3, v -> CAST(v AS BIGINT))"))
+            .as("top3_cents"))
+        .orderBy(col("ws_sec")),
+      Some("""SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  array_to_string((list(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+    ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DESC))[1:3],
+    ',') AS top3_cents
+FROM events GROUP BY 1 ORDER BY ws_sec NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

@@ -1,12 +1,15 @@
 package graft
 
 import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicBoolean
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, TimeMode, Trigger}
 
 import graft.operators.StreamAsOfProcessor
+import graft.streaming.IdempotentSink
 
 /** Pins the two properties that make s40 a real streaming as-of join rather
   * than a per-batch approximation:
@@ -94,5 +97,69 @@ class StreamAsOfSpec extends SparkSpec {
     assert(oneBatch.get(103L).contains(Some(301L)))
     assert(oneBatch.get(104L).contains(Some(302L)))
     assert(!oneBatch.contains(105L), "view beyond final watermark must stay pending")
+  }
+
+  /** The as-of processor's buffers (two ListStates) and its armed timers live
+    * in the state store; a crash between a batch's sink write and its commit
+    * must replay that batch against the RESTORED buffers and produce exactly
+    * the uninterrupted run's output. Sides are synthesized deterministically
+    * from the replay envelope — the invariant is run-equivalence, not the
+    * payload's meaning. */
+  private def asofRecoveryRun(crashAtBatch: Option[Long]): Set[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val log = graft.sources.replay.ReplayLog.ensureLog(s, sf)
+    val typed = s.readStream.format("graft-replay")
+      .option("path", log).option("maxRowsPerTrigger", "100").load()
+      .withWatermark("timestamp", "30 minutes")
+      .select(
+        (get_json_object(col("value").cast("string"), "$.k").cast("long") % 7L)
+          .as("user_id"),
+        when(col("offset") % 3 === 0, "purchase").otherwise("view").as("kind"),
+        unix_micros(col("timestamp")).as("us"),
+        (col("partition").cast("long") * 1000000L + col("offset")).as("event_id"))
+      .as[(Long, String, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new StreamAsOfProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "view_id", "q_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("asof-ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("asof-sink").toString
+    val injected = new AtomicBoolean(false)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def start() = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          IdempotentSink.parquet(sink)(df, batchId)
+          if (crashAtBatch.contains(batchId) && injected.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after write, before commit")
+        }
+        .start()
+      crashAtBatch match {
+        case Some(_) =>
+          intercept[StreamingQueryException] { start().awaitTermination() }
+          start().awaitTermination()
+        case None => start().awaitTermination()
+      }
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    IdempotentSink.read(s, sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+  }
+
+  test("buffered state and timers survive a crash between write and commit") {
+    val clean = asofRecoveryRun(crashAtBatch = None)
+    assert(clean.nonEmpty, "as-of run emitted nothing")
+    val crashed = asofRecoveryRun(crashAtBatch = Some(1L))
+    assert(crashed === clean,
+      "crash+resume diverged from the uninterrupted as-of run — ListState " +
+        "or timer recovery is broken")
   }
 }

@@ -157,6 +157,69 @@ class LogClientSpec extends SparkSpec {
     } finally server.close()
   }
 
+  /** Producer half for the live-tail test: append complete frames to a
+    * partition's log + idx (log bytes first, index entries last — a reader
+    * that races the append sees either the old count or complete new frames;
+    * `ReplayLog.safeRecordCount` additionally tolerates a torn tail). */
+  private def appendFrames(dir: String, p: Int,
+      frames: Seq[(String, String, Long)]): Unit = {
+    import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+    val logF = graft.sources.replay.ReplayLog.logFile(dir, p)
+    val idxF = graft.sources.replay.ReplayLog.idxFile(dir, p)
+    var pos = logF.length()
+    val idxBuf = new java.io.ByteArrayOutputStream()
+    val idx = new DataOutputStream(idxBuf)
+    val log = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(logF, true)))
+    frames.foreach { case (k, v, ts) =>
+      idx.writeLong(pos)
+      val kb = k.getBytes("UTF-8"); val vb = v.getBytes("UTF-8")
+      log.writeInt(kb.length); log.write(kb); pos += 4L + kb.length
+      log.writeInt(vb.length); log.write(vb); pos += 4L + vb.length
+      log.writeLong(ts); pos += 8L
+    }
+    log.close()
+    val io = new FileOutputStream(idxF, true)
+    io.write(idxBuf.toByteArray); io.close()
+  }
+
+  test("live tail over TCP: frames produced AFTER stream start are delivered") {
+    // the broker reality the reference consumes from: the log GROWS while
+    // the consumer runs. The source re-polls endOffset every trigger, so a
+    // continuously-triggered query picks up newly-produced frames with no
+    // restart. Sequence: drain the initial log, produce more, drain again.
+    val dir = java.nio.file.Files.createTempDirectory("live-tail").toString
+    for (p <- 0 until 2)
+      appendFrames(dir, p, (0 until 5).map(i => (s"K$p-$i", s"V$i", i * 1000000L)))
+    val server = new graft.sources.replay.SocketLogServer(dir)
+    val name = "live_tail_sink"
+    try {
+      val q = spark.readStream.format("graft-replay")
+        .option("client", "socket").option("path", server.address).load()
+        .select(col("partition"), col("offset"),
+          col("value").cast("string").as("v"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("live-tail-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(name).count() === 10L)
+        // the producer appends while the query keeps running
+        for (p <- 0 until 2)
+          appendFrames(dir, p,
+            (5 until 8).map(i => (s"K$p-$i", s"V$i", i * 1000000L)))
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+        assert(rows.length === 16)
+        assert(rows.distinct.length === 16, "duplicate delivery on live tail")
+        assert(rows.count(_._2 >= 5) === 6, "appended frames not all delivered")
+        assert(rows.filter(r => r._1 === 0 && r._2 === 7L).map(_._3).toSeq === Seq("V7"))
+      } finally q.stop()
+    } finally server.close()
+  }
+
   test("unknown consumer.* keys stay opaque; group.id is interpreted") {
     val o = ReplayOptions.parse(new CaseInsensitiveStringMap(
       java.util.Map.of("path", "mem://1x1",

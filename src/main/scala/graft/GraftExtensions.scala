@@ -42,7 +42,8 @@ object Graft {
     "pos_shingles" -> (es => ShingleGenerator(es(0),
       if (es.length > 1) lit2Int(es(1)) else 5)),
     "word_shingles" -> (es => WordShingles(es(0),
-      if (es.length > 1) lit2Int(es(1)) else 5)))
+      if (es.length > 1) lit2Int(es(1)) else 5)),
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))))
 
   def registerFunctions(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => shims.registerFunction(spark, name, b) }

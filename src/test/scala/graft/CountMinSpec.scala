@@ -36,4 +36,17 @@ class CountMinSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(ests(3) == ests(11))
   }
+
+  test("cms_estimate is SQL-registered and agrees with the Column API") {
+    Graft.registerFunctions(spark)
+    graft.Tables.registerViews(spark, sf, Seq("events"))
+    val viaSql = spark.sql(
+      """SELECT cms_estimate(
+           count_min_sketch(user_id, 0.001d, 0.99d, 42), 3L) AS est
+         FROM events""").collect()(0).getLong(0)
+    val exact = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === 3L).count()
+    assert(viaSql >= exact && viaSql <= exact + 10,
+      s"SQL-path estimate $viaSql vs exact $exact")
+  }
 }

@@ -386,6 +386,55 @@ ORDER BY k NULLS FIRST""")),
 SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
 FROM supplier JOIN rev ON s_suppkey = sk
 WHERE r = (SELECT max(r) FROM rev)
-ORDER BY s_suppkey NULLS FIRST"""))
+ORDER BY s_suppkey NULLS FIRST""")),
+
+    // TPC-H Q18 shape: IN over a GROUP BY ... HAVING on the same fact — the
+    // "large-volume orders" probe. The HAVING aggregate filters the key set
+    // FIRST (one fact aggregate, exact decimal threshold), the IN becomes a
+    // semi join on the already-aggregated keys, and the outer 3-table join
+    // re-aggregates only the qualifying orders. At 100 TB the inner
+    // aggregate is the cheap pass (one column) and the semi join prunes the
+    // expensive one.
+    GQuery("q98_large_volume_orders",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("customer", "orders", "lineitem"))
+        s.sql("""SELECT c_name, o_orderkey,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+GROUP BY c_name, o_orderkey ORDER BY o_orderkey""")
+      },
+      Some("""SELECT c_name, o_orderkey,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+GROUP BY c_name, o_orderkey ORDER BY o_orderkey NULLS FIRST""")),
+
+    // TPC-H Q4 shape: EXISTS-gated priority counts ("orders where at least
+    // one line shipped after the order date"). The EXISTS decorrelates to a
+    // semi join on o_orderkey with the date inequality as residual — one
+    // pass over each table, counts grouped on the dim attribute.
+    GQuery("q99_priority_check",
+      (s, d) => {
+        Tables.registerViews(s, d, Seq("orders", "lineitem"))
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST"""))
   )
 }

@@ -1437,6 +1437,43 @@ SELECT r.user_id, r.view_id, c.q_id
 FROM ripe r LEFT JOIN cand c ON r.view_id = c.view_id AND c.rn = 1
 ORDER BY r.view_id NULLS FIRST""")),
 
+    // S42: DYNAMIC-GAP session windows — the gap is a per-row expression
+    // (views cool off in 15 min, other events hold a session 45 min), so
+    // sessions are interval UNIONS of [ts, ts+gap(row)) rather than a fixed
+    // timeout chain. Spark's session_window accepts the gap as a Column;
+    // the oracle replays the same union with a running MAX(us+gap) over
+    // preceding rows (a fixed-gap lag() check cannot express this). The
+    // production use: engagement-dependent session semantics without a
+    // custom processor.
+    GQuery("s42_dynamic_gap_session",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .groupBy(session_window(col("ts"),
+            when(col("event_type") === "view", "15 minutes")
+              .otherwise("45 minutes")), col("user_id"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv")),
+        "complete")
+        .select(col("user_id"), col("session_window.start").cast("long").as("ss"),
+          col("session_window.end").cast("long").as("se"), col("n"), col("sv"))
+        .orderBy(col("user_id"), col("ss")),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+    CASE WHEN event_type = 'view' THEN 900000000 ELSE 2700000000 END AS gap
+  FROM events),
+m AS (SELECT user_id, event_id, us, value, gap,
+    MAX(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend
+  FROM e),
+l AS (SELECT user_id, event_id, us, value, gap, pend,
+    CASE WHEN pend IS NULL OR us > pend THEN 1 ELSE 0 END AS nf FROM m),
+g AS (SELECT user_id, us, value, gap,
+    SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l)
+SELECT user_id, min(us) // 1000000 AS ss, max(us + gap) // 1000000 AS se,
+  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM g GROUP BY user_id, sid
+ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
+
     // S41: streaming windowed TOP-K through the custom TypedImperativeAggregate
     // (q63's TopKAgg) — proves the O(k)-state binary-accumulator UDAF runs
     // unchanged on the streaming path (partial aggregation + state-store

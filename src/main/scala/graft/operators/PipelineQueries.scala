@@ -1211,6 +1211,41 @@ agg AS (SELECT doc_id, count(*) AS n_bigrams,
   FROM bi2 JOIN lp USING (w, w2) GROUP BY doc_id)
 SELECT doc_id, n_bigrams, nll,
   CASE WHEN nll > 8.0 THEN 'flag' ELSE 'keep' END AS action
-FROM agg ORDER BY doc_id NULLS FIRST"""))
+FROM agg ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X28: filtered vector search (hybrid retrieval) --------------------
+    // The RAG-era access pattern: a METADATA predicate (here: the document's
+    // language, from a different table) restricts the candidate set BEFORE
+    // any distance kernel runs — filter, join on the id, then brute-force
+    // the survivors. Order matters at scale: the language filter prunes
+    // ~55% of the corpus at scan time (pushed filter + id join), so the
+    // O(d) cosine work touches only eligible vectors; at 100 TB the same
+    // shape composes with the IVF/LSH candidate stage (filter → bucket →
+    // kernel) instead of brute force. Same ULP-exact kernel-vs-DuckDB
+    // agreement as x03_ann_bruteforce.
+    GQuery("x28_filtered_ann",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val eligible = e.join(
+          t(s, d, "documents").filter(col("lang") === "en")
+            .select(col("doc_id")),
+          e("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("embedding"))
+        graft.GraftOps.annTopK(eligible, col("vec_id"), col("embedding"),
+            e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), 5)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            col("score").cast("decimal(18,6)").cast("double").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+  FROM embeddings JOIN documents ON vec_id = doc_id WHERE lang = 'en'),
+s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sc
+  FROM q JOIN c ON q_id <> n_id),
+r AS (SELECT q_id, n_id, sc,
+  row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rank FROM s)
+SELECT q_id, rank, n_id, CAST(CAST(sc AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST"""))
   )
 }

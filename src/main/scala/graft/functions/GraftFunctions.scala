@@ -55,6 +55,15 @@ object GraftFunctions {
   def cms_estimate(sketch: Column, item: Column): Column =
     c(CmsEstimate(x(sketch), x(item)))
 
+  /** mergeable Bloom-filter build over a string column (binary state). */
+  def bloom_agg(item: Column, expectedItems: Long, fpp: Double): Column =
+    c(BloomAgg(x(item), expectedItems, fpp).toAggregateExpression())
+
+  /** probe a serialized Bloom filter for string membership (no false
+    * negatives; false positives bounded by the build fpp). */
+  def bloom_might_contain(bloom: Column, item: Column): Column =
+    c(BloomMightContain(x(bloom), x(item)))
+
   /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
     * and `b` (odd positions) so lexicographic order on the result is a
     * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions

@@ -38,3 +38,94 @@ object CmsEstimate {
     CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
       .estimateCount(java.lang.Long.valueOf(item))
 }
+
+/** Bloom-filter build as a `TypedImperativeAggregate` — the mergeable
+  * set-membership sketch that replaces X13's broadcast-exact eval set once
+  * the eval corpus outgrows a broadcast: ~1.2 KB per 1k items at 1% FP vs
+  * the full shingle strings. Partial buffers bit-OR together, so the built
+  * filter is partition-invariant; no false negatives by construction. */
+case class BloomAgg(child: Expression, expectedItems: Long, fpp: Double,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter] {
+  import org.apache.spark.util.sketch.BloomFilter
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "bloom_agg"
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(b: BloomFilter,
+      input: org.apache.spark.sql.catalyst.InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) b.putString(v.toString)
+    b
+  }
+
+  override def merge(b: BloomFilter, o: BloomFilter): BloomFilter =
+    { b.mergeInPlace(o); b }
+
+  override def eval(b: BloomFilter): Any = serialize(b)
+
+  override def serialize(b: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    b.writeTo(out); out.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int)
+      : org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int)
+      : org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(child = cs(0))
+}
+
+/** `bloom_might_contain(bloomBytes, item)` — probe a serialized Bloom filter.
+  * The filter typically arrives via a broadcast one-row join (every probe
+  * row carries the same bytes), so deserialization is memoized behind a
+  * content-verified cache: hash lookup + byte-compare per row, deserialize
+  * once per distinct filter per thread. In a pure-SQL plan the idiomatic
+  * form is a scalar subquery (evaluated once); this expression keeps the
+  * DataFrame-join form cheap too. */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(bloom: Any, item: Any): Any =
+    BloomMightContain.contains(bloom.asInstanceOf[Array[Byte]], item.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, i) =>
+      s"${ev.value} = graft.functions.BloomMightContain.contains($b, $i.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  import org.apache.spark.util.sketch.BloomFilter
+  private val cache = new ThreadLocal[(Array[Byte], BloomFilter)]
+
+  def contains(bytes: Array[Byte], item: String): Boolean = {
+    val c = cache.get()
+    val f =
+      if (c != null && ((c._1 eq bytes) || java.util.Arrays.equals(c._1, bytes)))
+        c._2
+      else {
+        val nf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        cache.set((bytes, nf))
+        nf
+      }
+    f.mightContainString(item)
+  }
+}

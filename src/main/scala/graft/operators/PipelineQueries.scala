@@ -1246,6 +1246,39 @@ s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sc
 r AS (SELECT q_id, n_id, sc,
   row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rank FROM s)
 SELECT q_id, rank, n_id, CAST(CAST(sc AS DECIMAL(18,6)) AS DOUBLE) AS score
-FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST"""))
+FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- X29: Bloom-filter decontamination (the 100 TB eval-set path) ------
+    // X13 broadcasts the EXACT eval shingle set — right while benchmarks are
+    // tiny, impossible once the held-out suite outgrows a broadcast (strings
+    // for 10^9 shingles). The Bloom twin ships ~1.2 KB per 1k shingles at
+    // 1% FP: the eval side folds into one mergeable [[BloomAgg]] binary
+    // (bit-OR partials, partition-invariant), the corpus probes it through
+    // [[BloomMightContain]] (deserialize-once cached), and by construction
+    // flags are a SUPERSET of the exact flags — no contaminated doc escapes;
+    // the FP tax is bounded by fpp and measured against x13's exact result
+    // in BloomSpec. G-class (FP bits depend on the hash, no DuckDB replay).
+    GQuery("x29_bloom_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = docs.select(col("doc_id"),
+          explode(word_shingles(col("text"), 3)).as("g"))
+        val bloom = sh.filter(col("doc_id") % 20 === 0)
+          .agg(graft.functions.GraftFunctions
+            .bloom_agg(col("g"), 20000L, 0.01).as("bf"))
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bloom))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nsh"),
+            sum(when(graft.functions.GraftFunctions
+              .bloom_might_contain(col("bf"), col("g")), 1L).otherwise(0L))
+              .as("n_hits"))
+          .select(col("doc_id"), col("nsh"), col("n_hits"),
+            (col("n_hits").cast("double") / col("nsh").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("contam_frac"))
+          .withColumn("flagged", col("contam_frac") >= 0.2)
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

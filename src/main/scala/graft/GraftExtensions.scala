@@ -43,7 +43,12 @@ object Graft {
       if (es.length > 1) lit2Int(es(1)) else 5)),
     "word_shingles" -> (es => WordShingles(es(0),
       if (es.length > 1) lit2Int(es(1)) else 5)),
-    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))))
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))),
+    "bloom_agg" -> (es => BloomAgg(es(0),
+      if (es.length > 1) lit2Long(es(1)) else 10000L,
+      if (es.length > 2) es(2).asInstanceOf[Literal].value
+        .asInstanceOf[Number].doubleValue() else 0.01)),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def registerFunctions(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => shims.registerFunction(spark, name, b) }

@@ -54,4 +54,18 @@ class BloomSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(hits("alpha") && hits("beta"), "present items must always hit")
   }
+
+  test("bloom functions are SQL-registered") {
+    Graft.registerFunctions(spark)
+    Tables.registerViews(spark, sf, Seq("documents"))
+    val row = spark.sql(
+      """WITH sh AS (SELECT doc_id, explode(word_shingles(text, 3)) AS g
+           FROM documents),
+         bf AS (SELECT bloom_agg(g, 20000L, 0.01d) AS b
+           FROM sh WHERE doc_id % 20 = 0)
+         SELECT count(*) AS n,
+           sum(CASE WHEN bloom_might_contain(b, g) THEN 1 ELSE 0 END) AS hits
+         FROM sh, bf WHERE doc_id % 20 <> 0""").collect()(0)
+    assert(row.getLong(0) > 0 && row.getLong(1) >= 0)
+  }
 }

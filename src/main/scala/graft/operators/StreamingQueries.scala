@@ -1474,6 +1474,34 @@ SELECT user_id, min(us) // 1000000 AS ss, max(us + gap) // 1000000 AS se,
 FROM g GROUP BY user_id, sid
 ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
 
+    // S43: STREAMING Bloom build — the eval-set filter of x29 maintained as a
+    // continuously-updated complete-mode aggregate: benchmark docs arrive as
+    // a stream, their shingles fold into the mergeable BloomAgg binary, and
+    // every trigger emits the current filter (md5-fingerprinted here; the
+    // production sink publishes the bytes for the corpus-side probe jobs).
+    // Bit-OR merge makes the result independent of batching/partitioning —
+    // BloomSpec pins the streamed binary EQUAL to the batch build. The
+    // nightly-decontamination shape: the filter stays current as benchmarks
+    // grow, with no rebuild-the-world step.
+    GQuery("s43_stream_bloom",
+      (s, d) => {
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val docs = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val bf = docs.filter(col("doc_id") % 20 === 0)
+          .select(explode(graft.functions.GraftFunctions
+            .word_shingles(col("text"), 3)).as("g"))
+          .agg(graft.functions.GraftFunctions
+            .bloom_agg(col("g"), 20000L, 0.01).as("bf"),
+            count(lit(1)).as("n_shingles"))
+        runToMemory(bf, "complete")
+          .select(md5(col("bf")).as("bloom_md5"), col("n_shingles"))
+      },
+      None),
+
     // S41: streaming windowed TOP-K through the custom TypedImperativeAggregate
     // (q63's TopKAgg) — proves the O(k)-state binary-accumulator UDAF runs
     // unchanged on the streaming path (partial aggregation + state-store

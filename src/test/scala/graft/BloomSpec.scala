@@ -55,6 +55,19 @@ class BloomSpec extends SparkSpec {
     assert(hits("alpha") && hits("beta"), "present items must always hit")
   }
 
+  test("s43's streamed bloom binary equals the batch build exactly") {
+    val streamed = SparkEntry.queries("s43_stream_bloom")(spark, sf)
+      .collect()(0).getString(0)
+    val batch = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 3)).as("g"))
+      .agg(bloom_agg(col("g"), 20000L, 0.01).as("bf"))
+      .select(md5(col("bf"))).collect()(0).getString(0)
+    assert(streamed === batch,
+      "streaming bloom diverged from the batch build — merge is not pure bit-OR")
+  }
+
   test("bloom functions are SQL-registered") {
     Graft.registerFunctions(spark)
     Tables.registerViews(spark, sf, Seq("documents"))

@@ -1248,6 +1248,110 @@ r AS (SELECT q_id, n_id, sc,
 SELECT q_id, rank, n_id, CAST(CAST(sc AS DECIMAL(18,6)) AS DOUBLE) AS score
 FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
 
+    // ---- X30: balanced output sharding (token-budget export) ---------------
+    // The export step of a curation pipeline: write the corpus as N shards of
+    // ~equal TOKEN counts (downstream trainers read shards as units; doc
+    // counts don't balance when lengths skew). Shard id = global token
+    // prefix-sum before each doc, bucketed by total/N — computed with the
+    // DISTRIBUTED two-pass prefix sum, never a global single-partition
+    // window: range-partition by doc_id, local cumsum per partition, then a
+    // broadcast join of the per-partition offsets (the offsets table is one
+    // row per partition — the only thing that crosses the driver-side window).
+    // The assignment depends only on doc_id order, not on where partition
+    // boundaries land, so the result is layout-independent and the oracle is
+    // a plain windowed cumsum.
+    GQuery("x30_balanced_shards",
+      (s, d) => {
+        val nShards = 8L
+        val w8 = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wLoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+        val p = base.repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = p.groupBy(col("pid")).agg(sum(col("tok")).as("psum"))
+          .withColumn("off", coalesce(sum(col("psum")).over(w8), lit(0L)))
+          .select(col("pid"), col("off"))
+        val total = base.agg(sum(col("tok")).as("total"))
+        p.withColumn("local", coalesce(sum(col("tok")).over(wLoc), lit(0L)))
+          .join(broadcast(offsets), "pid")
+          .join(broadcast(total))
+          // integer division (div): Column./ on longs is double division
+          .withColumn("shard",
+            least(expr(s"(local + off) * $nShards div total"),
+              lit(nShards - 1L)))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+c AS (SELECT doc_id, tok,
+    coalesce(SUM(tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+    (SELECT sum(tok) FROM base) AS total
+  FROM base)
+SELECT CAST(least(cum * 8 // total, 7) AS BIGINT) AS shard, count(*) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens, min(doc_id) AS min_id,
+  max(doc_id) AS max_id
+FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
+
+    // ---- X31: exact-substring span EXCISION --------------------------------
+    // The removal half of Lee et al. 2022 (x23 flags, this excises): token
+    // positions covered by any ACROSS-DOC duplicated 8-gram span are marked
+    // via the positional shingle generator + an inverted span index, and
+    // each doc reports how much of it survives the cut. Span logic applies
+    // to docs with >= 8 tokens (a short doc's whole-text "shingle" is a
+    // doc-level dup, x01's job); coverage union = explode the per-hit
+    // position ranges and count distinct token slots — one span-key shuffle
+    // and one doc-key shuffle, never doc×doc. At 100 TB the excision writes
+    // the kept-token text; here the oracle checks the coverage accounting
+    // (the rewrite itself is a deterministic function of it).
+    GQuery("x31_span_excision",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val long8 = docs.filter(size(split(col("text"), " ")) >= 8)
+        val sp = long8.select(col("doc_id"), pos_shingles(col("text"), 8))
+        val dup = sp.groupBy(col("shingle"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("shingle"))
+        val cov = sp.join(dup, "shingle")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("t"))
+          .distinct()
+        val per = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+        docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+            (col("n_tokens") - coalesce(col("n_covered"), lit(0L))).as("n_kept"),
+            (coalesce(col("n_covered"), lit(0L)).cast("double")
+              / col("n_tokens").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("excised_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sp AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g
+  FROM t0, unnest(range(1, len(ws) - 6)) r(i) WHERE len(ws) >= 8),
+dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+    FROM sp GROUP BY g) WHERE nd >= 2),
+cov AS (SELECT DISTINCT doc_id, u.t
+  FROM sp JOIN dup USING (g), unnest(range(sp.pos, sp.pos + 8)) u(t)),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+  FROM cov GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t0)
+SELECT b.doc_id, b.n_tokens, coalesce(p.n_covered, 0) AS n_covered,
+  b.n_tokens - coalesce(p.n_covered, 0) AS n_kept,
+  CAST(CAST(CAST(coalesce(p.n_covered, 0) AS DOUBLE) / b.n_tokens
+    AS DECIMAL(18,6)) AS DOUBLE) AS excised_frac
+FROM base b LEFT JOIN per p USING (doc_id)
+ORDER BY b.doc_id NULLS FIRST""")),
+
     // ---- X29: Bloom-filter decontamination (the 100 TB eval-set path) ------
     // X13 broadcasts the EXACT eval shingle set — right while benchmarks are
     // tiny, impossible once the held-out suite outgrows a broadcast (strings

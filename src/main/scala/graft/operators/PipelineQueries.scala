@@ -456,6 +456,74 @@ FROM fin GROUP BY lang ORDER BY lang NULLS FIRST""")),
         .orderBy(col("doc_id")),
       Some(x07OracleSql)),
 
+    // X32: QUALITY-keeper cluster resolution — "keep one per cluster" with a
+    // policy better than min-id: every document gets its near-dup cluster
+    // (singletons stand alone), the x04 integer quality score ranks members,
+    // and the top-scored member survives (doc_id tie-break). This is the
+    // decision layer between clustering (x07) and the rewrite: rank-filter
+    // windows per cluster key, one join against the score table, nothing
+    // doc×doc. O-class — the oracle replays closure + score + window.
+    GQuery("x32_cluster_keeper",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
+          col("doc_a"), col("doc_b"))
+        val assigned = docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val stop = Seq("the", "a", "of", "and", "to")
+        val scored = docs
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tok", size(col("w")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .select(col("doc_id"),
+            expr("""least(n_tok, 400) * 25 div 400
+              + (25 - least(n_stop * 100 div n_tok, 25))
+              + least(n_uniq * 50 div n_tok, 50)""").cast("long").as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))
+        assigned.join(scored, "doc_id")
+          .withColumn("kept", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster"), col("score"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+m AS (SELECT doc_id, len(w) AS n_tok,
+    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq
+  FROM toks),
+sc AS (SELECT doc_id, CAST(least(n_tok, 400) * 25 // 400
+      + (25 - least(n_stop * 100 // n_tok, 25))
+      + least(n_uniq * 50 // n_tok, 50) AS BIGINT) AS score
+  FROM m),
+asg AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+r AS (SELECT a.doc_id, a.cluster, s.score,
+    row_number() OVER (PARTITION BY a.cluster
+      ORDER BY s.score DESC, a.doc_id) AS rk
+  FROM asg a JOIN sc s USING (doc_id))
+SELECT doc_id, cluster, score, rk = 1 AS kept
+FROM r ORDER BY doc_id NULLS FIRST""")),
+
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —
     // the packing prep before tokenization in a training pipeline. Pure

@@ -524,6 +524,52 @@ r AS (SELECT a.doc_id, a.cluster, s.score,
 SELECT doc_id, cluster, score, rk = 1 AS kept
 FROM r ORDER BY doc_id NULLS FIRST""")),
 
+    // X33: dedup-threshold sensitivity sweep — the tuning diagnostic a
+    // curation team runs before fixing the near-dup cutoff: ONE scored-pair
+    // pass (the expensive inverted-index join, at the lowest candidate
+    // threshold), then every candidate threshold is evaluated by exploding a
+    // tiny threshold table against the scored pairs — pair counts and
+    // distinct-docs-with-a-dup per cutoff, no re-scoring. At 100 TB the
+    // sweep costs one pair materialization plus |pairs|×|thresholds| cheap
+    // rows. Thresholds carried as integer percents (exact rendering, exact
+    // comparison against the same double j both engines compute).
+    GQuery("x33_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val pairs = graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 5, threshold = 0.25)
+        val thr = Seq(25L, 35L, 50L, 65L, 80L).toDF("thr_pct")
+        val pp = pairs.crossJoin(thr)
+          .filter(col("j") >= col("thr_pct").cast("double") / 100.0)
+        val np = pp.groupBy(col("thr_pct")).agg(count(lit(1)).as("n_pairs"))
+        val nd = pp.select(col("thr_pct"),
+            explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+          .groupBy(col("thr_pct"))
+          .agg(countDistinct(col("doc")).as("n_docs_with_dup"))
+        thr.join(np, Seq("thr_pct"), "left").join(nd, Seq("thr_pct"), "left")
+          .select(col("thr_pct"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"))
+          .orderBy(col("thr_pct"))
+      },
+      Some(shingleCte + """,
+p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) >= 1),
+t AS (SELECT unnest([25, 35, 50, 65, 80]) AS thr_pct),
+pp AS (SELECT thr_pct, count(*) AS n_pairs
+  FROM p, t WHERE j >= thr_pct / 100.0 GROUP BY thr_pct),
+dd AS (SELECT thr_pct, count(DISTINCT doc) AS n_docs_with_dup
+  FROM (SELECT j, unnest([da, db]) AS doc FROM p), t
+  WHERE j >= thr_pct / 100.0 GROUP BY thr_pct)
+SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
+  coalesce(pp.n_pairs, 0) AS n_pairs,
+  coalesce(dd.n_docs_with_dup, 0) AS n_docs_with_dup
+FROM t LEFT JOIN pp USING (thr_pct) LEFT JOIN dd USING (thr_pct)
+ORDER BY thr_pct NULLS FIRST""")),
+
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —
     // the packing prep before tokenization in a training pipeline. Pure

@@ -64,6 +64,9 @@ object GraftFunctions {
   def bloom_might_contain(bloom: Column, item: Column): Column =
     c(BloomMightContain(x(bloom), x(item)))
 
+  /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
+  def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
+
   /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
     * and `b` (odd positions) so lexicographic order on the result is a
     * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions

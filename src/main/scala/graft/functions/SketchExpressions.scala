@@ -87,6 +87,45 @@ case class BloomAgg(child: Expression, expectedItems: Long, fpp: Double,
       cs: IndexedSeq[Expression]): Expression = copy(child = cs(0))
 }
 
+/** `deflate_len(text)` — the DEFLATE-compressed byte length of a string's
+  * UTF-8 bytes (zlib level 6, raw). Compressed-size / raw-size is the
+  * compression-ratio quality signal training-data pipelines use to catch
+  * boilerplate and repetition (highly compressible → templated/duplicated
+  * content) — a single per-row number, no shuffle, no model. Deterministic
+  * for a given JDK zlib; cross-engine oracles are therefore out of scope
+  * (G-class) and the behavioral guarantees live in the spec. */
+case class DeflateLength(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(v: Any): Any =
+    DeflateLength.compressedLen(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeflateLength.compressedLen($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DeflateLength {
+  def compressedLen(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+}
+
 /** `bloom_might_contain(bloomBytes, item)` — probe a serialized Bloom filter.
   * The filter typically arrives via a broadcast one-row join (every probe
   * row carries the same bytes), so deserialization is memoized behind a

@@ -570,6 +570,29 @@ SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
 FROM t LEFT JOIN pp USING (thr_pct) LEFT JOIN dd USING (thr_pct)
 ORDER BY thr_pct NULLS FIRST""")),
 
+    // X34: compression-ratio quality filter — deflate(text)/len(text) as the
+    // boilerplate/repetition signal (templated or duplicated content
+    // compresses far better than natural prose; the heuristic CCNet-family
+    // pipelines run beside perplexity). One codegen'd per-row expression
+    // ([[graft.functions.DeflateLength]]), no shuffle until the final order.
+    // G-class: the ratio depends on the zlib build, so the cross-engine
+    // oracle is out of scope; determinism + the discriminative property
+    // (repeated text < natural text < noise) are pinned in ExpressionsSpec.
+    GQuery("x34_compression_filter",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.GraftFunctions.deflate_len(col("text")).as("z_bytes"))
+        .withColumn("ratio",
+          (col("z_bytes").cast("double") / col("n_bytes").cast("double"))
+            .cast("decimal(18,6)").cast("double"))
+        .withColumn("band",
+          when(col("ratio") < 0.3, "suspect_repetitive")
+            .when(col("ratio") > 0.9, "suspect_noise")
+            .otherwise("ok"))
+        .orderBy(col("doc_id")),
+      None),
+
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —
     // the packing prep before tokenization in a training pipeline. Pure

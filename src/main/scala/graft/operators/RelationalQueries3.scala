@@ -435,6 +435,39 @@ FROM orders
 WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST"""))
+GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""")),
+
+    // Time-series gap fill: a generated date spine LEFT-joins sparse daily
+    // aggregates so empty days surface as explicit zero rows — the
+    // resampling step every downstream window/trend computation assumes
+    // (a missing day silently skews a moving average; an explicit zero does
+    // not). The spine generates from one tiny min/max aggregate
+    // (sequence + explode — no driver loop); at 100 TB the spine is |days|
+    // rows against hash-partitioned daily partials, a broadcast join.
+    // value >= 250 keeps ~0.6% of events, leaving genuinely empty days.
+    GQuery("q100_gapfill_daily",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("value") >= 250.0)
+          .select(to_date(col("ts")).as("day"), dec2(col("value")).as("v2"))
+        val daily = ev.groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("v2")).as("sv"))
+        val spine = Tables.events(s, d)
+          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+            dbl(coalesce(col("sv"), lit(0).cast("decimal(12,2)"))).as("sv"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events),
+spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+    sum(CAST(value AS DECIMAL(12,2))) AS sv
+  FROM events WHERE value >= 250.0 GROUP BY 1)
+SELECT s.day, coalesce(d.n, 0) AS n,
+  CAST(coalesce(d.sv, 0) AS DOUBLE) AS sv
+FROM spine s LEFT JOIN daily d USING (day)
+ORDER BY s.day NULLS FIRST"""))
   )
 }

@@ -111,4 +111,26 @@ class ExpressionsSpec extends SparkSpec {
     val direct = docs.select(col("id"), word_shingles(col("text"), 3).as("sh"))
     assert(viaSql.exceptAll(direct).count() === 0)
   }
+
+  test("deflate_len is deterministic and discriminates repetition from noise") {
+    import spark.implicits._
+    val repeated = "the cat sat on the mat " * 40
+    val noise = (1 to 200).map(i => ((i * 2654435761L) % 99991).toString).mkString(" ")
+    val df = Seq(("rep", repeated), ("noise", noise)).toDF("kind", "t")
+      .select(col("kind"),
+        graft.functions.GraftFunctions.deflate_len(col("t")).as("z"),
+        octet_length(col("t")).cast("long").as("n"))
+    val m = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rRatio = m("rep")._1.toDouble / m("rep")._2
+    val nRatio = m("noise")._1.toDouble / m("noise")._2
+    assert(rRatio < 0.2, s"repeated text should compress hard: $rRatio")
+    assert(nRatio > rRatio * 2, s"noise must compress worse than repetition: $nRatio vs $rRatio")
+    // partition-count invariance (pure per-row function)
+    val base = Tables.table(spark, sf, "documents")
+    val a = base.repartition(2)
+      .select(col("doc_id"), graft.functions.GraftFunctions.deflate_len(col("text")).as("z"))
+    val b = base.repartition(7)
+      .select(col("doc_id"), graft.functions.GraftFunctions.deflate_len(col("text")).as("z"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

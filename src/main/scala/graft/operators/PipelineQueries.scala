@@ -593,6 +593,93 @@ ORDER BY thr_pct NULLS FIRST""")),
         .orderBy(col("doc_id")),
       None),
 
+    // X35: distribution-drift monitor (PSI) — the data-quality gate a 100 TB
+    // ingest pipeline runs before letting a new batch into the training mix:
+    // per event_type, the Population Stability Index between the first and
+    // second half of the stream (exact ns-midpoint split — SF-independent),
+    // over fixed-width value bins. Shares are Laplace-smoothed
+    // ((c+0.5)/(n+B/2)) so empty bins never divide by zero; the bin spine is
+    // generated (sequence × distinct types × both periods), not discovered,
+    // so a bin that's empty in BOTH periods still contributes its smoothed
+    // mass symmetrically (net-zero term) and the bin universe matches the
+    // oracle's exactly. ln sums are rounded decimal(18,6) (the x27
+    // convention) to absorb merge-order noise. Cost: one scan + two tiny
+    // aggregates + a broadcast spine join — counts shuffle by
+    // (type, period, bin), ~|types|×|bins| rows, regardless of input size.
+    GQuery("x35_drift_psi",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("ts_ns"), col("event_type"), col("value"))
+        val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+        val maxBin = ev.agg(floor(max(col("value")) / 50.0).cast("int").as("mb"))
+        val binned = ev.join(broadcast(mid))
+          .select(col("event_type"),
+            when(col("ts_ns") < col("mid"), "ref").otherwise("cur").as("period"),
+            floor(col("value") / 50.0).cast("int").as("bin"))
+        val counts = binned.groupBy(col("event_type"), col("period"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        import s.implicits._
+        val spine = binned.select(col("event_type")).distinct()
+          .crossJoin(broadcast(maxBin)
+            .select(explode(expr("sequence(0, mb)")).as("bin"),
+              (col("mb") + 1).cast("double").as("nbins")))
+          .crossJoin(Seq("ref", "cur").toDF("period"))
+        val filled = spine.join(counts, Seq("event_type", "period", "bin"), "left")
+          .select(col("event_type"), col("period"), col("bin"), col("nbins"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val withP = filled
+          .withColumn("n", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("event_type"), col("period"))))
+          .withColumn("p", (col("c") + lit(0.5d)) /
+            (col("n") + lit(0.5d) * col("nbins")))
+        val wide = withP.groupBy(col("event_type"), col("bin"))
+          .agg(max(when(col("period") === "ref", col("p"))).as("pr"),
+            max(when(col("period") === "cur", col("p"))).as("pc"),
+            sum(when(col("period") === "ref", col("c"))).as("cr"),
+            sum(when(col("period") === "cur", col("c"))).as("cc"))
+        wide.groupBy(col("event_type"))
+          .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"),
+            sum((col("pc") - col("pr")) * log(col("pc") / col("pr")))
+              .cast("decimal(18,6)").cast("double").as("psi"))
+          .withColumn("band",
+            when(col("psi") < 0.1, "stable")
+              .when(col("psi") < 0.25, "moderate").otherwise("drifted"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT epoch_ns(ts) AS ts_ns, event_type, value FROM events),
+b AS (SELECT (min(ts_ns) + max(ts_ns)) // 2 AS mid,
+    CAST(floor(max(value) / 50.0) AS INT) AS mb FROM ev),
+binned AS (SELECT event_type,
+    CASE WHEN ts_ns < (SELECT mid FROM b) THEN 'ref' ELSE 'cur' END AS period,
+    CAST(floor(value / 50.0) AS INT) AS bin FROM ev),
+counts AS (SELECT event_type, period, bin, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3),
+spine AS (SELECT t.event_type, g.bin, p.period
+  FROM (SELECT DISTINCT event_type FROM binned) t,
+       (SELECT unnest(range(0, (SELECT mb FROM b) + 1)) AS bin) g,
+       (SELECT unnest(['ref', 'cur']) AS period) p),
+filled AS (SELECT s.event_type, s.period, s.bin, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c USING (event_type, period, bin)),
+withp AS (SELECT event_type, period, bin, c,
+    (c + 0.5) / (sum(c) OVER (PARTITION BY event_type, period)
+      + 0.5 * ((SELECT mb FROM b) + 1)) AS p
+  FROM filled),
+wide AS (SELECT event_type, bin,
+    max(CASE WHEN period = 'ref' THEN p END) AS pr,
+    max(CASE WHEN period = 'cur' THEN p END) AS pc,
+    sum(CASE WHEN period = 'ref' THEN c END) AS cr,
+    sum(CASE WHEN period = 'cur' THEN c END) AS cc
+  FROM withp GROUP BY 1, 2),
+agg AS (SELECT event_type,
+    CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur,
+    CAST(CAST(sum((pc - pr) * ln(pc / pr)) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+  FROM wide GROUP BY 1)
+SELECT event_type, n_ref, n_cur, psi,
+  CASE WHEN psi < 0.1 THEN 'stable'
+       WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
+FROM agg ORDER BY event_type NULLS FIRST""")),
+
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —
     // the packing prep before tokenization in a training pipeline. Pure

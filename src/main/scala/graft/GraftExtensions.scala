@@ -24,6 +24,8 @@ object Graft {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "l2_dist" -> (es => L2Distance(es(0), es(1))),
+    "deflate_len" -> (es => DeflateLength(es(0))),
     "minhash_sig" -> (es => MinHashSignature(es(0),
       if (es.length > 1) lit2Int(es(1)) else 64,
       if (es.length > 2) lit2Long(es(2)) else 42L)),

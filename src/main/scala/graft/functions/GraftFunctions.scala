@@ -13,6 +13,9 @@ object GraftFunctions {
   /** cosine similarity of two array<float> columns (codegen, double accum). */
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
 
+  /** Euclidean distance over two `array<double>` columns (codegen kernel). */
+  def l2_dist(a: Column, b: Column): Column = c(L2Distance(x(a), x(b)))
+
   /** sign-random-projection LSH bucket id for an array<float> embedding. */
   def rp_bucket(v: Column, planes: Int = 16, seed: Long = 42L): Column =
     c(RandomProjectionBucket(x(v), planes, seed))

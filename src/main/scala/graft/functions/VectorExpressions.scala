@@ -56,6 +56,49 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Euclidean (L2) distance over two `array<double>` columns: one fused
+  * double-accumulating loop in index order, sqrt at the end — the exact
+  * accumulation contract of DuckDB's `list_distance` over `DOUBLE[]`, which
+  * is what lets the k-means assignment step (x37) hash-match an external
+  * replay bit-for-bit. Same codegen treatment as [[CosineSimilarity]]. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var acc = 0.0
+    while (i < n) {
+      val dv = x.getDouble(i) - y.getDouble(i)
+      acc += dv * dv
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val dv = ctx.freshName("dv")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $dv = $a.getDouble($i) - $b.getDouble($i);
+          $acc += $dv * $dv;
+        }
+        ${ev.value} = Math.sqrt($acc);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Sign-of-random-projection LSH bucket for an `array<float>` embedding:
   * `planes` pseudo-random hyperplanes with components derived from
   * splitmix64(seed, plane, dim) mapped to ±1, packed into an int bucket id.

@@ -680,6 +680,158 @@ SELECT event_type, n_ref, n_cur, psi,
        WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
 FROM agg ORDER BY event_type NULLS FIRST""")),
 
+    // X36: BM25 ranked keyword retrieval — the lexical half of hybrid search
+    // (x28 is the vector half): a batch of keyword queries scored against the
+    // corpus through the inverted index (term → postings join), Lucene-variant
+    // IDF ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75. Per-term contributions
+    // are rounded decimal(18,6) BEFORE the per-doc sum, making the sum exact
+    // and associative — ranking compares decimals, so rank order is
+    // engine-independent (ties broken by doc_id). Scale shape: tf/df/dl are
+    // one-pass aggregates; the postings join shuffles by term and touches
+    // only query terms' postings; doc-length and corpus stats broadcast.
+    GQuery("x36_bm25_search",
+      (s, d) => {
+        import s.implicits._
+        val k1 = 1.2d; val b = 0.75d
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val tf = words.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val queries = Seq((1L, "spark"), (1L, "stream"), (1L, "window"),
+          (2L, "customer"), (2L, "order"),
+          (3L, "hash"), (3L, "join"), (3L, "merge")).toDF("q_id", "word")
+        val term = tf.join(broadcast(queries), "word")
+          .join(dl, "doc_id").join(dfreq, "word")
+          .crossJoin(broadcast(stats))
+          .select(col("q_id"), col("doc_id"),
+            (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * lit(k1 + 1.0)) /
+              (col("tf") + lit(k1) *
+                (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+              .cast("decimal(18,6)").as("ts"))
+        val perDoc = term.groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(col("ts")).as("sd"), count(lit(1)).as("n_terms"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sd").desc, col("doc_id"))
+        perDoc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
+            col("sd").cast("double").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT CAST(c0 AS BIGINT) AS q_id, c1 AS word FROM (VALUES
+  (1, 'spark'), (1, 'stream'), (1, 'window'), (2, 'customer'), (2, 'order'),
+  (3, 'hash'), (3, 'join'), (3, 'merge')) v(c0, c1)),
+term AS (SELECT q.q_id, t.doc_id,
+    CAST(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))
+      AS DECIMAL(18,6)) AS ts
+  FROM tf t JOIN q USING (word) JOIN dl l USING (doc_id)
+  JOIN df d USING (word) CROSS JOIN stats s),
+perdoc AS (SELECT q_id, doc_id, sum(ts) AS sd, count(*) AS n_terms
+  FROM term GROUP BY 1, 2),
+ranked AS (SELECT q_id, doc_id, sd, n_terms,
+    row_number() OVER (PARTITION BY q_id ORDER BY sd DESC, doc_id) AS rank
+  FROM perdoc)
+SELECT q_id, rank, doc_id, n_terms, CAST(sd AS DOUBLE) AS score
+FROM ranked WHERE rank <= 10
+ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
+
+    // X37: k-means + SemDeDup — Lloyd's algorithm run as two fully-
+    // distributed, fully-DETERMINISTIC rounds (seeds = the k smallest
+    // md5(vec_id), assignment = broadcast-centroid argmin over the codegen
+    // l2_dist kernel, update = per-dimension decimal(27,15) sums so the
+    // centroid mean is merge-order-free), then the SemDeDup step (Abbas et
+    // al. 2023): near-identical pairs are sought only WITHIN a cluster —
+    // the quadratic pair work drops from N² to Σ|cluster|², which is the
+    // entire point of clustering first at 100 TB. Oracle replays both Lloyd
+    // rounds in DuckDB (list_distance / list_cosine_similarity share the
+    // kernels' accumulation order). localCheckpoint pins the final
+    // assignment once — sizes, pair-join and output all read it without
+    // re-deriving the iteration chain.
+    GQuery("x37_kmeans_semdedup",
+      (s, d) => {
+        val k = 8
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            col("embedding").as("fv"))
+        val wSeed = org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("vec_id"))
+        val c0 = e.select(col("vec_id"), col("v"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(k)
+          .select(row_number().over(wSeed).as("cid"), col("v").as("cv"))
+        def assign(cs: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cs))
+            .withColumn("dist",
+              graft.functions.GraftFunctions.l2_dist(col("v"), col("cv")))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("dist"), col("v"), col("fv"))
+        def update(a: DataFrame): DataFrame =
+          a.select(col("cid"), posexplode(col("v")))
+            .groupBy(col("cid"), col("pos"))
+            .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+              count(lit(1))).as("m"))
+            .groupBy(col("cid"))
+            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+              .as("cv"))
+        val a2 = assign(update(assign(c0))).localCheckpoint(true)
+        val sizes = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        val dups = a2.as("a").join(a2.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          .filter(graft.functions.GraftFunctions
+            .cosine_sim(col("a.fv"), col("b.fv")) >= 0.45)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        a2.join(sizes, "cid")
+          .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+            col("n_members"),
+            col("dist").cast("decimal(18,6)").cast("double").as("dist"),
+            when(col("dup").isNotNull, "drop").otherwise("keep").as("action"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id,
+    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+  FROM e),
+c0 AS (SELECT s.cid, e.v AS cv FROM seeds s JOIN e USING (vec_id)
+  WHERE s.cid <= 8),
+d1 AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist, e.v
+  FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, cid, v FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+u1 AS (SELECT cid, i AS pos,
+    CAST(sum(CAST(v[i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+  FROM a1, unnest(range(1, 65)) r(i) GROUP BY cid, i),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
+d2 AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist, e.v
+  FROM e CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, cid, dist, v FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+sizes AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid),
+dups AS (SELECT DISTINCT b.vec_id FROM a2 a JOIN a2 b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, s.n_members,
+  CAST(CAST(a.dist AS DECIMAL(18,6)) AS DOUBLE) AS dist,
+  CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+FROM a2 a JOIN sizes s USING (cid) LEFT JOIN dups d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id NULLS FIRST""")),
+
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —
     // the packing prep before tokenization in a training pipeline. Pure

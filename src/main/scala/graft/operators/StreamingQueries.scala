@@ -1527,7 +1527,75 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
   array_to_string((list(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
     ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DESC))[1:3],
     ',') AS top3_cents
-FROM events GROUP BY 1 ORDER BY ws_sec NULLS FIRST"""))
+FROM events GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
+
+    // S44: streaming distribution-drift monitor — x35's PSI gate on the live
+    // path. The stream maintains day-windowed event_type counts (complete
+    // mode; bounded state: |days|×|types| rows); the PSI against the corpus
+    // baseline mix is the dashboard projection over the sink — Structured
+    // Streaming forbids chained aggregations, and the reduction over a
+    // ~|days|×|types| table is exactly what belongs batch-side. Absent
+    // (day, type) cells are restored by a generated spine with Laplace
+    // smoothing ((c+0.5)/(n+T/2)) so a type that vanishes intra-day still
+    // drives PSI up instead of silently dropping out; ln sums rounded
+    // decimal(18,6) (the x27/x35 convention). At 100 TB: the windowed-count
+    // state is tiny however large the input, and the baseline join is a
+    // broadcast of |types| rows.
+    GQuery("s44_stream_drift",
+      (s, d) => {
+        val winCounts = runToMemory(
+          eventStream(s, d)
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("c")),
+          "complete")
+          .select(to_date(col("window.start")).as("day"),
+            col("event_type"), col("c"))
+        val base = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cb"))
+        val nAll = base.agg(sum(col("cb")).as("nb"),
+          count(lit(1)).cast("double").as("nt"))
+        val baseP = base.crossJoin(broadcast(nAll))
+          .select(col("event_type"),
+            (col("cb").cast("double") / col("nb")).as("pb"), col("nt"))
+        val spine = winCounts.select(col("day")).distinct()
+          .crossJoin(broadcast(baseP))
+        val filled = spine.join(winCounts, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"), col("pb"), col("nt"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val withP = filled
+          .withColumn("n", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
+          .withColumn("p", (col("c") + lit(0.5d)) /
+            (col("n") + lit(0.5d) * col("nt")))
+        withP.groupBy(col("day"))
+          .agg(sum(col("c")).as("n_events"),
+            sum((col("p") - col("pb")) * log(col("p") / col("pb")))
+              .cast("decimal(18,6)").cast("double").as("psi"))
+          .withColumn("band",
+            when(col("psi") < 0.1, "stable")
+              .when(col("psi") < 0.25, "moderate").otherwise("drifted"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH wc AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+base AS (SELECT event_type, count(*) AS cb FROM events GROUP BY 1),
+n0 AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb,
+    CAST(count(*) AS DOUBLE) AS nt FROM base),
+bp AS (SELECT event_type, CAST(cb AS DOUBLE) / nb AS pb, nt FROM base, n0),
+spine AS (SELECT d.day, b.event_type, b.pb, b.nt
+  FROM (SELECT DISTINCT day FROM wc) d, bp b),
+filled AS (SELECT s.day, s.event_type, s.pb, s.nt, coalesce(w.c, 0) AS c
+  FROM spine s LEFT JOIN wc w USING (day, event_type)),
+wp AS (SELECT day, pb, c,
+    (c + 0.5) / (sum(c) OVER (PARTITION BY day) + 0.5 * nt) AS p
+  FROM filled),
+agg AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
+    CAST(CAST(sum((p - pb) * ln(p / pb)) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+  FROM wp GROUP BY 1)
+SELECT day, n_events, psi,
+  CASE WHEN psi < 0.1 THEN 'stable'
+       WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
+FROM agg ORDER BY day NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

@@ -112,6 +112,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(direct).count() === 0)
   }
 
+  test("l2_dist matches the SQL fold and registers on the SQL surface") {
+    graft.Graft.registerFunctions(spark)
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("id"), col("a.v").as("x"), col("b.v").as("y"))
+    pairs.createOrReplaceTempView("l2pairs")
+    // kernel == the index-ordered SQL fold, bit-for-bit
+    val viaSql = spark.sql(
+      """SELECT id, sqrt(aggregate(zip_with(x, y, (a, b) -> (a-b)*(a-b)),
+        |  0D, (acc, t) -> acc + t)) AS dist FROM l2pairs""".stripMargin)
+    val direct = spark.sql("SELECT id, l2_dist(x, y) AS dist FROM l2pairs")
+    assert(viaSql.exceptAll(direct).count() === 0)
+    assert(direct.count() > 0)
+    // symmetry + identity
+    val sym = spark.sql(
+      "SELECT count(*) FROM l2pairs WHERE l2_dist(x, y) <> l2_dist(y, x)")
+    assert(sym.head.getLong(0) === 0)
+    val self = spark.sql("SELECT max(l2_dist(x, x)) FROM l2pairs")
+    assert(self.head.getDouble(0) === 0.0)
+  }
+
   test("deflate_len is deterministic and discriminates repetition from noise") {
     import spark.implicits._
     val repeated = "the cat sat on the mat " * 40

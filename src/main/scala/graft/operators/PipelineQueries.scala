@@ -832,6 +832,104 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, s.n_members,
 FROM a2 a JOIN sizes s USING (cid) LEFT JOIN dups d ON a.vec_id = d.vec_id
 ORDER BY a.vec_id NULLS FIRST""")),
 
+    // X38: sequence packing — the concat-and-split step that turns a doc
+    // corpus into fixed-capacity training rows (every GPT-style pipeline's
+    // last mile): docs in deterministic doc_id order, global token prefix
+    // sum, each doc mapped to its [start_bin, end_bin] span of 512-token
+    // bins with its offset in the first bin; `split` marks boundary
+    // straddlers (what a loss-masking loader needs to know). All-integer
+    // arithmetic. The single global window here is the sf-test shape; at
+    // 100 TB the prefix sum runs as x30's two-pass form (range-partition →
+    // local cumsum → broadcast per-partition offsets) with identical output.
+    GQuery("x38_sequence_packing",
+      (s, d) => {
+        val cap = 512L
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+          .withColumn("cb", coalesce(sum(col("tok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("tok"),
+            expr(s"cb div $cap").as("start_bin"),
+            (col("cb") % cap).as("start_off"),
+            expr(s"(cb + tok - 1) div $cap").as("end_bin"))
+          .withColumn("action",
+            when(col("end_bin") > col("start_bin"), "split").otherwise("contig"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+c AS (SELECT doc_id, tok,
+    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM t)
+SELECT doc_id, tok, cb // 512 AS start_bin, cb % 512 AS start_off,
+  (cb + tok - 1) // 512 AS end_bin,
+  CASE WHEN (cb + tok - 1) // 512 > cb // 512 THEN 'split' ELSE 'contig' END
+    AS action
+FROM c ORDER BY doc_id NULLS FIRST""")),
+
+    // X39: PageRank, 3 fixed iterations over the part↔supplier bipartite
+    // graph (distinct supply edges, both directions, so no dangling nodes) —
+    // the iterative-graph-algorithm shape (the same loop body serves label
+    // propagation / HITS / Katz). Determinism contract: per-edge messages
+    // r/deg are quantized decimal(28,12) BEFORE the destination sum (exact,
+    // associative — merge order can't shift a ULP), the damping update runs
+    // in double on the exact sum. Scale shape per iteration: one join of
+    // ranks×edges shuffled by src + one groupBy dst — the standard Pregel
+    // lowering; edges are distinct-deduped once up front.
+    GQuery("x39_pagerank",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(concat(lit("p"), col("l_partkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        val edges = li.union(li.select(col("b").as("a"), col("a").as("b")))
+        val outdeg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        val nN = broadcast(outdeg.agg(count(lit(1)).cast("double").as("nn")))
+        var r = outdeg.crossJoin(nN)
+          .select(col("a").as("node"), (lit(1.0d) / col("nn")).as("r"))
+        for (_ <- 1 to 3) {
+          val msgs = r.join(outdeg, col("node") === col("a"))
+            .join(edges, Seq("a"))
+            .select(col("b").as("node"),
+              (col("r") / col("deg")).cast("decimal(28,12)").as("m"))
+          r = msgs.groupBy(col("node"))
+            .agg(sum(col("m")).cast("double").as("sm"))
+            .crossJoin(nN)
+            .select(col("node"),
+              (lit(0.15d) / col("nn") + lit(0.85d) * col("sm")).as("r"))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("node"))
+        r.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("node"),
+            col("r").cast("decimal(18,10)").cast("double").as("score"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+  FROM lineitem),
+edges AS (SELECT a, b FROM li UNION ALL SELECT b AS a, a AS b FROM li),
+outdeg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM outdeg),
+r0 AS (SELECT a AS node, 1.0 / nn AS r FROM outdeg, nn),
+m1 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
+  FROM r0 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
+r1 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
+  FROM m1, nn GROUP BY node, nn),
+m2 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
+  FROM r1 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
+r2 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
+  FROM m2, nn GROUP BY node, nn),
+m3 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
+  FROM r2 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
+r3 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
+  FROM m3, nn GROUP BY node, nn),
+ranked AS (SELECT node, r,
+    row_number() OVER (ORDER BY r DESC, node) AS rank FROM r3)
+SELECT rank, node, CAST(CAST(r AS DECIMAL(18,10)) AS DOUBLE) AS score
+FROM ranked WHERE rank <= 20 ORDER BY rank NULLS FIRST""")),
+
     // ---- X08: context-window chunking --------------------------------------
     // Fixed-size token chunks with overlap (50-token windows, stride 40) —
     // the packing prep before tokenization in a training pipeline. Pure

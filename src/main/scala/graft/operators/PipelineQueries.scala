@@ -609,12 +609,13 @@ ORDER BY thr_pct NULLS FIRST""")),
     GQuery("x35_drift_psi",
       (s, d) => {
         val ev = Tables.events(s, d)
-          .select(col("ts_ns"), col("event_type"), col("value"))
-        val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+          .select(expr("ts_ns div 1000").as("ts_us"),
+            col("event_type"), col("value"))
+        val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
         val maxBin = ev.agg(floor(max(col("value")) / 50.0).cast("int").as("mb"))
         val binned = ev.join(broadcast(mid))
           .select(col("event_type"),
-            when(col("ts_ns") < col("mid"), "ref").otherwise("cur").as("period"),
+            when(col("ts_us") < col("mid"), "ref").otherwise("cur").as("period"),
             floor(col("value") / 50.0).cast("int").as("bin"))
         val counts = binned.groupBy(col("event_type"), col("period"), col("bin"))
           .agg(count(lit(1)).as("c"))
@@ -647,11 +648,11 @@ ORDER BY thr_pct NULLS FIRST""")),
               .when(col("psi") < 0.25, "moderate").otherwise("drifted"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH ev AS (SELECT epoch_ns(ts) AS ts_ns, event_type, value FROM events),
-b AS (SELECT (min(ts_ns) + max(ts_ns)) // 2 AS mid,
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid,
     CAST(floor(max(value) / 50.0) AS INT) AS mb FROM ev),
 binned AS (SELECT event_type,
-    CASE WHEN ts_ns < (SELECT mid FROM b) THEN 'ref' ELSE 'cur' END AS period,
+    CASE WHEN ts_us < (SELECT mid FROM b) THEN 'ref' ELSE 'cur' END AS period,
     CAST(floor(value / 50.0) AS INT) AS bin FROM ev),
 counts AS (SELECT event_type, period, bin, count(*) AS c
   FROM binned GROUP BY 1, 2, 3),

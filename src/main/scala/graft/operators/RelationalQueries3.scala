@@ -521,6 +521,45 @@ staged AS (SELECT v.user_id,
   FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
 SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
   CAST(sum(conv_us) AS BIGINT) AS total_conv_us
-FROM staged GROUP BY 1 ORDER BY stage NULLS FIRST"""))
+FROM staged GROUP BY 1 ORDER BY stage NULLS FIRST""")),
+
+    // Winsorization — the robust-stats outlier gate (clip a metric to its
+    // per-group [p05, p95] before averaging; what you run on doc lengths /
+    // quality scores before they feed a mixture weight). Spark's exact
+    // `percentile` interpolates identically to DuckDB's quantile_cont
+    // (probed bit-for-bit), the tiny per-type percentile table broadcasts
+    // back onto the fact, and the winsorized mean sums decimal(18,6)-cast
+    // values so merge order can't move it. At 100 TB the exact percentile
+    // swaps for approx_percentile (same shape) or a two-pass count.
+    GQuery("q102_winsorize",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val pct = ev.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+        ev.join(broadcast(pct), "event_type")
+          .select(col("event_type"),
+            least(greatest(col("value"), col("p05")), col("p95")).as("wv"),
+            (col("value") < col("p05")).cast("long").as("lo"),
+            (col("value") > col("p95")).cast("long").as("hi"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("lo")).as("n_lo"), sum(col("hi")).as("n_hi"),
+            (sum(col("wv").cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).cast("decimal(18,6)").cast("double").as("wmean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH pct AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
+    quantile_cont(value, 0.95) AS p95 FROM events GROUP BY 1),
+w AS (SELECT e.event_type,
+    least(greatest(e.value, p.p05), p.p95) AS wv,
+    CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END AS lo,
+    CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END AS hi
+  FROM events e JOIN pct p USING (event_type))
+SELECT event_type, count(*) AS n,
+  CAST(sum(lo) AS BIGINT) AS n_lo, CAST(sum(hi) AS BIGINT) AS n_hi,
+  CAST(CAST(CAST(sum(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+    AS DECIMAL(18,6)) AS DOUBLE) AS wmean
+FROM w GROUP BY 1 ORDER BY event_type NULLS FIRST"""))
   )
 }

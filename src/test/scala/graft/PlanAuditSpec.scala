@@ -270,6 +270,20 @@ class PlanAuditSpec extends SparkSpec {
       s"all-pairs shape in the incremental gate:\n$p")
   }
 
+  test("x39 pagerank supersteps broadcast the rank table — edges never re-shuffle") {
+    val p = plan("x39_pagerank")
+    assert(!p.contains("SortMergeJoin"),
+      s"an iteration shuffled the stationary edge table:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected one broadcast rank join per superstep, got $bhj:\n$p")
+  }
+
+  test("x37 semdedup pair join is cluster-local (equi on cid), never all-pairs") {
+    val p = plan("x37_kmeans_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation degraded to an all-pairs cross product:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

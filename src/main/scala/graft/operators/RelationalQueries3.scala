@@ -560,6 +560,31 @@ SELECT event_type, count(*) AS n,
   CAST(sum(lo) AS BIGINT) AS n_lo, CAST(sum(hi) AS BIGINT) AS n_hi,
   CAST(CAST(CAST(sum(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / count(*)
     AS DECIMAL(18,6)) AS DOUBLE) AS wmean
-FROM w GROUP BY 1 ORDER BY event_type NULLS FIRST"""))
+FROM w GROUP BY 1 ORDER BY event_type NULLS FIRST""")),
+
+    // XML envelope codec (Spark 4 to_xml/from_xml, no external package):
+    // each customer row serializes to an XML fragment and parses back —
+    // entity escaping (&, <) round-trips losslessly, exercised by every
+    // c_name. The oracle replays the identity projection: XML is pure
+    // transport here, any codec asymmetry surfaces as a hash mismatch.
+    // Completes the envelope-format matrix (CSV q45 / JSON q46 / ORC q47 /
+    // Avro q74 / Variant q32). Per-row codec, no shuffle beyond the sort.
+    GQuery("q103_xml_roundtrip",
+      (s, d) => {
+        val xml = t(s, d, "customer")
+          .select(to_xml(struct(col("c_custkey"), col("c_name"),
+            col("c_mktsegment"), col("c_acctbal"))).as("x"))
+        xml.select(from_xml(col("x"), lit(
+            "struct<c_custkey: bigint, c_name: string, c_mktsegment: string, c_acctbal: double>"))
+            .as("r"))
+          .select(col("r.c_custkey").as("c_custkey"),
+            col("r.c_name").as("c_name"),
+            col("r.c_mktsegment").as("c_mktsegment"),
+            dbl(dec2(col("r.c_acctbal"))).as("bal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+FROM customer ORDER BY c_custkey NULLS FIRST"""))
   )
 }

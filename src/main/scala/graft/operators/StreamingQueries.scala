@@ -1595,7 +1595,51 @@ agg AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
 SELECT day, n_events, psi,
   CASE WHEN psi < 0.1 THEN 'stable'
        WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
-FROM agg ORDER BY day NULLS FIRST"""))
+FROM agg ORDER BY day NULLS FIRST""")),
+
+    // S45: streaming funnel — live conversion tracking as ONE streaming
+    // aggregation: per user, the earliest view/click/purchase event times
+    // (conditional mins, state = 3 longs per user however long the stream
+    // runs), with the stage classification and cohort rollup as the batch
+    // projection over the sink. Ordered-MIN semantics (stage counts only if
+    // the mins occur in funnel order) — the deliberate streaming relaxation
+    // of q101's strict sequential-min walk: q101 anchors each stage on the
+    // previous stage's chosen event; here stages anchor on global mins,
+    // which one bounded state row per user can maintain incrementally.
+    GQuery("s45_stream_funnel",
+      (s, d) => {
+        val perUser = runToMemory(
+          eventStream(s, d)
+            .withColumn("ts_us", expr("unix_micros(ts)"))
+            .groupBy(col("user_id"))
+            .agg(min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+              min(when(col("event_type") === "click", col("ts_us"))).as("tc"),
+              min(when(col("event_type") === "purchase", col("ts_us"))).as("tp")),
+          "complete")
+        perUser.filter(col("tv").isNotNull)
+          .select(col("user_id"),
+            when(col("tc") > col("tv") && col("tp") > col("tc"), 3L)
+              .when(col("tc") > col("tv"), 2L).otherwise(1L).as("stage"),
+            when(col("tc") > col("tv") && col("tp") > col("tc"),
+              col("tp") - col("tv")).as("conv_us"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("conv_us")).as("total_conv_us"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH pu AS (SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY 1),
+staged AS (SELECT user_id,
+    CASE WHEN tc > tv AND tp > tc THEN 3
+         WHEN tc > tv THEN 2 ELSE 1 END AS stage,
+    CASE WHEN tc > tv AND tp > tc THEN tp - tv END AS conv_us
+  FROM pu WHERE tv IS NOT NULL)
+SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
+  CAST(sum(conv_us) AS BIGINT) AS total_conv_us
+FROM staged GROUP BY 1 ORDER BY stage NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

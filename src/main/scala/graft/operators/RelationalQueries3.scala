@@ -585,6 +585,84 @@ FROM w GROUP BY 1 ORDER BY event_type NULLS FIRST""")),
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment,
   CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
-FROM customer ORDER BY c_custkey NULLS FIRST"""))
+FROM customer ORDER BY c_custkey NULLS FIRST""")),
+
+    // Time-weighted average (TWAP): each observation holds its value until
+    // the group's next observation, so irregular sampling can't bias the
+    // mean — the time-series aggregate sensors/prices need that a plain AVG
+    // gets wrong. duration = lead(ts) - ts in exact µs; value×duration stays
+    // in DECIMAL (exact cents×µs integers, merge-order-free); the final
+    // ratio runs in double on the two exact sums. One window + one groupBy,
+    // both shuffled by the same key — Catalyst reuses the partitioning.
+    GQuery("q104_twap",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"), dec2(col("value")).as("v2"))
+          .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+          .filter(col("dur").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_obs"), sum(col("dur")).as("total_dur_us"),
+            (sum(col("v2") * col("dur")).cast("double") /
+              sum(col("dur")).cast("double"))
+              .cast("decimal(18,6)").cast("double").as("twap"),
+            (sum(col("v2")).cast("double") / count(lit(1)))
+              .cast("decimal(18,6)").cast("double").as("plain_mean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    CAST(value AS DECIMAL(12,2)) AS v2 FROM events),
+l AS (SELECT event_type, v2,
+    lead(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id)
+      - ts_us AS dur
+  FROM e)
+SELECT event_type, count(*) AS n_obs,
+  CAST(sum(dur) AS BIGINT) AS total_dur_us,
+  CAST(CAST(CAST(sum(v2 * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)
+    AS DECIMAL(18,6)) AS DOUBLE) AS twap,
+  CAST(CAST(CAST(sum(v2) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE)
+    AS plain_mean
+FROM l WHERE dur IS NOT NULL
+GROUP BY 1 ORDER BY event_type NULLS FIRST""")),
+
+    // OHLC bars (candlesticks): per-day open/high/low/close over the value
+    // stream — open/close are the endpoint rows of the (ts, event_id) order,
+    // selected by two row_number windows over the SAME day partitioning
+    // (one sort each direction, no self-join), high/low/count fold in the
+    // same groupBy. The resample-to-bars step every time-series store runs;
+    // at 100 TB the day partitioning is the table's natural layout and the
+    // windows lower to per-partition sorts.
+    GQuery("q105_ohlc_bars",
+      (s, d) => {
+        val asc = Window.partitionBy(col("day"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val desc = Window.partitionBy(col("day"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"), dec2(col("value")).as("v2"))
+          .withColumn("rn_o", row_number().over(asc))
+          .withColumn("rn_c", row_number().over(desc))
+          .groupBy(col("day"))
+          .agg(dbl(max(when(col("rn_o") === 1, col("v2")))).as("open"),
+            dbl(max(col("v2"))).as("high"), dbl(min(col("v2"))).as("low"),
+            dbl(max(when(col("rn_c") === 1, col("v2")))).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, event_id,
+    epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(12,2)) AS v2 FROM events),
+r AS (SELECT day, v2,
+    row_number() OVER (PARTITION BY day ORDER BY ts_us, event_id) AS rn_o,
+    row_number() OVER (PARTITION BY day ORDER BY ts_us DESC, event_id DESC)
+      AS rn_c
+  FROM e)
+SELECT day, CAST(max(CASE WHEN rn_o = 1 THEN v2 END) AS DOUBLE) AS open,
+  CAST(max(v2) AS DOUBLE) AS high, CAST(min(v2) AS DOUBLE) AS low,
+  CAST(max(CASE WHEN rn_c = 1 THEN v2 END) AS DOUBLE) AS close,
+  count(*) AS n
+FROM r GROUP BY 1 ORDER BY day NULLS FIRST"""))
   )
 }

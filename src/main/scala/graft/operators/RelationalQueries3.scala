@@ -663,6 +663,83 @@ SELECT day, CAST(max(CASE WHEN rn_o = 1 THEN v2 END) AS DOUBLE) AS open,
   CAST(max(v2) AS DOUBLE) AS high, CAST(min(v2) AS DOUBLE) AS low,
   CAST(max(CASE WHEN rn_c = 1 THEN v2 END) AS DOUBLE) AS close,
   count(*) AS n
-FROM r GROUP BY 1 ORDER BY day NULLS FIRST"""))
+FROM r GROUP BY 1 ORDER BY day NULLS FIRST""")),
+
+    // Order-invariant table checksum — "are these two replicas identical?"
+    // answered with one aggregate per table and 16 bytes over the wire,
+    // the cheap precursor to q96's row-level diff. Each row renders to a
+    // canonical '|'-joined string (fixed-scale decimals and dates — never
+    // raw doubles, whose formatting is engine-specific), md5-hashes, and the
+    // top 60 bits fold with XOR: associative + commutative, so partitioning,
+    // parallelism and row order can never move the checksum — and no
+    // overflow semantics to disagree on. At 100 TB this is an embarrassingly
+    // parallel scan per replica with a 1-row result.
+    GQuery("q106_table_checksum",
+      (s, d) => {
+        def h(repr: Column): Column =
+          expr("CAST(conv(substr(md5(__r), 1, 15), 16, 10) AS BIGINT)")
+        def one(tbl: String, repr: Column): DataFrame =
+          t(s, d, tbl).select(repr.as("__r"))
+            .select(lit(tbl).as("tbl"), h(repr).as("h"))
+            .groupBy(col("tbl"))
+            .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        val cust = one("customer", concat_ws("|", col("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          dec2(col("c_acctbal")).cast("string"), col("c_nationkey")))
+        val ord = one("orders", concat_ws("|", col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).cast("string"),
+          col("o_orderdate").cast("date").cast("string")))
+        cust.union(ord).orderBy(col("tbl"))
+      },
+      Some("""WITH c AS (SELECT concat_ws('|', c_custkey, c_name, c_mktsegment,
+    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_nationkey) AS r
+  FROM customer),
+o AS (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+    CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r
+  FROM orders),
+h AS (SELECT 'customer' AS tbl,
+    CAST(concat('0x', substr(md5(r), 1, 15)) AS BIGINT) AS h FROM c
+  UNION ALL
+  SELECT 'orders' AS tbl,
+    CAST(concat('0x', substr(md5(r), 1, 15)) AS BIGINT) AS h FROM o)
+SELECT tbl, count(*) AS n_rows, bit_xor(h) AS checksum
+FROM h GROUP BY 1 ORDER BY tbl NULLS FIRST""")),
+
+    // EWMA (exponential smoothing, α=0.2) — the recursive time-series
+    // aggregate (v_t = αx_t + (1-α)v_{t-1}) that has no windowed-SQL form:
+    // here each key's series folds IN EVENT ORDER over a sorted array, and
+    // DuckDB's list_reduce (acc starts at the first element) replays the
+    // identical left fold, so the doubles agree bit-for-bit before the final
+    // rounding. Per-key collect is the sf-test shape; at 100 TB the same
+    // recurrence runs as a mergeable affine-composition aggregate (an EWMA
+    // prefix is (a,b) with v = a·v₀+b; composition is associative — the
+    // TypedImperativeAggregate slot TopKAgg already demonstrates).
+    GQuery("q107_ewma",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"), dec2(col("value")).as("v2"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("""transform(array_sort(collect_list(struct(ts_us, event_id, v2))),
+                    r -> CAST(r.v2 AS DOUBLE))""").as("vs"))
+          .select(col("event_type"), col("n"),
+            expr("""aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
+                    element_at(vs, 1),
+                    (acc, x) -> 0.2D * x + 0.8D * acc)""")
+              .cast("decimal(18,6)").cast("double").as("ewma"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    CAST(value AS DECIMAL(12,2)) AS v2 FROM events),
+g AS (SELECT event_type, count(*) AS n,
+    list(CAST(v2 AS DOUBLE) ORDER BY ts_us, event_id) AS vs
+  FROM e GROUP BY 1)
+SELECT event_type, n,
+  CAST(CAST(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc)
+    AS DECIMAL(18,6)) AS DOUBLE) AS ewma
+FROM g ORDER BY event_type NULLS FIRST"""))
   )
 }

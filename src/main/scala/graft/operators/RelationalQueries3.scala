@@ -740,6 +740,43 @@ g AS (SELECT event_type, count(*) AS n,
 SELECT event_type, n,
   CAST(CAST(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc)
     AS DECIMAL(18,6)) AS DOUBLE) AS ewma
-FROM g ORDER BY event_type NULLS FIRST"""))
+FROM g ORDER BY event_type NULLS FIRST""")),
+
+    // Markov transition matrix over per-user event sequences: lead() pairs
+    // each event with the user's next one (one shuffle by user, windows
+    // lower to per-key sorts), counts land per (from, to) cell, and row
+    // probabilities normalize by a window sum over the from-state — integer
+    // counts divided once in double. The behavioral-model counterpart of
+    // q101's funnel: the funnel asks "did the path happen", this measures
+    // every path edge's likelihood. |types|² output regardless of input.
+    GQuery("q108_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            (col("n").cast("double") / sum(col("n")).over(
+              Window.partitionBy(col("from_type"))))
+              .cast("decimal(18,6)").cast("double"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events),
+l AS (SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      AS to_type
+  FROM e),
+c AS (SELECT from_type, to_type, count(*) AS n FROM l
+  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+  CAST(CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+    AS DECIMAL(18,6)) AS DOUBLE) AS p
+FROM c ORDER BY from_type NULLS FIRST, to_type NULLS FIRST"""))
   )
 }

@@ -1639,7 +1639,45 @@ staged AS (SELECT user_id,
   FROM pu WHERE tv IS NOT NULL)
 SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users,
   CAST(sum(conv_us) AS BIGINT) AS total_conv_us
-FROM staged GROUP BY 1 ORDER BY stage NULLS FIRST"""))
+FROM staged GROUP BY 1 ORDER BY stage NULLS FIRST""")),
+
+    // S46: streaming OHLC bars — q105's candlesticks maintained LIVE. The
+    // batch form selects endpoints with row_number windows; a stream can't
+    // sort, so open/close become min/max over an ORDERABLE STRUCT
+    // (ts_us, event_id, v2): lexicographic struct comparison makes "row with
+    // the earliest/latest timestamp" an associative, mergeable aggregate —
+    // constant state per window (two structs + two decimals + a count), any
+    // batching order. The same trick is the scale path for batch too when
+    // the day partitioning isn't the table layout.
+    GQuery("s46_stream_ohlc",
+      (s, d) => {
+        val bars = runToMemory(
+          eventStream(s, d)
+            .withColumn("ts_us", expr("unix_micros(ts)"))
+            .withColumn("v2", dec2(col("value")))
+            .groupBy(window(col("ts"), "1 day"))
+            .agg(min(struct(col("ts_us"), col("event_id"), col("v2"))).as("o"),
+              max(struct(col("ts_us"), col("event_id"), col("v2"))).as("c"),
+              max(col("v2")).as("hi"), min(col("v2")).as("lo"),
+              count(lit(1)).as("n")),
+          "complete")
+        bars.select(to_date(col("window.start")).as("day"),
+            dbl(col("o.v2")).as("open"), dbl(col("hi")).as("high"),
+            dbl(col("lo")).as("low"), dbl(col("c.v2")).as("close"), col("n"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, event_id,
+    epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(12,2)) AS v2 FROM events),
+r AS (SELECT day, v2,
+    row_number() OVER (PARTITION BY day ORDER BY ts_us, event_id) AS rn_o,
+    row_number() OVER (PARTITION BY day ORDER BY ts_us DESC, event_id DESC)
+      AS rn_c
+  FROM e)
+SELECT day, CAST(max(CASE WHEN rn_o = 1 THEN v2 END) AS DOUBLE) AS open,
+  CAST(max(v2) AS DOUBLE) AS high, CAST(min(v2) AS DOUBLE) AS low,
+  CAST(max(CASE WHEN rn_c = 1 THEN v2 END) AS DOUBLE) AS close,
+  count(*) AS n
+FROM r GROUP BY 1 ORDER BY day NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

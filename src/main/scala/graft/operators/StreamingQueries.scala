@@ -1677,7 +1677,32 @@ SELECT day, CAST(max(CASE WHEN rn_o = 1 THEN v2 END) AS DOUBLE) AS open,
   CAST(max(v2) AS DOUBLE) AS high, CAST(min(v2) AS DOUBLE) AS low,
   CAST(max(CASE WHEN rn_c = 1 THEN v2 END) AS DOUBLE) AS close,
   count(*) AS n
-FROM r GROUP BY 1 ORDER BY day NULLS FIRST"""))
+FROM r GROUP BY 1 ORDER BY day NULLS FIRST""")),
+
+    // S47: LIVE table checksum — q106's order-invariant md5-XOR fold
+    // maintained as a streaming complete-mode aggregate: every trigger emits
+    // the current (count, checksum) of everything ingested so far, 16 bytes
+    // of state regardless of volume. XOR's associativity+commutativity is
+    // what makes the same number come out of any batching, any partitioning,
+    // and the batch replay — so a replica ingesting the same frames can be
+    // compared MID-STREAM, not just at rest. Oracle = the batch fold over
+    // the full table (availableNow runs the stream to the same endpoint).
+    GQuery("s47_stream_checksum",
+      (s, d) => runToMemory(
+        eventStream(s, d)
+          .select(expr(
+            """CAST(conv(substr(md5(concat_ws('|', event_id,
+              |  unix_micros(ts), user_id, event_type,
+              |  CAST(CAST(value AS DECIMAL(12,2)) AS STRING))), 1, 15),
+              |  16, 10) AS BIGINT)""".stripMargin).as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum")),
+        "complete"),
+      Some("""SELECT count(*) AS n_rows,
+  bit_xor(CAST(concat('0x', substr(md5(concat_ws('|', event_id,
+    epoch_us(ts), user_id, event_type,
+    CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR))), 1, 15)) AS BIGINT))
+    AS checksum
+FROM events"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

@@ -777,6 +777,47 @@ c AS (SELECT from_type, to_type, count(*) AS n FROM l
 SELECT from_type, to_type, n,
   CAST(CAST(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
     AS DECIMAL(18,6)) AS DOUBLE) AS p
-FROM c ORDER BY from_type NULLS FIRST, to_type NULLS FIRST"""))
+FROM c ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""")),
+
+    // Constraint / referential-integrity audit — the data-quality report a
+    // lake runs before promoting a snapshot: FK orphan counts (anti joins —
+    // each plans as a broadcast/shuffled anti, never a subquery re-scan),
+    // null-rate and range-violation counts, one row per rule. Rules that
+    // pass report 0 rather than vanishing, so the report's shape is stable
+    // for diffing run-over-run. Each rule is one aggregate over one scan;
+    // the union is |rules| rows.
+    GQuery("q109_integrity_audit",
+      (s, d) => {
+        def rule(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_violations"))
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        rule("fk_lineitem_orders",
+            li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+          .union(rule("fk_orders_customer",
+            o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+          .union(rule("fk_customer_nation",
+            c.join(n, c("c_nationkey") === n("n_nationkey"), "left_anti")))
+          .union(rule("null_customer_name", c.filter(col("c_name").isNull)))
+          .union(rule("range_event_value", Tables.events(s, d)
+            .filter(col("value") < 0.0 || col("value") > 400.0)))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT 'fk_customer_nation' AS rule, count(*) AS n_violations
+  FROM customer c WHERE NOT EXISTS
+    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'fk_lineitem_orders', count(*) FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'fk_orders_customer', count(*) FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'null_customer_name', count(*) FROM customer WHERE c_name IS NULL
+UNION ALL
+SELECT 'range_event_value', count(*) FROM events
+  WHERE value < 0.0 OR value > 400.0
+ORDER BY rule NULLS FIRST"""))
   )
 }

@@ -15,10 +15,19 @@ import graft.functions._
   *     for a cluster deployment.
   */
 object Graft {
-  private def lit2Int(e: Expression): Int =
-    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
-  private def lit2Long(e: Expression): Long =
-    e.asInstanceOf[Literal].value.asInstanceOf[Number].longValue()
+  // SQL fractional literals parse as DecimalType (whose value is Spark's
+  // Decimal, not a java.lang.Number) — normalize before extracting, so
+  // `bloom_agg(x, 10000, 0.01)` works as naturally spelled
+  private def litNum(e: Expression): Number =
+    e.asInstanceOf[Literal].value match {
+      case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.bigDecimal
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal, got: $other")
+    }
+  private def lit2Int(e: Expression): Int = litNum(e).intValue()
+  private def lit2Long(e: Expression): Long = litNum(e).longValue()
+  private def lit2Double(e: Expression): Double = litNum(e).doubleValue()
   private def lit2Str(e: Expression): String =
     e.asInstanceOf[Literal].value.toString
 
@@ -48,8 +57,7 @@ object Graft {
     "cms_estimate" -> (es => CmsEstimate(es(0), es(1))),
     "bloom_agg" -> (es => BloomAgg(es(0),
       if (es.length > 1) lit2Long(es(1)) else 10000L,
-      if (es.length > 2) es(2).asInstanceOf[Literal].value
-        .asInstanceOf[Number].doubleValue() else 0.01)),
+      if (es.length > 2) lit2Double(es(2)) else 0.01)),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   def registerFunctions(spark: SparkSession): Unit =

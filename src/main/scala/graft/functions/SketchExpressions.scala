@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Point query against a serialized Count-Min sketch (the binary produced by
@@ -15,10 +15,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * deserialized sketch instead (same pattern as the ANN query side).
   */
 case class CmsEstimate(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
+  // int items get an implicit widening cast, so the interpreted path's
+  // asInstanceOf[Long] and the codegen path agree on every input type
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] = Seq(BinaryType, LongType)
 
   override def nullSafeEval(sk: Any, item: Any): Any =
     CmsEstimate.estimate(sk.asInstanceOf[Array[Byte]], item.asInstanceOf[Long])
@@ -95,10 +98,12 @@ case class BloomAgg(child: Expression, expectedItems: Long, fpp: Double,
   * for a given JDK zlib; cross-engine oracles are therefore out of scope
   * (G-class) and the behavioral guarantees live in the spec. */
 case class DeflateLength(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "deflate_len"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] = Seq(StringType)
 
   override def nullSafeEval(v: Any): Any =
     DeflateLength.compressedLen(
@@ -113,16 +118,21 @@ case class DeflateLength(child: Expression)
 }
 
 object DeflateLength {
+  // one native Deflater per executor thread, reset() between rows — a
+  // full-corpus scan (x34) would otherwise allocate and finalize one native
+  // zlib stream per document
+  private val localDeflater = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(6, true))
+
   def compressedLen(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val in = s.getBytes
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(in); d.finish()
-      val buf = new Array[Byte](8192)
-      var n = 0L
-      while (!d.finished()) n += d.deflate(buf)
-      n
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n
   }
 }
 
@@ -134,10 +144,11 @@ object DeflateLength {
   * form is a scalar subquery (evaluated once); this expression keeps the
   * DataFrame-join form cheap too. */
 case class BloomMightContain(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "bloom_might_contain"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] = Seq(BinaryType, StringType)
 
   override def nullSafeEval(bloom: Any, item: Any): Any =
     BloomMightContain.contains(bloom.asInstanceOf[Array[Byte]], item.toString)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * reads the unsafe array data in place.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // the kernel reads float-backed ArrayData; declaring the contract makes
+  // Catalyst insert an element-wise cast (or fail analysis) instead of
+  // letting getFloat reinterpret differently-typed bytes
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -62,10 +67,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * is what lets the k-means assignment step (x37) hash-match an external
   * replay bit-for-bit. Same codegen treatment as [[CosineSimilarity]]. */
 case class L2Distance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_dist"
+  // getDouble on a float-backed array would reinterpret bytes; the declared
+  // contract makes SQL callers with array<float> columns get an implicit
+  // element cast to double instead of silently wrong distances
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -105,11 +115,12 @@ case class L2Distance(left: Expression, right: Expression)
   * The scale path for ANN: vectors shuffle by bucket, candidate generation is
   * a bucket-local join instead of an all-pairs cross product. */
 case class RandomProjectionBucket(child: Expression, planes: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(planes > 0 && planes <= 30, "planes must be in 1..30")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "rp_bucket"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] = Seq(ArrayType(FloatType))
 
   // same hash-derived ±1 plane loop in generated Java: the near-dup candidate
   // generator evaluates this `tables` times per row, so it must stay inside

@@ -10,6 +10,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * -library shim: lives in the org.apache.spark.sql package solely to export
   * these two conversions to the graft library. */
 object shims {
+  /** `AbstractDataType` is private[sql] in Spark 4; exported so graft's
+    * native expressions can declare `inputTypes` contracts. */
+  type AbsType = org.apache.spark.sql.types.AbstractDataType
+
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -135,6 +135,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(self.head.getDouble(0) === 0.0)
   }
 
+  test("input-type contracts: implicit casts on the SQL surface") {
+    graft.Graft.registerFunctions(spark)
+    val e = Tables.table(spark, sf, "embeddings")
+    e.createOrReplaceTempView("emb_native")
+    // l2_dist on the NATIVE array<float> column: the declared contract makes
+    // Catalyst insert an element cast to double, so the answer equals the
+    // explicitly-cast form instead of silently reinterpreting float bytes
+    val implicitCast = spark.sql(
+      "SELECT vec_id, l2_dist(embedding, embedding) AS d FROM emb_native")
+    assert(implicitCast.agg(max(col("d"))).head.getDouble(0) === 0.0)
+    val cross = spark.sql(
+      """SELECT l2_dist(a.embedding, b.embedding) AS d
+        |FROM emb_native a JOIN emb_native b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id < 20""".stripMargin)
+    val explicit = spark.sql(
+      """SELECT l2_dist(CAST(a.embedding AS array<double>),
+        |               CAST(b.embedding AS array<double>)) AS d
+        |FROM emb_native a JOIN emb_native b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id < 20""".stripMargin)
+    assert(cross.exceptAll(explicit).isEmpty && explicit.exceptAll(cross).isEmpty)
+    // cms_estimate with an INT item column: widening cast keeps interpreted
+    // and codegen paths consistent
+    val cms = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(CAST(vec_id AS long), 0.01d, 0.01d, 42)
+        |  AS s FROM emb_native)
+        |SELECT cms_estimate(s, CAST(7 AS int)) AS est FROM sk""".stripMargin)
+    assert(cms.head.getLong(0) >= 1L)
+    // bloom_agg spelled with a plain SQL decimal literal for fpp
+    val bl = spark.sql(
+      """WITH f AS (SELECT bloom_agg(CAST(vec_id AS string), 10000, 0.01) AS b
+        |  FROM emb_native)
+        |SELECT bloom_might_contain(b, '7') AS hit,
+        |       bloom_might_contain(b, 'definitely-not-present-xyz') AS miss
+        |FROM f""".stripMargin)
+    val r = bl.head
+    assert(r.getBoolean(0))
+  }
+
   test("deflate_len is deterministic and discriminates repetition from noise") {
     import spark.implicits._
     val repeated = "the cat sat on the mat " * 40

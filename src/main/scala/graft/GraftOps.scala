@@ -20,6 +20,26 @@ case class StreamEnvelope(key: Array[Byte], value: Array[Byte], topic: String,
   */
 object GraftOps {
 
+  /** Document-frequency cap policy for [[jaccardNearDups]]' candidate index.
+    * A shingle shared by d documents fans out to d·(d-1)/2 candidate pairs in
+    * the inverted-index self-join, so ONE boilerplate shingle (navigation
+    * chrome, license header) can turn a linear corpus into a quadratic plan.
+    * The cap bounds that fanout in the CANDIDATE stage only — verification
+    * always recomputes exact Jaccard from the full shingle sets. */
+  sealed trait DfCapPolicy
+  object DfCapPolicy {
+    /** Default: cap = max(64, ceil(8·sqrt(ndocs))), derived IN-PLAN from a
+      * broadcast one-row count — no driver action. Any single shingle's
+      * self-join fanout is then ≤ cap² = 64·ndocs rows, i.e. linear in the
+      * corpus, which is the invariant that survives a 100 TB scan. */
+    case object Auto extends DfCapPolicy
+    /** Explicit opt-out: uncapped single-pass exact join-count formulation.
+      * Only safe on corpora known to share no high-df boilerplate. */
+    case object Exact extends DfCapPolicy
+    /** Operator-chosen absolute cap (e.g. from profiled df statistics). */
+    final case class Fixed(cap: Long) extends DfCapPolicy
+  }
+
   /** Eagerly materialize a small intermediate that feeds multiple plan
     * branches (self-joins recompute their subtree per side otherwise — the
     * simhash pipeline ran 5x slower without this). Same pattern MLlib's LSH
@@ -70,13 +90,30 @@ object GraftOps {
     * pays per-file open/footer cost. `coalesce` is the scale-correct move —
     * a NARROW dependency that merges co-located splits without shuffling a
     * byte (a `repartition` compaction would re-exchange the whole table).
-    * Sizing reads only file-status metadata, never data. */
+    * Sizing reads only file-status metadata, never data — and reuses the
+    * statuses the relation's `FileIndex` already fetched when the DataFrame
+    * was planned, so a millions-of-files table costs ZERO extra driver RPCs
+    * (the earlier per-file `getFileStatus` loop was minutes of sequential
+    * driver wall clock at that scale). Non-file relations fall back to
+    * parallel stats over `inputFiles`. */
   def compact(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
-    val hconf = df.sparkSession.sessionState.newHadoopConf()
-    val totalBytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    }.sum
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val indexedBytes = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.sizeInBytes // cached statuses from the planning listing
+        case r => r.sizeInBytes
+      }
+    }
+    val totalBytes =
+      if (indexedBytes.nonEmpty) indexedBytes.sum
+      else {
+        val hconf = df.sparkSession.sessionState.newHadoopConf()
+        java.util.Arrays.stream(df.inputFiles).parallel().mapToLong { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(hconf).getFileStatus(p).getLen
+        }.sum()
+      }
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     df.coalesce(n)
   }
@@ -123,17 +160,20 @@ object GraftOps {
     * join: explode shingles, join on shingle, count common per pair. Exact
     * answers without an all-pairs cross product.
     *
-    * `maxDf` is the boilerplate escape hatch for skewed corpora: shingles
-    * with document frequency above the cap (navigation chrome, license
+    * `maxDf` is the boilerplate guard for skewed corpora: shingles with
+    * document frequency above the cap (navigation chrome, license
     * headers — the shingles that explode the self-join fanout quadratically)
     * are dropped from the CANDIDATE index only. Verification then recomputes
     * the EXACT Jaccard from the full shingle sets, so every reported `j` is
     * still exact — the cap can only lose pairs whose entire overlap is capped
-    * boilerplate (which near-dup removal wants to ignore anyway). Default
-    * None = fully exact, single-pass join-count formulation. */
+    * boilerplate (which near-dup removal wants to ignore anyway). The
+    * DEFAULT is [[DfCapPolicy.Auto]] — a corpus-derived cap (8·sqrt(ndocs))
+    * computed in-plan, so the one-boilerplate-line-makes-d²-rows failure
+    * mode cannot happen by default; [[DfCapPolicy.Exact]] is the explicit
+    * opt-out for corpora known to be chrome-free. */
   def jaccardNearDups(df: DataFrame, id: Column, text: Column,
       k: Int = 5, threshold: Double = 0.5,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: DfCapPolicy = DfCapPolicy.Auto): DataFrame = {
     val sh = shingles(df, id, text, k)
     // Exact document-frequency pruning: a shingle held by a single document
     // contributes no pair, so df>=2 filtering shrinks the self-join input
@@ -142,12 +182,12 @@ object GraftOps {
     // the same by-shingle shuffle the self-join needs anyway, replacing the
     // earlier aggregate + join-back round trip (measured 3.0→2.3 s at sf0.1;
     // a hot shingle skews this window exactly as it would the join, which is
-    // what `maxDf` caps).
+    // what the cap bounds).
     val withDf = sh.select(col("id"), col("nsh"), explode(col("sh")).as("sg"))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
     maxDf match {
-      case None =>
+      case DfCapPolicy.Exact =>
         val ex = materialize(withDf.filter(col("df") >= 2).drop("df"))
         ex.as("a").join(ex.as("b"),
             col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
@@ -158,12 +198,24 @@ object GraftOps {
             col("common").cast("double") / (col("na") + col("nb") - col("common")))
           .filter(col("j") >= threshold)
           .select(col("doc_a"), col("doc_b"), col("j"))
-      case Some(cap) =>
+      case policy =>
         // capped index generates candidates; exact verify on the full sets
         // (counting common over a pruned index would UNDERcount j — the cap
         // must never change a reported similarity, only candidate recall)
-        val ex = materialize(withDf
-          .filter(col("df") >= 2 && col("df") <= cap).select(col("id"), col("sg")))
+        val capped = policy match {
+          case DfCapPolicy.Fixed(cap) =>
+            withDf.filter(col("df") >= 2 && col("df") <= cap)
+          case _ =>
+            // Auto: join the 1-row corpus count (broadcast — the blessed
+            // constant-size cross) and cap at max(64, ceil(8·sqrt(ndocs)));
+            // any surviving shingle fans out ≤ 64·ndocs candidate rows
+            val nd = sh.agg(
+              greatest(lit(64L), ceil(lit(8.0) * sqrt(count(lit(1)))))
+                .cast("long").as("autocap"))
+            withDf.join(broadcast(nd))
+              .filter(col("df") >= 2 && col("df") <= col("autocap"))
+        }
+        val ex = materialize(capped.select(col("id"), col("sg")))
         val shm = materialize(sh)
         val cand = ex.as("a").join(ex.as("b"),
             col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
@@ -626,6 +678,57 @@ object GraftOps {
       .join(binned, Seq("__bin"))
       .filter(start <= point && point < end)
       .drop("__bin")
+  }
+
+  // ---- graph ----------------------------------------------------------------
+
+  /** Damped PageRank over a directed edge list `(a → b)` — the generic
+    * iterate-over-a-static-graph shape (label propagation / HITS / Katz share
+    * it). Returns `(node, r)` after `iters` supersteps.
+    *
+    * Determinism contract (what lets an external engine replay it exactly):
+    * per-edge messages r/deg are quantized decimal(28,12) BEFORE the
+    * destination sum — exact, associative, merge-order-proof — and the
+    * damping update runs in double on the exact sum. `jump` and `damping`
+    * are both explicit literals so no engine ever computes `1 - damping` in
+    * floating point.
+    *
+    * Scale shape: edges join their out-degree ONCE and the result is
+    * materialized — no iteration ever moves an edge. Per-iteration cost is
+    * one rank join + one map-side-combined groupBy:
+    *   - `copartition = false` (default): the |nodes|-sized rank table
+    *     BROADCASTS into the stationary edges; the only shuffle is the
+    *     ~|nodes|×|partitions| combined message partials.
+    *   - `copartition = true`: the trillion-edge variant, for when ranks
+    *     outgrow a broadcast. Edges are hash-partitioned on `a` once before
+    *     materializing; each iteration shuffles ONLY the rank table into
+    *     that fixed layout (the edge side re-sorts locally, no exchange).
+    * Both modes produce bit-identical results (PageRankSpec pins it). */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      jump: Double = 0.15, copartition: Boolean = false): DataFrame = {
+    val outdeg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val pre = edges.join(outdeg, "a").select(col("a"), col("b"), col("deg"))
+    val cedges = (if (copartition) pre.repartition(col("a")) else pre)
+      .localCheckpoint(true)
+    val nN = broadcast(outdeg.agg(count(lit(1)).cast("double").as("nn")))
+    var r = outdeg.crossJoin(nN)
+      .select(col("a").as("node"), (lit(1.0d) / col("nn")).as("r"))
+    for (_ <- 1 to iters) {
+      val rside = if (copartition) r else broadcast(r)
+      // merge hint in copartition mode: at trillion-edge scale neither side
+      // fits a broadcast, and the hint keeps the test-scale plan honest —
+      // SMJ over the fixed edge layout, only the rank side exchanges
+      val eside = if (copartition) cedges.hint("merge") else cedges
+      val msgs = eside.join(rside, col("node") === col("a"))
+        .select(col("b").as("node"),
+          (col("r") / col("deg")).cast("decimal(28,12)").as("m"))
+      r = msgs.groupBy(col("node"))
+        .agg(sum(col("m")).cast("double").as("sm"))
+        .crossJoin(nN)
+        .select(col("node"),
+          (lit(jump) / col("nn") + lit(damping) * col("sm")).as("r"))
+    }
+    r
   }
 
   // ---- envelope views ------------------------------------------------------

@@ -1,0 +1,29 @@
+package graft
+
+/** Managed scratch root for queries that must WRITE a physical layout before
+  * reading it back (bucketed tables, hive-partitioned facts, stored MVs).
+  * Deterministic directory per (purpose, input) pair — repeated bench runs
+  * overwrite in place instead of accumulating a fresh orphan temp dir per
+  * run — and the whole root is removed by a JVM shutdown hook, so a bench
+  * session leaves no stray layouts behind. */
+object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(p.toFile)))
+    p
+  }
+
+  /** Deterministic scratch path for a purpose + input key (e.g. the sf dir). */
+  def dir(purpose: String, key: String): String =
+    root.resolve(purpose + "_" + key.replaceAll("[^a-zA-Z0-9]", "_")).toString
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

@@ -402,7 +402,7 @@ FROM sc ORDER BY doc_id NULLS FIRST""")),
         // with shared chrome the cap bounds the inverted-index fanout.
         val dropIds = graft.GraftOps
           .jaccardNearDups(deduped, col("doc_id"), col("text"), k = 5,
-            threshold = 0.5, maxDf = Some(10L))
+            threshold = 0.5, maxDf = graft.GraftOps.DfCapPolicy.Fixed(10L))
           .select(col("doc_b").as("doc_id")).distinct()
         deduped.join(dropIds, Seq("doc_id"), "left_anti")
           .groupBy(col("lang"))
@@ -891,34 +891,19 @@ FROM c ORDER BY doc_id NULLS FIRST""")),
             (col("l_suppkey") * 2 + 1).as("b")).distinct()
           .localCheckpoint(true)
         val edges = li.union(li.select(col("b").as("a"), col("a").as("b")))
-        val outdeg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        // STATIONARY edges: degree is joined into the edge table once and the
-        // result materialized — after this, no iteration ever moves an edge.
-        // Each superstep broadcasts the (|nodes|-sized) rank table instead,
-        // and the message groupBy partial-aggregates map-side, so the only
-        // per-iteration shuffle is ~|nodes|×|partitions| combined partials.
-        // That edge-stationarity is exactly how PageRank survives 100 TB —
-        // at trillion-edge scale the broadcast becomes a co-partitioned
-        // rank join, and edges still never re-shuffle.
-        val cedges = edges.join(outdeg, "a")
-          .select(col("a"), col("b"), col("deg")).localCheckpoint(true)
-        val nN = broadcast(outdeg.agg(count(lit(1)).cast("double").as("nn")))
-        var r = outdeg.crossJoin(nN)
-          .select(col("a").as("node"), (lit(1.0d) / col("nn")).as("r"))
-        for (_ <- 1 to 3) {
-          val msgs = cedges.join(broadcast(r), col("node") === col("a"))
-            .select(col("b").as("node"),
-              (col("r") / col("deg")).cast("decimal(28,12)").as("m"))
-          r = msgs.groupBy(col("node"))
-            .agg(sum(col("m")).cast("double").as("sm"))
-            .crossJoin(nN)
-            .select(col("node"),
-              (lit(0.15d) / col("nn") + lit(0.85d) * col("sm")).as("r"))
-        }
+        // iteration lives in GraftOps.pageRank (stationary edges, broadcast
+        // ranks, decimal message partials; copartition=true is the
+        // trillion-edge variant — PageRankSpec pins both identical)
+        val r = graft.GraftOps.pageRank(edges, iters = 3)
+        // top-k as orderBy+limit → TakeOrderedAndProject: a distributed
+        // per-partition top-20 + driver merge, stating the intent directly
+        // instead of leaning on the WindowGroupLimit rewrite of a global
+        // no-partition window. The rank number is then assigned over the 20
+        // surviving rows only.
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("r").desc, col("node"))
-        r.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 20)
+        r.orderBy(col("r").desc, col("node")).limit(20)
+          .withColumn("rank", row_number().over(w).cast("long"))
           .select(col("rank"),
             when(col("node") % 2 === 0,
               concat(lit("p"), expr("node div 2")))

@@ -153,9 +153,9 @@ GROUP BY odate ORDER BY odate NULLS FIRST""")),
     GQuery("q91_bucketed_join",
       (s, d) => {
         val suf = math.abs(d.hashCode).toString
-        val base = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-          "graft-bucket").toString
+        // deterministic managed scratch: repeat runs overwrite in place and
+        // the root is deleted at JVM exit — no orphan bucketed tables
+        val base = graft.Scratch.dir("bucket", d)
         val li = s"graft_b_li_$suf"; val ord = s"graft_b_ord_$suf"
         s.sql(s"DROP TABLE IF EXISTS $li")
         s.sql(s"DROP TABLE IF EXISTS $ord")
@@ -189,8 +189,7 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")),
     // over the unpartitioned table — layout must not change results.
     GQuery("q92_dynamic_partition_pruning",
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = graft.Scratch.dir("dpp", d)
         t(s, d, "customer")
           .write.mode("overwrite").partitionBy("c_nationkey").parquet(base)
         val fact = s.read.parquet(base)

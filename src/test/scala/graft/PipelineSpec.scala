@@ -116,7 +116,9 @@ class PipelineSpec extends SparkSpec {
     val params = Gen.Parameters.default
     val wordGen = Gen.chooseNum(0, 199).map(i => s"w$i")
     for (seedNo <- 1L to 3L) {
-      val ndocs = 30
+      // 80 docs puts boilerplate df (81) above the Auto cap
+      // max(64, ceil(8·sqrt(81))) = 72 — the default path must prune it
+      val ndocs = 80
       val docs = (0 until ndocs).map { i =>
         val len = 30 + (i % 20)
         val words = Gen.listOfN(len, wordGen)
@@ -136,10 +138,11 @@ class PipelineSpec extends SparkSpec {
       val cap = math.round(meanDf * 10)
       assert(cap < ndocs + 1, s"cap $cap does not prune boilerplate (df=${ndocs + 1})")
 
-      val exact = graft.GraftOps.jaccardNearDups(corpus, col("doc_id"), col("text"))
+      val exact = graft.GraftOps.jaccardNearDups(corpus, col("doc_id"), col("text"),
+          maxDf = graft.GraftOps.DfCapPolicy.Exact)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       val capped = graft.GraftOps.jaccardNearDups(corpus, col("doc_id"), col("text"),
-          maxDf = Some(cap))
+          maxDf = graft.GraftOps.DfCapPolicy.Fixed(cap))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       assert(capped.contains((0L, ndocs.toLong)),
         s"seed $seedNo: planted pair lost under df cap $cap")
@@ -150,6 +153,17 @@ class PipelineSpec extends SparkSpec {
       // on this corpus no qualifying pair's overlap is pure boilerplate, so
       // the capped index loses no pairs at all
       assert(capped.keySet === exact.keySet, s"seed $seedNo: pair sets differ")
+
+      // the DEFAULT (Auto) path: its derived cap max(64, ceil(8·sqrt(81)))=72
+      // sits below the boilerplate df of 81, so the shared-chrome shingles
+      // are pruned from the candidate index — the d² fanout cannot happen —
+      // while the planted pair and every exact similarity survive untouched
+      val autoCap = math.max(64L, math.ceil(8.0 * math.sqrt(ndocs + 1)).toLong)
+      assert(autoCap < ndocs + 1,
+        s"test corpus must put boilerplate df above the auto cap ($autoCap)")
+      val auto = graft.GraftOps.jaccardNearDups(corpus, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(auto === exact, s"seed $seedNo: default Auto path differs from exact")
     }
   }
 

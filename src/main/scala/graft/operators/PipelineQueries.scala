@@ -1109,6 +1109,56 @@ SELECT b.doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
     >= 0.2 AS flagged
 FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY doc_id NULLS FIRST""")),
 
+    // ---- X13b: 13-gram decontamination (industry-standard n) ---------------
+    // Same broadcast-probe plan as x13 but at n=13 — the shingle width used
+    // for real eval-contamination scans (e.g. GPT-3's 13-gram overlap
+    // filter), where a hit means a verbatim ~13-word span, not topical
+    // similarity. 13-grams need longer documents than the raw corpus rows,
+    // so the corpus here is 3-doc concatenation groups (ordered inside the
+    // group — deterministic on both engines); the eval set is the
+    // doc_id % 20 = 0 slice of the ORIGINAL docs, so every group containing
+    // an eval member holds its full text verbatim and must flag, while
+    // 13-grams spanning doc boundaries hit nothing. O-class.
+    GQuery("x13b_decontaminate_13gram",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val groups = docs
+          .groupBy(expr("doc_id div 3").as("gid"))
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(doc_id, text))), x -> x.text), ' ')").as("text"))
+        // decontaminate shingles both sides with the same id/text columns
+        val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("gid"), col("text"))
+        graft.GraftOps.decontaminate(groups, evalDocs,
+            col("gid"), col("text"), k = 13, flagFrac = 0.1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH grp AS (SELECT doc_id // 3 AS gid,
+    string_agg(text, ' ' ORDER BY doc_id) AS text
+  FROM documents GROUP BY gid),
+gt AS (SELECT gid, string_split(text, ' ') AS w FROM grp),
+gsh AS (SELECT gid,
+  CASE WHEN len(w) >= 13 THEN list_distinct(list_transform(range(1, len(w) - 11),
+    i -> array_to_string(w[i:i+12], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM gt),
+et AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
+esh AS (SELECT
+  CASE WHEN len(w) >= 13 THEN list_distinct(list_transform(range(1, len(w) - 11),
+    i -> array_to_string(w[i:i+12], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM et),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM esh),
+tr AS (SELECT gid, len(s) AS nsh, unnest(s) AS g FROM gsh),
+hits AS (SELECT gid, count(*) AS n_hits FROM tr JOIN ev USING (g) GROUP BY gid),
+base AS (SELECT gid, len(s) AS nsh FROM gsh)
+SELECT b.gid AS doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
+  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
+    AS contam_frac,
+  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
+    >= 0.1 AS flagged
+FROM base b LEFT JOIN hits h USING (gid) ORDER BY doc_id NULLS FIRST""")),
+
     // ---- X14: repetition quality filter ------------------------------------
     // Gopher-style repetition heuristics, adapted to this corpus: per-doc
     // distinct-word fraction and most-common-bigram fraction, with a

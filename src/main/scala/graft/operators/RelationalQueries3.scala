@@ -353,6 +353,58 @@ d AS (SELECT coalesce(a.k, b.k) AS k,
 SELECT k, change, old_bal, new_bal FROM d WHERE change <> 'same'
 ORDER BY k NULLS FIRST""")),
 
+    // Snapshot time travel: q96's diff re-expressed over a VERSIONED table —
+    // two snapshot versions are COMMITTED through the parquet+manifest
+    // layout (write data, then atomically publish the manifest pointer:
+    // the Delta/Iceberg protocol reduced to its load-bearing parts), read
+    // back as `VERSION AS OF` 1 and latest, and reconciled with the same
+    // full-outer keyed diff. The oracle replays the logical v1/v2
+    // definitions directly — storage round-trip and time-travel resolution
+    // must be bit-invisible. At 100 TB each snapshot read is an ordinary
+    // parquet scan (pruning/pushdown/splits unchanged), and the manifest
+    // listing costs one directory list, not a data scan.
+    GQuery("q110_time_travel_diff",
+      (s, d) => {
+        import graft.sources.VersionedTable
+        val root = graft.Scratch.dir("timetravel", d)
+        val a = t(s, d, "customer").select(col("c_custkey").as("k"),
+          dec2(col("c_acctbal")).as("bal"), col("c_mktsegment").as("seg"))
+        val b = a.filter(col("k") % 17 =!= 0)
+          .withColumn("bal",
+            when(col("k") % 5 === 0, col("bal") + 10).otherwise(col("bal")))
+          .unionByName(a.filter(col("k") % 13 === 0)
+            .select((col("k") + 100000L).as("k"), col("bal"), col("seg")))
+        VersionedTable.reset(s, root)
+        VersionedTable.commit(a, root)
+        VersionedTable.commit(b, root)
+        val va = VersionedTable.snapshot(s, root, asOf = Some(1))
+        val vb = VersionedTable.snapshot(s, root) // latest = 2
+        va.as("a").join(vb.as("b"), col("a.k") === col("b.k"), "full_outer")
+          .select(coalesce(col("a.k"), col("b.k")).as("k"),
+            when(col("a.k").isNull, "added")
+              .when(col("b.k").isNull, "removed")
+              .when(col("a.bal") =!= col("b.bal")
+                || col("a.seg") =!= col("b.seg"), "changed")
+              .otherwise("same").as("change"),
+            dbl(col("a.bal")).as("old_bal"), dbl(col("b.bal")).as("new_bal"))
+          .filter(col("change") =!= "same")
+          .orderBy(col("k"))
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+    c_mktsegment AS seg FROM customer),
+b AS (SELECT k, CASE WHEN k % 5 = 0 THEN bal + 10 ELSE bal END AS bal, seg
+    FROM a WHERE k % 17 <> 0
+  UNION ALL
+  SELECT k + 100000, bal, seg FROM a WHERE k % 13 = 0),
+d AS (SELECT coalesce(a.k, b.k) AS k,
+    CASE WHEN a.k IS NULL THEN 'added' WHEN b.k IS NULL THEN 'removed'
+         WHEN a.bal <> b.bal OR a.seg <> b.seg THEN 'changed'
+         ELSE 'same' END AS change,
+    CAST(a.bal AS DOUBLE) AS old_bal, CAST(b.bal AS DOUBLE) AS new_bal
+  FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT k, change, old_bal, new_bal FROM d WHERE change <> 'same'
+ORDER BY k NULLS FIRST""")),
+
     // TPC-H Q15 shape: aggregate → max-of-aggregate → join back ("the top
     // revenue supplier(s)"). Q15 defines the revenue relation as a VIEW used
     // twice; Spark's inline-CTE plan would aggregate the fact TWICE (a

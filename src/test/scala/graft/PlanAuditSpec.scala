@@ -110,6 +110,14 @@ class PlanAuditSpec extends SparkSpec {
       s"decontamination degraded to an all-pairs shape:\n$p")
   }
 
+  test("x13b 13-gram decontamination keeps the broadcast-probe shape") {
+    val p = plan("x13b_decontaminate_13gram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast — corpus shingles must never shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degraded to an all-pairs shape:\n$p")
+  }
+
   test("x14 repetition filter is shuffle-free before the presentation sort") {
     val p = SparkEntry.queries("x14_repetition_filter")(spark, sf)
       .queryExecution.executedPlan.toString

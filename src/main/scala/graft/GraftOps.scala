@@ -287,6 +287,35 @@ object GraftOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Perceptual near-duplicate IMAGE pairs via average-hash + Hamming
+    * banding — the multimodal twin of [[simhashNearDups]] (X05's near-dup
+    * axis). Each payload maps to a 64-bit aHash; the hash splits into four
+    * 16-bit bands, candidates come from a band equi-join, and the reported
+    * `hamming` is the exact distance on the full hashes. The pigeonhole
+    * guarantee is structural: pairs within `maxHamming` ≤ 3 differ in at
+    * most 3 of 64 bits, so at least one of the 4 bands matches exactly —
+    * banding NEVER loses a qualifying pair (ImageHashSpec proves it against
+    * brute force). Scale: one band-key shuffle, never image×image. */
+  def imageNearDups(df: DataFrame, id: Column, image: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val imgs = materialize(spreadSmall(df)
+      .select(id.as("id"), avg_hash64(image).as("h64")))
+    def bkey(i: Int) =
+      shiftrightunsigned(col("h64"), i * 16).bitwiseAND(lit(0xFFFFL))
+    val bands = imgs.select(col("id"), col("h64"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("band"), bkey(i).as("bkey"))): _*)).as("bs"))
+      .select(col("id"), col("h64"),
+        col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("img_a"), col("b.id").as("img_b"),
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- similarity search ---------------------------------------------------
 
   /** Brute-force cosine top-k: broadcast the (small) query side against the

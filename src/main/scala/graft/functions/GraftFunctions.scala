@@ -70,6 +70,10 @@ object GraftFunctions {
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 
+  /** average-hash (aHash) 64-bit perceptual fingerprint of a binary image
+    * payload: 8×8 block-average grid, bit i = cell i above the grid mean. */
+  def avg_hash64(image: Column): Column = c(AvgHash64(x(image)))
+
   /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
     * and `b` (odd positions) so lexicographic order on the result is a
     * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions

@@ -1534,6 +1534,23 @@ SELECT doc_id, pos AS frame, fr[pos + 1] AS frame_md5
 FROM f, unnest(range(len(fr))) u(pos)
 ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
 
+    // Perceptual image near-dup over the multimodal payloads: avg_hash64
+    // fingerprints + 4×16-bit Hamming banding (the simhash banding reused on
+    // the image axis). Pairs within Hamming ≤ 3 are recall-lossless by
+    // pigeonhole; ImageHashSpec proves band-join ≡ brute force with planted
+    // near-identical images. G-class: the aHash depends on the payload's
+    // byte layout (no cross-engine oracle), but the output is fully
+    // deterministic. Exact-duplicate payloads surface as hamming-0 pairs.
+    GQuery("x40_image_phash",
+      (s, d) => {
+        val imgs = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("img"))
+        graft.GraftOps.imageNearDups(imgs, col("doc_id"), col("img"),
+            maxHamming = 3)
+          .orderBy(col("img_a"), col("img_b"))
+      },
+      None),
+
     // ---- X23: span-level exact substring dedup -----------------------------
     // The OTHER dedup axis (Lee et al. 2022, "Deduplicating Training Data
     // Makes Language Models Better"): X01/X02 drop whole near-duplicate

@@ -62,11 +62,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     reference's actual transport, execution.rs:74-88). All planning,
   *     offset and admission logic is client-agnostic;
   *   - `consumer.*` — the reference's `conf: HashMap<String, String>`
-  *     (execution.rs:34), surfaced via `Table.properties()`. Two keys are
-  *     interpreted: `consumer.auto.offset.reset` (`latest`/`earliest`) is
+  *     (execution.rs:34), surfaced via `Table.properties()`. Interpreted
+  *     keys: `consumer.auto.offset.reset` (`latest`/`earliest`) is
   *     the start-position fallback when no `startingOffset(s)` option is
-  *     given (Kafka's no-committed-offset semantics), and
-  *     `consumer.group.id` is reported in source metrics. Everything else
+  *     given (Kafka's no-committed-offset semantics);
+  *     `consumer.group.instances` + `consumer.group.instance.id` (0-based)
+  *     declare static group membership — N cooperating streams of the same
+  *     log each consume the disjoint partition share `p % N == id`
+  *     (round-robin assignment; the reference's one-consumer-per-partition
+  *     queue split of execution.rs:75 extended to N readers, without a
+  *     broker coordinator), with mid-stream-discovered partitions assigned
+  *     by the same rule; and `consumer.group.id` is reported in source
+  *     metrics. Everything else
   *     (`bootstrap.servers`, timeouts, ...) is carried opaquely for the
   *     broker-backed client — this file-backed default has no use for them;
   *   - `columnarBatchSize` (default 4096) — records per `ColumnarBatch`
@@ -108,8 +115,20 @@ case class ReplayOptions(
     columnarBatchSize: Int = 0,
     startingLatest: Boolean = false,
     minPartitions: Int = 0,
-    clientKind: String = "file") {
+    clientKind: String = "file",
+    groupInstances: Int = 1,
+    groupInstanceId: Int = 0) {
   require(path != null, "option 'path' is required for the graft-replay source")
+  require(groupInstances >= 1,
+    s"consumer.group.instances must be >= 1, got $groupInstances")
+  require(groupInstanceId >= 0 && groupInstanceId < groupInstances,
+    s"consumer.group.instance.id must be in [0, $groupInstances), got $groupInstanceId")
+  /** Static consumer-group membership: does THIS reader own partition `p`?
+    * Round-robin over partition ids — the deterministic, coordinator-free
+    * analogue of the reference's one-consumer-per-partition queue split
+    * (execution.rs:75) extended to N cooperating readers. Disjointness and
+    * coverage hold by construction: every partition has exactly one owner. */
+  def owns(p: Int): Boolean = p % groupInstances == groupInstanceId
   /** starting record index for partition p with current end `end`; the
     * "latest" sentinel starts at the end (only new records are read). */
   def startFor(p: Int, end: Long = Long.MaxValue): Long =
@@ -174,7 +193,16 @@ object ReplayOptions {
       // cluster has cores. 0/absent = one split per log partition.
       minPartitions =
         Option(opts.get("minPartitions")).map(_.toInt).getOrElse(0),
-      clientKind = Option(opts.get("client")).getOrElse("file"))
+      clientKind = Option(opts.get("client")).getOrElse("file"),
+      // static group membership (Kafka group.instance.id flavored, but as a
+      // 0-based index): `consumer.group.instances` cooperating readers, this
+      // one being `consumer.group.instance.id` — each stream consumes only
+      // the partitions it owns, so N simultaneous streams of one log split
+      // the partition set disjointly and their union is a single-reader run
+      groupInstances =
+        Option(opts.get("consumer.group.instances")).map(_.toInt).getOrElse(1),
+      groupInstanceId =
+        Option(opts.get("consumer.group.instance.id")).map(_.toInt).getOrElse(0))
   }
 
   /** Kafka-style `minPartitions` range splitting: when fewer planned splits
@@ -338,17 +366,29 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     val base = Map(
       "recordsBehindLatest" -> behind.toString,
       "numPartitions" -> ends.size.toString)
-    // group.id is one of the two interpreted consumer.* keys: reported so a
-    // monitoring stack can attribute progress the way it would for Kafka
-    (base ++ opts.consumerConf.get("group.id").map("groupId" -> _)).asJava
+    // group.id is one of the interpreted consumer.* keys: reported so a
+    // monitoring stack can attribute progress the way it would for Kafka;
+    // cooperating readers also report their membership
+    val member =
+      if (opts.groupInstances > 1)
+        Map("groupInstances" -> opts.groupInstances.toString,
+          "groupInstanceId" -> opts.groupInstanceId.toString)
+      else Map.empty[String, String]
+    (base ++ member ++ opts.consumerConf.get("group.id").map("groupId" -> _)).asJava
   }
 
   /** Live (partition → record count) listing — re-taken every trigger so
     * partitions appended after stream start are discovered (the mid-stream
     * discovery Kafka users expect; a new partition is read from record 0, or
     * from its `startingOffsets` entry when one was pre-declared). O(existing
-    * partitions) client calls. */
-  private def listEnds(): Map[Int, Long] =
+    * partitions) client calls. Restricted to the partitions THIS group
+    * instance owns — the whole stream (offsets, admission, planning) then
+    * operates on its disjoint share, and mid-stream discovery assigns new
+    * partitions by the same ownership rule. */
+  private def listEnds(): Map[Int, Long] = listAllEnds().filter { case (p, _) => opts.owns(p) }
+
+  /** Unfiltered listing, for validation that must see the whole log. */
+  private def listAllEnds(): Map[Int, Long] =
     client.listPartitions().map(p => p -> client.endOffset(p)).toMap
 
   // end frozen at prepareForTriggerAvailableNow time (run-to-current-end stop)
@@ -373,8 +413,11 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
   }
 
   override def initialOffset(): Offset = {
-    val ends = listEnds()
-    val unknown = opts.startingPerPartition.keySet -- ends.keySet
+    val all = listAllEnds()
+    val ends = all.filter { case (p, _) => opts.owns(p) }
+    // "unknown" is judged against the WHOLE log: an offsets entry for a
+    // partition owned by a sibling group instance is valid, just not ours
+    val unknown = opts.startingPerPartition.keySet -- all.keySet
     if (unknown.nonEmpty && opts.failOnDataLoss)
       throw new IllegalStateException(
         s"startingOffsets names partitions ${unknown.toSeq.sorted.mkString(",")} " +
@@ -475,6 +518,7 @@ class ReplayBatch(opts: ReplayOptions,
   override def planInputPartitions(): Array[InputPartition] = {
     val client = opts.client
     val planned = client.listPartitions()
+      .filter(opts.owns)
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
         val end = math.min(client.endOffset(p), range.offHi)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.AvgHash64
+
+/** Property pins for the perceptual image near-dup operator (x40):
+  * the Hamming-band join must return EXACTLY the brute-force pair set at
+  * maxHamming ≤ 3 (pigeonhole over 4×16-bit bands — banding is candidate
+  * generation, never recall loss), and planted exact / near-identical
+  * images must surface. */
+class ImageHashSpec extends SparkSpec {
+
+  // deterministic pseudo-random 4 KB "image" per id (counter-based hash —
+  // identical on every run and executor)
+  private def img(seed: Long): Array[Byte] = {
+    val b = new Array[Byte](4096)
+    var i = 0
+    while (i < b.length) {
+      b(i) = (graft.functions.Hashing.splitmix64(seed ^ i.toLong) & 0xff).toByte
+      i += 1
+    }
+    b
+  }
+
+  test("band join equals brute force; planted near-identicals are found") {
+    import spark.implicits._
+    val base = (0L until 200L).map(i => (i, img(i * 7919L)))
+    // exact copies at id+1000
+    val exact = base.filter(_._1 % 50 == 0).map { case (i, b) => (i + 1000L, b.clone()) }
+    // near-identicals at id+2000: +1 on the first 16 bytes — one 64-byte
+    // cell shifts by ~0.25/255, so at most the cell-0 bit can flip
+    val near = base.filter(_._1 % 60 == 0).map { case (i, b) =>
+      val c = b.clone()
+      (0 until 16).foreach(j => c(j) = (c(j) + 1).toByte)
+      (i + 2000L, c)
+    }
+    val all = base ++ exact ++ near
+    val df = all.toDF("id", "img")
+
+    val found = GraftOps.imageNearDups(df, col("id"), col("img"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // local brute force on the same hash function
+    val hashes = all.map { case (i, b) => i -> AvgHash64.hash(b) }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+
+    assert(found === brute,
+      s"band join diverged from brute force (found ${found.size}, brute ${brute.size})")
+    // every planted exact copy is a hamming-0 pair
+    exact.foreach { case (pid, _) =>
+      assert(found.get((pid - 1000L, pid)).contains(0L),
+        s"planted exact pair ${pid - 1000} <-> $pid missing")
+    }
+    // every planted near-identical survives at hamming <= 1
+    near.foreach { case (pid, _) =>
+      val d = found.get((pid - 2000L, pid))
+      assert(d.exists(_ <= 1L),
+        s"planted near pair ${pid - 2000} <-> $pid missing or too far: $d")
+    }
+    // sanity: unrelated random images sit near hamming ~32, far above 3
+    assert(found.size < all.size * 3, "pair set exploded — banding broken?")
+  }
+
+  test("avg_hash64 registers on the SQL surface and is payload-deterministic") {
+    import spark.implicits._
+    graft.Graft.registerFunctions(spark)
+    // seeds must differ beyond the low 6 bits: adjacent seeds produce a
+    // within-block byte permutation, which aHash is (correctly) blind to
+    Seq((1L, img(42L * 7919L)), (2L, img(42L * 7919L)), (3L, img(43L * 7919L)))
+      .toDF("id", "img")
+      .createOrReplaceTempView("ih_imgs")
+    val r = spark.sql(
+      """SELECT count(DISTINCT avg_hash64(img)) AS n_hashes,
+        |       count(*) AS n FROM ih_imgs""".stripMargin).head
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(0) === 2L, "same payload must hash identically, different must differ")
+  }
+}

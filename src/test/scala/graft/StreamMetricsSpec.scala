@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamMetrics
+
+/** Pins for the StreamMetrics runtime surface over a declared-shape stream
+  * (watermarked tumbling window on the replay source): processing rate,
+  * state rows and watermark progress must all report sane values. */
+class StreamMetricsSpec extends SparkSpec {
+
+  test("windowed watermark stream reports rate, state rows and watermark lag") {
+    val log = sources.replay.ReplayLog.ensureLog(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    val metrics = new StreamMetrics
+    spark.streams.addListener(metrics)
+    try {
+      // bounded admission forces several micro-batches, so the watermark has
+      // to ADVANCE across batches rather than jump once
+      val q = spark.readStream.format("graft-replay")
+        .option("path", log).option("maxRowsPerTrigger", "2000").load()
+        .withWatermark("timestamp", "1 minute")
+        .groupBy(window(col("timestamp"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("sm_mem").outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("sm-ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      // listener delivery is async — poll until all input rows are accounted
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (metrics.summary(q.id).inputRows < nEvents && System.nanoTime() < deadline)
+        Thread.sleep(100)
+
+      val s = metrics.summary(q.id)
+      assert(s.inputRows === nEvents, s"progress must cover every input row: $s")
+      assert(s.nBatches >= 2, s"bounded admission should take several batches: $s")
+      assert(s.maxRowsPerSec > 0.0, s"processing rate must be observable: $s")
+      assert(s.maxStateRows > 0L, s"window state rows must be visible: $s")
+      assert(s.lastWatermarkMs.exists(_ > 0L), s"watermark must advance: $s")
+      assert(s.watermarkMonotonic, s"watermark must never regress: $s")
+      // replayed historical events: the watermark trails the wall clock by
+      // years — lag must be positive and finite
+      assert(s.lastWatermarkLagMs.exists(_ > 0L), s"watermark lag must be positive: $s")
+    } finally spark.streams.removeListener(metrics)
+  }
+}

@@ -14,6 +14,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // single-parquet-file-per-table testdata layout: 16 MB splits instead
+      // of the 128 MB default, or a whole table scans as one task and the
+      // pre-shuffle stages run single-threaded (see Verify.scala note)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", (16L << 20).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -402,15 +402,36 @@ object GraftOps {
     * / raise `tables` there and the union stays exhaustive on the measured
     * tail (the declared x03 query documents its measured-full-recall
     * config). The plan SHAPE is the scale contract; the knobs trade recall
-    * against candidate volume without changing it. */
+    * against candidate volume without changing it.
+    *
+    * Occupancy-targeted plane scaling (`targetBucket > 0`): a FIXED plane
+    * count is quadratic in disguise — per-bucket pair generation is
+    * |bucket|², so 10× the corpus at the same bucket count is 100× the
+    * candidate work funneled through the same (table, bucket) join keys
+    * (measured: the sf1 sweep's one wedged single-thread stage). With
+    * planes = max(planes, ⌈log2(n / targetBucket)⌉) the expected occupancy
+    * stays ≈ targetBucket, so candidates ∝ buckets ∝ n (LINEAR) and the
+    * join key space grows with the corpus — the 100 TB contract. The
+    * corpus count reads off the already-materialized signature table (no
+    * extra pass). Recall at a fixed threshold decays as planes grow — raise
+    * `tables` to compensate (p_table = (1−θ/π)^planes, miss = (1−p)^T);
+    * small corpora never pass the max(), so driver-oracle configs are
+    * untouched. */
   def cosineNearDups(df: DataFrame, id: Column, vec: Column,
       threshold: Double, planes: Int = 8, tables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, targetBucket: Long = 0L): DataFrame = {
     val v = materialize(df.select(id.as("id"), vec.as("vec")))
+    val effPlanes =
+      if (targetBucket <= 0L) planes
+      else {
+        val n = v.count() // cached by materialize — metadata-cheap
+        math.max(planes, math.ceil(
+          math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+      }
     val tabSeeds = graft.functions.Hashing.permSeeds(seed, tables)
     val bucketed = v.select(col("id"),
         posexplode(array(tabSeeds.toIndexedSeq.map(s =>
-          rp_bucket(col("vec"), planes, s)): _*)))
+          rp_bucket(col("vec"), effPlanes, s)): _*)))
       .toDF("id", "tab", "bucket")
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tab") === col("b.tab") && col("a.bucket") === col("b.bucket")
@@ -657,6 +678,130 @@ object GraftOps {
         (col("n_hits").cast("double") / col("nsh").cast("double"))
           .cast("decimal(18,6)").cast("double"))
       .withColumn("flagged", col("contam_frac") >= lit(flagFrac))
+  }
+
+  /** BM25(k1, b) top-k document ranking for a SMALL query-term table
+    * `queries(q_id, word)`. Inverted-index shape: the corpus postings (tf)
+    * join the BROADCAST query terms first, so the corpus is scanned once
+    * for all queries and only matching postings reach any shuffle — the
+    * 100 TB stance (never corpus × queries). Term scores are decimal so the
+    * per-doc sum is merge-order-free; ranks tie-break by doc_id. Returns
+    * (q_id, rank, doc_id, n_terms, sd[decimal score]). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column, queries: DataFrame,
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = spreadSmall(docs)
+      .select(id.as("doc_id"), explode(split(text, " ")).as("word"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val term = tf.join(broadcast(queries), "word")
+      .join(dl, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+          .cast("decimal(18,6)").as("ts"))
+    val perDoc = term.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("ts")).as("sd"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sd").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query rank
+    * lists on a shared id space: rrf = Σ 1/(c + rank) over the lists an id
+    * appears in. The fusion is a full-outer join of two ALREADY-top-k lists
+    * (tiny relative to the corpus), so its cost is negligible next to the
+    * arms; exactly two addends keeps the double sum order-free. */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Double = 60.0,
+      topK: Int = 10): DataFrame = {
+    val fused = a.join(b, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rb")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("id"), col("rrf"))
+  }
+
+  // ---- tokenizer induction -------------------------------------------------
+
+  /** Distributed BPE (byte-pair-encoding) vocabulary induction — the
+    * tokenizer-TRAINING half of the X04 text axis (x04_bpe_tokens is the
+    * inference-side pre-tokenizer). Classic algorithm (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * represent each distinct word as a symbol sequence, repeatedly count
+    * adjacent symbol pairs corpus-wide (weighted by word frequency) and
+    * merge the most frequent pair into one symbol, `merges` times.
+    *
+    * Scale shape: the working set is the DISTINCT-WORD frequency table — the
+    * same corpus→vocabulary reduction industrial tokenizer trainers perform
+    * first, because 100 TB of raw text is only ~10^8 distinct words — built
+    * with one map-side-combinable shuffle. Each merge iteration is one
+    * weighted pair-count aggregation (partial aggregation + a 1-row top-k)
+    * plus a NARROW per-row greedy left-to-right re-segmentation (an
+    * `aggregate` higher-order fold — no shuffle, no UDF). Only the winning
+    * pair (bytes, not rows) reaches the driver each iteration, and the
+    * word table is re-cached per iteration so lineage stays flat.
+    *
+    * Ties break deterministically: (count desc, left asc, right asc).
+    * Returns one row per learned merge: (rank, left, right, merged,
+    * pair_freq), rank ascending — the merge table a tokenizer would ship.
+    */
+  def bpeVocab(docs: DataFrame, text: Column, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // distinct-word frequency table, words as single-char symbol arrays
+    var words = materialize(spreadSmall(docs)
+      .select(explode(split(lower(text), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "(?!^)(?=.)").as("syms"), col("freq")))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      // corpus-wide weighted adjacent-pair counts; deterministic tie-break
+      val top = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a: String = top(0).getString(0)
+        val b: String = top(0).getString(1)
+        val m = a + b
+        learned += ((rank, a, b, m, top(0).getLong(2)))
+        // greedy left-to-right merge of (a,b) occurrences — a narrow fold;
+        // non-overlapping by construction (the merged symbol won't re-match
+        // `a` unless it literally equals it, which IS the BPE semantics)
+        val next = materialize(words.select(
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("freq")))
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(learned.toSeq)
+      .toDF("rank", "left", "right", "merged", "pair_freq")
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("merged"), col("pair_freq").cast("long"))
   }
 
   // ---- skew mitigation -----------------------------------------------------

@@ -14,16 +14,34 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the testdata ships one parquet FILE per table (the DuckDB oracle
+      // needs that layout), so the default 128 MB split size reads a whole
+      // table as ONE task and serializes every pre-shuffle stage (generate/
+      // shingle/join chains measured 5+ min single-threaded at sf1). 16 MB
+      // splits restore scan parallelism; row groups are ~4 MB so splits
+      // stay real. On a real cluster the table is many files and the
+      // default is right — this tracks the file:core ratio, not data size.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", (16L << 20).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev knob: resume an interrupted sweep (the driver never sets this)
+    val skipExisting = sys.env.get("SPARK_GRAFT_SKIP_EXISTING").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val dest = Paths.get(s"$outDir/$name")
+        if (skipExisting && Files.exists(dest.resolve("_SUCCESS"))) ()
+        else try {
+          System.err.println(s"[verify] running $name")
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

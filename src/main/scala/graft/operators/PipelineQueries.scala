@@ -185,9 +185,15 @@ FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
     // near-dup thresholds (≥0.9) the same operator runs planes=8-16 with tiny
     // candidate sets. PipelineSpec pins LSH ≡ brute force; PlanAuditSpec pins
     // no CartesianProduct/BroadcastNestedLoopJoin in this plan.
+    // targetBucket=512: occupancy-targeted plane scaling — a no-op at the
+    // oracle sfs (n ≤ 2000 ⇒ planes stays 2, measured-full-recall config
+    // untouched) and the linear-candidates scale path beyond (sf1's 20k
+    // vectors get planes=6 / 640 join keys instead of quadratic work
+    // through 40).
     GQuery("x03_embedding_neardup",
       (s, d) => graft.GraftOps.cosineNearDups(t(s, d, "embeddings"),
-          col("vec_id"), col("embedding"), 0.45, planes = 2, tables = 10)
+          col("vec_id"), col("embedding"), 0.45, planes = 2, tables = 10,
+          targetBucket = 512L)
         .select(col("a_id"), col("b_id"),
           col("score").cast("decimal(18,6)").cast("double").as("score"))
         .orderBy(col("a_id"), col("b_id")),
@@ -298,6 +304,48 @@ SELECT t.doc_id, t.word, CAST(CAST(t.tf * ln(nd.nd / d.df) AS DECIMAL(18,6)) AS 
 FROM tf t JOIN df d USING (word) CROSS JOIN nd
 WHERE t.doc_id < 100
 ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
+
+    // ---- X41: BPE tokenizer induction --------------------------------------
+    // The TRAINING half of the tokenizer axis (x04_bpe_tokens is inference-
+    // side pre-tokenization). x41_bpe_pairs is the oracle-checked kernel:
+    // the iteration-0 corpus-wide weighted adjacent-character-pair counts
+    // over the distinct-word frequency table — exactly the aggregation each
+    // BPE merge round runs. Top-50 with a total (count desc, l, r) order so
+    // the LIMIT boundary is deterministic cross-engine.
+    GQuery("x41_bpe_pairs",
+      (s, d) => {
+        val wf = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("syms", split(col("word"), "(?!^)(?=.)"))
+        wf.select(col("freq"), explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).cast("long").as("pair_freq"))
+          .orderBy(col("pair_freq").desc, col("l"), col("r"))
+          .limit(50)
+      },
+      Some("""WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+p AS (SELECT substr(word, CAST(i AS INT) + 1, 1) AS l,
+             substr(word, CAST(i AS INT) + 2, 1) AS r, freq
+      FROM wf, unnest(range(len(word) - 1)) u(i))
+SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+FROM p GROUP BY l, r
+ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
+
+    // Full iterative induction: 8 learned merges over the documents corpus.
+    // G-class (the loop's driver-side argmax has no SQL replay), but fully
+    // deterministic — ties break (count desc, left, right) — and BpeSpec
+    // proves the distributed trainer equals an independent in-memory BPE
+    // reference on randomized corpora.
+    GQuery("x41_bpe_merges",
+      (s, d) => graft.GraftOps.bpeVocab(
+        t(s, d, "documents"), col("text"), merges = 8),
+      None),
 
     // Heuristic language-ID vs the labeled lang column. O-class: the
     // expression's distance is exact integer arithmetic, so the DuckDB oracle
@@ -748,6 +796,68 @@ ranked AS (SELECT q_id, doc_id, sd, n_terms,
 SELECT q_id, rank, doc_id, n_terms, CAST(sd AS DOUBLE) AS score
 FROM ranked WHERE rank <= 10
 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- X42: hybrid retrieval (BM25 ⊕ embedding cosine, RRF) --------------
+    // The standard two-arm retrieval stack for curation/RAG: a lexical BM25
+    // arm and a vector cosine arm, fused by reciprocal-rank fusion
+    // rrf = Σ 1/(60 + rank). Arms share the id space (doc_id ≡ vec_id on
+    // the restricted corpus); each arm is the already-proven scale kernel
+    // (bm25TopK's broadcast-terms inverted index, annTopK's broadcast-query
+    // scan), and the fusion joins two TOP-K lists — corpus-size-free.
+    // Exactly two double addends keep rrf order-free; ties break by id.
+    GQuery("x42_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val qterms = Seq((1L, "spark"), (1L, "stream"), (2L, "customer"),
+          (2L, "order"), (3L, "hash"), (3L, "join")).toDF("q_id", "word")
+        val lex = graft.GraftOps.bm25TopK(
+            t(s, d, "documents").filter(col("doc_id") < 2000),
+            col("doc_id"), col("text"), qterms, topK = 20)
+          .select(col("q_id"), col("doc_id").as("id"), col("rank").as("ra"))
+        val e = t(s, d, "embeddings")
+        val vec = graft.GraftOps.annTopK(e, col("vec_id"), col("embedding"),
+            e.filter(col("vec_id").isin(1L, 2L, 3L)),
+            col("vec_id"), col("embedding"), 20)
+          .select(col("q_id"), col("n_id").as("id"), col("rank").as("rb"))
+        graft.GraftOps.rrfFuse(lex, vec, c = 60.0, topK = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 2000),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT CAST(c0 AS BIGINT) AS q_id, c1 AS word FROM (VALUES
+  (1, 'spark'), (1, 'stream'), (2, 'customer'), (2, 'order'),
+  (3, 'hash'), (3, 'join')) v(c0, c1)),
+term AS (SELECT q.q_id, t.doc_id,
+    CAST(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))
+      AS DECIMAL(18,6)) AS ts
+  FROM tf t JOIN q USING (word) JOIN dl l USING (doc_id)
+  JOIN df d USING (word) CROSS JOIN stats s),
+perdoc AS (SELECT q_id, doc_id, sum(ts) AS sd FROM term GROUP BY 1, 2),
+lex AS (SELECT q_id, doc_id AS id,
+    row_number() OVER (PARTITION BY q_id ORDER BY sd DESC, doc_id) AS ra
+  FROM perdoc QUALIFY ra <= 20),
+qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vs AS (SELECT q_id, id, list_cosine_similarity(qv.v, c.v) AS sc
+  FROM qv JOIN c ON q_id <> id),
+vec AS (SELECT q_id, id,
+    row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, id) AS rv
+  FROM vs QUALIFY rv <= 20),
+fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id, coalesce(l.id, v.id) AS id,
+    coalesce(CAST(1 AS DOUBLE) / (60.0 + l.ra), 0.0)
+      + coalesce(CAST(1 AS DOUBLE) / (60.0 + v.rv), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id)
+SELECT q_id,
+  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS rank,
+  id, rrf FROM fused
+QUALIFY rank <= 10 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
 
     // X37: k-means + SemDeDup — Lloyd's algorithm run as two fully-
     // distributed, fully-DETERMINISTIC rounds (seeds = the k smallest

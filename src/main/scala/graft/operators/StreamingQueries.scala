@@ -642,6 +642,28 @@ ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
 FROM (SELECT DISTINCT props FROM events)
 ORDER BY h NULLS FIRST""")),
 
+    // S48: streaming PERCEPTUAL dedup — the multimodal twin of s24 (exact
+    // content dedup) and the streaming face of x40's image near-dup: the
+    // dedup key is the 64-bit average-hash of the payload, so perceptually-
+    // identical payloads (not just byte-identical ones) collapse to one
+    // survivor while the stream runs. State is bounded by DISTINCT aHash
+    // count; at 100 TB add dropDuplicatesWithinWatermark as in s18. G-class
+    // (no SQL replay of the hash); ImageHashSpec pins streaming ≡ batch.
+    GQuery("s48_stream_phash_dedup",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        runToMemory(
+          s.readStream.format("graft-replay").option("path", log).load()
+            // h64 only: two DIFFERENT payloads may share an aHash, so any
+            // payload-derived column would make the survivor row racy;
+            // the distinct-hash set itself is deterministic
+            .select(
+              graft.functions.GraftFunctions.avg_hash64(col("value")).as("h64"))
+            .dropDuplicates("h64"),
+          "append").orderBy(col("h64"))
+      },
+      None),
+
     // S25: stream-stream INNER join with BOTH sides on the custom replay
     // source — the stateful-join integration path for the DSv2 source (s08's
     // shape uses the file source). The two logs hold the same events in

@@ -64,6 +64,17 @@ class ImageHashSpec extends SparkSpec {
     assert(found.size < all.size * 3, "pair set exploded — banding broken?")
   }
 
+  test("s48 streaming phash dedup equals the batch distinct-hash set") {
+    val streamed = SparkEntry.queries("s48_stream_phash_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
+    val batch = spark.read.format("graft-replay").option("path", log).load()
+      .select(graft.functions.GraftFunctions.avg_hash64(col("value")).as("h64"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(streamed === batch, "streaming dedup state diverged from batch distinct")
+    assert(streamed.nonEmpty)
+  }
+
   test("avg_hash64 registers on the SQL surface and is payload-deterministic") {
     import spark.implicits._
     graft.Graft.registerFunctions(spark)

@@ -2041,6 +2041,149 @@ ORDER BY b.doc_id NULLS FIRST""")),
           .withColumn("flagged", col("contam_frac") >= 0.2)
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // ---- X43: sub-document boilerplate removal (CCNet-shaped) --------------
+    // Chunk-level corpus-frequency dedup: docs split into fixed 4-word
+    // chunks, a chunk whose text repeats >= 5 times ACROSS THE CORPUS is
+    // boilerplate (navigation chrome, license headers — the unit CCNet /
+    // RefinedWeb drop at paragraph granularity) and is excised; surviving
+    // chunks reassemble in order. Scale: one by-chunk-text window count (the
+    // same shuffle an exact paragraph-dedup needs) + one by-doc re-agg —
+    // both linear; no doc×doc comparison anywhere.
+    GQuery("x43_chunk_dedup",
+      (s, d) => {
+        val W = 4; val K = 5
+        val ws = split(col("text"), " ")
+        val ch = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), ceil(size(ws).cast("double") / W).cast("int") - 1),
+              i => array_join(slice(ws, i * W + 1, lit(W)), " "))))
+          .toDF("doc_id", "cid", "chunk")
+        ch.withColumn("freq", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("freq") < K, 1L).otherwise(0L)).as("n_kept"),
+            nullif(array_join(transform(array_sort(collect_list(
+                when(col("freq") < K, struct(col("cid"), col("chunk"))))),
+              x => x.getField("chunk")), " "), lit("")).as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id, CAST(i AS INT) AS cid,
+         array_to_string(ws[(CAST(i AS INT)*4+1):(CAST(i AS INT)*4+4)], ' ') AS chunk
+       FROM w, unnest(range(CAST(ceil(len(ws)/4.0) AS BIGINT))) u(i)),
+f AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS freq FROM ch)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(count(*) FILTER (WHERE freq < 5) AS BIGINT) AS n_kept,
+  string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE freq < 5) AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X44: source-reputation stats + blocklist --------------------------
+    // Domain-level curation: per-source document count, size profile and
+    // exact-duplicate ratio (1 - distinct md5 / n), with a block verdict for
+    // sources whose dup ratio crosses 30% or whose docs average under 100
+    // chars — the per-domain filtering every web-scale corpus applies before
+    // doc-level work. One hash-partitioned aggregation; at 100 TB the md5
+    // distinct-count can swap to HLL (x11) without changing the shape.
+    GQuery("x44_source_reputation",
+      (s, d) => {
+        val dupRatio = (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+          .cast("decimal(18,6)").cast("double")
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            countDistinct(md5(col("text"))).as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("avg_chars"),
+            dupRatio.as("dup_ratio"),
+            when(dupRatio > 0.3 || col("avg_chars") < 100.0, "block")
+              .otherwise("keep").as("verdict"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+  CAST(CAST(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+    AS DECIMAL(18,6)) AS DOUBLE) AS dup_ratio,
+  CASE WHEN CAST(CAST(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+         AS DECIMAL(18,6)) AS DOUBLE) > 0.3
+      OR CAST(sum(n_chars) AS DOUBLE) / count(*) < 100.0
+    THEN 'block' ELSE 'keep' END AS verdict
+FROM documents GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- X45: vocabulary coverage / OOV-rate filter ------------------------
+    // Tokenizer-facing curation: induce the top-20 corpus vocabulary
+    // (freq desc, word asc — total order, so the cut is deterministic), then
+    // score every document by its out-of-vocabulary token rate and flag
+    // docs above 40% OOV (the cheap proxy for "not the language/domain the
+    // tokenizer was trained for"). The vocab is aggregate-sized → broadcast;
+    // the per-doc pass is one exploded join against it — linear, no global
+    // state beyond the tiny vocab table.
+    GQuery("x45_vocab_coverage",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("word")).limit(20)
+          .select(col("word"), lit(1).as("iv"))
+        words.join(broadcast(vocab), Seq("word"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double").as("oov_rate"))
+          .withColumn("flagged",
+            (col("n_oov").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double") > 0.4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word FROM (SELECT word, count(*) AS freq FROM words GROUP BY 1)
+          ORDER BY freq DESC, word LIMIT 20)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab)) AS BIGINT)
+    AS n_oov,
+  CAST(CAST(CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+    AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate,
+  CAST(CAST(CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+    AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) > 0.4 AS flagged
+FROM words GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X46: token-budget corpus selection --------------------------------
+    // Data mixing under a token budget: within each source, rank documents
+    // by length (n_chars desc, doc_id — total order) and admit greedily
+    // while the running token total stays within an 800-token budget. The
+    // cumulative sum is one per-source window — state is a running long, so
+    // a source with a billion docs streams through its sorted partition;
+    // the output is the per-source mixture summary a sampler consumes.
+    GQuery("x46_token_budget",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("cum") <= 800L, 1L).otherwise(0L)).as("n_selected"),
+            coalesce(max(when(col("cum") <= 800L, col("cum"))), lit(0L))
+              .as("tok_selected"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum
+  FROM documents)
+SELECT source, count(*) AS n_candidates,
+  CAST(count(*) FILTER (WHERE cum <= 800) AS BIGINT) AS n_selected,
+  COALESCE(max(cum) FILTER (WHERE cum <= 800), 0) AS tok_selected
+FROM r GROUP BY source ORDER BY source NULLS FIRST"""))
   )
 }

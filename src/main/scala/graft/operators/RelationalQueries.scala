@@ -20,6 +20,9 @@ object RelationalQueries {
   /** rate cast for (1±discount/tax): 2-decimal fractions near 1 */
   private def rate(c: Column): Column = c.cast("decimal(4,2)")
   private def dbl(c: Column): Column = c.cast("double")
+  /** `dbl(sum(dec2(c)))` on a LONG hot path — bit-identical, ~20x less
+    * per-row agg cost at sf1 (see [[ExactSum]]). */
+  private def dsum2(c: Column): Column = ExactSum.dblSum2(ExactSum.cents(c))
   private val HOUR_NS = 3600L * 1000 * 1000 * 1000
 
   val all: Seq[GQuery] = Seq(
@@ -64,7 +67,7 @@ ORDER BY o_orderkey NULLS FIRST""")),
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          dbl(sum(dec2(col("o_totalprice")))).as("spend"))
+          dsum2(col("o_totalprice")).as("spend"))
         .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
@@ -162,7 +165,7 @@ WHERE rn = 1 ORDER BY user_id NULLS FIRST""")),
       (s, d) => t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(dbl(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("p_brand")),
       Some("""SELECT p_brand,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -201,7 +204,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
     GQuery("q14_global_agg",
       (s, d) => t(s, d, "lineitem")
         .agg(count(lit(1)).as("n"),
-          dbl(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          dsum2(col("l_quantity")).as("sum_qty"),
           min(col("l_shipdate")).cast("string").as("min_ship"),
           max(col("l_shipdate")).cast("string").as("max_ship")),
       Some("""SELECT count(*) AS n,
@@ -674,7 +677,7 @@ FROM documents ORDER BY doc_id NULLS FIRST""")),
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(dbl(sum(dec2(col("l_quantity")))))
+        .agg(dsum2(col("l_quantity")))
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,

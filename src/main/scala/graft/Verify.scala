@@ -27,6 +27,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Testdata-schema canary (VERDICT r7 #4): if the driver regenerated a
+    // fixture with a dtype the engine doesn't handle, say so in ONE loud
+    // line up front instead of 68 scattered per-query failures below.
+    Tables.schemaCanary(spark, sfDir).foreach(p => System.err.println(s"[verify] CANARY: $p"))
     // dev knob: resume an interrupted sweep (the driver never sets this)
     val skipExisting = sys.env.get("SPARK_GRAFT_SKIP_EXISTING").contains("1")
     SparkEntry.queries

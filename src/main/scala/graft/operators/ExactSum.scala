@@ -24,14 +24,25 @@ import org.apache.spark.sql.functions._
   * on both paths — IEEE-754 identical outputs.
   *
   * Overflow headroom (non-ANSI long sums wrap silently, so the margins are
-  * part of the contract): cents ≤ 1e7 per row → ~9·10^11 rows per group
-  * before a partial sum can wrap; scale-4 products ≤ 1e14 per row are SPLIT
-  * into (hi = p >> 30, lo = p & (2^30−1)) partial sums → ~8·10^9 rows on
-  * the lo bound. Beyond those scales, pre-aggregate under an extra group
-  * key (e.g. a date bucket) first — same plan shape, one more exchange.
+  * part of the contract): cents per row reach ~10^8 in this schema
+  * (o_totalprice ~5·10^7 cents; l_extendedprice ~10^7) → ~9·10^10 rows per
+  * group before a partial sum can wrap; scale-4 products ≤ 1e14 per row are
+  * SPLIT into (hi = p >> 30, lo = p & (2^30−1)) partial sums → ~8·10^9 rows
+  * on the lo bound. Those bounds are BELOW plausible 100 TB group sizes
+  * (a global agg over 10^12 rows wraps the lo partial), so the `Guarded`
+  * variants add a per-group row-count assertion that fails LOUDLY instead
+  * of returning a silently wrapped sum — use them anywhere group sizes are
+  * not structurally bounded. Beyond the bounds, pre-aggregate under an
+  * extra group key (e.g. a date bucket) first — same plan shape, one more
+  * exchange — and the guard tells you when.
   */
 object ExactSum {
   private val SPLIT = 1L << 30
+
+  /** Max rows/group before a sum of ≤1e8-cent rows can wrap a long. */
+  val MaxRowsCents: Long = Long.MaxValue / 100000000L // ≈ 9.2·10^10
+  /** Max rows/group before the lo partial of [[dblSumSplit]] can wrap. */
+  val MaxRowsSplit: Long = Long.MaxValue / (SPLIT - 1) // ≈ 8.6·10^9
 
   /** dec2-rounded cents as long: `(cast(c as decimal(12,2)) * 100)` — the
     * EXACT rounding `dec2` applies, so oracle parity is preserved. */
@@ -78,4 +89,45 @@ object ExactSum {
     descale(hi.cast("decimal(28,0)") * lit(SPLIT).cast("decimal(10,0)")
       + lo.cast("decimal(20,0)"), pow)
   }
+
+  /** Wraps a fixed-point sum with a per-group overflow guard: long partials
+    * wrap SILENTLY, so fail the job loudly instead of returning a
+    * plausible-looking wrong total. The guard asserts BOTH halves of the
+    * no-wrap argument — every row within the assumed magnitude bound AND
+    * the group within the derived row-count bound — so it is sound, not
+    * assumption-based. `assert_true` yields NULL when the bounds hold, so
+    * the coalesce is the sum itself; past either bound the task throws with
+    * a remediation hint. Costs one count + one max slot in the same
+    * hash-agg row — no extra pass, stays in whole-stage codegen. */
+  private def guarded(inner: Column, in: Column, perRowBound: Long,
+      maxRows: Long): Column =
+    coalesce(
+      assert_true(count(in) <= lit(maxRows) &&
+          coalesce(max(abs(in)), lit(0L)) <= lit(perRowBound),
+        lit(s"ExactSum overflow guard: a group exceeds $maxRows rows or a " +
+          s"row exceeds magnitude $perRowBound — pre-aggregate under an " +
+          "extra group key (e.g. a date bucket) or raise the split"))
+        .cast("double"),
+      inner)
+
+  /** [[dblSum2]] + overflow guard (default per-row bound 10^8 cents). */
+  def dblSum2Guarded(centsCol: Column,
+      perRowBound: Long = 100000000L): Column =
+    guarded(dblSum2(centsCol), centsCol, perRowBound,
+      Long.MaxValue / perRowBound)
+
+  /** [[dblSum]] + overflow guard: pass the per-row magnitude bound of
+    * `prod`; the guard asserts it and derives the safe row count. */
+  def dblSumGuarded(prod: Column, pow: Int, perRowBound: Long): Column =
+    guarded(dblSum(prod, pow), prod, perRowBound, Long.MaxValue / perRowBound)
+
+  /** [[dblSumSplit]] + overflow guard: lo partial binds at [[MaxRowsSplit]]
+    * rows; the hi partial additionally binds when `perRowBound >> 30` is
+    * large. Default per-row bound 4·10^14: price×price second moments with
+    * prices up to 2·10^5 dollars (2·10^7 cents) — the schema's observed max
+    * is ~1.05·10^5 dollars, i.e. ~1.1·10^14 per row. */
+  def dblSumSplitGuarded(prod: Column, pow: Int,
+      perRowBound: Long = 400000000000000L): Column =
+    guarded(dblSumSplit(prod, pow), prod, perRowBound,
+      math.min(MaxRowsSplit, Long.MaxValue / math.max(perRowBound >> 30, 1L)))
 }

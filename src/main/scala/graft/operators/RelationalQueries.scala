@@ -148,7 +148,7 @@ ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
         val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_ns").desc, col("event_id").desc)
-        ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        ev(s, d).withColumn("ts_us", Tables.tsUs)
           .filter(col("ts_us") < cutoffUs)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -231,17 +231,25 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
       // exact two-pass-free variance/correlation from decimal-exact moments
       // (builtin stddev/corr accumulate doubles in partition order — not
       // cross-engine stable; the moment formula is)
-      (s, d) => t(s, d, "lineitem")
-        .agg(count(lit(1)).as("n"),
-          sum(dec2(col("l_quantity"))).as("sx"),
-          sum((dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("decimal(28,4)")).as("sxx"),
-          sum(dec2(col("l_discount") * 100)).as("sy"),
-          sum((dec2(col("l_quantity")) * dec2(col("l_discount") * 100)).cast("decimal(28,4)")).as("sxy"))
-        .select(col("n"),
-          ((col("sxx").cast("double") - col("sx").cast("double")
-            * col("sx").cast("double") / col("n")) / (col("n") - 1)).as("var_qty"),
-          ((col("sxy").cast("double") - col("sx").cast("double")
-            * col("sy").cast("double") / col("n")) / (col("n") - 1)).as("cov_qd")),
+      (s, d) => {
+        // LONG fixed-point moments (see [[ExactSum]]): this global agg was
+        // 13.1× slower at sf1 on BigDecimal buffers. cents(qty) ≤ ~5·10^3,
+        // cents(100·disc) ≤ 10^4, so the scale-4 products stay ≤ ~5·10^7
+        // per row — guarded dblSum asserts those magnitudes per group.
+        val cq = ExactSum.cents(col("l_quantity"))
+        val cd = ExactSum.cents(col("l_discount") * 100)
+        t(s, d, "lineitem")
+          .agg(count(lit(1)).as("n"),
+            ExactSum.dblSum2(cq).as("sx"),
+            ExactSum.dblSumGuarded(cq * cq, 4, 100000000L).as("sxx"),
+            ExactSum.dblSum2(cd).as("sy"),
+            ExactSum.dblSumGuarded(cq * cd, 4, 100000000L).as("sxy"))
+          .select(col("n"),
+            ((col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx").cast("double") / col("n")) / (col("n") - 1)).as("var_qty"),
+            ((col("sxy").cast("double") - col("sx").cast("double")
+              * col("sy").cast("double") / col("n")) / (col("n") - 1)).as("cov_qd"))
+      },
       Some("""WITH m AS (SELECT count(*) AS n,
   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
   SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS sxx,

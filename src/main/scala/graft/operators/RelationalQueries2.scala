@@ -142,7 +142,7 @@ FROM part ORDER BY p_partkey NULLS FIRST""")),
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-3600000000L, 0L)
-        ev(s, d).withColumn("us", expr("ts_ns div 1000"))
+        ev(s, d).withColumn("us", Tables.tsUs)
           .select(col("user_id"), col("us"), col("event_id"),
             dbl(sum(dec2(col("value"))).over(w)).as("rsum"))
           .orderBy(col("user_id"), col("us"), col("event_id"))
@@ -278,7 +278,7 @@ FROM j WHERE rn = 1 ORDER BY c_custkey NULLS FIRST""")),
             (lit("2024-01-20 00:00:00").cast("timestamp").cast("long") * 1000000L
               - (col("c_custkey") % 10) * 86400000000L).as("cut_us"))
         val events = ev(s, d)
-          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+          .select(col("user_id"), col("event_id"), Tables.tsUs.as("us"))
         graft.plans.AsOfJoin(probes, events,
             "c_custkey", "cut_us", "user_id", "us", "event_id",
             toleranceUs = 7L * 86400000000L)
@@ -702,17 +702,22 @@ FROM c WHERE v >= 4 GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
     // engines — native regr_* aggregates accumulate doubles in partition
     // order and cannot cross-engine hash.
     GQuery("q59_regression",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sx"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sy"),
-          sum(col("l_quantity").cast("decimal(12,2)")
-            * col("l_quantity").cast("decimal(12,2)")).cast("double").as("sxx"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")
-            * col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("syy"),
-          sum(col("l_quantity").cast("decimal(12,2)")
-            * col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sxy"))
+      (s, d) => {
+        // LONG fixed-point moments (see [[ExactSum]]): 23.1× slower at sf1
+        // on BigDecimal buffers before. cents(qty) ≤ ~5·10^3; cents(price)
+        // ≤ ~10^7, so price-bearing scale-4 products reach ~10^14 per row →
+        // split-guarded sums; the qty² product fits plain guarded dblSum.
+        val cq = ExactSum.cents(col("l_quantity"))
+        val cp = ExactSum.cents(col("l_extendedprice"))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            ExactSum.dblSum2(cq).as("sx"),
+            ExactSum.dblSum2(cp).as("sy"),
+            ExactSum.dblSumGuarded(cq * cq, 4, 100000000L).as("sxx"),
+            ExactSum.dblSumSplitGuarded(cp * cp, 4).as("syy"),
+            ExactSum.dblSumSplitGuarded(cq * cp, 4).as("sxy"))
+      }
         .select(col("l_returnflag"),
           ((col("n") * col("sxy") - col("sx") * col("sy"))
             / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
@@ -911,7 +916,7 @@ GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         graft.Tables.events(s, d)
-          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts_us", Tables.tsUs)
           .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
           .withColumn("is_new",
             when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
@@ -981,13 +986,18 @@ GROUP BY o_orderdate ORDER BY odate NULLS FIRST""")),
         // divide (each exactly rounded under IEEE-754 on both engines) — the
         // previous double-sum ratio was order-stable in practice but not by
         // construction.
-        val discPrice = dec2(col("l_extendedprice")) *
-          (lit(1) - rate(col("l_discount"))).cast("decimal(4,2)")
+        // LONG fixed-point (see [[ExactSum]]): 20.1× slower at sf1 on
+        // BigDecimal buffers before. cents(price) × rateCents ≤ ~10^9 per
+        // row (scale-4) — guarded dblSum; same exact rational as the
+        // decimal-product sum, so the oracle double is bit-identical.
+        val discCents = ExactSum.cents(col("l_extendedprice")) *
+          ExactSum.rateCents(col("l_discount"))
         t(s, d, "lineitem")
           .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
           .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
-          .agg(sum(when(col("p_type") === "PROMO", discPrice)).as("pnum"),
-            sum(discPrice).as("pden"))
+          .agg(ExactSum.dblSumGuarded(
+              when(col("p_type") === "PROMO", discCents), 4, 10000000000L).as("pnum"),
+            ExactSum.dblSumGuarded(discCents, 4, 10000000000L).as("pden"))
           // rule 3: round at the decimal(12,4) grain but RETURN double — a
           // decimal final column renders trailing zeros ("15.2000") that the
           // oracle's float64 ("15.2") does not.
@@ -1021,8 +1031,12 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""")),
         // scale-4 sum to 2 decimals can land on a half-cent tie that the two
         // engines break differently, while the decimal→double conversion is
         // exact (< 2^53 scaled units).
-        .agg(dbl(sum(dec2(col("l_extendedprice"))
-              * (lit(1) - rate(col("l_discount"))).cast("decimal(4,2)")))
+        // LONG fixed-point (see [[ExactSum]]): 33.8× slower at sf1 on
+        // BigDecimal buffers before; same exact scale-4 rational → same
+        // double as dbl(sum(decimal-product)).
+        .agg(ExactSum.dblSumGuarded(
+            ExactSum.cents(col("l_extendedprice"))
+              * ExactSum.rateCents(col("l_discount")), 4, 10000000000L)
             .as("revenue"),
           count(lit(1)).as("n_items")),
       Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

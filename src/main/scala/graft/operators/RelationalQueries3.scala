@@ -89,7 +89,7 @@ ORDER BY mkey NULLS FIRST""")),
         Tables.events(s, d)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"),
-            expr("ts_ns div 1000").as("vf_us"), dec2(col("value")).as("val2"))
+            Tables.tsUs.as("vf_us"), dec2(col("value")).as("val2"))
           .select(col("user_id"),
             row_number().over(w).cast("long").as("ver"),
             col("vf_us"),
@@ -534,7 +534,7 @@ ORDER BY s.day NULLS FIRST""")),
         val wk = 604800000000L // 7 days in us
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"),
-            expr("ts_ns div 1000").as("ts_us"))
+            Tables.tsUs.as("ts_us"))
         val v = ev.filter(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
         val c = ev.filter(col("event_type") === "click").join(v, "user_id")
@@ -651,7 +651,7 @@ FROM customer ORDER BY c_custkey NULLS FIRST""")),
           .orderBy(col("ts_us"), col("event_id"))
         Tables.events(s, d)
           .select(col("event_type"), col("event_id"),
-            expr("ts_ns div 1000").as("ts_us"), dec2(col("value")).as("v2"))
+            Tables.tsUs.as("ts_us"), dec2(col("value")).as("v2"))
           .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
           .filter(col("dur").isNotNull)
           .groupBy(col("event_type"))
@@ -693,7 +693,7 @@ GROUP BY 1 ORDER BY event_type NULLS FIRST""")),
           .orderBy(col("ts_us").desc, col("event_id").desc)
         Tables.events(s, d)
           .select(to_date(col("ts")).as("day"), col("event_id"),
-            expr("ts_ns div 1000").as("ts_us"), dec2(col("value")).as("v2"))
+            Tables.tsUs.as("ts_us"), dec2(col("value")).as("v2"))
           .withColumn("rn_o", row_number().over(asc))
           .withColumn("rn_c", row_number().over(desc))
           .groupBy(col("day"))
@@ -771,7 +771,7 @@ FROM h GROUP BY 1 ORDER BY tbl NULLS FIRST""")),
       (s, d) => {
         Tables.events(s, d)
           .select(col("event_type"), col("event_id"),
-            expr("ts_ns div 1000").as("ts_us"), dec2(col("value")).as("v2"))
+            Tables.tsUs.as("ts_us"), dec2(col("value")).as("v2"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             expr("""transform(array_sort(collect_list(struct(ts_us, event_id, v2))),
@@ -806,7 +806,7 @@ FROM g ORDER BY event_type NULLS FIRST""")),
           .orderBy(col("ts_us"), col("event_id"))
         Tables.events(s, d)
           .select(col("user_id"), col("event_id"),
-            expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+            Tables.tsUs.as("ts_us"), col("event_type"))
           .withColumn("to_type", lead(col("event_type"), 1).over(w))
           .filter(col("to_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("to_type"))

@@ -328,11 +328,15 @@ object StreamingQueries {
   }
 
   /** Streaming events via Spark's file source, normalized like
-    * Tables.events (exact ns long + µs TimestampType). */
+    * Tables.events (exact ns long + µs TimestampType). The schema is
+    * INFERRED from the files on disk (via a batch read), not hard-coded —
+    * the driver has regenerated events.ts across encodings (ns-long vs
+    * timestamp[us]) and forcing the wrong physical type silently corrupts
+    * every event time by 1000× (VERDICT r7). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.normalizeEventTs(
-      s.readStream.schema(Tables.eventSchema)
+      s.readStream.schema(Tables.eventSchema(s, d))
         .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
@@ -1217,11 +1221,11 @@ SELECT count(*) AS n_new, min(h) AS min_h, max(h) AS max_h FROM surv""")),
     GQuery("s28_stream_asof_enrich",
       (s, d) => {
         val quotes = Tables.events(s, d).filter(col("event_type") === "purchase")
-          .select(col("user_id").as("q_user"), expr("ts_ns div 1000").as("q_us"),
+          .select(col("user_id").as("q_user"), Tables.tsUs.as("q_us"),
             col("event_id").as("q_id"))
         val out = Files.createTempDirectory(tmpBase, "graft-asof-sink").toString
         val q = eventStream(s, d).filter(col("event_type") === "view")
-          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("v_us"))
+          .select(col("user_id"), col("event_id"), Tables.tsUs.as("v_us"))
           .writeStream.outputMode("append")
           .option("checkpointLocation",
             Files.createTempDirectory(tmpBase, "graft-ckpt").toString)
@@ -1427,7 +1431,7 @@ FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
           .filter(col("event_type").isin("view", "purchase"))
           .withWatermark("ts", "1 hour")
           .select(col("user_id"), col("event_type"),
-            expr("ts_ns div 1000").as("us"), col("event_id"))
+            Tables.tsUs.as("us"), col("event_id"))
           .as[(Long, String, Long, Long)]
         val out = typed.groupByKey(_._1)
           .transformWithState(new StreamAsOfProcessor,

@@ -113,7 +113,7 @@ object ReplayLog {
     val ev = graft.Tables.events(spark, sfDir)
       .withColumn("partition", (col("event_id") % NumPartitions).cast("int"))
       .withColumn("arrival",
-        if (late) expr("ts_ns div 1000") +
+        if (late) graft.Tables.tsUs +
           when(col("event_id") % 20 === 0, lit(7200000000L)).otherwise(lit(0L))
         else col("event_id"))
     val w = Window.partitionBy(col("partition"))
@@ -123,7 +123,7 @@ object ReplayLog {
       .select(col("partition"), col("ord"),
         concat(lit("Key "), col("event_id")).cast("binary").as("key"),
         col("props").cast("binary").as("value"),
-        expr("ts_ns div 1000").as("ts_us"))
+        graft.Tables.tsUs.as("ts_us"))
 
     val path = dir.getAbsolutePath
     (0 until NumPartitions).foreach { p =>

@@ -15,7 +15,7 @@ class AsOfJoinSpec extends SparkSpec {
         - (col("c_custkey") % 10) * 86400000000L).as("cut_us"))
 
   private def events = Tables.events(spark, sf)
-    .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+    .select(col("user_id"), col("event_id"), Tables.tsUs.as("us"))
 
   private val tol = 7L * 86400000000L
 

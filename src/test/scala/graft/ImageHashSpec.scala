@@ -64,6 +64,20 @@ class ImageHashSpec extends SparkSpec {
     assert(found.size < all.size * 3, "pair set exploded — banding broken?")
   }
 
+  test("x40 query surfaces its planted re-encode variants (rows > 0)") {
+    val pairs = SparkEntry.queries("x40_image_phash")(spark, sf).collect()
+    assert(pairs.nonEmpty, "x40 found no near-dup payloads — planting broken")
+    // every planted (base, base+100000) pair is present at small Hamming
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 64)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    expected.foreach { id =>
+      assert(found.contains((id, id + 100000L)),
+        s"planted re-encode pair $id <-> ${id + 100000L} missing")
+    }
+  }
+
   test("s48 streaming phash dedup equals the batch distinct-hash set") {
     val streamed = SparkEntry.queries("s48_stream_phash_dedup")(spark, sf)
       .collect().map(_.getLong(0)).toSet

@@ -18,7 +18,7 @@ class StateReaderSpec extends SparkSpec {
   test("windowed aggregation state reads back and matches the aggregate") {
     val ckpt = java.nio.file.Files.createTempDirectory("ssr-ckpt").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.readStream.schema(Tables.eventSchema)
+    val ev = spark.readStream.schema(Tables.eventSchema(spark, sf))
       .option("pathGlobFilter", "events.parquet").parquet(sf)
     val q = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("ssr_sink")
@@ -43,7 +43,7 @@ class StateReaderSpec extends SparkSpec {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("ssr-tws-ckpt").toString
     val typed = Tables.normalizeEventTs(
-      spark.readStream.schema(Tables.eventSchema)
+      spark.readStream.schema(Tables.eventSchema(spark, sf))
         .option("pathGlobFilter", "events.parquet").parquet(sf))
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),

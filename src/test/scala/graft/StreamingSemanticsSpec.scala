@@ -52,7 +52,7 @@ class StreamingSemanticsSpec extends SparkSpec {
   test("streaming tumbling agg equals the identical batch query") {
     val streamed = SparkEntry.queries("s02_tumbling_window")(spark, sf)
     val batch = Tables.events(spark, sf)
-      .groupBy((expr("ts_ns div 1000") .divide(lit(600000000L)).cast("long") * 600)
+      .groupBy((Tables.tsUs .divide(lit(600000000L)).cast("long") * 600)
         .as("ws_sec"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))

@@ -753,8 +753,27 @@ object GraftOps {
     * Returns one row per learned merge: (rank, left, right, merged,
     * pair_freq), rank ascending — the merge table a tokenizer would ship.
     */
-  def bpeVocab(docs: DataFrame, text: Column, merges: Int): DataFrame = {
+  def bpeVocab(docs: DataFrame, text: Column, merges: Int): DataFrame =
+    bpeVocab(docs, text, merges, batch = 1)
+
+  /** [[bpeVocab]] with frontier batching — the driver-pacing fix for real
+    * vocabulary sizes (VERDICT r7 #6). `batch = 1` is the EXACT classic
+    * algorithm (one driver round-trip + one corpus re-segmentation per
+    * merge — fine for demo-sized merge counts, ~2·merges jobs). For a 50k
+    * vocab that pacing is the bottleneck, so `batch = K` selects the top K
+    * pairwise SYMBOL-DISJOINT pairs per round and applies them in ONE
+    * re-segmentation: disjointness makes the selected merges commute (no
+    * merge can create or destroy occurrences of another selected pair), so
+    * every batched merge is individually a valid greedy step against the
+    * counts it was ranked under. The approximation vs strict BPE: a pair
+    * CREATED by merge i (e.g. ("th","e") after ("t","h")) cannot be chosen
+    * until the next round, so ranks can reorder within a window of ~K —
+    * the standard trade industrial trainers make (frontier batching).
+    * Driver round-trips drop from `merges` to ~`merges / K`; candidate
+    * fetch per round is ≤ 4K tiny (string, string, long) rows. */
+  def bpeVocab(docs: DataFrame, text: Column, merges: Int, batch: Int): DataFrame = {
     val spark = docs.sparkSession
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     // distinct-word frequency table, words as single-char symbol arrays
     var words = materialize(spreadSmall(docs)
       .select(explode(split(lower(text), " ")).as("word"))
@@ -766,35 +785,49 @@ object GraftOps {
     var rank = 0
     var exhausted = false
     while (rank < merges && !exhausted) {
-      // corpus-wide weighted adjacent-pair counts; deterministic tie-break
-      val top = words
+      val want = math.min(batch, merges - rank)
+      // corpus-wide weighted adjacent-pair counts; deterministic tie-break.
+      // Over-fetch 4× so the disjointness filter usually still fills the
+      // batch; a short round just re-counts — progress is ≥ 1 merge/round.
+      val cand = words
         .select(col("freq"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
           slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("pair_freq"))
         .orderBy(col("pair_freq").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(want * 4).collect()
+      if (cand.isEmpty) exhausted = true
       else {
-        val a: String = top(0).getString(0)
-        val b: String = top(0).getString(1)
-        val m = a + b
-        learned += ((rank, a, b, m, top(0).getLong(2)))
-        // greedy left-to-right merge of (a,b) occurrences — a narrow fold;
-        // non-overlapping by construction (the merged symbol won't re-match
-        // `a` unless it literally equals it, which IS the BPE semantics)
+        // greedy prefix of mutually symbol-disjoint pairs (merged symbols
+        // count as used too, so a later pair can't reference one)
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = cand.iterator.flatMap { r0 =>
+          val (a, b) = (r0.getString(0), r0.getString(1))
+          if (used(a) || used(b) || used(a + b)) None
+          else { used += a; used += b; used += (a + b); Some((a, b, r0.getLong(2))) }
+        }.take(want).toVector
+        sel.foreach { case (a, b, f) =>
+          learned += ((rank, a, b, a + b, f)); rank += 1
+        }
+        // ONE greedy left-to-right re-segmentation applying every selected
+        // merge — a narrow fold; non-overlapping by construction (the
+        // merged symbol won't re-match `a` unless it literally equals it,
+        // which IS the BPE semantics), and disjoint pairs can't interact.
         val next = materialize(words.select(
           aggregate(col("syms"),
             array().cast("array<string>"),
-            (acc, s) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-              .otherwise(concat(acc, array(s)))).as("syms"),
+            (acc, s) => {
+              val grow = concat(acc, array(s))
+              sel.foldLeft(when(lit(false), grow)) { case (w, (a, b, _)) =>
+                w.when(
+                  size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              }.otherwise(grow)
+            }).as("syms"),
           col("freq")))
         words.unpersist()
         words = next
-        rank += 1
       }
     }
     words.unpersist()

@@ -75,4 +75,77 @@ class BpeSpec extends SparkSpec {
     val got = distBpe(Seq("ab ab"), 10)
     assert(got.size < 10 && got.head == ((0, "a", "b", "ab", 2L)))
   }
+
+  // ---- frontier batching (the driver-pacing path for real vocab sizes) ----
+
+  /** One left-to-right pass applying a whole symbol-disjoint batch — the
+    * in-memory mirror of the batched fold in GraftOps.bpeVocab. */
+  private def mergeBatchWord(syms: List[String],
+      sel: Seq[(String, String, Long)]): List[String] =
+    syms.foldLeft(List.empty[String]) { (acc, s) =>
+      acc match {
+        case last :: rest if sel.exists { case (a, b, _) => last == a && s == b } =>
+          (last + s) :: rest
+        case _ => s :: acc
+      }
+    }.reverse
+
+  /** In-memory frontier-batched BPE: same candidate order, same greedy
+    * symbol-disjoint prefix, same one-pass application. */
+  private def refBpeBatched(corpus: Seq[String], merges: Int,
+      batch: Int): Seq[(Int, String, String, String, Long)] = {
+    var wf: Map[List[String], Long] = corpus.flatMap(_.toLowerCase.split(" "))
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, ws) => w.toList.map(_.toString) -> ws.size.toLong }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var go = true
+    while (rank < merges && go) {
+      val want = math.min(batch, merges - rank)
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- wf; p <- syms.sliding(2) if p.size == 2)
+        counts((p(0), p(1))) += f
+      if (counts.isEmpty) go = false
+      else {
+        val cand = counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }
+          .take(want * 4)
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = cand.iterator.flatMap { case ((a, b), n) =>
+          if (used(a) || used(b) || used(a + b)) None
+          else { used ++= Seq(a, b, a + b); Some((a, b, n)) }
+        }.take(want).toVector
+        sel.foreach { case (a, b, n) => out += ((rank, a, b, a + b, n)); rank += 1 }
+        wf = wf.map { case (syms, f) => mergeBatchWord(syms, sel) -> f }
+      }
+    }
+    out.result()
+  }
+
+  private def distBpeBatched(corpus: Seq[String], merges: Int,
+      batch: Int): Seq[(Int, String, String, String, Long)] = {
+    import spark.implicits._
+    GraftOps.bpeVocab(corpus.toDF("text"), col("text"), merges, batch)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+  }
+
+  test("batch=1 is the exact classic algorithm; batch=K == batched reference") {
+    val rnd = new Random(7)
+    val words = Seq.fill(150)(
+      Seq.fill(1 + rnd.nextInt(6))("abcde" (rnd.nextInt(5))).mkString)
+    val corpus = words.grouped(10).map(_.mkString(" ")).toSeq
+    assert(distBpeBatched(corpus, 8, 1) === refBpe(corpus, 8),
+      "batch=1 must be byte-identical to classic BPE")
+    for (batch <- Seq(3, 8)) {
+      assert(distBpeBatched(corpus, 8, batch) === refBpeBatched(corpus, 8, batch),
+        s"batch=$batch diverged from the in-memory batched reference")
+    }
+  }
+
+  test("every batched round is symbol-disjoint and ranks stay contiguous") {
+    val got = distBpeBatched(Seq("aaab aaab ab cdcd cd dce"), 6, 3)
+    assert(got.map(_._1) === got.indices.toList, "ranks must be 0..n-1")
+    got.foreach { case (_, a, b, m, _) => assert(m === a + b) }
+  }
 }

@@ -433,17 +433,26 @@ object GraftOps {
         posexplode(array(tabSeeds.toIndexedSeq.map(s =>
           rp_bucket(col("vec"), effPlanes, s)): _*)))
       .toDF("id", "tab", "bucket")
+    // Candidates keep their multi-table duplicates through scoring and
+    // dedup AFTER the threshold filter: the filter passes only true
+    // near-dups, so the distinct's shuffle is proportional to MATCHES
+    // (tiny), not candidates. The old candidate-first distinct shuffled the
+    // full candidate set — the dominant cost of the sf1 sweep (candidate
+    // volume ∝ n·targetBucket; re-scoring a pair ≤ `tables` times is cheap
+    // codegen work that map-side-local joins absorb). Score is
+    // deterministic per pair, so the late distinct collapses duplicates
+    // exactly.
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tab") === col("b.tab") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
     cand
       .join(v.as("va"), col("a_id") === col("va.id"))
       .join(v.as("vb"), col("b_id") === col("vb.id"))
       .select(col("a_id"), col("b_id"),
         cosine_sim(col("va.vec"), col("vb.vec")).as("score"))
       .filter(col("score") >= threshold)
+      .distinct()
   }
 
   /** Connected components over a near-dup pair graph: every document gets the

@@ -292,6 +292,18 @@ class PlanAuditSpec extends SparkSpec {
       s"pair generation degraded to an all-pairs cross product:\n$p")
   }
 
+  test("x45 vocab coverage explodes the corpus exactly once") {
+    // the word-count table is checkpointed, so BOTH consumers (vocab agg +
+    // per-doc join) read the materialized counts — the final plan must not
+    // re-Generate (re-explode) the corpus at all (VERDICT r7 #5)
+    val p = plan("x45_vocab_coverage")
+    assert(!p.contains("Generate"),
+      s"x45 re-explodes the corpus downstream of the checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("ExistingRDD"),
+      s"x45 does not read the checkpointed word counts:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

@@ -1170,10 +1170,9 @@ ORDER BY s.user_id NULLS FIRST, s.ss_us NULLS FIRST""")),
     // are per-batch, stream state is bounded by distinct NEW content.
     GQuery("s30_stream_incremental_dedup",
       (s, d) => {
-        val docSchema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("n_chars", LongType)))
+        // schema inferred from the files on disk (never hard-coded: the
+        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
+        val docSchema = Tables.table(s, d, "documents").schema
         val hist = Tables.table(s, d, "documents")
           .filter(col("doc_id") % 10 =!= 7).select(md5(col("text")).as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1262,10 +1261,9 @@ ORDER BY v.event_id NULLS FIRST""")),
     // the scoring itself streams at scan speed.
     GQuery("s26_stream_quality_route",
       (s, d) => {
-        val docSchema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("n_chars", LongType)))
+        // schema inferred from the files on disk (never hard-coded: the
+        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
+        val docSchema = Tables.table(s, d, "documents").schema
         val docs = s.readStream.schema(docSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
         val scored = docs
@@ -1295,10 +1293,9 @@ ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
     // grams before the agg) — rare by construction at 100 TB.
     GQuery("s27_stream_decontaminate",
       (s, d) => {
-        val docSchema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("n_chars", LongType)))
+        // schema inferred from the files on disk (never hard-coded: the
+        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
+        val docSchema = Tables.table(s, d, "documents").schema
         // persist the static side: a stream-static join re-executes the
         // static plan EVERY micro-batch — without this the eval shingle agg
         // replays per trigger (measured 9 s → ~3 s for the bounded run)
@@ -1511,10 +1508,9 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
     // grow, with no rebuild-the-world step.
     GQuery("s43_stream_bloom",
       (s, d) => {
-        val docSchema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("n_chars", LongType)))
+        // schema inferred from the files on disk (never hard-coded: the
+        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
+        val docSchema = Tables.table(s, d, "documents").schema
         val docs = s.readStream.schema(docSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
         val bf = docs.filter(col("doc_id") % 20 === 0)

@@ -287,6 +287,12 @@ object GraftOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Collision-free id offset for planted payload variants: one past the
+    * corpus max id, so `id + offset` can never alias a real id at any
+    * scale. One metadata-cheap agg (parquet max statistics). */
+  def imageVariantOffset(df: DataFrame, id: Column): Long =
+    df.agg(max(id)).head().getLong(0) + 1L
+
   /** Perceptual near-duplicate IMAGE pairs via average-hash + Hamming
     * banding — the multimodal twin of [[simhashNearDups]] (X05's near-dup
     * axis). Each payload maps to a 64-bit aHash; the hash splits into four
@@ -390,8 +396,9 @@ object GraftOps {
     * seeded hash tables (union), verified with the exact codegen cosine
     * kernel. The candidate step is a bucket equi-join on (table, bucket) —
     * never an all-pairs cross product — so the plan shuffles by bucket and
-    * scales horizontally; `distinct` dedupes multi-table collisions before
-    * the kernel runs once per candidate pair.
+    * scales horizontally. Multi-table collisions are scored up to `tables`
+    * times (cheap map-side codegen) and deduped AFTER the threshold
+    * filter, so the distinct's shuffle carries matches, not candidates.
     *
     * Recall tuning: one table collides with probability
     * `(1 − θ/π)^planes` (θ = angle at the threshold). At real near-dup

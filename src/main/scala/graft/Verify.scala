@@ -29,8 +29,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Testdata-schema canary (VERDICT r7 #4): if the driver regenerated a
     // fixture with a dtype the engine doesn't handle, say so in ONE loud
-    // line up front instead of 68 scattered per-query failures below.
-    Tables.schemaCanary(spark, sfDir).foreach(p => System.err.println(s"[verify] CANARY: $p"))
+    // line up front instead of 68 scattered per-query failures below. The
+    // canary itself must never kill the sweep (a missing/corrupt fixture
+    // should still let every other table's queries run and report).
+    try Tables.schemaCanary(spark, sfDir)
+      .foreach(p => System.err.println(s"[verify] CANARY: $p"))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] CANARY probe failed: ${e.getMessage}")
+    }
     // dev knob: resume an interrupted sweep (the driver never sets this)
     val skipExisting = sys.env.get("SPARK_GRAFT_SKIP_EXISTING").contains("1")
     SparkEntry.queries

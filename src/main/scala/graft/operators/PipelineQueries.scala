@@ -1659,20 +1659,23 @@ ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
     GQuery("x40_image_phash",
       (s, d) => {
         // payload corpus = the raw payloads PLUS deterministic "re-encode"
-        // variants (same length, last byte flipped to 'Z', id offset +10^5)
-        // — the same-image-different-encoder-tail case a perceptual hash
-        // exists to catch and exact dedup cannot. The r7 testdata
-        // regeneration removed all byte-layout near-dups from documents, so
-        // without planted variants the pair set is legitimately empty and
-        // the operator goes unexercised (VERDICT r7 #7). A one-byte change
-        // moves one of 64 block averages by <1% of the byte range → the
-        // planted pair sits at Hamming ≤ 1, well inside the band recall
-        // guarantee (ImageHashSpec pins banding ≡ brute force).
+        // variants (same length, last byte flipped to 'Z', ids offset past
+        // the corpus max so planting can never collide with a real doc_id
+        // at any scale) — the same-image-different-encoder-tail case a
+        // perceptual hash exists to catch and exact dedup cannot. The r7
+        // testdata regeneration removed all byte-layout near-dups from
+        // documents, so without planted variants the pair set is
+        // legitimately empty and the operator goes unexercised (VERDICT r7
+        // #7). A one-byte change moves one of 64 block averages by <1% of
+        // the byte range → the planted pair sits at Hamming ≤ 1, well
+        // inside the band recall guarantee (ImageHashSpec pins banding ≡
+        // brute force).
+        val off = graft.GraftOps.imageVariantOffset(t(s, d, "documents"), col("doc_id"))
         val base = t(s, d, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("img"))
         val variants = t(s, d, "documents")
           .filter(col("doc_id") % 25 === 0 && length(col("text")) > 64)
-          .select((col("doc_id") + 100000L).as("doc_id"),
+          .select((col("doc_id") + off).as("doc_id"),
             concat(expr("substring(text, 1, length(text) - 1)"), lit("Z"))
               .cast("binary").as("img"))
         graft.GraftOps.imageNearDups(base.unionAll(variants),

@@ -340,6 +340,13 @@ object StreamingQueries {
         .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
+  /** Streaming documents via Spark's file source. Schema inferred from the
+    * files on disk (never hard-coded — the driver regenerates fixtures
+    * across rounds; see Tables.schemaCanary). */
+  private def docStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(Tables.table(s, d, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+
   /** Per-partition admission cap sized for ~6 micro-batches at any scale
     * factor (fixed row counts degenerate into dozens of tiny batches at
     * sf0.1 — 50s of trigger overhead for s05 before this). Parquet metadata
@@ -1170,15 +1177,11 @@ ORDER BY s.user_id NULLS FIRST, s.ss_us NULLS FIRST""")),
     // are per-batch, stream state is bounded by distinct NEW content.
     GQuery("s30_stream_incremental_dedup",
       (s, d) => {
-        // schema inferred from the files on disk (never hard-coded: the
-        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
-        val docSchema = Tables.table(s, d, "documents").schema
-        val hist = Tables.table(s, d, "documents")
+                val hist = Tables.table(s, d, "documents")
           .filter(col("doc_id") % 10 =!= 7).select(md5(col("text")).as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hist.count()
-        val fresh = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val fresh = docStream(s, d)
           .filter(col("doc_id") % 10 === 7)
           .select(col("doc_id"), md5(col("text")).as("h"))
         // aggregate over the hash SET (deterministic) — which doc_id
@@ -1261,11 +1264,7 @@ ORDER BY v.event_id NULLS FIRST""")),
     // the scoring itself streams at scan speed.
     GQuery("s26_stream_quality_route",
       (s, d) => {
-        // schema inferred from the files on disk (never hard-coded: the
-        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
-        val docSchema = Tables.table(s, d, "documents").schema
-        val docs = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+                val docs = docStream(s, d)
         val scored = docs
           .withColumn("w", split(col("text"), " "))
           .withColumn("keep", size(col("w")) >= 10 &&
@@ -1293,10 +1292,7 @@ ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
     // grams before the agg) — rare by construction at 100 TB.
     GQuery("s27_stream_decontaminate",
       (s, d) => {
-        // schema inferred from the files on disk (never hard-coded: the
-        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
-        val docSchema = Tables.table(s, d, "documents").schema
-        // persist the static side: a stream-static join re-executes the
+                // persist the static side: a stream-static join re-executes the
         // static plan EVERY micro-batch — without this the eval shingle agg
         // replays per trigger (measured 9 s → ~3 s for the bounded run)
         val evalGrams = graft.GraftOps.shingles(
@@ -1305,8 +1301,7 @@ ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
           .select(explode(col("sh")).as("g")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         evalGrams.count()
-        val streamGrams = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val streamGrams = docStream(s, d)
           .filter(col("doc_id") % 20 =!= 0)
           .select(col("doc_id"), explode(expr(
             """array_distinct(CASE WHEN size(split(text, ' ')) >= 3
@@ -1508,11 +1503,7 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
     // grow, with no rebuild-the-world step.
     GQuery("s43_stream_bloom",
       (s, d) => {
-        // schema inferred from the files on disk (never hard-coded: the
-        // driver regenerates fixtures across rounds — see Tables.schemaCanary)
-        val docSchema = Tables.table(s, d, "documents").schema
-        val docs = s.readStream.schema(docSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+                val docs = docStream(s, d)
         val bf = docs.filter(col("doc_id") % 20 === 0)
           .select(explode(graft.functions.GraftFunctions
             .word_shingles(col("text"), 3)).as("g"))

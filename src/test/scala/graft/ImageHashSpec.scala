@@ -67,14 +67,16 @@ class ImageHashSpec extends SparkSpec {
   test("x40 query surfaces its planted re-encode variants (rows > 0)") {
     val pairs = SparkEntry.queries("x40_image_phash")(spark, sf).collect()
     assert(pairs.nonEmpty, "x40 found no near-dup payloads — planting broken")
-    // every planted (base, base+100000) pair is present at small Hamming
+    // every planted (base, base+offset) pair is present at small Hamming
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = Tables.table(spark, sf, "documents")
+    val docs = Tables.table(spark, sf, "documents")
+    val off = GraftOps.imageVariantOffset(docs, col("doc_id"))
+    val expected = docs
       .filter(col("doc_id") % 25 === 0 && length(col("text")) > 64)
       .select(col("doc_id")).collect().map(_.getLong(0))
     expected.foreach { id =>
-      assert(found.contains((id, id + 100000L)),
-        s"planted re-encode pair $id <-> ${id + 100000L} missing")
+      assert(found.contains((id, id + off)),
+        s"planted re-encode pair $id <-> ${id + off} missing")
     }
   }
 

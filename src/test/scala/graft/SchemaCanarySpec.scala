@@ -19,9 +19,12 @@ class SchemaCanarySpec extends SparkSpec {
     val disk = Tables.events(spark, sf)
       .select(col("event_id"), col("ts_ns"), col("ts")).orderBy("event_id")
     // legacy path: simulate the ns-as-long read by rebuilding the raw frame
-    // with ts as a BIGINT of ns, then normalizing it the same way.
-    val legacyRaw = Tables.table(spark, sf, "events")
-      .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    // with ts as a BIGINT of ns, then normalizing it the same way. Derive
+    // the ns long from the ALREADY-normalized ts_ns so this simulation is
+    // itself encoding-agnostic (a direct cast of a legacy LongType ts would
+    // interpret the long as seconds and produce garbage).
+    val legacyRaw = Tables.events(spark, sf)
+      .drop("ts").withColumnRenamed("ts_ns", "ts")
     assert(legacyRaw.schema("ts").dataType === LongType)
     val legacy = Tables.normalizeEventTs(legacyRaw)
       .select(col("event_id"), col("ts_ns"), col("ts")).orderBy("event_id")

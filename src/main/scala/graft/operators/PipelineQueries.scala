@@ -2222,6 +2222,118 @@ FROM words GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
 SELECT source, count(*) AS n_candidates,
   CAST(count(*) FILTER (WHERE cum <= 800) AS BIGINT) AS n_selected,
   COALESCE(max(cum) FILTER (WHERE cum <= 800), 0) AS tok_selected
-FROM r GROUP BY source ORDER BY source NULLS FIRST"""))
+FROM r GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- X47: quality-ensemble scorer --------------------------------------
+    // The single keep-score real curation stacks produce from many weak
+    // signals (C4/Gopher/RefinedWeb ensembles): distinct-word ratio, length
+    // band, punctuation density, mean-word-length deviation and stopword
+    // share combine linearly, then squash through the RATIONAL sigmoid
+    // z/(1+|z|) — every operation is a correctly-rounded IEEE basic op
+    // (+,*,/,abs), so unlike exp()-based logistic the score is bit-identical
+    // across engines with no transcendental-libm dependence. Entirely
+    // per-row (shuffle-free before the presentation sort); the weights are
+    // spec'd literals, the score quantizes at decimal(18,6) before the
+    // routing thresholds so the verdict can never straddle an ulp.
+    GQuery("x47_quality_ensemble",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val nw = size(ws)
+        val nwS = greatest(nw, lit(1))
+        val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "for")
+          .map(lit): _*)
+        val ddr = size(array_distinct(ws)) / nwS
+        val lenr = least(nw, lit(400)) / lit(400.0)
+        val punct = length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val pr = punct / greatest(length(col("text")), lit(1))
+        val mwl = (length(col("text")) - (nw - lit(1))) / nwS
+        val sr = size(filter(ws, w => array_contains(stops, w))) / nwS
+        val z = lit(-1.0) + lit(2.4) * ddr + lit(1.2) * lenr -
+          lit(3.0) * pr - lit(0.8) * abs(mwl - lit(5.0)) / lit(5.0) +
+          lit(1.5) * sr
+        val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
+          .cast("decimal(18,6)").cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"), nw.cast("long").as("n_words"),
+            score.as("score"),
+            floor(score * 10).cast("long").as("decile"),
+            when(score < 0.35, "drop").when(score < 0.6, "review")
+              .otherwise("keep").as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+    string_split(text, ' ') AS ws,
+    len(string_split(text, ' ')) AS nw,
+    greatest(len(string_split(text, ' ')), 1) AS nws,
+    length(text) AS lt FROM documents),
+z AS (SELECT doc_id, nw,
+    -1.0 + 2.4 * (len(list_distinct(ws)) / nws)
+         + 1.2 * (least(nw, 400) / 400.0)
+         - 3.0 * ((lt - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(lt, 1))
+         - 0.8 * abs(((lt - (nw - 1)) / nws) - 5.0) / 5.0
+         + 1.5 * (len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','for'], w))) / nws)
+      AS z
+  FROM f JOIN documents USING (doc_id)),
+sc AS (SELECT doc_id, nw,
+    CAST(CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM z)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words, score,
+  CAST(floor(score * 10) AS BIGINT) AS decile,
+  CASE WHEN score < 0.35 THEN 'drop' WHEN score < 0.6 THEN 'review'
+    ELSE 'keep' END AS verdict
+FROM sc ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X48: dedup-aware mixture rebalancing ------------------------------
+    // The sampling-weight recomputation that follows any dedup pass: exact
+    // dedup keeps one doc per content hash (keeper attributed to the
+    // surviving min-doc_id's source via min_by, both engines), then each
+    // source's sqrt-temperature sampling share and the over/under-sampling
+    // factor vs its natural share are derived from KEPT counts — dedup
+    // shifts the mixture, and a sampler still using raw counts over-trains
+    // on duplicate-heavy sources. Scale: one content-hash shuffle (the x01
+    // shape) + a |sources|-row aggregate broadcast back; sqrt values are
+    // decimal-quantized before the cross-source sum so the normalizer is
+    // merge-order-free.
+    GQuery("x48_dedup_aware_mixture",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+        val kept = docs
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min_by(col("source"), col("doc_id")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        val base = raw.join(kept, Seq("source"))
+          .withColumn("dq", sqrt(col("n_kept")).cast("decimal(18,6)"))
+        val tot = base.agg(sum(col("n_kept")).as("tot_kept"),
+          sum(col("dq")).as("sum_dq"))
+        val share = (col("dq").cast("double") / col("sum_dq").cast("double"))
+          .cast("decimal(18,6)").cast("double")
+        base.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_raw"), col("n_kept"),
+            (lit(1.0) - col("n_kept").cast("double") / col("n_raw"))
+              .cast("decimal(18,6)").cast("double").as("dup_ratio"),
+            share.as("samp_share"),
+            ((col("dq").cast("double") / col("sum_dq").cast("double"))
+              * col("tot_kept") / col("n_kept"))
+              .cast("decimal(18,6)").cast("double").as("oversample"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+keep AS (SELECT min_by(source, doc_id) AS source
+  FROM documents GROUP BY md5(text)),
+kept AS (SELECT source, count(*) AS n_kept FROM keep GROUP BY source),
+base AS (SELECT raw.source, n_raw, n_kept,
+    CAST(sqrt(n_kept) AS DECIMAL(18,6)) AS dq
+  FROM raw JOIN kept ON raw.source = kept.source),
+tot AS (SELECT sum(n_kept) AS tot_kept, sum(dq) AS sum_dq FROM base)
+SELECT source, n_raw, n_kept,
+  CAST(CAST(1.0 - CAST(n_kept AS DOUBLE) / n_raw AS DECIMAL(18,6)) AS DOUBLE)
+    AS dup_ratio,
+  CAST(CAST(CAST(dq AS DOUBLE) / CAST(sum_dq AS DOUBLE) AS DECIMAL(18,6))
+    AS DOUBLE) AS samp_share,
+  CAST(CAST(CAST(dq AS DOUBLE) / CAST(sum_dq AS DOUBLE) * tot_kept / n_kept
+    AS DECIMAL(18,6)) AS DOUBLE) AS oversample
+FROM base, tot ORDER BY source NULLS FIRST"""))
   )
 }

@@ -2336,29 +2336,36 @@ SELECT source, n_raw, n_kept,
     AS DECIMAL(18,6)) AS DOUBLE) AS oversample
 FROM base, tot ORDER BY source NULLS FIRST""")),
 
-    // ---- X49: embedding QA / norm-outlier gate -----------------------------
-    // The vector-quality gate that runs BEFORE any ANN indexing: collapsed
-    // (near-zero) or exploded vectors poison cosine/IVF neighborhoods, so
-    // each vector's L2 norm is z-scored against its label cohort and tails
-    // are flagged. Cross-engine exactness: the squared-norm fold is a
-    // SEQUENTIAL left-to-right lambda over the array (Spark `aggregate` ≡
-    // DuckDB `list_reduce` — both engines fold in index order, and
-    // 0.0+x == x exactly for the non-negative squares), the per-row norm
-    // quantizes to decimal(18,6), and cohort moments are exact decimal
-    // sums, so the one double sqrt/divide chain is identical on both
-    // sides. Scale: per-row fold (shuffle-free) + one |labels|-row
+    // ---- X49: embedding QA / outlier gate ----------------------------------
+    // The vector-quality gate that runs BEFORE any ANN indexing. Two
+    // signals: the L2 norm (catches unnormalized/exploded vectors — on an
+    // L2-normalized corpus it is constant 1.0 by construction, which the
+    // output makes visible) and the component PEAK max|x_i|, which keeps
+    // real variance on normalized vectors — a collapsed near-one-hot
+    // vector peaks near 1, a healthy dense direction near 1/√dims — and
+    // is z-scored against the vector's label cohort; tails are flagged.
+    // Cross-engine exactness: the squared-norm fold is a SEQUENTIAL
+    // left-to-right lambda over the array (Spark `aggregate` ≡ DuckDB
+    // `list_reduce` — both fold in index order, and 0.0+x == x exactly
+    // for the non-negative squares), max is order-free, the per-row
+    // norm/peak quantize to decimal(18,6), and cohort moments are exact
+    // decimal sums, so the one double sqrt/divide chain is identical on
+    // both sides. Scale: per-row fold (shuffle-free) + one |labels|-row
     // aggregate broadcast back.
     GQuery("x49_embedding_qa",
       (s, d) => {
         val sq = aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val peak = array_max(transform(col("embedding"),
+          x => abs(x.cast("double"))))
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
-            sqrt(sq).cast("decimal(18,6)").as("nq"))
+            sqrt(sq).cast("decimal(18,6)").as("nq"),
+            peak.cast("decimal(18,6)").as("pk"))
         val stats = e.groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
-            sum(col("nq")).as("sx"),
-            sum((col("nq") * col("nq")).cast("decimal(38,12)")).as("sxx"))
+            sum(col("pk")).as("sx"),
+            sum((col("pk") * col("pk")).cast("decimal(38,12)")).as("sxx"))
         val mean = col("sx").cast("double") / col("n")
         // singleton cohorts have no variance and identical-norm cohorts a
         // zero one — both yield z = NULL, flagged = false (mirrored CASE
@@ -2366,37 +2373,40 @@ FROM base, tot ORDER BY source NULLS FIRST""")),
         val sd = when(col("n") > 1, sqrt((col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double") / col("n"))
           / (col("n") - 1)))
-        val z = when(sd > 0.0, ((col("nq").cast("double") - mean) / sd)
+        val z = when(sd > 0.0, ((col("pk").cast("double") - mean) / sd)
           .cast("decimal(18,6)").cast("double"))
         e.join(broadcast(stats), Seq("label"))
           .select(col("vec_id"), col("label"),
             col("nq").cast("double").as("norm"),
+            col("pk").cast("double").as("peak"),
             z.as("z"),
             coalesce(abs(z) > 2.5, lit(false)).as("flagged"))
           .orderBy(col("vec_id"))
       },
       Some("""WITH e AS (SELECT vec_id, label,
-    CAST(CAST(sqrt(list_reduce(
+    CAST(sqrt(list_reduce(
         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        (a, b) -> a + b)) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS nq
+        (a, b) -> a + b)) AS DECIMAL(18,6)) AS nq,
+    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      AS DECIMAL(18,6)) AS pk
   FROM embeddings),
 st AS (SELECT label, count(*) AS n,
-    sum(nq) AS sx,
-    sum(CAST(nq * nq AS DECIMAL(38,12))) AS sxx
+    sum(pk) AS sx,
+    sum(CAST(pk * pk AS DECIMAL(38,12))) AS sxx
   FROM e GROUP BY label),
-j AS (SELECT vec_id, e.label, nq, n, sx, sxx,
+j AS (SELECT vec_id, e.label, nq, pk, n, sx, sxx,
     CAST(sx AS DOUBLE) / n AS mean,
     CASE WHEN n > 1 THEN
       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
         / (n - 1)) END AS sd
   FROM e JOIN st ON e.label = st.label),
-zz AS (SELECT vec_id, label, nq,
+zz AS (SELECT vec_id, label, nq, pk,
     CASE WHEN sd > 0.0 THEN
-      CAST(CAST((CAST(nq AS DOUBLE) - mean) / sd AS DECIMAL(18,6)) AS DOUBLE)
+      CAST(CAST((CAST(pk AS DOUBLE) - mean) / sd AS DECIMAL(18,6)) AS DOUBLE)
     END AS z
   FROM j)
-SELECT vec_id, label, CAST(nq AS DOUBLE) AS norm, z,
-  coalesce(abs(z) > 2.5, false) AS flagged
+SELECT vec_id, label, CAST(nq AS DOUBLE) AS norm, CAST(pk AS DOUBLE) AS peak,
+  z, coalesce(abs(z) > 2.5, false) AS flagged
 FROM zz ORDER BY vec_id NULLS FIRST"""))
   )
 }

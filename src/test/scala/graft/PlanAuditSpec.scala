@@ -304,6 +304,28 @@ class PlanAuditSpec extends SparkSpec {
       s"x45 does not read the checkpointed word counts:\n$p")
   }
 
+  test("x47 quality ensemble is shuffle-free before the presentation sort") {
+    // per-row scoring must not introduce any exchange besides the final
+    // global orderBy (range partitioning for presentation)
+    val p = plan("x47_quality_ensemble")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the presentation-sort exchange:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"x47 should not hash-shuffle at all:\n$p")
+  }
+
+  test("x48/x49 broadcast their aggregate-sized sides") {
+    // x48: the totals row; x49: the |labels|-row cohort stats — both must
+    // arrive as broadcasts, never as a shuffled join on the big side
+    for (q <- Seq("x48_dedup_aware_mixture", "x49_embedding_qa")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffled an aggregate-sized side:\n$p")
+    }
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

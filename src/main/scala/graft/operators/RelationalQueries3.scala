@@ -774,28 +774,46 @@ SELECT tbl, count(*) AS n_rows, bit_xor(h) AS checksum
 FROM h GROUP BY 1 ORDER BY tbl NULLS FIRST""")),
 
     // EWMA (exponential smoothing, α=0.2) — the recursive time-series
-    // aggregate (v_t = αx_t + (1-α)v_{t-1}) that has no windowed-SQL form:
-    // here each key's series folds IN EVENT ORDER over a sorted array, and
-    // DuckDB's list_reduce (acc starts at the first element) replays the
-    // identical left fold, so the doubles agree bit-for-bit before the final
-    // rounding. Per-key collect is the sf-test shape; at 100 TB the same
-    // recurrence runs as a mergeable affine-composition aggregate (an EWMA
-    // prefix is (a,b) with v = a·v₀+b; composition is associative — the
-    // TypedImperativeAggregate slot TopKAgg already demonstrates).
+    // aggregate (v_t = αx_t + (1-α)v_{t-1}) that has no windowed-SQL form.
+    // Shape: one hash shuffle on the key, a partition-local secondary sort
+    // (key, ts, id), then a STREAMING left fold over each key's run —
+    // exactly the sort-based ordered aggregate a native engine lowers to.
+    // State per group is O(1) (running value + count), never the series:
+    // the r8 collect_list variant materialized one array row per key, a
+    // per-group memory cliff at 100 TB; this version's memory is constant
+    // no matter how long a key's history grows. DuckDB's list_reduce (acc
+    // starts at the first element) replays the identical IEEE op sequence
+    // (0.2*x + 0.8*acc, same order), so the doubles agree bit-for-bit
+    // before the final rounding.
     GQuery("q107_ewma",
       (s, d) => {
-        Tables.events(s, d)
-          .select(col("event_type"), col("event_id"),
-            Tables.tsUs.as("ts_us"), dec2(col("value")).as("v2"))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            expr("""transform(array_sort(collect_list(struct(ts_us, event_id, v2))),
-                    r -> CAST(r.v2 AS DOUBLE))""").as("vs"))
+        import s.implicits._
+        val folded = Tables.events(s, d)
+          .select(col("event_type"), Tables.tsUs.as("ts_us"),
+            col("event_id"), dec2(col("value")).cast("double").as("x"))
+          .repartition(col("event_type"))
+          .sortWithinPartitions(col("event_type"), col("ts_us"), col("event_id"))
+          .as[(String, Long, Long, Double)]
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[(String, Long, Double)] {
+              def hasNext: Boolean = buf.hasNext
+              def next(): (String, Long, Double) = {
+                val key = buf.head._1
+                var n = 0L; var v = 0.0
+                while (buf.hasNext && buf.head._1 == key) {
+                  val x = buf.next()._4
+                  v = if (n == 0L) x else 0.2 * x + 0.8 * v
+                  n += 1L
+                }
+                (key, n, v)
+              }
+            }
+          }
+          .toDF("event_type", "n", "ewma")
+        folded
           .select(col("event_type"), col("n"),
-            expr("""aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
-                    element_at(vs, 1),
-                    (acc, x) -> 0.2D * x + 0.8D * acc)""")
-              .cast("decimal(18,6)").cast("double").as("ewma"))
+            col("ewma").cast("decimal(18,6)").cast("double").as("ewma"))
           .orderBy(col("event_type"))
       },
       Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,

@@ -326,6 +326,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q107 EWMA folds streaming — no per-group series array") {
+    // the r8 collect_list variant held each key's full history in one array
+    // row (a per-group memory cliff at 100 TB); the sort-based fold must
+    // show exactly one hash shuffle (the key repartition) plus the
+    // presentation sort, and no collect_list anywhere
+    val p = plan("q107_ewma")
+    assert(!p.toLowerCase.contains("collect_list"),
+      s"q107 rematerialized the per-key series:\n$p")
+    assert("Exchange ".r.findAllIn(p).length <= 2,
+      s"q107 grew an extra shuffle:\n$p")
+    assert(p.contains("MapPartitions"), s"expected the streaming fold:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

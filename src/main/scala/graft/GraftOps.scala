@@ -290,8 +290,12 @@ object GraftOps {
   /** Collision-free id offset for planted payload variants: one past the
     * corpus max id, so `id + offset` can never alias a real id at any
     * scale. One metadata-cheap agg (parquet max statistics). */
-  def imageVariantOffset(df: DataFrame, id: Column): Long =
-    df.agg(max(id)).head().getLong(0) + 1L
+  def imageVariantOffset(df: DataFrame, id: Column): Long = {
+    // max over zero rows is NULL — an empty/filtered corpus plants no
+    // variants, so any positive offset is fine; never NPE opaquely
+    val row = df.agg(max(id)).head()
+    if (row.isNullAt(0)) 1L else row.getLong(0) + 1L
+  }
 
   /** Perceptual near-duplicate IMAGE pairs via average-hash + Hamming
     * banding — the multimodal twin of [[simhashNearDups]] (X05's near-dup

@@ -1676,8 +1676,11 @@ ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
         val variants = t(s, d, "documents")
           .filter(col("doc_id") % 25 === 0 && length(col("text")) > 64)
           .select((col("doc_id") + off).as("doc_id"),
-            concat(expr("substring(text, 1, length(text) - 1)"), lit("Z"))
-              .cast("binary").as("img"))
+            // edit the last BYTE, not the last character: a multi-byte
+            // UTF-8 tail would otherwise change the variant's byte length
+            // and shift all 64 aHash block boundaries
+            expr("concat(substring(CAST(text AS BINARY), 1, " +
+              "length(CAST(text AS BINARY)) - 1), X'5A')").as("img"))
         graft.GraftOps.imageNearDups(base.unionAll(variants),
             col("doc_id"), col("img"), maxHamming = 3)
           .orderBy(col("img_a"), col("img_b"))
@@ -2369,10 +2372,15 @@ FROM base, tot ORDER BY source NULLS FIRST""")),
         val mean = col("sx").cast("double") / col("n")
         // singleton cohorts have no variance and identical-norm cohorts a
         // zero one — both yield z = NULL, flagged = false (mirrored CASE
-        // guards in the oracle; ANSI division forbids the unguarded form)
-        val sd = when(col("n") > 1, sqrt((col("sxx").cast("double") -
+        // guards in the oracle; ANSI division forbids the unguarded form).
+        // The variance is gated > 0 BEFORE sqrt: near-identical peaks can
+        // round sxx - sx²/n slightly negative in double, and sqrt(neg) =
+        // NaN compares > 0.0 as TRUE in both engines — Spark's NaN→decimal
+        // cast then yields NULL while DuckDB's raises, crashing the oracle.
+        val varE = when(col("n") > 1, (col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double") / col("n"))
-          / (col("n") - 1)))
+          / (col("n") - 1))
+        val sd = when(varE > 0.0, sqrt(varE))
         val z = when(sd > 0.0, ((col("pk").cast("double") - mean) / sd)
           .cast("decimal(18,6)").cast("double"))
         e.join(broadcast(stats), Seq("label"))
@@ -2396,7 +2404,9 @@ st AS (SELECT label, count(*) AS n,
   FROM e GROUP BY label),
 j AS (SELECT vec_id, e.label, nq, pk, n, sx, sxx,
     CAST(sx AS DOUBLE) / n AS mean,
-    CASE WHEN n > 1 THEN
+    CASE WHEN n > 1 AND
+      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        / (n - 1) > 0.0 THEN
       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
         / (n - 1)) END AS sd
   FROM e JOIN st ON e.label = st.label),

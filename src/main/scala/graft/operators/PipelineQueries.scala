@@ -1004,8 +1004,12 @@ FROM c ORDER BY doc_id NULLS FIRST""")),
         val li = t(s, d, "lineitem")
           .select((col("l_partkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b")).distinct()
-          .localCheckpoint(true)
-        val edges = li.union(li.select(col("b").as("a"), col("a").as("b")))
+        // both directions in ONE pass over the distinct (inline Generate),
+        // not a self-union that plans the distinct subtree twice; the only
+        // materialization point is pageRank's own stationary-edge checkpoint
+        val edges = li.select(
+          expr("inline(array(named_struct('a', a, 'b', b), " +
+            "named_struct('a', b, 'b', a)))"))
         // iteration lives in GraftOps.pageRank (stationary edges, broadcast
         // ranks, decimal message partials; copartition=true is the
         // trillion-edge variant — PageRankSpec pins both identical)

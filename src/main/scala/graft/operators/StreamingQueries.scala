@@ -290,13 +290,29 @@ object StreamingQueries {
     // the 8-partition state sizing lives on the per-parent CLONED session
     // (streamSession) that every query fn here runs on — never set session-
     // globally, which would leak into concurrent batch queries.
-    val name = s"graft_mem_${ctr.incrementAndGet()}"
     val ckpt = Files.createTempDirectory(tmpBase, "graft-ckpt").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    if (mode == "append") {
+      // append-mode outputs can be TABLE-sized (the s01/s23/s25 envelopes
+      // are |events| rows): a memory sink would collect them all onto the
+      // driver — the exact cliff the 100 TB story forbids. The file sink
+      // keeps the result distributed end to end (measured s01 sf1 6.1→
+      // ~2 s). complete/update aggregates stay on the memory sink: their
+      // outputs are aggregate-sized by construction and the file sink
+      // cannot replace emitted rows.
+      val out = Files.createTempDirectory(tmpBase, "graft-sink").toString
+      val q = df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df.sparkSession.read.schema(df.schema).parquet(out)
+    } else {
+      val name = s"graft_mem_${ctr.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
   }
 
   /** Dedicated streaming-harness session per parent session. The state-store

@@ -1,0 +1,365 @@
+package graft.sources.replay
+
+import java.io.{BufferedInputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.net.{InetSocketAddress, Socket}
+
+/** The third [[LogClient]] backend: a minimal APACHE KAFKA WIRE-PROTOCOL
+  * consumer — the literal core capability of the reference
+  * (/root/reference/src/kafka/execution.rs:62-112, an rdkafka consumer with
+  * `enable.partition.eof` reading bounded offset ranges), implemented
+  * directly against the public Kafka protocol so the engine needs no broker
+  * library on the classpath.
+  *
+  * Protocol subset (all non-flexible, fixed header versions — stable since
+  * Kafka 0.11 and accepted by every modern broker):
+  *   - Metadata v0 (api 3): partition ids + per-partition leader + broker
+  *     address book. Re-requested every trigger via [[listPartitions]], so
+  *     mid-stream partition growth is observed like the file client's
+  *     re-listing.
+  *   - ListOffsets v1 (api 2): timestamp −2 → earliest, −1 → log-end. The
+  *     planner's `[earliest, endOffset)` range IS the reference's
+  *     `enable.partition.eof` bounded batch: each micro-batch plan reads to
+  *     the frozen high watermark and stops.
+  *   - Fetch v4 (api 1): RecordBatch v2 (magic 2) decode, uncompressed
+  *     payloads; compressed or pre-v2 batches fail loudly — this client
+  *     favors a diagnosable error over a silent wrong decode.
+  *
+  * `path` is `bootstrap-host:port/topic`. Planning calls are one-shot
+  * connections to the bootstrap broker; each [[openFrames]] cursor holds one
+  * persistent connection to the PARTITION LEADER (resolved via Metadata) and
+  * issues sequential Fetch requests along its planned `[start, end)` range.
+  *
+  * Semantics notes vs the file/socket backends:
+  *   - Kafka timestamps are milliseconds; the seam's `tsUs` is µs, so wire
+  *     timestamps surface as `ms * 1000` (sub-ms precision does not survive
+  *     a real broker round-trip — inherent to Kafka, not to this client).
+  *   - `sizeInBytes` has no cheap protocol answer in this subset
+  *     (DescribeLogDirs is a cluster-admin API); it estimates 1 KiB/record,
+  *     used only for planner statistics.
+  *   - Control batches (transaction markers) are skipped; `needKey`/
+  *     `needValue` pruning skips payload DECODE (the bytes still cross the
+  *     wire — Kafka fetches whole batches).
+  *
+  * Registered as client kind `kafka`:
+  * `spark.readStream.format("graft-replay").option("client", "kafka")
+  *   .option("path", "broker:9092/events")`.
+  * KafkaWireSpec proves the dialect against an in-process wire-faithful
+  * broker double; the real-broker contract test is gated on
+  * `GRAFT_KAFKA_BOOTSTRAP`/`GRAFT_KAFKA_TOPIC` and skips cleanly when no
+  * broker is reachable.
+  */
+final class KafkaLogClient(path: String) extends LogClient {
+  import KafkaWire._
+
+  private val (bootstrap, topic) = {
+    val i = path.indexOf('/')
+    require(i > 0 && i < path.length - 1,
+      s"kafka client path must be host:port/topic, got '$path'")
+    (path.substring(0, i), path.substring(i + 1))
+  }
+
+  // ---- metadata ------------------------------------------------------------
+
+  private case class Meta(brokers: Map[Int, String], leaders: Map[Int, Int])
+
+  private def fetchMeta(): Meta = {
+    val body = new ByteArrayOutputStream()
+    val o = new DataOutputStream(body)
+    o.writeInt(1); writeString(o, topic) // topics: [topic]
+    val in = oneShot(bootstrap, ApiMetadata, 0, body.toByteArray)
+    val nBrokers = in.readInt()
+    val brokers = (1 to nBrokers).map { _ =>
+      val id = in.readInt(); val host = readString(in); val port = in.readInt()
+      id -> s"$host:$port"
+    }.toMap
+    val nTopics = in.readInt()
+    var leaders = Map.empty[Int, Int]
+    (1 to nTopics).foreach { _ =>
+      val err = in.readShort(); val name = readString(in)
+      if (err != 0)
+        throw new IOException(s"kafka metadata error $err for topic '$name'")
+      val nParts = in.readInt()
+      (1 to nParts).foreach { _ =>
+        val perr = in.readShort(); val pid = in.readInt(); val leader = in.readInt()
+        skipIntArray(in) // replicas
+        skipIntArray(in) // isr
+        if (perr != 0)
+          throw new IOException(s"kafka metadata error $perr for $name/$pid")
+        if (name == topic) leaders += pid -> leader
+      }
+    }
+    if (leaders.isEmpty)
+      throw new IOException(s"kafka topic '$topic' has no partitions at $bootstrap")
+    Meta(brokers, leaders)
+  }
+
+  private def leaderAddr(meta: Meta, p: Int): String =
+    meta.brokers.getOrElse(meta.leaders.getOrElse(p,
+        throw new IOException(s"kafka partition $topic/$p unknown")),
+      throw new IOException(s"kafka leader for $topic/$p not in broker list"))
+
+  // ---- LogClient surface ---------------------------------------------------
+
+  override def listPartitions(): Seq[Int] = fetchMeta().leaders.keys.toSeq.sorted
+
+  /** ListOffsets at `ts` (−1 latest, −2 earliest) against the leader. */
+  private def listOffset(p: Int, ts: Long): Long = {
+    val meta = fetchMeta()
+    val body = new ByteArrayOutputStream()
+    val o = new DataOutputStream(body)
+    o.writeInt(-1)              // replica_id: consumer
+    o.writeInt(1); writeString(o, topic)
+    o.writeInt(1); o.writeInt(p); o.writeLong(ts)
+    val in = oneShot(leaderAddr(meta, p), ApiListOffsets, 1, body.toByteArray)
+    val nTopics = in.readInt()
+    var result = -1L
+    (1 to nTopics).foreach { _ =>
+      val name = readString(in)
+      val nParts = in.readInt()
+      (1 to nParts).foreach { _ =>
+        val pid = in.readInt(); val err = in.readShort()
+        in.readLong()           // timestamp
+        val off = in.readLong()
+        if (err != 0)
+          throw new IOException(s"kafka ListOffsets error $err for $name/$pid")
+        if (name == topic && pid == p) result = off
+      }
+    }
+    if (result < 0) throw new IOException(s"kafka ListOffsets missing $topic/$p")
+    result
+  }
+
+  override def endOffset(p: Int): Long = listOffset(p, -1L)
+  override def recordCount(p: Int): Long =
+    math.max(0L, listOffset(p, -1L) - listOffset(p, -2L))
+  override def sizeInBytes(p: Int): Long = recordCount(p) * 1024L
+
+  override def openFrames(p: Int, start: Long, needKey: Boolean,
+      needValue: Boolean): FrameReader = new FrameReader {
+    private var sock: Socket = _
+    private var sin: DataInputStream = _
+    private var sout: DataOutputStream = _
+    private var nextOffset = start
+    // decoded records of the current batch, pre-filtered to >= nextOffset
+    private var pending: Iterator[(Long, Array[Byte], Array[Byte], Long)] =
+      Iterator.empty
+    var key: Array[Byte] = _
+    var value: Array[Byte] = _
+    var tsUs: Long = _
+
+    private def ensureConn(): Unit = if (sock == null) {
+      val addr = leaderAddr(fetchMeta(), p)
+      val i = addr.lastIndexOf(':')
+      sock = new Socket()
+      sock.connect(new InetSocketAddress(addr.substring(0, i),
+        addr.substring(i + 1).toInt), 10000)
+      sock.setTcpNoDelay(true)
+      sout = new DataOutputStream(sock.getOutputStream)
+      sin = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+    }
+
+    private def fetchMore(): Unit = {
+      ensureConn()
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      o.writeInt(-1)            // replica_id
+      o.writeInt(100)           // max_wait_ms
+      o.writeInt(1)             // min_bytes
+      o.writeInt(1 << 22)       // max_bytes (4 MiB)
+      o.writeByte(0)            // isolation: read_uncommitted
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(1); o.writeInt(p); o.writeLong(nextOffset); o.writeInt(1 << 22)
+      val in = request(sin, sout, ApiFetch, 4, body.toByteArray)
+      in.readInt()              // throttle_time_ms
+      val nTopics = in.readInt()
+      var recordSet: Array[Byte] = null
+      (1 to nTopics).foreach { _ =>
+        val name = readString(in)
+        val nParts = in.readInt()
+        (1 to nParts).foreach { _ =>
+          val pid = in.readInt(); val err = in.readShort()
+          in.readLong()         // high_watermark
+          in.readLong()         // last_stable_offset
+          val nAborted = in.readInt()
+          (1 to math.max(nAborted, 0)).foreach { _ =>
+            in.readLong(); in.readLong()
+          }
+          val len = in.readInt()
+          val bytes = if (len <= 0) Array.emptyByteArray
+            else { val b = new Array[Byte](len); in.readFully(b); b }
+          if (err != 0)
+            throw new IOException(s"kafka fetch error $err for $name/$pid")
+          if (name == topic && pid == p) recordSet = bytes
+        }
+      }
+      if (recordSet == null || recordSet.isEmpty)
+        throw new EOFException(
+          s"kafka fetch returned no data for $topic/$p at offset $nextOffset")
+      pending = decodeBatches(recordSet, nextOffset, needKey, needValue)
+    }
+
+    override def readFrame(): Unit = {
+      while (!pending.hasNext) fetchMore()
+      val (off, k, v, tsMs) = pending.next()
+      nextOffset = off + 1
+      key = k; value = v; tsUs = tsMs * 1000L
+    }
+
+    override def close(): Unit = if (sock != null) sock.close()
+  }
+}
+
+/** Kafka wire-protocol primitives shared by [[KafkaLogClient]] and the
+  * in-process broker double in KafkaWireSpec (test scope). Big-endian
+  * framing, non-flexible (pre-tagged-field) header versions only. */
+private[replay] object KafkaWire {
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
+  val ApiMetadata: Short = 3
+  val ClientId = "graft"
+
+  def writeString(o: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    o.writeShort(b.length); o.write(b)
+  }
+
+  def readString(in: DataInputStream): String = {
+    val len = in.readShort()
+    if (len < 0) null
+    else { val b = new Array[Byte](len); in.readFully(b); new String(b, "UTF-8") }
+  }
+
+  def skipIntArray(in: DataInputStream): Unit = {
+    val n = in.readInt()
+    (1 to n).foreach(_ => in.readInt())
+  }
+
+  /** size-framed request with the v1 request header; returns the response
+    * body stream positioned after the correlation id. */
+  def request(in: DataInputStream, out: DataOutputStream, apiKey: Short,
+      apiVersion: Short, body: Array[Byte]): DataInputStream = {
+    val header = new ByteArrayOutputStream()
+    val h = new DataOutputStream(header)
+    h.writeShort(apiKey); h.writeShort(apiVersion)
+    h.writeInt(1)               // correlation id (sequential per-connection)
+    writeString(h, ClientId)
+    out.writeInt(header.size() + body.length)
+    out.write(header.toByteArray); out.write(body); out.flush()
+    val size = in.readInt()
+    val resp = new Array[Byte](size)
+    in.readFully(resp)
+    val r = new DataInputStream(new ByteArrayInputStream(resp))
+    r.readInt()                 // correlation id
+    r
+  }
+
+  /** one connection, one request/response (planning-side calls). */
+  def oneShot(addr: String, apiKey: Short, apiVersion: Short,
+      body: Array[Byte]): DataInputStream = {
+    val i = addr.lastIndexOf(':')
+    require(i > 0, s"kafka address must be host:port, got '$addr'")
+    val s = new Socket()
+    try {
+      s.connect(new InetSocketAddress(addr.substring(0, i),
+        addr.substring(i + 1).toInt), 10000)
+      s.setTcpNoDelay(true)
+      request(new DataInputStream(new BufferedInputStream(s.getInputStream)),
+        new DataOutputStream(s.getOutputStream), apiKey, apiVersion, body)
+    } finally s.close() // response fully buffered by request()
+  }
+
+  // ---- varints (zigzag, protobuf layout — Kafka record fields) -------------
+
+  def readVarint(in: DataInputStream): Int = {
+    var value = 0; var shift = 0
+    var b = in.readByte()
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7f) << shift; shift += 7; b = in.readByte()
+    }
+    value |= (b & 0x7f) << shift
+    (value >>> 1) ^ -(value & 1)
+  }
+
+  def readVarlong(in: DataInputStream): Long = {
+    var value = 0L; var shift = 0
+    var b = in.readByte()
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7fL) << shift; shift += 7; b = in.readByte()
+    }
+    value |= (b & 0x7fL) << shift
+    (value >>> 1) ^ -(value & 1L)
+  }
+
+  def writeVarint(o: DataOutputStream, v: Int): Unit = {
+    var z = (v << 1) ^ (v >> 31)
+    while ((z & ~0x7f) != 0) { o.writeByte((z & 0x7f) | 0x80); z >>>= 7 }
+    o.writeByte(z)
+  }
+
+  def writeVarlong(o: DataOutputStream, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7fL) != 0L) { o.writeByte(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+    o.writeByte(z.toInt)
+  }
+
+  /** Decode a Fetch record_set (one or more RecordBatch v2, possibly with a
+    * truncated tail — brokers cut at max_bytes) into (offset, key, value,
+    * timestampMs) for records at or past `minOffset`. Uncompressed only;
+    * compressed or pre-v2 batches throw. */
+  def decodeBatches(recordSet: Array[Byte], minOffset: Long, needKey: Boolean,
+      needValue: Boolean): Iterator[(Long, Array[Byte], Array[Byte], Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Byte], Array[Byte], Long)]
+    var pos = 0
+    // batch header through records_count: 8+4+4+1+4+2+4+8+8+8+2+4+4 = 61 bytes
+    while (recordSet.length - pos >= 61) {
+      val in = new DataInputStream(new ByteArrayInputStream(
+        recordSet, pos, recordSet.length - pos))
+      val baseOffset = in.readLong()
+      val batchLength = in.readInt()
+      if (recordSet.length - pos < 12 + batchLength) {
+        pos = recordSet.length // truncated tail batch: re-fetched next round
+      } else {
+        in.readInt()            // partition leader epoch
+        val magic = in.readByte()
+        if (magic != 2)
+          throw new IOException(
+            s"kafka message format v$magic unsupported (RecordBatch v2 only)")
+        in.readInt()            // crc
+        val attrs = in.readShort()
+        if ((attrs & 0x07) != 0)
+          throw new IOException(
+            s"compressed kafka batch (codec ${attrs & 0x07}) unsupported — " +
+              "produce with compression.type=none for this client")
+        val isControl = (attrs & 0x20) != 0
+        in.readInt()            // last offset delta
+        val firstTs = in.readLong()
+        in.readLong()           // max timestamp
+        in.readLong(); in.readShort(); in.readInt() // producer id/epoch/base seq
+        val nRecords = in.readInt()
+        (1 to nRecords).foreach { _ =>
+          readVarint(in)        // record length
+          in.readByte()         // record attributes
+          val tsDelta = readVarlong(in)
+          val offDelta = readVarint(in)
+          def blob(need: Boolean): Array[Byte] = {
+            val len = readVarint(in)
+            if (len < 0) null
+            else if (!need) { in.skipBytes(len); null }
+            else { val b = new Array[Byte](len); in.readFully(b); b }
+          }
+          val k = blob(needKey)
+          val v = blob(needValue)
+          val nHeaders = readVarint(in)
+          (1 to nHeaders).foreach { _ => blob(false); blob(false) }
+          val off = baseOffset + offDelta
+          if (!isControl && off >= minOffset)
+            out += ((off, k, v, firstTs + tsDelta))
+        }
+        pos += 12 + batchLength
+      }
+    }
+    out.iterator
+  }
+}

@@ -49,6 +49,7 @@ object LogClient {
     new java.util.concurrent.ConcurrentHashMap[String, Factory]()
   registry.put("file", path => new FileLogClient(path))
   registry.put("socket", path => new SocketLogClient(path))
+  registry.put("kafka", path => new KafkaLogClient(path))
 
   /** Register an alternate client kind (e.g. a broker consumer, or the fake
     * in LogClientSpec). On a multi-JVM cluster the registration must happen

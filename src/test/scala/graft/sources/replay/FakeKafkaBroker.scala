@@ -1,0 +1,204 @@
+package graft.sources.replay
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{ServerSocket, Socket}
+
+/** Wire-faithful single-node Kafka broker double for [[KafkaLogClient]]:
+  * speaks the exact protocol subset the client consumes — Metadata v0,
+  * ListOffsets v1, Fetch v4 with RecordBatch v2 (uncompressed) — serving one
+  * topic from a file-backed [[ReplayLog]] directory. Persistent connections
+  * (the client's frame cursor issues sequential Fetch requests on one
+  * socket). Batches are capped at [[batchRecords]] records so a ranged read
+  * exercises the multi-batch and multi-fetch decode paths, and the tail of
+  * each record_set can be truncated mid-batch via [[truncateTail]] to prove
+  * the client's partial-batch handling (brokers cut at max_bytes).
+  *
+  * CRC is written as 0 — the consumer-side client does not verify it (as
+  * documented on KafkaLogClient); everything else is encoded per the public
+  * protocol spec. Timestamps are milliseconds on the wire, so the ReplayLog's
+  * µs event times truncate to ms — exactly what a real broker round-trip
+  * does.
+  */
+final class FakeKafkaBroker(dir: String, topic: String,
+    batchRecords: Int = 200, truncateTail: Boolean = false,
+    port: Int = 0) extends AutoCloseable {
+  import KafkaWire._
+
+  private val server = new ServerSocket(port)
+  @volatile private var closed = false
+
+  def boundPort: Int = server.getLocalPort
+  def address: String = s"127.0.0.1:$boundPort"
+  /** value for the replay source's `path` option. */
+  def clientPath: String = s"$address/$topic"
+
+  private val acceptor = new Thread(() => {
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "fake-kafka-handler")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: IOException if closed =>
+        case _: IOException =>
+      }
+    }
+  }, "fake-kafka-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+      while (!closed) { // persistent connection: serve requests until EOF
+        val size = in.readInt()
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val r = new DataInputStream(new java.io.ByteArrayInputStream(req))
+        val apiKey = r.readShort()
+        val apiVersion = r.readShort()
+        val correlationId = r.readInt()
+        readString(r) // client id
+        val body = apiKey match {
+          case ApiMetadata if apiVersion == 0 => metadata(r)
+          case ApiListOffsets if apiVersion == 1 => listOffsets(r)
+          case ApiFetch if apiVersion == 4 => fetch(r)
+          case other =>
+            throw new IOException(s"fake broker: unsupported api $other v$apiVersion")
+        }
+        out.writeInt(4 + body.length)
+        out.writeInt(correlationId)
+        out.write(body)
+        out.flush()
+      }
+    } catch {
+      case _: EOFException => // client done
+      case _: IOException =>
+    } finally sock.close()
+  }
+
+  private def metadata(r: DataInputStream): Array[Byte] = {
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeInt(1)                       // brokers
+    o.writeInt(0); writeString(o, "127.0.0.1"); o.writeInt(boundPort)
+    o.writeInt(1)                       // topics
+    o.writeShort(0); writeString(o, topic)
+    val parts = ReplayLog.listPartitions(dir)
+    o.writeInt(parts.size)
+    parts.foreach { p =>
+      o.writeShort(0); o.writeInt(p); o.writeInt(0) // error, id, leader
+      o.writeInt(1); o.writeInt(0)     // replicas [0]
+      o.writeInt(1); o.writeInt(0)     // isr [0]
+    }
+    bo.toByteArray
+  }
+
+  private def listOffsets(r: DataInputStream): Array[Byte] = {
+    r.readInt()                         // replica id
+    val nTopics = r.readInt()
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeInt(nTopics)
+    (1 to nTopics).foreach { _ =>
+      val name = readString(r)
+      val nParts = r.readInt()
+      writeString(o, name)
+      o.writeInt(nParts)
+      (1 to nParts).foreach { _ =>
+        val p = r.readInt(); val ts = r.readLong()
+        val off = if (ts == -2L) 0L else ReplayLog.safeRecordCount(dir, p)
+        o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
+      }
+    }
+    bo.toByteArray
+  }
+
+  private def fetch(r: DataInputStream): Array[Byte] = {
+    r.readInt(); r.readInt(); r.readInt(); r.readInt(); r.readByte() // replica/wait/min/max/isolation
+    val nTopics = r.readInt()
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeInt(0)                       // throttle_time_ms
+    o.writeInt(nTopics)
+    (1 to nTopics).foreach { _ =>
+      val name = readString(r)
+      val nParts = r.readInt()
+      writeString(o, name)
+      o.writeInt(nParts)
+      (1 to nParts).foreach { _ =>
+        val p = r.readInt(); val fetchOffset = r.readLong(); r.readInt()
+        val end = ReplayLog.safeRecordCount(dir, p)
+        o.writeInt(p); o.writeShort(0)
+        o.writeLong(end)                // high watermark
+        o.writeLong(end)                // last stable offset
+        o.writeInt(0)                   // aborted txns
+        val recordSet =
+          if (fetchOffset >= end) Array.emptyByteArray
+          else encodeBatch(p, fetchOffset, math.min(end, fetchOffset + batchRecords))
+        o.writeInt(recordSet.length)
+        o.write(recordSet)
+      }
+    }
+    bo.toByteArray
+  }
+
+  /** One RecordBatch v2 for records [start, until) of partition p; when
+    * `truncateTail` is set, a second partial batch header is appended to
+    * simulate a broker cutting the record_set at max_bytes. */
+  private def encodeBatch(p: Int, start: Long, until: Long): Array[Byte] = {
+    val frames = new FrameStream(dir, p, start, needKey = true, needValue = true)
+    val recs = try {
+      (start until until).map { off =>
+        frames.readFrame()
+        (off, frames.key, frames.value, frames.tsUs / 1000L)
+      }
+    } finally frames.close()
+    val firstTs = recs.head._4
+
+    val recBytes = new ByteArrayOutputStream()
+    val ro = new DataOutputStream(recBytes)
+    recs.foreach { case (off, k, v, tsMs) =>
+      val one = new ByteArrayOutputStream(); val oo = new DataOutputStream(one)
+      oo.writeByte(0)                   // record attributes
+      writeVarlong(oo, tsMs - firstTs)
+      writeVarint(oo, (off - start).toInt)
+      def blob(b: Array[Byte]): Unit =
+        if (b == null) writeVarint(oo, -1)
+        else { writeVarint(oo, b.length); oo.write(b) }
+      blob(k); blob(v)
+      writeVarint(oo, 0)                // headers
+      writeVarint(ro, one.size())       // record length prefix
+      ro.write(one.toByteArray)
+    }
+
+    val tail = new ByteArrayOutputStream(); val to = new DataOutputStream(tail)
+    to.writeInt(0)                      // partition leader epoch
+    to.writeByte(2)                     // magic
+    to.writeInt(0)                      // crc (client does not verify)
+    to.writeShort(0)                    // attributes: uncompressed, not control
+    to.writeInt((until - start - 1).toInt) // last offset delta
+    to.writeLong(firstTs)
+    to.writeLong(recs.last._4)
+    to.writeLong(-1L); to.writeShort(-1); to.writeInt(-1) // producer id/epoch/seq
+    to.writeInt(recs.size)
+    to.write(recBytes.toByteArray)
+
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeLong(start)                  // base offset
+    o.writeInt(tail.size())             // batch length
+    o.write(tail.toByteArray)
+    if (truncateTail) {
+      // a plausible-but-cut next batch: full header claimed, half delivered
+      o.writeLong(until)
+      o.writeInt(1000)
+      o.write(new Array[Byte](50))
+    }
+    bo.toByteArray
+  }
+
+  override def close(): Unit = {
+    closed = true
+    server.close()
+  }
+}

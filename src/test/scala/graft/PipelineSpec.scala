@@ -44,6 +44,87 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
   }
 
+  test("simhash planted recall >= 0.88, zero decoys, lossless <=3-Hamming banding") {
+    // the planted-recall assertion minhash already has (VERDICT r8 #7):
+    // 25 base docs with disjoint vocabularies, each paired with a variant
+    // that swaps the last 1 of 120 words — ~96% shingle overlap puts the
+    // pair's simhash Hamming inside the 4×16-bit banding pigeonhole —
+    // plus 25 disjoint-vocabulary decoys that must produce no pair.
+    import spark.implicits._
+    def words(tag: String): IndexedSeq[String] =
+      (1 to 120).map(j => s"${tag}_w$j")
+    val base = (0 until 25).map(i => (i.toLong, words(s"p$i").mkString(" ")))
+    val near = (0 until 25).map(i => ((i + 1000).toLong,
+      (words(s"p$i").dropRight(1) :+ s"p${i}_zz").mkString(" ")))
+    val decoys = (0 until 25).map(i => ((i + 2000).toLong, words(s"d$i").mkString(" ")))
+    val docs = (base ++ near ++ decoys).toDF("doc_id", "text")
+    val pairs = GraftOps.simhashNearDups(docs, col("doc_id"), col("text"),
+        k = 5, maxHamming = 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 25).map(i => (i.toLong, (i + 1000).toLong)).toSet
+    // recall target: a 1-word edit usually lands at Hamming 1-3 but can
+    // constructively hash to 4-6, outside the 4×16-band pigeonhole — the
+    // operator's contract is lossless only to Hamming 3 (next assertion),
+    // so the planted-recall floor is high-but-not-1.0
+    val recall = (planted & pairs).size.toDouble / planted.size
+    assert(recall >= 0.88, s"planted simhash recall $recall < 0.88 " +
+      s"(missed ${planted -- pairs})")
+    assert((pairs -- planted).isEmpty,
+      s"simhash paired unrelated docs: ${pairs -- planted}")
+
+    // the deterministic half of the contract: banding finds EVERY pair at
+    // Hamming ≤ 3 (pigeonhole over 4 16-bit bands) — compare against the
+    // brute-force all-pairs ground truth on the same 75-doc corpus
+    val sh = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(
+        graft.functions.GraftFunctions.word_shingles(col("text"), 5))
+        .as("sh64"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert((brute -- pairs).isEmpty,
+      s"banding lost Hamming≤3 pairs the pigeonhole guarantees: ${brute -- pairs}")
+  }
+
+  test("IVF ANN (nprobe=1) achieves full recall vs brute force on seeded clusters") {
+    // seeded well-separated corpus: 4 clusters on orthogonal axes with small
+    // deterministic perturbations — the regime nprobe=1 is DESIGNED for.
+    // Every query's true top-3 lives in its own cluster, so IVF must equal
+    // the brute-force ranking exactly (recall 1.0), not just overlap it.
+    import spark.implicits._
+    val dim = 8
+    val corpus = (0 until 100).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * ((i * 7 + d) % 10))
+      (i.toLong, v, s"c$c")
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val ivf = GraftOps.annTopKIvf(corpus, col("vec_id"), col("embedding"),
+        col("label"), queries, col("vec_id"), col("embedding"), k = 3, dim = dim)
+      .select("q_id", "rank", "n_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    (0L until 8L).foreach { q =>
+      val want = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      assert(ivf(q) === want, s"IVF ranking for query $q diverged from brute force")
+    }
+  }
+
   test("brute-force ANN matches a local recomputation") {
     val top = q("x03_ann_bruteforce").filter(col("q_id") === 3)
       .orderBy("rank").select("n_id").collect().map(_.getLong(0))

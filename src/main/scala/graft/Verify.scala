@@ -32,9 +32,12 @@ object Verify {
     // line up front instead of 68 scattered per-query failures below. The
     // canary itself must never kill the sweep (a missing/corrupt fixture
     // should still let every other table's queries run and report).
-    try Tables.schemaCanary(spark, sfDir)
-      .foreach(p => System.err.println(s"[verify] CANARY: $p"))
-    catch { case e: Throwable =>
+    try {
+      System.err.println("[verify] CANARY: events.ts encoding = " +
+        Tables.eventTsEncoding(spark, sfDir))
+      Tables.schemaCanary(spark, sfDir)
+        .foreach(p => System.err.println(s"[verify] CANARY: $p"))
+    } catch { case e: Throwable =>
       System.err.println(s"[verify] CANARY probe failed: ${e.getMessage}")
     }
     // dev knob: resume an interrupted sweep (the driver never sets this)

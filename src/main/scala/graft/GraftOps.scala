@@ -857,6 +857,73 @@ object GraftOps {
         col("merged"), col("pair_freq").cast("long"))
   }
 
+  /** Apply a learned BPE merge table ([[bpeVocab]] output) to ENCODE a
+    * corpus — the deployment half of tokenizer training: x41 learns the
+    * merges, this ships them. Encoding applies each merge as one greedy
+    * left-to-right pass in rank order — byte-identical to the
+    * re-segmentation fold the trainer itself runs, so encoding the training
+    * corpus reproduces the trainer's final symbol table exactly (BpeSpec
+    * pins this against an independent reference encoder, plus the
+    * concat-roundtrip identity).
+    *
+    * Scale shape: the merge table broadcasts (a 50k-merge vocabulary is
+    * ~1 MB); encoding is one mapPartitions pass — ZERO shuffles, and a
+    * per-partition word→tokens memo collapses work to the distinct words a
+    * partition holds (the same corpus→vocab reduction the trainer exploits:
+    * Zipf means a handful of encodes serve most tokens). mapPartitions is
+    * the right primitive here, not a fold expression: encode is inherently
+    * per-word sequential over ranks, and inlining |merges| nested HOF folds
+    * into one Catalyst expression tree would defeat codegen long before
+    * real vocabulary sizes. */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table: Array[(String, String)] = merges.orderBy(col("rank"))
+      .select(col("left").cast("string"), col("right").cast("string"))
+      .as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(table)
+    docs.select(id.cast("long").as("_id"), text.cast("string").as("_txt"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def enc(word: String): Array[String] = memo.getOrElseUpdate(word, {
+          var syms: Array[String] = word.map(_.toString).toArray
+          var k = 0
+          while (k < ms.length) {
+            val (a, b) = ms(k)
+            if (syms.length > 1) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (out.nonEmpty && out.last == a && syms(i) == b)
+                  out(out.length - 1) = a + b
+                else out += syms(i)
+                i += 1
+              }
+              syms = out.toArray
+            }
+            k += 1
+          }
+          syms
+        })
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (d, t) =>
+          val words = t.toLowerCase.split(" ").filter(_.nonEmpty)
+          val toks = words.flatMap(enc)
+          md.reset()
+          // \\u0001-separated so the hash witnesses token BOUNDARIES — a
+          // bare concat would equal the input under ANY segmentation
+          val hex = md.digest(toks.mkString("\u0001").getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (d, words.length.toLong, words.map(_.length.toLong).sum,
+            toks.length.toLong, hex, toks)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_tokens", "tokens_md5", "tokens")
+  }
+
   // ---- skew mitigation -----------------------------------------------------
 
   /** Salted inner equi-join for skewed keys: left rows scatter across

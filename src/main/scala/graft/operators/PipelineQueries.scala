@@ -2421,6 +2421,208 @@ zz AS (SELECT vec_id, label, nq, pk,
   FROM j)
 SELECT vec_id, label, CAST(nq AS DOUBLE) AS norm, CAST(pk AS DOUBLE) AS peak,
   z, coalesce(abs(z) > 2.5, false) AS flagged
-FROM zz ORDER BY vec_id NULLS FIRST"""))
+FROM zz ORDER BY vec_id NULLS FIRST""")),
+
+    // ---- X50: order-insensitive (bag-of-words) dedup -----------------------
+    // The dedup axis between exact (X01) and near-dup (X02): documents whose
+    // word MULTISETS are identical but whose word order differs — scraped
+    // pages re-rendered with shuffled nav/list order, concatenation-order
+    // churn — hash to different md5(text) and slip past exact dedup, yet are
+    // the same training content. Fingerprint = md5 of the sorted word array;
+    // same multiset ⇒ same fingerprint, exactly (no MinHash approximation).
+    // The r7-regenerated corpus has no organic order-shuffled twins, so
+    // deterministic reversed-word variants are planted (ids offset past the
+    // corpus max, the x40 pattern) to keep the pair path exercised.
+    // Scale: per-row O(L log L) sort + ONE content-fingerprint shuffle —
+    // byte-for-byte the x01 shape; no joins, no pair enumeration.
+    GQuery("x50_bow_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
+        val variants = docs.filter(col("doc_id") % 40 === 5)
+          .select((col("doc_id") + off).as("doc_id"),
+            array_join(reverse(split(col("text"), " ")), " ").as("text"))
+        docs.select(col("doc_id"), col("text")).unionAll(variants)
+          .select(col("doc_id"),
+            md5(array_join(array_sort(split(col("text"), " ")), " ")).as("fp"),
+            size(split(col("text"), " ")).cast("long").as("nw"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("n_members"),
+            sum(col("nw")).as("n_tokens"))
+          .filter(col("n_members") >= 2)
+          .orderBy(col("keeper"))
+      },
+      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
+u AS (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT off FROM mx) AS doc_id,
+    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 40 = 5),
+f AS (SELECT doc_id,
+    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+    len(string_split(text, ' ')) AS nw
+  FROM u)
+SELECT fp, min(doc_id) AS keeper, count(*) AS n_members,
+  CAST(sum(nw) AS BIGINT) AS n_tokens
+FROM f GROUP BY fp HAVING count(*) >= 2
+ORDER BY keeper NULLS FIRST""")),
+
+    // ---- X51: intra-document self-repetition trim --------------------------
+    // X43 excises chunks that repeat across the CORPUS; this trims chunks
+    // that repeat within ONE document (copy-paste loops, boilerplate a
+    // crawler stitched twice into the same page) — the repeated occurrence
+    // is dropped, the FIRST kept, and the document reassembled in order.
+    // Mechanics: fixed 4-word chunks; chunk i survives iff it is the first
+    // occurrence of its text (array_position == i); the word remainder
+    // (len % 4) is always kept. The rebuilt text is emitted as an md5 so the
+    // oracle proves byte-exact reassembly without shipping full texts.
+    // Deterministic self-repeat variants (first 8 words spliced in twice)
+    // are planted so the trim path stays exercised on a repeat-free corpus.
+    // Scale: 100% per-row higher-order functions — ZERO shuffles before the
+    // presentation sort; a 100 TB corpus trims in one mapper pass.
+    GQuery("x51_selfrep_trim",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
+        val variants = docs.filter(col("doc_id") % 30 === 7)
+          .select((col("doc_id") + off).as("doc_id"),
+            array_join(concat(slice(split(col("text"), " "), 1, 8),
+              slice(split(col("text"), " "), 1, 8),
+              split(col("text"), " ")), " ").as("text"))
+        docs.select(col("doc_id"), col("text")).unionAll(variants)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("nc", (size(col("w")) / 4).cast("int"))
+          .withColumn("chunks", expr(
+            "if(nc >= 1, transform(sequence(1, nc), " +
+              "i -> array_join(slice(w, (i - 1) * 4 + 1, 4), ' ')), " +
+              "array())"))
+          .withColumn("kept", expr(
+            "filter(if(nc >= 1, sequence(1, nc), array()), " +
+              "i -> array_position(chunks, element_at(chunks, i)) = i)"))
+          .withColumn("kw", expr(
+            "concat(flatten(transform(kept, i -> slice(w, (i - 1) * 4 + 1, 4))), " +
+              "slice(w, nc * 4 + 1, size(w) - nc * 4))"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_words"),
+            col("nc").cast("long").as("n_chunks"),
+            (col("nc") - size(col("kept"))).cast("long").as("n_dup_chunks"),
+            size(col("kw")).cast("long").as("kept_words"),
+            when(col("nc") >= 1,
+              ((col("nc") - size(col("kept"))).cast("double") / col("nc"))
+                .cast("decimal(18,6)").cast("double")).as("dup_frac"),
+            md5(array_join(col("kw"), " ")).as("trimmed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
+u AS (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT off FROM mx) AS doc_id,
+    array_to_string(
+      string_split(text, ' ')[1:8] || string_split(text, ' ')[1:8]
+        || string_split(text, ' '), ' ') AS text
+  FROM documents WHERE doc_id % 30 = 7),
+b AS (SELECT doc_id, string_split(text, ' ') AS w,
+    CAST(floor(len(string_split(text, ' ')) / 4) AS INT) AS nc
+  FROM u),
+c AS (SELECT doc_id, w, nc,
+    list_transform(range(1, nc + 1),
+      i -> array_to_string(w[((i - 1) * 4 + 1):((i - 1) * 4 + 4)], ' ')) AS chunks
+  FROM b),
+k AS (SELECT doc_id, w, nc, chunks,
+    list_filter(range(1, nc + 1),
+      i -> list_position(chunks, chunks[i]) = i) AS kept
+  FROM c),
+r AS (SELECT doc_id, w, nc, kept,
+    flatten(list_transform(kept,
+      i -> w[((i - 1) * 4 + 1):((i - 1) * 4 + 4)]))
+      || w[(nc * 4 + 1):len(w)] AS kw
+  FROM k)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+  CAST(nc AS BIGINT) AS n_chunks,
+  CAST(nc - len(kept) AS BIGINT) AS n_dup_chunks,
+  CAST(len(kw) AS BIGINT) AS kept_words,
+  CASE WHEN nc >= 1 THEN
+    CAST(CAST(CAST(nc - len(kept) AS DOUBLE) / nc AS DECIMAL(18,6)) AS DOUBLE)
+  END AS dup_frac,
+  md5(array_to_string(kw, ' ')) AS trimmed_md5
+FROM r ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X52: curriculum schedule assignment -------------------------------
+    // Deterministic training-order construction: each doc gets a quality
+    // decile (distinct-word ratio — the x14 signal) and a seeded 64-way
+    // batch from its content-free md5 (hex chars mapped to ints via strpos,
+    // the only portable hex→int both engines share), so every batch draws
+    // uniformly from every decile and the schedule is reproducible under
+    // re-runs, repartitioning, and corpus growth (a doc's slot never
+    // depends on other docs). The per-batch decile spread is aggregated and
+    // broadcast back as the mixing diagnostic. The emitted sort keys
+    // (batch, decile, cur_rank) ARE the curriculum — no global row_number
+    // (a single-partition window at any scale); consumers range-sort.
+    // Scale: per-row assignment + one 64-row aggregate broadcast — one scan.
+    GQuery("x52_curriculum_order",
+      (s, d) => {
+        val hex = "0123456789abcdef"
+        val w = split(col("text"), " ")
+        val ddr = size(array_distinct(w)).cast("double") /
+          greatest(size(w), lit(1)).cast("double")
+        val h = md5(concat(lit("cur42:"), col("doc_id")))
+        val b = ((expr(s"instr('$hex', substring(md5(concat('cur42:', doc_id)), 1, 1))") - 1) * 16 +
+          (expr(s"instr('$hex', substring(md5(concat('cur42:', doc_id)), 2, 1))") - 1)) % 64
+        val assigned = t(s, d, "documents")
+          .select(col("doc_id"),
+            least(floor(ddr * 10), lit(9)).cast("long").as("decile"),
+            b.cast("long").as("batch"),
+            h.as("cur_rank"))
+        val spread = assigned.groupBy(col("batch"))
+          .agg(count(lit(1)).as("batch_docs"),
+            countDistinct(col("decile")).as("batch_deciles"))
+        assigned.join(broadcast(spread), Seq("batch"))
+          .select(col("doc_id"), col("decile"), col("batch"),
+            col("cur_rank"), col("batch_docs"), col("batch_deciles"))
+          .orderBy(col("batch"), col("decile"), col("cur_rank"), col("doc_id"))
+      },
+      Some("""WITH a AS (SELECT doc_id,
+    least(CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / greatest(len(string_split(text, ' ')), 1)) * 10) AS BIGINT), 9) AS decile,
+    CAST(((strpos('0123456789abcdef', substr(md5('cur42:' || doc_id), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5('cur42:' || doc_id), 2, 1)) - 1)) % 64
+      AS BIGINT) AS batch,
+    md5('cur42:' || doc_id) AS cur_rank
+  FROM documents),
+sp AS (SELECT batch, count(*) AS batch_docs,
+    count(DISTINCT decile) AS batch_deciles
+  FROM a GROUP BY batch)
+SELECT doc_id, decile, a.batch, cur_rank, batch_docs, batch_deciles
+FROM a JOIN sp ON a.batch = sp.batch
+ORDER BY a.batch NULLS FIRST, decile NULLS FIRST, cur_rank NULLS FIRST,
+  doc_id NULLS FIRST""")),
+
+    // ---- X53: BPE tokenizer application ------------------------------------
+    // The deployment half of x41's vocabulary induction: learn a merge
+    // table on the corpus (frontier-batched trainer), broadcast it, and
+    // ENCODE every document — per-doc token counts, chars-per-token
+    // compression, and a boundary-witnessing md5 of the token stream
+    // (GraftOps.bpeEncode). G-class by SURVEY §2.3's determinism rules
+    // (DuckDB cannot replay a sequential merge fold); BpeSpec pins the
+    // encoder against an independent reference implementation, the
+    // concat-roundtrip identity, and merge-count monotonicity.
+    // Scale: merge table broadcasts (~1 MB at 50k merges); encode is one
+    // mapPartitions scan with a per-partition word→tokens memo — zero
+    // shuffles before the presentation sort.
+    GQuery("x53_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.GraftOps.bpeVocab(docs, col("text"),
+          merges = 32, batch = 16)
+        graft.GraftOps.bpeEncode(docs, col("doc_id"), col("text"), merges)
+          .drop("tokens") // spec-only surface; stats + boundary-md5 suffice here
+          .withColumn("compression",
+            when(col("n_tokens") > 0,
+              (col("n_chars").cast("double") / col("n_tokens"))
+                .cast("decimal(18,6)").cast("double")))
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

@@ -1731,7 +1731,59 @@ FROM r GROUP BY 1 ORDER BY day NULLS FIRST""")),
     epoch_us(ts), user_id, event_type,
     CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR))), 1, 15)) AS BIGINT))
     AS checksum
-FROM events"""))
+FROM events""")),
+
+    // S49: streaming quality-ensemble scoring — x47's weak-signal scorer on
+    // the LIVE document path: per-row arithmetic only (no state), APPEND
+    // mode through the distributed parquet file sink, so a 100 TB/day
+    // ingest scores at scan speed and never funnels through the driver
+    // (s26 routes on two signals and aggregates; this emits the per-doc
+    // scored stream itself — the row-level feed a downstream sampler
+    // consumes). Same rational z/(1+|z|) squash as x47: correctly-rounded
+    // IEEE ops only, so the streamed scores are bit-identical to the batch
+    // oracle's.
+    GQuery("s49_stream_quality_score",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val nwS = greatest(size(ws), lit(1))
+        val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "for")
+          .map(lit): _*)
+        val punct = length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val z = lit(-1.0) +
+          lit(2.4) * (size(array_distinct(ws)) / nwS) +
+          lit(1.2) * (least(size(ws), lit(400)) / lit(400.0)) -
+          lit(3.0) * (punct / greatest(length(col("text")), lit(1))) -
+          lit(0.8) * abs((length(col("text")) - (size(ws) - lit(1))) / nwS -
+            lit(5.0)) / lit(5.0) +
+          lit(1.5) * (size(filter(ws, w => array_contains(stops, w))) / nwS)
+        val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
+          .cast("decimal(18,6)").cast("double")
+        runToMemory(
+          docStream(s, d).select(col("doc_id"), score.as("score"),
+            when(score < 0.35, "drop").when(score < 0.6, "review")
+              .otherwise("keep").as("verdict")),
+          "append").orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text,
+    string_split(text, ' ') AS ws,
+    greatest(len(string_split(text, ' ')), 1) AS nws,
+    length(text) AS lt FROM documents),
+z AS (SELECT doc_id,
+    -1.0 + 2.4 * (len(list_distinct(ws)) / nws)
+         + 1.2 * (least(len(ws), 400) / 400.0)
+         - 3.0 * ((lt - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(lt, 1))
+         - 0.8 * abs(((lt - (len(ws) - 1)) / nws) - 5.0) / 5.0
+         + 1.5 * (len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','for'], w))) / nws)
+      AS z
+  FROM f),
+sc AS (SELECT doc_id,
+    CAST(CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM z)
+SELECT doc_id, score,
+  CASE WHEN score < 0.35 THEN 'drop' WHEN score < 0.6 THEN 'review'
+    ELSE 'keep' END AS verdict
+FROM sc ORDER BY doc_id NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

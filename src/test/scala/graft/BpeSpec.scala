@@ -148,4 +148,57 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._1) === got.indices.toList, "ranks must be 0..n-1")
     got.foreach { case (_, a, b, m, _) => assert(m === a + b) }
   }
+
+  // ---- encode (x53: applying the learned merge table) ----------------------
+
+  /** Independent reference encoder: one greedy left-to-right pass per merge,
+    * in rank order — the procedure the trainer's own re-segmentation runs. */
+  private def refEncode(word: String,
+      merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.toLowerCase.toList.map(_.toString)) {
+      case (syms, (a, b)) => mergeWord(syms, a, b)
+    }
+
+  test("distributed encoder == reference on every distinct corpus word") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val words = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(8))("abcde" (rnd.nextInt(5))).mkString)
+    val corpus = words.grouped(8).map(_.mkString(" ")).toSeq
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val mergesDf = GraftOps.bpeVocab(docs, col("text"), merges = 12)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = GraftOps.bpeEncode(docs, col("doc_id"), col("text"), mergesDf)
+      .orderBy("doc_id").collect()
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val expected = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .flatMap(w => refEncode(w, merges)).toSeq
+      val got = enc(i).getSeq[String](enc(i).fieldIndex("tokens"))
+      assert(got === expected, s"doc $i segmentation diverged")
+      // concat-roundtrip identity: token boundaries partition the word chars
+      assert(got.mkString === text.toLowerCase.split(" ")
+        .filter(_.nonEmpty).mkString, s"doc $i roundtrip broke")
+      assert(enc(i).getLong(enc(i).fieldIndex("n_tokens")) === got.size.toLong)
+    }
+  }
+
+  test("more merges never increase a document's token count") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val corpus = Seq.fill(20)(
+      Seq.fill(12)(Seq.fill(2 + rnd.nextInt(5))("abc" (rnd.nextInt(3))).mkString)
+        .mkString(" "))
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def counts(m: Int): Seq[Long] =
+      GraftOps.bpeEncode(docs, col("doc_id"), col("text"),
+          GraftOps.bpeVocab(docs, col("text"), merges = m))
+        .orderBy("doc_id").collect().map(_.getLong(3)).toSeq
+    val (few, many) = (counts(3), counts(10))
+    few.zip(many).foreach { case (f, m) =>
+      assert(m <= f, "a longer rank-prefix merge table must only compress")
+    }
+  }
 }

@@ -339,6 +339,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"expected the streaming fold:\n$p")
   }
 
+  test("x50 bow dedup is one fingerprint shuffle (the x01 shape)") {
+    // sparkPlan precedes EnsureRequirements, so count exchanges on the
+    // executed plan (where they physically exist)
+    val p = SparkEntry.queries("x50_bow_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the fingerprint groupBy exchange:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("x51 self-repetition trim is shuffle-free before the presentation sort") {
+    val p = plan("x51_selfrep_trim")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row chunk dedup must not hash-shuffle:\n$p")
+  }
+
+  test("x52 curriculum joins its 64-row spread via broadcast") {
+    val p = plan("x52_curriculum_order")
+    assert(p.contains("BroadcastHashJoin"), s"spread lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x52 shuffled an aggregate-sized side:\n$p")
+  }
+
+  test("x53 BPE encode never shuffles — broadcast merges + one map pass") {
+    val p = plan("x53_bpe_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode must stream at scan speed:\n$p")
+    assert(p.contains("MapPartitions"), s"expected the encode map pass:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

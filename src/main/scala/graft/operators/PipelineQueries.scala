@@ -2623,6 +2623,82 @@ ORDER BY a.batch NULLS FIRST, decile NULLS FIRST, cur_rank NULLS FIRST,
                 .cast("decimal(18,6)").cast("double")))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // ---- X54: dataset release manifest -------------------------------------
+    // The artifact a training run actually consumes: x30's token-balanced
+    // shard assignment (two-pass distributed prefix sum — range partition,
+    // local cumsum, broadcast per-partition offsets) finished into a
+    // publishable manifest — per shard: doc/token counts, id range, token
+    // share of the corpus, and an ORDER-INVARIANT md5-XOR content checksum
+    // (the q106 replica-audit idiom: XOR's associativity+commutativity
+    // makes the same 8 bytes come out of any partitioning), so a consumer
+    // can verify every shard it downloads without trusting row order.
+    // Scale: the prefix sum never funnels rows to the driver (per-partition
+    // offsets are |partitions| rows); the manifest itself is |shards| rows.
+    GQuery("x54_shard_manifest",
+      (s, d) => {
+        val nShards = 8L
+        val w8 = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wLoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val base = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"),
+            expr("CAST(conv(substr(md5(concat(doc_id, ':', text)), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        // ONE pinned evaluation of the range exchange: the offsets branch
+        // prunes `h` while the main branch keeps it, so the two exchanges
+        // are no longer identical subtrees and ReuseExchange cannot dedupe
+        // them — two INDEPENDENT range-bound samplings would pair `off`
+        // values with mismatched `pid` boundaries and silently skew every
+        // shard (x30 survives only because its branches stay byte-identical
+        // and the exchange is reused). The eager localCheckpoint freezes
+        // pid + bounds; for this release-manifest op that write is the
+        // sharded table a production run persists anyway.
+        val p = base.repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val offsets = p.groupBy(col("pid")).agg(sum(col("tok")).as("psum"))
+          .withColumn("off", coalesce(sum(col("psum")).over(w8), lit(0L)))
+          .select(col("pid"), col("off"))
+        val total = p.agg(sum(col("tok")).as("total"))
+        p.withColumn("local", coalesce(sum(col("tok")).over(wLoc), lit(0L)))
+          .join(broadcast(offsets), "pid")
+          .join(broadcast(total))
+          .withColumn("shard",
+            least(expr(s"(local + off) * $nShards div total"),
+              lit(nShards - 1L)))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"),
+            expr("bit_xor(h)").as("checksum"),
+            max(col("total")).as("tt"))
+          .withColumn("token_share",
+            (col("n_tokens").cast("double") / col("tt"))
+              .cast("decimal(18,6)").cast("double"))
+          .drop("tt")
+          .orderBy(col("shard"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+    CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+c AS (SELECT doc_id, tok, h,
+    coalesce(SUM(tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+    (SELECT sum(tok) FROM base) AS total
+  FROM base)
+SELECT CAST(least(cum * 8 // total, 7) AS BIGINT) AS shard,
+  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+  min(doc_id) AS min_id, max(doc_id) AS max_id,
+  bit_xor(h) AS checksum,
+  CAST(CAST(CAST(sum(tok) AS DOUBLE) / max(total) AS DECIMAL(18,6)) AS DOUBLE)
+    AS token_share
+FROM c GROUP BY 1 ORDER BY shard NULLS FIRST"""))
   )
 }

@@ -369,6 +369,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"expected the encode map pass:\n$p")
   }
 
+  test("x30 prefix-sum branches REUSE one range exchange (bound-sampling safety)") {
+    // x30's two-pass prefix sum evaluates the range-partitioned table in two
+    // branches (per-partition offsets + the local cumsum). Range-bound
+    // sampling is per-evaluation, so correctness REQUIRES ReuseExchange to
+    // dedupe the two subtrees — if they ever diverge (as x54's extra hash
+    // column showed), `off` pairs with mismatched `pid` boundaries and every
+    // shard silently skews. x54 pins one evaluation via localCheckpoint;
+    // x30 must keep the reused exchange.
+    val df = SparkEntry.queries("x30_balanced_shards")(spark, sf)
+    df.collect() // AQE finalizes reuse in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("reused"), s"x30's branches no longer share one range exchange:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

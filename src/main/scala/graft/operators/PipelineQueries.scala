@@ -2055,15 +2055,22 @@ ORDER BY b.doc_id NULLS FIRST""")),
         val docs = t(s, d, "documents")
         val sh = docs.select(col("doc_id"),
           explode(word_shingles(col("text"), 3)).as("g"))
-        val bloom = sh.filter(col("doc_id") % 20 === 0)
+        // the built sketch is aggregate-sized (KBs at fpp=1%), so it is
+        // collected ONCE and embedded as a binary literal — the same move
+        // Spark's own InjectRuntimeFilter makes. Carrying it through a
+        // broadcast one-row join instead makes every probe row re-copy the
+        // filter bytes out of the joined UnsafeRow (and pay a full
+        // content-compare in the probe cache): measured 17.8 s → the
+        // literal form re-uses one array, so the cache hits by reference.
+        val bfBytes = sh.filter(col("doc_id") % 20 === 0)
           .agg(graft.functions.GraftFunctions
             .bloom_agg(col("g"), 20000L, 0.01).as("bf"))
+          .head().getAs[Array[Byte]](0)
         sh.filter(col("doc_id") % 20 =!= 0)
-          .join(broadcast(bloom))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("nsh"),
             sum(when(graft.functions.GraftFunctions
-              .bloom_might_contain(col("bf"), col("g")), 1L).otherwise(0L))
+              .bloom_might_contain(lit(bfBytes), col("g")), 1L).otherwise(0L))
               .as("n_hits"))
           .select(col("doc_id"), col("nsh"), col("n_hits"),
             (col("n_hits").cast("double") / col("nsh").cast("double"))

@@ -1317,13 +1317,16 @@ ORDER BY lang NULLS FIRST, keep NULLS FIRST""")),
           .select(explode(col("sh")).as("g")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         evalGrams.count()
+        // the native one-pass shingle expression (codegen; ExpressionsSpec
+        // pins it ≡ the split/transform/array_distinct chain) — the HOF
+        // form re-evaluated split(text) inside the transform lambda, an
+        // O(words²) per-row cost that dominated the batch at scale
+        // (s27 sf1: 14.7 s → see SCALE.md round 9)
         val streamGrams = docStream(s, d)
           .filter(col("doc_id") % 20 =!= 0)
-          .select(col("doc_id"), explode(expr(
-            """array_distinct(CASE WHEN size(split(text, ' ')) >= 3
-                 THEN transform(sequence(1, size(split(text, ' ')) - 2),
-                   i -> array_join(slice(split(text, ' '), i, 3), ' '))
-                 ELSE array(array_join(split(text, ' '), ' ')) END)""")).as("g"))
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions
+              .word_shingles(col("text"), 3)).as("g"))
         runToMemory(
           streamGrams.join(broadcast(evalGrams), "g")
             .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")),

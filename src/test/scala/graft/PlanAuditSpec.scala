@@ -369,6 +369,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"expected the encode map pass:\n$p")
   }
 
+  test("x29 probes the bloom as a literal — no per-row sketch join") {
+    // the sketch must arrive as a binary literal (collected once), never
+    // through a broadcast one-row join: the join form re-copies the filter
+    // bytes out of the joined row for EVERY probe row (measured 17.8 s →
+    // 3.7 s at sf1 when moved to the literal)
+    val p = plan("x29_bloom_decontaminate")
+    assert(!p.contains("Join"), s"x29 regained a per-row sketch join:\n$p")
+  }
+
   test("x30 prefix-sum branches REUSE one range exchange (bound-sampling safety)") {
     // x30's two-pass prefix sum evaluates the range-partitioned table in two
     // branches (per-partition offsets + the local cumsum). Range-bound

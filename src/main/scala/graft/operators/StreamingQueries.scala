@@ -1786,7 +1786,44 @@ sc AS (SELECT doc_id,
 SELECT doc_id, score,
   CASE WHEN score < 0.35 THEN 'drop' WHEN score < 0.6 THEN 'review'
     ELSE 'keep' END AS verdict
-FROM sc ORDER BY doc_id NULLS FIRST"""))
+FROM sc ORDER BY doc_id NULLS FIRST""")),
+
+    // S50: streaming embedding QA — the embeddings table's first streaming
+    // lane: vectors arrive continuously (an embedding service's output
+    // topic), and each row is gated BEFORE it reaches the ANN index — L2
+    // norm + component peak (x49's per-row signals; the cohort z-score
+    // stays a batch job because it needs full-label statistics), zero/NaN
+    // guarded. Per-row arithmetic, APPEND mode through the distributed
+    // parquet file sink — scores at scan speed, nothing funnels through
+    // the driver. The sequential array fold (Spark `aggregate` ≡ DuckDB
+    // `list_reduce`) keeps the sums bit-identical cross-engine.
+    GQuery("s50_stream_embedding_qa",
+      (s, d) => {
+        val sq = aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val peak = array_max(transform(col("embedding"),
+          x => abs(x.cast("double"))))
+        val vecStream = s.readStream
+          .schema(Tables.table(s, d, "embeddings").schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        runToMemory(
+          vecStream.select(col("vec_id"), col("label"),
+            sqrt(sq).cast("decimal(18,6)").cast("double").as("norm"),
+            peak.cast("decimal(18,6)").cast("double").as("peak"),
+            (size(col("embedding")) === 0 ||
+              sqrt(sq).cast("decimal(18,6)") === 0).as("degenerate")),
+          "append").orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, label,
+  CAST(CAST(sqrt(list_reduce(
+      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      (a, b) -> a + b)) AS DECIMAL(18,6)) AS DOUBLE) AS norm,
+  CAST(CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+    AS DECIMAL(18,6)) AS DOUBLE) AS peak,
+  (len(embedding) = 0 OR CAST(sqrt(list_reduce(
+      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      (a, b) -> a + b)) AS DECIMAL(18,6)) = 0) AS degenerate
+FROM embeddings ORDER BY vec_id NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

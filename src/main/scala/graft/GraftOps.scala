@@ -440,28 +440,33 @@ object GraftOps {
           math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
       }
     val tabSeeds = graft.functions.Hashing.permSeeds(seed, tables)
-    val bucketed = v.select(col("id"),
+    // Vectors travel WITH their bucket rows, so each candidate pair is
+    // scored INLINE in the bucket join's projection and never crosses an
+    // exchange: the only shuffles are the (tab, bucket) hash partition of
+    // n·tables vector-bearing rows (linear in the corpus) and the final
+    // distinct over MATCHES (tiny — the filter runs before it). The r8
+    // formulation joined a bare (a_id, b_id) candidate table back to the
+    // vector table twice; that verification join auto-broadcast the
+    // vectors at small scale but silently flipped to a shuffle join once
+    // the vector table outgrew the 10 MB broadcast threshold — shuffling
+    // the FULL candidate set (∝ n·targetBucket·tables rows) twice, a
+    // memory-pressure cliff measured at 288 s on 60k vectors (sf3).
+    // Candidates keep their multi-table duplicates through scoring; the
+    // deterministic score lets the late distinct collapse them exactly.
+    val bucketed = v.select(col("id"), col("vec"),
         posexplode(array(tabSeeds.toIndexedSeq.map(s =>
           rp_bucket(col("vec"), effPlanes, s)): _*)))
-      .toDF("id", "tab", "bucket")
-    // Candidates keep their multi-table duplicates through scoring and
-    // dedup AFTER the threshold filter: the filter passes only true
-    // near-dups, so the distinct's shuffle is proportional to MATCHES
-    // (tiny), not candidates. The old candidate-first distinct shuffled the
-    // full candidate set — the dominant cost of the sf1 sweep (candidate
-    // volume ∝ n·targetBucket; re-scoring a pair ≤ `tables` times is cheap
-    // codegen work that map-side-local joins absorb). Score is
-    // deterministic per pair, so the late distinct collapses duplicates
-    // exactly.
-    val cand = bucketed.as("a").join(bucketed.as("b"),
+      .toDF("id", "vec", "tab", "bucket")
+    // SHUFFLE_HASH: sorting vector-bearing rows buys nothing here (the
+    // per-bucket pair loop re-iterates the build group either way), and
+    // skipping the two SMJ sorts took sf1 from 18.9 s to 1.95 s and sf3
+    // from 16 s to 11.9 s — the sort of wide array rows, not the cosine
+    // work, dominated the merge-join form
+    bucketed.as("a").join(bucketed.as("b").hint("SHUFFLE_HASH"),
         col("a.tab") === col("b.tab") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-    cand
-      .join(v.as("va"), col("a_id") === col("va.id"))
-      .join(v.as("vb"), col("b_id") === col("vb.id"))
-      .select(col("a_id"), col("b_id"),
-        cosine_sim(col("va.vec"), col("vb.vec")).as("score"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        cosine_sim(col("a.vec"), col("b.vec")).as("score"))
       .filter(col("score") >= threshold)
       .distinct()
   }

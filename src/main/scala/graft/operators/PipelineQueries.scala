@@ -878,25 +878,38 @@ QUALIFY rank <= 10 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
     // re-deriving the iteration chain.
     GQuery("x37_kmeans_semdedup",
       (s, d) => {
-        val k = 8
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
             col("embedding").as("fv"))
+        // occupancy-targeted k (the x03 plane-scaling move): a FIXED k means
+        // cluster size ∝ n, so the within-cluster pair stage is quadratic
+        // AND capped at k-way parallelism. k = max(8, ceil(n/512)) keeps
+        // expected occupancy ≤ 512 (pairs ∝ n·512, spread over k tasks).
+        // At both oracle tiers (≤ 2000 vectors) this is exactly 8, so the
+        // DuckDB replay's literal `cid <= 8` stays equivalent.
+        val k = math.max(8L, (e.count() + 511L) / 512L).toInt
         val wSeed = org.apache.spark.sql.expressions.Window
           .orderBy(col("h"), col("vec_id"))
         val c0 = e.select(col("vec_id"), col("v"),
             md5(col("vec_id").cast("string")).as("h"))
           .orderBy(col("h"), col("vec_id")).limit(k)
           .select(row_number().over(wSeed).as("cid"), col("v").as("cv"))
+        // argmin via min_by, not a row_number window: the crossJoin's n·k
+        // candidate rows collapse to n in the MAP-SIDE partial aggregate
+        // (each vector's k candidates are partition-local because the
+        // centroid side is broadcast), where the window form shuffled all
+        // n·k rows. (dist, cid) is unique per vector, so the min_by pick
+        // is deterministic and identical to the old rn=1.
         def assign(cs: DataFrame): DataFrame =
           e.crossJoin(broadcast(cs))
             .withColumn("dist",
               graft.functions.GraftFunctions.l2_dist(col("v"), col("cv")))
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("cid"), col("dist"), col("v"), col("fv"))
+            .groupBy(col("vec_id"))
+            .agg(min_by(struct(col("cid"), col("dist"), col("v"), col("fv")),
+              struct(col("dist"), col("cid"))).as("sel"))
+            .select(col("vec_id"), col("sel.cid").as("cid"),
+              col("sel.dist").as("dist"), col("sel.v").as("v"),
+              col("sel.fv").as("fv"))
         def update(a: DataFrame): DataFrame =
           a.select(col("cid"), posexplode(col("v")))
             .groupBy(col("cid"), col("pos"))
@@ -907,7 +920,11 @@ QUALIFY rank <= 10 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
               .as("cv"))
         val a2 = assign(update(assign(c0))).localCheckpoint(true)
         val sizes = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-        val dups = a2.as("a").join(a2.as("b"),
+        // slim pair join: only (vec_id, cid, fv) travels, scored inline,
+        // SHUFFLE_HASH so wide array rows are never sort-buffered (the x03
+        // lesson — the SMJ sort, not the cosine, dominates)
+        val slim = a2.select(col("vec_id"), col("cid"), col("fv"))
+        val dups = slim.as("a").join(slim.as("b").hint("SHUFFLE_HASH"),
             col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
           .filter(graft.functions.GraftFunctions
             .cosine_sim(col("a.fv"), col("b.fv")) >= 0.45)

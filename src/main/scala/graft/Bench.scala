@@ -56,11 +56,21 @@ object Bench {
     // the steady-state throughput estimate; run-to-run variance on this box
     // is ~15% with occasional 5-8x outlier blocks.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries — the
+    // standalone re-measurement path for flagged queries (single-JVM bench
+    // adjacency means a full-registry number can inherit a predecessor's
+    // GC/spill state; SCALE.md's methodology is min-of-2 standalone).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val registry = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
+      case None        => SparkEntry.registry
+    }
     val runs = (1 to reps).map { rep =>
       // each rep pays every cost honestly: drop cross-query memo tables so a
       // repeat pass re-computes pair generation instead of timing a cache hit
       if (rep > 1) operators.PipelineQueries.resetMemo()
-      SparkEntry.registry.map { q =>
+      registry.map { q =>
         val t0 = System.nanoTime()
         val ok =
           try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -81,7 +91,7 @@ object Bench {
     // in EVERY rep. Failed queries are OMITTED from the timing map (their
     // time-to-throw is not a throughput number) and listed separately.
     val byName = runs.flatten.groupBy(_._1)
-    val ordered = SparkEntry.registry.map(_.name)
+    val ordered = registry.map(_.name)
     val good = ordered.flatMap { n =>
       val oks = byName(n).collect { case (_, v, true) => v }
       if (oks.isEmpty) None else Some(n -> oks.min)

@@ -2723,6 +2723,110 @@ SELECT CAST(least(cum * 8 // total, 7) AS BIGINT) AS shard,
   bit_xor(h) AS checksum,
   CAST(CAST(CAST(sum(tok) AS DOUBLE) / max(total) AS DECIMAL(18,6)) AS DOUBLE)
     AS token_share
-FROM c GROUP BY 1 ORDER BY shard NULLS FIRST"""))
+FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
+
+    // ---- X55: weighted priority sample (Efraimidis–Spirakis A-ES) ----------
+    // One-pass weighted sampling WITHOUT replacement: each doc draws a
+    // deterministic uniform u and competes on priority ln(u)/w (the log of
+    // the classic u^(1/w) key — same order, better conditioned); the global
+    // top-K by priority is a size-K weighted sample. This is the 100 TB way
+    // to cut a corpus to a fixed budget with quality weighting: no full
+    // sort, no global shuffle — `orderBy().limit()` compiles to
+    // TakeOrderedAndProject (per-partition top-K, single K-row reduction),
+    // pinned in PlanAuditSpec. Cross-engine exactness: u is 24 bits of md5
+    // (conv/0x-cast, the x54 idiom), the weight ln(1+n_chars) is quantized
+    // to decimal(18,6) BEFORE the divide so both engines divide identical
+    // doubles, and the priority is quantized after (ln agrees to 1 ulp —
+    // ~9 orders below the grain); rank ties break on doc_id in both ORDER
+    // BYs, so the K-boundary is deterministic. O-class.
+    GQuery("x55_weighted_sample",
+      (s, d) => {
+        val u24 = expr(
+          "CAST(conv(substr(md5(concat('aes55:', doc_id)), 1, 6), 16, 10) AS BIGINT)")
+        val w = log(lit(1.0) + col("n_chars").cast("double"))
+          .cast("decimal(18,6)").cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            w.as("w"), u24.as("u24"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("w"),
+            (log((col("u24") + lit(1.0)) / lit(16777217.0)) / col("w"))
+              .cast("decimal(18,6)").cast("double").as("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(150)
+      },
+      Some("""WITH c AS (SELECT doc_id, source, n_chars,
+  CAST(CAST(ln(1.0 + CAST(n_chars AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS w,
+  CAST(concat('0x', substr(md5('aes55:' || doc_id), 1, 6)) AS BIGINT) AS u24
+  FROM documents)
+SELECT doc_id, source, n_chars, w,
+  CAST(CAST(ln((u24 + 1.0) / 16777217.0) / w AS DECIMAL(18,6)) AS DOUBLE)
+    AS priority
+FROM c ORDER BY priority DESC, doc_id LIMIT 150""")),
+
+    // ---- X56: leakage-free corpus split (cluster-granular) -----------------
+    // Train/val/test assignment where the unit of assignment is the NEAR-DUP
+    // CLUSTER, not the document: every doc inherits its x07 connected
+    // component's id (singletons their own), and the split is a portable
+    // hash of the CLUSTER id — so a near-dup pair straddling train/test is
+    // impossible by construction, not by post-hoc decontamination. This is
+    // the split a 100 TB pretraining pipeline actually needs: x13/x29 catch
+    // eval overlap against an external benchmark; x56 prevents self-overlap
+    // between the corpus's own splits. Scale: reuses the memoized x07 pair
+    // table + O(log n) CC; the assignment itself is one left join and one
+    // aggregate. PipelineSpec audits zero straddling pairs end-to-end.
+    // DuckDB's replay brute-forces the pair set (oracle scale only — listed
+    // with the quadratic oracles pruned at sf0.1).
+    GQuery("x56_leakage_free_split",
+      (s, d) => {
+        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
+          col("doc_a"), col("doc_b"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+        val bucket = (expr(
+          "CAST(conv(substr(md5(concat('split56:', cluster)), 1, 2), 16, 10) AS BIGINT)")
+          % 10).as("bucket")
+        docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("bucket", bucket)
+          .withColumn("split",
+            when(col("bucket") < 8, "train")
+              .when(col("bucket") === 8, "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(countDistinct(col("cluster")).as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+asg AS (SELECT d.doc_id,
+    coalesce(c.cluster, d.doc_id) AS cluster,
+    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+b AS (SELECT *,
+    CAST(concat('0x', substr(md5('split56:' || cluster), 1, 2)) AS BIGINT) % 10
+      AS bucket
+  FROM asg)
+SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+    ELSE 'test' END AS split,
+  count(DISTINCT cluster) AS n_clusters, count(*) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1 ORDER BY split NULLS FIRST"""))
   )
 }

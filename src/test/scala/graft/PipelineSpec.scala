@@ -451,4 +451,67 @@ class PipelineSpec extends SparkSpec {
     assert(bSum <= 10000 && bSum > 10000 - rows.length,
       s"floored budgets must sum into (10000 - nSources, 10000]: $bSum")
   }
+
+  test("x55 A-ES sample equals an independent local recomputation and skews long") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u24(id: Long): Long = {
+      val hex = md.digest(s"aes55:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+    val expected = docs.map { case (id, nc) =>
+      val w = round6(math.log(1.0 + nc.toDouble))
+      val prio = round6(math.log((u24(id) + 1.0) / 16777217.0) / w)
+      (id, prio)
+    }.sortBy { case (id, prio) => (-prio, id) }.take(150)
+    val got = q("x55_weighted_sample")
+      .select(col("doc_id"), col("priority")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === expected.toSeq,
+      "Spark A-ES sample diverged from the local recomputation")
+    // weighted-ness: ln(1+n_chars) weighting must pull the sample's mean
+    // length above the corpus mean on this fixture
+    val sampleIds = got.map(_._1).toSet
+    val byId = docs.toMap
+    val sMean = got.map(t => byId(t._1).toDouble).sum / got.length
+    val cMean = docs.map(_._2.toDouble).sum / docs.length
+    assert(sMean > cMean,
+      f"sample mean n_chars $sMean%.1f not above corpus mean $cMean%.1f")
+    assert(sampleIds.size === 150)
+  }
+
+  test("x56 split never separates a near-dup pair and covers every doc") {
+    // rebuild the per-doc assignment exactly as x56 does, then audit the
+    // structural claim: no jaccard>=0.5 pair straddles two splits, and the
+    // three split sizes sum to the corpus
+    val pairs = q("x02_ngram_jaccard").select(col("doc_a"), col("doc_b"))
+    val clusters = graft.GraftOps.dedupClusters(pairs, col("doc_a"), col("doc_b"))
+    val asg = Tables.table(spark, sf, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(concat('split56:', cluster)), 1, 2), 16, 10) AS BIGINT)") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(asg.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(asg.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling === 0L, s"$straddling near-dup pairs straddle splits")
+    val summary = q("x56_leakage_free_split").collect()
+    val nDocs = summary.map(_.getLong(2)).sum
+    assert(nDocs === Tables.table(spark, sf, "documents").count(),
+      "split doc counts must partition the corpus")
+    assert(summary.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }

@@ -393,6 +393,18 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("reused"), s"x30's branches no longer share one range exchange:\n$p")
   }
 
+  test("x55 weighted sample is a per-partition top-K, never a global sort") {
+    // A-ES sampling's whole scale story is that the K-row sample falls out
+    // of TakeOrderedAndProject (each partition keeps its local top-K, one
+    // K-row reduction at the driver) — a full Sort+Exchange over the corpus
+    // would be the 100 TB regression this pin exists to catch.
+    val p = plan("x55_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for top-K sampling:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"weighted sample degraded to a global range sort:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

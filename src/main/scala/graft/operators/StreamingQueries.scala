@@ -1823,7 +1823,62 @@ FROM sc ORDER BY doc_id NULLS FIRST""")),
   (len(embedding) = 0 OR CAST(sqrt(list_reduce(
       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
       (a, b) -> a + b)) AS DECIMAL(18,6)) = 0) AS degenerate
-FROM embeddings ORDER BY vec_id NULLS FIRST"""))
+FROM embeddings ORDER BY vec_id NULLS FIRST""")),
+
+    // S51: streaming weighted reservoir sample — x55's A-ES priority made
+    // stateless-per-row (ln(u)/w from a deterministic md5 uniform and a
+    // value-magnitude weight), then reduced per 10-minute window by the
+    // bounded TopKAgg. This IS the classic weighted reservoir algorithm:
+    // because the priority needs no cross-row state, a weighted sample of an
+    // unbounded stream is just a running top-K of priorities — state is K
+    // packed doubles per window however many events flow through. The pack
+    // (priority micro-units + 24e6) * 2^27 + (2^27-1-event_id) keeps
+    // (priority DESC, event_id ASC) order in ONE exactly-representable
+    // double (< 2^53; priority ≥ -24 since w ≥ ln 2, ids < 2^27 here — a
+    // production variant would use a struct-payload top-k agg) so the
+    // sampled ids ride through the existing double-typed aggregate and
+    // decode on the way out. Complete mode like s41; one shuffle by window.
+    GQuery("s51_stream_weighted_sample",
+      (s, d) => {
+        val u24 = expr(
+          "CAST(conv(substr(md5(concat('aes51:', event_id)), 1, 6), 16, 10) AS BIGINT)")
+        val w = log(lit(2.0) + abs(dec2(col("value")).cast("double")))
+          .cast("decimal(18,6)").cast("double")
+        val prio = (log((u24 + lit(1.0)) / lit(16777217.0)) / w)
+          .cast("decimal(18,6)")
+        val p6 = (prio * lit(1000000)).cast("long")
+        // fail loudly the day ids outgrow the pack budget instead of
+        // silently decoding garbage (the ExactSum/canary convention)
+        val eid = when(col("event_id") < lit(1L << 27), col("event_id"))
+          .otherwise(expr(
+            "CAST(raise_error('s51: event_id exceeds the 2^27 pack budget') AS BIGINT)"))
+        val pack = ((p6 + lit(24000000L)) * lit(1L << 27)
+          + (lit((1L << 27) - 1) - eid)).cast("double")
+        runToMemory(
+          eventStream(s, d)
+            .select(col("ts"), pack.as("pk"))
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(graft.functions.GraftFunctions.topk_vals(col("pk"), 3)
+              .as("top3"), count(lit(1)).as("n")),
+          "complete")
+          .select(col("window.start").cast("long").as("ws_sec"), col("n"),
+            concat_ws(",", expr(
+              s"transform(top3, v -> CAST(${(1L << 27) - 1} - " +
+              s"(CAST(v AS BIGINT) % ${1L << 27}) AS BIGINT))"))
+              .as("sample_ids"))
+          .orderBy(col("ws_sec"))
+      },
+      Some("""WITH c AS (SELECT event_id, ts,
+  CAST(ln((CAST(concat('0x', substr(md5('aes51:' || event_id), 1, 6)) AS BIGINT)
+        + 1.0) / 16777217.0)
+    / CAST(CAST(ln(2.0 + abs(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)))
+        AS DECIMAL(18,6)) AS DOUBLE) AS DECIMAL(18,6)) AS prio
+  FROM events)
+SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  array_to_string((list(event_id
+      ORDER BY CAST(prio * 1000000 AS BIGINT) DESC, event_id))[1:3], ',')
+    AS sample_ids
+FROM c GROUP BY 1 ORDER BY ws_sec NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

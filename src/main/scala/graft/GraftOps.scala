@@ -326,6 +326,38 @@ object GraftOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-group MinHash lane minima: for each group (e.g. a corpus source),
+    * the element-wise minimum of `lanes` independent portable hashes over
+    * the group's k-word shingles. The constant-state alternative to an
+    * exact shingle inverted index (x19's shape) for BETWEEN-group
+    * similarity: min is idempotent and mergeable, so (a) duplicate shingles
+    * need no `distinct` — no shingle shuffle ever happens — and (b)
+    * map-side partial aggregation collapses every partition to at most
+    * |groups|×`lanes` rows before the one (group, lane) exchange, making
+    * shuffle volume INDEPENDENT of corpus size. P(min_a = min_b) = J(A,B),
+    * so lane-match fractions between two groups estimate their shingle
+    * Jaccard with stderr sqrt(J(1-J)/lanes). One md5 per shingle (the
+    * portable hex→int idiom, x52/x54), then Broder's affine lane family
+    * h_l = ((2l+1)·b0 + b1) mod 2^48 — every intermediate ≤ 2^55, so the
+    * arithmetic is overflow-free and bit-exact on both engines (BIGINT
+    * multiply overflow RAISES in DuckDB but silently wraps in Spark —
+    * staying provably under 2^63 is load-bearing, not cosmetic). */
+  def minhashLaneMins(df: DataFrame, group: Column, text: Column,
+      k: Int = 3, lanes: Int = 64): DataFrame = {
+    require(lanes <= 128, s"affine family bound: (2*$lanes-1)*2^48 must stay < 2^63")
+    df.select(group.as("grp"), explode(word_shingles(text, k)).as("g"))
+      .select(col("grp"), md5(col("g")).as("hx"))
+      .select(col("grp"),
+        conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("b0"),
+        conv(substring(col("hx"), 13, 12), 16, 10).cast("long").as("b1"))
+      .select(col("grp"), posexplode(transform(sequence(lit(0), lit(lanes - 1)),
+        l => ((l.cast("long") * lit(2L) + lit(1L)) * col("b0") + col("b1"))
+          % lit(1L << 48))))
+      .toDF("grp", "lane", "h")
+      .groupBy(col("grp"), col("lane"))
+      .agg(min(col("h")).as("mh"))
+  }
+
   // ---- similarity search ---------------------------------------------------
 
   /** Brute-force cosine top-k: broadcast the (small) query side against the

@@ -902,6 +902,42 @@ SELECT 'null_customer_name', count(*) FROM customer WHERE c_name IS NULL
 UNION ALL
 SELECT 'range_event_value', count(*) FROM events
   WHERE value < 0.0 OR value > 400.0
-ORDER BY rule NULLS FIRST"""))
+ORDER BY rule NULLS FIRST""")),
+
+    // Q111: distribution window functions — ntile / percent_rank / cume_dist,
+    // the ANSI trio the window battery (q18/q19/q20) did not yet cover.
+    // All three are rank-derived (ntile = bucketed row_number,
+    // percent_rank = (rank-1)/(n-1), cume_dist = n_le/n), so with a
+    // deterministic total ORDER BY (price, then linenumber key) every value
+    // is an exact small-integer ratio — the doubles agree bit-for-bit
+    // across engines; decimal(18,6) quantization guards the presentation.
+    // Scale: one hash exchange on the partition key, in-partition sort —
+    // the canonical window shape.
+    GQuery("q111_distribution_windows",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 7 === 0)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"),
+            ntile(8).over(w).cast("long").as("octile"),
+            percent_rank().over(w).cast("decimal(18,6)").cast("double")
+              .as("pct_rank"),
+            cume_dist().over(w).cast("decimal(18,6)").cast("double")
+              .as("cume"))
+          .orderBy(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+  CAST(ntile(8) OVER w AS BIGINT) AS octile,
+  CAST(CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS pct_rank,
+  CAST(CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cume
+FROM lineitem WHERE l_orderkey % 7 = 0
+WINDOW w AS (PARTITION BY l_returnflag
+  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+ORDER BY l_returnflag NULLS FIRST, l_extendedprice NULLS FIRST,
+  l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
   )
 }

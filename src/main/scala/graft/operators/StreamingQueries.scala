@@ -1878,7 +1878,42 @@ SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
   array_to_string((list(event_id
       ORDER BY CAST(prio * 1000000 AS BIGINT) DESC, event_id))[1:3], ',')
     AS sample_ids
-FROM c GROUP BY 1 ORDER BY ws_sec NULLS FIRST"""))
+FROM c GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
+
+    // S52: streaming MinHash source signatures — the EXACT SAME operator
+    // function as batch x58 ([[graft.GraftOps.minhashLaneMins]]) run over
+    // the live document stream, because min is a streaming-legal mergeable
+    // aggregate: state is ONE long per (source, lane) — 320 rows here —
+    // no matter how many documents flow through, and each micro-batch
+    // folds in with a partial min. This is the sketch-state streaming
+    // story (x11/x25's HLL/CMS cousins) applied to corpus similarity: a
+    // 100 TB ingest keeps live between-source Jaccard signatures at
+    // constant memory. Complete mode; batch ≡ stream by construction
+    // (same function), pinned by the shared DuckDB oracle.
+    GQuery("s52_stream_minhash_sigs",
+      (s, d) => runToMemory(
+          graft.GraftOps.minhashLaneMins(
+            docStream(s, d), col("source"), col("text"), k = 3, lanes = 16),
+          "complete")
+        .select(col("grp").as("source"), col("lane").cast("long").as("lane"),
+          col("mh"))
+        .orderBy(col("source"), col("lane")),
+      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT source,
+  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' '))
+  ELSE [array_to_string(w, ' ')] END AS sl
+FROM toks),
+sg AS (SELECT source, unnest(sl) AS g FROM sh),
+hs AS (SELECT source,
+    CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT) AS b0,
+    CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT) AS b1
+  FROM sg)
+SELECT source, ln.l AS lane,
+  min(((ln.l * 2 + 1) * b0 + b1) % 281474976710656) AS mh
+FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS l) ln
+GROUP BY source, ln.l
+ORDER BY source NULLS FIRST, lane NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

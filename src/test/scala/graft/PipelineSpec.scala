@@ -514,4 +514,43 @@ class PipelineSpec extends SparkSpec {
       "split doc counts must partition the corpus")
     assert(summary.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("x58 MinHash estimate brackets the exact source Jaccard and merges") {
+    import graft.functions.GraftFunctions.word_shingles
+    // exact pairwise source shingle-Jaccard (x19's inverted-index shape)
+    val sg = Tables.table(spark, sf, "documents")
+      .select(col("source"), explode(word_shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exact = sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(tot.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(tot.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .select(col("sa"), col("sb"), (col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    val est = q("x58_minhash_source_sim").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    // lanes always join, so EVERY source pair must be present in the estimate
+    val nSources = tot.count()
+    assert(est.size.toLong === nSources * (nSources - 1) / 2,
+      s"estimate must cover all source pairs, got ${est.size}")
+    assert(exact.keySet.subsetOf(est.keySet))
+    // 64 lanes: stderr sqrt(J(1-J)/64) <= 0.0625, 4 sigma = 0.25
+    val worst = est.map { case (k, e) =>
+      math.abs(e - exact.getOrElse(k, 0.0)) }.max
+    assert(worst <= 0.25,
+      f"MinHash estimate off by $worst%.3f — beyond the 4-sigma lane bound")
+    // mergeability: the signature is partition-layout-invariant
+    val docs = Tables.table(spark, sf, "documents")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      GraftOps.minhashLaneMins(df, col("source"), col("text"))
+        .orderBy(col("grp"), col("lane")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(sig(docs) === sig(docs.repartition(7)),
+      "MinHash signature changed under a different partition layout")
+  }
 }

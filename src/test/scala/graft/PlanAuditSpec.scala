@@ -405,6 +405,37 @@ class PlanAuditSpec extends SparkSpec {
       s"weighted sample degraded to a global range sort:\n$p")
   }
 
+  test("x57 corpus never shuffles — eval set arrives as a one-row broadcast") {
+    // the decontamination scan must stream: the only exchanges allowed are
+    // the eval side's single-row collapse + broadcast and the presentation
+    // sort — any hashpartitioning means the corpus itself moved
+    // Catalyst folds the constant join key away and emits a nested-loop
+    // join against the ONE-row broadcast build — O(n) and probe-free, the
+    // right plan here (a hash join would only add a constant-key lookup)
+    val p = SparkEntry.queries("x57_semantic_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval set lost its broadcast:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"eval side must collapse to one row before broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"x57 shuffled the corpus to join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"x57 hash-shuffled corpus rows:\n$p")
+  }
+
+  test("x58 signature build partial-aggregates before one constant-size exchange") {
+    // the whole point of the MinHash form: map-side partial min collapses
+    // every partition to <= |sources|x64 rows, so exactly one hash exchange
+    // carries corpus-size-independent volume
+    import org.apache.spark.sql.functions.col
+    val p = graft.GraftOps.minhashLaneMins(
+        Tables.table(spark, sf, "documents"), col("source"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), s"no map-side partial min:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the (source, lane) exchange:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

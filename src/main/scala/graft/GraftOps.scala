@@ -341,22 +341,22 @@ object GraftOps {
     * h_l = ((2l+1)·b0 + b1) mod 2^48 — every intermediate ≤ 2^55, so the
     * arithmetic is overflow-free and bit-exact on both engines (BIGINT
     * multiply overflow RAISES in DuckDB but silently wraps in Spark —
-    * staying provably under 2^63 is load-bearing, not cosmetic). */
+    * staying provably under 2^63 is load-bearing, not cosmetic). The
+    * lane fold runs inside [[graft.functions.MinLanesAgg]] — one
+    * aggregate row per SHINGLE, not per shingle×lane (measured 64×
+    * input-volume cut vs the posexplode formulation), then the signature
+    * array unpacks to (lane, mh) rows after the group collapse. */
   def minhashLaneMins(df: DataFrame, group: Column, text: Column,
-      k: Int = 3, lanes: Int = 64): DataFrame = {
-    require(lanes <= 128, s"affine family bound: (2*$lanes-1)*2^48 must stay < 2^63")
+      k: Int = 3, lanes: Int = 64): DataFrame =
     df.select(group.as("grp"), explode(word_shingles(text, k)).as("g"))
       .select(col("grp"), md5(col("g")).as("hx"))
       .select(col("grp"),
         conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("b0"),
         conv(substring(col("hx"), 13, 12), 16, 10).cast("long").as("b1"))
-      .select(col("grp"), posexplode(transform(sequence(lit(0), lit(lanes - 1)),
-        l => ((l.cast("long") * lit(2L) + lit(1L)) * col("b0") + col("b1"))
-          % lit(1L << 48))))
-      .toDF("grp", "lane", "h")
-      .groupBy(col("grp"), col("lane"))
-      .agg(min(col("h")).as("mh"))
-  }
+      .groupBy(col("grp"))
+      .agg(min_lanes(col("b0"), col("b1"), lanes).as("mhs"))
+      .select(col("grp"), posexplode(col("mhs")))
+      .toDF("grp", "lane", "mh")
 
   // ---- similarity search ---------------------------------------------------
 

@@ -45,6 +45,12 @@ object GraftFunctions {
   def topk_vals(v: Column, k: Int): Column =
     c(TopKAgg(x(v), k).toAggregateExpression())
 
+  /** element-wise MinHash lane minima over Broder's affine family from the
+    * per-shingle 48-bit md5 halves (b0, b1) — `lanes` longs of state per
+    * group, no row blowup (see [[MinLanesAgg]]). */
+  def min_lanes(b0: Column, b1: Column, lanes: Int): Column =
+    c(MinLanesAgg(x(b0), x(b1), lanes).toAggregateExpression())
+
   /** decode a binary Avro record column into a struct (flat primitive
     * records; the envelope-payload decode path). */
   def avro_decode(value: Column, schemaJson: String): Column =

@@ -2843,17 +2843,22 @@ FROM b GROUP BY 1 ORDER BY split NULLS FIRST""")),
     // struct-fold over the broadcast array — the corpus never shuffles
     // (plan-pinned). Ties on the quantized score break to the smallest
     // eval id on both engines (struct-max on (sc, -eid) ≡ row_number over
-    // (sc DESC, eid)). At eval sets too large to broadcast, this composes
-    // with x28's filtered-ANN pruning instead — the per-row loop is the
-    // bench-set path (real eval benches are ~1e5 rows: broadcastable).
+    // (sc DESC, eid)). The eval slice is CAPPED (id < 2000 — non-binding
+    // at both oracle tiers, so results are unchanged there) because a
+    // benchmark suite is a bounded artifact, not a constant fraction of
+    // the corpus: uncapped, the %-slice made total work quadratic in sf
+    // (measured ×19 at sf1); capped it is honest-linear in the corpus.
+    // At eval sets too large to broadcast, this composes with x28's
+    // filtered-ANN pruning instead — the per-row loop is the bench-set
+    // path (real eval benches are ~1e5 rows: broadcastable).
     GQuery("x57_semantic_decontaminate",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val ev = emb.filter(col("vec_id") % 97 === 0)
+        val ev = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2000)
           .agg(collect_list(struct(col("vec_id").as("eid"),
             col("embedding").as("ev"))).as("evs"))
           .withColumn("jk", lit(1))
-        emb.filter(col("vec_id") % 97 =!= 0)
+        emb.filter(!(col("vec_id") % 97 === 0 && col("vec_id") < 2000))
           .withColumn("jk", lit(1))
           .join(broadcast(ev), "jk")
           .select(col("vec_id"),
@@ -2868,9 +2873,9 @@ FROM b GROUP BY 1 ORDER BY split NULLS FIRST""")),
           .orderBy(col("vec_id"))
       },
       Some("""WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
-  FROM embeddings WHERE vec_id % 97 = 0),
+  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 2000),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id % 97 <> 0),
+  FROM embeddings WHERE NOT (vec_id % 97 = 0 AND vec_id < 2000)),
 s AS (SELECT c.vec_id, eid,
     CAST(list_cosine_similarity(v, evv) AS DECIMAL(18,6)) AS sc
   FROM c CROSS JOIN ev),

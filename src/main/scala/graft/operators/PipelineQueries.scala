@@ -2939,6 +2939,57 @@ pairs AS (SELECT a.source AS source_a, b.source AS source_b,
 SELECT source_a, source_b, CAST(n_match AS BIGINT) AS n_match,
   CAST(CAST(CAST(n_match AS DOUBLE) / 64.0 AS DECIMAL(18,6)) AS DOUBLE)
     AS est_jaccard
-FROM pairs ORDER BY source_a NULLS FIRST, source_b NULLS FIRST"""))
+FROM pairs ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
+
+    // ---- X59: per-stratum weighted sample (A-ES within each source) --------
+    // Mixture construction's sampling primitive: the K highest-priority
+    // docs PER SOURCE under x55's Efraimidis–Spirakis weighting — i.e. a
+    // weighted sample without replacement from every stratum in one pass.
+    // The scale contrast with x24 (window row_number = a full per-stratum
+    // sort through the shuffle) is the point: priority+id pack into one
+    // exactly-representable double (the s51 idiom, loud guard if ids
+    // outgrow 2^27) and reduce through the mergeable TopKAgg — O(K) state
+    // per stratum, map-side partial top-K, so the exchange carries at most
+    // |sources|×K doubles no matter the corpus size. w = ln(2 + n_chars)
+    // keeps the weight ≥ ln 2 even for empty docs (priority ≥ -24, the
+    // pack's offset budget). O-class: same portable md5 uniform / quantized
+    // priority / (priority DESC, doc_id ASC) tie order as x55/s51.
+    GQuery("x59_stratified_weighted_sample",
+      (s, d) => {
+        val u24 = expr(
+          "CAST(conv(substr(md5(concat('aes59:', doc_id)), 1, 6), 16, 10) AS BIGINT)")
+        val w = log(lit(2.0) + col("n_chars").cast("double"))
+          .cast("decimal(18,6)").cast("double")
+        val prio = (log((u24 + lit(1.0)) / lit(16777217.0)) / w)
+          .cast("decimal(18,6)")
+        val p6 = (prio * lit(1000000)).cast("long")
+        val did = when(col("doc_id") < lit(1L << 27), col("doc_id"))
+          .otherwise(expr(
+            "CAST(raise_error('x59: doc_id exceeds the 2^27 pack budget') AS BIGINT)"))
+        val pack = ((p6 + lit(24000000L)) * lit(1L << 27)
+          + (lit((1L << 27) - 1) - did)).cast("double")
+        t(s, d, "documents")
+          .select(col("source"), pack.as("pk"))
+          .groupBy(col("source"))
+          .agg(graft.functions.GraftFunctions.topk_vals(col("pk"), 5).as("top5"))
+          .select(col("source"), posexplode(expr(
+            s"transform(top5, v -> CAST(${(1L << 27) - 1} - " +
+            s"(CAST(v AS BIGINT) % ${1L << 27}) AS BIGINT))")))
+          .toDF("source", "rank0", "doc_id")
+          .select(col("source"), (col("rank0") + 1).cast("long").as("rank"),
+            col("doc_id"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT source, doc_id,
+  CAST(ln((CAST(concat('0x', substr(md5('aes59:' || doc_id), 1, 6)) AS BIGINT)
+        + 1.0) / 16777217.0)
+    / CAST(CAST(ln(2.0 + CAST(n_chars AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+    AS DECIMAL(18,6)) AS prio
+  FROM documents),
+r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+    ORDER BY CAST(prio * 1000000 AS BIGINT) DESC, doc_id) AS rnk
+  FROM c)
+SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id FROM r WHERE rnk <= 5
+ORDER BY source NULLS FIRST, rank NULLS FIRST"""))
   )
 }

@@ -938,6 +938,47 @@ FROM lineitem WHERE l_orderkey % 7 = 0
 WINDOW w AS (PARTITION BY l_returnflag
   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
 ORDER BY l_returnflag NULLS FIRST, l_extendedprice NULLS FIRST,
-  l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
+  l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""")),
+
+    // Q112: retention cohort matrix — the classic product-analytics rollup
+    // the sequence family (funnel q101, markov q108, sessionize q76) did
+    // not yet cover: users are grouped into cohorts by FIRST-ACTIVE week,
+    // and each (cohort, week-offset) cell reports how many of them were
+    // active that many weeks later. Week indices are pure integer µs
+    // arithmetic ((ts_us div 86400e6) div 7) — no date_trunc('week'), whose
+    // return TYPE differs across engines. Scale: one (user, week) distinct
+    // shuffle + a mergeable per-user min; cohort sizes are a |weeks|-row
+    // broadcast. The activity matrix never re-touches raw events.
+    GQuery("q112_retention_cohorts",
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("((ts_ns div 1000) div 86400000000) div 7").as("wk"))
+          .distinct()
+        val cohorts = act.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+        val sizes = cohorts.groupBy(col("cwk"))
+          .agg(count(lit(1)).as("cohort_users"))
+        act.join(cohorts, "user_id")
+          .groupBy(col("cwk"), (col("wk") - col("cwk")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cwk")
+          .select(col("cwk").as("cohort_week"), col("week_offset"),
+            col("n_active"), col("cohort_users"),
+            (col("n_active").cast("double") / col("cohort_users").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+    (epoch_us(ts) // 86400000000) // 7 AS wk FROM events),
+coh AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id),
+sz AS (SELECT cwk, count(*) AS cohort_users FROM coh GROUP BY cwk),
+r AS (SELECT c.cwk, a.wk - c.cwk AS week_offset,
+    count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2)
+SELECT r.cwk AS cohort_week, week_offset, n_active, cohort_users,
+  CAST(CAST(CAST(n_active AS DOUBLE) / cohort_users AS DECIMAL(18,6)) AS DOUBLE)
+    AS retention
+FROM r JOIN sz ON r.cwk = sz.cwk
+ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST"""))
   )
 }

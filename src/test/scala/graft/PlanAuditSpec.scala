@@ -436,6 +436,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the (source, lane) exchange:\n$p")
   }
 
+  test("x59 per-stratum sample partial-aggregates top-K before one exchange") {
+    // the contrast with a window row_number (full per-stratum sort through
+    // the shuffle): TopKAgg must combine map-side so the exchange carries
+    // at most |sources|xK doubles
+    val p = SparkEntry.queries("x59_stratified_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_vals"), s"no map-side partial top-K:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the per-source exchange:\n$p")
+    assert(!p.contains("Window"), s"x59 regressed to a window sort:\n$p")
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

@@ -2990,6 +2990,73 @@ r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
     ORDER BY CAST(prio * 1000000 AS BIGINT) DESC, doc_id) AS rnk
   FROM c)
 SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id FROM r WHERE rnk <= 5
-ORDER BY source NULLS FIRST, rank NULLS FIRST"""))
+ORDER BY source NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- X60: split-leakage audit (the diagnostic that motivates x56) ------
+    // Measures the cross-split near-dup contamination a NAIVE per-document
+    // hash split (x15's rule, mirrored byte-for-byte) actually produces:
+    // every jaccard≥0.5 pair is labeled with its endpoints' splits and
+    // rolled up per (split_a, split_b) cell with a mean-similarity column —
+    // the off-diagonal cells ARE train/val/test leakage. This is the audit
+    // a pipeline runs BEFORE switching to x56's cluster-granular split
+    // (whose straddling count is zero by construction, PipelineSpec-
+    // audited); pairing the two queries shows the problem and the fix.
+    // Scale: reuses the memoized x02/x07/x56 pair table (pair generation
+    // amortized registry-wide); the audit itself is two broadcast-probe
+    // joins of split labels onto the pair table + one tiny rollup. DuckDB
+    // replays the pair set brute-force (oracle scale only — pruned with
+    // the quadratic list at sf0.1).
+    GQuery("x60_split_leakage_audit",
+      (s, d) => {
+        def splitOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val bk = substring(md5(concat(lit("split42:"), idCol)), 1, 4)
+          when(bk < "cccc", "train").when(bk < "e666", "val").otherwise("test")
+        }
+        val pairs = nearDupPairs(s, d)
+        pairs
+          .select(col("j"),
+            splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+          .select(col("j"),
+            least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          // order-free mean: per-pair j quantizes to decimal(18,6) (the
+          // one double division is bit-identical cross-engine), the SUM is
+          // exact decimal arithmetic, and only the final mean divides in
+          // double — avg(double) would be partition-order-dependent
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("j").cast("decimal(18,6)")).as("sj"))
+          .select(col("split_a"), col("split_b"), col("n_pairs"),
+            (col("sj").cast("double") / col("n_pairs").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("mean_j"),
+            (col("split_a") =!= col("split_b")).as("leaking"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+sp AS (SELECT j,
+    CASE WHEN substr(md5('split42:' || da), 1, 4) < 'cccc' THEN 'train'
+         WHEN substr(md5('split42:' || da), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END AS sa,
+    CASE WHEN substr(md5('split42:' || db), 1, 4) < 'cccc' THEN 'train'
+         WHEN substr(md5('split42:' || db), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END AS sb
+  FROM pairs)
+SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+  count(*) AS n_pairs,
+  CAST(CAST(CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+    AS DECIMAL(18,6)) AS DOUBLE) AS mean_j,
+  least(sa, sb) <> greatest(sa, sb) AS leaking
+FROM sp GROUP BY 1, 2 ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""))
   )
 }

@@ -979,6 +979,66 @@ SELECT r.cwk AS cohort_week, week_offset, n_active, cohort_users,
   CAST(CAST(CAST(n_active AS DOUBLE) / cohort_users AS DECIMAL(18,6)) AS DOUBLE)
     AS retention
 FROM r JOIN sz ON r.cwk = sz.cwk
-ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST"""))
+ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""")),
+
+    // Q113: one-scan column profiling report — the pre-ingest data-quality
+    // summary (null counts, exact distinct cardinality, min/max) for a set
+    // of measure columns, produced in ONE aggregate pass and unpivoted to
+    // a row per column via stack(). The multi-countDistinct expands the
+    // input 4-way inside the single shuffle; at 100 TB the same report
+    // swaps in approx_count_distinct (q35's lane) — exact here because the
+    // oracle demands it. min/max quantize through double (values are
+    // decimal(12,2)-scale — exact).
+    GQuery("q113_column_profile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        // null count as count(*) - count(col): pure integer arithmetic, no
+        // SUM over anything column-derived (DeterminismAuditSpec's rule)
+        def nNull(c: String) = count(lit(1)) - count(col(c))
+        val a = li.agg(
+          count(lit(1)).as("n"),
+          nNull("l_quantity").as("z1"), countDistinct(col("l_quantity")).as("d1"),
+          min(col("l_quantity")).cast("double").as("mn1"),
+          max(col("l_quantity")).cast("double").as("mx1"),
+          nNull("l_extendedprice").as("z2"), countDistinct(col("l_extendedprice")).as("d2"),
+          min(col("l_extendedprice")).cast("double").as("mn2"),
+          max(col("l_extendedprice")).cast("double").as("mx2"),
+          nNull("l_discount").as("z3"), countDistinct(col("l_discount")).as("d3"),
+          min(col("l_discount")).cast("double").as("mn3"),
+          max(col("l_discount")).cast("double").as("mx3"),
+          nNull("l_tax").as("z4"), countDistinct(col("l_tax")).as("d4"),
+          min(col("l_tax")).cast("double").as("mn4"),
+          max(col("l_tax")).cast("double").as("mx4"))
+        a.select(col("n").as("n_rows"), expr(
+            """stack(4,
+              'l_quantity', z1, d1, mn1, mx1,
+              'l_extendedprice', z2, d2, mn2, mx2,
+              'l_discount', z3, d3, mn3, mx3,
+              'l_tax', z4, d4, mn4, mx4)
+              AS (col_name, n_null, n_distinct, min_v, max_v)"""))
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n,
+  count(*) - count(l_quantity) AS z1,
+  count(DISTINCT l_quantity) AS d1,
+  CAST(min(l_quantity) AS DOUBLE) AS mn1, CAST(max(l_quantity) AS DOUBLE) AS mx1,
+  count(*) - count(l_extendedprice) AS z2,
+  count(DISTINCT l_extendedprice) AS d2,
+  CAST(min(l_extendedprice) AS DOUBLE) AS mn2, CAST(max(l_extendedprice) AS DOUBLE) AS mx2,
+  count(*) - count(l_discount) AS z3,
+  count(DISTINCT l_discount) AS d3,
+  CAST(min(l_discount) AS DOUBLE) AS mn3, CAST(max(l_discount) AS DOUBLE) AS mx3,
+  count(*) - count(l_tax) AS z4,
+  count(DISTINCT l_tax) AS d4,
+  CAST(min(l_tax) AS DOUBLE) AS mn4, CAST(max(l_tax) AS DOUBLE) AS mx4
+  FROM lineitem)
+SELECT 'l_quantity' AS col_name, n AS n_rows, z1 AS n_null, d1 AS n_distinct,
+  mn1 AS min_v, mx1 AS max_v FROM a
+UNION ALL SELECT 'l_extendedprice', n, z2, d2, mn2, mx2 FROM a
+UNION ALL SELECT 'l_discount', n, z3, d3, mn3, mx3 FROM a
+UNION ALL SELECT 'l_tax', n, z4, d4, mn4, mx4 FROM a
+ORDER BY col_name NULLS FIRST"""))
   )
 }

@@ -63,8 +63,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val registry = only match {
-      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
-      case None        => SparkEntry.registry
+      case Some(names) =>
+        // Fail fast on a typo: a name matching no registry entry would
+        // silently shrink (or empty) the run and still overwrite
+        // bench_out.json with a misleading snapshot.
+        val known = SparkEntry.registry.map(_.name).toSet
+        val unknown = names.diff(known)
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_ONLY names not in the registry: " +
+              unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.registry.filter(q => names(q.name))
+      case None => SparkEntry.registry
     }
     val runs = (1 to reps).map { rep =>
       // each rep pays every cost honestly: drop cross-query memo tables so a

@@ -2734,7 +2734,9 @@ FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
     // sort, no global shuffle — `orderBy().limit()` compiles to
     // TakeOrderedAndProject (per-partition top-K, single K-row reduction),
     // pinned in PlanAuditSpec. Cross-engine exactness: u is 24 bits of md5
-    // (conv/0x-cast, the x54 idiom), the weight ln(1+n_chars) is quantized
+    // (conv/0x-cast, the x54 idiom), the weight ln(2+n_chars) (the x59/s51
+    // convention — strictly positive even for an empty doc, where ln(1+0)=0
+    // would divide to -Inf and diverge across engines) is quantized
     // to decimal(18,6) BEFORE the divide so both engines divide identical
     // doubles, and the priority is quantized after (ln agrees to 1 ulp —
     // ~9 orders below the grain); rank ties break on doc_id in both ORDER
@@ -2743,7 +2745,7 @@ FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
       (s, d) => {
         val u24 = expr(
           "CAST(conv(substr(md5(concat('aes55:', doc_id)), 1, 6), 16, 10) AS BIGINT)")
-        val w = log(lit(1.0) + col("n_chars").cast("double"))
+        val w = log(lit(2.0) + col("n_chars").cast("double"))
           .cast("decimal(18,6)").cast("double")
         t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"),
@@ -2755,7 +2757,7 @@ FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
           .limit(150)
       },
       Some("""WITH c AS (SELECT doc_id, source, n_chars,
-  CAST(CAST(ln(1.0 + CAST(n_chars AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS w,
+  CAST(CAST(ln(2.0 + CAST(n_chars AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS w,
   CAST(concat('0x', substr(md5('aes55:' || doc_id), 1, 6)) AS BIGINT) AS u24
   FROM documents)
 SELECT doc_id, source, n_chars, w,
@@ -2861,6 +2863,16 @@ FROM b GROUP BY 1 ORDER BY split NULLS FIRST""")),
         emb.filter(!(col("vec_id") % 97 === 0 && col("vec_id") < 2000))
           .withColumn("jk", lit(1))
           .join(broadcast(ev), "jk")
+          // Loud canary (the ExactSum convention): a global collect_list
+          // still emits ONE row when the eval slice is empty, so every
+          // corpus row would "survive" with NULL max_cos while DuckDB's
+          // CROSS JOIN against an empty ev returns zero rows — fail the job
+          // instead of silently diverging. assert_true yields NULL when the
+          // slice is non-empty, so the when() passes evs through untouched.
+          .withColumn("evs",
+            when(assert_true(size(col("evs")) > 0,
+              lit("x57: eval slice is empty — decontamination would " +
+                "silently keep every corpus row")).isNull, col("evs")))
           .select(col("vec_id"),
             array_max(transform(col("evs"), e =>
               struct(cosine_sim(e.getField("ev"), col("embedding"))

@@ -5,13 +5,16 @@ import java.net.{ServerSocket, Socket}
 
 /** Wire-faithful single-node Kafka broker double for [[KafkaLogClient]]:
   * speaks the exact protocol subset the client consumes — Metadata v0,
-  * ListOffsets v1, Fetch v4 with RecordBatch v2 (uncompressed) — serving one
+  * ListOffsets v1, Fetch v4 with RecordBatch v2 — serving one
   * topic from a file-backed [[ReplayLog]] directory. Persistent connections
   * (the client's frame cursor issues sequential Fetch requests on one
   * socket). Batches are capped at [[batchRecords]] records so a ranged read
   * exercises the multi-batch and multi-fetch decode paths, and the tail of
   * each record_set can be truncated mid-batch via [[truncateTail]] to prove
   * the client's partial-batch handling (brokers cut at max_bytes).
+  * `codec` (0 none, 1 gzip, 2 snappy, 3 lz4, 4 zstd) compresses each batch's
+  * records section exactly as the official producers do, so the client's
+  * decompression path is exercised against real codec framings.
   *
   * CRC is written as 0 — the consumer-side client does not verify it (as
   * documented on KafkaLogClient); everything else is encoded per the public
@@ -21,7 +24,7 @@ import java.net.{ServerSocket, Socket}
   */
 final class FakeKafkaBroker(dir: String, topic: String,
     batchRecords: Int = 200, truncateTail: Boolean = false,
-    port: Int = 0) extends AutoCloseable {
+    port: Int = 0, codec: Int = 0) extends AutoCloseable {
   import KafkaWire._
 
   private val server = new ServerSocket(port)
@@ -172,17 +175,34 @@ final class FakeKafkaBroker(dir: String, topic: String,
       ro.write(one.toByteArray)
     }
 
+    // compress the records section exactly where real producers do: v2's
+    // compressed unit is the records bytes, header stays plaintext
+    val recordsOut: Array[Byte] =
+      if (codec == 0) recBytes.toByteArray
+      else {
+        val cb = new ByteArrayOutputStream()
+        val cs: java.io.OutputStream = codec match {
+          case 1 => new java.util.zip.GZIPOutputStream(cb)
+          case 2 => new org.xerial.snappy.SnappyOutputStream(cb)
+          case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(cb)
+          case 4 => new com.github.luben.zstd.ZstdOutputStream(cb)
+          case c => throw new IllegalArgumentException(s"fake broker codec $c")
+        }
+        cs.write(recBytes.toByteArray); cs.close()
+        cb.toByteArray
+      }
+
     val tail = new ByteArrayOutputStream(); val to = new DataOutputStream(tail)
     to.writeInt(0)                      // partition leader epoch
     to.writeByte(2)                     // magic
     to.writeInt(0)                      // crc (client does not verify)
-    to.writeShort(0)                    // attributes: uncompressed, not control
+    to.writeShort(codec & 0x07)         // attributes: codec bits, not control
     to.writeInt((until - start - 1).toInt) // last offset delta
     to.writeLong(firstTs)
     to.writeLong(recs.last._4)
     to.writeLong(-1L); to.writeShort(-1); to.writeInt(-1) // producer id/epoch/seq
     to.writeInt(recs.size)
-    to.write(recBytes.toByteArray)
+    to.write(recordsOut)
 
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
     o.writeLong(start)                  // base offset

@@ -775,56 +775,102 @@ FROM h GROUP BY 1 ORDER BY tbl NULLS FIRST""")),
 
     // EWMA (exponential smoothing, α=0.2) — the recursive time-series
     // aggregate (v_t = αx_t + (1-α)v_{t-1}) that has no windowed-SQL form.
-    // Shape: one hash shuffle on the key, a partition-local secondary sort
-    // (key, ts, id), then a STREAMING left fold over each key's run —
-    // exactly the sort-based ordered aggregate a native engine lowers to.
-    // State per group is O(1) (running value + count), never the series:
-    // the r8 collect_list variant materialized one array row per key, a
-    // per-group memory cliff at 100 TB; this version's memory is constant
-    // no matter how long a key's history grows. DuckDB's list_reduce (acc
-    // starts at the first element) replays the identical IEEE op sequence
-    // (0.2*x + 0.8*acc, same order), so the doubles agree bit-for-bit
-    // before the final rounding.
+    // THE MERGEABLE FORMULATION (the 100 TB path the r9 verdict asked for):
+    // each observation is the affine transform v → 0.8·v + 0.2·x, and
+    // affine transforms compose associatively — a time-contiguous SEGMENT
+    // of observations collapses to one (a, b) pair, and segments compose
+    // in time order: (a2,b2)∘(a1,b1) = (a2·a1, a2·b1 + b2). Seeding the
+    // fold at v0 = x_first reproduces the v1 = x1 convention exactly
+    // (0.8·x1 + 0.2·x1 = x1 up to 1 ulp). Shape: segments are CALENDAR
+    // DAYS, so the shuffle key is (event_type, day) — per-key history
+    // splits across #days tasks instead of the old one-task-per-key
+    // serial fold (5 → 150 folds at sf0.1; years of segments at 100 TB) —
+    // then one tiny per-key reduction over ≤#days (a,b) pairs. Per-task
+    // state is O(1); the per-key final state is O(#days), not O(rows).
+    // Cross-engine exactness: floating-point composition is NOT
+    // bit-associative, so the oracle replays the IDENTICAL two-level op
+    // sequence (list_reduce over per-day pair lists, then list_reduce over
+    // day pairs — Spark `aggregate` HOF ≡ DuckDB list_reduce, both
+    // left-to-right) rather than the flat sequential fold, and both
+    // engines produce the same doubles bit-for-bit before rounding.
     GQuery("q107_ewma",
       (s, d) => {
         import s.implicits._
-        val folded = Tables.events(s, d)
+        val dayUs = 86400000000L
+        val segs = Tables.events(s, d)
           .select(col("event_type"), Tables.tsUs.as("ts_us"),
             col("event_id"), dec2(col("value")).cast("double").as("x"))
-          .repartition(col("event_type"))
-          .sortWithinPartitions(col("event_type"), col("ts_us"), col("event_id"))
-          .as[(String, Long, Long, Double)]
+          .withColumn("bucket", expr(s"ts_us div $dayUs"))
+          .select(col("event_type"), col("bucket"), col("ts_us"),
+            col("event_id"), col("x"))
+          .repartition(col("event_type"), col("bucket"))
+          .sortWithinPartitions(col("event_type"), col("bucket"),
+            col("ts_us"), col("event_id"))
+          .as[(String, Long, Long, Long, Double)]
           .mapPartitions { it =>
             val buf = it.buffered
-            new Iterator[(String, Long, Double)] {
+            new Iterator[(String, Long, Double, Double, Double, Long)] {
               def hasNext: Boolean = buf.hasNext
-              def next(): (String, Long, Double) = {
-                val key = buf.head._1
-                var n = 0L; var v = 0.0
-                while (buf.hasNext && buf.head._1 == key) {
-                  val x = buf.next()._4
-                  v = if (n == 0L) x else 0.2 * x + 0.8 * v
+              def next(): (String, Long, Double, Double, Double, Long) = {
+                val (key, bucket, _, _, x0) = buf.next()
+                // seed = the first observation's own pair (0.8, 0.2·x0),
+                // matching list_reduce's acc-starts-at-element-one
+                var a = 0.8; var b = 0.2 * x0; var n = 1L
+                while (buf.hasNext && buf.head._1 == key
+                    && buf.head._2 == bucket) {
+                  val x = buf.next()._5
+                  a = 0.8 * a
+                  b = 0.8 * b + 0.2 * x   // p.a·acc.b + p.b, p = (0.8, 0.2x)
                   n += 1L
                 }
-                (key, n, v)
+                (key, bucket, a, b, x0, n)
               }
             }
           }
-          .toDF("event_type", "n", "ewma")
-        folded
+          .toDF("event_type", "bucket", "a", "b", "fx", "n")
+        segs
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("bucket"), col("a"),
+            col("b"), col("fx")))).as("segs"),
+            sum(col("n")).as("n"))
           .select(col("event_type"), col("n"),
-            col("ewma").cast("decimal(18,6)").cast("double").as("ewma"))
+            expr("""aggregate(
+                slice(segs, 2, greatest(size(segs) - 1, 0)),
+                named_struct('a', segs[0].a, 'b', segs[0].b),
+                (acc, s) -> named_struct('a', s.a * acc.a,
+                                         'b', s.a * acc.b + s.b))""").as("ab"),
+            col("segs")(0).getField("fx").as("fx"))
+          .select(col("event_type"), col("n"),
+            (col("ab.a") * col("fx") + col("ab.b"))
+              .cast("decimal(18,6)").cast("double").as("ewma"))
           .orderBy(col("event_type"))
       },
       Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
-    CAST(value AS DECIMAL(12,2)) AS v2 FROM events),
-g AS (SELECT event_type, count(*) AS n,
-    list(CAST(v2 AS DOUBLE) ORDER BY ts_us, event_id) AS vs
-  FROM e GROUP BY 1)
-SELECT event_type, n,
-  CAST(CAST(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc)
-    AS DECIMAL(18,6)) AS DOUBLE) AS ewma
-FROM g ORDER BY event_type NULLS FIRST""")),
+    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS x FROM events),
+b AS (SELECT event_type, ts_us // 86400000000 AS bucket, ts_us, event_id, x
+  FROM e),
+seg AS (SELECT event_type, bucket,
+    list(struct_pack(a := CAST(0.8 AS DOUBLE), b := 0.2 * x)
+      ORDER BY ts_us, event_id) AS ps,
+    first(x ORDER BY ts_us, event_id) AS fx,
+    count(*) AS n
+  FROM b GROUP BY 1, 2),
+segf AS (SELECT event_type, bucket, fx, n,
+    list_reduce(ps, (acc, p) ->
+      struct_pack(a := p.a * acc.a, b := p.a * acc.b + p.b)) AS ab
+  FROM seg),
+k AS (SELECT event_type,
+    list(struct_pack(a := ab.a, b := ab.b) ORDER BY bucket) AS pairs,
+    first(fx ORDER BY bucket) AS fx,
+    sum(n) AS n
+  FROM segf GROUP BY 1),
+f AS (SELECT event_type, n, fx,
+    list_reduce(pairs, (acc, p) ->
+      struct_pack(a := p.a * acc.a, b := p.a * acc.b + p.b)) AS ab
+  FROM k)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CAST(CAST(ab.a * fx + ab.b AS DECIMAL(18,6)) AS DOUBLE) AS ewma
+FROM f ORDER BY event_type NULLS FIRST""")),
 
     // Markov transition matrix over per-user event sequences: lead() pairs
     // each event with the user's next one (one shuffle by user, windows

@@ -326,17 +326,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q107 EWMA folds streaming — no per-group series array") {
-    // the r8 collect_list variant held each key's full history in one array
-    // row (a per-group memory cliff at 100 TB); the sort-based fold must
-    // show exactly one hash shuffle (the key repartition) plus the
-    // presentation sort, and no collect_list anywhere
+  test("q107 EWMA is the mergeable segment fold — no one-task-per-key") {
+    // r8 held each key's full history in one collect_list array; r9's fix
+    // folded serially inside ONE task per key (repartition(event_type)).
+    // The r10 mergeable form must shuffle on (event_type, bucket) — per-key
+    // history splits across #days segment folds — and the only collect_list
+    // allowed is the per-key reduction over ≤ #days (a, b) segment pairs.
     val p = plan("q107_ewma")
-    assert(!p.toLowerCase.contains("collect_list"),
+    val seg = "hashpartitioning\\(event_type#\\d+, bucket#\\d+".r
+    assert(seg.findFirstIn(p).isDefined,
+      s"q107 lost the (key, day-bucket) segment shuffle — back to " +
+        s"one-task-per-key?\n$p")
+    assert(p.contains("MapPartitions"), s"expected the segment fold:\n$p")
+    // the raw series columns (ts_us/x) must not reach any collect_list:
+    // only the folded segment struct (bucket, a, b, fx) may be collected
+    assert(!"collect_list\\([^)]*ts_us".r.findFirstIn(p).isDefined,
       s"q107 rematerialized the per-key series:\n$p")
-    assert("Exchange ".r.findAllIn(p).length <= 2,
-      s"q107 grew an extra shuffle:\n$p")
-    assert(p.contains("MapPartitions"), s"expected the streaming fold:\n$p")
   }
 
   test("x50 bow dedup is one fingerprint shuffle (the x01 shape)") {

@@ -1085,6 +1085,50 @@ SELECT 'l_quantity' AS col_name, n AS n_rows, z1 AS n_null, d1 AS n_distinct,
 UNION ALL SELECT 'l_extendedprice', n, z2, d2, mn2, mx2 FROM a
 UNION ALL SELECT 'l_discount', n, z3, d3, mn3, mx3 FROM a
 UNION ALL SELECT 'l_tax', n, z4, d4, mn4, mx4 FROM a
-ORDER BY col_name NULLS FIRST"""))
+ORDER BY col_name NULLS FIRST""")),
+
+    // Q113b: the approx profiling lane q113's comment promises — the SAME
+    // one-scan stack() report with approx_count_distinct (HLL++, rsd 2%)
+    // in place of exact countDistinct. Why this is the 100 TB default:
+    // exact multi-countDistinct EXPANDS the input 4-way inside the
+    // aggregate (one replica per distinct column) and keeps every distinct
+    // value as state; the HLL sketches are fixed-size, mergeable in the
+    // normal partial-agg pass, and need NO expand — the plan is a plain
+    // two-phase hash aggregate over one scan. G-class (sketch estimates
+    // are engine-specific, so no DuckDB hash-compare is possible);
+    // ExtensionPointsSpec bounds every per-column estimate within 5%
+    // relative error of q113's exact counts (the q35/X11 idiom), and the
+    // no-expand plan shape is pinned in PlanAuditSpec.
+    GQuery("q113b_column_profile_approx",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def nNull(c: String) = count(lit(1)) - count(col(c))
+        def dApx(c: String) = approx_count_distinct(col(c), 0.02)
+        val a = li.agg(
+          count(lit(1)).as("n"),
+          nNull("l_quantity").as("z1"), dApx("l_quantity").as("d1"),
+          min(col("l_quantity")).cast("double").as("mn1"),
+          max(col("l_quantity")).cast("double").as("mx1"),
+          nNull("l_extendedprice").as("z2"), dApx("l_extendedprice").as("d2"),
+          min(col("l_extendedprice")).cast("double").as("mn2"),
+          max(col("l_extendedprice")).cast("double").as("mx2"),
+          nNull("l_discount").as("z3"), dApx("l_discount").as("d3"),
+          min(col("l_discount")).cast("double").as("mn3"),
+          max(col("l_discount")).cast("double").as("mx3"),
+          nNull("l_tax").as("z4"), dApx("l_tax").as("d4"),
+          min(col("l_tax")).cast("double").as("mn4"),
+          max(col("l_tax")).cast("double").as("mx4"))
+        a.select(col("n").as("n_rows"), expr(
+            """stack(4,
+              'l_quantity', z1, d1, mn1, mx1,
+              'l_extendedprice', z2, d2, mn2, mx2,
+              'l_discount', z3, d3, mn3, mx3,
+              'l_tax', z4, d4, mn4, mx4)
+              AS (col_name, n_null, n_distinct_approx, min_v, max_v)"""))
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct_approx"), col("min_v"), col("max_v"))
+          .orderBy(col("col_name"))
+      },
+      None)
   )
 }

@@ -66,4 +66,21 @@ class ExtensionPointsSpec extends SparkSpec {
     assert(math.abs(r.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.1)
     assert(math.abs(r.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
   }
+
+  test("q113b approx profile: every per-column estimate within 5% of q113 exact") {
+    // the q35/X11 idiom: the G-class sketch lane is bounded against its
+    // exact O-class twin — same report shape, rel-error <= 5% per column
+    val exact = SparkEntry.queries("q113_column_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val apx = SparkEntry.queries("q113b_column_profile_approx")(spark, sf)
+      .collect()
+    assert(apx.length == 4)
+    apx.foreach { r =>
+      val name = r.getString(0); val est = r.getLong(3); val ex = exact(name)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"$name: approx=$est exact=$ex")
+      // the non-sketch columns must agree exactly
+      assert(r.getLong(2) == 0L, s"$name null count")
+    }
+  }
 }

@@ -344,6 +344,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q107 rematerialized the per-key series:\n$p")
   }
 
+  test("q113b approx profile aggregates without the 4-way distinct expand") {
+    // exact multi-countDistinct replicates every input row once per
+    // distinct column (Expand) and holds all distinct values as state;
+    // the HLL lane must show NO Expand — fixed-size sketches merging in
+    // the ordinary partial-agg pass is the whole point of the swap
+    val p = plan("q113b_column_profile_approx")
+    assert(!p.contains("Expand"),
+      s"q113b re-grew the distinct expand:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial sketches:\n$p")
+    // contrast: the exact twin genuinely pays the expand (keeps this pin
+    // honest — if Spark ever optimizes it away, revisit the comment)
+    assert(plan("q113_column_profile").contains("Expand"))
+  }
+
   test("x50 bow dedup is one fingerprint shuffle (the x01 shape)") {
     // sparkPlan precedes EnsureRequirements, so count exchanges on the
     // executed plan (where they physically exist)

@@ -1619,9 +1619,12 @@ FROM kept GROUP BY 1 ORDER BY split NULLS FIRST""")),
 
     // ---- X05: multimodal binary columns ------------------------------------
     // Binary payload + typed metadata flow through a typed mapPartitions
-    // "decode" step (partition-parallel, no shuffle). The decode itself is a
-    // clearly-marked deterministic STUB (image/audio libs absent here); the
-    // schema/partitioning/batch plumbing is real and oracle-checked.
+    // "decode" step (partition-parallel, no shuffle). These FIXTURE payloads
+    // are text/plain blobs, so the feature step here is a deterministic
+    // byte-level fake (oracle-checkable); the engine's REAL image decode
+    // lives in avg_hash64 (x40): javax.imageio PNG/JPEG/BMP/GIF → pixels →
+    // luminance aHash, proven on planted re-encoded images in ImageHashSpec.
+    // Schema/partitioning/batch plumbing here is real and oracle-checked.
     GQuery("x05_multimodal",
       (s, d) => {
         import s.implicits._
@@ -1631,8 +1634,9 @@ FROM kept GROUP BY 1 ORDER BY split NULLS FIRST""")),
           .as[MMRecord]
         mm.mapPartitions { it =>
           it.map { r =>
-            // STUB decode: a real pipeline would decode image/audio here.
-            // Deterministic fake features: byte-sum checksum + head bytes hex.
+            // text/plain fixture lane: deterministic byte features (the image
+            // lane decodes for real — see avg_hash64).
+            // Features: byte-sum checksum + head bytes hex.
             var sum = 0L
             var i = 0
             while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }

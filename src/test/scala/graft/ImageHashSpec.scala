@@ -91,6 +91,64 @@ class ImageHashSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  // deterministic 64×48 gradient-plus-stripes test image (structured, so
+  // its aHash has both set and unset bits) rendered to a BufferedImage
+  private def testImage(seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = ((x * 4 + y * 2 + seed) % 256 + (if ((x / 8 + y / 8) % 2 == 0) 64 else 0)) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bo), s"no $fmt writer")
+    bo.toByteArray
+  }
+
+  test("real decode: PNG/BMP re-encodings of the same pixels hash identically") {
+    // the round-9 caveat ("decode step stubbed — no codecs in sandbox") is
+    // gone: javax.imageio ships PNG/JPEG/BMP/GIF codecs in the JDK. A
+    // lossless re-encode changes the BYTES completely but not the pixels,
+    // so the hashes must be equal — impossible under raw-bytes hashing.
+    val a = testImage(0)
+    val png = encode(a, "png")
+    val bmp = encode(a, "bmp")
+    // different byte streams (different container + filters)
+    assert(!java.util.Arrays.equals(png, bmp))
+    assert(AvgHash64.hash(png) == AvgHash64.hash(bmp),
+      "lossless re-encodings must hash identically through the decode lane")
+    // a genuinely different image must not collide
+    val other = encode(testImage(128), "png")
+    assert(AvgHash64.hash(png) != AvgHash64.hash(other))
+  }
+
+  test("real decode: lossy JPEG re-encode lands within banding range (<=3 bits)") {
+    val a = testImage(0)
+    val png = encode(a, "png")
+    val jpg = encode(a, "jpg")
+    val d = java.lang.Long.bitCount(AvgHash64.hash(png) ^ AvgHash64.hash(jpg))
+    assert(d <= 3, s"JPEG re-encode drifted $d bits — decode lane broken?")
+  }
+
+  test("banding finds a planted real re-encoded PNG pair among raw payloads") {
+    import spark.implicits._
+    // the production mixed-payload case: mostly opaque blobs (raw lane),
+    // plus one real image present as two different encodings of the same
+    // pixels — the pair must surface at Hamming 0 through the band join
+    val base = (0L until 100L).map(i => (i, img(i * 7919L)))
+    val pic = testImage(7)
+    val planted = Seq((5000L, encode(pic, "png")), (5001L, encode(pic, "bmp")))
+    val df = (base ++ planted).toDF("id", "img")
+    val found = GraftOps.imageNearDups(df, col("id"), col("img"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(found.get((5000L, 5001L)).contains(0L),
+      s"planted PNG/BMP re-encode pair missing: $found")
+  }
+
   test("avg_hash64 registers on the SQL surface and is payload-deterministic") {
     import spark.implicits._
     graft.Graft.registerFunctions(spark)

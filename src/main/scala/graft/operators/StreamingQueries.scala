@@ -327,6 +327,11 @@ object StreamingQueries {
     * replay source, parquet reads and the memory sink behave identically. */
   private val harness =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  /** Test-visible: StreamMetricsSpec attaches its listener to the harness
+    * session (listeners are per-SparkSession) to pin state-row budgets of
+    * the registry's streaming queries as they actually run. */
+  private[graft] def harnessSession(parent: SparkSession): SparkSession =
+    streamSession(parent)
   private def streamSession(parent: SparkSession): SparkSession =
     harness.computeIfAbsent(parent, p => {
       val c = p.newSession()
@@ -1880,10 +1885,63 @@ SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
     AS sample_ids
 FROM c GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
 
+    // S51b: the append+watermark twin of s51 (the s31–s33 pattern) — the
+    // production deployment: complete mode re-emits every window each
+    // trigger and holds ALL windows in state forever (unbounded over
+    // wall-time); with a 1-hour watermark each window's K-double top-K
+    // state is EVICTED when the window closes, and the sample emits
+    // exactly once. State is K packed doubles × |open windows| — bounded
+    // regardless of how long the stream runs. Emission set is the s31
+    // HAVING rule: window end ≤ final watermark.
+    GQuery("s51b_weighted_sample_append",
+      (s, d) => {
+        val u24 = expr(
+          "CAST(conv(substr(md5(concat('aes51:', event_id)), 1, 6), 16, 10) AS BIGINT)")
+        val w = log(lit(2.0) + abs(dec2(col("value")).cast("double")))
+          .cast("decimal(18,6)").cast("double")
+        val prio = (log((u24 + lit(1.0)) / lit(16777217.0)) / w)
+          .cast("decimal(18,6)")
+        val p6 = (prio * lit(1000000)).cast("long")
+        val eid = when(col("event_id") < lit(1L << 27), col("event_id"))
+          .otherwise(expr(
+            "CAST(raise_error('s51b: event_id exceeds the 2^27 pack budget') AS BIGINT)"))
+        val pack = ((p6 + lit(24000000L)) * lit(1L << 27)
+          + (lit((1L << 27) - 1) - eid)).cast("double")
+        runToMemory(
+          eventStream(s, d)
+            .withWatermark("ts", "1 hour")
+            .select(col("ts"), pack.as("pk"))
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(graft.functions.GraftFunctions.topk_vals(col("pk"), 3)
+              .as("top3"), count(lit(1)).as("n")),
+          "append")
+          .select(col("window.start").cast("long").as("ws_sec"), col("n"),
+            concat_ws(",", expr(
+              s"transform(top3, v -> CAST(${(1L << 27) - 1} - " +
+              s"(CAST(v AS BIGINT) % ${1L << 27}) AS BIGINT))"))
+              .as("sample_ids"))
+          .orderBy(col("ws_sec"))
+      },
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+c AS (SELECT event_id, ts,
+  CAST(ln((CAST(concat('0x', substr(md5('aes51:' || event_id), 1, 6)) AS BIGINT)
+        + 1.0) / 16777217.0)
+    / CAST(CAST(ln(2.0 + abs(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)))
+        AS DECIMAL(18,6)) AS DOUBLE) AS DECIMAL(18,6)) AS prio
+  FROM events)
+SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, count(*) AS n,
+  array_to_string((list(event_id
+      ORDER BY CAST(prio * 1000000 AS BIGINT) DESC, event_id))[1:3], ',')
+    AS sample_ids
+FROM c, wm GROUP BY ws_sec, wm_ms
+HAVING (ws_sec + 600) * 1000 <= wm_ms
+ORDER BY ws_sec NULLS FIRST""")),
+
     // S52: streaming MinHash source signatures — the EXACT SAME operator
     // function as batch x58 ([[graft.GraftOps.minhashLaneMins]]) run over
     // the live document stream, because min is a streaming-legal mergeable
-    // aggregate: state is ONE long per (source, lane) — 320 rows here —
+    // aggregate: state is ONE row per source (MinLanesAgg packs all lane
+    // mins into that row's buffer — |sources| rows × 16 longs here) —
     // no matter how many documents flow through, and each micro-batch
     // folds in with a partial min. This is the sketch-state streaming
     // story (x11/x25's HLL/CMS cousins) applied to corpus similarity: a

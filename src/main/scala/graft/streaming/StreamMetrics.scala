@@ -38,6 +38,12 @@ final class StreamMetrics extends StreamingQueryListener {
     buf.synchronized { buf += stat }
   }
 
+  /** Every query id this listener has seen progress for. */
+  def queryIds: Set[UUID] = {
+    import scala.jdk.CollectionConverters._
+    byQuery.keySet().asScala.toSet
+  }
+
   /** Raw per-batch stats for a query, in delivery order. */
   def batches(id: UUID): Seq[BatchStat] =
     Option(byQuery.get(id)).map(b => b.synchronized(b.toSeq)).getOrElse(Seq.empty)

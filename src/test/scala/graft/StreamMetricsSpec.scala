@@ -75,6 +75,91 @@ class StreamMetricsSpec extends SparkSpec {
     } finally spark.streams.removeListener(metrics)
   }
 
+  // -- state-row budgets (VERDICT r9 #4): every complete-mode dashboard's
+  // state must be exactly its GROUP COUNT — asserted row counts, not hopes.
+  // The listener attaches to the harness session the registry queries
+  // actually run on (listeners are per-SparkSession).
+
+  private def runWithMetrics(name: String,
+      expectInput: Long): (StreamMetrics.Summary, Seq[StreamMetrics.BatchStat], Long) = {
+    val hs = operators.StreamingQueries.harnessSession(spark)
+    val m = new StreamMetrics
+    hs.streams.addListener(m)
+    try {
+      val emitted = SparkEntry.queries(name)(spark, sf).collect().length.toLong
+      // listener delivery is async — poll until every input row is seen
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def seen = m.queryIds.toSeq.map(id => m.summary(id).inputRows).sum
+      while (seen < expectInput && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val ids = m.queryIds
+      assert(ids.size === 1,
+        s"$name: expected exactly one streaming query, saw ${ids.size}")
+      (m.summary(ids.head), m.batches(ids.head), emitted)
+    } finally hs.streams.removeListener(m)
+  }
+
+  test("complete-mode dashboard state equals its group count (s44/s45/s47/s51/s52)") {
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+
+    // s44: day-windowed type counts — state = |days × types present|
+    val dayTypes = ev.select(to_date(col("ts")), col("event_type"))
+      .distinct().count()
+    val s44 = runWithMetrics("s44_stream_drift", nEvents)._1
+    assert(s44.maxStateRows === dayTypes,
+      s"s44 state ${s44.maxStateRows} != day×type groups $dayTypes")
+
+    // s45: per-user funnel mins — state = |users|, 3 longs each
+    val users = ev.select(col("user_id")).distinct().count()
+    val s45 = runWithMetrics("s45_stream_funnel", nEvents)._1
+    assert(s45.maxStateRows === users,
+      s"s45 state ${s45.maxStateRows} != users $users")
+
+    // s47: global checksum — ONE state row at any volume
+    val s47 = runWithMetrics("s47_stream_checksum", nEvents)._1
+    assert(s47.maxStateRows === 1L, s"s47 state ${s47.maxStateRows} != 1")
+
+    // s51: per-window top-K — state = |10-min windows|, K doubles each
+    val windows = ev.select(window(col("ts"), "10 minutes")).distinct().count()
+    val s51 = runWithMetrics("s51_stream_weighted_sample", nEvents)._1
+    assert(s51.maxStateRows === windows,
+      s"s51 state ${s51.maxStateRows} != windows $windows")
+
+    // s52: MinLanesAgg folds all 16 lane-mins inside ONE state row per
+    // source — state = |sources| rows (16 longs each) at ANY stream volume
+    val docs = Tables.table(spark, sf, "documents")
+    val sources = docs.select(col("source")).distinct().count()
+    val s52 = runWithMetrics("s52_stream_minhash_sigs", docs.count())._1
+    assert(s52.maxStateRows === sources,
+      s"s52 state ${s52.maxStateRows} != sources $sources")
+  }
+
+  test("s51b append twin emits each window once and EVICTS closed state") {
+    val ev = Tables.events(spark, sf)
+    val (s, batches, emitted) =
+      runWithMetrics("s51b_weighted_sample_append", ev.count())
+    val winEnd = ev
+      .select(window(col("ts"), "10 minutes").getField("end")
+        .cast("long").as("we")).distinct()
+    val total = winEnd.count()
+    val wmMs = s.lastWatermarkMs.get
+    val closedStrict = winEnd.filter(col("we") * 1000 < wmMs).count()
+    val closedIncl = winEnd.filter(col("we") * 1000 <= wmMs).count()
+    assert(emitted >= closedStrict && emitted <= closedIncl,
+      s"append emitted $emitted; watermark $wmMs closed " +
+        s"[$closedStrict, $closedIncl] of $total")
+    // the eviction story: state must NOT hold every window at the end —
+    // exactly the unemitted (still-open) windows remain
+    val lastState = batches.last.stateRows
+    assert(lastState === total - emitted,
+      s"final state $lastState != open windows ${total - emitted} " +
+        s"(total $total, emitted $emitted) — eviction broken?")
+    // complete mode would have peaked at `total`; append must stay there
+    // too (windows accumulate until the watermark passes them) but END low
+    assert(s.maxStateRows <= total, s"state exceeded the window census")
+  }
+
   test("append-mode harness keeps table-sized results off the driver") {
     // append outputs scale with the input (s01/s23/s25 are |events| rows):
     // the harness must hand back a distributed file-sink read, never a

@@ -43,15 +43,25 @@ import java.net.{InetSocketAddress, Socket}
   *     `needValue` pruning skips payload DECODE (the bytes still cross the
   *     wire — Kafka fetches whole batches).
   *
+  * Security (the reference inherits these from librdkafka's config
+  * passthrough, tests/utils.rs:261-285): `consumer.security.protocol` =
+  * PLAINTEXT (default) / SSL / SASL_PLAINTEXT / SASL_SSL. TLS runs the
+  * JDK handshake, trusting `consumer.ssl.truststore.location` (PKCS12/JKS,
+  * with `.password`) or the JVM default anchors; SASL/PLAIN (SaslHandshake
+  * v1 + SaslAuthenticate v0) authenticates every new connection with
+  * `consumer.sasl.username`/`.password` before any other API is used.
+  *
   * Registered as client kind `kafka`:
   * `spark.readStream.format("graft-replay").option("client", "kafka")
   *   .option("path", "broker:9092/events")`.
   * KafkaWireSpec proves the dialect against an in-process wire-faithful
-  * broker double; the real-broker contract test is gated on
+  * broker double (KafkaCodecSpec the codecs, KafkaSecuritySpec the
+  * TLS/SASL paths); the real-broker contract test is gated on
   * `GRAFT_KAFKA_BOOTSTRAP`/`GRAFT_KAFKA_TOPIC` and skips cleanly when no
   * broker is reachable.
   */
-final class KafkaLogClient(path: String) extends LogClient {
+final class KafkaLogClient(path: String,
+    conf: Map[String, String] = Map.empty) extends LogClient {
   import KafkaWire._
 
   private val (bootstrap, topic) = {
@@ -59,6 +69,100 @@ final class KafkaLogClient(path: String) extends LogClient {
     require(i > 0 && i < path.length - 1,
       s"kafka client path must be host:port/topic, got '$path'")
     (path.substring(0, i), path.substring(i + 1))
+  }
+
+  // ---- security (the reference inherits this from librdkafka's config
+  // passthrough, tests/utils.rs:261-285; same key names, minus the
+  // `consumer.` prefix the source strips) --------------------------------
+  private val securityProtocol =
+    conf.getOrElse("security.protocol", "PLAINTEXT").toUpperCase
+  require(Set("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
+      .contains(securityProtocol),
+    s"unknown security.protocol '$securityProtocol' " +
+      "(known: PLAINTEXT, SSL, SASL_PLAINTEXT, SASL_SSL)")
+  private val useTls = securityProtocol.contains("SSL")
+  private val useSasl = securityProtocol.startsWith("SASL")
+  private val saslMechanism = conf.getOrElse("sasl.mechanism", "PLAIN").toUpperCase
+  if (useSasl) require(saslMechanism == "PLAIN",
+    s"sasl.mechanism '$saslMechanism' unsupported (PLAIN only)")
+
+  /** TLS context: a truststore option pins the broker CA; without one the
+    * JVM default trust anchors apply (public-CA broker certs). */
+  private lazy val sslContext: javax.net.ssl.SSLContext =
+    conf.get("ssl.truststore.location") match {
+      case Some(loc) =>
+        val pw = conf.getOrElse("ssl.truststore.password", "").toCharArray
+        val ks = java.security.KeyStore.getInstance(new java.io.File(loc), pw)
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx
+      case None => javax.net.ssl.SSLContext.getDefault
+    }
+
+  /** Open one configured connection to `addr`: TCP, then the TLS handshake
+    * when the protocol asks for it, then SASL/PLAIN (SaslHandshake v1 +
+    * SaslAuthenticate v0) — the exact client-side sequence a real broker
+    * expects before serving any other API on a secured listener. */
+  private def open(addr: String): (Socket, DataInputStream, DataOutputStream) = {
+    val i = addr.lastIndexOf(':')
+    require(i > 0, s"kafka address must be host:port, got '$addr'")
+    val host = addr.substring(0, i)
+    val port = addr.substring(i + 1).toInt
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), 10000)
+    plain.setTcpNoDelay(true)
+    val sock =
+      if (!useTls) plain
+      else {
+        val s = sslContext.getSocketFactory
+          .createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.startHandshake()
+        s
+      }
+    val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(sock.getOutputStream)
+    if (useSasl) {
+      try authenticate(in, out)
+      catch { case e: Throwable => sock.close(); throw e }
+    }
+    (sock, in, out)
+  }
+
+  private def authenticate(in: DataInputStream, out: DataOutputStream): Unit = {
+    // SaslHandshake v1: negotiate the mechanism
+    val hb = new ByteArrayOutputStream(); val ho = new DataOutputStream(hb)
+    writeString(ho, saslMechanism)
+    val hr = request(in, out, ApiSaslHandshake, 1, hb.toByteArray)
+    val herr = hr.readShort()
+    if (herr != 0)
+      throw new IOException(
+        s"kafka SASL handshake rejected mechanism $saslMechanism (error $herr)")
+    // SaslAuthenticate v0: PLAIN token = [authzid] NUL user NUL password
+    def need(k: String) = conf.getOrElse(k, throw new IOException(
+      s"$securityProtocol requires consumer.$k"))
+    val token = ("\u0000" + need("sasl.username") + "\u0000" +
+      need("sasl.password")).getBytes("UTF-8")
+    val ab = new ByteArrayOutputStream(); val ao = new DataOutputStream(ab)
+    ao.writeInt(token.length); ao.write(token)
+    val ar = request(in, out, ApiSaslAuthenticate, 0, ab.toByteArray)
+    val aerr = ar.readShort()
+    val msg = readString(ar)
+    if (aerr != 0)
+      throw new IOException("kafka SASL authentication failed (error " +
+        s"$aerr${Option(msg).filter(_.nonEmpty).map(": " + _).getOrElse("")})")
+  }
+
+  /** one configured connection, one request/response (planning-side). */
+  private def oneShot(addr: String, apiKey: Short, apiVersion: Short,
+      body: Array[Byte]): DataInputStream = {
+    val (s, in, out) = open(addr)
+    try request(in, out, apiKey, apiVersion, body)
+    finally s.close() // response fully buffered by request()
   }
 
   // ---- metadata ------------------------------------------------------------
@@ -151,14 +255,8 @@ final class KafkaLogClient(path: String) extends LogClient {
     var tsUs: Long = _
 
     private def ensureConn(): Unit = if (sock == null) {
-      val addr = leaderAddr(fetchMeta(), p)
-      val i = addr.lastIndexOf(':')
-      sock = new Socket()
-      sock.connect(new InetSocketAddress(addr.substring(0, i),
-        addr.substring(i + 1).toInt), 10000)
-      sock.setTcpNoDelay(true)
-      sout = new DataOutputStream(sock.getOutputStream)
-      sin = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+      val (s, in, out) = open(leaderAddr(fetchMeta(), p))
+      sock = s; sin = in; sout = out
     }
 
     private def fetchMore(): Unit = {
@@ -219,6 +317,8 @@ private[replay] object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiSaslHandshake: Short = 17
+  val ApiSaslAuthenticate: Short = 36
   val ClientId = "graft"
 
   def writeString(o: DataOutputStream, s: String): Unit = {
@@ -254,21 +354,6 @@ private[replay] object KafkaWire {
     val r = new DataInputStream(new ByteArrayInputStream(resp))
     r.readInt()                 // correlation id
     r
-  }
-
-  /** one connection, one request/response (planning-side calls). */
-  def oneShot(addr: String, apiKey: Short, apiVersion: Short,
-      body: Array[Byte]): DataInputStream = {
-    val i = addr.lastIndexOf(':')
-    require(i > 0, s"kafka address must be host:port, got '$addr'")
-    val s = new Socket()
-    try {
-      s.connect(new InetSocketAddress(addr.substring(0, i),
-        addr.substring(i + 1).toInt), 10000)
-      s.setTcpNoDelay(true)
-      request(new DataInputStream(new BufferedInputStream(s.getInputStream)),
-        new DataOutputStream(s.getOutputStream), apiKey, apiVersion, body)
-    } finally s.close() // response fully buffered by request()
   }
 
   // ---- varints (zigzag, protobuf layout — Kafka record fields) -------------

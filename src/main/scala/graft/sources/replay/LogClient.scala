@@ -43,13 +43,17 @@ trait LogClient {
 }
 
 object LogClient {
-  type Factory = String => LogClient
+  /** (path, consumer conf) => client. The conf is the source's `consumer.*`
+    * option pass-through with the prefix stripped (≡ the reference's opaque
+    * `conf: HashMap` handed to rdkafka) — the seam broker security options
+    * (security.protocol / sasl.* / ssl.*) travel through. */
+  type Factory = (String, Map[String, String]) => LogClient
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Factory]()
-  registry.put("file", path => new FileLogClient(path))
-  registry.put("socket", path => new SocketLogClient(path))
-  registry.put("kafka", path => new KafkaLogClient(path))
+  registry.put("file", (path, _) => new FileLogClient(path))
+  registry.put("socket", (path, _) => new SocketLogClient(path))
+  registry.put("kafka", (path, conf) => new KafkaLogClient(path, conf))
 
   /** Register an alternate client kind (e.g. a broker consumer, or the fake
     * in LogClientSpec). On a multi-JVM cluster the registration must happen
@@ -57,11 +61,12 @@ object LogClient {
     * needs none. */
   def register(kind: String, f: Factory): Unit = registry.put(kind, f)
 
-  def create(kind: String, path: String): LogClient = {
+  def create(kind: String, path: String,
+      conf: Map[String, String] = Map.empty): LogClient = {
     val f = registry.get(kind)
     require(f != null,
       s"no LogClient registered for client kind '$kind' (option `client`)")
-    f(path)
+    f(path, conf)
   }
 }
 

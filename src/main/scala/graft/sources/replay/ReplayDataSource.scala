@@ -135,7 +135,7 @@ case class ReplayOptions(
     if (startingLatest) end
     else startingPerPartition.getOrElse(p, startingUniform)
   /** planning-side log client (driver): fresh per use, clients are cheap. */
-  def client: LogClient = LogClient.create(clientKind, path)
+  def client: LogClient = LogClient.create(clientKind, path, consumerConf)
 }
 
 object ReplayOptions {
@@ -500,7 +500,7 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
       val so = s.getOrElse(p, math.min(opts.startingPerPartition.getOrElse(p, 0L), eo))
       if (eo > so)
         Some(ReplayInputPartition(path, p, so, eo, fields, opts.columnarBatchSize,
-          opts.clientKind))
+          opts.clientKind, opts.consumerConf))
       else None
     }.toArray
     ReplayOptions.splitToMin(planned, opts.minPartitions)
@@ -529,7 +529,7 @@ class ReplayBatch(opts: ReplayOptions,
         val start = math.max(math.min(req, end), range.offLo)
         if (end > start)
           Some(ReplayInputPartition(opts.path, p, start, end, fields,
-            opts.columnarBatchSize, opts.clientKind))
+            opts.columnarBatchSize, opts.clientKind, opts.consumerConf))
         else None
       }.toArray
     ReplayOptions.splitToMin(planned, opts.minPartitions)
@@ -540,11 +540,13 @@ class ReplayBatch(opts: ReplayOptions,
 
 case class ReplayInputPartition(path: String, partition: Int,
     start: Long, end: Long, fields: Array[Int] = Array.range(0, 6),
-    columnarBatchSize: Int = 0, clientKind: String = "file")
+    columnarBatchSize: Int = 0, clientKind: String = "file",
+    consumerConf: Map[String, String] = Map.empty)
     extends InputPartition {
   /** executor-side frame cursor via the registered client factory */
   def openFrames(needKey: Boolean, needValue: Boolean): FrameReader =
-    LogClient.create(clientKind, path).openFrames(partition, start, needKey, needValue)
+    LogClient.create(clientKind, path, consumerConf)
+      .openFrames(partition, start, needKey, needValue)
 }
 
 object ReplayReaderFactory extends PartitionReaderFactory {

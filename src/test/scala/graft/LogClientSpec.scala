@@ -40,7 +40,7 @@ object LogClientSpec {
 
   // registered once at class-load — the pattern a broker client would use on
   // a real cluster (static initializer reachable from executors)
-  LogClient.register("fake", p => new FakeLogClient(p))
+  LogClient.register("fake", (p, _) => new FakeLogClient(p))
 }
 
 class LogClientSpec extends SparkSpec {

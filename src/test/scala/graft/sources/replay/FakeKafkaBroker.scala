@@ -24,10 +24,25 @@ import java.net.{ServerSocket, Socket}
   */
 final class FakeKafkaBroker(dir: String, topic: String,
     batchRecords: Int = 200, truncateTail: Boolean = false,
-    port: Int = 0, codec: Int = 0) extends AutoCloseable {
+    port: Int = 0, codec: Int = 0,
+    sasl: Option[(String, String)] = None,
+    tlsKeystore: Option[(String, String)] = None) extends AutoCloseable {
   import KafkaWire._
 
-  private val server = new ServerSocket(port)
+  // TLS listener: keystore (path, password) holds the broker's key+cert —
+  // the exact shape a real broker's ssl.keystore.location configures
+  private val server: ServerSocket = tlsKeystore match {
+    case None => new ServerSocket(port)
+    case Some((loc, pw)) =>
+      val ks = java.security.KeyStore.getInstance(
+        new java.io.File(loc), pw.toCharArray)
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, pw.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getServerSocketFactory.createServerSocket(port)
+  }
   @volatile private var closed = false
 
   def boundPort: Int = server.getLocalPort
@@ -56,6 +71,11 @@ final class FakeKafkaBroker(dir: String, topic: String,
       sock.setTcpNoDelay(true)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+      // per-connection SASL session state — a real broker requires the
+      // handshake + authenticate sequence on EVERY new connection of a
+      // SASL listener before any other API is served
+      var handshaken = false
+      var authed = sasl.isEmpty
       while (!closed) { // persistent connection: serve requests until EOF
         val size = in.readInt()
         val req = new Array[Byte](size)
@@ -66,6 +86,37 @@ final class FakeKafkaBroker(dir: String, topic: String,
         val correlationId = r.readInt()
         readString(r) // client id
         val body = apiKey match {
+          case ApiSaslHandshake if apiVersion == 1 =>
+            val mech = readString(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            if (sasl.isDefined && mech == "PLAIN") {
+              handshaken = true
+              o.writeShort(0)
+            } else o.writeShort(33)     // UNSUPPORTED_SASL_MECHANISM
+            o.writeInt(1); writeString(o, "PLAIN")
+            bo.toByteArray
+          case ApiSaslAuthenticate if apiVersion == 0 =>
+            if (!handshaken)
+              throw new IOException("fake broker: authenticate before handshake")
+            val n = r.readInt()
+            val tok = new Array[Byte](n); r.readFully(tok)
+            val parts = new String(tok, "UTF-8").split("\u0000", -1)
+            val ok = parts.length == 3 &&
+              sasl.contains((parts(1), parts(2)))
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            if (ok) {
+              authed = true
+              o.writeShort(0); o.writeShort(-1)  // no error message
+            } else {
+              o.writeShort(58)          // SASL_AUTHENTICATION_FAILED
+              writeString(o, "Authentication failed: invalid credentials")
+            }
+            o.writeInt(0)               // empty auth_bytes
+            bo.toByteArray
+          case _ if !authed =>
+            // real brokers kill the connection on pre-auth API use
+            throw new IOException(
+              s"fake broker: api $apiKey before SASL authentication")
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiListOffsets if apiVersion == 1 => listOffsets(r)
           case ApiFetch if apiVersion == 4 => fetch(r)

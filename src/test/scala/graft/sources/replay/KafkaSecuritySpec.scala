@@ -1,0 +1,153 @@
+package graft.sources.replay
+
+import java.io.IOException
+
+import org.apache.spark.sql.functions._
+
+/** SASL/PLAIN + TLS on the Kafka wire client (VERDICT r9 #5) — the
+  * reference gets both free from librdkafka's config passthrough
+  * (tests/utils.rs:261-285); here they ride the same `consumer.*` option
+  * seam: `consumer.security.protocol`, `consumer.sasl.mechanism`,
+  * `consumer.sasl.username/password`, `consumer.ssl.truststore.location/
+  * password`. The broker double gains a SASL-gated listener (handshake v1 +
+  * authenticate v0, per-connection session state, error 58 on bad
+  * credentials, connection kill on pre-auth API use) and a TLS listener
+  * from a PKCS12 keystore, so every path is proven over real sockets with
+  * a real JDK TLS handshake — no broker library anywhere. The plaintext
+  * path stays byte-identical (KafkaWireSpec/KafkaCodecSpec run unchanged).
+  */
+class KafkaSecuritySpec extends graft.SparkSpec {
+
+  private val user = "alice"
+  private val pass = "s3cret"
+
+  /** Self-signed broker keystore + client truststore, generated once via
+    * the JDK's keytool (what a real deployment's cert tooling produces). */
+  private lazy val tls: (String, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("kafka-tls")
+    val ks = dir.resolve("broker.p12").toString
+    val ts = dir.resolve("trust.p12").toString
+    val cert = dir.resolve("broker.crt").toString
+    val storePass = "graft-test"
+    val keytool = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "keytool").toString
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      assert(p.waitFor() == 0, s"keytool ${args.head} failed: $out")
+    }
+    run("-genkeypair", "-alias", "broker", "-keyalg", "RSA", "-keysize",
+      "2048", "-validity", "1", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", storePass, "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1")
+    run("-exportcert", "-alias", "broker", "-keystore", ks,
+      "-storepass", storePass, "-file", cert)
+    run("-importcert", "-alias", "broker", "-file", cert, "-keystore", ts,
+      "-storepass", storePass, "-noprompt")
+    (ks, ts, storePass)
+  }
+
+  private def readAll(path: String, extra: (String, String)*): Set[org.apache.spark.sql.Row] = {
+    var r = spark.read.format("graft-replay")
+      .option("client", "kafka").option("path", path)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+      .select(col("partition"), col("offset"), col("key").cast("string"),
+        col("value").cast("string"), col("timestamp").cast("long"))
+      .collect().toSet
+  }
+
+  test("SASL/PLAIN authenticates through the consumer.* option seam") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val open = new FakeKafkaBroker(dir, "events")
+    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    try {
+      val got = readAll(gated.clientPath,
+        "consumer.security.protocol" -> "SASL_PLAINTEXT",
+        "consumer.sasl.mechanism" -> "PLAIN",
+        "consumer.sasl.username" -> user,
+        "consumer.sasl.password" -> pass)
+      assert(got.nonEmpty)
+      assert(got === readAll(open.clientPath),
+        "authenticated read must equal the open-listener read")
+    } finally { open.close(); gated.close() }
+  }
+
+  test("wrong password fails loudly with the broker's error 58") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    try {
+      val c = new KafkaLogClient(gated.clientPath, Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.username" -> user, "sasl.password" -> "wrong"))
+      val e = intercept[IOException] { c.listPartitions() }
+      assert(e.getMessage.contains("authentication failed"),
+        s"expected an authentication error, got: ${e.getMessage}")
+    } finally gated.close()
+  }
+
+  test("a SASL listener refuses unauthenticated data APIs") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    try {
+      // plaintext client straight to Metadata: the broker kills the
+      // connection rather than serve it
+      val c = new KafkaLogClient(gated.clientPath)
+      intercept[Exception] { c.listPartitions() }
+    } finally gated.close()
+  }
+
+  test("TLS: full batch read over an encrypted listener with a pinned truststore") {
+    val (ks, ts, storePass) = tls
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val open = new FakeKafkaBroker(dir, "events")
+    val sec = new FakeKafkaBroker(dir, "events", tlsKeystore = Some((ks, storePass)))
+    try {
+      val got = readAll(sec.clientPath,
+        "consumer.security.protocol" -> "SSL",
+        "consumer.ssl.truststore.location" -> ts,
+        "consumer.ssl.truststore.password" -> storePass)
+      assert(got.nonEmpty)
+      assert(got === readAll(open.clientPath),
+        "TLS read must equal the plaintext read")
+    } finally { open.close(); sec.close() }
+  }
+
+  test("TLS without the broker's CA in the truststore fails the handshake") {
+    val (ks, _, storePass) = tls
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val sec = new FakeKafkaBroker(dir, "events", tlsKeystore = Some((ks, storePass)))
+    try {
+      // JVM default trust anchors do not include the self-signed cert
+      val c = new KafkaLogClient(sec.clientPath,
+        Map("security.protocol" -> "SSL"))
+      intercept[Exception] { c.listPartitions() }
+    } finally sec.close()
+  }
+
+  test("SASL_SSL: authentication inside the encrypted channel") {
+    val (ks, ts, storePass) = tls
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val open = new FakeKafkaBroker(dir, "events")
+    val sec = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)),
+      tlsKeystore = Some((ks, storePass)))
+    try {
+      val got = readAll(sec.clientPath,
+        "consumer.security.protocol" -> "SASL_SSL",
+        "consumer.sasl.username" -> user,
+        "consumer.sasl.password" -> pass,
+        "consumer.ssl.truststore.location" -> ts,
+        "consumer.ssl.truststore.password" -> storePass)
+      assert(got.nonEmpty)
+      assert(got === readAll(open.clientPath))
+    } finally { open.close(); sec.close() }
+  }
+
+  test("unknown security.protocol fails fast at construction") {
+    val e = intercept[IllegalArgumentException] {
+      new KafkaLogClient("h:1/t", Map("security.protocol" -> "KERBEROS"))
+    }
+    assert(e.getMessage.contains("security.protocol"))
+  }
+}

@@ -465,7 +465,9 @@ class PipelineSpec extends SparkSpec {
       java.lang.Long.parseLong(hex.substring(0, 6), 16)
     }
     val expected = docs.map { case (id, nc) =>
-      val w = round6(math.log(1.0 + nc.toDouble))
+      // ln(2 + n_chars): the x59/s51 convention — strictly positive even
+      // for an empty doc (ADVICE r9; matches the query + oracle)
+      val w = round6(math.log(2.0 + nc.toDouble))
       val prio = round6(math.log((u24(id) + 1.0) / 16777217.0) / w)
       (id, prio)
     }.sortBy { case (id, prio) => (-prio, id) }.take(150)
@@ -474,7 +476,7 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq === expected.toSeq,
       "Spark A-ES sample diverged from the local recomputation")
-    // weighted-ness: ln(1+n_chars) weighting must pull the sample's mean
+    // weighted-ness: ln(2+n_chars) weighting must pull the sample's mean
     // length above the corpus mean on this fixture
     val sampleIds = got.map(_._1).toSet
     val byId = docs.toMap

@@ -1634,6 +1634,74 @@ SELECT day, n_events, psi,
        WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
 FROM agg ORDER BY day NULLS FIRST""")),
 
+    // S44b: the append+watermark eviction twin of s44 (the s31–s33/s51b
+    // pattern applied to the drift monitor): day-windowed type counts emit
+    // once when the day CLOSES (end ≤ watermark) and their state evicts, so
+    // a monitor that runs for years holds only the open day's |types| rows
+    // instead of every day ever seen. The PSI projection runs over the
+    // emitted (closed) days only — the trailing partial day is not scored,
+    // which is also the statistically honest choice (its mix is a partial
+    // sample). Oracle = s44's SQL restricted by the window-closure rule.
+    GQuery("s44b_stream_drift_append",
+      (s, d) => {
+        val winCounts = runToMemory(
+          eventStream(s, d)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("c")),
+          "append")
+          .select(to_date(col("window.start")).as("day"),
+            col("event_type"), col("c"))
+        val base = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cb"))
+        val nAll = base.agg(sum(col("cb")).as("nb"),
+          count(lit(1)).cast("double").as("nt"))
+        val baseP = base.crossJoin(broadcast(nAll))
+          .select(col("event_type"),
+            (col("cb").cast("double") / col("nb")).as("pb"), col("nt"))
+        val spine = winCounts.select(col("day")).distinct()
+          .crossJoin(broadcast(baseP))
+        val filled = spine.join(winCounts, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"), col("pb"), col("nt"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val withP = filled
+          .withColumn("n", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
+          .withColumn("p", (col("c") + lit(0.5d)) /
+            (col("n") + lit(0.5d) * col("nt")))
+        withP.groupBy(col("day"))
+          .agg(sum(col("c")).as("n_events"),
+            sum((col("p") - col("pb")) * log(col("p") / col("pb")))
+              .cast("decimal(18,6)").cast("double").as("psi"))
+          .withColumn("band",
+            when(col("psi") < 0.1, "stable")
+              .when(col("psi") < 0.25, "moderate").otherwise("drifted"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+wc AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+  FROM events, wm
+  GROUP BY 1, 2, wm_ms
+  HAVING (epoch(CAST(day AS TIMESTAMP)) + 86400) * 1000 <= wm_ms),
+base AS (SELECT event_type, count(*) AS cb FROM events GROUP BY 1),
+n0 AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb,
+    CAST(count(*) AS DOUBLE) AS nt FROM base),
+bp AS (SELECT event_type, CAST(cb AS DOUBLE) / nb AS pb, nt FROM base, n0),
+spine AS (SELECT d.day, b.event_type, b.pb, b.nt
+  FROM (SELECT DISTINCT day FROM wc) d, bp b),
+filled AS (SELECT s.day, s.event_type, s.pb, s.nt, coalesce(w.c, 0) AS c
+  FROM spine s LEFT JOIN wc w USING (day, event_type)),
+wp AS (SELECT day, pb, c,
+    (c + 0.5) / (sum(c) OVER (PARTITION BY day) + 0.5 * nt) AS p
+  FROM filled),
+agg AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
+    CAST(CAST(sum((p - pb) * ln(p / pb)) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+  FROM wp GROUP BY 1)
+SELECT day, n_events, psi,
+  CASE WHEN psi < 0.1 THEN 'stable'
+       WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
+FROM agg ORDER BY day NULLS FIRST""")),
+
     // S45: streaming funnel — live conversion tracking as ONE streaming
     // aggregation: per user, the earliest view/click/purchase event times
     // (conditional mins, state = 3 longs per user however long the stream

@@ -160,6 +160,24 @@ class StreamMetricsSpec extends SparkSpec {
     assert(s.maxStateRows <= total, s"state exceeded the window census")
   }
 
+  test("s44b drift twin evicts closed days — final state is one open day") {
+    val ev = Tables.events(spark, sf)
+    val (s, batches, _) = runWithMetrics("s44b_stream_drift_append", ev.count())
+    val dayTypes = ev.select(to_date(col("ts")), col("event_type"))
+      .distinct().count()
+    // peak state spans every (day, type) group the watermark hasn't passed;
+    // final state must be only the OPEN trailing day's type rows
+    assert(s.maxStateRows <= dayTypes, "state exceeded the day×type census")
+    val wmMs = s.lastWatermarkMs.get
+    val openDayTypes = ev
+      .select(to_date(col("ts")).as("day"), col("event_type")).distinct()
+      .filter((col("day").cast("timestamp").cast("long") + 86400) * 1000 > wmMs)
+      .count()
+    assert(batches.last.stateRows === openDayTypes,
+      s"final state ${batches.last.stateRows} != open-day groups " +
+        s"$openDayTypes — eviction broken?")
+  }
+
   test("append-mode harness keeps table-sized results off the driver") {
     // append outputs scale with the input (s01/s23/s25 are |events| rows):
     // the harness must hand back a distributed file-sink read, never a

@@ -3073,6 +3073,94 @@ SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
   CAST(CAST(CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / count(*)
     AS DECIMAL(18,6)) AS DOUBLE) AS mean_j,
   least(sa, sb) <> greatest(sa, sb) AS leaking
-FROM sp GROUP BY 1, 2 ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""))
+FROM sp GROUP BY 1, 2 ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""")),
+
+    // ---- X61: unified contamination firewall --------------------------------
+    // The decision table a release pipeline actually gates on: BOTH
+    // contamination axes joined per document — verbatim n-gram overlap
+    // (x13's broadcast shingle probe) and embedding-space paraphrase
+    // proximity (x57's one-row broadcast eval array; the corpus's embedding
+    // table pairs 1:1 with documents on id) — against ONE coherent capped
+    // eval slice (doc_id % 20 = 0 AND < 2000, the x57 cap discipline: a
+    // benchmark is a bounded artifact, so work stays linear in the corpus).
+    // Verdict per doc: both / ngram / semantic / clean. A doc that shares
+    // no 13-gram but paraphrases an eval item is caught by the semantic
+    // axis; a verbatim quote with a different embedding neighborhood by the
+    // n-gram axis — the union is what "decontaminated" has to mean.
+    // Scale: two broadcast probes (eval grams; eval vectors) + one id-join
+    // of two corpus-sized flag tables — no corpus×corpus, no corpus
+    // shuffle beyond the id join. O-class: the capped eval keeps DuckDB's
+    // cosine replay at |eval|×|corpus|, feasible at every oracle tier.
+    GQuery("x61_contamination_firewall",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 2000
+        val ngram = graft.GraftOps.decontaminate(
+          docs.filter(!isEval), docs.filter(isEval),
+          col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
+        val emb = t(s, d, "embeddings")
+        val isEvalV = col("vec_id") % 20 === 0 && col("vec_id") < 2000
+        val ev = emb.filter(isEvalV)
+          .agg(collect_list(struct(col("vec_id").as("eid"),
+            col("embedding").as("ev"))).as("evs"))
+          .withColumn("jk", lit(1))
+        val sem = emb.filter(!isEvalV)
+          .withColumn("jk", lit(1))
+          .join(broadcast(ev), "jk")
+          .select(col("vec_id"),
+            array_max(transform(col("evs"), e =>
+              struct(cosine_sim(e.getField("ev"), col("embedding"))
+                  .cast("decimal(18,6)").as("sc"),
+                (-e.getField("eid")).as("nid")))).as("best"))
+          .select(col("vec_id"),
+            col("best.sc").cast("double").as("max_cos"),
+            (-col("best.nid")).as("nearest_eval"))
+        ngram.join(sem, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("nsh"), col("n_hits"),
+            col("contam_frac"), col("max_cos"), col("nearest_eval"),
+            when(col("contam_frac") >= 0.2 && col("max_cos") >= 0.45, "both")
+              .when(col("contam_frac") >= 0.2, "ngram")
+              .when(col("max_cos") >= 0.45, "semantic")
+              .otherwise("clean").as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+evg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+  WHERE doc_id % 20 = 0 AND doc_id < 2000),
+tr AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS g FROM sh
+  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN evg USING (g)
+  GROUP BY doc_id),
+base AS (SELECT doc_id, len(s) AS nsh FROM sh
+  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
+ng AS (SELECT b.doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
+    CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh
+      AS DECIMAL(18,6)) AS DOUBLE) AS contam_frac
+  FROM base b LEFT JOIN hits h USING (doc_id)),
+eve AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
+  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE NOT (vec_id % 20 = 0 AND vec_id < 2000)),
+scs AS (SELECT c.vec_id, eid,
+    CAST(list_cosine_similarity(v, evv) AS DECIMAL(18,6)) AS sc
+  FROM c CROSS JOIN eve),
+r AS (SELECT vec_id, eid, sc,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, eid) AS rn
+  FROM scs),
+sem AS (SELECT vec_id, CAST(sc AS DOUBLE) AS max_cos, eid AS nearest_eval
+  FROM r WHERE rn = 1)
+SELECT ng.doc_id, ng.nsh, ng.n_hits, ng.contam_frac,
+  sem.max_cos, sem.nearest_eval,
+  CASE WHEN ng.contam_frac >= 0.2 AND sem.max_cos >= 0.45 THEN 'both'
+       WHEN ng.contam_frac >= 0.2 THEN 'ngram'
+       WHEN sem.max_cos >= 0.45 THEN 'semantic'
+       ELSE 'clean' END AS verdict
+FROM ng JOIN sem ON ng.doc_id = sem.vec_id
+ORDER BY doc_id NULLS FIRST"""))
   )
 }

@@ -358,6 +358,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q113_column_profile").contains("Expand"))
   }
 
+  test("x61 firewall: both eval probes broadcast, never corpus×corpus") {
+    // the n-gram axis probes a broadcast eval-gram set, the semantic axis
+    // a one-row broadcast eval array; the only corpus-sized join is the
+    // 1:1 id join of the two flag tables — any cartesian product or a
+    // nested-loop join with a non-broadcast side means an axis regressed
+    // to corpus×corpus
+    val p = plan("x61_contamination_firewall")
+    assert(!p.contains("CartesianProduct"),
+      s"x61 went corpus×corpus:\n$p")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+        .findAllIn(p).length >= 2,
+      s"x61 lost a broadcast probe:\n$p")
+  }
+
   test("x50 bow dedup is one fingerprint shuffle (the x01 shape)") {
     // sparkPlan precedes EnsureRequirements, so count exchanges on the
     // executed plan (where they physically exist)

@@ -1087,6 +1087,36 @@ UNION ALL SELECT 'l_discount', n, z3, d3, mn3, mx3 FROM a
 UNION ALL SELECT 'l_tax', n, z4, d4, mn4, mx4 FROM a
 ORDER BY col_name NULLS FIRST""")),
 
+    // Q114: BATCH session windows — the same session_window operator the
+    // streaming lane uses (s04/s33), run as a plain batch aggregation:
+    // Spark lowers it to a sort-based gap-merge per user inside one
+    // shuffle, no state store. Sessionization is the canonical "needs a
+    // custom operator elsewhere" query — here it is one declarative
+    // groupBy, and the SAME definition serves batch backfill and the live
+    // stream (the lambda-architecture parity a 100 TB pipeline needs: the
+    // backfill job and the streaming job must agree on what a session IS).
+    // Oracle = the lag-based gap-numbering replay (s04's), which is also
+    // the portable SQL a warehouse would run.
+    GQuery("q114_batch_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("sv"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("ss"),
+          col("session_window.end").cast("long").as("se"),
+          col("n"), col("sv"))
+        .orderBy(col("user_id"), col("ss")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+l AS (SELECT user_id, us, value,
+  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+       THEN 1 ELSE 0 END AS nf FROM e),
+g AS (SELECT user_id, us, value, SUM(nf) OVER (PARTITION BY user_id ORDER BY us
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+SELECT user_id, min(us) // 1000000 AS ss, (max(us) + 1800000000) // 1000000 AS se,
+  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+FROM g GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
+
     // Q113b: the approx profiling lane q113's comment promises — the SAME
     // one-scan stack() report with approx_count_distinct (HLL++, rsd 2%)
     // in place of exact countDistinct. Why this is the 100 TB default:

@@ -241,6 +241,81 @@ final class KafkaLogClient(path: String,
     math.max(0L, listOffset(p, -1L) - listOffset(p, -2L))
   override def sizeInBytes(p: Int): Long = recordCount(p) * 1024L
 
+  // ---- consumer-group offset commit-back -----------------------------------
+  // FindCoordinator v0 (api 10) + OffsetCommit v2 (api 8) + OffsetFetch v1
+  // (api 9): the ≡ of rdkafka's enable.auto.commit (reference
+  // tests/utils.rs:272). Commit-back is ecosystem observability — external
+  // lag monitors watching the group see this consumer's progress — while
+  // the Spark checkpoint WAL stays the restart truth (the reference never
+  // reads committed offsets back either; SURVEY §3.2).
+
+  /** The group coordinator's address for `group` (a real cluster routes
+    * group state to one broker; the bootstrap answers FindCoordinator). */
+  private def coordinator(group: String): String = {
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    writeString(o, group)
+    val in = oneShot(bootstrap, ApiFindCoordinator, 0, body.toByteArray)
+    val err = in.readShort()
+    if (err != 0)
+      throw new IOException(s"kafka FindCoordinator error $err for group '$group'")
+    in.readInt()                // node id
+    val host = readString(in); val port = in.readInt()
+    s"$host:$port"
+  }
+
+  override def commitOffsets(group: String, offsets: Map[Int, Long]): Unit = {
+    if (offsets.isEmpty) return
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    writeString(o, group)
+    o.writeInt(-1)              // generation id: simple (non-rebalancing) consumer
+    writeString(o, "")          // member id
+    o.writeLong(-1L)            // retention: broker default
+    o.writeInt(1); writeString(o, topic)
+    o.writeInt(offsets.size)
+    offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+      o.writeInt(p); o.writeLong(off); writeString(o, "")
+    }
+    val in = oneShot(coordinator(group), ApiOffsetCommit, 2, body.toByteArray)
+    val nTopics = in.readInt()
+    (1 to nTopics).foreach { _ =>
+      val name = readString(in)
+      val nParts = in.readInt()
+      (1 to nParts).foreach { _ =>
+        val pid = in.readInt(); val err = in.readShort()
+        if (err != 0)
+          throw new IOException(
+            s"kafka OffsetCommit error $err for $name/$pid group '$group'")
+      }
+    }
+  }
+
+  override def committedOffsets(group: String,
+      parts: Seq[Int]): Map[Int, Long] = {
+    if (parts.isEmpty) return Map.empty
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    writeString(o, group)
+    o.writeInt(1); writeString(o, topic)
+    o.writeInt(parts.size)
+    parts.sorted.foreach(o.writeInt)
+    val in = oneShot(coordinator(group), ApiOffsetFetch, 1, body.toByteArray)
+    val nTopics = in.readInt()
+    var out = Map.empty[Int, Long]
+    (1 to nTopics).foreach { _ =>
+      val name = readString(in)
+      val nParts = in.readInt()
+      (1 to nParts).foreach { _ =>
+        val pid = in.readInt(); val off = in.readLong()
+        readString(in)          // metadata
+        val err = in.readShort()
+        if (err != 0)
+          throw new IOException(
+            s"kafka OffsetFetch error $err for $name/$pid group '$group'")
+        if (name == topic && off >= 0) out += pid -> off
+      }
+    }
+    out
+  }
+
   override def openFrames(p: Int, start: Long, needKey: Boolean,
       needValue: Boolean): FrameReader = new FrameReader {
     private var sock: Socket = _
@@ -317,6 +392,9 @@ private[replay] object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiOffsetCommit: Short = 8
+  val ApiOffsetFetch: Short = 9
+  val ApiFindCoordinator: Short = 10
   val ApiSaslHandshake: Short = 17
   val ApiSaslAuthenticate: Short = 36
   val ClientId = "graft"

@@ -40,6 +40,19 @@ trait LogClient {
     * columns. */
   def openFrames(p: Int, start: Long, needKey: Boolean,
       needValue: Boolean): FrameReader
+
+  /** Commit consumed offsets back under a consumer group — OBSERVABILITY,
+    * not progress truth (the checkpoint WAL owns restart semantics, exactly
+    * as the reference's rdkafka auto-commit never feeds back into its
+    * bounded ranges): an external lag monitor watching the group sees the
+    * stream's progress. Default: no-op (file/socket logs have no group
+    * coordinator). */
+  def commitOffsets(group: String, offsets: Map[Int, Long]): Unit = ()
+
+  /** Read a group's committed offsets (−1 = none committed); the inverse
+    * of [[commitOffsets]], used by monitors and tests. Default: empty. */
+  def committedOffsets(group: String, parts: Seq[Int]): Map[Int, Long] =
+    Map.empty
 }
 
 object LogClient {

@@ -495,6 +495,7 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].offsets
     val e = end.asInstanceOf[ReplayOffset].offsets
+    lastPlannedEnd = e               // auto-commit close-flush bookkeeping
     val planned = (s.keySet ++ e.keySet).toSeq.sorted.flatMap { p =>
       val eo = e.getOrElse(p, 0L)
       val so = s.getOrElse(p, math.min(opts.startingPerPartition.getOrElse(p, 0L), eo))
@@ -508,8 +509,49 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+
+  /** Kafka-parity auto-commit: with `consumer.group.id` +
+    * `consumer.enable.auto.commit=true`, each committed micro-batch's end
+    * offsets are committed back under the group (OffsetCommit via the
+    * client seam — a no-op for backends with no coordinator). This is
+    * OBSERVABILITY for external lag monitors; restart truth stays the
+    * checkpoint WAL (≡ the reference, whose rdkafka auto-commit also never
+    * feeds back into its bounded ranges). Failures log and continue — an
+    * unreachable coordinator must not fail a batch whose data is already
+    * durably committed to the sink. */
+  private def autoCommitGroup: Option[String] =
+    opts.consumerConf.get("group.id").filter(_ =>
+      opts.consumerConf.get("enable.auto.commit").exists(_.toBoolean))
+
+  // auto-commit bookkeeping: the engine's commit(end) callback fires per
+  // batch under ProcessingTime, but the AvailableNow executor runs all its
+  // batches in one cycle and never calls it — so stop() flushes the last
+  // PLANNED end, which is exactly librdkafka's close() behavior (auto-commit
+  // offsets are flushed on consumer close). A kill mid-batch can therefore
+  // over-commit by one planned batch — the same approximation rdkafka's
+  // interval auto-commit carries; restart truth stays the checkpoint WAL.
+  @volatile private var lastPlannedEnd: Map[Int, Long] = Map.empty
+  @volatile private var lastCommitted: Map[Int, Long] = Map.empty
+
+  private def sendCommit(offsets: Map[Int, Long]): Unit =
+    autoCommitGroup.foreach { g =>
+      try {
+        if (offsets.nonEmpty && offsets != lastCommitted) {
+          opts.client.commitOffsets(g, offsets)
+          lastCommitted = offsets
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft-replay: offset commit-back for group '$g' failed " +
+              s"(progress is checkpoint-safe): ${e.getMessage}")
+      }
+    }
+
+  override def commit(end: Offset): Unit =
+    sendCommit(ReplayOffset.fromJson(end.json()).offsets)
+
+  override def stop(): Unit = sendCommit(lastPlannedEnd)
 }
 
 class ReplayBatch(opts: ReplayOptions,

@@ -45,6 +45,18 @@ final class FakeKafkaBroker(dir: String, topic: String,
   }
   @volatile private var closed = false
 
+  /** (group, topic, partition) → committed offset — the coordinator state. */
+  private val committedStore =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Long]()
+
+  /** Test-visible view of a group's committed offsets for this topic. */
+  def committed(group: String): Map[Int, Long] = {
+    import scala.jdk.CollectionConverters._
+    committedStore.asScala.collect {
+      case ((g, t, p), off) if g == group && t == topic => p -> Long.unbox(off)
+    }.toMap
+  }
+
   def boundPort: Int = server.getLocalPort
   def address: String = s"127.0.0.1:$boundPort"
   /** value for the replay source's `path` option. */
@@ -120,6 +132,49 @@ final class FakeKafkaBroker(dir: String, topic: String,
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiListOffsets if apiVersion == 1 => listOffsets(r)
           case ApiFetch if apiVersion == 4 => fetch(r)
+          case ApiFindCoordinator if apiVersion == 0 =>
+            readString(r)               // group id: single node = coordinator
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeShort(0); o.writeInt(0)
+            writeString(o, "127.0.0.1"); o.writeInt(boundPort)
+            bo.toByteArray
+          case ApiOffsetCommit if apiVersion == 2 =>
+            val group = readString(r)
+            r.readInt(); readString(r); r.readLong() // generation/member/retention
+            val nTopics = r.readInt()
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(nTopics)
+            (1 to nTopics).foreach { _ =>
+              val name = readString(r)
+              val nParts = r.readInt()
+              writeString(o, name)
+              o.writeInt(nParts)
+              (1 to nParts).foreach { _ =>
+                val p = r.readInt(); val off = r.readLong(); readString(r)
+                committedStore.put((group, name, p), off)
+                o.writeInt(p); o.writeShort(0)
+              }
+            }
+            bo.toByteArray
+          case ApiOffsetFetch if apiVersion == 1 =>
+            val group = readString(r)
+            val nTopics = r.readInt()
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(nTopics)
+            (1 to nTopics).foreach { _ =>
+              val name = readString(r)
+              val nParts = r.readInt()
+              writeString(o, name)
+              o.writeInt(nParts)
+              (1 to nParts).foreach { _ =>
+                val p = r.readInt()
+                val off = Option(committedStore.get((group, name, p)))
+                  .map(Long.unbox).getOrElse(-1L)
+                o.writeInt(p); o.writeLong(off)
+                writeString(o, ""); o.writeShort(0)
+              }
+            }
+            bo.toByteArray
           case other =>
             throw new IOException(s"fake broker: unsupported api $other v$apiVersion")
         }

@@ -1,0 +1,82 @@
+package graft.sources.replay
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Consumer-group offset commit-back (the last reference-parity row:
+  * `enable.auto.commit=true`, reference tests/utils.rs:272) — Kafka's
+  * FindCoordinator v0 + OffsetCommit v2 + OffsetFetch v1 through the
+  * LogClient seam. Semantics: commit-back is OBSERVABILITY for external
+  * lag monitors; restart truth stays the checkpoint WAL, exactly as the
+  * reference's rdkafka auto-commit never feeds back into its bounded
+  * ranges. Delivery: the engine's per-batch commit(end) callback under
+  * ProcessingTime, plus a close-flush of the last planned end in stop()
+  * (the AvailableNow executor never calls commit mid-run — and flushing
+  * on close is precisely librdkafka's auto-commit close behavior). */
+class KafkaGroupSpec extends graft.SparkSpec {
+
+  test("auto-commit publishes each batch's end offsets under the group") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val broker = new FakeKafkaBroker(dir, "events")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-grp").toString
+    try {
+      val q = spark.readStream.format("graft-replay")
+        .option("client", "kafka").option("path", broker.clientPath)
+        .option("consumer.group.id", "graft-lag-monitor")
+        .option("consumer.enable.auto.commit", "true")
+        .option("maxRowsPerTrigger", "500")   // several batches → several commits
+        .load()
+        .select(col("partition"), col("offset"))
+        .writeStream.format("memory").queryName("kafka_grp_mem")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      val file = new FileLogClient(dir)
+      val want = file.listPartitions().map(p => p -> file.endOffset(p)).toMap
+      // broker-side view (what an external monitor reads)
+      assert(broker.committed("graft-lag-monitor") === want,
+        "committed offsets must be the log-end offsets after run-to-end")
+      // client-side OffsetFetch round-trip
+      val c = new KafkaLogClient(broker.clientPath)
+      assert(c.committedOffsets("graft-lag-monitor", want.keys.toSeq) === want)
+      // a group that never committed reads empty (-1 sentinel filtered)
+      assert(c.committedOffsets("nobody", want.keys.toSeq) === Map.empty)
+    } finally broker.close()
+  }
+
+  test("no group.id or auto-commit off → nothing is committed") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val broker = new FakeKafkaBroker(dir, "events")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-grp2").toString
+    try {
+      val q = spark.readStream.format("graft-replay")
+        .option("client", "kafka").option("path", broker.clientPath)
+        .option("consumer.group.id", "silent-group") // auto.commit defaults off
+        .load()
+        .select(col("offset"))
+        .writeStream.format("memory").queryName("kafka_grp_mem2")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(broker.committed("silent-group") === Map.empty,
+        "auto.commit defaults to OFF — nothing may be committed")
+    } finally broker.close()
+  }
+
+  test("an unreachable coordinator does not fail the batch") {
+    // file-backed client: commitOffsets is a documented no-op, and the
+    // stream must run cleanly with the same options set
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-grp3").toString
+    val q = spark.readStream.format("graft-replay")
+      .option("path", dir)
+      .option("consumer.group.id", "g").option("consumer.enable.auto.commit", "true")
+      .load().select(col("offset"))
+      .writeStream.format("memory").queryName("kafka_grp_mem3")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("kafka_grp_mem3").count() > 0)
+  }
+}

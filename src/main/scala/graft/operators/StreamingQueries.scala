@@ -2005,6 +2005,76 @@ FROM c, wm GROUP BY ws_sec, wm_ms
 HAVING (ws_sec + 600) * 1000 <= wm_ms
 ORDER BY ws_sec NULLS FIRST""")),
 
+    // S53: streaming count-min frequency sketch — per-window user activity
+    // estimation at BOUNDED state for an unbounded key space (the live
+    // cousin of x25's batch CMS, completing the sketch-state trio with
+    // s52's MinHash and x11's HLL). Per event, two portable hash rows map
+    // user_id into 256 buckets each; the stream maintains per-window
+    // (row, bucket) counts — state ≤ |open windows| × 512 rows no matter
+    // how many distinct users flow through (per-user state like s45's is
+    // unbounded over the KEY space; the sketch trades point-exactness for
+    // a hard state budget). Append+watermark: closed windows emit once
+    // and evict (the s31/s51b rule). The dashboard projection probes a
+    // fixed user set against the emitted sketches — est = min over the
+    // two rows, the standard CMS upper-bound estimate, an over-count only
+    // on double collisions. Portable md5 bucket hashing makes DuckDB
+    // replay the sketch bit-exactly: O-class.
+    GQuery("s53_stream_cms_topusers",
+      (s, d) => {
+        def bkt(r: Int, c: org.apache.spark.sql.Column) = expr(
+          s"CAST(conv(substr(md5(concat('cms$r:', CAST(${c.toString} AS STRING))), 1, 4), 16, 10) AS BIGINT) % 256")
+        val counts = runToMemory(
+          eventStream(s, d)
+            .withWatermark("ts", "1 hour")
+            .select(col("ts"), explode(array(
+              struct(lit(0).as("r"), bkt(0, col("user_id")).as("bucket")),
+              struct(lit(1).as("r"), bkt(1, col("user_id")).as("bucket"))))
+              .as("rb"))
+            .select(col("ts"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+            .groupBy(window(col("ts"), "10 minutes"), col("r"), col("bucket"))
+            .agg(count(lit(1)).as("c")),
+          "append")
+          .select(col("window.start").cast("long").as("ws_sec"),
+            col("r"), col("bucket"), col("c"))
+        val wins = counts.select(col("ws_sec")).distinct()
+        val probes = s.range(0, 20).toDF("user_id")
+          .select(col("user_id"),
+            bkt(0, col("user_id")).as("b0"), bkt(1, col("user_id")).as("b1"))
+        wins.crossJoin(broadcast(probes))
+          .join(counts.filter(col("r") === 0)
+            .select(col("ws_sec"), col("bucket").as("b0"), col("c").as("c0")),
+            Seq("ws_sec", "b0"), "left")
+          .join(counts.filter(col("r") === 1)
+            .select(col("ws_sec"), col("bucket").as("b1"), col("c").as("c1")),
+            Seq("ws_sec", "b1"), "left")
+          .select(col("ws_sec"), col("user_id"),
+            least(coalesce(col("c0"), lit(0L)), coalesce(col("c1"), lit(0L)))
+              .as("est"))
+          .orderBy(col("ws_sec"), col("user_id"))
+      },
+      Some("""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms FROM events),
+b AS (SELECT (epoch_us(ts) // 600000000) * 600 AS ws_sec, user_id FROM events),
+closed AS (SELECT ws_sec, user_id FROM b, wm WHERE (ws_sec + 600) * 1000 <= wm_ms),
+e0 AS (SELECT ws_sec,
+    CAST(concat('0x', substr(md5('cms0:' || CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS bkt,
+    count(*) AS c
+  FROM closed GROUP BY 1, 2),
+e1 AS (SELECT ws_sec,
+    CAST(concat('0x', substr(md5('cms1:' || CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS bkt,
+    count(*) AS c
+  FROM closed GROUP BY 1, 2),
+probes AS (SELECT u AS user_id,
+    CAST(concat('0x', substr(md5('cms0:' || CAST(u AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS b0,
+    CAST(concat('0x', substr(md5('cms1:' || CAST(u AS VARCHAR)), 1, 4)) AS BIGINT) % 256 AS b1
+  FROM (SELECT unnest(range(0, 20)) AS u)),
+wins AS (SELECT DISTINCT ws_sec FROM closed)
+SELECT w.ws_sec, p.user_id,
+  CAST(least(coalesce(c0.c, 0), coalesce(c1.c, 0)) AS BIGINT) AS est
+FROM wins w CROSS JOIN probes p
+LEFT JOIN e0 c0 ON c0.ws_sec = w.ws_sec AND c0.bkt = p.b0
+LEFT JOIN e1 c1 ON c1.ws_sec = w.ws_sec AND c1.bkt = p.b1
+ORDER BY w.ws_sec NULLS FIRST, user_id NULLS FIRST""")),
+
     // S52: streaming MinHash source signatures — the EXACT SAME operator
     // function as batch x58 ([[graft.GraftOps.minhashLaneMins]]) run over
     // the live document stream, because min is a streaming-legal mergeable

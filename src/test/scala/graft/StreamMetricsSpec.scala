@@ -178,6 +178,24 @@ class StreamMetricsSpec extends SparkSpec {
         s"$openDayTypes — eviction broken?")
   }
 
+  test("s53 CMS state is bucket-bounded and evicts with the watermark") {
+    val ev = Tables.events(spark, sf)
+    val (s, batches, _) = runWithMetrics("s53_stream_cms_topusers", ev.count())
+    val windows = ev.select(window(col("ts"), "10 minutes")).distinct().count()
+    // the sketch's whole point: state ≤ windows × (2 rows × 256 buckets)
+    // regardless of how many distinct users flow through
+    assert(s.maxStateRows <= windows * 512,
+      s"s53 state ${s.maxStateRows} exceeded the sketch budget")
+    val wmMs = s.lastWatermarkMs.get
+    val openWins = ev
+      .select(window(col("ts"), "10 minutes").getField("end")
+        .cast("long").as("we")).distinct()
+      .filter(col("we") * 1000 > wmMs).count()
+    assert(batches.last.stateRows <= openWins * 512,
+      s"final state ${batches.last.stateRows} not evicted to the " +
+        s"$openWins open windows' budget")
+  }
+
   test("append-mode harness keeps table-sized results off the driver") {
     // append outputs scale with the input (s01/s23/s25 are |events| rows):
     // the harness must hand back a distributed file-sink read, never a

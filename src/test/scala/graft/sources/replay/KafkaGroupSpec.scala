@@ -45,6 +45,40 @@ class KafkaGroupSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("checkpoint resume over the kafka backend reads each record exactly once") {
+    // mid-run interruption + restart from the same checkpoint: the WAL owns
+    // restart truth (never the broker's committed group offsets), and the
+    // union of the two runs must be every record exactly once
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val broker = new FakeKafkaBroker(dir, "events")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-resume").toString
+    val out = java.nio.file.Files.createTempDirectory("kafka-resume-out").toString
+    try {
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-replay")
+          .option("client", "kafka").option("path", broker.clientPath)
+          .option("consumer.group.id", "resume-g")
+          .option("consumer.enable.auto.commit", "true")
+          .option("maxRowsPerTrigger", "400")
+          .load()
+          .select(col("partition"), col("offset"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()   // full run to end
+      runOnce()   // resume over the same checkpoint: nothing new to read
+      val got = spark.read.parquet(out)
+        .select(col("partition"), col("offset")).collect()
+      assert(got.length === got.toSet.size, "a record was read twice")
+      val file = new FileLogClient(dir)
+      val nAll = file.listPartitions().map(file.recordCount).sum
+      assert(got.length.toLong === nAll,
+        s"expected exactly $nAll records across both runs, got ${got.length}")
+    } finally broker.close()
+  }
+
   test("no group.id or auto-commit off → nothing is committed") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val broker = new FakeKafkaBroker(dir, "events")

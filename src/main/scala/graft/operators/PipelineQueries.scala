@@ -3161,6 +3161,90 @@ SELECT ng.doc_id, ng.nsh, ng.n_hits, ng.contam_frac,
        WHEN sem.max_cos >= 0.45 THEN 'semantic'
        ELSE 'clean' END AS verdict
 FROM ng JOIN sem ON ng.doc_id = sem.vec_id
-ORDER BY doc_id NULLS FIRST"""))
+ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- X62: dataset card -------------------------------------------------
+    // The per-source summary a release SHIPS beside x54's manifest: doc and
+    // token counts, mean length, lexical diversity, exact-dup rate, and the
+    // dominant language with its share — the numbers a consumer reads
+    // before training on the set. Shape: one corpus scan computes per-row
+    // features; the dup flag needs ONE content-hash shuffle (x01's shape —
+    // a doc is a dup iff it is not its hash group's min-id keeper, and a
+    // cross-source dup is attributed to its OWN source); language mode is a
+    // per-(source, lang) count + row_number (ties break to the smaller
+    // lang on both engines). Means are exact: per-row ratios quantized to
+    // decimal(18,6), summed as decimal (order-free), divided ONCE — the
+    // x60 discipline, so no partition-order avg(double) divergence.
+    GQuery("x62_dataset_card",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            col("text"))
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("tok", size(col("ws")).cast("long"))
+          .withColumn("dwr",
+            (size(array_distinct(col("ws"))).cast("double") /
+              greatest(size(col("ws")), lit(1)).cast("double"))
+              .cast("decimal(18,6)"))
+          .withColumn("h", md5(col("text")))
+          .drop("ws", "text")
+        val keeper = docs.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
+        val flagged = docs.join(keeper, "h")
+          .withColumn("is_dup", col("doc_id") =!= col("kid"))
+        val agg = flagged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("dwr")).as("sum_dwr"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        val langTop = flagged.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lc"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+              .orderBy(col("lc").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"), col("lc"))
+        agg.join(langTop, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("sum_chars").cast("double") / col("n_docs"))
+              .cast("decimal(18,6)").cast("double").as("mean_chars"),
+            (col("sum_dwr").cast("double") / col("n_docs"))
+              .cast("decimal(18,6)").cast("double").as("lexical_diversity"),
+            (col("n_dups").cast("double") / col("n_docs"))
+              .cast("decimal(18,6)").cast("double").as("dup_rate"),
+            col("top_lang"),
+            (col("lc").cast("double") / col("n_docs"))
+              .cast("decimal(18,6)").cast("double").as("lang_share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (SELECT doc_id, source, lang, n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+    CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / greatest(len(string_split(text, ' ')), 1) AS DECIMAL(18,6)) AS dwr,
+    md5(text) AS h
+  FROM documents),
+keep AS (SELECT h, min(doc_id) AS kid FROM base GROUP BY h),
+f AS (SELECT b.*, b.doc_id <> k.kid AS is_dup
+  FROM base b JOIN keep k USING (h)),
+agg AS (SELECT source, count(*) AS n_docs,
+    CAST(sum(tok) AS BIGINT) AS n_tokens,
+    sum(n_chars) AS sum_chars, sum(dwr) AS sum_dwr,
+    sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dups
+  FROM f GROUP BY source),
+lc AS (SELECT source, lang, count(*) AS lc,
+    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+  FROM f GROUP BY source, lang)
+SELECT a.source, a.n_docs, a.n_tokens,
+  CAST(CAST(CAST(a.sum_chars AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
+    AS mean_chars,
+  CAST(CAST(CAST(a.sum_dwr AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
+    AS lexical_diversity,
+  CAST(CAST(CAST(a.n_dups AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
+    AS dup_rate,
+  lc.lang AS top_lang,
+  CAST(CAST(CAST(lc.lc AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
+    AS lang_share
+FROM agg a JOIN lc ON a.source = lc.source AND lc.rn = 1
+ORDER BY a.source NULLS FIRST"""))
   )
 }

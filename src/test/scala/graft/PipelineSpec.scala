@@ -452,6 +452,23 @@ class PipelineSpec extends SparkSpec {
       s"floored budgets must sum into (10000 - nSources, 10000]: $bSum")
   }
 
+  test("x63 sorted-neighborhood: exact precision, high recall vs the full pair set") {
+    val got = q("x63_sorted_neighborhood").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the exact inverted-index generator at the same
+    // k=5 / 0.5 threshold (x02's machinery)
+    val exact = GraftOps.jaccardNearDups(Tables.table(spark, sf, "documents"),
+        col("doc_id"), col("text"), k = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "no pairs surfaced — planting or sorting broken")
+    // precision is EXACT by construction (candidates verify with the same
+    // Jaccard); only recall is heuristic
+    assert(got.subsetOf(exact),
+      s"sorted-neighborhood produced a non-pair: ${got.diff(exact)}")
+    assert(got.size >= math.ceil(0.8 * exact.size).toInt,
+      s"two-pass recall ${got.size}/${exact.size} below the 80% floor")
+  }
+
   test("x55 A-ES sample equals an independent local recomputation and skews long") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

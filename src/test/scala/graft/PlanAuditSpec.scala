@@ -372,6 +372,28 @@ class PlanAuditSpec extends SparkSpec {
       s"x61 lost a broadcast probe:\n$p")
   }
 
+  test("x63 sorted-neighborhood windows are prefix-partitioned, never global") {
+    // the whole scale argument: the sort runs INSIDE 2-char key-prefix
+    // blocks. A row_number over an empty PARTITION BY would plan an
+    // Exchange SinglePartition — the one-task cliff the op exists to avoid
+    val p = SparkEntry.queries("x63_sorted_neighborhood")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"x63 collapsed to a single-task global sort:\n$p")
+    assert("hashpartitioning\\(blk".r.findFirstIn(p).isDefined,
+      s"x63 lost the prefix-block window partitioning:\n$p")
+  }
+
+  test("x62 dataset card pays exactly one content-hash shuffle for the dup flag") {
+    val p = SparkEntry.queries("x62_dataset_card")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(h#".r.findAllIn(p).nonEmpty,
+      s"x62 lost the content-hash dup shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x62 grew a corpus-squared join:\n$p")
+  }
+
   test("x50 bow dedup is one fingerprint shuffle (the x01 shape)") {
     // sparkPlan precedes EnsureRequirements, so count exchanges on the
     // executed plan (where they physically exist)

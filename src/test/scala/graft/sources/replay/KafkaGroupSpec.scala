@@ -98,6 +98,39 @@ class KafkaGroupSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("a partition born mid-stream is discovered through the kafka backend") {
+    // the reference hardcodes its partition count (execution.rs:47-49);
+    // here Metadata is re-requested every trigger, so a topic that GROWS
+    // while the stream runs is picked up — through the wire protocol, not
+    // just the file client
+    import graft.sources.replay.{ReplayLog => RL}
+    val dir = java.nio.file.Files.createTempDirectory("kgrow").toString
+    RL.writePartitionFile(dir, 0, Iterator(
+      org.apache.spark.sql.Row("k0".getBytes, "v0".getBytes, 1000L)))
+    val broker = new FakeKafkaBroker(dir, "events")
+    val name = "kafka_grow_mem"
+    val q = spark.readStream.format("graft-replay")
+      .option("client", "kafka").option("path", broker.clientPath).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kgrow-ck").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table(name).count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(spark.table(name).count() === 1)
+      RL.writePartitionFile(dir, 1, Iterator(
+        org.apache.spark.sql.Row("k1".getBytes, "v1".getBytes, 2000L),
+        org.apache.spark.sql.Row("k2".getBytes, "v2".getBytes, 3000L)))
+      while (spark.table(name).count() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally { q.stop(); broker.close() }
+    val got = spark.table(name)
+    assert(got.count() === 3)
+    assert(got.filter(col("partition") === 1).count() === 2)
+  }
+
   test("an unreachable coordinator does not fail the batch") {
     // file-backed client: commitOffsets is a documented no-op, and the
     // stream must run cleanly with the same options set

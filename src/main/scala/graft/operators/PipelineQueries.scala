@@ -3335,6 +3335,142 @@ FROM j
 WHERE CAST(CAST(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
     / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
     AS DECIMAL(18,6)) AS DOUBLE) >= 0.5
-ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST"""))
+ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
+
+    // ---- X64: release funnel ------------------------------------------------
+    // The attrition report of the WHOLE release gate chain — the one table
+    // a data lead reads to see where the corpus went: docs and tokens
+    // surviving each cumulative stage (raw → exact-dedup keeper → near-dup
+    // cluster keeper → n-gram-clean → semantic-clean), with retained
+    // fraction. Every stage reuses the engine's own machinery: x01's
+    // md5-keeper, x07/x56's memoized pair table + O(log n) CC, x13's
+    // broadcast 3-gram probe, x57/x61's broadcast semantic probe — so the
+    // funnel costs ONE extra stack()+aggregate over the per-doc flag table,
+    // and the memoization means the expensive pair generation is shared
+    // with x02/x07/x56/x60 in a full pipeline run. DuckDB replays the pair
+    // set brute-force (oracle scale only — listed with the quadratic
+    // oracles pruned at sf0.1). O-class.
+    GQuery("x64_release_funnel",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 2000
+        val base = docs.filter(!isEval)
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .withColumn("h", md5(col("text")))
+        val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
+        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
+          col("doc_a"), col("doc_b"))
+        val withC = base.join(keeper, "h")
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        val ckeep = withC.groupBy(col("cluster")).agg(min(col("doc_id")).as("ckid"))
+        val ngram = graft.GraftOps.decontaminate(
+          docs.filter(!isEval), docs.filter(isEval),
+          col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
+          .select(col("doc_id"), col("flagged").as("ngram_flag"))
+        val emb = t(s, d, "embeddings")
+        val isEvalV = col("vec_id") % 20 === 0 && col("vec_id") < 2000
+        val ev = emb.filter(isEvalV)
+          .agg(collect_list(col("embedding")).as("evs")).withColumn("jk", lit(1))
+        val sem = emb.filter(!isEvalV).withColumn("jk", lit(1))
+          .join(broadcast(ev), "jk")
+          .select(col("vec_id"),
+            array_max(transform(col("evs"), e =>
+              cosine_sim(e, col("embedding")).cast("decimal(18,6)")))
+              .cast("double").as("max_cos"))
+        val flags = withC.join(ckeep, "cluster")
+          .join(ngram, "doc_id")
+          .join(sem, col("doc_id") === col("vec_id"), "left")
+          .select(col("tok"),
+            (col("doc_id") === col("kid")).as("p1"),
+            (col("doc_id") === col("ckid")).as("p2"),
+            (!col("ngram_flag")).as("p3"),
+            (coalesce(col("max_cos"), lit(0.0)) < 0.45).as("p4"))
+        val total = base.agg(count(lit(1)).as("total"))
+        flags.select(col("tok"), expr("""stack(5,
+            '0_raw', true,
+            '1_exact_dedup', p1,
+            '2_neardup_dedup', p1 AND p2,
+            '3_ngram_clean', p1 AND p2 AND p3,
+            '4_semantic_clean', p1 AND p2 AND p3 AND p4)
+            AS (stage, pass)"""))
+          .filter(col("pass"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+          .crossJoin(broadcast(total))
+          .select(col("stage"), col("n_docs"), col("n_tokens"),
+            (col("n_docs").cast("double") / col("total"))
+              .cast("decimal(18,6)").cast("double").as("retained_frac"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH RECURSIVE corpus AS (SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, md5(text) AS h
+  FROM documents WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
+keep AS (SELECT h, min(doc_id) AS kid FROM corpus GROUP BY h),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh5 AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh5 a JOIN sh5 b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+wc AS (SELECT c.doc_id, c.tok, c.h, coalesce(cl.cluster, c.doc_id) AS cluster
+  FROM corpus c LEFT JOIN clus cl USING (doc_id)),
+ck AS (SELECT cluster, min(doc_id) AS ckid FROM wc GROUP BY cluster),
+sh3 AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+evg AS (SELECT DISTINCT unnest(s) AS g FROM sh3
+  WHERE doc_id % 20 = 0 AND doc_id < 2000),
+tr AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS g FROM sh3
+  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN evg USING (g)
+  GROUP BY doc_id),
+basen AS (SELECT doc_id, len(s) AS nsh FROM sh3
+  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
+ng AS (SELECT b.doc_id,
+    CAST(CAST(CAST(coalesce(hh.n_hits, 0) AS DOUBLE) / b.nsh
+      AS DECIMAL(18,6)) AS DOUBLE) >= 0.2 AS ngram_flag
+  FROM basen b LEFT JOIN hits hh USING (doc_id)),
+eve AS (SELECT CAST(embedding AS DOUBLE[]) AS evv FROM embeddings
+  WHERE vec_id % 20 = 0 AND vec_id < 2000),
+cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE NOT (vec_id % 20 = 0 AND vec_id < 2000)),
+scs AS (SELECT cv.vec_id,
+    CAST(list_cosine_similarity(v, evv) AS DECIMAL(18,6)) AS sc
+  FROM cv CROSS JOIN eve),
+sem AS (SELECT vec_id, CAST(max(sc) AS DOUBLE) AS max_cos FROM scs
+  GROUP BY vec_id),
+flags AS (SELECT wc.tok,
+    wc.doc_id = k.kid AS p1,
+    wc.doc_id = ck.ckid AS p2,
+    NOT ng.ngram_flag AS p3,
+    coalesce(s2.max_cos, 0) < 0.45 AS p4
+  FROM wc JOIN keep k USING (h) JOIN ck USING (cluster)
+    JOIN ng ON wc.doc_id = ng.doc_id
+    LEFT JOIN sem s2 ON wc.doc_id = s2.vec_id),
+tot AS (SELECT count(*) AS total FROM corpus),
+st AS (
+  SELECT '0_raw' AS stage, tok FROM flags
+  UNION ALL SELECT '1_exact_dedup', tok FROM flags WHERE p1
+  UNION ALL SELECT '2_neardup_dedup', tok FROM flags WHERE p1 AND p2
+  UNION ALL SELECT '3_ngram_clean', tok FROM flags WHERE p1 AND p2 AND p3
+  UNION ALL SELECT '4_semantic_clean', tok FROM flags
+    WHERE p1 AND p2 AND p3 AND p4)
+SELECT stage, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+  CAST(CAST(CAST(count(*) AS DOUBLE) / max(total) AS DECIMAL(18,6)) AS DOUBLE)
+    AS retained_frac
+FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST"""))
   )
 }

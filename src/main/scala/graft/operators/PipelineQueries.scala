@@ -3375,6 +3375,13 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
           .agg(collect_list(col("embedding")).as("evs")).withColumn("jk", lit(1))
         val sem = emb.filter(!isEvalV).withColumn("jk", lit(1))
           .join(broadcast(ev), "jk")
+          // x57's canary: an empty eval slice still yields one collect_list
+          // row whose empty array would null max_cos into a silent
+          // keep-everything stage — fail loudly instead
+          .withColumn("evs",
+            when(assert_true(size(col("evs")) > 0,
+              lit("x64: eval slice is empty — the semantic stage would " +
+                "silently pass every doc")).isNull, col("evs")))
           .select(col("vec_id"),
             array_max(transform(col("evs"), e =>
               cosine_sim(e, col("embedding")).cast("decimal(18,6)")))

@@ -13,6 +13,12 @@ object GraftFunctions {
   /** cosine similarity of two array<float> columns (codegen, double accum). */
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
 
+  /** Unicode canonical composition (NFC) of a string column (codegen). */
+  def nfc_normalize(s: Column): Column = c(NfcNormalize(x(s)))
+
+  /** NFD + combining-mark removal (café→cafe) of a string column (codegen). */
+  def strip_accents(s: Column): Column = c(StripAccents(x(s)))
+
   /** Euclidean distance over two `array<double>` columns (codegen kernel). */
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(x(a), x(b)))
 

@@ -1117,6 +1117,44 @@ SELECT user_id, min(us) // 1000000 AS ss, (max(us) + 1800000000) // 1000000 AS s
   count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
 FROM g GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
 
+    // Q115: Unicode normalization battery — the canonicalization a
+    // dedup-robust pipeline runs BEFORE fingerprinting: the same visible
+    // text arrives as different byte sequences (decomposed e+◌́ vs
+    // precomposed é), and md5/shingle/MinHash identity breaks on bytes,
+    // not glyphs. Spark has no NFC/accent-strip builtins, so these are
+    // native codegen expressions (graft.functions.{NfcNormalize,
+    // StripAccents}, JDK java.text.Normalizer) — and DuckDB HAS both
+    // (nfc_normalize / strip_accents), making this battery exactly
+    // hash-checkable cross-engine, including the length collapse of
+    // decomposed sequences under NFC. Literals cover decomposed +
+    // precomposed twins, combining-mark accents, a horn-mark Vietnamese
+    // word, and the ß/Đ base letters both engines must NOT strip.
+    GQuery("q115_unicode_normalization",
+      (s, d) => {
+        import s.implicits._
+        val fns = graft.functions.GraftFunctions
+        Seq((0L, "café"), (1L, "café"), (2L, "naïve"),
+          (3L, "Ångström"), (4L, "niño"),
+          (5L, "Đường"), (6L, "straße"),
+          (7L, "plain ascii"))
+          .toDF("id", "raw")
+          .select(col("id"),
+            fns.nfc_normalize(col("raw")).as("nfc_s"),
+            fns.strip_accents(col("raw")).as("stripped"),
+            length(col("raw")).as("n_raw"),
+            length(fns.nfc_normalize(col("raw"))).as("n_nfc"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH v(id, raw) AS (VALUES
+  (0, 'café'), (1, 'café'), (2, 'naïve'),
+  (3, 'Ångström'), (4, 'niño'),
+  (5, 'Đường'), (6, 'straße'), (7, 'plain ascii'))
+SELECT CAST(id AS BIGINT) AS id, nfc_normalize(raw) AS nfc_s,
+  strip_accents(raw) AS stripped,
+  CAST(length(raw) AS INTEGER) AS n_raw,
+  CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_nfc
+FROM v ORDER BY id NULLS FIRST""")),
+
     // Q113b: the approx profiling lane q113's comment promises — the SAME
     // one-scan stack() report with approx_count_distinct (HLL++, rsd 2%)
     // in place of exact countDistinct. Why this is the 100 TB default:

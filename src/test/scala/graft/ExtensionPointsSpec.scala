@@ -67,6 +67,28 @@ class ExtensionPointsSpec extends SparkSpec {
     assert(math.abs(r.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
   }
 
+  test("unicode normalization: NFC unifies byte-variant twins; SQL surface works") {
+    import spark.implicits._
+    graft.Graft.registerFunctions(spark)
+    // decomposed (e + U+0301) and precomposed é are DIFFERENT byte strings
+    // that md5 would fingerprint apart; NFC must unify them exactly
+    Seq(("café", "café")).toDF("a", "b")
+      .createOrReplaceTempView("uni_in")
+    val r = spark.sql(
+      """SELECT a = b AS raw_eq,
+        |  nfc_normalize(a) = nfc_normalize(b) AS nfc_eq,
+        |  md5(a) = md5(b) AS md5_raw_eq,
+        |  md5(nfc_normalize(a)) = md5(nfc_normalize(b)) AS md5_nfc_eq,
+        |  strip_accents(a) AS sa,
+        |  strip_accents(strip_accents(a)) AS saa FROM uni_in""".stripMargin).head
+    assert(!r.getBoolean(0) && !r.getBoolean(2),
+      "fixture must be a genuine byte-variant pair")
+    assert(r.getBoolean(1) && r.getBoolean(3),
+      "NFC must unify the twins (and their fingerprints)")
+    assert(r.getString(4) == "cafe")
+    assert(r.getString(5) == r.getString(4), "strip_accents must be idempotent")
+  }
+
   test("q113b approx profile: every per-column estimate within 5% of q113 exact") {
     // the q35/X11 idiom: the G-class sketch lane is bounded against its
     // exact O-class twin — same report shape, rel-error <= 5% per column

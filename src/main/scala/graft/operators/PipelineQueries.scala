@@ -2496,6 +2496,57 @@ SELECT fp, min(doc_id) AS keeper, count(*) AS n_members,
 FROM f GROUP BY fp HAVING count(*) >= 2
 ORDER BY keeper NULLS FIRST""")),
 
+    // ---- X65: normalization-aware exact dedup -------------------------------
+    // x01's content-hash dedup is BYTE identity — the same visible text as
+    // composed é, decomposed e+◌́, or mixed case fingerprints apart and
+    // slips every exact pass. This lane canonicalizes first
+    // (NFC → strip_accents → lower, the new native expressions) and hashes
+    // the canonical form: one extra per-row kernel on the same single
+    // content-hash shuffle. Planted triples prove the catch: each %40==7
+    // doc gains a composed-accent twin AND a decomposed-accent twin
+    // (different bytes — raw md5 splits all three; the canonical hash
+    // groups them, n_byte_variants = 3). O-class: DuckDB's own
+    // nfc_normalize/strip_accents replay the canonicalization exactly.
+    GQuery("x65_normalized_dedup",
+      (s, d) => {
+        val fns = graft.functions.GraftFunctions
+        val docs = t(s, d, "documents")
+        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
+        val comp = docs.filter(col("doc_id") % 40 === 7)
+          .select((col("doc_id") + off).as("doc_id"),
+            expr("replace(text, 'e', 'é')").as("text"))
+        val decomp = docs.filter(col("doc_id") % 40 === 7)
+          .select((col("doc_id") + off * 2).as("doc_id"),
+            expr("replace(text, 'e', 'é')").as("text"))
+        docs.select(col("doc_id"), col("text")).unionAll(comp).unionAll(decomp)
+          .select(col("doc_id"),
+            md5(lower(fns.strip_accents(fns.nfc_normalize(col("text")))))
+              .as("fp"),
+            md5(col("text")).as("bh"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("n_members"),
+            countDistinct(col("bh")).as("n_byte_variants"))
+          .filter(col("n_members") >= 2)
+          .orderBy(col("keeper"))
+      },
+      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
+u AS (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT off FROM mx),
+    replace(text, 'e', chr(233)) FROM documents WHERE doc_id % 40 = 7
+  UNION ALL
+  SELECT doc_id + 2 * (SELECT off FROM mx),
+    replace(text, 'e', 'e' || chr(769)) FROM documents WHERE doc_id % 40 = 7),
+f AS (SELECT doc_id,
+    md5(lower(strip_accents(nfc_normalize(text)))) AS fp,
+    md5(text) AS bh
+  FROM u)
+SELECT fp, min(doc_id) AS keeper, count(*) AS n_members,
+  count(DISTINCT bh) AS n_byte_variants
+FROM f GROUP BY fp HAVING count(*) >= 2
+ORDER BY keeper NULLS FIRST""")),
+
     // ---- X51: intra-document self-repetition trim --------------------------
     // X43 excises chunks that repeat across the CORPUS; this trims chunks
     // that repeat within ONE document (copy-paste loops, boilerplate a

@@ -3324,17 +3324,22 @@ ORDER BY a.source NULLS FIRST""")),
             concat_ws(" ", col("sw")).as("key1"),
             concat_ws(" ", reverse(col("sw"))).as("key2"))
           .localCheckpoint()
+        // Neighbor pairs via lead() — NOT a rn-range self-join: a join on
+        // the block key materializes |block|² rows before the range filter,
+        // and synthetic vocab skews one block to most of the corpus
+        // (measured ×13 on ×10 data before this rewrite; ×~1 after). lead
+        // emits exactly the w pairs per row, O(w·n) regardless of skew.
         def pass(key: String) = {
-          val o = base.select(col("doc_id"), col(key).as("k"))
-            .withColumn("blk", substring(col("k"), 1, 2))
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))))
-          o.as("a").join(o.as("b"),
-              col("a.blk") === col("b.blk") &&
-              col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + 3)
-            .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(substring(col(key), 1, 2))
+            .orderBy(col(key), col("doc_id"))
+          base.select(col("doc_id"),
+            array((1 to 3).map(i => lead(col("doc_id"), i).over(w)): _*)
+              .as("nbrs"))
+            .select(col("doc_id").as("a"), explode(col("nbrs")).as("b"))
+            .filter(col("b").isNotNull)
+            .select(least(col("a"), col("b")).as("da"),
+              greatest(col("a"), col("b")).as("db"))
         }
         val cand = pass("key1").union(pass("key2")).distinct()
         val sh = graft.GraftOps.shingles(docs, col("doc_id"), col("text"), k = 5)
@@ -3359,18 +3364,24 @@ ORDER BY a.source NULLS FIRST""")),
   FROM documents),
 k AS (SELECT doc_id, array_to_string(sw, ' ') AS key1,
     array_to_string(list_reverse(sw), ' ') AS key2, w FROM toks),
-o1 AS (SELECT doc_id, substr(key1, 1, 2) AS blk,
-    row_number() OVER (PARTITION BY substr(key1, 1, 2)
-      ORDER BY key1, doc_id) AS rn FROM k),
-o2 AS (SELECT doc_id, substr(key2, 1, 2) AS blk,
-    row_number() OVER (PARTITION BY substr(key2, 1, 2)
-      ORDER BY key2, doc_id) AS rn FROM k),
+n1 AS (SELECT doc_id,
+    lead(doc_id, 1) OVER win AS l1, lead(doc_id, 2) OVER win AS l2,
+    lead(doc_id, 3) OVER win AS l3
+  FROM k WINDOW win AS (PARTITION BY substr(key1, 1, 2)
+    ORDER BY key1, doc_id)),
+n2 AS (SELECT doc_id,
+    lead(doc_id, 1) OVER win AS l1, lead(doc_id, 2) OVER win AS l2,
+    lead(doc_id, 3) OVER win AS l3
+  FROM k WINDOW win AS (PARTITION BY substr(key2, 1, 2)
+    ORDER BY key2, doc_id)),
 cand AS (
-  SELECT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
-  FROM o1 a JOIN o1 b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+  SELECT least(doc_id, u.b) AS da, greatest(doc_id, u.b) AS db
+  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS b FROM n1) u
+  WHERE u.b IS NOT NULL
   UNION
-  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
-  FROM o2 a JOIN o2 b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3),
+  SELECT least(doc_id, u.b), greatest(doc_id, u.b)
+  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS b FROM n2) u
+  WHERE u.b IS NOT NULL),
 sh AS (SELECT doc_id,
     CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
       range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))

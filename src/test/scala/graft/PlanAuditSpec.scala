@@ -380,8 +380,13 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"),
       s"x63 collapsed to a single-task global sort:\n$p")
-    assert("hashpartitioning\\(blk".r.findFirstIn(p).isDefined,
+    // the window's partition expression is projected to a _w alias before
+    // the exchange — accept either spelling
+    assert("hashpartitioning\\((substring\\(key|_w\\d)".r.findFirstIn(p).isDefined,
       s"x63 lost the prefix-block window partitioning:\n$p")
+    // candidates must come from lead() windows, not a rn-range self-join
+    // (a join on the skewed block key materializes |block|² rows)
+    assert(p.contains("lead("), s"x63 lost the lead() candidate path:\n$p")
   }
 
   test("x62 dataset card pays exactly one content-hash shuffle for the dup flag") {

@@ -3018,8 +3018,9 @@ FROM pairs ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
     // outgrow 2^27) and reduce through the mergeable TopKAgg — O(K) state
     // per stratum, map-side partial top-K, so the exchange carries at most
     // |sources|×K doubles no matter the corpus size. w = ln(2 + n_chars)
-    // keeps the weight ≥ ln 2 even for empty docs (priority ≥ -24, the
-    // pack's offset budget). O-class: same portable md5 uniform / quantized
+    // keeps the weight ≥ ln 2 even for empty docs (priority ≥ -24.0006 at
+    // u24=0, inside the pack's 25e6 offset budget). O-class: same portable
+    // md5 uniform / quantized
     // priority / (priority DESC, doc_id ASC) tie order as x55/s51.
     GQuery("x59_stratified_weighted_sample",
       (s, d) => {
@@ -3033,7 +3034,7 @@ FROM pairs ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
         val did = when(col("doc_id") < lit(1L << 27), col("doc_id"))
           .otherwise(expr(
             "CAST(raise_error('x59: doc_id exceeds the 2^27 pack budget') AS BIGINT)"))
-        val pack = ((p6 + lit(24000000L)) * lit(1L << 27)
+        val pack = ((p6 + lit(25000000L)) * lit(1L << 27)
           + (lit((1L << 27) - 1) - did)).cast("double")
         t(s, d, "documents")
           .select(col("source"), pack.as("pk"))
@@ -3158,6 +3159,14 @@ FROM sp GROUP BY 1, 2 ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""")),
         val sem = emb.filter(!isEvalV)
           .withColumn("jk", lit(1))
           .join(broadcast(ev), "jk")
+          // Same loud canary as x57/x64 (ADVICE r10): an empty eval slice
+          // still yields one collect_list row with an empty array, so
+          // max_cos would be NULL and every doc would pass as clean/ngram
+          // while the oracle's CROSS JOIN returns zero rows.
+          .withColumn("evs",
+            when(assert_true(size(col("evs")) > 0,
+              lit("x61: semantic eval slice is empty — the firewall would " +
+                "silently pass every corpus row")).isNull, col("evs")))
           .select(col("vec_id"),
             array_max(transform(col("evs"), e =>
               struct(cosine_sim(e.getField("ev"), col("embedding"))

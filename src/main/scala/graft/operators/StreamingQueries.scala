@@ -1905,9 +1905,11 @@ FROM embeddings ORDER BY vec_id NULLS FIRST""")),
     // because the priority needs no cross-row state, a weighted sample of an
     // unbounded stream is just a running top-K of priorities — state is K
     // packed doubles per window however many events flow through. The pack
-    // (priority micro-units + 24e6) * 2^27 + (2^27-1-event_id) keeps
+    // (priority micro-units + 25e6) * 2^27 + (2^27-1-event_id) keeps
     // (priority DESC, event_id ASC) order in ONE exactly-representable
-    // double (< 2^53; priority ≥ -24 since w ≥ ln 2, ids < 2^27 here — a
+    // double (< 2^53; min priority = ln(1/16777217)/ln 2 ≈ -24.0006, so the
+    // 25e6 offset keeps the pack strictly positive even at u24=0 — 24e6 went
+    // negative there and corrupted the modulo decode; ids < 2^27 here — a
     // production variant would use a struct-payload top-k agg) so the
     // sampled ids ride through the existing double-typed aggregate and
     // decode on the way out. Complete mode like s41; one shuffle by window.
@@ -1925,7 +1927,7 @@ FROM embeddings ORDER BY vec_id NULLS FIRST""")),
         val eid = when(col("event_id") < lit(1L << 27), col("event_id"))
           .otherwise(expr(
             "CAST(raise_error('s51: event_id exceeds the 2^27 pack budget') AS BIGINT)"))
-        val pack = ((p6 + lit(24000000L)) * lit(1L << 27)
+        val pack = ((p6 + lit(25000000L)) * lit(1L << 27)
           + (lit((1L << 27) - 1) - eid)).cast("double")
         runToMemory(
           eventStream(s, d)
@@ -1973,7 +1975,7 @@ FROM c GROUP BY 1 ORDER BY ws_sec NULLS FIRST""")),
         val eid = when(col("event_id") < lit(1L << 27), col("event_id"))
           .otherwise(expr(
             "CAST(raise_error('s51b: event_id exceeds the 2^27 pack budget') AS BIGINT)"))
-        val pack = ((p6 + lit(24000000L)) * lit(1L << 27)
+        val pack = ((p6 + lit(25000000L)) * lit(1L << 27)
           + (lit((1L << 27) - 1) - eid)).cast("double")
         runToMemory(
           eventStream(s, d)

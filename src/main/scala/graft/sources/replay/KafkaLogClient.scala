@@ -81,6 +81,14 @@ final class KafkaLogClient(path: String,
     s"unknown security.protocol '$securityProtocol' " +
       "(known: PLAINTEXT, SSL, SASL_PLAINTEXT, SASL_SSL)")
   private val useTls = securityProtocol.contains("SSL")
+  /** Hostname verification algorithm, Kafka's
+    * `ssl.endpoint.identification.algorithm`: defaults to HTTPS-style
+    * host/SAN matching like every real Kafka client; the empty string
+    * opts out (Kafka's own escape hatch for SAN-less internal certs).
+    * Without this, any cert chaining to a trusted anchor would be
+    * accepted for any broker host — a MITM hole on SSL/SASL_SSL. */
+  private val endpointIdAlgo =
+    conf.getOrElse("ssl.endpoint.identification.algorithm", "https")
   private val useSasl = securityProtocol.startsWith("SASL")
   private val saslMechanism = conf.getOrElse("sasl.mechanism", "PLAIN").toUpperCase
   if (useSasl) require(saslMechanism == "PLAIN",
@@ -120,6 +128,11 @@ final class KafkaLogClient(path: String,
         val s = sslContext.getSocketFactory
           .createSocket(plain, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
+        if (endpointIdAlgo.nonEmpty) {
+          val p = s.getSSLParameters
+          p.setEndpointIdentificationAlgorithm(endpointIdAlgo.toUpperCase)
+          s.setSSLParameters(p)
+        }
         s.startHandshake()
         s
       }

@@ -525,12 +525,16 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
 
   // auto-commit bookkeeping: the engine's commit(end) callback fires per
   // batch under ProcessingTime, but the AvailableNow executor runs all its
-  // batches in one cycle and never calls it — so stop() flushes the last
-  // PLANNED end, which is exactly librdkafka's close() behavior (auto-commit
-  // offsets are flushed on consumer close). A kill mid-batch can therefore
-  // over-commit by one planned batch — the same approximation rdkafka's
-  // interval auto-commit carries; restart truth stays the checkpoint WAL.
+  // batches in one cycle and never calls it. stop()'s close-flush (≡
+  // librdkafka close() flushing auto-commit offsets) therefore picks its
+  // source by trigger mode: under ProcessingTime it flushes the last
+  // WAL-COMMITTED end — a query killed mid-batch never reports progress for
+  // data that was only planned, so an external lag monitor can't read
+  // unwritten data as done — while AvailableNow (where commit() never
+  // fires) keeps the planned-end flush, whose batches all ran to
+  // completion inside the one cycle.
   @volatile private var lastPlannedEnd: Map[Int, Long] = Map.empty
+  @volatile private var lastEngineCommitted: Map[Int, Long] = Map.empty
   @volatile private var lastCommitted: Map[Int, Long] = Map.empty
 
   private def sendCommit(offsets: Map[Int, Long]): Unit =
@@ -548,10 +552,15 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
       }
     }
 
-  override def commit(end: Offset): Unit =
-    sendCommit(ReplayOffset.fromJson(end.json()).offsets)
+  override def commit(end: Offset): Unit = {
+    val offs = ReplayOffset.fromJson(end.json()).offsets
+    lastEngineCommitted = offs
+    sendCommit(offs)
+  }
 
-  override def stop(): Unit = sendCommit(lastPlannedEnd)
+  override def stop(): Unit =
+    sendCommit(if (availableNowEnd.isDefined) lastPlannedEnd
+               else lastEngineCommitted)
 }
 
 class ReplayBatch(opts: ReplayOptions,

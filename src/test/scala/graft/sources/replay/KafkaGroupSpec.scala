@@ -10,9 +10,12 @@ import org.apache.spark.sql.streaming.Trigger
   * lag monitors; restart truth stays the checkpoint WAL, exactly as the
   * reference's rdkafka auto-commit never feeds back into its bounded
   * ranges. Delivery: the engine's per-batch commit(end) callback under
-  * ProcessingTime, plus a close-flush of the last planned end in stop()
-  * (the AvailableNow executor never calls commit mid-run — and flushing
-  * on close is precisely librdkafka's auto-commit close behavior). */
+  * ProcessingTime, plus a close-flush in stop() (librdkafka's auto-commit
+  * close behavior). The flush source is mode-aware (ADVICE r10): under
+  * ProcessingTime it is the last WAL-committed end, so a kill mid-batch
+  * never reports planned-but-unwritten progress; under AvailableNow —
+  * whose executor never calls commit mid-run and always finishes its
+  * planned batches — it is the last planned end. */
 class KafkaGroupSpec extends graft.SparkSpec {
 
   test("auto-commit publishes each batch's end offsets under the group") {
@@ -77,6 +80,50 @@ class KafkaGroupSpec extends graft.SparkSpec {
       assert(got.length.toLong === nAll,
         s"expected exactly $nAll records across both runs, got ${got.length}")
     } finally broker.close()
+  }
+
+  test("stop() close-flush never commits a planned-but-unfinished batch (ADVICE r10)") {
+    // Unit-level pin of the mode-aware flush: drive the MicroBatchStream
+    // directly, simulating the three lifecycle shapes.
+    val dir = ReplayLog.ensureLog(spark, sf)
+    def stream(broker: FakeKafkaBroker) = new ReplayMicroBatchStream(
+      ReplayOptions(path = broker.clientPath, maxRowsPerTrigger = None,
+        minRowsPerTrigger = None, maxTriggerDelayMs = 0L, startingUniform = 0L,
+        startingPerPartition = Map.empty, failOnDataLoss = true,
+        consumerConf = Map("group.id" -> "flush-g", "enable.auto.commit" -> "true"),
+        clientKind = "kafka"))
+    def plan(s: ReplayMicroBatchStream): ReplayOffset = {
+      val start = s.initialOffset().asInstanceOf[ReplayOffset]
+      val end = s.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      s.planInputPartitions(start, end)
+      end.asInstanceOf[ReplayOffset]
+    }
+    // 1. ProcessingTime killed mid-batch: planned, never commit()ed → the
+    //    close-flush must publish NOTHING (the old code published the plan)
+    val b1 = new FakeKafkaBroker(dir, "events")
+    try {
+      val s = stream(b1); plan(s); s.stop()
+      assert(b1.committed("flush-g") === Map.empty,
+        "a batch that never reached commit() must not be close-flushed")
+    } finally b1.close()
+    // 2. ProcessingTime with a completed batch: commit(end) fired → the
+    //    close-flush publishes exactly that end
+    val b2 = new FakeKafkaBroker(dir, "events")
+    try {
+      val s = stream(b2); val end = plan(s)
+      s.commit(end); s.stop()
+      assert(b2.committed("flush-g") === end.offsets)
+    } finally b2.close()
+    // 3. AvailableNow (commit() never fires there): the planned end IS the
+    //    run-to-end result — close-flush keeps publishing it
+    val b3 = new FakeKafkaBroker(dir, "events")
+    try {
+      val s = stream(b3)
+      s.prepareForTriggerAvailableNow()
+      val end = plan(s); s.stop()
+      assert(b3.committed("flush-g") === end.offsets)
+    } finally b3.close()
   }
 
   test("no group.id or auto-commit off → nothing is committed") {

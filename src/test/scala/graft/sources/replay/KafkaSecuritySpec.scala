@@ -126,6 +126,54 @@ class KafkaSecuritySpec extends graft.SparkSpec {
     } finally sec.close()
   }
 
+  test("TLS: a trusted cert for the WRONG host is rejected (endpoint identification)") {
+    // The MITM scenario: the client trusts the attacker's CA (or any public
+    // CA), but the served cert names a different host. Real Kafka clients
+    // reject this via ssl.endpoint.identification.algorithm=https (their
+    // default); before round 11 we accepted any trusted cert for any host.
+    val dir = java.nio.file.Files.createTempDirectory("kafka-tls-evil")
+    val ks = dir.resolve("evil.p12").toString
+    val ts = dir.resolve("evil-trust.p12").toString
+    val cert = dir.resolve("evil.crt").toString
+    val storePass = "graft-test"
+    val keytool = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "keytool").toString
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      assert(p.waitFor() == 0, s"keytool ${args.head} failed: $out")
+    }
+    run("-genkeypair", "-alias", "evil", "-keyalg", "RSA", "-keysize",
+      "2048", "-validity", "1", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", storePass, "-dname", "CN=evil.example",
+      "-ext", "SAN=DNS:evil.example")
+    run("-exportcert", "-alias", "evil", "-keystore", ks,
+      "-storepass", storePass, "-file", cert)
+    run("-importcert", "-alias", "evil", "-file", cert, "-keystore", ts,
+      "-storepass", storePass, "-noprompt")
+    val logDir = ReplayLog.ensureLog(spark, sf)
+    val sec = new FakeKafkaBroker(logDir, "events",
+      tlsKeystore = Some((ks, storePass)))
+    try {
+      // trusted chain, wrong identity (cert says evil.example, peer is
+      // 127.0.0.1) → handshake must fail
+      val c = new KafkaLogClient(sec.clientPath, Map(
+        "security.protocol" -> "SSL",
+        "ssl.truststore.location" -> ts,
+        "ssl.truststore.password" -> storePass))
+      intercept[Exception] { c.listPartitions() }
+      // Kafka's documented escape hatch: the empty algorithm disables
+      // hostname verification (SAN-less internal certs)
+      val lax = new KafkaLogClient(sec.clientPath, Map(
+        "security.protocol" -> "SSL",
+        "ssl.truststore.location" -> ts,
+        "ssl.truststore.password" -> storePass,
+        "ssl.endpoint.identification.algorithm" -> ""))
+      assert(lax.listPartitions().nonEmpty)
+    } finally sec.close()
+  }
+
   test("SASL_SSL: authentication inside the encrypted channel") {
     val (ks, ts, storePass) = tls
     val dir = ReplayLog.ensureLog(spark, sf)

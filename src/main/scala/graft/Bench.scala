@@ -76,11 +76,29 @@ object Bench {
         SparkEntry.registry.filter(q => names(q.name))
       case None => SparkEntry.registry
     }
+    // The shared near-dup pair table is materialized OUTSIDE the per-query
+    // timings as a named setup step: six registry queries reuse it, and
+    // charging its generation to whichever of them ran first made their
+    // numbers depend on registry order / run history (the round-10 verdict's
+    // 1.5–1.8× "pair-memo flag family"). It still runs once per rep (reset
+    // between reps), so its cost stays visible — as `setup_pair_memo`.
+    val setupName = "setup_pair_memo"
     val runs = (1 to reps).map { rep =>
       // each rep pays every cost honestly: drop cross-query memo tables so a
       // repeat pass re-computes pair generation instead of timing a cache hit
       if (rep > 1) operators.PipelineQueries.resetMemo()
-      registry.map { q =>
+      val setup = if (only.isEmpty) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { operators.PipelineQueries.warmPairMemo(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $setupName failed: ${e.getMessage}")
+            false
+          }
+        Seq((setupName, (System.nanoTime() - t0) / 1e9, ok))
+      } else Seq.empty // BENCH_ONLY = standalone adjudication: the named
+                       // query pays its own memo, like a cold process would
+      setup ++ registry.map { q =>
         val t0 = System.nanoTime()
         val ok =
           try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -101,7 +119,8 @@ object Bench {
     // in EVERY rep. Failed queries are OMITTED from the timing map (their
     // time-to-throw is not a throughput number) and listed separately.
     val byName = runs.flatten.groupBy(_._1)
-    val ordered = registry.map(_.name)
+    val ordered =
+      (if (only.isEmpty) Seq(setupName) else Seq.empty) ++ registry.map(_.name)
     val good = ordered.flatMap { n =>
       val oks = byName(n).collect { case (_, v, true) => v }
       if (oks.isEmpty) None else Some(n -> oks.min)
@@ -117,6 +136,20 @@ object Bench {
     // long lines, which nulled the per-query map in earlier rounds
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    // Round-close evidence must be IMMUTABLE: bench_out.json is scratch
+    // (clobbered by every run, including BENCH_ONLY spot runs — the round-10
+    // verdict's 205.3s-vs-216.1s discrepancy came from exactly that), so a
+    // close run sets SPARK_GRAFT_BENCH_CLOSE=<tag> and gets a uniquely-named
+    // snapshot that is never overwritten; BASELINE.md cites that file.
+    sys.env.get("SPARK_GRAFT_BENCH_CLOSE").foreach { tag =>
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val p = java.nio.file.Paths.get(s"bench_close_${tag}_$stamp.json")
+      java.nio.file.Files.write(p, line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      System.err.println(s"[bench] close snapshot written: $p")
+    }
     spark.stop()
   }
 }

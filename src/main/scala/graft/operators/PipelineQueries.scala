@@ -52,6 +52,17 @@ object PipelineQueries {
     pairMemo.clear()
   }
 
+  /** Materialize the shared pair table eagerly (localCheckpoint runs the
+    * job). Bench calls this as a NAMED setup step before the timed registry
+    * pass, so pair generation is charged to `setup_pair_memo` instead of to
+    * whichever of x02/x07/x07_star/x56/x60/x64 happens to run first — the
+    * round-10 verdict traced a 1.5–1.8× flag family to exactly that
+    * accounting ambiguity. */
+  private[graft] def warmPairMemo(s: SparkSession, d: String): Unit = {
+    nearDupPairs(s, d)
+    ()
+  }
+
   /** DuckDB-side equivalent of [[graft.GraftOps.shingles]] (brute-force
     * oracle runs at sf0.01
     * scale only; the Spark side is the scale path). */

@@ -47,8 +47,10 @@ import java.net.{InetSocketAddress, Socket}
   * passthrough, tests/utils.rs:261-285): `consumer.security.protocol` =
   * PLAINTEXT (default) / SSL / SASL_PLAINTEXT / SASL_SSL. TLS runs the
   * JDK handshake, trusting `consumer.ssl.truststore.location` (PKCS12/JKS,
-  * with `.password`) or the JVM default anchors; SASL/PLAIN (SaslHandshake
-  * v1 + SaslAuthenticate v0) authenticates every new connection with
+  * with `.password`) or the JVM default anchors, with HTTPS-style endpoint
+  * identification on by default; SASL (SaslHandshake v1 + SaslAuthenticate
+  * v0; `consumer.sasl.mechanism` = PLAIN, SCRAM-SHA-256 or SCRAM-SHA-512)
+  * authenticates every new connection with
   * `consumer.sasl.username`/`.password` before any other API is used.
   *
   * Registered as client kind `kafka`:
@@ -91,8 +93,10 @@ final class KafkaLogClient(path: String,
     conf.getOrElse("ssl.endpoint.identification.algorithm", "https")
   private val useSasl = securityProtocol.startsWith("SASL")
   private val saslMechanism = conf.getOrElse("sasl.mechanism", "PLAIN").toUpperCase
-  if (useSasl) require(saslMechanism == "PLAIN",
-    s"sasl.mechanism '$saslMechanism' unsupported (PLAIN only)")
+  if (useSasl) require(
+    Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512").contains(saslMechanism),
+    s"sasl.mechanism '$saslMechanism' unsupported " +
+      "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512)")
 
   /** TLS context: a truststore option pins the broker CA; without one the
     * JVM default trust anchors apply (public-CA broker certs). */
@@ -155,11 +159,24 @@ final class KafkaLogClient(path: String,
     if (herr != 0)
       throw new IOException(
         s"kafka SASL handshake rejected mechanism $saslMechanism (error $herr)")
-    // SaslAuthenticate v0: PLAIN token = [authzid] NUL user NUL password
     def need(k: String) = conf.getOrElse(k, throw new IOException(
       s"$securityProtocol requires consumer.$k"))
-    val token = ("\u0000" + need("sasl.username") + "\u0000" +
-      need("sasl.password")).getBytes("UTF-8")
+    saslMechanism match {
+      case "PLAIN" =>
+        // SaslAuthenticate v0: PLAIN token = [authzid] NUL user NUL password
+        saslRound(in, out, ("\u0000" + need("sasl.username") + "\u0000" +
+          need("sasl.password")).getBytes("UTF-8"))
+      case scram => // SCRAM-SHA-256 / SCRAM-SHA-512
+        scramAuthenticate(in, out, scram.stripPrefix("SCRAM-"),
+          need("sasl.username"), need("sasl.password"))
+    }
+    ()
+  }
+
+  /** One SaslAuthenticate v0 round trip; returns the server's auth_bytes
+    * (empty for PLAIN), throws on a non-zero error code. */
+  private def saslRound(in: DataInputStream, out: DataOutputStream,
+      token: Array[Byte]): Array[Byte] = {
     val ab = new ByteArrayOutputStream(); val ao = new DataOutputStream(ab)
     ao.writeInt(token.length); ao.write(token)
     val ar = request(in, out, ApiSaslAuthenticate, 0, ab.toByteArray)
@@ -168,6 +185,79 @@ final class KafkaLogClient(path: String,
     if (aerr != 0)
       throw new IOException("kafka SASL authentication failed (error " +
         s"$aerr${Option(msg).filter(_.nonEmpty).map(": " + _).getOrElse("")})")
+    val n = ar.readInt()
+    if (n <= 0) Array.emptyByteArray
+    else { val b = new Array[Byte](n); ar.readFully(b); b }
+  }
+
+  /** SCRAM client exchange (RFC 5802, SHA-256/512 parameterization per
+    * RFC 7677), carried in SaslAuthenticate frames exactly as Kafka's
+    * ScramSaslClient does — the default managed-Kafka SASL mechanism after
+    * PLAIN (librdkafka, and hence the reference, inherits it from the same
+    * config seam, tests/utils.rs:261-285). Three legs:
+    *   C: `n,,n=user,r=cnonce`
+    *   S: `r=cnonce+snonce,s=b64(salt),i=iterations`
+    *   C: `c=biws,r=nonce,p=b64(ClientProof)` with
+    *      ClientProof = ClientKey XOR HMAC(H(ClientKey), AuthMessage)
+    *   S: `v=b64(ServerSignature)` — VERIFIED here (mutual auth: a server
+    *      that never held the credentials cannot forge it).
+    * Passwords are raw UTF-8 (Kafka's SaslPrep is the identity for the
+    * ASCII passwords it documents); usernames get the =2C/=3D escapes. */
+  private def scramAuthenticate(in: DataInputStream, out: DataOutputStream,
+      shaAlgo: String, user: String, password: String): Unit = {
+    val b64e = java.util.Base64.getEncoder
+    val b64d = java.util.Base64.getDecoder
+    val hmacAlgo = "Hmac" + shaAlgo.replace("-", "")
+    def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance(hmacAlgo)
+      m.init(new javax.crypto.spec.SecretKeySpec(key, hmacAlgo))
+      m.doFinal(data)
+    }
+    def digest(data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(shaAlgo).digest(data)
+    val saslUser = user.replace("=", "=3D").replace(",", "=2C")
+    val nb = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(nb)
+    val cnonce = b64e.withoutPadding.encodeToString(nb)
+    val clientFirstBare = s"n=$saslUser,r=$cnonce"
+    val serverFirst = new String(
+      saslRound(in, out, ("n,," + clientFirstBare).getBytes("UTF-8")), "UTF-8")
+    val attrs = serverFirst.split(",").collect {
+      case a if a.length >= 2 && a.charAt(1) == '=' =>
+        a.substring(0, 1) -> a.substring(2)
+    }.toMap
+    val nonce = attrs.getOrElse("r", throw new IOException(
+      s"kafka SCRAM server-first missing nonce: '$serverFirst'"))
+    if (!nonce.startsWith(cnonce))
+      throw new IOException("kafka SCRAM server nonce does not extend the " +
+        "client nonce — replayed or tampered exchange")
+    val salt = b64d.decode(attrs.getOrElse("s", throw new IOException(
+      s"kafka SCRAM server-first missing salt: '$serverFirst'")))
+    val iterations = attrs.getOrElse("i", "0").toInt
+    if (iterations < 1)
+      throw new IOException(s"kafka SCRAM iteration count $iterations invalid")
+    val keyBits = if (shaAlgo == "SHA-512") 512 else 256
+    val salted = javax.crypto.SecretKeyFactory
+      .getInstance("PBKDF2WithHmac" + shaAlgo.replace("-", ""))
+      .generateSecret(new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iterations, keyBits))
+      .getEncoded
+    val clientKey = hmac(salted, "Client Key".getBytes("UTF-8"))
+    val clientFinalNoProof = s"c=biws,r=$nonce" // biws = b64("n,,")
+    val authMessage = (clientFirstBare + "," + serverFirst + "," +
+      clientFinalNoProof).getBytes("UTF-8")
+    val clientSig = hmac(digest(clientKey), authMessage)
+    val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    val serverFinal = new String(saslRound(in, out,
+      (clientFinalNoProof + ",p=" + b64e.encodeToString(proof))
+        .getBytes("UTF-8")), "UTF-8")
+    val serverSig = hmac(hmac(salted, "Server Key".getBytes("UTF-8")), authMessage)
+    val v = serverFinal.split(",").find(_.startsWith("v="))
+      .getOrElse(throw new IOException(
+        s"kafka SCRAM server-final missing verifier: '$serverFinal'"))
+    if (!java.security.MessageDigest.isEqual(b64d.decode(v.drop(2)), serverSig))
+      throw new IOException("kafka SCRAM server signature mismatch — the " +
+        "broker does not hold these credentials (mutual auth failed)")
   }
 
   /** one configured connection, one request/response (planning-side). */

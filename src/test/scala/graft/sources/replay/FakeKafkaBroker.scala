@@ -26,8 +26,11 @@ final class FakeKafkaBroker(dir: String, topic: String,
     batchRecords: Int = 200, truncateTail: Boolean = false,
     port: Int = 0, codec: Int = 0,
     sasl: Option[(String, String)] = None,
-    tlsKeystore: Option[(String, String)] = None) extends AutoCloseable {
+    tlsKeystore: Option[(String, String)] = None,
+    forgeScramServerSig: Boolean = false) extends AutoCloseable {
   import KafkaWire._
+
+  private val saslMechs = Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -86,8 +89,77 @@ final class FakeKafkaBroker(dir: String, topic: String,
       // per-connection SASL session state — a real broker requires the
       // handshake + authenticate sequence on EVERY new connection of a
       // SASL listener before any other API is served
-      var handshaken = false
+      var mechanism: String = null
       var authed = sasl.isEmpty
+      // SCRAM server state between the two SaslAuthenticate legs:
+      // (clientFirstBare, serverFirst, salt) — RFC 5802 server side
+      var scramState: (String, String, Array[Byte]) = null
+      // One SCRAM leg: (reply, authComplete, error). Real-credential
+      // verification — the server recovers ClientKey from the proof and
+      // checks H(ClientKey) == StoredKey, exactly like Kafka's
+      // ScramSaslServer; `forgeScramServerSig` lets a test prove the
+      // CLIENT verifies the server signature (mutual auth).
+      def scramLeg(msg: String): (String, Boolean, String) = {
+        val (user, pass) = sasl.get
+        val shaAlgo = if (mechanism == "SCRAM-SHA-512") "SHA-512" else "SHA-256"
+        val hmacAlgo = "Hmac" + shaAlgo.replace("-", "")
+        def hmac(key: Array[Byte], data: String): Array[Byte] = {
+          val m = javax.crypto.Mac.getInstance(hmacAlgo)
+          m.init(new javax.crypto.spec.SecretKeySpec(key, hmacAlgo))
+          m.doFinal(data.getBytes("UTF-8"))
+        }
+        def digest(d: Array[Byte]): Array[Byte] =
+          java.security.MessageDigest.getInstance(shaAlgo).digest(d)
+        def attrsOf(s: String): Map[String, String] = s.split(",").collect {
+          case a if a.length >= 2 && a.charAt(1) == '=' =>
+            a.substring(0, 1) -> a.substring(2)
+        }.toMap
+        val b64e = java.util.Base64.getEncoder
+        val b64d = java.util.Base64.getDecoder
+        if (scramState == null) {
+          if (!msg.startsWith("n,,"))
+            return (null, false, s"unsupported gs2 header in '$msg'")
+          val bare = msg.substring(3)
+          val attrs = attrsOf(bare)
+          val u = attrs.getOrElse("n", "").replace("=2C", ",").replace("=3D", "=")
+          if (u != user)
+            return (null, false, "Authentication failed: unknown user")
+          val rnd = new java.security.SecureRandom()
+          val sn = new Array[Byte](18); rnd.nextBytes(sn)
+          val salt = new Array[Byte](16); rnd.nextBytes(salt)
+          val nonce = attrs.getOrElse("r", "") +
+            b64e.withoutPadding.encodeToString(sn)
+          val serverFirst =
+            s"r=$nonce,s=${b64e.encodeToString(salt)},i=4096"
+          scramState = (bare, serverFirst, salt)
+          (serverFirst, false, null)
+        } else {
+          val (bare, serverFirst, salt) = scramState
+          val attrs = attrsOf(msg)
+          val expectedNonce = attrsOf(serverFirst)("r")
+          if (attrs.getOrElse("r", "") != expectedNonce ||
+              attrs.getOrElse("c", "") != "biws")
+            return (null, false, "Authentication failed: nonce/binding mismatch")
+          val pIdx = msg.lastIndexOf(",p=")
+          if (pIdx < 0) return (null, false, "client-final missing proof")
+          val authMessage = bare + "," + serverFirst + "," + msg.substring(0, pIdx)
+          val keyBits = if (shaAlgo == "SHA-512") 512 else 256
+          val salted = javax.crypto.SecretKeyFactory
+            .getInstance("PBKDF2WithHmac" + shaAlgo.replace("-", ""))
+            .generateSecret(new javax.crypto.spec.PBEKeySpec(
+              pass.toCharArray, salt, 4096, keyBits))
+            .getEncoded
+          val storedKey = digest(hmac(salted, "Client Key"))
+          val clientSig = hmac(storedKey, authMessage)
+          val recovered = b64d.decode(attrs("p"))
+            .zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+          if (!java.security.MessageDigest.isEqual(digest(recovered), storedKey))
+            return (null, false, "Authentication failed: invalid credentials")
+          val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+          if (forgeScramServerSig) serverSig(0) = (serverSig(0) ^ 1).toByte
+          (s"v=${b64e.encodeToString(serverSig)}", true, null)
+        }
+      }
       while (!closed) { // persistent connection: serve requests until EOF
         val size = in.readInt()
         val req = new Array[Byte](size)
@@ -101,29 +173,45 @@ final class FakeKafkaBroker(dir: String, topic: String,
           case ApiSaslHandshake if apiVersion == 1 =>
             val mech = readString(r)
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            if (sasl.isDefined && mech == "PLAIN") {
-              handshaken = true
+            if (sasl.isDefined && saslMechs.contains(mech)) {
+              mechanism = mech
               o.writeShort(0)
             } else o.writeShort(33)     // UNSUPPORTED_SASL_MECHANISM
-            o.writeInt(1); writeString(o, "PLAIN")
+            o.writeInt(saslMechs.size); saslMechs.foreach(writeString(o, _))
             bo.toByteArray
           case ApiSaslAuthenticate if apiVersion == 0 =>
-            if (!handshaken)
+            if (mechanism == null)
               throw new IOException("fake broker: authenticate before handshake")
             val n = r.readInt()
             val tok = new Array[Byte](n); r.readFully(tok)
-            val parts = new String(tok, "UTF-8").split("\u0000", -1)
-            val ok = parts.length == 3 &&
-              sasl.contains((parts(1), parts(2)))
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            if (ok) {
-              authed = true
-              o.writeShort(0); o.writeShort(-1)  // no error message
+            if (mechanism == "PLAIN") {
+              val parts = new String(tok, "UTF-8").split("\u0000", -1)
+              val ok = parts.length == 3 &&
+                sasl.contains((parts(1), parts(2)))
+              if (ok) {
+                authed = true
+                o.writeShort(0); o.writeShort(-1)  // no error message
+              } else {
+                o.writeShort(58)        // SASL_AUTHENTICATION_FAILED
+                writeString(o, "Authentication failed: invalid credentials")
+              }
+              o.writeInt(0)             // empty auth_bytes
             } else {
-              o.writeShort(58)          // SASL_AUTHENTICATION_FAILED
-              writeString(o, "Authentication failed: invalid credentials")
+              val (reply, done, err) =
+                scramLeg(new String(tok, "UTF-8"))
+              scramState = if (done || err != null) null else scramState
+              if (err != null) {
+                o.writeShort(58)        // SASL_AUTHENTICATION_FAILED
+                writeString(o, err)
+                o.writeInt(0)
+              } else {
+                if (done) authed = true
+                o.writeShort(0); o.writeShort(-1)
+                val rb = reply.getBytes("UTF-8")
+                o.writeInt(rb.length); o.write(rb)
+              }
             }
-            o.writeInt(0)               // empty auth_bytes
             bo.toByteArray
           case _ if !authed =>
             // real brokers kill the connection on pre-auth API use

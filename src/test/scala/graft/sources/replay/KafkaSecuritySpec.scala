@@ -87,6 +87,56 @@ class KafkaSecuritySpec extends graft.SparkSpec {
     } finally gated.close()
   }
 
+  test("SASL/SCRAM-SHA-256 and -512: full RFC 5802 exchange authenticates") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val open = new FakeKafkaBroker(dir, "events")
+    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    try {
+      val expected = readAll(open.clientPath)
+      Seq("SCRAM-SHA-256", "SCRAM-SHA-512").foreach { mech =>
+        val got = readAll(gated.clientPath,
+          "consumer.security.protocol" -> "SASL_PLAINTEXT",
+          "consumer.sasl.mechanism" -> mech,
+          "consumer.sasl.username" -> user,
+          "consumer.sasl.password" -> pass)
+        assert(got.nonEmpty && got === expected,
+          s"$mech read must equal the open-listener read")
+      }
+    } finally { open.close(); gated.close() }
+  }
+
+  test("SCRAM wrong password is rejected at the client-final leg (error 58)") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    try {
+      val c = new KafkaLogClient(gated.clientPath, Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "SCRAM-SHA-256",
+        "sasl.username" -> user, "sasl.password" -> "wrong"))
+      val e = intercept[IOException] { c.listPartitions() }
+      assert(e.getMessage.contains("authentication failed"),
+        s"expected an authentication error, got: ${e.getMessage}")
+    } finally gated.close()
+  }
+
+  test("SCRAM is mutual: a forged server signature is rejected by the client") {
+    // A server that never held the credentials cannot compute
+    // HMAC(ServerKey, AuthMessage); the client must verify v= and refuse —
+    // otherwise a MITM that relays the handshake could serve forged data.
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val evil = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)),
+      forgeScramServerSig = true)
+    try {
+      val c = new KafkaLogClient(evil.clientPath, Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "SCRAM-SHA-512",
+        "sasl.username" -> user, "sasl.password" -> pass))
+      val e = intercept[IOException] { c.listPartitions() }
+      assert(e.getMessage.contains("server signature"),
+        s"expected a server-signature failure, got: ${e.getMessage}")
+    } finally evil.close()
+  }
+
   test("a SASL listener refuses unauthenticated data APIs") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))

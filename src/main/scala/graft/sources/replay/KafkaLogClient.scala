@@ -595,30 +595,41 @@ private[replay] object KafkaWire {
     * the records section (partition_leader_epoch .. records_count). */
   val BatchHeaderAfterLength = 49
 
-  /** Decode a Fetch record_set (one or more RecordBatch v2, possibly with a
-    * truncated tail — brokers cut at max_bytes) into (offset, key, value,
-    * timestampMs) for records at or past `minOffset`. Handles all four
-    * standard codecs (the records section is the compressed unit in v2);
-    * pre-v2 batches throw. */
+  /** Decode a Fetch record_set (one or more RecordBatch v2 OR legacy magic
+    * 0/1 MessageSet entries, possibly with a truncated tail — brokers cut
+    * at max_bytes) into (offset, key, value, timestampMs) for records at or
+    * past `minOffset`. All three layouts share the first 17 bytes' shape —
+    * int64 offset, int32 length, then magic at byte 16 (after v2's
+    * partition_leader_epoch ≡ legacy's crc) — which is exactly how the
+    * official consumers sniff the format; rdkafka reads pre-0.11 topics the
+    * same way, so the reference consumes them transparently
+    * (src/kafka/execution.rs:85-99). v2 handles all four standard codecs
+    * (the records section is the compressed unit); legacy wrappers handle
+    * gzip/snappy (+lz4 on v1 — v0's lz4 used a nonstandard broken-checksum
+    * framing and fails loudly), with v1 relative-offset rewrite and
+    * log-append-time override per the public format spec. Unknown magic
+    * still throws. */
   def decodeBatches(recordSet: Array[Byte], minOffset: Long, needKey: Boolean,
       needValue: Boolean): Iterator[(Long, Array[Byte], Array[Byte], Long)] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Array[Byte], Array[Byte], Long)]
     var pos = 0
-    // batch header through records_count: 8+4+4+1+4+2+4+8+8+8+2+4+4 = 61 bytes
-    while (recordSet.length - pos >= 61) {
+    // smallest complete prefix: offset+length+crc+magic = 17 bytes
+    while (recordSet.length - pos >= 17) {
       val in = new DataInputStream(new ByteArrayInputStream(
         recordSet, pos, recordSet.length - pos))
       val baseOffset = in.readLong()
       val batchLength = in.readInt()
       if (recordSet.length - pos < 12 + batchLength) {
         pos = recordSet.length // truncated tail batch: re-fetched next round
+      } else if (recordSet(pos + 16) != 2) {
+        // legacy MessageSet entry (magic 0/1): crc..value is batchLength bytes
+        decodeLegacyEntry(baseOffset, in, minOffset, needKey, needValue,
+          None, out)
+        pos += 12 + batchLength
       } else {
         in.readInt()            // partition leader epoch
-        val magic = in.readByte()
-        if (magic != 2)
-          throw new IOException(
-            s"kafka message format v$magic unsupported (RecordBatch v2 only)")
+        in.readByte()           // magic (=2, sniffed above)
         in.readInt()            // crc
         val attrs = in.readShort()
         val codec = attrs & 0x07
@@ -672,5 +683,87 @@ private[replay] object KafkaWire {
       }
     }
     out.iterator
+  }
+
+  /** Decode one legacy (pre-0.11 message format) MessageSet entry:
+    * crc int32, magic int8 (0|1), attributes int8, [v1: timestamp int64],
+    * key BYTES, value BYTES. A compressed entry is a WRAPPER whose value is
+    * a nested MessageSet: v0 inner offsets are absolute; v1 producers wrote
+    * relative inner offsets (0..n-1) with the wrapper carrying the LAST
+    * inner absolute offset — detected the way the official consumer does
+    * (first inner offset == 0) and rewritten to absolute. A v1 wrapper with
+    * the log-append-time attribute bit (0x08) stamps its own timestamp on
+    * every inner record, as brokers do. CRC is not verified (same stance as
+    * the v2 path). `appendTsMs` carries the log-append override into inner
+    * entries. */
+  private def decodeLegacyEntry(offset: Long, in: DataInputStream,
+      minOffset: Long, needKey: Boolean, needValue: Boolean,
+      appendTsMs: Option[Long],
+      out: scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], Array[Byte], Long)]): Unit = {
+    in.readInt()                // crc (not verified)
+    val magic = in.readByte()
+    if (magic != 0 && magic != 1)
+      throw new IOException(
+        s"kafka message format v$magic unsupported (magic 0, 1 or 2)")
+    val attrs = in.readByte()
+    val codec = attrs & 0x07
+    val tsMs = if (magic == 1) in.readLong() else -1L
+    def blob(need: Boolean): Array[Byte] = {
+      val len = in.readInt()
+      if (len < 0) null
+      else if (!need) {
+        var left = len
+        while (left > 0) {
+          val s = in.skipBytes(left)
+          if (s <= 0) throw new EOFException(
+            "kafka legacy message blob truncated")
+          left -= s
+        }
+        null
+      }
+      else { val b = new Array[Byte](len); in.readFully(b); b }
+    }
+    if (codec == 0) {
+      val k = blob(needKey)
+      val v = blob(needValue)
+      if (offset >= minOffset)
+        out += ((offset, k, v, appendTsMs.getOrElse(tsMs)))
+    } else {
+      blob(false)               // wrapper key: always null in practice
+      val wrapped = blob(true)
+      if (wrapped == null)
+        throw new IOException("kafka compressed legacy wrapper has no value")
+      val raw = new ByteArrayInputStream(wrapped)
+      val codecIn: java.io.InputStream = codec match {
+        case 1 => new java.util.zip.GZIPInputStream(raw)
+        case 2 => new org.xerial.snappy.SnappyInputStream(raw)
+        case 3 if magic == 1 => new net.jpountz.lz4.LZ4FrameInputStream(raw)
+        case 3 => throw new IOException(
+          "kafka lz4 in message format v0 uses a nonstandard broken-checksum " +
+            "framing; unsupported (v1+ topics decode fine)")
+        case c => throw new IOException(
+          s"kafka compression codec $c illegal in legacy message format " +
+            "(known: 1 gzip, 2 snappy, 3 lz4)")
+      }
+      val din = new DataInputStream(new BufferedInputStream(codecIn, 1 << 16))
+      val innerAppendTs =
+        if (magic == 1 && (attrs & 0x08) != 0) Some(tsMs) else appendTsMs
+      val inner = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Byte], Array[Byte], Long)]
+      try {
+        while (true) {
+          val innerOffset = din.readLong()
+          din.readInt()         // message size
+          decodeLegacyEntry(innerOffset, din, Long.MinValue, needKey,
+            needValue, innerAppendTs, inner)
+        }
+      } catch { case _: EOFException => () } // nested set fully consumed
+      val relative = magic == 1 && inner.nonEmpty && inner.head._1 == 0L
+      val lastInner = if (inner.nonEmpty) inner.last._1 else 0L
+      inner.foreach { case (io, k, v, ts) =>
+        val abs = if (relative) offset - lastInner + io else io
+        if (abs >= minOffset) out += ((abs, k, v, ts))
+      }
+    }
   }
 }

@@ -27,8 +27,12 @@ final class FakeKafkaBroker(dir: String, topic: String,
     port: Int = 0, codec: Int = 0,
     sasl: Option[(String, String)] = None,
     tlsKeystore: Option[(String, String)] = None,
-    forgeScramServerSig: Boolean = false) extends AutoCloseable {
+    forgeScramServerSig: Boolean = false,
+    legacyMagic: Option[Int] = None) extends AutoCloseable {
   import KafkaWire._
+
+  require(legacyMagic.forall(m => m == 0 || m == 1),
+    s"legacyMagic must be 0 or 1, got $legacyMagic")
 
   private val saslMechs = Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
@@ -340,9 +344,10 @@ final class FakeKafkaBroker(dir: String, topic: String,
     bo.toByteArray
   }
 
-  /** One RecordBatch v2 for records [start, until) of partition p; when
-    * `truncateTail` is set, a second partial batch header is appended to
-    * simulate a broker cutting the record_set at max_bytes. */
+  /** One RecordBatch v2 (or, with [[legacyMagic]], a pre-0.11 MessageSet)
+    * for records [start, until) of partition p; when `truncateTail` is set,
+    * a second partial batch header is appended to simulate a broker cutting
+    * the record_set at max_bytes. */
   private def encodeBatch(p: Int, start: Long, until: Long): Array[Byte] = {
     val frames = new FrameStream(dir, p, start, needKey = true, needValue = true)
     val recs = try {
@@ -351,6 +356,10 @@ final class FakeKafkaBroker(dir: String, topic: String,
         (off, frames.key, frames.value, frames.tsUs / 1000L)
       }
     } finally frames.close()
+    legacyMagic match {
+      case Some(m) => return encodeLegacySet(m, recs)
+      case None =>
+    }
     val firstTs = recs.head._4
 
     val recBytes = new ByteArrayOutputStream()
@@ -409,6 +418,61 @@ final class FakeKafkaBroker(dir: String, topic: String,
       o.write(new Array[Byte](50))
     }
     bo.toByteArray
+  }
+
+  /** Pre-0.11 MessageSet encoding (magic 0: no timestamp; magic 1: int64
+    * create-time timestamp), exactly as old producers/brokers framed it:
+    * each entry = offset int64, size int32, crc int32 (0 — client does not
+    * verify, same as v2), magic, attributes, [v1 ts], key BYTES, value
+    * BYTES. With a codec, all records nest inside ONE compressed wrapper
+    * message — v1 wrappers carry relative inner offsets (0..n-1) and the
+    * last inner ABSOLUTE offset on the wrapper; v0 inner offsets stay
+    * absolute, wrapper offset = last. Codecs follow the legacy rules:
+    * gzip/snappy both magics, lz4 only on v1 (v0's lz4 framing was the
+    * broken-checksum variant nobody should emit). */
+  private def encodeLegacySet(magic: Int,
+      recs: Seq[(Long, Array[Byte], Array[Byte], Long)]): Array[Byte] = {
+    def message(off: Long, k: Array[Byte], v: Array[Byte], tsMs: Long,
+        attrs: Int): Array[Byte] = {
+      val mb = new ByteArrayOutputStream(); val mo = new DataOutputStream(mb)
+      mo.writeInt(0)                    // crc (unverified)
+      mo.writeByte(magic)
+      mo.writeByte(attrs)
+      if (magic == 1) mo.writeLong(tsMs)
+      def bytes(b: Array[Byte]): Unit =
+        if (b == null) mo.writeInt(-1)
+        else { mo.writeInt(b.length); mo.write(b) }
+      bytes(k); bytes(v)
+      val eb = new ByteArrayOutputStream(); val eo = new DataOutputStream(eb)
+      eo.writeLong(off)
+      eo.writeInt(mb.size())
+      eo.write(mb.toByteArray)
+      eb.toByteArray
+    }
+    if (codec == 0) {
+      val bo = new ByteArrayOutputStream()
+      recs.foreach { case (off, k, v, tsMs) =>
+        bo.write(message(off, k, v, tsMs, 0))
+      }
+      bo.toByteArray
+    } else {
+      require(codec <= 3 && !(codec == 3 && magic == 0),
+        s"fake broker: codec $codec illegal for legacy magic $magic")
+      val innerSet = new ByteArrayOutputStream()
+      recs.zipWithIndex.foreach { case ((off, k, v, tsMs), i) =>
+        val innerOff = if (magic == 1) i.toLong else off
+        innerSet.write(message(innerOff, k, v, tsMs, 0))
+      }
+      val cb = new ByteArrayOutputStream()
+      val cs: java.io.OutputStream = codec match {
+        case 1 => new java.util.zip.GZIPOutputStream(cb)
+        case 2 => new org.xerial.snappy.SnappyOutputStream(cb)
+        case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(cb)
+      }
+      cs.write(innerSet.toByteArray); cs.close()
+      // wrapper: offset = last inner ABSOLUTE offset, value = compressed set
+      message(recs.last._1, null, cb.toByteArray, recs.last._4, codec)
+    }
   }
 
   override def close(): Unit = {

@@ -533,6 +533,52 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
         .orderBy(col("ws_sec")),
       None),
 
+    // S05b: the EXACT-oracle twin of s05 (VERDICT r10 #5). Same adversarial
+    // late replay, but the batch split is PINNED to exactly two data batches
+    // per partition (cap = ceil(|events|/3/2) rows each), which makes the
+    // dropped set deterministic and expressible in SQL:
+    //   batch 1 = first `cap` log records per partition (arrival order:
+    //     ts + 2h for every 20th event, tie-break event_id — ReplayLog:115);
+    //     watermark is 0, everything is admitted;
+    //   wm1 = floor_ms(max ts over batch-1 rows) - 1h — the watermark the
+    //     engine computes from batch 1's INPUT (dropped rows still advance
+    //     event-time stats);
+    //   batch 2 = the rest; a row is DROPPED iff its window already closed,
+    //     i.e. (ws+600)*1000 <= wm1 — Spark's LessThanOrEqual(window.end,
+    //     wm*1000) predicate, the same boundary s31/s44b pinned;
+    //   emission (append) = windows with admitted rows and
+    //     (ws+600)*1000 <= final wm, flushed by the no-new-data batch that
+    //     AvailableNow runs after the watermark's last advance.
+    // s05 (free-running ~6-batch split) stays G-class; this twin turns the
+    // semantics into an O-class row.
+    GQuery("s05b_watermark_late_drop_pinned",
+      (s, d) => {
+        val cap = (Tables.events(s, d).count() + 5) / 6
+        runToMemory(
+          replayStream(s, d, maxRowsPerTrigger = Some(cap), late = true)
+            .withColumn("ts", col("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(count(lit(1)).as("n")),
+          "append")
+          .select(col("window.start").cast("long").as("ws_sec"), col("n"))
+          .orderBy(col("ws_sec"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+  epoch_us(ts) + CASE WHEN event_id % 20 = 0 THEN 7200000000 ELSE 0 END AS arrival,
+  event_id % 3 AS part FROM events),
+m AS (SELECT (count(*) + 5) // 6 AS cap FROM events),
+r AS (SELECT e.*, row_number() OVER (PARTITION BY part ORDER BY arrival, event_id) AS rn FROM e),
+b AS (SELECT r.*, CASE WHEN rn <= cap THEN 1 ELSE 2 END AS batch FROM r, m),
+wm1 AS (SELECT max(us) // 1000 - 3600000 AS wm1_ms FROM b WHERE batch = 1),
+wmf AS (SELECT max(us) // 1000 - 3600000 AS wmf_ms FROM b),
+adm AS (SELECT (us // 600000000) * 600 AS ws_sec FROM b, wm1
+  WHERE batch = 1 OR ((us // 600000000) * 600 + 600) * 1000 > wm1_ms)
+SELECT ws_sec, count(*) AS n FROM adm, wmf
+GROUP BY ws_sec, wmf_ms
+HAVING (ws_sec + 600) * 1000 <= wmf_ms
+ORDER BY ws_sec NULLS FIRST""")),
+
     // S06: streaming dedup on the envelope key via the custom source — two
     // replay streams unioned (every record twice), exact dedup on
     // (partition, offset), then batch-side per-partition totals.

@@ -2157,7 +2157,151 @@ SELECT source, ln.l AS lane,
   min(((ln.l * 2 + 1) * b0 + b1) % 281474976710656) AS mh
 FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS l) ln
 GROUP BY source, ln.l
-ORDER BY source NULLS FIRST, lane NULLS FIRST"""))
+ORDER BY source NULLS FIRST, lane NULLS FIRST""")),
+
+    // S54: streaming release funnel — the live twin of x64's attrition
+    // dashboard (VERDICT r10 #8). Fresh documents (doc_id % 10 = 7) stream
+    // against the already-released corpus and flow the same gate chain:
+    //   raw → exact-new (s30's incremental-dedup shape: a STATIC history
+    //   hash table probed with a stream-static left-anti join — history
+    //   never enters stream state — then dropDuplicates for first-arrival
+    //   within the stream) → n-gram-clean (x13/x57's broadcast eval-gram
+    //   probe as a per-row array_intersect against a ONE-ROW static frame,
+    //   so the stage keeps append mode: no stream-side aggregation) →
+    //   quality (s49's per-row rational-sigmoid score at the 'keep'
+    //   boundary, ≥ 0.6; the n-gram gate at 0.15 — both chosen so every
+    //   stage has attrition at the test corpora).
+    // The sink receives per-doc flag rows (append, file sink — distributed
+    // end to end); the funnel itself is a batch-side stack()+aggregate over
+    // the sunk flags, exactly like x64. Deterministic despite arrival
+    // order: duplicates share text, hence token counts, so per-stage
+    // doc/token totals are order-invariant. State is |distinct new hashes|
+    // in the fresh slice only (pinned in StreamMetricsSpec). At 100 TB:
+    // history is a broadcast/bucketed static probe, eval grams are a
+    // broadcast array, scoring is per-row — the only state is the fresh
+    // window's dedup set, the same bound s30 carries.
+    GQuery("s54_stream_release_funnel",
+      (s, d) => {
+        val ds = Tables.table(s, d, "documents")
+        val isFresh = col("doc_id") % 10 === 7
+        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 2000
+        // static sides persisted: a stream-static join re-executes the
+        // static plan every micro-batch (the s27 lesson)
+        val hist = ds.filter(!isFresh).select(md5(col("text")).as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hist.count()
+        val evg = ds.filter(isEval)
+          .select(explode(graft.functions.GraftFunctions
+            .word_shingles(col("text"), 3)).as("g"))
+          .distinct().agg(collect_list(col("g")).as("evs"))
+          .withColumn("jk", lit(1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        evg.count()
+        // s49's quality score, per-row on the stream
+        val ws = split(col("text"), " ")
+        val nwS = greatest(size(ws), lit(1))
+        val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "for")
+          .map(lit): _*)
+        val punct = length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val z = lit(-1.0) +
+          lit(2.4) * (size(array_distinct(ws)) / nwS) +
+          lit(1.2) * (least(size(ws), lit(400)) / lit(400.0)) -
+          lit(3.0) * (punct / greatest(length(col("text")), lit(1))) -
+          lit(0.8) * abs((length(col("text")) - (size(ws) - lit(1))) / nwS -
+            lit(5.0)) / lit(5.0) +
+          lit(1.5) * (size(filter(ws, w => array_contains(stops, w))) / nwS)
+        val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
+          .cast("decimal(18,6)").cast("double")
+        val flags = docStream(s, d).filter(isFresh)
+          .select(col("text"),
+            size(split(col("text"), " ")).cast("long").as("tok"),
+            md5(col("text")).as("h"),
+            graft.functions.GraftFunctions.word_shingles(col("text"), 3)
+              .as("sh"))
+          .join(hist, Seq("h"), "left_anti")
+          .dropDuplicates("h")
+          .withColumn("jk", lit(1))
+          .join(broadcast(evg), "jk")
+          // the x57/x61/x64 canary: an empty eval slice would null the
+          // probe into a silent pass-everything stage — fail loudly
+          .withColumn("evs",
+            when(assert_true(size(col("evs")) > 0,
+              lit("s54: eval gram set is empty — the n-gram stage would " +
+                "silently pass every doc")).isNull, col("evs")))
+          .withColumn("p2",
+            size(array_intersect(col("sh"), col("evs"))).cast("double") /
+              size(col("sh")).cast("double") < 0.15)
+          .withColumn("p3", score >= 0.6)
+          .select(col("tok"), col("p2"), col("p3"))
+        val sunk = runToMemory(flags, "append")
+        val raw = ds.filter(isFresh)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .select(lit("0_raw").as("stage"), col("n_docs"), col("n_tokens"))
+        val staged = sunk.select(col("tok"), expr("""stack(3,
+            '1_exact_new', true,
+            '2_ngram_clean', p2,
+            '3_quality_keep', p2 AND p3) AS (stage, pass)"""))
+          .filter(col("pass"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        val total = ds.filter(isFresh).agg(count(lit(1)).as("total"))
+        raw.unionByName(staged)
+          .crossJoin(broadcast(total))
+          .select(col("stage"), col("n_docs"), col("n_tokens"),
+            (col("n_docs").cast("double") / col("total"))
+              .cast("decimal(18,6)").cast("double").as("retained_frac"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text, md5(text) AS h,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents WHERE doc_id % 10 = 7),
+hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+surv AS (SELECT h, min(doc_id) AS doc_id FROM f
+  WHERE h NOT IN (SELECT h FROM hist) GROUP BY h),
+sd AS (SELECT f.doc_id, f.tok FROM f JOIN surv USING (h, doc_id)),
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+shd AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+evg AS (SELECT DISTINCT unnest(s) AS g FROM shd
+  WHERE doc_id % 20 = 0 AND doc_id < 2000),
+hits AS (SELECT t.doc_id, count(*) AS n
+  FROM (SELECT sd.doc_id, unnest(shd.s) AS g FROM sd JOIN shd USING (doc_id)) t
+  JOIN evg USING (g) GROUP BY t.doc_id),
+p2t AS (SELECT sd.doc_id,
+    (CAST(coalesce(hits.n, 0) AS DOUBLE) / len(shd.s)) < 0.15 AS p2
+  FROM sd JOIN shd USING (doc_id) LEFT JOIN hits ON hits.doc_id = sd.doc_id),
+zt AS (SELECT sd.doc_id,
+    -1.0 + 2.4 * (len(list_distinct(w)) / greatest(len(w), 1))
+         + 1.2 * (least(len(w), 400) / 400.0)
+         - 3.0 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1))
+         - 0.8 * abs(((length(text) - (len(w) - 1)) / greatest(len(w), 1)) - 5.0) / 5.0
+         + 1.5 * (len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','for'], x))) / greatest(len(w), 1))
+      AS z
+  FROM sd JOIN toks USING (doc_id)),
+p3t AS (SELECT doc_id,
+    CAST(CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) AS DECIMAL(18,6)) AS DOUBLE) >= 0.6 AS p3
+  FROM zt),
+stg AS (
+  SELECT '0_raw' AS stage, count(*) AS n_docs, sum(tok) AS n_tokens FROM f
+  UNION ALL
+  SELECT '1_exact_new', count(*), sum(tok) FROM sd
+  UNION ALL
+  SELECT '2_ngram_clean', count(*), sum(tok)
+  FROM sd JOIN p2t USING (doc_id) WHERE p2
+  UNION ALL
+  SELECT '3_quality_keep', count(*), sum(tok)
+  FROM sd JOIN p2t USING (doc_id) JOIN p3t USING (doc_id) WHERE p2 AND p3),
+tot AS (SELECT count(*) AS total FROM f)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CAST(CAST(n_docs AS DOUBLE) / total AS DECIMAL(18,6)) AS DOUBLE)
+    AS retained_frac
+FROM stg, tot ORDER BY stage NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

@@ -196,6 +196,27 @@ class StreamMetricsSpec extends SparkSpec {
         s"$openWins open windows' budget")
   }
 
+  test("s54 release funnel: dedup state is EXACTLY the new fresh hashes") {
+    // the funnel's only stateful operator is dropDuplicates("h") AFTER the
+    // static-history left-anti join — so state must equal the distinct
+    // fresh hashes NOT in history (never the history itself, never the raw
+    // stream): the s30 incremental-dedup bound, asserted exactly
+    val docs = Tables.table(spark, sf, "documents")
+    val fresh = docs.filter(col("doc_id") % 10 === 7)
+      .select(md5(col("text")).as("h")).distinct()
+    val hist = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(md5(col("text")).as("h")).distinct()
+    val newHashes = fresh.join(hist, Seq("h"), "left_anti").count()
+    val (s, batches, emitted) =
+      runWithMetrics("s54_stream_release_funnel", docs.count())
+    assert(emitted === 4L, s"funnel emitted $emitted stages, expected 4")
+    assert(s.maxStateRows === newHashes,
+      s"s54 state ${s.maxStateRows} != new fresh hashes $newHashes — " +
+        "history leaked into stream state?")
+    assert(batches.last.stateRows === newHashes,
+      s"s54 final state ${batches.last.stateRows} != $newHashes")
+  }
+
   test("append-mode harness keeps table-sized results off the driver") {
     // append outputs scale with the input (s01/s23/s25 are |events| rows):
     // the harness must hand back a distributed file-sink read, never a

@@ -1,18 +1,7 @@
 package graft.operators
 
-import graft.{GQuery, Tables}
-import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-/** Multimodal record: opaque binary payload + typed metadata, the
-  * generalization of the reference's `value: Binary` column
-  * (/root/reference/src/lib.rs:10) to image/audio/video blobs. */
-case class MMRecord(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
-
-/** Output of the (stubbed) multimodal decode/feature step. */
-case class MMFeature(doc_id: Long, n_bytes: Long, n_chunks: Long,
-    checksum: Long, head_hex: String)
+import graft.GQuery
+import org.apache.spark.sql.SparkSession
 
 /** LLM-data-pipeline operators (SURVEY.md §2.4 X01–X05): dedup (exact,
   * MinHash-LSH, SimHash, exact n-gram Jaccard), vector similarity search
@@ -26,3689 +15,20 @@ case class MMFeature(doc_id: Long, n_bytes: Long, n_chunks: Long,
   */
 object PipelineQueries {
 
-  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
-
-  /** The exact-Jaccard pair set over `documents` at (k=5, j>=0.5), shared
-    * verbatim by x02_ngram_jaccard, x07_dedup_clusters and
-    * x07_dedup_clusters_star — memoized once per (session, dir) and
-    * lineage-truncated with an eager localCheckpoint, so the pair-generation
-    * join (~55% of each x07 variant's cost) runs once per process instead of
-    * three times. localCheckpoint blocks live outside the SQL relation cache,
-    * so the bench harness's per-query `catalog.clearCache()` does not evict
-    * them. At 100 TB this is the same move a production pipeline makes:
-    * compute the candidate pair table once, write it, feed every consumer. */
-  private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairMemo.computeIfAbsent((s, d), _ =>
-      graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
-        col("doc_id"), col("text"), k = 5, threshold = 0.5)
-        .localCheckpoint())
-
   /** Drop memoized pair tables (Bench calls this between registry reps so a
     * repeat pass re-pays pair generation instead of timing a cache hit). */
-  private[graft] def resetMemo(): Unit = {
-    pairMemo.values.forEach(df => df.unpersist())
-    pairMemo.clear()
-  }
-
-  /** Materialize the shared pair table eagerly (localCheckpoint runs the
-    * job). Bench calls this as a NAMED setup step before the timed registry
-    * pass, so pair generation is charged to `setup_pair_memo` instead of to
-    * whichever of x02/x07/x07_star/x56/x60/x64 happens to run first — the
-    * round-10 verdict traced a 1.5–1.8× flag family to exactly that
-    * accounting ambiguity. */
-  private[graft] def warmPairMemo(s: SparkSession, d: String): Unit = {
-    nearDupPairs(s, d)
-    ()
-  }
-
-  /** DuckDB-side equivalent of [[graft.GraftOps.shingles]] (brute-force
-    * oracle runs at sf0.01
-    * scale only; the Spark side is the scale path). */
-  private val shingleCte =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks)"""
-
-  /** Connected-components oracle shared by x07 (min-label) and x07b
-    * (star-contraction): DuckDB replays the transitive closure with a
-    * recursive CTE over the same exact-Jaccard pair set. */
-  private val x07OracleSql =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-edges AS (SELECT da AS src, db AS dst FROM pairs
-  UNION ALL SELECT db, da FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-SELECT id AS doc_id, min(r) AS cluster FROM reach
-GROUP BY id ORDER BY doc_id NULLS FIRST"""
-
-  val all: Seq[GQuery] = Seq(
-
-    // ---- X01: exact dedup --------------------------------------------------
-    GQuery("x01_exact_dedup",
-      (s, d) => graft.GraftOps.exactDedup(t(s, d, "documents"),
-          col("doc_id"), col("text"))
-        .orderBy(col("keeper")),
-      Some("""SELECT min(doc_id) AS keeper, count(*) AS n, md5(text) AS h
-FROM documents GROUP BY md5(text) ORDER BY keeper NULLS FIRST""")),
-
-    // ---- X02: near-dup detection -------------------------------------------
-    // Exact shingle-Jaccard pairs >= 0.5 via an inverted-index join on
-    // shingles (shuffle by shingle, count common per pair) — the exact-answer
-    // scale path; the DuckDB oracle brute-forces all pairs, feasible only at
-    // oracle scale.
-    GQuery("x02_ngram_jaccard",
-      (s, d) => nearDupPairs(s, d)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(shingleCte + """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
-
-    // MinHash (k=64) + LSH banding (16 bands x 4 rows): candidates collide on
-    // a band hash, then candidates are verified with exact Jaccard >= 0.5.
-    // G-class (approximate recall by construction); the ScalaTest spec
-    // cross-checks it against x02_ngram_jaccard.
-    GQuery("x02_minhash_lsh",
-      (s, d) => graft.GraftOps.minhashNearDups(t(s, d, "documents"),
-          col("doc_id"), col("text"), k = 5, threshold = 0.5,
-          bands = 16, rowsPerBand = 4, seed = 42L)
-        .orderBy(col("doc_a"), col("doc_b")),
-      None),
-
-    // SimHash near-dup: 64-bit simhash over shingles, candidates from 4
-    // 16-bit band collisions, verified by Hamming distance <= 12. G-class.
-    GQuery("x02_simhash",
-      (s, d) => graft.GraftOps.simhashNearDups(t(s, d, "documents"),
-          col("doc_id"), col("text"), k = 5, maxHamming = 12)
-        .orderBy(col("doc_a"), col("doc_b")),
-      None),
-
-    // ---- X03: similarity search over embeddings ----------------------------
-    // Brute-force cosine top-5 for the first 20 query vectors: broadcast the
-    // tiny query side, fused codegen cosine kernel, per-query top-k window.
-    // O-class: the kernel accumulates double products sequentially, exactly
-    // like DuckDB's list_cosine_similarity over DOUBLE[] (measured agreement
-    // 1 ULP), so scores hash-match after a 6-decimal cast.
-    GQuery("x03_ann_bruteforce",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        graft.GraftOps.annTopK(e, col("vec_id"), col("embedding"),
-            e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), 5)
-          .select(col("q_id"), col("rank"), col("n_id"),
-            col("score").cast("decimal(18,6)").cast("double").as("score"))
-          .orderBy(col("q_id"), col("rank"))
-      },
-      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
-s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sc
-  FROM q JOIN c ON q_id <> n_id),
-r AS (SELECT q_id, n_id, sc,
-  row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rank FROM s)
-SELECT q_id, rank, n_id, CAST(CAST(sc AS DECIMAL(18,6)) AS DOUBLE) AS score
-FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
-
-    // LSH-bucketed ANN (sign random projection, 4 planes -> 16 buckets):
-    // candidates only join within a bucket — the shuffle-friendly scale path
-    // (at 100 TB the bucket join replaces the cross product; more planes +
-    // multi-probe raise precision). G-class.
-    GQuery("x03_ann_lsh",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        graft.GraftOps.annTopKLsh(e, col("vec_id"), col("embedding"),
-            e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"), 3,
-            planes = 4, seed = 42L)
-          .select(col("q_id"), col("rank"), col("n_id"),
-            col("score").cast("decimal(18,6)").as("score"))
-          .orderBy(col("q_id"), col("rank"))
-      },
-      None),
-
-    // Embedding cosine near-dup pairs (threshold 0.45). O-class: same
-    // ULP-exact kernel-vs-DuckDB agreement as x03_ann_bruteforce; no data
-    // point sits within 1e-12 of the threshold, so the cut is stable.
-    // Candidates come from rp_bucket LSH collisions (never all-pairs); the
-    // brute-force DuckDB oracle stays green because (planes=2, tables=10,
-    // seed=42) has measured FULL recall on the ≥0.45 tail at sf0.001, sf0.01
-    // AND sf0.1 (7/7, 14/14, 144/144 true pairs collide in ≥1 table). 0.45 is
-    // a 3.6σ outlier cut on this corpus (cos ~ N(0, 1/64), no planted dups) —
-    // deep-tail thresholds force dense candidates at any `planes`; at real
-    // near-dup thresholds (≥0.9) the same operator runs planes=8-16 with tiny
-    // candidate sets. PipelineSpec pins LSH ≡ brute force; PlanAuditSpec pins
-    // no CartesianProduct/BroadcastNestedLoopJoin in this plan.
-    // targetBucket=512: occupancy-targeted plane scaling — a no-op at the
-    // oracle sfs (n ≤ 2000 ⇒ planes stays 2, measured-full-recall config
-    // untouched) and the linear-candidates scale path beyond (sf1's 20k
-    // vectors get planes=6 / 640 join keys instead of quadratic work
-    // through 40).
-    GQuery("x03_embedding_neardup",
-      (s, d) => graft.GraftOps.cosineNearDups(t(s, d, "embeddings"),
-          col("vec_id"), col("embedding"), 0.45, planes = 2, tables = 10,
-          targetBucket = 512L)
-        .select(col("a_id"), col("b_id"),
-          col("score").cast("decimal(18,6)").cast("double").as("score"))
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-  CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,6)) AS DOUBLE) AS score
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.45
-ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
-
-    // IVF ANN (nprobe=1) with centroids built by the CentroidAgg UDAF over
-    // the label partitioning. G-class; spec checks cluster-local correctness.
-    GQuery("x03_ann_ivf",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        graft.GraftOps.annTopKIvf(e, col("vec_id"), col("embedding"), col("label"),
-            e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
-            k = 3, dim = 64)
-          .select(col("q_id"), col("rank"), col("n_id"),
-            col("score").cast("decimal(18,6)").as("score"))
-          .orderBy(col("q_id"), col("rank"))
-      },
-      None),
-
-    // Approximate aggregates (HLL count-distinct, quantile sketch) — G-class
-    // by design (SURVEY.md §2.3: never declared against the DuckDB oracle).
-    GQuery("q35_approx_agg",
-      (s, d) => t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("apx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("apx_median"),
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.25), lit(0.75)), lit(1000)).as("apx_quartiles"))
-        .select(col("apx_parts"), col("apx_orders"), col("apx_median"),
-          element_at(col("apx_quartiles"), 1).as("apx_p25"),
-          element_at(col("apx_quartiles"), 2).as("apx_p75")),
-      None),
-
-    // ---- X04: text analysis ------------------------------------------------
-    GQuery("x04_text_stats",
-      (s, d) => {
-        val stop = Seq("the", "a", "of", "and", "to")
-        t(s, d, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"),
-            size(col("w")).cast("long").as("n_tokens"),
-            ((col("n_chars") - size(col("w")) + 1).cast("double") / size(col("w")))
-              .as("avg_tok"),
-            (size(filter(col("w"), x => x.isin(stop: _*))).cast("double")
-              / size(col("w"))).as("stop_ratio"),
-            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
-              .cast("long").as("n_units"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id,
-  len(string_split(text, ' ')) AS n_tokens,
-  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
-    / len(string_split(text, ' ')) AS avg_tok,
-  CAST(len(list_filter(string_split(text, ' '),
-    x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
-    / len(string_split(text, ' ')) AS stop_ratio,
-  len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_units
-FROM documents ORDER BY doc_id NULLS FIRST""")),
-
-    // BPE-ish pre-tokenizer counting over a corpus WITH punctuation (the
-    // documents table is plain space-separated words, so the regex branches
-    // would be vacuous there; events.props JSON exercises contraction /
-    // letter-run / digit-run / punctuation / space alternatives). The
-    // pattern is the GPT-2 pre-tokenizer family minus its \s+(?!\S)
-    // lookahead (RE2 — DuckDB's engine — has no lookahead; both engines are
-    // leftmost-first on this alternation, verified piece-for-piece).
-    GQuery("x04_bpe_tokens",
-      (s, d) => {
-        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
-        Tables.events(s, d)
-          .select(col("event_id"), col("props"))
-          .withColumn("n_bpe",
-            size(regexp_extract_all(col("props"), lit(pat), lit(0))).cast("long"))
-          .withColumn("n_ws", size(split(col("props"), " ")).cast("long"))
-          .select(col("event_id"), col("n_bpe"), col("n_ws"))
-          .orderBy(col("event_id"))
-      },
-      Some("""SELECT event_id,
-  len(regexp_extract_all(props,
-    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS n_bpe,
-  len(string_split(props, ' ')) AS n_ws
-FROM events ORDER BY event_id NULLS FIRST""")),
-
-    GQuery("x04_tfidf",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val nd = docs.agg(count(lit(1)).as("nd"))
-        tf.join(dfreq, "word").crossJoin(broadcast(nd))
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), col("word"),
-            (col("tf") * log(col("nd") / col("df"))).cast("decimal(18,6)").cast("double").as("tfidf"))
-          .orderBy(col("doc_id"), col("word"))
-      },
-      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
-df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT count(*) AS nd FROM documents)
-SELECT t.doc_id, t.word, CAST(CAST(t.tf * ln(nd.nd / d.df) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
-FROM tf t JOIN df d USING (word) CROSS JOIN nd
-WHERE t.doc_id < 100
-ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
-
-    // ---- X41: BPE tokenizer induction --------------------------------------
-    // The TRAINING half of the tokenizer axis (x04_bpe_tokens is inference-
-    // side pre-tokenization). x41_bpe_pairs is the oracle-checked kernel:
-    // the iteration-0 corpus-wide weighted adjacent-character-pair counts
-    // over the distinct-word frequency table — exactly the aggregation each
-    // BPE merge round runs. Top-50 with a total (count desc, l, r) order so
-    // the LIMIT boundary is deterministic cross-engine.
-    GQuery("x41_bpe_pairs",
-      (s, d) => {
-        val wf = t(s, d, "documents")
-          .select(explode(split(lower(col("text")), " ")).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("syms", split(col("word"), "(?!^)(?=.)"))
-        wf.select(col("freq"), explode(arrays_zip(
-            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
-            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).cast("long").as("pair_freq"))
-          .orderBy(col("pair_freq").desc, col("l"), col("r"))
-          .limit(50)
-      },
-      Some("""WITH w AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
-wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
-p AS (SELECT substr(word, CAST(i AS INT) + 1, 1) AS l,
-             substr(word, CAST(i AS INT) + 2, 1) AS r, freq
-      FROM wf, unnest(range(len(word) - 1)) u(i))
-SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
-FROM p GROUP BY l, r
-ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
-
-    // Full iterative induction: 8 learned merges over the documents corpus.
-    // G-class (the loop's driver-side argmax has no SQL replay), but fully
-    // deterministic — ties break (count desc, left, right) — and BpeSpec
-    // proves the distributed trainer equals an independent in-memory BPE
-    // reference on randomized corpora.
-    GQuery("x41_bpe_merges",
-      (s, d) => graft.GraftOps.bpeVocab(
-        t(s, d, "documents"), col("text"), merges = 8),
-      None),
-
-    // Heuristic language-ID vs the labeled lang column. O-class: the
-    // expression's distance is exact integer arithmetic, so the DuckDB oracle
-    // replays the identical counts + formula in SQL (generated from the same
-    // profile table — one source of truth).
-    GQuery("x04_langid",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), lang_id(col("text")).as("guess"), col("lang"))
-        .orderBy(col("doc_id")),
-      Some(graft.functions.LanguageId.oracleSql)),
-
-    // Winnowing rolling-hash fingerprint per document. G-class.
-    GQuery("x04_fingerprint",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), winnow_fp(col("text"), 8, 4).as("fp"))
-        .orderBy(col("doc_id")),
-      None),
-
-    // Min-hash document fingerprint over 8-char shingles with a
-    // cross-engine-stable hash (md5 hex, lexicographic min) — the O-class
-    // companion to the custom winnowing expression above. Built purely from
-    // codegen'd higher-order functions (sequence → transform → array_min).
-    GQuery("x04_fingerprint_md5",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-          // stride-4 shingle positions: identical fingerprint definition on
-          // both engines at a quarter of the hash work (hashing EVERY
-          // position was the single most expensive query in the registry)
-          expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4),
-                 i -> md5(substring(text, i, 8))))""").as("fp"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-  list_min([md5(substr(text, i, 8))
-            for i in range(1, greatest(len(text) - 7, 1) + 1, 4)]) AS fp
-FROM documents ORDER BY doc_id NULLS FIRST""")),
-
-    // Document quality score: length / punctuation / stopword / uniqueness
-    // signals combined into one 0..100 score plus a keep/flag/drop band — the
-    // filter a training-data pipeline applies before dedup. Pure integer/
-    // decimal arithmetic so the band edges are exact on both engines.
-    GQuery("x04_quality",
-      (s, d) => {
-        val stop = Seq("the", "a", "of", "and", "to")
-        t(s, d, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("n_tok", size(col("w")).cast("long"))
-          .withColumn("n_stop",
-            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
-          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-          .withColumn("score",
-            // `div` (integer division) — Spark's `/` on longs is double
-            expr("""least(n_tok, 400) * 25 div 400
-              + (25 - least(n_stop * 100 div n_tok, 25))
-              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
-          .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("score"),
-            when(col("score") >= 60, "keep")
-              .when(col("score") >= 40, "flag").otherwise("drop").as("band"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-m AS (SELECT doc_id, len(w) AS n_tok,
-    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
-    len(list_distinct(w)) AS n_uniq
-  FROM t),
-sc AS (SELECT doc_id, n_tok, n_uniq,
-    least(n_tok, 400) * 25 // 400
-      + (25 - least(n_stop * 100 // n_tok, 25))
-      + least(n_uniq * 50 // n_tok, 50) AS score
-  FROM m)
-SELECT doc_id, n_tok, n_uniq, score,
-  CASE WHEN score >= 60 THEN 'keep' WHEN score >= 40 THEN 'flag'
-       ELSE 'drop' END AS band
-FROM sc ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X06: the pipeline end-to-end --------------------------------------
-    // The training-data flagship: quality filter → exact dedup → exact
-    // near-dup removal → per-language corpus stats, every stage the
-    // already-oracle-proven operator, composed. At 100 TB each stage is the
-    // documented scale path (integer scoring per row, one hash-partitioned
-    // agg, df-pruned inverted-index join).
-    GQuery("x06_pipeline_e2e",
-      (s, d) => {
-        val stop = Seq("the", "a", "of", "and", "to")
-        val scored = t(s, d, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("n_tok", size(col("w")).cast("long"))
-          .withColumn("n_stop",
-            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
-          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-          .withColumn("score",
-            expr("""least(n_tok, 400) * 25 div 400
-              + (25 - least(n_stop * 100 div n_tok, 25))
-              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
-          .filter(col("score") >= 40)
-          .select(col("doc_id"), col("text"), col("lang"), col("n_tok"))
-        val keepers = scored.groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-        val deduped = scored.join(keepers, Seq("doc_id"))
-        // maxDf=10 ≈ 10× the corpus mean shingle df (measured 1.05, max 4 at
-        // sf0.01/sf0.1): the boilerplate skew escape hatch is exercised but
-        // prunes nothing here, so the exact oracle stays green; on a corpus
-        // with shared chrome the cap bounds the inverted-index fanout.
-        val dropIds = graft.GraftOps
-          .jaccardNearDups(deduped, col("doc_id"), col("text"), k = 5,
-            threshold = 0.5, maxDf = graft.GraftOps.DfCapPolicy.Fixed(10L))
-          .select(col("doc_b").as("doc_id")).distinct()
-        deduped.join(dropIds, Seq("doc_id"), "left_anti")
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-          .orderBy(col("lang"))
-      },
-      Some("""WITH t0 AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w
-  FROM documents),
-m AS (SELECT doc_id, text, lang, len(w) AS n_tok,
-    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
-    len(list_distinct(w)) AS n_uniq FROM t0),
-keep AS (SELECT doc_id, text, lang, n_tok FROM m
-  WHERE least(n_tok, 400) * 25 // 400
-      + (25 - least(n_stop * 100 // n_tok, 25))
-      + least(n_uniq * 50 // n_tok, 50) >= 40),
-keepers AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
-ded AS (SELECT k.* FROM keep k JOIN keepers USING (doc_id)),
-toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
-pairs AS (SELECT b.doc_id AS drop_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-fin AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT drop_id FROM pairs))
-SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-FROM fin GROUP BY lang ORDER BY lang NULLS FIRST""")),
-
-    // ---- X07: duplicate-cluster assignment ---------------------------------
-    // Near-dup PAIRS become per-document cluster ids (min doc id of the
-    // connected component) via iterative min-label propagation — the
-    // transitive-closure step a dedup pipeline needs before "keep one per
-    // cluster" (a~b, b~c ⇒ one cluster of three, even though a,c were never
-    // directly compared). O-class: DuckDB replays the closure with a
-    // recursive CTE over the same exact-Jaccard pair set.
-    GQuery("x07_dedup_clusters",
-      (s, d) => graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_id")),
-      Some(x07OracleSql)),
-
-    // X07b: the same cluster assignment via star-contraction (Kiveris et al.
-    // large-star/small-star) — the O(log n)-round variant for graphs whose
-    // component diameter min-label propagation can't bound (a path-graph
-    // worst case is spec-pinned in StarContractionSpec). Identical result to
-    // x07 by construction, so it shares the recursive-CTE oracle.
-    GQuery("x07_dedup_clusters_star",
-      (s, d) => graft.GraftOps.dedupClustersStar(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_id")),
-      Some(x07OracleSql)),
-
-    // X32: QUALITY-keeper cluster resolution — "keep one per cluster" with a
-    // policy better than min-id: every document gets its near-dup cluster
-    // (singletons stand alone), the x04 integer quality score ranks members,
-    // and the top-scored member survives (doc_id tie-break). This is the
-    // decision layer between clustering (x07) and the rewrite: rank-filter
-    // windows per cluster key, one join against the score table, nothing
-    // doc×doc. O-class — the oracle replays closure + score + window.
-    GQuery("x32_cluster_keeper",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
-        val assigned = docs.select(col("doc_id"))
-          .join(clusters, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster"))
-        val stop = Seq("the", "a", "of", "and", "to")
-        val scored = docs
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("n_tok", size(col("w")).cast("long"))
-          .withColumn("n_stop",
-            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
-          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-          .select(col("doc_id"),
-            expr("""least(n_tok, 400) * 25 div 400
-              + (25 - least(n_stop * 100 div n_tok, 25))
-              + least(n_uniq * 50 div n_tok, 50)""").cast("long").as("score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))
-        assigned.join(scored, "doc_id")
-          .withColumn("kept", row_number().over(w) === 1)
-          .select(col("doc_id"), col("cluster"), col("score"), col("kept"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-edges AS (SELECT da AS src, db AS dst FROM pairs
-  UNION ALL SELECT db, da FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
-m AS (SELECT doc_id, len(w) AS n_tok,
-    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
-    len(list_distinct(w)) AS n_uniq
-  FROM toks),
-sc AS (SELECT doc_id, CAST(least(n_tok, 400) * 25 // 400
-      + (25 - least(n_stop * 100 // n_tok, 25))
-      + least(n_uniq * 50 // n_tok, 50) AS BIGINT) AS score
-  FROM m),
-asg AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
-  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
-r AS (SELECT a.doc_id, a.cluster, s.score,
-    row_number() OVER (PARTITION BY a.cluster
-      ORDER BY s.score DESC, a.doc_id) AS rk
-  FROM asg a JOIN sc s USING (doc_id))
-SELECT doc_id, cluster, score, rk = 1 AS kept
-FROM r ORDER BY doc_id NULLS FIRST""")),
-
-    // X33: dedup-threshold sensitivity sweep — the tuning diagnostic a
-    // curation team runs before fixing the near-dup cutoff: ONE scored-pair
-    // pass (the expensive inverted-index join, at the lowest candidate
-    // threshold), then every candidate threshold is evaluated by exploding a
-    // tiny threshold table against the scored pairs — pair counts and
-    // distinct-docs-with-a-dup per cutoff, no re-scoring. At 100 TB the
-    // sweep costs one pair materialization plus |pairs|×|thresholds| cheap
-    // rows. Thresholds carried as integer percents (exact rendering, exact
-    // comparison against the same double j both engines compute).
-    GQuery("x33_threshold_sweep",
-      (s, d) => {
-        import s.implicits._
-        // checkpoint the scored pairs: the plan forks into the pair-count
-        // and distinct-doc branches, which would otherwise re-run the
-        // expensive inverted-index join once EACH (2× the dominant stage;
-        // the scored-pair table itself is tiny — survivors of the 0.25 cut)
-        val pairs = graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
-          col("doc_id"), col("text"), k = 5, threshold = 0.25)
-          .localCheckpoint()
-        val thr = Seq(25L, 35L, 50L, 65L, 80L).toDF("thr_pct")
-        val pp = pairs.crossJoin(thr)
-          .filter(col("j") >= col("thr_pct").cast("double") / 100.0)
-        val np = pp.groupBy(col("thr_pct")).agg(count(lit(1)).as("n_pairs"))
-        val nd = pp.select(col("thr_pct"),
-            explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-          .groupBy(col("thr_pct"))
-          .agg(countDistinct(col("doc")).as("n_docs_with_dup"))
-        thr.join(np, Seq("thr_pct"), "left").join(nd, Seq("thr_pct"), "left")
-          .select(col("thr_pct"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-            coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"))
-          .orderBy(col("thr_pct"))
-      },
-      Some(shingleCte + """,
-p AS (SELECT a.doc_id AS da, b.doc_id AS db,
-    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) >= 1),
-t AS (SELECT unnest([25, 35, 50, 65, 80]) AS thr_pct),
-pp AS (SELECT thr_pct, count(*) AS n_pairs
-  FROM p, t WHERE j >= thr_pct / 100.0 GROUP BY thr_pct),
-dd AS (SELECT thr_pct, count(DISTINCT doc) AS n_docs_with_dup
-  FROM (SELECT j, unnest([da, db]) AS doc FROM p), t
-  WHERE j >= thr_pct / 100.0 GROUP BY thr_pct)
-SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
-  coalesce(pp.n_pairs, 0) AS n_pairs,
-  coalesce(dd.n_docs_with_dup, 0) AS n_docs_with_dup
-FROM t LEFT JOIN pp USING (thr_pct) LEFT JOIN dd USING (thr_pct)
-ORDER BY thr_pct NULLS FIRST""")),
-
-    // X34: compression-ratio quality filter — deflate(text)/len(text) as the
-    // boilerplate/repetition signal (templated or duplicated content
-    // compresses far better than natural prose; the heuristic CCNet-family
-    // pipelines run beside perplexity). One codegen'd per-row expression
-    // ([[graft.functions.DeflateLength]]), no shuffle until the final order.
-    // G-class: the ratio depends on the zlib build, so the cross-engine
-    // oracle is out of scope; determinism + the discriminative property
-    // (repeated text < natural text < noise) are pinned in ExpressionsSpec.
-    GQuery("x34_compression_filter",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("n_bytes"),
-          graft.functions.GraftFunctions.deflate_len(col("text")).as("z_bytes"))
-        .withColumn("ratio",
-          (col("z_bytes").cast("double") / col("n_bytes").cast("double"))
-            .cast("decimal(18,6)").cast("double"))
-        .withColumn("band",
-          when(col("ratio") < 0.3, "suspect_repetitive")
-            .when(col("ratio") > 0.9, "suspect_noise")
-            .otherwise("ok"))
-        .orderBy(col("doc_id")),
-      None),
-
-    // X35: distribution-drift monitor (PSI) — the data-quality gate a 100 TB
-    // ingest pipeline runs before letting a new batch into the training mix:
-    // per event_type, the Population Stability Index between the first and
-    // second half of the stream (exact ns-midpoint split — SF-independent),
-    // over fixed-width value bins. Shares are Laplace-smoothed
-    // ((c+0.5)/(n+B/2)) so empty bins never divide by zero; the bin spine is
-    // generated (sequence × distinct types × both periods), not discovered,
-    // so a bin that's empty in BOTH periods still contributes its smoothed
-    // mass symmetrically (net-zero term) and the bin universe matches the
-    // oracle's exactly. ln sums are rounded decimal(18,6) (the x27
-    // convention) to absorb merge-order noise. Cost: one scan + two tiny
-    // aggregates + a broadcast spine join — counts shuffle by
-    // (type, period, bin), ~|types|×|bins| rows, regardless of input size.
-    GQuery("x35_drift_psi",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(Tables.tsUs.as("ts_us"),
-            col("event_type"), col("value"))
-        val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
-        val maxBin = ev.agg(floor(max(col("value")) / 50.0).cast("int").as("mb"))
-        val binned = ev.join(broadcast(mid))
-          .select(col("event_type"),
-            when(col("ts_us") < col("mid"), "ref").otherwise("cur").as("period"),
-            floor(col("value") / 50.0).cast("int").as("bin"))
-        val counts = binned.groupBy(col("event_type"), col("period"), col("bin"))
-          .agg(count(lit(1)).as("c"))
-        import s.implicits._
-        val spine = binned.select(col("event_type")).distinct()
-          .crossJoin(broadcast(maxBin)
-            .select(explode(expr("sequence(0, mb)")).as("bin"),
-              (col("mb") + 1).cast("double").as("nbins")))
-          .crossJoin(Seq("ref", "cur").toDF("period"))
-        val filled = spine.join(counts, Seq("event_type", "period", "bin"), "left")
-          .select(col("event_type"), col("period"), col("bin"), col("nbins"),
-            coalesce(col("c"), lit(0L)).as("c"))
-        val withP = filled
-          .withColumn("n", sum(col("c")).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("event_type"), col("period"))))
-          .withColumn("p", (col("c") + lit(0.5d)) /
-            (col("n") + lit(0.5d) * col("nbins")))
-        val wide = withP.groupBy(col("event_type"), col("bin"))
-          .agg(max(when(col("period") === "ref", col("p"))).as("pr"),
-            max(when(col("period") === "cur", col("p"))).as("pc"),
-            sum(when(col("period") === "ref", col("c"))).as("cr"),
-            sum(when(col("period") === "cur", col("c"))).as("cc"))
-        wide.groupBy(col("event_type"))
-          .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"),
-            sum((col("pc") - col("pr")) * log(col("pc") / col("pr")))
-              .cast("decimal(18,6)").cast("double").as("psi"))
-          .withColumn("band",
-            when(col("psi") < 0.1, "stable")
-              .when(col("psi") < 0.25, "moderate").otherwise("drifted"))
-          .orderBy(col("event_type"))
-      },
-      Some("""WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
-b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid,
-    CAST(floor(max(value) / 50.0) AS INT) AS mb FROM ev),
-binned AS (SELECT event_type,
-    CASE WHEN ts_us < (SELECT mid FROM b) THEN 'ref' ELSE 'cur' END AS period,
-    CAST(floor(value / 50.0) AS INT) AS bin FROM ev),
-counts AS (SELECT event_type, period, bin, count(*) AS c
-  FROM binned GROUP BY 1, 2, 3),
-spine AS (SELECT t.event_type, g.bin, p.period
-  FROM (SELECT DISTINCT event_type FROM binned) t,
-       (SELECT unnest(range(0, (SELECT mb FROM b) + 1)) AS bin) g,
-       (SELECT unnest(['ref', 'cur']) AS period) p),
-filled AS (SELECT s.event_type, s.period, s.bin, coalesce(c.c, 0) AS c
-  FROM spine s LEFT JOIN counts c USING (event_type, period, bin)),
-withp AS (SELECT event_type, period, bin, c,
-    (c + 0.5) / (sum(c) OVER (PARTITION BY event_type, period)
-      + 0.5 * ((SELECT mb FROM b) + 1)) AS p
-  FROM filled),
-wide AS (SELECT event_type, bin,
-    max(CASE WHEN period = 'ref' THEN p END) AS pr,
-    max(CASE WHEN period = 'cur' THEN p END) AS pc,
-    sum(CASE WHEN period = 'ref' THEN c END) AS cr,
-    sum(CASE WHEN period = 'cur' THEN c END) AS cc
-  FROM withp GROUP BY 1, 2),
-agg AS (SELECT event_type,
-    CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur,
-    CAST(CAST(sum((pc - pr) * ln(pc / pr)) AS DECIMAL(18,6)) AS DOUBLE) AS psi
-  FROM wide GROUP BY 1)
-SELECT event_type, n_ref, n_cur, psi,
-  CASE WHEN psi < 0.1 THEN 'stable'
-       WHEN psi < 0.25 THEN 'moderate' ELSE 'drifted' END AS band
-FROM agg ORDER BY event_type NULLS FIRST""")),
-
-    // X36: BM25 ranked keyword retrieval — the lexical half of hybrid search
-    // (x28 is the vector half): a batch of keyword queries scored against the
-    // corpus through the inverted index (term → postings join), Lucene-variant
-    // IDF ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75. Per-term contributions
-    // are rounded decimal(18,6) BEFORE the per-doc sum, making the sum exact
-    // and associative — ranking compares decimals, so rank order is
-    // engine-independent (ties broken by doc_id). Scale shape: tf/df/dl are
-    // one-pass aggregates; the postings join shuffles by term and touches
-    // only query terms' postings; doc-length and corpus stats broadcast.
-    GQuery("x36_bm25_search",
-      (s, d) => {
-        import s.implicits._
-        val k1 = 1.2d; val b = 0.75d
-        val words = t(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val tf = words.groupBy(col("doc_id"), col("word"))
-          .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val queries = Seq((1L, "spark"), (1L, "stream"), (1L, "window"),
-          (2L, "customer"), (2L, "order"),
-          (3L, "hash"), (3L, "join"), (3L, "merge")).toDF("q_id", "word")
-        val term = tf.join(broadcast(queries), "word")
-          .join(dl, "doc_id").join(dfreq, "word")
-          .crossJoin(broadcast(stats))
-          .select(col("q_id"), col("doc_id"),
-            (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-              (col("tf") * lit(k1 + 1.0)) /
-              (col("tf") + lit(k1) *
-                (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
-              .cast("decimal(18,6)").as("ts"))
-        val perDoc = term.groupBy(col("q_id"), col("doc_id"))
-          .agg(sum(col("ts")).as("sd"), count(lit(1)).as("n_terms"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("sd").desc, col("doc_id"))
-        perDoc.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 10)
-          .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
-            col("sd").cast("double").as("score"))
-          .orderBy(col("q_id"), col("rank"))
-      },
-      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
-tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
-df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
-    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-q AS (SELECT CAST(c0 AS BIGINT) AS q_id, c1 AS word FROM (VALUES
-  (1, 'spark'), (1, 'stream'), (1, 'window'), (2, 'customer'), (2, 'order'),
-  (3, 'hash'), (3, 'join'), (3, 'merge')) v(c0, c1)),
-term AS (SELECT q.q_id, t.doc_id,
-    CAST(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))
-      AS DECIMAL(18,6)) AS ts
-  FROM tf t JOIN q USING (word) JOIN dl l USING (doc_id)
-  JOIN df d USING (word) CROSS JOIN stats s),
-perdoc AS (SELECT q_id, doc_id, sum(ts) AS sd, count(*) AS n_terms
-  FROM term GROUP BY 1, 2),
-ranked AS (SELECT q_id, doc_id, sd, n_terms,
-    row_number() OVER (PARTITION BY q_id ORDER BY sd DESC, doc_id) AS rank
-  FROM perdoc)
-SELECT q_id, rank, doc_id, n_terms, CAST(sd AS DOUBLE) AS score
-FROM ranked WHERE rank <= 10
-ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
-
-    // ---- X42: hybrid retrieval (BM25 ⊕ embedding cosine, RRF) --------------
-    // The standard two-arm retrieval stack for curation/RAG: a lexical BM25
-    // arm and a vector cosine arm, fused by reciprocal-rank fusion
-    // rrf = Σ 1/(60 + rank). Arms share the id space (doc_id ≡ vec_id on
-    // the restricted corpus); each arm is the already-proven scale kernel
-    // (bm25TopK's broadcast-terms inverted index, annTopK's broadcast-query
-    // scan), and the fusion joins two TOP-K lists — corpus-size-free.
-    // Exactly two double addends keep rrf order-free; ties break by id.
-    GQuery("x42_hybrid_rrf",
-      (s, d) => {
-        import s.implicits._
-        val qterms = Seq((1L, "spark"), (1L, "stream"), (2L, "customer"),
-          (2L, "order"), (3L, "hash"), (3L, "join")).toDF("q_id", "word")
-        val lex = graft.GraftOps.bm25TopK(
-            t(s, d, "documents").filter(col("doc_id") < 2000),
-            col("doc_id"), col("text"), qterms, topK = 20)
-          .select(col("q_id"), col("doc_id").as("id"), col("rank").as("ra"))
-        val e = t(s, d, "embeddings")
-        val vec = graft.GraftOps.annTopK(e, col("vec_id"), col("embedding"),
-            e.filter(col("vec_id").isin(1L, 2L, 3L)),
-            col("vec_id"), col("embedding"), 20)
-          .select(col("q_id"), col("n_id").as("id"), col("rank").as("rb"))
-        graft.GraftOps.rrfFuse(lex, vec, c = 60.0, topK = 10)
-          .orderBy(col("q_id"), col("rank"))
-      },
-      Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 2000),
-words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
-dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
-tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
-df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
-    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-q AS (SELECT CAST(c0 AS BIGINT) AS q_id, c1 AS word FROM (VALUES
-  (1, 'spark'), (1, 'stream'), (2, 'customer'), (2, 'order'),
-  (3, 'hash'), (3, 'join')) v(c0, c1)),
-term AS (SELECT q.q_id, t.doc_id,
-    CAST(ln((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))
-      AS DECIMAL(18,6)) AS ts
-  FROM tf t JOIN q USING (word) JOIN dl l USING (doc_id)
-  JOIN df d USING (word) CROSS JOIN stats s),
-perdoc AS (SELECT q_id, doc_id, sum(ts) AS sd FROM term GROUP BY 1, 2),
-lex AS (SELECT q_id, doc_id AS id,
-    row_number() OVER (PARTITION BY q_id ORDER BY sd DESC, doc_id) AS ra
-  FROM perdoc QUALIFY ra <= 20),
-qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id IN (1, 2, 3)),
-c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-vs AS (SELECT q_id, id, list_cosine_similarity(qv.v, c.v) AS sc
-  FROM qv JOIN c ON q_id <> id),
-vec AS (SELECT q_id, id,
-    row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, id) AS rv
-  FROM vs QUALIFY rv <= 20),
-fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id, coalesce(l.id, v.id) AS id,
-    coalesce(CAST(1 AS DOUBLE) / (60.0 + l.ra), 0.0)
-      + coalesce(CAST(1 AS DOUBLE) / (60.0 + v.rv), 0.0) AS rrf
-  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id)
-SELECT q_id,
-  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS rank,
-  id, rrf FROM fused
-QUALIFY rank <= 10 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
-
-    // X37: k-means + SemDeDup — Lloyd's algorithm run as two fully-
-    // distributed, fully-DETERMINISTIC rounds (seeds = the k smallest
-    // md5(vec_id), assignment = broadcast-centroid argmin over the codegen
-    // l2_dist kernel, update = per-dimension decimal(27,15) sums so the
-    // centroid mean is merge-order-free), then the SemDeDup step (Abbas et
-    // al. 2023): near-identical pairs are sought only WITHIN a cluster —
-    // the quadratic pair work drops from N² to Σ|cluster|², which is the
-    // entire point of clustering first at 100 TB. Oracle replays both Lloyd
-    // rounds in DuckDB (list_distance / list_cosine_similarity share the
-    // kernels' accumulation order). localCheckpoint pins the final
-    // assignment once — sizes, pair-join and output all read it without
-    // re-deriving the iteration chain.
-    GQuery("x37_kmeans_semdedup",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-            col("embedding").as("fv"))
-        // occupancy-targeted k (the x03 plane-scaling move): a FIXED k means
-        // cluster size ∝ n, so the within-cluster pair stage is quadratic
-        // AND capped at k-way parallelism. k = max(8, ceil(n/512)) keeps
-        // expected occupancy ≤ 512 (pairs ∝ n·512, spread over k tasks).
-        // At both oracle tiers (≤ 2000 vectors) this is exactly 8, so the
-        // DuckDB replay's literal `cid <= 8` stays equivalent.
-        val k = math.max(8L, (e.count() + 511L) / 512L).toInt
-        val wSeed = org.apache.spark.sql.expressions.Window
-          .orderBy(col("h"), col("vec_id"))
-        val c0 = e.select(col("vec_id"), col("v"),
-            md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(k)
-          .select(row_number().over(wSeed).as("cid"), col("v").as("cv"))
-        // argmin via min_by, not a row_number window: the crossJoin's n·k
-        // candidate rows collapse to n in the MAP-SIDE partial aggregate
-        // (each vector's k candidates are partition-local because the
-        // centroid side is broadcast), where the window form shuffled all
-        // n·k rows. (dist, cid) is unique per vector, so the min_by pick
-        // is deterministic and identical to the old rn=1.
-        def assign(cs: DataFrame): DataFrame =
-          e.crossJoin(broadcast(cs))
-            .withColumn("dist",
-              graft.functions.GraftFunctions.l2_dist(col("v"), col("cv")))
-            .groupBy(col("vec_id"))
-            .agg(min_by(struct(col("cid"), col("dist"), col("v"), col("fv")),
-              struct(col("dist"), col("cid"))).as("sel"))
-            .select(col("vec_id"), col("sel.cid").as("cid"),
-              col("sel.dist").as("dist"), col("sel.v").as("v"),
-              col("sel.fv").as("fv"))
-        def update(a: DataFrame): DataFrame =
-          a.select(col("cid"), posexplode(col("v")))
-            .groupBy(col("cid"), col("pos"))
-            .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
-              count(lit(1))).as("m"))
-            .groupBy(col("cid"))
-            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-              .as("cv"))
-        val a2 = assign(update(assign(c0))).localCheckpoint(true)
-        val sizes = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-        // slim pair join: only (vec_id, cid, fv) travels, scored inline,
-        // SHUFFLE_HASH so wide array rows are never sort-buffered (the x03
-        // lesson — the SMJ sort, not the cosine, dominates)
-        val slim = a2.select(col("vec_id"), col("cid"), col("fv"))
-        val dups = slim.as("a").join(slim.as("b").hint("SHUFFLE_HASH"),
-            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-          .filter(graft.functions.GraftFunctions
-            .cosine_sim(col("a.fv"), col("b.fv")) >= 0.45)
-          .select(col("b.vec_id").as("vec_id")).distinct()
-        a2.join(sizes, "cid")
-          .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cid").cast("long").as("cluster"),
-            col("n_members"),
-            col("dist").cast("decimal(18,6)").cast("double").as("dist"),
-            when(col("dup").isNotNull, "drop").otherwise("keep").as("action"))
-          .orderBy(col("vec_id"))
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (SELECT vec_id,
-    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
-  FROM e),
-c0 AS (SELECT s.cid, e.v AS cv FROM seeds s JOIN e USING (vec_id)
-  WHERE s.cid <= 8),
-d1 AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist, e.v
-  FROM e CROSS JOIN c0 c),
-a1 AS (SELECT vec_id, cid, v FROM d1
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-u1 AS (SELECT cid, i AS pos,
-    CAST(sum(CAST(v[i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
-  FROM a1, unnest(range(1, 65)) r(i) GROUP BY cid, i),
-c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
-d2 AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist, e.v
-  FROM e CROSS JOIN c1 c),
-a2 AS (SELECT vec_id, cid, dist, v FROM d2
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
-sizes AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid),
-dups AS (SELECT DISTINCT b.vec_id FROM a2 a JOIN a2 b
-  ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
-SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, s.n_members,
-  CAST(CAST(a.dist AS DECIMAL(18,6)) AS DOUBLE) AS dist,
-  CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
-FROM a2 a JOIN sizes s USING (cid) LEFT JOIN dups d ON a.vec_id = d.vec_id
-ORDER BY a.vec_id NULLS FIRST""")),
-
-    // X38: sequence packing — the concat-and-split step that turns a doc
-    // corpus into fixed-capacity training rows (every GPT-style pipeline's
-    // last mile): docs in deterministic doc_id order, global token prefix
-    // sum, each doc mapped to its [start_bin, end_bin] span of 512-token
-    // bins with its offset in the first bin; `split` marks boundary
-    // straddlers (what a loss-masking loader needs to know). All-integer
-    // arithmetic. The single global window here is the sf-test shape; at
-    // 100 TB the prefix sum runs as x30's two-pass form (range-partition →
-    // local cumsum → broadcast per-partition offsets) with identical output.
-    GQuery("x38_sequence_packing",
-      (s, d) => {
-        val cap = 512L
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        t(s, d, "documents")
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
-          .withColumn("cb", coalesce(sum(col("tok")).over(w), lit(0L)))
-          .select(col("doc_id"), col("tok"),
-            expr(s"cb div $cap").as("start_bin"),
-            (col("cb") % cap).as("start_off"),
-            expr(s"(cb + tok - 1) div $cap").as("end_bin"))
-          .withColumn("action",
-            when(col("end_bin") > col("start_bin"), "split").otherwise("contig"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH t AS (SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
-c AS (SELECT doc_id, tok,
-    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-  FROM t)
-SELECT doc_id, tok, cb // 512 AS start_bin, cb % 512 AS start_off,
-  (cb + tok - 1) // 512 AS end_bin,
-  CASE WHEN (cb + tok - 1) // 512 > cb // 512 THEN 'split' ELSE 'contig' END
-    AS action
-FROM c ORDER BY doc_id NULLS FIRST""")),
-
-    // X39: PageRank, 3 fixed iterations over the part↔supplier bipartite
-    // graph (distinct supply edges, both directions, so no dangling nodes) —
-    // the iterative-graph-algorithm shape (the same loop body serves label
-    // propagation / HITS / Katz). Determinism contract: per-edge messages
-    // r/deg are quantized decimal(28,12) BEFORE the destination sum (exact,
-    // associative — merge order can't shift a ULP), the damping update runs
-    // in double on the exact sum. Scale shape per iteration: one join of
-    // ranks×edges shuffled by src + one groupBy dst — the standard Pregel
-    // lowering; edges are distinct-deduped once up front.
-    GQuery("x39_pagerank",
-      (s, d) => {
-        // nodes are PACKED LONGS during iteration (part → 2k, supplier →
-        // 2k+1): the distinct, every join and every groupBy shuffle longs,
-        // not concatenated strings — 3-4× on the hot loop. The display name
-        // is reconstructed only on the 20 output rows; ranks tie-break on
-        // the long id in both engines.
-        val li = t(s, d, "lineitem")
-          .select((col("l_partkey") * 2).as("a"),
-            (col("l_suppkey") * 2 + 1).as("b")).distinct()
-        // both directions in ONE pass over the distinct (inline Generate),
-        // not a self-union that plans the distinct subtree twice; the only
-        // materialization point is pageRank's own stationary-edge checkpoint
-        val edges = li.select(
-          expr("inline(array(named_struct('a', a, 'b', b), " +
-            "named_struct('a', b, 'b', a)))"))
-        // iteration lives in GraftOps.pageRank (stationary edges, broadcast
-        // ranks, decimal message partials; copartition=true is the
-        // trillion-edge variant — PageRankSpec pins both identical)
-        val r = graft.GraftOps.pageRank(edges, iters = 3)
-        // top-k as orderBy+limit → TakeOrderedAndProject: a distributed
-        // per-partition top-20 + driver merge, stating the intent directly
-        // instead of leaning on the WindowGroupLimit rewrite of a global
-        // no-partition window. The rank number is then assigned over the 20
-        // surviving rows only.
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("r").desc, col("node"))
-        r.orderBy(col("r").desc, col("node")).limit(20)
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .select(col("rank"),
-            when(col("node") % 2 === 0,
-              concat(lit("p"), expr("node div 2")))
-              .otherwise(concat(lit("s"), expr("node div 2"))).as("node"),
-            col("r").cast("decimal(18,10)").cast("double").as("score"))
-          .orderBy(col("rank"))
-      },
-      Some("""WITH li AS (SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
-  FROM lineitem),
-edges AS (SELECT a, b FROM li UNION ALL SELECT b AS a, a AS b FROM li),
-outdeg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM outdeg),
-r0 AS (SELECT a AS node, 1.0 / nn AS r FROM outdeg, nn),
-m1 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
-  FROM r0 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
-r1 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
-  FROM m1, nn GROUP BY node, nn),
-m2 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
-  FROM r1 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
-r2 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
-  FROM m2, nn GROUP BY node, nn),
-m3 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
-  FROM r2 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
-r3 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
-  FROM m3, nn GROUP BY node, nn),
-ranked AS (SELECT node, r,
-    row_number() OVER (ORDER BY r DESC, node) AS rank FROM r3)
-SELECT rank,
-  CASE WHEN node % 2 = 0 THEN 'p' || (node // 2)
-       ELSE 's' || (node // 2) END AS node,
-  CAST(CAST(r AS DECIMAL(18,10)) AS DOUBLE) AS score
-FROM ranked WHERE rank <= 20 ORDER BY rank NULLS FIRST""")),
-
-    // ---- X08: context-window chunking --------------------------------------
-    // Fixed-size token chunks with overlap (50-token windows, stride 40) —
-    // the packing prep before tokenization in a training pipeline. Pure
-    // per-row higher-order functions (sequence → transform → slice →
-    // posexplode): partition-local, codegen'd, no shuffle until the final
-    // order. Chunk count = ceil((n-50)/40)+1 in exact integer arithmetic.
-    GQuery("x08_chunk_documents",
-      (s, d) => t(s, d, "documents")
-        .filter(col("doc_id") < 200)
-        .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(1, greatest((size(w) - 50 + 39) div 40, 0) + 1),
-               i -> array_join(slice(w, (i - 1) * 40 + 1, 50), ' '))""")))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk"),
-          size(split(col("col"), " ")).cast("long").as("n_tokens"),
-          col("col").as("chunk_text"))
-        .orderBy(col("doc_id"), col("chunk")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents WHERE doc_id < 200),
-c AS (SELECT doc_id,
-    [array_to_string(w[(i - 1) * 40 + 1 : (i - 1) * 40 + 50], ' ')
-     for i in range(1, greatest((len(w) - 50 + 39) // 40, 0) + 2)] AS chunks
-  FROM t)
-SELECT doc_id, pos AS chunk,
-  len(string_split(chunks[pos + 1], ' ')) AS n_tokens,
-  chunks[pos + 1] AS chunk_text
-FROM c, unnest(range(len(chunks))) u(pos)
-ORDER BY doc_id NULLS FIRST, chunk NULLS FIRST""")),
-
-    // ---- X09: embedding normalization / int8 quantization ------------------
-    // Per-vector symmetric int8 quantization with a max-abs scale — the
-    // storage/serving compression step for embedding tables. The scale uses
-    // array_max (EXACT — no accumulation-order concerns), and each component
-    // quantizes via one double multiply + floor, so every output is
-    // integer-exact cross-engine; checksums verify all 64 lanes per row.
-    GQuery("x09_embedding_quantize",
-      (s, d) => t(s, d, "embeddings")
-        .filter(col("vec_id") < 500)
-        .withColumn("max_abs",
-          expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
-        .filter(col("max_abs") > 0)
-        .withColumn("q", expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) / max_abs * 127.0d + 0.5d) as int))"))
-        .select(col("vec_id"),
-          size(col("q")).cast("long").as("dim"),
-          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
-          expr("array_max(q)").as("q_max"),
-          expr("array_min(q)").as("q_min"))
-        .orderBy(col("vec_id")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id < 500),
-m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
-q AS (SELECT vec_id,
-    list_transform(v, x -> CAST(floor(x / max_abs * 127.0 + 0.5) AS INT)) AS qv
-  FROM m WHERE max_abs > 0)
-SELECT vec_id, len(qv) AS dim,
-  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-  list_max(qv) AS q_max, list_min(qv) AS q_min
-FROM q ORDER BY vec_id NULLS FIRST""")),
-
-    // ---- X10: greedy sequence packing --------------------------------------
-    // Context-window packing (capacity 400 tokens, shards of 100 docs):
-    // sequential greedy fold per shard, parallel across shards. O-class: the
-    // DuckDB oracle replays the identical fold as a recursive CTE stepping
-    // row_number-by-row_number within each shard.
-    GQuery("x10_pack_sequences",
-      (s, d) => graft.GraftOps.packSequences(
-          t(s, d, "documents").withColumn("n_tok",
-            size(split(col("text"), " ")).cast("long")),
-          col("doc_id"), col("n_tok"), capacity = 400L, shardSize = 100L)
-        .orderBy(col("doc_id")),
-      Some("""WITH RECURSIVE d AS (SELECT doc_id, doc_id // 100 AS shard,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
-  FROM documents),
-r(shard, rn, doc_id, n, bin, acc) AS (
-  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM d WHERE rn = 1
-  UNION ALL
-  SELECT d.shard, d.rn, d.doc_id, d.n,
-    CASE WHEN r.acc + d.n <= 400 THEN r.bin ELSE r.bin + 1 END,
-    CASE WHEN r.acc + d.n <= 400 THEN r.acc + d.n ELSE d.n END
-  FROM d JOIN r ON d.shard = r.shard AND d.rn = r.rn + 1)
-SELECT doc_id, shard, bin, n AS n_tokens FROM r
-ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X11: HLL sketch build / merge -------------------------------------
-    // The scalable distinct-count pattern: build one HLL sketch per stratum
-    // (map-side mergeable binary state), union sketches for the rollup —
-    // shuffle volume is sketch bytes, not row count. G-class by design
-    // (estimates; SURVEY §2.3 excludes approx aggs from the oracle);
-    // PipelineSpec pins determinism, merge consistency across
-    // repartitionings, and error vs exact distinct.
-    GQuery("x11_sketch_rollup",
-      (s, d) => {
-        val sk = graft.Tables.events(s, d)
-          .groupBy(col("event_type"))
-          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-            countDistinct(col("user_id")).as("exact"))
-        val per = sk.select(col("event_type"),
-          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
-        val total = sk.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
-          .select(lit("ALL").as("event_type"), col("est"), lit(null).cast("long").as("exact"))
-        per.unionByName(total).orderBy(col("event_type"))
-      },
-      None),
-
-    // ---- X12: PII redaction -------------------------------------------------
-    // Text-cleaning / policy-masking pass: emails and phone-shaped tokens are
-    // replaced with typed placeholders and counted. The contact lines are
-    // synthesized deterministically (the corpus has no real PII); patterns
-    // stay in the regex subset Java and RE2 dialects share. Pure per-row
-    // expressions — no shuffle until the final order.
-    GQuery("x12_pii_redact",
-      (s, d) => t(s, d, "documents")
-        .filter(col("doc_id") < 300)
-        .withColumn("raw", concat(
-          lit("contact user"), col("doc_id"), lit("@mail.example.com or "),
-          lit("555-"), (col("doc_id") * 7 % 10000), lit(" :: "), col("text")))
-        .select(col("doc_id"),
-          regexp_count(col("raw"), lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+"))
-            .cast("long").as("n_emails"),
-          regexp_count(col("raw"), lit("555-[0-9]+")).cast("long").as("n_phones"),
-          regexp_replace(
-            regexp_replace(col("raw"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "[EMAIL]"),
-            "555-[0-9]+", "[PHONE]").as("clean"))
-        .orderBy(col("doc_id")),
-      Some("""WITH r AS (SELECT doc_id,
-    'contact user' || doc_id || '@mail.example.com or 555-' || (doc_id * 7 % 10000)
-      || ' :: ' || text AS raw
-  FROM documents WHERE doc_id < 300)
-SELECT doc_id,
-  len(regexp_extract_all(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS n_emails,
-  len(regexp_extract_all(raw, '555-[0-9]+')) AS n_phones,
-  regexp_replace(regexp_replace(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
-    '555-[0-9]+', '[PHONE]', 'g') AS clean
-FROM r ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X13: benchmark decontamination ------------------------------------
-    // Train/test-leak scan: every corpus doc is scored by how many of its
-    // 3-gram shingles appear in a held-out eval set (here the deterministic
-    // doc_id % 20 = 0 slice stands in for the benchmark suite). The eval
-    // shingle set is BROADCAST (benchmarks are tiny vs a 100 TB corpus), the
-    // corpus probes it partition-locally, and the only shuffle is the
-    // per-doc hit count. O-class.
-    GQuery("x13_decontaminate",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        graft.GraftOps.decontaminate(
-            docs.filter(col("doc_id") % 20 =!= 0),
-            docs.filter(col("doc_id") % 20 === 0),
-            col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
-    i -> array_to_string(w[i:i+2], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
-tr AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
-hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (g) GROUP BY doc_id),
-base AS (SELECT doc_id, len(s) AS nsh FROM sh WHERE doc_id % 20 <> 0)
-SELECT b.doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
-  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
-    AS contam_frac,
-  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
-    >= 0.2 AS flagged
-FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X13b: 13-gram decontamination (industry-standard n) ---------------
-    // Same broadcast-probe plan as x13 but at n=13 — the shingle width used
-    // for real eval-contamination scans (e.g. GPT-3's 13-gram overlap
-    // filter), where a hit means a verbatim ~13-word span, not topical
-    // similarity. 13-grams need longer documents than the raw corpus rows,
-    // so the corpus here is 3-doc concatenation groups (ordered inside the
-    // group — deterministic on both engines); the eval set is the
-    // doc_id % 20 = 0 slice of the ORIGINAL docs, so every group containing
-    // an eval member holds its full text verbatim and must flag, while
-    // 13-grams spanning doc boundaries hit nothing. O-class.
-    GQuery("x13b_decontaminate_13gram",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val groups = docs
-          .groupBy(expr("doc_id div 3").as("gid"))
-          .agg(expr("array_join(transform(array_sort(" +
-            "collect_list(struct(doc_id, text))), x -> x.text), ' ')").as("text"))
-        // decontaminate shingles both sides with the same id/text columns
-        val evalDocs = docs.filter(col("doc_id") % 20 === 0)
-          .select(col("doc_id").as("gid"), col("text"))
-        graft.GraftOps.decontaminate(groups, evalDocs,
-            col("gid"), col("text"), k = 13, flagFrac = 0.1)
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH grp AS (SELECT doc_id // 3 AS gid,
-    string_agg(text, ' ' ORDER BY doc_id) AS text
-  FROM documents GROUP BY gid),
-gt AS (SELECT gid, string_split(text, ' ') AS w FROM grp),
-gsh AS (SELECT gid,
-  CASE WHEN len(w) >= 13 THEN list_distinct(list_transform(range(1, len(w) - 11),
-    i -> array_to_string(w[i:i+12], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM gt),
-et AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
-esh AS (SELECT
-  CASE WHEN len(w) >= 13 THEN list_distinct(list_transform(range(1, len(w) - 11),
-    i -> array_to_string(w[i:i+12], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM et),
-ev AS (SELECT DISTINCT unnest(s) AS g FROM esh),
-tr AS (SELECT gid, len(s) AS nsh, unnest(s) AS g FROM gsh),
-hits AS (SELECT gid, count(*) AS n_hits FROM tr JOIN ev USING (g) GROUP BY gid),
-base AS (SELECT gid, len(s) AS nsh FROM gsh)
-SELECT b.gid AS doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
-  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
-    AS contam_frac,
-  CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh AS DECIMAL(18,6)) AS DOUBLE)
-    >= 0.1 AS flagged
-FROM base b LEFT JOIN hits h USING (gid) ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X14: repetition quality filter ------------------------------------
-    // Gopher-style repetition heuristics, adapted to this corpus: per-doc
-    // distinct-word fraction and most-common-bigram fraction, with a
-    // keep/drop verdict. Entirely per-row higher-order expressions (the
-    // bigram mode is a tiny per-row quadratic over ~40 words) — NO shuffle
-    // at all before the final presentation sort, so it streams at scan
-    // speed over 100 TB. O-class.
-    GQuery("x14_repetition_filter",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .withColumn("bg", expr(
-          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-        // most-common-bigram multiplicity as a sorted run-length fold:
-        // O(n log n) per row vs the naive O(n²) distinct×filter scan
-        // (2.6 s → ~1 s over sf0.1; same value, the oracle recomputes it
-        // as list_max over distinct multiplicities)
-        .withColumn("top_bg", expr(
-          """aggregate(array_sort(bg),
-               named_struct('prev', '', 'run', 0L, 'best', 0L),
-               (s, x) -> named_struct(
-                 'prev', x,
-                 'run', if(x = s.prev, s.run + 1L, 1L),
-                 'best', greatest(s.best, if(x = s.prev, s.run + 1L, 1L))),
-               s -> s.best)"""))
-        .select(col("doc_id"),
-          size(col("w")).cast("long").as("n_words"),
-          (size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"))
-            .cast("decimal(18,6)").cast("double").as("distinct_frac"),
-          (col("top_bg").cast("double") / size(col("bg")).cast("double"))
-            .cast("decimal(18,6)").cast("double").as("top_bigram_frac"))
-        .withColumn("keep",
-          col("distinct_frac") >= 0.4 && col("top_bigram_frac") <= 0.1)
-        .orderBy(col("doc_id")),
-      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-b AS (SELECT doc_id, w,
-    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
-  FROM tk WHERE len(w) >= 2),
-m AS (SELECT doc_id, len(w) AS n_words,
-    CAST(CAST(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS DECIMAL(18,6)) AS DOUBLE)
-      AS distinct_frac,
-    CAST(CAST(CAST(list_max(list_transform(list_distinct(bg),
-        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
-      AS DECIMAL(18,6)) AS DOUBLE) AS top_bigram_frac
-  FROM b)
-SELECT doc_id, n_words, distinct_frac, top_bigram_frac,
-  distinct_frac >= 0.4 AND top_bigram_frac <= 0.1 AS keep
-FROM m ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X15: deterministic corpus split -----------------------------------
-    // Reproducible train/val/test assignment from a seeded content-free hash
-    // of the id (md5 hex prefix, string-compared — the exact q75 idiom):
-    // ~80/10/10, stable under re-runs, re-partitioning, and corpus growth
-    // (a doc's split never depends on other docs). Pure per-row map + one
-    // hash agg — the split of a 100 TB corpus is one scan. O-class.
-    GQuery("x15_corpus_split",
-      (s, d) => {
-        val bk = substring(md5(concat(lit("split42:"), col("doc_id"))), 1, 4)
-        t(s, d, "documents")
-          .withColumn("split",
-            when(bk < "cccc", "train").when(bk < "e666", "val").otherwise("test"))
-          .groupBy(col("split"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-          .orderBy(col("split"))
-      },
-      Some("""WITH b AS (SELECT doc_id, text,
-    CASE WHEN substr(md5('split42:' || doc_id), 1, 4) < 'cccc' THEN 'train'
-         WHEN substr(md5('split42:' || doc_id), 1, 4) < 'e666' THEN 'val'
-         ELSE 'test' END AS split
-  FROM documents)
-SELECT split, count(*) AS n_docs,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-  min(doc_id) AS min_id, max(doc_id) AS max_id
-FROM b GROUP BY split ORDER BY split NULLS FIRST""")),
-
-    // ---- X16: source mixture weighting -------------------------------------
-    // Temperature-reweighted sampling mix across sources (alpha = 0.5 via
-    // sqrt — IEEE-exact in every engine, unlike pow): weight_s proportional
-    // to sqrt(n_s), plus the integer doc budget each source gets out of
-    // 10000. The per-source table is tiny (one row per corpus source), so
-    // the normalizer join is a BROADCAST; upstream it is one hash agg over
-    // the corpus. Budgets floor AFTER the decimal(18,6) rounding so both
-    // engines floor the identical value. O-class.
-    GQuery("x16_source_mixture",
-      (s, d) => {
-        val per = t(s, d, "documents").groupBy(col("source"))
-          .agg(count(lit(1)).as("n"))
-        val z = per.agg(sum(sqrt(col("n").cast("double"))).as("z"))
-        per.join(broadcast(z))
-          .select(col("source"), col("n").as("n_docs"),
-            (sqrt(col("n").cast("double")) / col("z"))
-              .cast("decimal(18,6)").cast("double").as("weight"),
-            floor((sqrt(col("n").cast("double")) / col("z") * 10000)
-              .cast("decimal(18,6)")).cast("long").as("budget_docs"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH per AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM per)
-SELECT source, n AS n_docs,
-  CAST(CAST(sqrt(CAST(n AS DOUBLE)) / z AS DECIMAL(18,6)) AS DOUBLE) AS weight,
-  CAST(floor(CAST(sqrt(CAST(n AS DOUBLE)) / z * 10000 AS DECIMAL(18,6))) AS BIGINT)
-    AS budget_docs
-FROM per, z ORDER BY source NULLS FIRST""")),
-
-    // ---- X17: unigram surprisal scoring ------------------------------------
-    // Cheap LM-free quality proxy: each doc's mean negative log-likelihood
-    // under the corpus's own unigram distribution (high = rare-word-heavy or
-    // noisy). Two corpus passes: a hash agg builds the vocab (tiny — it is
-    // the distinct word set), which BROADCASTS back onto the exploded words;
-    // per-doc sums shuffle once by doc id. Rounded through decimal(18,6)
-    // after the sum — ln() agrees across engines to 1 ulp and the ~50-term
-    // sum keeps the error ~8 orders below the rounding grain. O-class.
-    GQuery("x17_unigram_surprisal",
-      (s, d) => {
-        val words = t(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        // persist the (tiny) vocab so the normalizer's sum doesn't replay
-        // the corpus-wide word count a second time
-        val vocab = words.groupBy(col("w"))
-          .agg(count(lit(1)).cast("double").as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        vocab.count()
-        val total = vocab.agg(sum(col("c")).as("tot"))
-        val logp = vocab.join(broadcast(total))
-          .select(col("w"), log(col("c") / col("tot")).as("lp"))
-        words.join(broadcast(logp), "w")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"),
-            (-sum(col("lp")) / count(lit(1)))
-              .cast("decimal(18,6)").cast("double").as("surprisal"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-  FROM documents),
-vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM words GROUP BY w),
-tot AS (SELECT sum(c) AS tot FROM vocab),
-logp AS (SELECT w, ln(c / tot) AS lp FROM vocab, tot)
-SELECT doc_id, count(*) AS n_words,
-  CAST(CAST(-sum(lp) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS surprisal
-FROM words JOIN logp USING (w)
-GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X18: incremental snapshot dedup -----------------------------------
-    // The daily-ingest shape of X01: a NEW batch (the doc_id % 10 = 7 slice
-    // stands in for today's crawl) dedups against the HISTORICAL corpus by
-    // content hash — a hash-partitioned LEFT ANTI join on md5, the exact
-    // plan a 100 TB incremental pipeline runs nightly (both sides shuffle
-    // only their 16-byte hashes + ids; no broadcast assumption since history
-    // is the big side). Survivors also self-dedup (min-id keeper). O-class.
-    GQuery("x18_incremental_dedup",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val hist = docs.filter(col("doc_id") % 10 =!= 7).select(md5(col("text")).as("h"))
-        val fresh = docs.filter(col("doc_id") % 10 === 7)
-          .select(col("doc_id"), md5(col("text")).as("h"))
-        fresh.join(hist, Seq("h"), "left_anti")
-          .groupBy(col("h"))
-          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_new"))
-          .orderBy(col("keeper"))
-      },
-      Some("""WITH fresh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
-hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7)
-SELECT h, min(doc_id) AS keeper, count(*) AS n_new
-FROM fresh WHERE h NOT IN (SELECT h FROM hist)
-GROUP BY h ORDER BY keeper NULLS FIRST""")),
-
-    // X21: incremental NEAR-dup gate — the same nightly-ingest split as x18
-    // but at shingle-Jaccard >= 0.5 instead of exact hash: fresh docs that
-    // near-duplicate ANY history doc are verdicted 'drop'. Scale: the fresh
-    // batch's exploded shingle index broadcasts; history streams past it
-    // map-side, never shuffled, never self-joined (plan-pinned). Output is
-    // integer/string only — the j threshold compares one exact IEEE division
-    // identically on both engines.
-    GQuery("x21_incremental_neardup",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        graft.GraftOps.incrementalNearDups(
-            docs.filter(col("doc_id") % 10 === 7),
-            docs.filter(col("doc_id") % 10 =!= 7),
-            col("doc_id"), col("text"), k = 5, threshold = 0.5)
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-f AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
-h AS (SELECT * FROM sh WHERE doc_id % 10 <> 7),
-m AS (SELECT f.doc_id, count(*) AS n_matches
-  FROM f JOIN h ON CAST(len(list_intersect(f.s, h.s)) AS DOUBLE)
-      / (len(f.s) + len(h.s) - len(list_intersect(f.s, h.s))) >= 0.5
-  GROUP BY f.doc_id)
-SELECT f.doc_id, coalesce(m.n_matches, 0) AS n_matches,
-  CASE WHEN coalesce(m.n_matches, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
-FROM f LEFT JOIN m ON f.doc_id = m.doc_id
-ORDER BY f.doc_id NULLS FIRST""")),
-
-    // X22: small-file compaction — fragment the events table into 48 files
-    // (the streaming-sink pathology), then compact with the size-targeted
-    // narrow coalesce and prove the rewrite lossless via the oracle. File
-    // counts and no-shuffle shape are pinned by CompactionSpec; this query
-    // pins content preservation.
-    GQuery("x22_compact_files",
-      (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
-        val ev = Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        ev.repartition(48).write.mode("overwrite").parquet(s"$base/frag")
-        graft.GraftOps.compact(s.read.parquet(s"$base/frag"), 4L << 20)
-          .write.mode("overwrite").parquet(s"$base/out")
-        s.read.parquet(s"$base/out")
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"),
-            sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
-          .orderBy(col("event_type"))
-      },
-      Some("""SELECT event_type, count(*) AS n, max(event_id) AS max_id,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
-FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
-
-    // ---- X19: cross-source overlap matrix ----------------------------------
-    // Dataset diagnostics: pairwise distinct 3-gram overlap between corpus
-    // sources — the "which feeds duplicate which" matrix a curation team
-    // reads before setting mixture weights (X16) or dedup order. Inverted
-    // index by gram (the one shuffle), pairs counted per gram — never a
-    // source-by-source cross product of documents. Overlap normalizes by the
-    // smaller side's vocabulary.
-    GQuery("x19_source_overlap",
-      (s, d) => {
-        val sg = t(s, d, "documents")
-          .select(col("source"),
-            explode(word_shingles(col("text"), 3)).as("g")).distinct()
-        val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        sg.as("a").join(sg.as("b"),
-            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .join(tot.select(col("source").as("source_a"), col("n").as("na")), "source_a")
-          .join(tot.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
-          .select(col("source_a"), col("source_b"), col("n_shared"),
-            (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
-              .cast("decimal(18,6)").cast("double").as("overlap"))
-          .orderBy(col("source_a"), col("source_b"))
-      },
-      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT source,
-  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
-    i -> array_to_string(w[i:i+2], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS sl
-FROM toks),
-sg AS (SELECT DISTINCT source, unnest(sl) AS g FROM sh),
-tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
-pairs AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
-SELECT source_a, source_b, n_shared,
-  CAST(CAST(CAST(n_shared AS DOUBLE) / least(ta.n, tb.n) AS DECIMAL(18,6)) AS DOUBLE)
-    AS overlap
-FROM pairs JOIN tot ta ON ta.source = source_a JOIN tot tb ON tb.source = source_b
-ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
-
-    // ---- X20: curation pipeline end-to-end ---------------------------------
-    // The round-3 ops composed the way a curation run executes them:
-    // repetition/quality gate (X14) → decontamination drop (X13) →
-    // deterministic split (X15) → per-split token budget. Every stage is the
-    // proven scale path (per-row exprs → broadcast probe → per-row hash →
-    // one agg); the oracle replays the identical chain as CTEs.
-    GQuery("x20_curation_e2e",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val gated = docs
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 10 &&
-            size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double") >= 0.4)
-          .select(col("doc_id"), col("text"))
-        val contaminated = graft.GraftOps.decontaminate(
-            gated.filter(col("doc_id") % 20 =!= 0),
-            docs.filter(col("doc_id") % 20 === 0),
-            col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
-          .filter(col("flagged")).select(col("doc_id"))
-        val kept = gated.filter(col("doc_id") % 20 =!= 0)
-          .join(contaminated, Seq("doc_id"), "left_anti")
-        val bk = substring(md5(concat(lit("split42:"), col("doc_id"))), 1, 4)
-        kept
-          .withColumn("split",
-            when(bk < "cccc", "train").when(bk < "e666", "val").otherwise("test"))
-          .groupBy(col("split"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-          .orderBy(col("split"))
-      },
-      Some("""WITH gated AS (
-  SELECT doc_id, text FROM documents
-  WHERE len(string_split(text, ' ')) >= 10
-    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      / len(string_split(text, ' ')) >= 0.4),
-toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
-    i -> array_to_string(w[i:i+2], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS sl
-FROM toks),
-ev AS (SELECT DISTINCT unnest(sl) AS g FROM sh WHERE doc_id % 20 = 0),
-tr AS (SELECT s2.doc_id, len(s2.sl) AS nsh, unnest(s2.sl) AS g FROM sh s2
-  JOIN gated ON gated.doc_id = s2.doc_id WHERE s2.doc_id % 20 <> 0),
-contam AS (SELECT doc_id FROM (
-    SELECT tr.doc_id, any_value(nsh) AS nsh, count(*) AS n_hits
-    FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
-  WHERE CAST(CAST(CAST(n_hits AS DOUBLE) / nsh AS DECIMAL(18,6)) AS DOUBLE) >= 0.2),
-kept AS (SELECT doc_id, text FROM gated
-  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam))
-SELECT CASE WHEN substr(md5('split42:' || doc_id), 1, 4) < 'cccc' THEN 'train'
-            WHEN substr(md5('split42:' || doc_id), 1, 4) < 'e666' THEN 'val'
-            ELSE 'test' END AS split,
-  count(*) AS n_docs,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-FROM kept GROUP BY 1 ORDER BY split NULLS FIRST""")),
-
-    // ---- X05: multimodal binary columns ------------------------------------
-    // Binary payload + typed metadata flow through a typed mapPartitions
-    // "decode" step (partition-parallel, no shuffle). These FIXTURE payloads
-    // are text/plain blobs, so the feature step here is a deterministic
-    // byte-level fake (oracle-checkable); the engine's REAL image decode
-    // lives in avg_hash64 (x40): javax.imageio PNG/JPEG/BMP/GIF → pixels →
-    // luminance aHash, proven on planted re-encoded images in ImageHashSpec.
-    // Schema/partitioning/batch plumbing here is real and oracle-checked.
-    GQuery("x05_multimodal",
-      (s, d) => {
-        import s.implicits._
-        val mm = t(s, d, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"),
-            lit("text/plain").as("mime"), octet_length(col("text")).cast("long").as("n_bytes"))
-          .as[MMRecord]
-        mm.mapPartitions { it =>
-          it.map { r =>
-            // text/plain fixture lane: deterministic byte features (the image
-            // lane decodes for real — see avg_hash64).
-            // Features: byte-sum checksum + head bytes hex.
-            var sum = 0L
-            var i = 0
-            while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-            val head = r.payload.take(8).map(b => f"$b%02X").mkString
-            MMFeature(r.doc_id, r.payload.length.toLong,
-              (r.payload.length.toLong + 255L) / 256L, sum, head)
-          }
-        }.toDF().orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id, strlen(text) AS n_bytes, (strlen(text) + 255) // 256 AS n_chunks,
-  CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS checksum,
-  hex(substr(text, 1, 8)) AS head_hex
-FROM documents ORDER BY doc_id NULLS FIRST""")),
-
-    // Frame sampling over an opaque payload: split the blob into fixed
-    // 64-byte frames, keep every 4th (a video keyframe-sampling shape), hash
-    // each kept frame — partition-local generate/transform, no shuffle until
-    // the final order. The "decode" is the deterministic md5 stand-in; the
-    // chunking/sampling plumbing is the real operator.
-    GQuery("x05_frame_sample",
-      (s, d) => t(s, d, "documents")
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(1, greatest((length(text) + 63) div 64, 1), 4),
-               i -> md5(substring(text, (i - 1) * 64 + 1, 64)))""")))
-        .select(col("doc_id"), col("pos").cast("long").as("frame"),
-          col("col").as("frame_md5"))
-        .orderBy(col("doc_id"), col("frame")),
-      Some("""WITH f AS (SELECT doc_id,
-    [md5(substr(text, (i - 1) * 64 + 1, 64))
-     for i in range(1, greatest((len(text) + 63) // 64, 1) + 1, 4)] AS fr
-  FROM documents WHERE doc_id < 100)
-SELECT doc_id, pos AS frame, fr[pos + 1] AS frame_md5
-FROM f, unnest(range(len(fr))) u(pos)
-ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
-
-    // Perceptual image near-dup over the multimodal payloads: avg_hash64
-    // fingerprints + 4×16-bit Hamming banding (the simhash banding reused on
-    // the image axis). Pairs within Hamming ≤ 3 are recall-lossless by
-    // pigeonhole; ImageHashSpec proves band-join ≡ brute force with planted
-    // near-identical images. G-class: the aHash depends on the payload's
-    // byte layout (no cross-engine oracle), but the output is fully
-    // deterministic. Exact-duplicate payloads surface as hamming-0 pairs.
-    GQuery("x40_image_phash",
-      (s, d) => {
-        // payload corpus = the raw payloads PLUS deterministic "re-encode"
-        // variants (same length, last byte flipped to 'Z', ids offset past
-        // the corpus max so planting can never collide with a real doc_id
-        // at any scale) — the same-image-different-encoder-tail case a
-        // perceptual hash exists to catch and exact dedup cannot. The r7
-        // testdata regeneration removed all byte-layout near-dups from
-        // documents, so without planted variants the pair set is
-        // legitimately empty and the operator goes unexercised (VERDICT r7
-        // #7). A one-byte change moves one of 64 block averages by <1% of
-        // the byte range → the planted pair sits at Hamming ≤ 1, well
-        // inside the band recall guarantee (ImageHashSpec pins banding ≡
-        // brute force).
-        val off = graft.GraftOps.imageVariantOffset(t(s, d, "documents"), col("doc_id"))
-        val base = t(s, d, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("img"))
-        val variants = t(s, d, "documents")
-          .filter(col("doc_id") % 25 === 0 && length(col("text")) > 64)
-          .select((col("doc_id") + off).as("doc_id"),
-            // edit the last BYTE, not the last character: a multi-byte
-            // UTF-8 tail would otherwise change the variant's byte length
-            // and shift all 64 aHash block boundaries
-            expr("concat(substring(CAST(text AS BINARY), 1, " +
-              "length(CAST(text AS BINARY)) - 1), X'5A')").as("img"))
-        graft.GraftOps.imageNearDups(base.unionAll(variants),
-            col("doc_id"), col("img"), maxHamming = 3)
-          .orderBy(col("img_a"), col("img_b"))
-      },
-      None),
-
-    // ---- X23: span-level exact substring dedup -----------------------------
-    // The OTHER dedup axis (Lee et al. 2022, "Deduplicating Training Data
-    // Makes Language Models Better"): X01/X02 drop whole near-duplicate
-    // documents, but boilerplate (headers, license blocks, navigation) reuses
-    // SPANS across otherwise-distinct docs. Distinct 8-token spans build an
-    // inverted index (one hash shuffle on the span — never doc×doc); a span
-    // seen in >= 2 distinct docs is duplicated text, and each doc reports its
-    // duplicated-span fraction plus the keep/trim/drop routing a curation
-    // pipeline acts on. At 100 TB the spans would be 64-bit hashes, not
-    // strings (same join shape, ~10 bytes/span of shuffle); the count-then-
-    // join-back here is two shuffles of the span table, with the hot-span
-    // skew capped naturally because the index carries only counts.
-    GQuery("x23_span_dedup",
-      (s, d) => {
-        val sp = t(s, d, "documents")
-          .select(col("doc_id"), explode(word_shingles(col("text"), 8)).as("sp"))
-        val idx = sp.groupBy(col("sp"))
-          .agg(countDistinct(col("doc_id")).as("ndocs"))
-        sp.join(idx, "sp")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-            (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
-              .cast("decimal(18,6)").cast("double").as("dup_frac"),
-            when(col("n_dup_spans").cast("double") / col("n_spans").cast("double")
-                >= 0.5, "drop")
-              .when(col("n_dup_spans").cast("double") / col("n_spans").cast("double")
-                >= 0.1, "trim")
-              .otherwise("keep").as("action"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sp AS (SELECT doc_id, unnest(
-    CASE WHEN len(w) >= 8 THEN list_distinct(list_transform(range(1, len(w) - 6),
-      i -> array_to_string(w[i:i+7], ' ')))
-    ELSE [array_to_string(w, ' ')] END) AS sp
-  FROM toks),
-idx AS (SELECT sp, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY sp),
-per AS (SELECT doc_id, count(*) AS n_spans,
-    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-  FROM sp JOIN idx USING (sp) GROUP BY doc_id)
-SELECT doc_id, n_spans, n_dup_spans,
-  CAST(CAST(CAST(n_dup_spans AS DOUBLE) / n_spans AS DECIMAL(18,6)) AS DOUBLE)
-    AS dup_frac,
-  CASE WHEN CAST(n_dup_spans AS DOUBLE) / n_spans >= 0.5 THEN 'drop'
-       WHEN CAST(n_dup_spans AS DOUBLE) / n_spans >= 0.1 THEN 'trim'
-       ELSE 'keep' END AS action
-FROM per ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X24: deterministic stratified sampling ----------------------------
-    // Exactly-k-per-stratum sampling, seeded and growth-stable in ORDER: docs
-    // rank within their source by md5(seed || doc_id), so the sample is a
-    // reproducible function of (seed, doc_id, source) — rerunning on the same
-    // corpus gives the same rows, and adding docs only displaces from the
-    // tail of each stratum. One window shuffle on the stratum key; at 100 TB
-    // exact-k per stratum stays a single per-stratum top-k (Spark lowers
-    // rank-filter windows to a bounded TakeOrdered-style operator per key —
-    // no full sort of the corpus), which is the distributed answer to
-    // "reservoir sample per source" with none of the reservoir's
-    // sequential-scan dependence.
-    GQuery("x24_stratified_sample",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))
-          .orderBy(md5(concat(lit("sample42:"), col("doc_id"))), col("doc_id"))
-        t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 25)
-          .orderBy(col("source"), col("rk"))
-      },
-      Some("""SELECT source, doc_id, lang, n_chars, rk FROM (
-  SELECT source, doc_id, lang, n_chars,
-    row_number() OVER (PARTITION BY source
-      ORDER BY md5('sample42:' || doc_id), doc_id) AS rk
-  FROM documents) q
-WHERE rk <= 25 ORDER BY source NULLS FIRST, rk NULLS FIRST""")),
-
-    // ---- X25: Count-Min frequency sketch rollup ----------------------------
-    // The frequency twin of X11's HLL distinct-count: per-stratum Count-Min
-    // sketches (Spark's builtin `count_min_sketch` aggregate — mergeable
-    // binary state, shuffle = sketch bytes not row count), probed with the
-    // custom `cms_estimate` expression against a small fixed user set, with
-    // the exact counts alongside. G-class by design (estimates are excluded
-    // from the oracle; the CMS guarantee est ∈ [exact, exact + εN] and
-    // partition-invariance are pinned by CountMinSpec). At 100 TB the
-    // sketches are the only thing crossing the wire — heavy-hitter
-    // candidates come from the sketch, exact verification from a keyed
-    // lookup of just those candidates, never a full-corpus count.
-    GQuery("x25_cms_freq",
-      (s, d) => {
-        val ev = graft.Tables.events(s, d)
-        val sk = ev.groupBy(col("event_type"))
-          .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42))
-              .as("sk"),
-            count(lit(1)).as("n_rows"))
-        val probes = ev.filter(col("user_id") < 8)
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(count(lit(1)).as("exact"))
-        probes.join(sk, "event_type")
-          .select(col("event_type"), col("user_id"), col("exact"),
-            cms_estimate(col("sk"), col("user_id")).as("est"))
-          .orderBy(col("event_type"), col("user_id"))
-      },
-      None),
-
-    // ---- X26: multi-dimensional z-order clustering -------------------------
-    // Data-skipping layout: interleave (user, time) into a Morton z-value
-    // (pure builtin bit ops — whole-stage codegen), range-partition + sort by
-    // it, and write. Each parquet file's (user_id, ts) min/max envelope then
-    // covers a z-curve segment — a RECTANGLE predicate on either or both
-    // dimensions prunes files, where a time-sorted ingest layout can only
-    // prune time. ZOrderSpec measures the claim (file envelopes overlapping a
-    // user slice: z-order strictly fewer than time-sorted); this query pins
-    // losslessness — the oracle computes the same rectangle aggregate over
-    // the original table. The normalization bounds come from one tiny
-    // broadcast aggregate, never a driver collect. At 100 TB this is the
-    // OPTIMIZE ZORDER maintenance pass: rewritten once, skipped by every
-    // subsequent scan's file-level stats pruning.
-    GQuery("x26_zorder_layout",
-      (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
-        val ev = graft.Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts_ns"))
-        val mm = ev.agg(min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
-          min(col("ts_ns")).as("t0"), max(col("ts_ns")).as("t1"))
-        val un = least((col("user_id") - col("u0")) * 65535L /
-          greatest(col("u1") - col("u0"), lit(1L)), lit(65535L))
-        val tn = least((col("ts_ns") - col("t0")) /
-          greatest((col("t1") - col("t0")) / lit(65535L), lit(1L)), lit(65535L))
-        ev.crossJoin(broadcast(mm))
-          .withColumn("zn", graft.functions.GraftFunctions.zvalue16(un, tn))
-          .repartitionByRange(8, col("zn")).sortWithinPartitions(col("zn"))
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts_ns"))
-          .write.mode("overwrite").parquet(s"$base/z")
-        s.read.parquet(s"$base/z")
-          .filter(col("user_id").between(40, 60) &&
-            col("ts_ns") >= 1704672000000000000L && // 2024-01-08T00:00:00Z
-            col("ts_ns") < 1705276800000000000L)    // 2024-01-15T00:00:00Z
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
-          .orderBy(col("event_type"))
-      },
-      Some("""SELECT event_type, count(*) AS n,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
-FROM events
-WHERE user_id BETWEEN 40 AND 60
-  AND epoch_ns(ts) >= 1704672000000000000 AND epoch_ns(ts) < 1705276800000000000
-GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
-
-    // ---- X27: bigram-LM surprisal gate -------------------------------------
-    // The CCNet/KenLM-shaped quality gate one level up from X17's unigram
-    // model: per-doc mean negative log-likelihood under a corpus-self BIGRAM
-    // model with add-one smoothing, p(w2|w1) = (c12+1)/(c1+V). Bigrams come
-    // from a lead() window per doc (one doc-keyed shuffle — never a
-    // positional self-join); the bigram/unigram count tables join
-    // inverted-index style; V broadcasts as one row. Cross-engine float
-    // discipline as in X17: ln() sums round at the decimal(18,6) grain
-    // BEFORE comparison/threshold, so ULP noise cannot flip the gate. At
-    // 100 TB the count tables shard by their gram keys and the model tables
-    // are the only reused artifacts — this is perplexity filtering with the
-    // LM trained on the corpus itself.
-    GQuery("x27_bigram_surprisal",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .toDF("doc_id", "pos", "w")
-        val bi = toks.withColumn("w2", lead(col("w"), 1).over(w))
-          .filter(col("w2").isNotNull)
-        val uni = toks.groupBy(col("w"))
-          .agg(count(lit(1)).cast("double").as("c1"))
-        val big = bi.groupBy(col("w"), col("w2"))
-          .agg(count(lit(1)).cast("double").as("c12"))
-        val v = uni.agg(count(lit(1)).cast("double").as("vsz"))
-        val lp = big.join(uni, "w").join(broadcast(v))
-          .select(col("w"), col("w2"),
-            log((col("c12") + 1.0d) / (col("c1") + col("vsz"))).as("lp"))
-        val nll = (-sum(col("lp")) / count(lit(1)))
-          .cast("decimal(18,6)").cast("double")
-        bi.join(lp, Seq("w", "w2"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), nll.as("nll"))
-          .withColumn("action", when(col("nll") > 8.0, "flag").otherwise("keep"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-toks AS (SELECT doc_id, i AS pos, ws[i] AS w
-  FROM t0, unnest(range(1, len(ws) + 1)) r(i)),
-bi AS (SELECT doc_id, w,
-    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
-bi2 AS (SELECT doc_id, w, w2 FROM bi WHERE w2 IS NOT NULL),
-uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1 FROM toks GROUP BY w),
-big AS (SELECT w, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bi2 GROUP BY w, w2),
-v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
-lp AS (SELECT w, w2, ln((c12 + 1) / (c1 + vsz)) AS lp
-  FROM big JOIN uni USING (w), v),
-agg AS (SELECT doc_id, count(*) AS n_bigrams,
-    CAST(CAST(-sum(lp) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS nll
-  FROM bi2 JOIN lp USING (w, w2) GROUP BY doc_id)
-SELECT doc_id, n_bigrams, nll,
-  CASE WHEN nll > 8.0 THEN 'flag' ELSE 'keep' END AS action
-FROM agg ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X28: filtered vector search (hybrid retrieval) --------------------
-    // The RAG-era access pattern: a METADATA predicate (here: the document's
-    // language, from a different table) restricts the candidate set BEFORE
-    // any distance kernel runs — filter, join on the id, then brute-force
-    // the survivors. Order matters at scale: the language filter prunes
-    // ~55% of the corpus at scan time (pushed filter + id join), so the
-    // O(d) cosine work touches only eligible vectors; at 100 TB the same
-    // shape composes with the IVF/LSH candidate stage (filter → bucket →
-    // kernel) instead of brute force. Same ULP-exact kernel-vs-DuckDB
-    // agreement as x03_ann_bruteforce.
-    GQuery("x28_filtered_ann",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        val eligible = e.join(
-          t(s, d, "documents").filter(col("lang") === "en")
-            .select(col("doc_id")),
-          e("vec_id") === col("doc_id"))
-          .select(col("vec_id"), col("embedding"))
-        graft.GraftOps.annTopK(eligible, col("vec_id"), col("embedding"),
-            e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), 5)
-          .select(col("q_id"), col("rank"), col("n_id"),
-            col("score").cast("decimal(18,6)").cast("double").as("score"))
-          .orderBy(col("q_id"), col("rank"))
-      },
-      Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
-  FROM embeddings JOIN documents ON vec_id = doc_id WHERE lang = 'en'),
-s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sc
-  FROM q JOIN c ON q_id <> n_id),
-r AS (SELECT q_id, n_id, sc,
-  row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) AS rank FROM s)
-SELECT q_id, rank, n_id, CAST(CAST(sc AS DECIMAL(18,6)) AS DOUBLE) AS score
-FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
-
-    // ---- X30: balanced output sharding (token-budget export) ---------------
-    // The export step of a curation pipeline: write the corpus as N shards of
-    // ~equal TOKEN counts (downstream trainers read shards as units; doc
-    // counts don't balance when lengths skew). Shard id = global token
-    // prefix-sum before each doc, bucketed by total/N — computed with the
-    // DISTRIBUTED two-pass prefix sum, never a global single-partition
-    // window: range-partition by doc_id, local cumsum per partition, then a
-    // broadcast join of the per-partition offsets (the offsets table is one
-    // row per partition — the only thing that crosses the driver-side window).
-    // The assignment depends only on doc_id order, not on where partition
-    // boundaries land, so the result is layout-independent and the oracle is
-    // a plain windowed cumsum.
-    GQuery("x30_balanced_shards",
-      (s, d) => {
-        val nShards = 8L
-        val w8 = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val wLoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("pid")).orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val base = t(s, d, "documents")
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
-        val p = base.repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val offsets = p.groupBy(col("pid")).agg(sum(col("tok")).as("psum"))
-          .withColumn("off", coalesce(sum(col("psum")).over(w8), lit(0L)))
-          .select(col("pid"), col("off"))
-        val total = base.agg(sum(col("tok")).as("total"))
-        p.withColumn("local", coalesce(sum(col("tok")).over(wLoc), lit(0L)))
-          .join(broadcast(offsets), "pid")
-          .join(broadcast(total))
-          // integer division (div): Column./ on longs is double division
-          .withColumn("shard",
-            least(expr(s"(local + off) * $nShards div total"),
-              lit(nShards - 1L)))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
-            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-          .orderBy(col("shard"))
-      },
-      Some("""WITH base AS (SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
-c AS (SELECT doc_id, tok,
-    coalesce(SUM(tok) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
-    (SELECT sum(tok) FROM base) AS total
-  FROM base)
-SELECT CAST(least(cum * 8 // total, 7) AS BIGINT) AS shard, count(*) AS n_docs,
-  CAST(sum(tok) AS BIGINT) AS n_tokens, min(doc_id) AS min_id,
-  max(doc_id) AS max_id
-FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
-
-    // ---- X31: exact-substring span EXCISION --------------------------------
-    // The removal half of Lee et al. 2022 (x23 flags, this excises): token
-    // positions covered by any ACROSS-DOC duplicated 8-gram span are marked
-    // via the positional shingle generator + an inverted span index, and
-    // each doc reports how much of it survives the cut. Span logic applies
-    // to docs with >= 8 tokens (a short doc's whole-text "shingle" is a
-    // doc-level dup, x01's job); coverage union = explode the per-hit
-    // position ranges and count distinct token slots — one span-key shuffle
-    // and one doc-key shuffle, never doc×doc. At 100 TB the excision writes
-    // the kept-token text; here the oracle checks the coverage accounting
-    // (the rewrite itself is a deterministic function of it).
-    GQuery("x31_span_excision",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val long8 = docs.filter(size(split(col("text"), " ")) >= 8)
-        val sp = long8.select(col("doc_id"), pos_shingles(col("text"), 8))
-        val dup = sp.groupBy(col("shingle"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select(col("shingle"))
-        val cov = sp.join(dup, "shingle")
-          .select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + 7)).as("t"))
-          .distinct()
-        val per = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-        docs.select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .join(per, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-            (col("n_tokens") - coalesce(col("n_covered"), lit(0L))).as("n_kept"),
-            (coalesce(col("n_covered"), lit(0L)).cast("double")
-              / col("n_tokens").cast("double"))
-              .cast("decimal(18,6)").cast("double").as("excised_frac"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sp AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g
-  FROM t0, unnest(range(1, len(ws) - 6)) r(i) WHERE len(ws) >= 8),
-dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
-    FROM sp GROUP BY g) WHERE nd >= 2),
-cov AS (SELECT DISTINCT doc_id, u.t
-  FROM sp JOIN dup USING (g), unnest(range(sp.pos, sp.pos + 8)) u(t)),
-per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
-  FROM cov GROUP BY doc_id),
-base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t0)
-SELECT b.doc_id, b.n_tokens, coalesce(p.n_covered, 0) AS n_covered,
-  b.n_tokens - coalesce(p.n_covered, 0) AS n_kept,
-  CAST(CAST(CAST(coalesce(p.n_covered, 0) AS DOUBLE) / b.n_tokens
-    AS DECIMAL(18,6)) AS DOUBLE) AS excised_frac
-FROM base b LEFT JOIN per p USING (doc_id)
-ORDER BY b.doc_id NULLS FIRST""")),
-
-    // ---- X29: Bloom-filter decontamination (the 100 TB eval-set path) ------
-    // X13 broadcasts the EXACT eval shingle set — right while benchmarks are
-    // tiny, impossible once the held-out suite outgrows a broadcast (strings
-    // for 10^9 shingles). The Bloom twin ships ~1.2 KB per 1k shingles at
-    // 1% FP: the eval side folds into one mergeable [[BloomAgg]] binary
-    // (bit-OR partials, partition-invariant), the corpus probes it through
-    // [[BloomMightContain]] (deserialize-once cached), and by construction
-    // flags are a SUPERSET of the exact flags — no contaminated doc escapes;
-    // the FP tax is bounded by fpp and measured against x13's exact result
-    // in BloomSpec. G-class (FP bits depend on the hash, no DuckDB replay).
-    GQuery("x29_bloom_decontaminate",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val sh = docs.select(col("doc_id"),
-          explode(word_shingles(col("text"), 3)).as("g"))
-        // the built sketch is aggregate-sized (KBs at fpp=1%), so it is
-        // collected ONCE and embedded as a binary literal — the same move
-        // Spark's own InjectRuntimeFilter makes. Carrying it through a
-        // broadcast one-row join instead makes every probe row re-copy the
-        // filter bytes out of the joined UnsafeRow (and pay a full
-        // content-compare in the probe cache): measured 17.8 s → the
-        // literal form re-uses one array, so the cache hits by reference.
-        val bfBytes = sh.filter(col("doc_id") % 20 === 0)
-          .agg(graft.functions.GraftFunctions
-            .bloom_agg(col("g"), 20000L, 0.01).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        sh.filter(col("doc_id") % 20 =!= 0)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("nsh"),
-            sum(when(graft.functions.GraftFunctions
-              .bloom_might_contain(lit(bfBytes), col("g")), 1L).otherwise(0L))
-              .as("n_hits"))
-          .select(col("doc_id"), col("nsh"), col("n_hits"),
-            (col("n_hits").cast("double") / col("nsh").cast("double"))
-              .cast("decimal(18,6)").cast("double").as("contam_frac"))
-          .withColumn("flagged", col("contam_frac") >= 0.2)
-          .orderBy(col("doc_id"))
-      },
-      None),
-
-    // ---- X43: sub-document boilerplate removal (CCNet-shaped) --------------
-    // Chunk-level corpus-frequency dedup: docs split into fixed 4-word
-    // chunks, a chunk whose text repeats >= 5 times ACROSS THE CORPUS is
-    // boilerplate (navigation chrome, license headers — the unit CCNet /
-    // RefinedWeb drop at paragraph granularity) and is excised; surviving
-    // chunks reassemble in order. Scale: one by-chunk-text window count (the
-    // same shuffle an exact paragraph-dedup needs) + one by-doc re-agg —
-    // both linear; no doc×doc comparison anywhere.
-    GQuery("x43_chunk_dedup",
-      (s, d) => {
-        val W = 4; val K = 5
-        val ws = split(col("text"), " ")
-        val ch = t(s, d, "documents")
-          .select(col("doc_id"),
-            posexplode(transform(
-              sequence(lit(0), ceil(size(ws).cast("double") / W).cast("int") - 1),
-              i => array_join(slice(ws, i * W + 1, lit(W)), " "))))
-          .toDF("doc_id", "cid", "chunk")
-        ch.withColumn("freq", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("freq") < K, 1L).otherwise(0L)).as("n_kept"),
-            // NULL clean_text iff NO chunk survived (matches string_agg
-            // FILTER semantics). Gating on the kept COUNT, not nullif on
-            // the joined text: a doc whose only kept chunk is the empty
-            // string must yield '' (as DuckDB does), not NULL.
-            when(sum(when(col("freq") < K, 1L).otherwise(0L)) > 0,
-              array_join(transform(array_sort(collect_list(
-                  when(col("freq") < K, struct(col("cid"), col("chunk"))))),
-                x => x.getField("chunk")), " ")).as("clean_text"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-ch AS (SELECT doc_id, CAST(i AS INT) AS cid,
-         array_to_string(ws[(CAST(i AS INT)*4+1):(CAST(i AS INT)*4+4)], ' ') AS chunk
-       FROM w, unnest(range(CAST(ceil(len(ws)/4.0) AS BIGINT))) u(i)),
-f AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS freq FROM ch)
-SELECT doc_id, count(*) AS n_chunks,
-  CAST(count(*) FILTER (WHERE freq < 5) AS BIGINT) AS n_kept,
-  string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE freq < 5) AS clean_text
-FROM f GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X44: source-reputation stats + blocklist --------------------------
-    // Domain-level curation: per-source document count, size profile and
-    // exact-duplicate ratio (1 - distinct md5 / n), with a block verdict for
-    // sources whose dup ratio crosses 30% or whose docs average under 100
-    // chars — the per-domain filtering every web-scale corpus applies before
-    // doc-level work. One hash-partitioned aggregation; at 100 TB the md5
-    // distinct-count can swap to HLL (x11) without changing the shape.
-    GQuery("x44_source_reputation",
-      (s, d) => {
-        val dupRatio = (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
-          .cast("decimal(18,6)").cast("double")
-        t(s, d, "documents")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
-            countDistinct(md5(col("text"))).as("n_distinct"))
-          .select(col("source"), col("n_docs"), col("avg_chars"),
-            dupRatio.as("dup_ratio"),
-            when(dupRatio > 0.3 || col("avg_chars") < 100.0, "block")
-              .otherwise("keep").as("verdict"))
-          .orderBy(col("source"))
-      },
-      Some("""SELECT source, count(*) AS n_docs,
-  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-  CAST(CAST(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
-    AS DECIMAL(18,6)) AS DOUBLE) AS dup_ratio,
-  CASE WHEN CAST(CAST(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
-         AS DECIMAL(18,6)) AS DOUBLE) > 0.3
-      OR CAST(sum(n_chars) AS DOUBLE) / count(*) < 100.0
-    THEN 'block' ELSE 'keep' END AS verdict
-FROM documents GROUP BY source ORDER BY source NULLS FIRST""")),
-
-    // ---- X45: vocabulary coverage / OOV-rate filter ------------------------
-    // Tokenizer-facing curation: induce the top-20 corpus vocabulary
-    // (freq desc, word asc — total order, so the cut is deterministic), then
-    // score every document by its out-of-vocabulary token rate and flag
-    // docs above 40% OOV (the cheap proxy for "not the language/domain the
-    // tokenizer was trained for"). The vocab is aggregate-sized → broadcast;
-    // the per-doc pass is one exploded join against it — linear, no global
-    // state beyond the tiny vocab table.
-    GQuery("x45_vocab_coverage",
-      (s, d) => {
-        // ONE explode of the corpus (VERDICT r7 #5: the words DF was
-        // evaluated twice — vocab agg + per-doc join — doubling the
-        // Generate). Pre-aggregate to per-doc word counts and materialize
-        // them (localCheckpoint truncates the lineage so the vocab agg and
-        // the per-doc join both read the materialized counts, not the
-        // re-exploded corpus). At 100 TB this intermediate is the standard
-        // "tokenize once, write the counts table" pipeline stage.
-        val wc = t(s, d, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-          .localCheckpoint()
-        val vocab = wc.groupBy(col("word")).agg(sum(col("c")).as("freq"))
-          .orderBy(col("freq").desc, col("word")).limit(20)
-          .select(col("word"), lit(1).as("iv"))
-        val oov = (col("n_oov").cast("double") / col("n_tokens"))
-          .cast("decimal(18,6)").cast("double")
-        wc.join(broadcast(vocab), Seq("word"), "left")
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_tokens"),
-            sum(when(col("iv").isNull, col("c")).otherwise(0L)).as("n_oov"))
-          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-            oov.as("oov_rate"))
-          .withColumn("flagged",
-            (col("n_oov").cast("double") / col("n_tokens"))
-              .cast("decimal(18,6)").cast("double") > 0.4)
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-vocab AS (SELECT word FROM (SELECT word, count(*) AS freq FROM words GROUP BY 1)
-          ORDER BY freq DESC, word LIMIT 20)
-SELECT doc_id, count(*) AS n_tokens,
-  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab)) AS BIGINT)
-    AS n_oov,
-  CAST(CAST(CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
-    AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate,
-  CAST(CAST(CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
-    AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) > 0.4 AS flagged
-FROM words GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X46: token-budget corpus selection --------------------------------
-    // Data mixing under a token budget: within each source, rank documents
-    // by length (n_chars desc, doc_id — total order) and admit greedily
-    // while the running token total stays within an 800-token budget. The
-    // cumulative sum is one per-source window — state is a running long, so
-    // a source with a billion docs streams through its sorted partition;
-    // the output is the per-source mixture summary a sampler consumes.
-    GQuery("x46_token_budget",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("n_chars"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .withColumn("cum", sum(col("n_tok")).over(w))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_candidates"),
-            sum(when(col("cum") <= 800L, 1L).otherwise(0L)).as("n_selected"),
-            coalesce(max(when(col("cum") <= 800L, col("cum"))), lit(0L))
-              .as("tok_selected"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH r AS (SELECT source, doc_id, n_chars,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
-      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum
-  FROM documents)
-SELECT source, count(*) AS n_candidates,
-  CAST(count(*) FILTER (WHERE cum <= 800) AS BIGINT) AS n_selected,
-  COALESCE(max(cum) FILTER (WHERE cum <= 800), 0) AS tok_selected
-FROM r GROUP BY source ORDER BY source NULLS FIRST""")),
-
-    // ---- X47: quality-ensemble scorer --------------------------------------
-    // The single keep-score real curation stacks produce from many weak
-    // signals (C4/Gopher/RefinedWeb ensembles): distinct-word ratio, length
-    // band, punctuation density, mean-word-length deviation and stopword
-    // share combine linearly, then squash through the RATIONAL sigmoid
-    // z/(1+|z|) — every operation is a correctly-rounded IEEE basic op
-    // (+,*,/,abs), so unlike exp()-based logistic the score is bit-identical
-    // across engines with no transcendental-libm dependence. Entirely
-    // per-row (shuffle-free before the presentation sort); the weights are
-    // spec'd literals, the score quantizes at decimal(18,6) before the
-    // routing thresholds so the verdict can never straddle an ulp.
-    GQuery("x47_quality_ensemble",
-      (s, d) => {
-        val ws = split(col("text"), " ")
-        val nw = size(ws)
-        val nwS = greatest(nw, lit(1))
-        val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "for")
-          .map(lit): _*)
-        val ddr = size(array_distinct(ws)) / nwS
-        val lenr = least(nw, lit(400)) / lit(400.0)
-        val punct = length(col("text")) -
-          length(regexp_replace(col("text"), "[.,!?;:]", ""))
-        val pr = punct / greatest(length(col("text")), lit(1))
-        val mwl = (length(col("text")) - (nw - lit(1))) / nwS
-        val sr = size(filter(ws, w => array_contains(stops, w))) / nwS
-        val z = lit(-1.0) + lit(2.4) * ddr + lit(1.2) * lenr -
-          lit(3.0) * pr - lit(0.8) * abs(mwl - lit(5.0)) / lit(5.0) +
-          lit(1.5) * sr
-        val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
-          .cast("decimal(18,6)").cast("double")
-        t(s, d, "documents")
-          .select(col("doc_id"), nw.cast("long").as("n_words"),
-            score.as("score"),
-            floor(score * 10).cast("long").as("decile"),
-            when(score < 0.35, "drop").when(score < 0.6, "review")
-              .otherwise("keep").as("verdict"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH f AS (SELECT doc_id,
-    string_split(text, ' ') AS ws,
-    len(string_split(text, ' ')) AS nw,
-    greatest(len(string_split(text, ' ')), 1) AS nws,
-    length(text) AS lt FROM documents),
-z AS (SELECT doc_id, nw,
-    -1.0 + 2.4 * (len(list_distinct(ws)) / nws)
-         + 1.2 * (least(nw, 400) / 400.0)
-         - 3.0 * ((lt - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(lt, 1))
-         - 0.8 * abs(((lt - (nw - 1)) / nws) - 5.0) / 5.0
-         + 1.5 * (len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','for'], w))) / nws)
-      AS z
-  FROM f JOIN documents USING (doc_id)),
-sc AS (SELECT doc_id, nw,
-    CAST(CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) AS DECIMAL(18,6)) AS DOUBLE) AS score
-  FROM z)
-SELECT doc_id, CAST(nw AS BIGINT) AS n_words, score,
-  CAST(floor(score * 10) AS BIGINT) AS decile,
-  CASE WHEN score < 0.35 THEN 'drop' WHEN score < 0.6 THEN 'review'
-    ELSE 'keep' END AS verdict
-FROM sc ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X48: dedup-aware mixture rebalancing ------------------------------
-    // The sampling-weight recomputation that follows any dedup pass: exact
-    // dedup keeps one doc per content hash (keeper attributed to the
-    // surviving min-doc_id's source via min_by, both engines), then each
-    // source's sqrt-temperature sampling share and the over/under-sampling
-    // factor vs its natural share are derived from KEPT counts — dedup
-    // shifts the mixture, and a sampler still using raw counts over-trains
-    // on duplicate-heavy sources. Scale: one content-hash shuffle (the x01
-    // shape) + a |sources|-row aggregate broadcast back; sqrt values are
-    // decimal-quantized before the cross-source sum so the normalizer is
-    // merge-order-free.
-    GQuery("x48_dedup_aware_mixture",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
-        val kept = docs
-          .groupBy(md5(col("text")).as("h"))
-          .agg(min_by(col("source"), col("doc_id")).as("source"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-        val base = raw.join(kept, Seq("source"))
-          .withColumn("dq", sqrt(col("n_kept")).cast("decimal(18,6)"))
-        val tot = base.agg(sum(col("n_kept")).as("tot_kept"),
-          sum(col("dq")).as("sum_dq"))
-        val share = (col("dq").cast("double") / col("sum_dq").cast("double"))
-          .cast("decimal(18,6)").cast("double")
-        base.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_raw"), col("n_kept"),
-            (lit(1.0) - col("n_kept").cast("double") / col("n_raw"))
-              .cast("decimal(18,6)").cast("double").as("dup_ratio"),
-            share.as("samp_share"),
-            ((col("dq").cast("double") / col("sum_dq").cast("double"))
-              * col("tot_kept") / col("n_kept"))
-              .cast("decimal(18,6)").cast("double").as("oversample"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
-keep AS (SELECT min_by(source, doc_id) AS source
-  FROM documents GROUP BY md5(text)),
-kept AS (SELECT source, count(*) AS n_kept FROM keep GROUP BY source),
-base AS (SELECT raw.source, n_raw, n_kept,
-    CAST(sqrt(n_kept) AS DECIMAL(18,6)) AS dq
-  FROM raw JOIN kept ON raw.source = kept.source),
-tot AS (SELECT sum(n_kept) AS tot_kept, sum(dq) AS sum_dq FROM base)
-SELECT source, n_raw, n_kept,
-  CAST(CAST(1.0 - CAST(n_kept AS DOUBLE) / n_raw AS DECIMAL(18,6)) AS DOUBLE)
-    AS dup_ratio,
-  CAST(CAST(CAST(dq AS DOUBLE) / CAST(sum_dq AS DOUBLE) AS DECIMAL(18,6))
-    AS DOUBLE) AS samp_share,
-  CAST(CAST(CAST(dq AS DOUBLE) / CAST(sum_dq AS DOUBLE) * tot_kept / n_kept
-    AS DECIMAL(18,6)) AS DOUBLE) AS oversample
-FROM base, tot ORDER BY source NULLS FIRST""")),
-
-    // ---- X49: embedding QA / outlier gate ----------------------------------
-    // The vector-quality gate that runs BEFORE any ANN indexing. Two
-    // signals: the L2 norm (catches unnormalized/exploded vectors — on an
-    // L2-normalized corpus it is constant 1.0 by construction, which the
-    // output makes visible) and the component PEAK max|x_i|, which keeps
-    // real variance on normalized vectors — a collapsed near-one-hot
-    // vector peaks near 1, a healthy dense direction near 1/√dims — and
-    // is z-scored against the vector's label cohort; tails are flagged.
-    // Cross-engine exactness: the squared-norm fold is a SEQUENTIAL
-    // left-to-right lambda over the array (Spark `aggregate` ≡ DuckDB
-    // `list_reduce` — both fold in index order, and 0.0+x == x exactly
-    // for the non-negative squares), max is order-free, the per-row
-    // norm/peak quantize to decimal(18,6), and cohort moments are exact
-    // decimal sums, so the one double sqrt/divide chain is identical on
-    // both sides. Scale: per-row fold (shuffle-free) + one |labels|-row
-    // aggregate broadcast back.
-    GQuery("x49_embedding_qa",
-      (s, d) => {
-        val sq = aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))
-        val peak = array_max(transform(col("embedding"),
-          x => abs(x.cast("double"))))
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            sqrt(sq).cast("decimal(18,6)").as("nq"),
-            peak.cast("decimal(18,6)").as("pk"))
-        val stats = e.groupBy(col("label"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("pk")).as("sx"),
-            sum((col("pk") * col("pk")).cast("decimal(38,12)")).as("sxx"))
-        val mean = col("sx").cast("double") / col("n")
-        // singleton cohorts have no variance and identical-norm cohorts a
-        // zero one — both yield z = NULL, flagged = false (mirrored CASE
-        // guards in the oracle; ANSI division forbids the unguarded form).
-        // The variance is gated > 0 BEFORE sqrt: near-identical peaks can
-        // round sxx - sx²/n slightly negative in double, and sqrt(neg) =
-        // NaN compares > 0.0 as TRUE in both engines — Spark's NaN→decimal
-        // cast then yields NULL while DuckDB's raises, crashing the oracle.
-        val varE = when(col("n") > 1, (col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double") / col("n"))
-          / (col("n") - 1))
-        val sd = when(varE > 0.0, sqrt(varE))
-        val z = when(sd > 0.0, ((col("pk").cast("double") - mean) / sd)
-          .cast("decimal(18,6)").cast("double"))
-        e.join(broadcast(stats), Seq("label"))
-          .select(col("vec_id"), col("label"),
-            col("nq").cast("double").as("norm"),
-            col("pk").cast("double").as("peak"),
-            z.as("z"),
-            coalesce(abs(z) > 2.5, lit(false)).as("flagged"))
-          .orderBy(col("vec_id"))
-      },
-      Some("""WITH e AS (SELECT vec_id, label,
-    CAST(sqrt(list_reduce(
-        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        (a, b) -> a + b)) AS DECIMAL(18,6)) AS nq,
-    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-      AS DECIMAL(18,6)) AS pk
-  FROM embeddings),
-st AS (SELECT label, count(*) AS n,
-    sum(pk) AS sx,
-    sum(CAST(pk * pk AS DECIMAL(38,12))) AS sxx
-  FROM e GROUP BY label),
-j AS (SELECT vec_id, e.label, nq, pk, n, sx, sxx,
-    CAST(sx AS DOUBLE) / n AS mean,
-    CASE WHEN n > 1 AND
-      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-        / (n - 1) > 0.0 THEN
-      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-        / (n - 1)) END AS sd
-  FROM e JOIN st ON e.label = st.label),
-zz AS (SELECT vec_id, label, nq, pk,
-    CASE WHEN sd > 0.0 THEN
-      CAST(CAST((CAST(pk AS DOUBLE) - mean) / sd AS DECIMAL(18,6)) AS DOUBLE)
-    END AS z
-  FROM j)
-SELECT vec_id, label, CAST(nq AS DOUBLE) AS norm, CAST(pk AS DOUBLE) AS peak,
-  z, coalesce(abs(z) > 2.5, false) AS flagged
-FROM zz ORDER BY vec_id NULLS FIRST""")),
-
-    // ---- X50: order-insensitive (bag-of-words) dedup -----------------------
-    // The dedup axis between exact (X01) and near-dup (X02): documents whose
-    // word MULTISETS are identical but whose word order differs — scraped
-    // pages re-rendered with shuffled nav/list order, concatenation-order
-    // churn — hash to different md5(text) and slip past exact dedup, yet are
-    // the same training content. Fingerprint = md5 of the sorted word array;
-    // same multiset ⇒ same fingerprint, exactly (no MinHash approximation).
-    // The r7-regenerated corpus has no organic order-shuffled twins, so
-    // deterministic reversed-word variants are planted (ids offset past the
-    // corpus max, the x40 pattern) to keep the pair path exercised.
-    // Scale: per-row O(L log L) sort + ONE content-fingerprint shuffle —
-    // byte-for-byte the x01 shape; no joins, no pair enumeration.
-    GQuery("x50_bow_dedup",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
-        val variants = docs.filter(col("doc_id") % 40 === 5)
-          .select((col("doc_id") + off).as("doc_id"),
-            array_join(reverse(split(col("text"), " ")), " ").as("text"))
-        docs.select(col("doc_id"), col("text")).unionAll(variants)
-          .select(col("doc_id"),
-            md5(array_join(array_sort(split(col("text"), " ")), " ")).as("fp"),
-            size(split(col("text"), " ")).cast("long").as("nw"))
-          .groupBy(col("fp"))
-          .agg(min(col("doc_id")).as("keeper"),
-            count(lit(1)).as("n_members"),
-            sum(col("nw")).as("n_tokens"))
-          .filter(col("n_members") >= 2)
-          .orderBy(col("keeper"))
-      },
-      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
-u AS (SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + (SELECT off FROM mx) AS doc_id,
-    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-  FROM documents WHERE doc_id % 40 = 5),
-f AS (SELECT doc_id,
-    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
-    len(string_split(text, ' ')) AS nw
-  FROM u)
-SELECT fp, min(doc_id) AS keeper, count(*) AS n_members,
-  CAST(sum(nw) AS BIGINT) AS n_tokens
-FROM f GROUP BY fp HAVING count(*) >= 2
-ORDER BY keeper NULLS FIRST""")),
-
-    // ---- X65: normalization-aware exact dedup -------------------------------
-    // x01's content-hash dedup is BYTE identity — the same visible text as
-    // composed é, decomposed e+◌́, or mixed case fingerprints apart and
-    // slips every exact pass. This lane canonicalizes first
-    // (NFC → strip_accents → lower, the new native expressions) and hashes
-    // the canonical form: one extra per-row kernel on the same single
-    // content-hash shuffle. Planted triples prove the catch: each %40==7
-    // doc gains a composed-accent twin AND a decomposed-accent twin
-    // (different bytes — raw md5 splits all three; the canonical hash
-    // groups them, n_byte_variants = 3). O-class: DuckDB's own
-    // nfc_normalize/strip_accents replay the canonicalization exactly.
-    GQuery("x65_normalized_dedup",
-      (s, d) => {
-        val fns = graft.functions.GraftFunctions
-        val docs = t(s, d, "documents")
-        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
-        val comp = docs.filter(col("doc_id") % 40 === 7)
-          .select((col("doc_id") + off).as("doc_id"),
-            expr("replace(text, 'e', 'é')").as("text"))
-        val decomp = docs.filter(col("doc_id") % 40 === 7)
-          .select((col("doc_id") + off * 2).as("doc_id"),
-            expr("replace(text, 'e', 'é')").as("text"))
-        docs.select(col("doc_id"), col("text")).unionAll(comp).unionAll(decomp)
-          .select(col("doc_id"),
-            md5(lower(fns.strip_accents(fns.nfc_normalize(col("text")))))
-              .as("fp"),
-            md5(col("text")).as("bh"))
-          .groupBy(col("fp"))
-          .agg(min(col("doc_id")).as("keeper"),
-            count(lit(1)).as("n_members"),
-            countDistinct(col("bh")).as("n_byte_variants"))
-          .filter(col("n_members") >= 2)
-          .orderBy(col("keeper"))
-      },
-      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
-u AS (SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + (SELECT off FROM mx),
-    replace(text, 'e', chr(233)) FROM documents WHERE doc_id % 40 = 7
-  UNION ALL
-  SELECT doc_id + 2 * (SELECT off FROM mx),
-    replace(text, 'e', 'e' || chr(769)) FROM documents WHERE doc_id % 40 = 7),
-f AS (SELECT doc_id,
-    md5(lower(strip_accents(nfc_normalize(text)))) AS fp,
-    md5(text) AS bh
-  FROM u)
-SELECT fp, min(doc_id) AS keeper, count(*) AS n_members,
-  count(DISTINCT bh) AS n_byte_variants
-FROM f GROUP BY fp HAVING count(*) >= 2
-ORDER BY keeper NULLS FIRST""")),
-
-    // ---- X51: intra-document self-repetition trim --------------------------
-    // X43 excises chunks that repeat across the CORPUS; this trims chunks
-    // that repeat within ONE document (copy-paste loops, boilerplate a
-    // crawler stitched twice into the same page) — the repeated occurrence
-    // is dropped, the FIRST kept, and the document reassembled in order.
-    // Mechanics: fixed 4-word chunks; chunk i survives iff it is the first
-    // occurrence of its text (array_position == i); the word remainder
-    // (len % 4) is always kept. The rebuilt text is emitted as an md5 so the
-    // oracle proves byte-exact reassembly without shipping full texts.
-    // Deterministic self-repeat variants (first 8 words spliced in twice)
-    // are planted so the trim path stays exercised on a repeat-free corpus.
-    // Scale: 100% per-row higher-order functions — ZERO shuffles before the
-    // presentation sort; a 100 TB corpus trims in one mapper pass.
-    GQuery("x51_selfrep_trim",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
-        val variants = docs.filter(col("doc_id") % 30 === 7)
-          .select((col("doc_id") + off).as("doc_id"),
-            array_join(concat(slice(split(col("text"), " "), 1, 8),
-              slice(split(col("text"), " "), 1, 8),
-              split(col("text"), " ")), " ").as("text"))
-        docs.select(col("doc_id"), col("text")).unionAll(variants)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("nc", (size(col("w")) / 4).cast("int"))
-          .withColumn("chunks", expr(
-            "if(nc >= 1, transform(sequence(1, nc), " +
-              "i -> array_join(slice(w, (i - 1) * 4 + 1, 4), ' ')), " +
-              "array())"))
-          .withColumn("kept", expr(
-            "filter(if(nc >= 1, sequence(1, nc), array()), " +
-              "i -> array_position(chunks, element_at(chunks, i)) = i)"))
-          .withColumn("kw", expr(
-            "concat(flatten(transform(kept, i -> slice(w, (i - 1) * 4 + 1, 4))), " +
-              "slice(w, nc * 4 + 1, size(w) - nc * 4))"))
-          .select(col("doc_id"),
-            size(col("w")).cast("long").as("n_words"),
-            col("nc").cast("long").as("n_chunks"),
-            (col("nc") - size(col("kept"))).cast("long").as("n_dup_chunks"),
-            size(col("kw")).cast("long").as("kept_words"),
-            when(col("nc") >= 1,
-              ((col("nc") - size(col("kept"))).cast("double") / col("nc"))
-                .cast("decimal(18,6)").cast("double")).as("dup_frac"),
-            md5(array_join(col("kw"), " ")).as("trimmed_md5"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
-u AS (SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + (SELECT off FROM mx) AS doc_id,
-    array_to_string(
-      string_split(text, ' ')[1:8] || string_split(text, ' ')[1:8]
-        || string_split(text, ' '), ' ') AS text
-  FROM documents WHERE doc_id % 30 = 7),
-b AS (SELECT doc_id, string_split(text, ' ') AS w,
-    CAST(floor(len(string_split(text, ' ')) / 4) AS INT) AS nc
-  FROM u),
-c AS (SELECT doc_id, w, nc,
-    list_transform(range(1, nc + 1),
-      i -> array_to_string(w[((i - 1) * 4 + 1):((i - 1) * 4 + 4)], ' ')) AS chunks
-  FROM b),
-k AS (SELECT doc_id, w, nc, chunks,
-    list_filter(range(1, nc + 1),
-      i -> list_position(chunks, chunks[i]) = i) AS kept
-  FROM c),
-r AS (SELECT doc_id, w, nc, kept,
-    flatten(list_transform(kept,
-      i -> w[((i - 1) * 4 + 1):((i - 1) * 4 + 4)]))
-      || w[(nc * 4 + 1):len(w)] AS kw
-  FROM k)
-SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-  CAST(nc AS BIGINT) AS n_chunks,
-  CAST(nc - len(kept) AS BIGINT) AS n_dup_chunks,
-  CAST(len(kw) AS BIGINT) AS kept_words,
-  CASE WHEN nc >= 1 THEN
-    CAST(CAST(CAST(nc - len(kept) AS DOUBLE) / nc AS DECIMAL(18,6)) AS DOUBLE)
-  END AS dup_frac,
-  md5(array_to_string(kw, ' ')) AS trimmed_md5
-FROM r ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X52: curriculum schedule assignment -------------------------------
-    // Deterministic training-order construction: each doc gets a quality
-    // decile (distinct-word ratio — the x14 signal) and a seeded 64-way
-    // batch from its content-free md5 (hex chars mapped to ints via strpos,
-    // the only portable hex→int both engines share), so every batch draws
-    // uniformly from every decile and the schedule is reproducible under
-    // re-runs, repartitioning, and corpus growth (a doc's slot never
-    // depends on other docs). The per-batch decile spread is aggregated and
-    // broadcast back as the mixing diagnostic. The emitted sort keys
-    // (batch, decile, cur_rank) ARE the curriculum — no global row_number
-    // (a single-partition window at any scale); consumers range-sort.
-    // Scale: per-row assignment + one 64-row aggregate broadcast — one scan.
-    GQuery("x52_curriculum_order",
-      (s, d) => {
-        val hex = "0123456789abcdef"
-        val w = split(col("text"), " ")
-        val ddr = size(array_distinct(w)).cast("double") /
-          greatest(size(w), lit(1)).cast("double")
-        val h = md5(concat(lit("cur42:"), col("doc_id")))
-        val b = ((expr(s"instr('$hex', substring(md5(concat('cur42:', doc_id)), 1, 1))") - 1) * 16 +
-          (expr(s"instr('$hex', substring(md5(concat('cur42:', doc_id)), 2, 1))") - 1)) % 64
-        val assigned = t(s, d, "documents")
-          .select(col("doc_id"),
-            least(floor(ddr * 10), lit(9)).cast("long").as("decile"),
-            b.cast("long").as("batch"),
-            h.as("cur_rank"))
-        val spread = assigned.groupBy(col("batch"))
-          .agg(count(lit(1)).as("batch_docs"),
-            countDistinct(col("decile")).as("batch_deciles"))
-        assigned.join(broadcast(spread), Seq("batch"))
-          .select(col("doc_id"), col("decile"), col("batch"),
-            col("cur_rank"), col("batch_docs"), col("batch_deciles"))
-          .orderBy(col("batch"), col("decile"), col("cur_rank"), col("doc_id"))
-      },
-      Some("""WITH a AS (SELECT doc_id,
-    least(CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      / greatest(len(string_split(text, ' ')), 1)) * 10) AS BIGINT), 9) AS decile,
-    CAST(((strpos('0123456789abcdef', substr(md5('cur42:' || doc_id), 1, 1)) - 1) * 16
-      + (strpos('0123456789abcdef', substr(md5('cur42:' || doc_id), 2, 1)) - 1)) % 64
-      AS BIGINT) AS batch,
-    md5('cur42:' || doc_id) AS cur_rank
-  FROM documents),
-sp AS (SELECT batch, count(*) AS batch_docs,
-    count(DISTINCT decile) AS batch_deciles
-  FROM a GROUP BY batch)
-SELECT doc_id, decile, a.batch, cur_rank, batch_docs, batch_deciles
-FROM a JOIN sp ON a.batch = sp.batch
-ORDER BY a.batch NULLS FIRST, decile NULLS FIRST, cur_rank NULLS FIRST,
-  doc_id NULLS FIRST""")),
-
-    // ---- X53: BPE tokenizer application ------------------------------------
-    // The deployment half of x41's vocabulary induction: learn a merge
-    // table on the corpus (frontier-batched trainer), broadcast it, and
-    // ENCODE every document — per-doc token counts, chars-per-token
-    // compression, and a boundary-witnessing md5 of the token stream
-    // (GraftOps.bpeEncode). O-class since round 11 via the engine-identical
-    // fold idiom (the q107 pattern): the oracle REPLAYS the whole trainer —
-    // 6 unrolled frontier rounds of pair-count → top-(want·4) candidates →
-    // greedy symbol-disjoint selection (a tagged-list list_reduce; keys
-    // carry chr(1), symbols never do, and a [[]] seed makes short rounds
-    // no-op) → batch re-segmentation — then encodes with the same
-    // left-to-right fold; both engines walk the identical op tree, so the
-    // boundary md5 is hash-exact (verified sf0.01 AND sf0.1). DuckDB v1.0
-    // trap: CASE/struct with LIST result inside a list_reduce lambda
-    // silently returns the last element — conditionals must be scalar CASE
-    // inside list exprs or computed slice bounds (e[1:(cond::INT)]).
-    // BpeSpec still pins the encoder against an independent reference
-    // implementation, the concat-roundtrip identity, and merge-count
-    // monotonicity.
-    // Scale: merge table broadcasts (~1 MB at 50k merges); encode is one
-    // mapPartitions scan with a per-partition word→tokens memo — zero
-    // shuffles before the presentation sort.
-    GQuery("x53_bpe_encode",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = graft.GraftOps.bpeVocab(docs, col("text"),
-          merges = 32, batch = 16)
-        graft.GraftOps.bpeEncode(docs, col("doc_id"), col("text"), merges)
-          .drop("tokens") // spec-only surface; stats + boundary-md5 suffice here
-          .withColumn("compression",
-            when(col("n_tokens") > 0,
-              (col("n_chars").cast("double") / col("n_tokens"))
-                .cast("decimal(18,6)").cast("double")))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH w0 AS (
-  SELECT word, count(*)::BIGINT AS freq FROM (
-    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY word),
-w0s AS (SELECT word, freq,
-  list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS syms FROM w0),
-p1 AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
-    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
-           freq FROM w0s)
-  GROUP BY 1, 2),
-c1 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
-       FROM (SELECT l, r, pf FROM p1 ORDER BY pf DESC, l, r LIMIT 64)),
-s1 AS (SELECT []::VARCHAR[] AS prev, list_filter(list_reduce(
-    [[]::VARCHAR[]] || c1.cand[1:(4 * least(16, 32 - len([]::VARCHAR[])))],
-    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len([]::VARCHAR[]))
-        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
-        AND NOT list_contains(acc, e[3]))::INT)]),
-    z -> contains(z, chr(1))) AS keys FROM c1),
-w1 AS (SELECT word, freq,
-  list_reduce(list_transform(syms, s -> [s]),
-    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s1.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
-      || [CASE WHEN list_contains(s1.keys, acc[len(acc)] || chr(1) || e[1])
-          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
-  FROM w0s, s1),
-sp2 AS (SELECT s1.keys AS keys FROM s1),
-p2 AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
-    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
-           freq FROM w1)
-  GROUP BY 1, 2),
-c2 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
-       FROM (SELECT l, r, pf FROM p2 ORDER BY pf DESC, l, r LIMIT 64)),
-s2 AS (SELECT sp2.keys AS prev, list_filter(list_reduce(
-    [[]::VARCHAR[]] || c2.cand[1:(4 * least(16, 32 - len(sp2.keys)))],
-    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp2.keys))
-        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
-        AND NOT list_contains(acc, e[3]))::INT)]),
-    z -> contains(z, chr(1))) AS keys FROM c2, sp2),
-w2 AS (SELECT word, freq,
-  list_reduce(list_transform(syms, s -> [s]),
-    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s2.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
-      || [CASE WHEN list_contains(s2.keys, acc[len(acc)] || chr(1) || e[1])
-          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
-  FROM w1, s2),
-sp3 AS (SELECT s1.keys || s2.keys AS keys FROM s1, s2),
-p3 AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
-    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
-           freq FROM w2)
-  GROUP BY 1, 2),
-c3 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
-       FROM (SELECT l, r, pf FROM p3 ORDER BY pf DESC, l, r LIMIT 64)),
-s3 AS (SELECT sp3.keys AS prev, list_filter(list_reduce(
-    [[]::VARCHAR[]] || c3.cand[1:(4 * least(16, 32 - len(sp3.keys)))],
-    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp3.keys))
-        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
-        AND NOT list_contains(acc, e[3]))::INT)]),
-    z -> contains(z, chr(1))) AS keys FROM c3, sp3),
-w3 AS (SELECT word, freq,
-  list_reduce(list_transform(syms, s -> [s]),
-    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s3.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
-      || [CASE WHEN list_contains(s3.keys, acc[len(acc)] || chr(1) || e[1])
-          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
-  FROM w2, s3),
-sp4 AS (SELECT s1.keys || s2.keys || s3.keys AS keys FROM s1, s2, s3),
-p4 AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
-    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
-           freq FROM w3)
-  GROUP BY 1, 2),
-c4 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
-       FROM (SELECT l, r, pf FROM p4 ORDER BY pf DESC, l, r LIMIT 64)),
-s4 AS (SELECT sp4.keys AS prev, list_filter(list_reduce(
-    [[]::VARCHAR[]] || c4.cand[1:(4 * least(16, 32 - len(sp4.keys)))],
-    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp4.keys))
-        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
-        AND NOT list_contains(acc, e[3]))::INT)]),
-    z -> contains(z, chr(1))) AS keys FROM c4, sp4),
-w4 AS (SELECT word, freq,
-  list_reduce(list_transform(syms, s -> [s]),
-    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s4.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
-      || [CASE WHEN list_contains(s4.keys, acc[len(acc)] || chr(1) || e[1])
-          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
-  FROM w3, s4),
-sp5 AS (SELECT s1.keys || s2.keys || s3.keys || s4.keys AS keys FROM s1, s2, s3, s4),
-p5 AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
-    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
-           freq FROM w4)
-  GROUP BY 1, 2),
-c5 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
-       FROM (SELECT l, r, pf FROM p5 ORDER BY pf DESC, l, r LIMIT 64)),
-s5 AS (SELECT sp5.keys AS prev, list_filter(list_reduce(
-    [[]::VARCHAR[]] || c5.cand[1:(4 * least(16, 32 - len(sp5.keys)))],
-    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp5.keys))
-        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
-        AND NOT list_contains(acc, e[3]))::INT)]),
-    z -> contains(z, chr(1))) AS keys FROM c5, sp5),
-w5 AS (SELECT word, freq,
-  list_reduce(list_transform(syms, s -> [s]),
-    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s5.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
-      || [CASE WHEN list_contains(s5.keys, acc[len(acc)] || chr(1) || e[1])
-          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
-  FROM w4, s5),
-sp6 AS (SELECT s1.keys || s2.keys || s3.keys || s4.keys || s5.keys AS keys FROM s1, s2, s3, s4, s5),
-p6 AS (
-  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
-    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
-           freq FROM w5)
-  GROUP BY 1, 2),
-c6 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
-       FROM (SELECT l, r, pf FROM p6 ORDER BY pf DESC, l, r LIMIT 64)),
-s6 AS (SELECT sp6.keys AS prev, list_filter(list_reduce(
-    [[]::VARCHAR[]] || c6.cand[1:(4 * least(16, 32 - len(sp6.keys)))],
-    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp6.keys))
-        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
-        AND NOT list_contains(acc, e[3]))::INT)]),
-    z -> contains(z, chr(1))) AS keys FROM c6, sp6),
-w6 AS (SELECT word, freq,
-  list_reduce(list_transform(syms, s -> [s]),
-    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s6.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
-      || [CASE WHEN list_contains(s6.keys, acc[len(acc)] || chr(1) || e[1])
-          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
-  FROM w5, s6),
-dws AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
-        FROM documents),
-dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS wi FROM dws),
-enc AS (SELECT doc_id, flatten(list(w6.syms ORDER BY wi)) AS toks
-        FROM dw JOIN w6 USING (word) GROUP BY doc_id)
-SELECT d.doc_id,
-  CAST(len(d.ws) AS BIGINT) AS n_words,
-  CAST(coalesce(list_aggregate(list_transform(d.ws, w -> length(w)), 'sum'), 0) AS BIGINT) AS n_chars,
-  CAST(coalesce(len(enc.toks), 0) AS BIGINT) AS n_tokens,
-  md5(array_to_string(coalesce(enc.toks, []), chr(1))) AS tokens_md5,
-  CASE WHEN coalesce(len(enc.toks), 0) > 0 THEN
-    CAST(CAST(CAST(coalesce(list_aggregate(list_transform(d.ws, w -> length(w)), 'sum'), 0) AS DOUBLE)
-      / len(enc.toks) AS DECIMAL(18,6)) AS DOUBLE) END AS compression
-FROM dws d LEFT JOIN enc USING (doc_id)
-ORDER BY d.doc_id NULLS FIRST""")),
-
-    // ---- X54: dataset release manifest -------------------------------------
-    // The artifact a training run actually consumes: x30's token-balanced
-    // shard assignment (two-pass distributed prefix sum — range partition,
-    // local cumsum, broadcast per-partition offsets) finished into a
-    // publishable manifest — per shard: doc/token counts, id range, token
-    // share of the corpus, and an ORDER-INVARIANT md5-XOR content checksum
-    // (the q106 replica-audit idiom: XOR's associativity+commutativity
-    // makes the same 8 bytes come out of any partitioning), so a consumer
-    // can verify every shard it downloads without trusting row order.
-    // Scale: the prefix sum never funnels rows to the driver (per-partition
-    // offsets are |partitions| rows); the manifest itself is |shards| rows.
-    GQuery("x54_shard_manifest",
-      (s, d) => {
-        val nShards = 8L
-        val w8 = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val wLoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("pid")).orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val base = t(s, d, "documents")
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("tok"),
-            expr("CAST(conv(substr(md5(concat(doc_id, ':', text)), 1, 15), 16, 10) AS BIGINT)")
-              .as("h"))
-        // ONE pinned evaluation of the range exchange: the offsets branch
-        // prunes `h` while the main branch keeps it, so the two exchanges
-        // are no longer identical subtrees and ReuseExchange cannot dedupe
-        // them — two INDEPENDENT range-bound samplings would pair `off`
-        // values with mismatched `pid` boundaries and silently skew every
-        // shard (x30 survives only because its branches stay byte-identical
-        // and the exchange is reused). The eager localCheckpoint freezes
-        // pid + bounds; for this release-manifest op that write is the
-        // sharded table a production run persists anyway.
-        val p = base.repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint()
-        val offsets = p.groupBy(col("pid")).agg(sum(col("tok")).as("psum"))
-          .withColumn("off", coalesce(sum(col("psum")).over(w8), lit(0L)))
-          .select(col("pid"), col("off"))
-        val total = p.agg(sum(col("tok")).as("total"))
-        p.withColumn("local", coalesce(sum(col("tok")).over(wLoc), lit(0L)))
-          .join(broadcast(offsets), "pid")
-          .join(broadcast(total))
-          .withColumn("shard",
-            least(expr(s"(local + off) * $nShards div total"),
-              lit(nShards - 1L)))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("tok")).as("n_tokens"),
-            min(col("doc_id")).as("min_id"),
-            max(col("doc_id")).as("max_id"),
-            expr("bit_xor(h)").as("checksum"),
-            max(col("total")).as("tt"))
-          .withColumn("token_share",
-            (col("n_tokens").cast("double") / col("tt"))
-              .cast("decimal(18,6)").cast("double"))
-          .drop("tt")
-          .orderBy(col("shard"))
-      },
-      Some("""WITH base AS (SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-    CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 15)) AS BIGINT) AS h
-  FROM documents),
-c AS (SELECT doc_id, tok, h,
-    coalesce(SUM(tok) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
-    (SELECT sum(tok) FROM base) AS total
-  FROM base)
-SELECT CAST(least(cum * 8 // total, 7) AS BIGINT) AS shard,
-  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
-  min(doc_id) AS min_id, max(doc_id) AS max_id,
-  bit_xor(h) AS checksum,
-  CAST(CAST(CAST(sum(tok) AS DOUBLE) / max(total) AS DECIMAL(18,6)) AS DOUBLE)
-    AS token_share
-FROM c GROUP BY 1 ORDER BY shard NULLS FIRST""")),
-
-    // ---- X55: weighted priority sample (Efraimidis–Spirakis A-ES) ----------
-    // One-pass weighted sampling WITHOUT replacement: each doc draws a
-    // deterministic uniform u and competes on priority ln(u)/w (the log of
-    // the classic u^(1/w) key — same order, better conditioned); the global
-    // top-K by priority is a size-K weighted sample. This is the 100 TB way
-    // to cut a corpus to a fixed budget with quality weighting: no full
-    // sort, no global shuffle — `orderBy().limit()` compiles to
-    // TakeOrderedAndProject (per-partition top-K, single K-row reduction),
-    // pinned in PlanAuditSpec. Cross-engine exactness: u is 24 bits of md5
-    // (conv/0x-cast, the x54 idiom), the weight ln(2+n_chars) (the x59/s51
-    // convention — strictly positive even for an empty doc, where ln(1+0)=0
-    // would divide to -Inf and diverge across engines) is quantized
-    // to decimal(18,6) BEFORE the divide so both engines divide identical
-    // doubles, and the priority is quantized after (ln agrees to 1 ulp —
-    // ~9 orders below the grain); rank ties break on doc_id in both ORDER
-    // BYs, so the K-boundary is deterministic. O-class.
-    GQuery("x55_weighted_sample",
-      (s, d) => {
-        val u24 = expr(
-          "CAST(conv(substr(md5(concat('aes55:', doc_id)), 1, 6), 16, 10) AS BIGINT)")
-        val w = log(lit(2.0) + col("n_chars").cast("double"))
-          .cast("decimal(18,6)").cast("double")
-        t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            w.as("w"), u24.as("u24"))
-          .select(col("doc_id"), col("source"), col("n_chars"), col("w"),
-            (log((col("u24") + lit(1.0)) / lit(16777217.0)) / col("w"))
-              .cast("decimal(18,6)").cast("double").as("priority"))
-          .orderBy(col("priority").desc, col("doc_id"))
-          .limit(150)
-      },
-      Some("""WITH c AS (SELECT doc_id, source, n_chars,
-  CAST(CAST(ln(2.0 + CAST(n_chars AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS w,
-  CAST(concat('0x', substr(md5('aes55:' || doc_id), 1, 6)) AS BIGINT) AS u24
-  FROM documents)
-SELECT doc_id, source, n_chars, w,
-  CAST(CAST(ln((u24 + 1.0) / 16777217.0) / w AS DECIMAL(18,6)) AS DOUBLE)
-    AS priority
-FROM c ORDER BY priority DESC, doc_id LIMIT 150""")),
-
-    // ---- X56: leakage-free corpus split (cluster-granular) -----------------
-    // Train/val/test assignment where the unit of assignment is the NEAR-DUP
-    // CLUSTER, not the document: every doc inherits its x07 connected
-    // component's id (singletons their own), and the split is a portable
-    // hash of the CLUSTER id — so a near-dup pair straddling train/test is
-    // impossible by construction, not by post-hoc decontamination. This is
-    // the split a 100 TB pretraining pipeline actually needs: x13/x29 catch
-    // eval overlap against an external benchmark; x56 prevents self-overlap
-    // between the corpus's own splits. Scale: reuses the memoized x07 pair
-    // table + O(log n) CC; the assignment itself is one left join and one
-    // aggregate. PipelineSpec audits zero straddling pairs end-to-end.
-    // DuckDB's replay brute-forces the pair set (oracle scale only — listed
-    // with the quadratic oracles pruned at sf0.1).
-    GQuery("x56_leakage_free_split",
-      (s, d) => {
-        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("tok"))
-        val bucket = (expr(
-          "CAST(conv(substr(md5(concat('split56:', cluster)), 1, 2), 16, 10) AS BIGINT)")
-          % 10).as("bucket")
-        docs.join(clusters, Seq("doc_id"), "left")
-          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
-          .withColumn("bucket", bucket)
-          .withColumn("split",
-            when(col("bucket") < 8, "train")
-              .when(col("bucket") === 8, "val").otherwise("test"))
-          .groupBy(col("split"))
-          .agg(countDistinct(col("cluster")).as("n_clusters"),
-            count(lit(1)).as("n_docs"),
-            sum(col("tok")).as("n_tokens"))
-          .orderBy(col("split"))
-      },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-edges AS (SELECT da AS src, db AS dst FROM pairs
-  UNION ALL SELECT db, da FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
-asg AS (SELECT d.doc_id,
-    coalesce(c.cluster, d.doc_id) AS cluster,
-    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
-  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
-b AS (SELECT *,
-    CAST(concat('0x', substr(md5('split56:' || cluster), 1, 2)) AS BIGINT) % 10
-      AS bucket
-  FROM asg)
-SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
-    ELSE 'test' END AS split,
-  count(DISTINCT cluster) AS n_clusters, count(*) AS n_docs,
-  CAST(sum(tok) AS BIGINT) AS n_tokens
-FROM b GROUP BY 1 ORDER BY split NULLS FIRST""")),
-
-    // ---- X57: semantic (embedding-space) decontamination -------------------
-    // The third decontamination axis beside x13 (exact 3-gram hits) and x29
-    // (Bloom superset at 100 TB): paraphrased eval leakage that shares no
-    // n-gram still lands NEAR the eval item in embedding space. Eval set =
-    // a deterministic ~1% id slice; every corpus vector is scored by its
-    // MAX cosine against the broadcast eval set and flagged at the same
-    // 0.45 cut x03 measured stable margins for (eval×corpus pairs are a
-    // subset of x03's all-pairs set, so the margin is inherited). Shape:
-    // the eval side collapses to ONE array row, reaches the corpus as a
-    // one-row broadcast nested-loop build (Catalyst folds the constant
-    // join key away — probe-free O(n)), and the max runs as a per-row
-    // struct-fold over the broadcast array — the corpus never shuffles
-    // (plan-pinned). Ties on the quantized score break to the smallest
-    // eval id on both engines (struct-max on (sc, -eid) ≡ row_number over
-    // (sc DESC, eid)). The eval slice is CAPPED (id < 2000 — non-binding
-    // at both oracle tiers, so results are unchanged there) because a
-    // benchmark suite is a bounded artifact, not a constant fraction of
-    // the corpus: uncapped, the %-slice made total work quadratic in sf
-    // (measured ×19 at sf1); capped it is honest-linear in the corpus.
-    // At eval sets too large to broadcast, this composes with x28's
-    // filtered-ANN pruning instead — the per-row loop is the bench-set
-    // path (real eval benches are ~1e5 rows: broadcastable).
-    GQuery("x57_semantic_decontaminate",
-      (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val ev = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2000)
-          .agg(collect_list(struct(col("vec_id").as("eid"),
-            col("embedding").as("ev"))).as("evs"))
-          .withColumn("jk", lit(1))
-        emb.filter(!(col("vec_id") % 97 === 0 && col("vec_id") < 2000))
-          .withColumn("jk", lit(1))
-          .join(broadcast(ev), "jk")
-          // Loud canary (the ExactSum convention): a global collect_list
-          // still emits ONE row when the eval slice is empty, so every
-          // corpus row would "survive" with NULL max_cos while DuckDB's
-          // CROSS JOIN against an empty ev returns zero rows — fail the job
-          // instead of silently diverging. assert_true yields NULL when the
-          // slice is non-empty, so the when() passes evs through untouched.
-          .withColumn("evs",
-            when(assert_true(size(col("evs")) > 0,
-              lit("x57: eval slice is empty — decontamination would " +
-                "silently keep every corpus row")).isNull, col("evs")))
-          .select(col("vec_id"),
-            array_max(transform(col("evs"), e =>
-              struct(cosine_sim(e.getField("ev"), col("embedding"))
-                  .cast("decimal(18,6)").as("sc"),
-                (-e.getField("eid")).as("nid")))).as("best"))
-          .select(col("vec_id"),
-            col("best.sc").cast("double").as("max_cos"),
-            (-col("best.nid")).as("nearest_eval"),
-            (col("best.sc").cast("double") >= 0.45).as("contaminated"))
-          .orderBy(col("vec_id"))
-      },
-      Some("""WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
-  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 2000),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE NOT (vec_id % 97 = 0 AND vec_id < 2000)),
-s AS (SELECT c.vec_id, eid,
-    CAST(list_cosine_similarity(v, evv) AS DECIMAL(18,6)) AS sc
-  FROM c CROSS JOIN ev),
-r AS (SELECT vec_id, eid, sc,
-    row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, eid) AS rn
-  FROM s)
-SELECT vec_id, CAST(sc AS DOUBLE) AS max_cos, eid AS nearest_eval,
-  CAST(sc AS DOUBLE) >= 0.45 AS contaminated
-FROM r WHERE rn = 1 ORDER BY vec_id NULLS FIRST""")),
-
-    // ---- X58: MinHash source-similarity matrix ------------------------------
-    // Between-source shingle-Jaccard ESTIMATES from 64-lane MinHash
-    // signatures — the constant-state scale path beside x19's exact
-    // inverted-index overlap matrix. Why it wins at 100 TB: min is
-    // idempotent (duplicate shingles need no distinct — zero shingle
-    // shuffles) and mergeable (map-side partial min collapses every
-    // partition to ≤ |sources|×64 rows), so the ONLY exchange carries a
-    // corpus-size-INDEPENDENT volume; the pair stage then runs on a
-    // |sources|×64-row table. P(lane match) = J, stderr sqrt(J(1-J)/64)
-    // ≈ 0.06 worst-case. Lane hashes are the portable md5-hex→int idiom,
-    // so DuckDB replays the estimate bit-exactly (O-class — the ESTIMATOR
-    // is deterministic; PipelineSpec separately bounds it against the
-    // exact Jaccard). The signature table is localCheckpointed — the
-    // persisted artifact a production run would write — so the pair join
-    // reads 1280 rows, not the corpus twice; the builder's plan shape
-    // (partial_min before one exchange) is pinned in PlanAuditSpec.
-    GQuery("x58_minhash_source_sim",
-      (s, d) => {
-        val lanes = graft.GraftOps.minhashLaneMins(
-            t(s, d, "documents"), col("source"), col("text"), k = 3, lanes = 64)
-          .localCheckpoint()
-        lanes.as("a").join(broadcast(lanes.as("b")),
-            col("a.lane") === col("b.lane") && col("a.grp") < col("b.grp"))
-          .groupBy(col("a.grp").as("source_a"), col("b.grp").as("source_b"))
-          .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L))
-            .as("n_match"))
-          .select(col("source_a"), col("source_b"), col("n_match"),
-            (col("n_match").cast("double") / lit(64.0))
-              .cast("decimal(18,6)").cast("double").as("est_jaccard"))
-          .orderBy(col("source_a"), col("source_b"))
-      },
-      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT source,
-  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
-    i -> array_to_string(w[i:i+2], ' '))
-  ELSE [array_to_string(w, ' ')] END AS sl
-FROM toks),
-sg AS (SELECT source, unnest(sl) AS g FROM sh),
-hs AS (SELECT source,
-    CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT) AS b0,
-    CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT) AS b1
-  FROM sg),
-lanes AS (SELECT source, ln.l AS lane,
-    min(((ln.l * 2 + 1) * b0 + b1) % 281474976710656) AS mh
-  FROM hs CROSS JOIN (SELECT unnest(range(0, 64)) AS l) ln
-  GROUP BY source, ln.l),
-pairs AS (SELECT a.source AS source_a, b.source AS source_b,
-    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_match
-  FROM lanes a JOIN lanes b ON a.lane = b.lane AND a.source < b.source
-  GROUP BY 1, 2)
-SELECT source_a, source_b, CAST(n_match AS BIGINT) AS n_match,
-  CAST(CAST(CAST(n_match AS DOUBLE) / 64.0 AS DECIMAL(18,6)) AS DOUBLE)
-    AS est_jaccard
-FROM pairs ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""")),
-
-    // ---- X59: per-stratum weighted sample (A-ES within each source) --------
-    // Mixture construction's sampling primitive: the K highest-priority
-    // docs PER SOURCE under x55's Efraimidis–Spirakis weighting — i.e. a
-    // weighted sample without replacement from every stratum in one pass.
-    // The scale contrast with x24 (window row_number = a full per-stratum
-    // sort through the shuffle) is the point: priority+id pack into one
-    // exactly-representable double (the s51 idiom, loud guard if ids
-    // outgrow 2^27) and reduce through the mergeable TopKAgg — O(K) state
-    // per stratum, map-side partial top-K, so the exchange carries at most
-    // |sources|×K doubles no matter the corpus size. w = ln(2 + n_chars)
-    // keeps the weight ≥ ln 2 even for empty docs (priority ≥ -24.0006 at
-    // u24=0, inside the pack's 25e6 offset budget). O-class: same portable
-    // md5 uniform / quantized
-    // priority / (priority DESC, doc_id ASC) tie order as x55/s51.
-    GQuery("x59_stratified_weighted_sample",
-      (s, d) => {
-        val u24 = expr(
-          "CAST(conv(substr(md5(concat('aes59:', doc_id)), 1, 6), 16, 10) AS BIGINT)")
-        val w = log(lit(2.0) + col("n_chars").cast("double"))
-          .cast("decimal(18,6)").cast("double")
-        val prio = (log((u24 + lit(1.0)) / lit(16777217.0)) / w)
-          .cast("decimal(18,6)")
-        val p6 = (prio * lit(1000000)).cast("long")
-        val did = when(col("doc_id") < lit(1L << 27), col("doc_id"))
-          .otherwise(expr(
-            "CAST(raise_error('x59: doc_id exceeds the 2^27 pack budget') AS BIGINT)"))
-        val pack = ((p6 + lit(25000000L)) * lit(1L << 27)
-          + (lit((1L << 27) - 1) - did)).cast("double")
-        t(s, d, "documents")
-          .select(col("source"), pack.as("pk"))
-          .groupBy(col("source"))
-          .agg(graft.functions.GraftFunctions.topk_vals(col("pk"), 5).as("top5"))
-          .select(col("source"), posexplode(expr(
-            s"transform(top5, v -> CAST(${(1L << 27) - 1} - " +
-            s"(CAST(v AS BIGINT) % ${1L << 27}) AS BIGINT))")))
-          .toDF("source", "rank0", "doc_id")
-          .select(col("source"), (col("rank0") + 1).cast("long").as("rank"),
-            col("doc_id"))
-          .orderBy(col("source"), col("rank"))
-      },
-      Some("""WITH c AS (SELECT source, doc_id,
-  CAST(ln((CAST(concat('0x', substr(md5('aes59:' || doc_id), 1, 6)) AS BIGINT)
-        + 1.0) / 16777217.0)
-    / CAST(CAST(ln(2.0 + CAST(n_chars AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
-    AS DECIMAL(18,6)) AS prio
-  FROM documents),
-r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
-    ORDER BY CAST(prio * 1000000 AS BIGINT) DESC, doc_id) AS rnk
-  FROM c)
-SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id FROM r WHERE rnk <= 5
-ORDER BY source NULLS FIRST, rank NULLS FIRST""")),
-
-    // ---- X60: split-leakage audit (the diagnostic that motivates x56) ------
-    // Measures the cross-split near-dup contamination a NAIVE per-document
-    // hash split (x15's rule, mirrored byte-for-byte) actually produces:
-    // every jaccard≥0.5 pair is labeled with its endpoints' splits and
-    // rolled up per (split_a, split_b) cell with a mean-similarity column —
-    // the off-diagonal cells ARE train/val/test leakage. This is the audit
-    // a pipeline runs BEFORE switching to x56's cluster-granular split
-    // (whose straddling count is zero by construction, PipelineSpec-
-    // audited); pairing the two queries shows the problem and the fix.
-    // Scale: reuses the memoized x02/x07/x56 pair table (pair generation
-    // amortized registry-wide); the audit itself is two broadcast-probe
-    // joins of split labels onto the pair table + one tiny rollup. DuckDB
-    // replays the pair set brute-force (oracle scale only — pruned with
-    // the quadratic list at sf0.1).
-    GQuery("x60_split_leakage_audit",
-      (s, d) => {
-        def splitOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-          val bk = substring(md5(concat(lit("split42:"), idCol)), 1, 4)
-          when(bk < "cccc", "train").when(bk < "e666", "val").otherwise("test")
-        }
-        val pairs = nearDupPairs(s, d)
-        pairs
-          .select(col("j"),
-            splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
-          .select(col("j"),
-            least(col("sa"), col("sb")).as("split_a"),
-            greatest(col("sa"), col("sb")).as("split_b"))
-          .groupBy(col("split_a"), col("split_b"))
-          // order-free mean: per-pair j quantizes to decimal(18,6) (the
-          // one double division is bit-identical cross-engine), the SUM is
-          // exact decimal arithmetic, and only the final mean divides in
-          // double — avg(double) would be partition-order-dependent
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(col("j").cast("decimal(18,6)")).as("sj"))
-          .select(col("split_a"), col("split_b"), col("n_pairs"),
-            (col("sj").cast("double") / col("n_pairs").cast("double"))
-              .cast("decimal(18,6)").cast("double").as("mean_j"),
-            (col("split_a") =!= col("split_b")).as("leaking"))
-          .orderBy(col("split_a"), col("split_b"))
-      },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
-    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-sp AS (SELECT j,
-    CASE WHEN substr(md5('split42:' || da), 1, 4) < 'cccc' THEN 'train'
-         WHEN substr(md5('split42:' || da), 1, 4) < 'e666' THEN 'val'
-         ELSE 'test' END AS sa,
-    CASE WHEN substr(md5('split42:' || db), 1, 4) < 'cccc' THEN 'train'
-         WHEN substr(md5('split42:' || db), 1, 4) < 'e666' THEN 'val'
-         ELSE 'test' END AS sb
-  FROM pairs)
-SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
-  count(*) AS n_pairs,
-  CAST(CAST(CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-    AS DECIMAL(18,6)) AS DOUBLE) AS mean_j,
-  least(sa, sb) <> greatest(sa, sb) AS leaking
-FROM sp GROUP BY 1, 2 ORDER BY split_a NULLS FIRST, split_b NULLS FIRST""")),
-
-    // ---- X61: unified contamination firewall --------------------------------
-    // The decision table a release pipeline actually gates on: BOTH
-    // contamination axes joined per document — verbatim n-gram overlap
-    // (x13's broadcast shingle probe) and embedding-space paraphrase
-    // proximity (x57's one-row broadcast eval array; the corpus's embedding
-    // table pairs 1:1 with documents on id) — against ONE coherent capped
-    // eval slice (doc_id % 20 = 0 AND < 2000, the x57 cap discipline: a
-    // benchmark is a bounded artifact, so work stays linear in the corpus).
-    // Verdict per doc: both / ngram / semantic / clean. A doc that shares
-    // no 13-gram but paraphrases an eval item is caught by the semantic
-    // axis; a verbatim quote with a different embedding neighborhood by the
-    // n-gram axis — the union is what "decontaminated" has to mean.
-    // Scale: two broadcast probes (eval grams; eval vectors) + one id-join
-    // of two corpus-sized flag tables — no corpus×corpus, no corpus
-    // shuffle beyond the id join. O-class: the capped eval keeps DuckDB's
-    // cosine replay at |eval|×|corpus|, feasible at every oracle tier.
-    GQuery("x61_contamination_firewall",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 2000
-        val ngram = graft.GraftOps.decontaminate(
-          docs.filter(!isEval), docs.filter(isEval),
-          col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
-        val emb = t(s, d, "embeddings")
-        val isEvalV = col("vec_id") % 20 === 0 && col("vec_id") < 2000
-        val ev = emb.filter(isEvalV)
-          .agg(collect_list(struct(col("vec_id").as("eid"),
-            col("embedding").as("ev"))).as("evs"))
-          .withColumn("jk", lit(1))
-        val sem = emb.filter(!isEvalV)
-          .withColumn("jk", lit(1))
-          .join(broadcast(ev), "jk")
-          // Same loud canary as x57/x64 (ADVICE r10): an empty eval slice
-          // still yields one collect_list row with an empty array, so
-          // max_cos would be NULL and every doc would pass as clean/ngram
-          // while the oracle's CROSS JOIN returns zero rows.
-          .withColumn("evs",
-            when(assert_true(size(col("evs")) > 0,
-              lit("x61: semantic eval slice is empty — the firewall would " +
-                "silently pass every corpus row")).isNull, col("evs")))
-          .select(col("vec_id"),
-            array_max(transform(col("evs"), e =>
-              struct(cosine_sim(e.getField("ev"), col("embedding"))
-                  .cast("decimal(18,6)").as("sc"),
-                (-e.getField("eid")).as("nid")))).as("best"))
-          .select(col("vec_id"),
-            col("best.sc").cast("double").as("max_cos"),
-            (-col("best.nid")).as("nearest_eval"))
-        ngram.join(sem, col("doc_id") === col("vec_id"))
-          .select(col("doc_id"), col("nsh"), col("n_hits"),
-            col("contam_frac"), col("max_cos"), col("nearest_eval"),
-            when(col("contam_frac") >= 0.2 && col("max_cos") >= 0.45, "both")
-              .when(col("contam_frac") >= 0.2, "ngram")
-              .when(col("max_cos") >= 0.45, "semantic")
-              .otherwise("clean").as("verdict"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id,
-  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
-    i -> array_to_string(w[i:i+2], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s
-FROM toks),
-evg AS (SELECT DISTINCT unnest(s) AS g FROM sh
-  WHERE doc_id % 20 = 0 AND doc_id < 2000),
-tr AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS g FROM sh
-  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
-hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN evg USING (g)
-  GROUP BY doc_id),
-base AS (SELECT doc_id, len(s) AS nsh FROM sh
-  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
-ng AS (SELECT b.doc_id, b.nsh, coalesce(h.n_hits, 0) AS n_hits,
-    CAST(CAST(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.nsh
-      AS DECIMAL(18,6)) AS DOUBLE) AS contam_frac
-  FROM base b LEFT JOIN hits h USING (doc_id)),
-eve AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
-  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000),
-c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE NOT (vec_id % 20 = 0 AND vec_id < 2000)),
-scs AS (SELECT c.vec_id, eid,
-    CAST(list_cosine_similarity(v, evv) AS DECIMAL(18,6)) AS sc
-  FROM c CROSS JOIN eve),
-r AS (SELECT vec_id, eid, sc,
-    row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, eid) AS rn
-  FROM scs),
-sem AS (SELECT vec_id, CAST(sc AS DOUBLE) AS max_cos, eid AS nearest_eval
-  FROM r WHERE rn = 1)
-SELECT ng.doc_id, ng.nsh, ng.n_hits, ng.contam_frac,
-  sem.max_cos, sem.nearest_eval,
-  CASE WHEN ng.contam_frac >= 0.2 AND sem.max_cos >= 0.45 THEN 'both'
-       WHEN ng.contam_frac >= 0.2 THEN 'ngram'
-       WHEN sem.max_cos >= 0.45 THEN 'semantic'
-       ELSE 'clean' END AS verdict
-FROM ng JOIN sem ON ng.doc_id = sem.vec_id
-ORDER BY doc_id NULLS FIRST""")),
-
-    // ---- X62: dataset card -------------------------------------------------
-    // The per-source summary a release SHIPS beside x54's manifest: doc and
-    // token counts, mean length, lexical diversity, exact-dup rate, and the
-    // dominant language with its share — the numbers a consumer reads
-    // before training on the set. Shape: one corpus scan computes per-row
-    // features; the dup flag needs ONE content-hash shuffle (x01's shape —
-    // a doc is a dup iff it is not its hash group's min-id keeper, and a
-    // cross-source dup is attributed to its OWN source); language mode is a
-    // per-(source, lang) count + row_number (ties break to the smaller
-    // lang on both engines). Means are exact: per-row ratios quantized to
-    // decimal(18,6), summed as decimal (order-free), divided ONCE — the
-    // x60 discipline, so no partition-order avg(double) divergence.
-    GQuery("x62_dataset_card",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-            col("text"))
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("tok", size(col("ws")).cast("long"))
-          .withColumn("dwr",
-            (size(array_distinct(col("ws"))).cast("double") /
-              greatest(size(col("ws")), lit(1)).cast("double"))
-              .cast("decimal(18,6)"))
-          .withColumn("h", md5(col("text")))
-          .drop("ws", "text")
-        val keeper = docs.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
-        val flagged = docs.join(keeper, "h")
-          .withColumn("is_dup", col("doc_id") =!= col("kid"))
-        val agg = flagged.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("tok")).as("n_tokens"),
-            sum(col("n_chars")).as("sum_chars"),
-            sum(col("dwr")).as("sum_dwr"),
-            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
-        val langTop = flagged.groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("lc"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-              .orderBy(col("lc").desc, col("lang"))))
-          .filter(col("rn") === 1)
-          .select(col("source"), col("lang").as("top_lang"), col("lc"))
-        agg.join(langTop, "source")
-          .select(col("source"), col("n_docs"), col("n_tokens"),
-            (col("sum_chars").cast("double") / col("n_docs"))
-              .cast("decimal(18,6)").cast("double").as("mean_chars"),
-            (col("sum_dwr").cast("double") / col("n_docs"))
-              .cast("decimal(18,6)").cast("double").as("lexical_diversity"),
-            (col("n_dups").cast("double") / col("n_docs"))
-              .cast("decimal(18,6)").cast("double").as("dup_rate"),
-            col("top_lang"),
-            (col("lc").cast("double") / col("n_docs"))
-              .cast("decimal(18,6)").cast("double").as("lang_share"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH base AS (SELECT doc_id, source, lang, n_chars,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-    CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      / greatest(len(string_split(text, ' ')), 1) AS DECIMAL(18,6)) AS dwr,
-    md5(text) AS h
-  FROM documents),
-keep AS (SELECT h, min(doc_id) AS kid FROM base GROUP BY h),
-f AS (SELECT b.*, b.doc_id <> k.kid AS is_dup
-  FROM base b JOIN keep k USING (h)),
-agg AS (SELECT source, count(*) AS n_docs,
-    CAST(sum(tok) AS BIGINT) AS n_tokens,
-    sum(n_chars) AS sum_chars, sum(dwr) AS sum_dwr,
-    sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dups
-  FROM f GROUP BY source),
-lc AS (SELECT source, lang, count(*) AS lc,
-    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
-  FROM f GROUP BY source, lang)
-SELECT a.source, a.n_docs, a.n_tokens,
-  CAST(CAST(CAST(a.sum_chars AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
-    AS mean_chars,
-  CAST(CAST(CAST(a.sum_dwr AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
-    AS lexical_diversity,
-  CAST(CAST(CAST(a.n_dups AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
-    AS dup_rate,
-  lc.lang AS top_lang,
-  CAST(CAST(CAST(lc.lc AS DOUBLE) / a.n_docs AS DECIMAL(18,6)) AS DOUBLE)
-    AS lang_share
-FROM agg a JOIN lc ON a.source = lc.source AND lc.rn = 1
-ORDER BY a.source NULLS FIRST""")),
-
-    // ---- X63: multi-pass sorted-neighborhood near-dup -----------------------
-    // The THIRD classic candidate generator beside the inverted index (x02)
-    // and LSH (minhash/simhash): sort the corpus by a normalized key and
-    // compare each doc only to its w=3 sort neighbors — candidates are
-    // O(w·n), never n². Key 1 = the sorted distinct-word bag joined (order-
-    // insensitive, so shuffled twins sort adjacent); pass 2 re-sorts by the
-    // REVERSED bag (docs differing in their first words still collide —
-    // the standard multi-pass trick; measured 24/25 of the exact pair set
-    // on these fixtures vs 12/25 single-pass). Scale: the sort runs INSIDE
-    // 2-char key-prefix blocks (a partitioned window, never a single-task
-    // global row_number); a pair straddling a prefix boundary differs in
-    // its first sorted words and is near-dup-unlikely by construction.
-    // Candidates verify with the exact 5-word-shingle Jaccard at x02's 0.5
-    // threshold, so precision is exact and only RECALL is heuristic.
-    // DuckDB replays the identical passes — O(w·n) oracle, no quadratic
-    // prune needed (unlike x02's all-pairs replay). O-class.
-    GQuery("x63_sorted_neighborhood",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val base = docs
-          .select(col("doc_id"),
-            sort_array(array_distinct(split(col("text"), " "))).as("sw"))
-          .select(col("doc_id"),
-            concat_ws(" ", col("sw")).as("key1"),
-            concat_ws(" ", reverse(col("sw"))).as("key2"))
-          .localCheckpoint()
-        // Neighbor pairs via lead() — NOT a rn-range self-join: a join on
-        // the block key materializes |block|² rows before the range filter,
-        // and synthetic vocab skews one block to most of the corpus
-        // (measured ×13 on ×10 data before this rewrite; ×~1 after). lead
-        // emits exactly the w pairs per row, O(w·n) regardless of skew.
-        def pass(key: String) = {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(substring(col(key), 1, 2))
-            .orderBy(col(key), col("doc_id"))
-          base.select(col("doc_id"),
-            array((1 to 3).map(i => lead(col("doc_id"), i).over(w)): _*)
-              .as("nbrs"))
-            .select(col("doc_id").as("a"), explode(col("nbrs")).as("b"))
-            .filter(col("b").isNotNull)
-            .select(least(col("a"), col("b")).as("da"),
-              greatest(col("a"), col("b")).as("db"))
-        }
-        val cand = pass("key1").union(pass("key2")).distinct()
-        val sh = graft.GraftOps.shingles(docs, col("doc_id"), col("text"), k = 5)
-          .select(col("id"), col("sh"))
-        cand
-          .join(sh.as("sa"), col("da") === col("sa.id"))
-          .join(sh.as("sb"), col("db") === col("sb.id"))
-          .withColumn("inter",
-            size(array_intersect(col("sa.sh"), col("sb.sh"))))
-          .withColumn("jaccard",
-            (col("inter").cast("double") /
-              (size(col("sa.sh")) + size(col("sb.sh")) - col("inter"))
-                .cast("double"))
-              .cast("decimal(18,6)").cast("double"))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some("""WITH toks AS (SELECT doc_id,
-    list_sort(list_distinct(string_split(text, ' '))) AS sw,
-    string_split(text, ' ') AS w
-  FROM documents),
-k AS (SELECT doc_id, array_to_string(sw, ' ') AS key1,
-    array_to_string(list_reverse(sw), ' ') AS key2, w FROM toks),
-n1 AS (SELECT doc_id,
-    lead(doc_id, 1) OVER win AS l1, lead(doc_id, 2) OVER win AS l2,
-    lead(doc_id, 3) OVER win AS l3
-  FROM k WINDOW win AS (PARTITION BY substr(key1, 1, 2)
-    ORDER BY key1, doc_id)),
-n2 AS (SELECT doc_id,
-    lead(doc_id, 1) OVER win AS l1, lead(doc_id, 2) OVER win AS l2,
-    lead(doc_id, 3) OVER win AS l3
-  FROM k WINDOW win AS (PARTITION BY substr(key2, 1, 2)
-    ORDER BY key2, doc_id)),
-cand AS (
-  SELECT least(doc_id, u.b) AS da, greatest(doc_id, u.b) AS db
-  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS b FROM n1) u
-  WHERE u.b IS NOT NULL
-  UNION
-  SELECT least(doc_id, u.b), greatest(doc_id, u.b)
-  FROM (SELECT doc_id, unnest([l1, l2, l3]) AS b FROM n2) u
-  WHERE u.b IS NOT NULL),
-sh AS (SELECT doc_id,
-    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
-      range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))
-    ELSE [array_to_string(w, ' ')] END AS s
-  FROM toks),
-j AS (SELECT da, db, a.s AS sa, b.s AS sb
-  FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db)
-SELECT da AS doc_a, db AS doc_b,
-  CAST(CAST(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-    / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
-    AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
-FROM j
-WHERE CAST(CAST(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-    / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
-    AS DECIMAL(18,6)) AS DOUBLE) >= 0.5
-ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
-
-    // ---- X64: release funnel ------------------------------------------------
-    // The attrition report of the WHOLE release gate chain — the one table
-    // a data lead reads to see where the corpus went: docs and tokens
-    // surviving each cumulative stage (raw → exact-dedup keeper → near-dup
-    // cluster keeper → n-gram-clean → semantic-clean), with retained
-    // fraction. Every stage reuses the engine's own machinery: x01's
-    // md5-keeper, x07/x56's memoized pair table + O(log n) CC, x13's
-    // broadcast 3-gram probe, x57/x61's broadcast semantic probe — so the
-    // funnel costs ONE extra stack()+aggregate over the per-doc flag table,
-    // and the memoization means the expensive pair generation is shared
-    // with x02/x07/x56/x60 in a full pipeline run. DuckDB replays the pair
-    // set brute-force (oracle scale only — listed with the quadratic
-    // oracles pruned at sf0.1). O-class.
-    GQuery("x64_release_funnel",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 2000
-        val base = docs.filter(!isEval)
-          .select(col("doc_id"), col("text"),
-            size(split(col("text"), " ")).cast("long").as("tok"))
-          .withColumn("h", md5(col("text")))
-        val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
-        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
-        val withC = base.join(keeper, "h")
-          .join(clusters, Seq("doc_id"), "left")
-          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
-        val ckeep = withC.groupBy(col("cluster")).agg(min(col("doc_id")).as("ckid"))
-        val ngram = graft.GraftOps.decontaminate(
-          docs.filter(!isEval), docs.filter(isEval),
-          col("doc_id"), col("text"), k = 3, flagFrac = 0.2)
-          .select(col("doc_id"), col("flagged").as("ngram_flag"))
-        val emb = t(s, d, "embeddings")
-        val isEvalV = col("vec_id") % 20 === 0 && col("vec_id") < 2000
-        val ev = emb.filter(isEvalV)
-          .agg(collect_list(col("embedding")).as("evs")).withColumn("jk", lit(1))
-        val sem = emb.filter(!isEvalV).withColumn("jk", lit(1))
-          .join(broadcast(ev), "jk")
-          // x57's canary: an empty eval slice still yields one collect_list
-          // row whose empty array would null max_cos into a silent
-          // keep-everything stage — fail loudly instead
-          .withColumn("evs",
-            when(assert_true(size(col("evs")) > 0,
-              lit("x64: eval slice is empty — the semantic stage would " +
-                "silently pass every doc")).isNull, col("evs")))
-          .select(col("vec_id"),
-            array_max(transform(col("evs"), e =>
-              cosine_sim(e, col("embedding")).cast("decimal(18,6)")))
-              .cast("double").as("max_cos"))
-        val flags = withC.join(ckeep, "cluster")
-          .join(ngram, "doc_id")
-          .join(sem, col("doc_id") === col("vec_id"), "left")
-          .select(col("tok"),
-            (col("doc_id") === col("kid")).as("p1"),
-            (col("doc_id") === col("ckid")).as("p2"),
-            (!col("ngram_flag")).as("p3"),
-            (coalesce(col("max_cos"), lit(0.0)) < 0.45).as("p4"))
-        val total = base.agg(count(lit(1)).as("total"))
-        flags.select(col("tok"), expr("""stack(5,
-            '0_raw', true,
-            '1_exact_dedup', p1,
-            '2_neardup_dedup', p1 AND p2,
-            '3_ngram_clean', p1 AND p2 AND p3,
-            '4_semantic_clean', p1 AND p2 AND p3 AND p4)
-            AS (stage, pass)"""))
-          .filter(col("pass"))
-          .groupBy(col("stage"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-          .crossJoin(broadcast(total))
-          .select(col("stage"), col("n_docs"), col("n_tokens"),
-            (col("n_docs").cast("double") / col("total"))
-              .cast("decimal(18,6)").cast("double").as("retained_frac"))
-          .orderBy(col("stage"))
-      },
-      Some("""WITH RECURSIVE corpus AS (SELECT doc_id, text,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, md5(text) AS h
-  FROM documents WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
-keep AS (SELECT h, min(doc_id) AS kid FROM corpus GROUP BY h),
-toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh5 AS (SELECT doc_id,
-  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
-    i -> array_to_string(w[i:i+4], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
-pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-  FROM sh5 a JOIN sh5 b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-edges AS (SELECT da AS src, db AS dst FROM pairs
-  UNION ALL SELECT db, da FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM edges
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
-wc AS (SELECT c.doc_id, c.tok, c.h, coalesce(cl.cluster, c.doc_id) AS cluster
-  FROM corpus c LEFT JOIN clus cl USING (doc_id)),
-ck AS (SELECT cluster, min(doc_id) AS ckid FROM wc GROUP BY cluster),
-sh3 AS (SELECT doc_id,
-  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
-    i -> array_to_string(w[i:i+2], ' ')))
-  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
-evg AS (SELECT DISTINCT unnest(s) AS g FROM sh3
-  WHERE doc_id % 20 = 0 AND doc_id < 2000),
-tr AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS g FROM sh3
-  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
-hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN evg USING (g)
-  GROUP BY doc_id),
-basen AS (SELECT doc_id, len(s) AS nsh FROM sh3
-  WHERE NOT (doc_id % 20 = 0 AND doc_id < 2000)),
-ng AS (SELECT b.doc_id,
-    CAST(CAST(CAST(coalesce(hh.n_hits, 0) AS DOUBLE) / b.nsh
-      AS DECIMAL(18,6)) AS DOUBLE) >= 0.2 AS ngram_flag
-  FROM basen b LEFT JOIN hits hh USING (doc_id)),
-eve AS (SELECT CAST(embedding AS DOUBLE[]) AS evv FROM embeddings
-  WHERE vec_id % 20 = 0 AND vec_id < 2000),
-cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE NOT (vec_id % 20 = 0 AND vec_id < 2000)),
-scs AS (SELECT cv.vec_id,
-    CAST(list_cosine_similarity(v, evv) AS DECIMAL(18,6)) AS sc
-  FROM cv CROSS JOIN eve),
-sem AS (SELECT vec_id, CAST(max(sc) AS DOUBLE) AS max_cos FROM scs
-  GROUP BY vec_id),
-flags AS (SELECT wc.tok,
-    wc.doc_id = k.kid AS p1,
-    wc.doc_id = ck.ckid AS p2,
-    NOT ng.ngram_flag AS p3,
-    coalesce(s2.max_cos, 0) < 0.45 AS p4
-  FROM wc JOIN keep k USING (h) JOIN ck USING (cluster)
-    JOIN ng ON wc.doc_id = ng.doc_id
-    LEFT JOIN sem s2 ON wc.doc_id = s2.vec_id),
-tot AS (SELECT count(*) AS total FROM corpus),
-st AS (
-  SELECT '0_raw' AS stage, tok FROM flags
-  UNION ALL SELECT '1_exact_dedup', tok FROM flags WHERE p1
-  UNION ALL SELECT '2_neardup_dedup', tok FROM flags WHERE p1 AND p2
-  UNION ALL SELECT '3_ngram_clean', tok FROM flags WHERE p1 AND p2 AND p3
-  UNION ALL SELECT '4_semantic_clean', tok FROM flags
-    WHERE p1 AND p2 AND p3 AND p4)
-SELECT stage, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
-  CAST(CAST(CAST(count(*) AS DOUBLE) / max(total) AS DECIMAL(18,6)) AS DOUBLE)
-    AS retained_frac
-FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST"""))
-  )
+  private[graft] def resetMemo(): Unit = PipelineShared.resetMemo()
+
+  /** Materialize the shared pair table eagerly as Bench's NAMED
+    * `setup_pair_memo` step (see PipelineShared for why). */
+  private[graft] def warmPairMemo(s: SparkSession, d: String): Unit =
+    PipelineShared.warmPairMemo(s, d)
+
+  /** The registry, in family order. Query bodies live in the five family
+    * files (round-11 split, VERDICT r10 #9); every name and oracle is
+    * byte-identical to the pre-split registry. */
+  val all: Seq[GQuery] =
+    PipelineDedupQueries.queries ++ PipelineSimilarityQueries.queries ++
+      PipelineTextQueries.queries ++ PipelineDecontamQueries.queries ++
+      PipelineReleaseQueries.queries
 }

@@ -1,0 +1,948 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis & tokenizer family: per-document stats, quality
+  * scoring, language id, fingerprinting, tf-idf, surprisal, repetition
+  * filters, PII redaction, chunking, sketch rollups (HLL/CMS), vocabulary
+  * induction (BPE pairs/merges) and the full BPE encoder, curriculum
+  * ordering, and source reputation.
+  *
+  * Part of the [[PipelineQueries]] registry (split from the former
+  * monolithic file in round 11); shared helpers live in [[PipelineShared]].
+  */
+private[operators] object PipelineTextQueries {
+  import PipelineShared._
+
+  val queries: Seq[GQuery] = Seq(
+
+
+    // Approximate aggregates (HLL count-distinct, quantile sketch) — G-class
+    // by design (SURVEY.md §2.3: never declared against the DuckDB oracle).
+    GQuery("q35_approx_agg",
+      (s, d) => t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("apx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("apx_median"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.75)), lit(1000)).as("apx_quartiles"))
+        .select(col("apx_parts"), col("apx_orders"), col("apx_median"),
+          element_at(col("apx_quartiles"), 1).as("apx_p25"),
+          element_at(col("apx_quartiles"), 2).as("apx_p75")),
+      None),
+
+
+    // ---- X04: text analysis ------------------------------------------------
+    GQuery("x04_text_stats",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_tokens"),
+            ((col("n_chars") - size(col("w")) + 1).cast("double") / size(col("w")))
+              .as("avg_tok"),
+            (size(filter(col("w"), x => x.isin(stop: _*))).cast("double")
+              / size(col("w"))).as("stop_ratio"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+              .cast("long").as("n_units"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+    / len(string_split(text, ' ')) AS avg_tok,
+  CAST(len(list_filter(string_split(text, ' '),
+    x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stop_ratio,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_units
+FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+
+    // BPE-ish pre-tokenizer counting over a corpus WITH punctuation (the
+    // documents table is plain space-separated words, so the regex branches
+    // would be vacuous there; events.props JSON exercises contraction /
+    // letter-run / digit-run / punctuation / space alternatives). The
+    // pattern is the GPT-2 pre-tokenizer family minus its \s+(?!\S)
+    // lookahead (RE2 — DuckDB's engine — has no lookahead; both engines are
+    // leftmost-first on this alternation, verified piece-for-piece).
+    GQuery("x04_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+        Tables.events(s, d)
+          .select(col("event_id"), col("props"))
+          .withColumn("n_bpe",
+            size(regexp_extract_all(col("props"), lit(pat), lit(0))).cast("long"))
+          .withColumn("n_ws", size(split(col("props"), " ")).cast("long"))
+          .select(col("event_id"), col("n_bpe"), col("n_ws"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  len(regexp_extract_all(props,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS n_bpe,
+  len(string_split(props, ' ')) AS n_ws
+FROM events ORDER BY event_id NULLS FIRST""")),
+
+
+    GQuery("x04_tfidf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        tf.join(dfreq, "word").crossJoin(broadcast(nd))
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("word"),
+            (col("tf") * log(col("nd") / col("df"))).cast("decimal(18,6)").cast("double").as("tfidf"))
+          .orderBy(col("doc_id"), col("word"))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM documents)
+SELECT t.doc_id, t.word, CAST(CAST(t.tf * ln(nd.nd / d.df) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+FROM tf t JOIN df d USING (word) CROSS JOIN nd
+WHERE t.doc_id < 100
+ORDER BY doc_id NULLS FIRST, word NULLS FIRST""")),
+
+
+    // ---- X41: BPE tokenizer induction --------------------------------------
+    // The TRAINING half of the tokenizer axis (x04_bpe_tokens is inference-
+    // side pre-tokenization). x41_bpe_pairs is the oracle-checked kernel:
+    // the iteration-0 corpus-wide weighted adjacent-character-pair counts
+    // over the distinct-word frequency table — exactly the aggregation each
+    // BPE merge round runs. Top-50 with a total (count desc, l, r) order so
+    // the LIMIT boundary is deterministic cross-engine.
+    GQuery("x41_bpe_pairs",
+      (s, d) => {
+        val wf = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("syms", split(col("word"), "(?!^)(?=.)"))
+        wf.select(col("freq"), explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).cast("long").as("pair_freq"))
+          .orderBy(col("pair_freq").desc, col("l"), col("r"))
+          .limit(50)
+      },
+      Some("""WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+p AS (SELECT substr(word, CAST(i AS INT) + 1, 1) AS l,
+             substr(word, CAST(i AS INT) + 2, 1) AS r, freq
+      FROM wf, unnest(range(len(word) - 1)) u(i))
+SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+FROM p GROUP BY l, r
+ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
+
+
+    // Full iterative induction: 8 learned merges over the documents corpus.
+    // G-class (the loop's driver-side argmax has no SQL replay), but fully
+    // deterministic — ties break (count desc, left, right) — and BpeSpec
+    // proves the distributed trainer equals an independent in-memory BPE
+    // reference on randomized corpora.
+    GQuery("x41_bpe_merges",
+      (s, d) => graft.GraftOps.bpeVocab(
+        t(s, d, "documents"), col("text"), merges = 8),
+      None),
+
+
+    // Heuristic language-ID vs the labeled lang column. O-class: the
+    // expression's distance is exact integer arithmetic, so the DuckDB oracle
+    // replays the identical counts + formula in SQL (generated from the same
+    // profile table — one source of truth).
+    GQuery("x04_langid",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), lang_id(col("text")).as("guess"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(graft.functions.LanguageId.oracleSql)),
+
+
+    // Winnowing rolling-hash fingerprint per document. G-class.
+    GQuery("x04_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), winnow_fp(col("text"), 8, 4).as("fp"))
+        .orderBy(col("doc_id")),
+      None),
+
+
+    // Min-hash document fingerprint over 8-char shingles with a
+    // cross-engine-stable hash (md5 hex, lexicographic min) — the O-class
+    // companion to the custom winnowing expression above. Built purely from
+    // codegen'd higher-order functions (sequence → transform → array_min).
+    GQuery("x04_fingerprint_md5",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          // stride-4 shingle positions: identical fingerprint definition on
+          // both engines at a quarter of the hash work (hashing EVERY
+          // position was the single most expensive query in the registry)
+          expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4),
+                 i -> md5(substring(text, i, 8))))""").as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+  list_min([md5(substr(text, i, 8))
+            for i in range(1, greatest(len(text) - 7, 1) + 1, 4)]) AS fp
+FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+
+    // Document quality score: length / punctuation / stopword / uniqueness
+    // signals combined into one 0..100 score plus a keep/flag/drop band — the
+    // filter a training-data pipeline applies before dedup. Pure integer/
+    // decimal arithmetic so the band edges are exact on both engines.
+    GQuery("x04_quality",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tok", size(col("w")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("score",
+            // `div` (integer division) — Spark's `/` on longs is double
+            expr("""least(n_tok, 400) * 25 div 400
+              + (25 - least(n_stop * 100 div n_tok, 25))
+              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
+          .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("score"),
+            when(col("score") >= 60, "keep")
+              .when(col("score") >= 40, "flag").otherwise("drop").as("band"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, len(w) AS n_tok,
+    len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq
+  FROM t),
+sc AS (SELECT doc_id, n_tok, n_uniq,
+    least(n_tok, 400) * 25 // 400
+      + (25 - least(n_stop * 100 // n_tok, 25))
+      + least(n_uniq * 50 // n_tok, 50) AS score
+  FROM m)
+SELECT doc_id, n_tok, n_uniq, score,
+  CASE WHEN score >= 60 THEN 'keep' WHEN score >= 40 THEN 'flag'
+       ELSE 'drop' END AS band
+FROM sc ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X08: context-window chunking --------------------------------------
+    // Fixed-size token chunks with overlap (50-token windows, stride 40) —
+    // the packing prep before tokenization in a training pipeline. Pure
+    // per-row higher-order functions (sequence → transform → slice →
+    // posexplode): partition-local, codegen'd, no shuffle until the final
+    // order. Chunk count = ceil((n-50)/40)+1 in exact integer arithmetic.
+    GQuery("x08_chunk_documents",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(1, greatest((size(w) - 50 + 39) div 40, 0) + 1),
+               i -> array_join(slice(w, (i - 1) * 40 + 1, 50), ' '))""")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk"),
+          size(split(col("col"), " ")).cast("long").as("n_tokens"),
+          col("col").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 200),
+c AS (SELECT doc_id,
+    [array_to_string(w[(i - 1) * 40 + 1 : (i - 1) * 40 + 50], ' ')
+     for i in range(1, greatest((len(w) - 50 + 39) // 40, 0) + 2)] AS chunks
+  FROM t)
+SELECT doc_id, pos AS chunk,
+  len(string_split(chunks[pos + 1], ' ')) AS n_tokens,
+  chunks[pos + 1] AS chunk_text
+FROM c, unnest(range(len(chunks))) u(pos)
+ORDER BY doc_id NULLS FIRST, chunk NULLS FIRST""")),
+
+
+    // ---- X12: PII redaction -------------------------------------------------
+    // Text-cleaning / policy-masking pass: emails and phone-shaped tokens are
+    // replaced with typed placeholders and counted. The contact lines are
+    // synthesized deterministically (the corpus has no real PII); patterns
+    // stay in the regex subset Java and RE2 dialects share. Pure per-row
+    // expressions — no shuffle until the final order.
+    GQuery("x12_pii_redact",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 300)
+        .withColumn("raw", concat(
+          lit("contact user"), col("doc_id"), lit("@mail.example.com or "),
+          lit("555-"), (col("doc_id") * 7 % 10000), lit(" :: "), col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+"))
+            .cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit("555-[0-9]+")).cast("long").as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "[EMAIL]"),
+            "555-[0-9]+", "[PHONE]").as("clean"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (SELECT doc_id,
+    'contact user' || doc_id || '@mail.example.com or 555-' || (doc_id * 7 % 10000)
+      || ' :: ' || text AS raw
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS n_emails,
+  len(regexp_extract_all(raw, '555-[0-9]+')) AS n_phones,
+  regexp_replace(regexp_replace(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+    '555-[0-9]+', '[PHONE]', 'g') AS clean
+FROM r ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X14: repetition quality filter ------------------------------------
+    // Gopher-style repetition heuristics, adapted to this corpus: per-doc
+    // distinct-word fraction and most-common-bigram fraction, with a
+    // keep/drop verdict. Entirely per-row higher-order expressions (the
+    // bigram mode is a tiny per-row quadratic over ~40 words) — NO shuffle
+    // at all before the final presentation sort, so it streams at scan
+    // speed over 100 TB. O-class.
+    GQuery("x14_repetition_filter",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        // most-common-bigram multiplicity as a sorted run-length fold:
+        // O(n log n) per row vs the naive O(n²) distinct×filter scan
+        // (2.6 s → ~1 s over sf0.1; same value, the oracle recomputes it
+        // as list_max over distinct multiplicities)
+        .withColumn("top_bg", expr(
+          """aggregate(array_sort(bg),
+               named_struct('prev', '', 'run', 0L, 'best', 0L),
+               (s, x) -> named_struct(
+                 'prev', x,
+                 'run', if(x = s.prev, s.run + 1L, 1L),
+                 'best', greatest(s.best, if(x = s.prev, s.run + 1L, 1L))),
+               s -> s.best)"""))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          (size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"))
+            .cast("decimal(18,6)").cast("double").as("distinct_frac"),
+          (col("top_bg").cast("double") / size(col("bg")).cast("double"))
+            .cast("decimal(18,6)").cast("double").as("top_bigram_frac"))
+        .withColumn("keep",
+          col("distinct_frac") >= 0.4 && col("top_bigram_frac") <= 0.1)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS (SELECT doc_id, w,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM tk WHERE len(w) >= 2),
+m AS (SELECT doc_id, len(w) AS n_words,
+    CAST(CAST(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS DECIMAL(18,6)) AS DOUBLE)
+      AS distinct_frac,
+    CAST(CAST(CAST(list_max(list_transform(list_distinct(bg),
+        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+      AS DECIMAL(18,6)) AS DOUBLE) AS top_bigram_frac
+  FROM b)
+SELECT doc_id, n_words, distinct_frac, top_bigram_frac,
+  distinct_frac >= 0.4 AND top_bigram_frac <= 0.1 AS keep
+FROM m ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X17: unigram surprisal scoring ------------------------------------
+    // Cheap LM-free quality proxy: each doc's mean negative log-likelihood
+    // under the corpus's own unigram distribution (high = rare-word-heavy or
+    // noisy). Two corpus passes: a hash agg builds the vocab (tiny — it is
+    // the distinct word set), which BROADCASTS back onto the exploded words;
+    // per-doc sums shuffle once by doc id. Rounded through decimal(18,6)
+    // after the sum — ln() agrees across engines to 1 ulp and the ~50-term
+    // sum keeps the error ~8 orders below the rounding grain. O-class.
+    GQuery("x17_unigram_surprisal",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        // persist the (tiny) vocab so the normalizer's sum doesn't replay
+        // the corpus-wide word count a second time
+        val vocab = words.groupBy(col("w"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vocab.count()
+        val total = vocab.agg(sum(col("c")).as("tot"))
+        val logp = vocab.join(broadcast(total))
+          .select(col("w"), log(col("c") / col("tot")).as("lp"))
+        words.join(broadcast(logp), "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            (-sum(col("lp")) / count(lit(1)))
+              .cast("decimal(18,6)").cast("double").as("surprisal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS tot FROM vocab),
+logp AS (SELECT w, ln(c / tot) AS lp FROM vocab, tot)
+SELECT doc_id, count(*) AS n_words,
+  CAST(CAST(-sum(lp) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS surprisal
+FROM words JOIN logp USING (w)
+GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X27: bigram-LM surprisal gate -------------------------------------
+    // The CCNet/KenLM-shaped quality gate one level up from X17's unigram
+    // model: per-doc mean negative log-likelihood under a corpus-self BIGRAM
+    // model with add-one smoothing, p(w2|w1) = (c12+1)/(c1+V). Bigrams come
+    // from a lead() window per doc (one doc-keyed shuffle — never a
+    // positional self-join); the bigram/unigram count tables join
+    // inverted-index style; V broadcasts as one row. Cross-engine float
+    // discipline as in X17: ln() sums round at the decimal(18,6) grain
+    // BEFORE comparison/threshold, so ULP noise cannot flip the gate. At
+    // 100 TB the count tables shard by their gram keys and the model tables
+    // are the only reused artifacts — this is perplexity filtering with the
+    // LM trained on the corpus itself.
+    GQuery("x27_bigram_surprisal",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "w")
+        val bi = toks.withColumn("w2", lead(col("w"), 1).over(w))
+          .filter(col("w2").isNotNull)
+        val uni = toks.groupBy(col("w"))
+          .agg(count(lit(1)).cast("double").as("c1"))
+        val big = bi.groupBy(col("w"), col("w2"))
+          .agg(count(lit(1)).cast("double").as("c12"))
+        val v = uni.agg(count(lit(1)).cast("double").as("vsz"))
+        val lp = big.join(uni, "w").join(broadcast(v))
+          .select(col("w"), col("w2"),
+            log((col("c12") + 1.0d) / (col("c1") + col("vsz"))).as("lp"))
+        val nll = (-sum(col("lp")) / count(lit(1)))
+          .cast("decimal(18,6)").cast("double")
+        bi.join(lp, Seq("w", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), nll.as("nll"))
+          .withColumn("action", when(col("nll") > 8.0, "flag").otherwise("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+  FROM t0, unnest(range(1, len(ws) + 1)) r(i)),
+bi AS (SELECT doc_id, w,
+    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+bi2 AS (SELECT doc_id, w, w2 FROM bi WHERE w2 IS NOT NULL),
+uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1 FROM toks GROUP BY w),
+big AS (SELECT w, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bi2 GROUP BY w, w2),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
+lp AS (SELECT w, w2, ln((c12 + 1) / (c1 + vsz)) AS lp
+  FROM big JOIN uni USING (w), v),
+agg AS (SELECT doc_id, count(*) AS n_bigrams,
+    CAST(CAST(-sum(lp) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS nll
+  FROM bi2 JOIN lp USING (w, w2) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, nll,
+  CASE WHEN nll > 8.0 THEN 'flag' ELSE 'keep' END AS action
+FROM agg ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X45: vocabulary coverage / OOV-rate filter ------------------------
+    // Tokenizer-facing curation: induce the top-20 corpus vocabulary
+    // (freq desc, word asc — total order, so the cut is deterministic), then
+    // score every document by its out-of-vocabulary token rate and flag
+    // docs above 40% OOV (the cheap proxy for "not the language/domain the
+    // tokenizer was trained for"). The vocab is aggregate-sized → broadcast;
+    // the per-doc pass is one exploded join against it — linear, no global
+    // state beyond the tiny vocab table.
+    GQuery("x45_vocab_coverage",
+      (s, d) => {
+        // ONE explode of the corpus (VERDICT r7 #5: the words DF was
+        // evaluated twice — vocab agg + per-doc join — doubling the
+        // Generate). Pre-aggregate to per-doc word counts and materialize
+        // them (localCheckpoint truncates the lineage so the vocab agg and
+        // the per-doc join both read the materialized counts, not the
+        // re-exploded corpus). At 100 TB this intermediate is the standard
+        // "tokenize once, write the counts table" pipeline stage.
+        val wc = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val vocab = wc.groupBy(col("word")).agg(sum(col("c")).as("freq"))
+          .orderBy(col("freq").desc, col("word")).limit(20)
+          .select(col("word"), lit(1).as("iv"))
+        val oov = (col("n_oov").cast("double") / col("n_tokens"))
+          .cast("decimal(18,6)").cast("double")
+        wc.join(broadcast(vocab), Seq("word"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(when(col("iv").isNull, col("c")).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            oov.as("oov_rate"))
+          .withColumn("flagged",
+            (col("n_oov").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double") > 0.4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word FROM (SELECT word, count(*) AS freq FROM words GROUP BY 1)
+          ORDER BY freq DESC, word LIMIT 20)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab)) AS BIGINT)
+    AS n_oov,
+  CAST(CAST(CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+    AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate,
+  CAST(CAST(CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+    AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS DOUBLE) > 0.4 AS flagged
+FROM words GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X51: intra-document self-repetition trim --------------------------
+    // X43 excises chunks that repeat across the CORPUS; this trims chunks
+    // that repeat within ONE document (copy-paste loops, boilerplate a
+    // crawler stitched twice into the same page) — the repeated occurrence
+    // is dropped, the FIRST kept, and the document reassembled in order.
+    // Mechanics: fixed 4-word chunks; chunk i survives iff it is the first
+    // occurrence of its text (array_position == i); the word remainder
+    // (len % 4) is always kept. The rebuilt text is emitted as an md5 so the
+    // oracle proves byte-exact reassembly without shipping full texts.
+    // Deterministic self-repeat variants (first 8 words spliced in twice)
+    // are planted so the trim path stays exercised on a repeat-free corpus.
+    // Scale: 100% per-row higher-order functions — ZERO shuffles before the
+    // presentation sort; a 100 TB corpus trims in one mapper pass.
+    GQuery("x51_selfrep_trim",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val off = graft.GraftOps.imageVariantOffset(docs, col("doc_id"))
+        val variants = docs.filter(col("doc_id") % 30 === 7)
+          .select((col("doc_id") + off).as("doc_id"),
+            array_join(concat(slice(split(col("text"), " "), 1, 8),
+              slice(split(col("text"), " "), 1, 8),
+              split(col("text"), " ")), " ").as("text"))
+        docs.select(col("doc_id"), col("text")).unionAll(variants)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("nc", (size(col("w")) / 4).cast("int"))
+          .withColumn("chunks", expr(
+            "if(nc >= 1, transform(sequence(1, nc), " +
+              "i -> array_join(slice(w, (i - 1) * 4 + 1, 4), ' ')), " +
+              "array())"))
+          .withColumn("kept", expr(
+            "filter(if(nc >= 1, sequence(1, nc), array()), " +
+              "i -> array_position(chunks, element_at(chunks, i)) = i)"))
+          .withColumn("kw", expr(
+            "concat(flatten(transform(kept, i -> slice(w, (i - 1) * 4 + 1, 4))), " +
+              "slice(w, nc * 4 + 1, size(w) - nc * 4))"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_words"),
+            col("nc").cast("long").as("n_chunks"),
+            (col("nc") - size(col("kept"))).cast("long").as("n_dup_chunks"),
+            size(col("kw")).cast("long").as("kept_words"),
+            when(col("nc") >= 1,
+              ((col("nc") - size(col("kept"))).cast("double") / col("nc"))
+                .cast("decimal(18,6)").cast("double")).as("dup_frac"),
+            md5(array_join(col("kw"), " ")).as("trimmed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH mx AS (SELECT coalesce(max(doc_id) + 1, 1) AS off FROM documents),
+u AS (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT off FROM mx) AS doc_id,
+    array_to_string(
+      string_split(text, ' ')[1:8] || string_split(text, ' ')[1:8]
+        || string_split(text, ' '), ' ') AS text
+  FROM documents WHERE doc_id % 30 = 7),
+b AS (SELECT doc_id, string_split(text, ' ') AS w,
+    CAST(floor(len(string_split(text, ' ')) / 4) AS INT) AS nc
+  FROM u),
+c AS (SELECT doc_id, w, nc,
+    list_transform(range(1, nc + 1),
+      i -> array_to_string(w[((i - 1) * 4 + 1):((i - 1) * 4 + 4)], ' ')) AS chunks
+  FROM b),
+k AS (SELECT doc_id, w, nc, chunks,
+    list_filter(range(1, nc + 1),
+      i -> list_position(chunks, chunks[i]) = i) AS kept
+  FROM c),
+r AS (SELECT doc_id, w, nc, kept,
+    flatten(list_transform(kept,
+      i -> w[((i - 1) * 4 + 1):((i - 1) * 4 + 4)]))
+      || w[(nc * 4 + 1):len(w)] AS kw
+  FROM k)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+  CAST(nc AS BIGINT) AS n_chunks,
+  CAST(nc - len(kept) AS BIGINT) AS n_dup_chunks,
+  CAST(len(kw) AS BIGINT) AS kept_words,
+  CASE WHEN nc >= 1 THEN
+    CAST(CAST(CAST(nc - len(kept) AS DOUBLE) / nc AS DECIMAL(18,6)) AS DOUBLE)
+  END AS dup_frac,
+  md5(array_to_string(kw, ' ')) AS trimmed_md5
+FROM r ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X52: curriculum schedule assignment -------------------------------
+    // Deterministic training-order construction: each doc gets a quality
+    // decile (distinct-word ratio — the x14 signal) and a seeded 64-way
+    // batch from its content-free md5 (hex chars mapped to ints via strpos,
+    // the only portable hex→int both engines share), so every batch draws
+    // uniformly from every decile and the schedule is reproducible under
+    // re-runs, repartitioning, and corpus growth (a doc's slot never
+    // depends on other docs). The per-batch decile spread is aggregated and
+    // broadcast back as the mixing diagnostic. The emitted sort keys
+    // (batch, decile, cur_rank) ARE the curriculum — no global row_number
+    // (a single-partition window at any scale); consumers range-sort.
+    // Scale: per-row assignment + one 64-row aggregate broadcast — one scan.
+    GQuery("x52_curriculum_order",
+      (s, d) => {
+        val hex = "0123456789abcdef"
+        val w = split(col("text"), " ")
+        val ddr = size(array_distinct(w)).cast("double") /
+          greatest(size(w), lit(1)).cast("double")
+        val h = md5(concat(lit("cur42:"), col("doc_id")))
+        val b = ((expr(s"instr('$hex', substring(md5(concat('cur42:', doc_id)), 1, 1))") - 1) * 16 +
+          (expr(s"instr('$hex', substring(md5(concat('cur42:', doc_id)), 2, 1))") - 1)) % 64
+        val assigned = t(s, d, "documents")
+          .select(col("doc_id"),
+            least(floor(ddr * 10), lit(9)).cast("long").as("decile"),
+            b.cast("long").as("batch"),
+            h.as("cur_rank"))
+        val spread = assigned.groupBy(col("batch"))
+          .agg(count(lit(1)).as("batch_docs"),
+            countDistinct(col("decile")).as("batch_deciles"))
+        assigned.join(broadcast(spread), Seq("batch"))
+          .select(col("doc_id"), col("decile"), col("batch"),
+            col("cur_rank"), col("batch_docs"), col("batch_deciles"))
+          .orderBy(col("batch"), col("decile"), col("cur_rank"), col("doc_id"))
+      },
+      Some("""WITH a AS (SELECT doc_id,
+    least(CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / greatest(len(string_split(text, ' ')), 1)) * 10) AS BIGINT), 9) AS decile,
+    CAST(((strpos('0123456789abcdef', substr(md5('cur42:' || doc_id), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5('cur42:' || doc_id), 2, 1)) - 1)) % 64
+      AS BIGINT) AS batch,
+    md5('cur42:' || doc_id) AS cur_rank
+  FROM documents),
+sp AS (SELECT batch, count(*) AS batch_docs,
+    count(DISTINCT decile) AS batch_deciles
+  FROM a GROUP BY batch)
+SELECT doc_id, decile, a.batch, cur_rank, batch_docs, batch_deciles
+FROM a JOIN sp ON a.batch = sp.batch
+ORDER BY a.batch NULLS FIRST, decile NULLS FIRST, cur_rank NULLS FIRST,
+  doc_id NULLS FIRST""")),
+
+
+    // ---- X53: BPE tokenizer application ------------------------------------
+    // The deployment half of x41's vocabulary induction: learn a merge
+    // table on the corpus (frontier-batched trainer), broadcast it, and
+    // ENCODE every document — per-doc token counts, chars-per-token
+    // compression, and a boundary-witnessing md5 of the token stream
+    // (GraftOps.bpeEncode). O-class since round 11 via the engine-identical
+    // fold idiom (the q107 pattern): the oracle REPLAYS the whole trainer —
+    // 6 unrolled frontier rounds of pair-count → top-(want·4) candidates →
+    // greedy symbol-disjoint selection (a tagged-list list_reduce; keys
+    // carry chr(1), symbols never do, and a [[]] seed makes short rounds
+    // no-op) → batch re-segmentation — then encodes with the same
+    // left-to-right fold; both engines walk the identical op tree, so the
+    // boundary md5 is hash-exact (verified sf0.01 AND sf0.1). DuckDB v1.0
+    // trap: CASE/struct with LIST result inside a list_reduce lambda
+    // silently returns the last element — conditionals must be scalar CASE
+    // inside list exprs or computed slice bounds (e[1:(cond::INT)]).
+    // BpeSpec still pins the encoder against an independent reference
+    // implementation, the concat-roundtrip identity, and merge-count
+    // monotonicity.
+    // Scale: merge table broadcasts (~1 MB at 50k merges); encode is one
+    // mapPartitions scan with a per-partition word→tokens memo — zero
+    // shuffles before the presentation sort.
+    GQuery("x53_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.GraftOps.bpeVocab(docs, col("text"),
+          merges = 32, batch = 16)
+        graft.GraftOps.bpeEncode(docs, col("doc_id"), col("text"), merges)
+          .drop("tokens") // spec-only surface; stats + boundary-md5 suffice here
+          .withColumn("compression",
+            when(col("n_tokens") > 0,
+              (col("n_chars").cast("double") / col("n_tokens"))
+                .cast("decimal(18,6)").cast("double")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w0 AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0s AS (SELECT word, freq,
+  list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS syms FROM w0),
+p1 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w0s)
+  GROUP BY 1, 2),
+c1 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p1 ORDER BY pf DESC, l, r LIMIT 64)),
+s1 AS (SELECT []::VARCHAR[] AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c1.cand[1:(4 * least(16, 32 - len([]::VARCHAR[])))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len([]::VARCHAR[]))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c1),
+w1 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s1.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s1.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w0s, s1),
+sp2 AS (SELECT s1.keys AS keys FROM s1),
+p2 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w1)
+  GROUP BY 1, 2),
+c2 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p2 ORDER BY pf DESC, l, r LIMIT 64)),
+s2 AS (SELECT sp2.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c2.cand[1:(4 * least(16, 32 - len(sp2.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp2.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c2, sp2),
+w2 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s2.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s2.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w1, s2),
+sp3 AS (SELECT s1.keys || s2.keys AS keys FROM s1, s2),
+p3 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w2)
+  GROUP BY 1, 2),
+c3 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p3 ORDER BY pf DESC, l, r LIMIT 64)),
+s3 AS (SELECT sp3.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c3.cand[1:(4 * least(16, 32 - len(sp3.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp3.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c3, sp3),
+w3 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s3.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s3.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w2, s3),
+sp4 AS (SELECT s1.keys || s2.keys || s3.keys AS keys FROM s1, s2, s3),
+p4 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w3)
+  GROUP BY 1, 2),
+c4 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p4 ORDER BY pf DESC, l, r LIMIT 64)),
+s4 AS (SELECT sp4.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c4.cand[1:(4 * least(16, 32 - len(sp4.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp4.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c4, sp4),
+w4 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s4.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s4.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w3, s4),
+sp5 AS (SELECT s1.keys || s2.keys || s3.keys || s4.keys AS keys FROM s1, s2, s3, s4),
+p5 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w4)
+  GROUP BY 1, 2),
+c5 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p5 ORDER BY pf DESC, l, r LIMIT 64)),
+s5 AS (SELECT sp5.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c5.cand[1:(4 * least(16, 32 - len(sp5.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp5.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c5, sp5),
+w5 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s5.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s5.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w4, s5),
+sp6 AS (SELECT s1.keys || s2.keys || s3.keys || s4.keys || s5.keys AS keys FROM s1, s2, s3, s4, s5),
+p6 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w5)
+  GROUP BY 1, 2),
+c6 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p6 ORDER BY pf DESC, l, r LIMIT 64)),
+s6 AS (SELECT sp6.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c6.cand[1:(4 * least(16, 32 - len(sp6.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp6.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c6, sp6),
+w6 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s6.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s6.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w5, s6),
+dws AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents),
+dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS wi FROM dws),
+enc AS (SELECT doc_id, flatten(list(w6.syms ORDER BY wi)) AS toks
+        FROM dw JOIN w6 USING (word) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(len(d.ws) AS BIGINT) AS n_words,
+  CAST(coalesce(list_aggregate(list_transform(d.ws, w -> length(w)), 'sum'), 0) AS BIGINT) AS n_chars,
+  CAST(coalesce(len(enc.toks), 0) AS BIGINT) AS n_tokens,
+  md5(array_to_string(coalesce(enc.toks, []), chr(1))) AS tokens_md5,
+  CASE WHEN coalesce(len(enc.toks), 0) > 0 THEN
+    CAST(CAST(CAST(coalesce(list_aggregate(list_transform(d.ws, w -> length(w)), 'sum'), 0) AS DOUBLE)
+      / len(enc.toks) AS DECIMAL(18,6)) AS DOUBLE) END AS compression
+FROM dws d LEFT JOIN enc USING (doc_id)
+ORDER BY d.doc_id NULLS FIRST""")),
+
+
+    // ---- X11: HLL sketch build / merge -------------------------------------
+    // The scalable distinct-count pattern: build one HLL sketch per stratum
+    // (map-side mergeable binary state), union sketches for the rollup —
+    // shuffle volume is sketch bytes, not row count. G-class by design
+    // (estimates; SURVEY §2.3 excludes approx aggs from the oracle);
+    // PipelineSpec pins determinism, merge consistency across
+    // repartitionings, and error vs exact distinct.
+    GQuery("x11_sketch_rollup",
+      (s, d) => {
+        val sk = graft.Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            countDistinct(col("user_id")).as("exact"))
+        val per = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+        val total = sk.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+          .select(lit("ALL").as("event_type"), col("est"), lit(null).cast("long").as("exact"))
+        per.unionByName(total).orderBy(col("event_type"))
+      },
+      None),
+
+
+    // ---- X25: Count-Min frequency sketch rollup ----------------------------
+    // The frequency twin of X11's HLL distinct-count: per-stratum Count-Min
+    // sketches (Spark's builtin `count_min_sketch` aggregate — mergeable
+    // binary state, shuffle = sketch bytes not row count), probed with the
+    // custom `cms_estimate` expression against a small fixed user set, with
+    // the exact counts alongside. G-class by design (estimates are excluded
+    // from the oracle; the CMS guarantee est ∈ [exact, exact + εN] and
+    // partition-invariance are pinned by CountMinSpec). At 100 TB the
+    // sketches are the only thing crossing the wire — heavy-hitter
+    // candidates come from the sketch, exact verification from a keyed
+    // lookup of just those candidates, never a full-corpus count.
+    GQuery("x25_cms_freq",
+      (s, d) => {
+        val ev = graft.Tables.events(s, d)
+        val sk = ev.groupBy(col("event_type"))
+          .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42))
+              .as("sk"),
+            count(lit(1)).as("n_rows"))
+        val probes = ev.filter(col("user_id") < 8)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("exact"))
+        probes.join(sk, "event_type")
+          .select(col("event_type"), col("user_id"), col("exact"),
+            cms_estimate(col("sk"), col("user_id")).as("est"))
+          .orderBy(col("event_type"), col("user_id"))
+      },
+      None),
+
+
+    // ---- X47: quality-ensemble scorer --------------------------------------
+    // The single keep-score real curation stacks produce from many weak
+    // signals (C4/Gopher/RefinedWeb ensembles): distinct-word ratio, length
+    // band, punctuation density, mean-word-length deviation and stopword
+    // share combine linearly, then squash through the RATIONAL sigmoid
+    // z/(1+|z|) — every operation is a correctly-rounded IEEE basic op
+    // (+,*,/,abs), so unlike exp()-based logistic the score is bit-identical
+    // across engines with no transcendental-libm dependence. Entirely
+    // per-row (shuffle-free before the presentation sort); the weights are
+    // spec'd literals, the score quantizes at decimal(18,6) before the
+    // routing thresholds so the verdict can never straddle an ulp.
+    GQuery("x47_quality_ensemble",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val nw = size(ws)
+        val nwS = greatest(nw, lit(1))
+        val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "for")
+          .map(lit): _*)
+        val ddr = size(array_distinct(ws)) / nwS
+        val lenr = least(nw, lit(400)) / lit(400.0)
+        val punct = length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val pr = punct / greatest(length(col("text")), lit(1))
+        val mwl = (length(col("text")) - (nw - lit(1))) / nwS
+        val sr = size(filter(ws, w => array_contains(stops, w))) / nwS
+        val z = lit(-1.0) + lit(2.4) * ddr + lit(1.2) * lenr -
+          lit(3.0) * pr - lit(0.8) * abs(mwl - lit(5.0)) / lit(5.0) +
+          lit(1.5) * sr
+        val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
+          .cast("decimal(18,6)").cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"), nw.cast("long").as("n_words"),
+            score.as("score"),
+            floor(score * 10).cast("long").as("decile"),
+            when(score < 0.35, "drop").when(score < 0.6, "review")
+              .otherwise("keep").as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+    string_split(text, ' ') AS ws,
+    len(string_split(text, ' ')) AS nw,
+    greatest(len(string_split(text, ' ')), 1) AS nws,
+    length(text) AS lt FROM documents),
+z AS (SELECT doc_id, nw,
+    -1.0 + 2.4 * (len(list_distinct(ws)) / nws)
+         + 1.2 * (least(nw, 400) / 400.0)
+         - 3.0 * ((lt - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(lt, 1))
+         - 0.8 * abs(((lt - (nw - 1)) / nws) - 5.0) / 5.0
+         + 1.5 * (len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','for'], w))) / nws)
+      AS z
+  FROM f JOIN documents USING (doc_id)),
+sc AS (SELECT doc_id, nw,
+    CAST(CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM z)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words, score,
+  CAST(floor(score * 10) AS BIGINT) AS decile,
+  CASE WHEN score < 0.35 THEN 'drop' WHEN score < 0.6 THEN 'review'
+    ELSE 'keep' END AS verdict
+FROM sc ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X44: source-reputation stats + blocklist --------------------------
+    // Domain-level curation: per-source document count, size profile and
+    // exact-duplicate ratio (1 - distinct md5 / n), with a block verdict for
+    // sources whose dup ratio crosses 30% or whose docs average under 100
+    // chars — the per-domain filtering every web-scale corpus applies before
+    // doc-level work. One hash-partitioned aggregation; at 100 TB the md5
+    // distinct-count can swap to HLL (x11) without changing the shape.
+    GQuery("x44_source_reputation",
+      (s, d) => {
+        val dupRatio = (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+          .cast("decimal(18,6)").cast("double")
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            countDistinct(md5(col("text"))).as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("avg_chars"),
+            dupRatio.as("dup_ratio"),
+            when(dupRatio > 0.3 || col("avg_chars") < 100.0, "block")
+              .otherwise("keep").as("verdict"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+  CAST(CAST(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+    AS DECIMAL(18,6)) AS DOUBLE) AS dup_ratio,
+  CASE WHEN CAST(CAST(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+         AS DECIMAL(18,6)) AS DOUBLE) > 0.3
+      OR CAST(sum(n_chars) AS DOUBLE) / count(*) < 100.0
+    THEN 'block' ELSE 'keep' END AS verdict
+FROM documents GROUP BY source ORDER BY source NULLS FIRST"""))
+  )
+}

@@ -21,6 +21,10 @@ import java.net.{InetSocketAddress, Socket}
   *     planner's `[earliest, endOffset)` range IS the reference's
   *     `enable.partition.eof` bounded batch: each micro-batch plan reads to
   *     the frozen high watermark and stops.
+  *   - ApiVersions v0 (api 18): first-connection preflight — verifies the
+  *     broker still serves every request version pinned below and fails
+  *     with a named error instead of a raw wire parse error if not
+  *     (tolerated as absent on pre-0.10 brokers).
   *   - Fetch v4 (api 1): RecordBatch v2 (magic 2) decode, with all four
   *     standard codecs (gzip/snappy/lz4/zstd — the records section is the
   *     compressed unit in v2, in the framing the official clients write);
@@ -143,10 +147,10 @@ final class KafkaLogClient(path: String,
     val in = new DataInputStream(
       new BufferedInputStream(sock.getInputStream, 1 << 16))
     val out = new DataOutputStream(sock.getOutputStream)
-    if (useSasl) {
-      try authenticate(in, out)
-      catch { case e: Throwable => sock.close(); throw e }
-    }
+    try {
+      if (!preflighted) preflight(in, out)
+      if (useSasl) authenticate(in, out)
+    } catch { case e: Throwable => sock.close(); throw e }
     (sock, in, out)
   }
 
@@ -258,6 +262,54 @@ final class KafkaLogClient(path: String,
     if (!java.security.MessageDigest.isEqual(b64d.decode(v.drop(2)), serverSig))
       throw new IOException("kafka SCRAM server signature mismatch — the " +
         "broker does not hold these credentials (mutual auth failed)")
+  }
+
+  /** The (name, api key, pinned version) dialect this client speaks —
+    * only the APIs a given configuration will actually use. */
+  private def pinnedApis: Seq[(String, Short, Short)] = {
+    val base = Seq[(String, Short, Short)](
+      ("Fetch", ApiFetch, 4), ("ListOffsets", ApiListOffsets, 1),
+      ("Metadata", ApiMetadata, 0))
+    val saslApis = if (useSasl) Seq[(String, Short, Short)](
+      ("SaslHandshake", ApiSaslHandshake, 1),
+      ("SaslAuthenticate", ApiSaslAuthenticate, 0)) else Nil
+    val groupApis = if (conf.contains("group.id")) Seq[(String, Short, Short)](
+      ("FindCoordinator", ApiFindCoordinator, 0),
+      ("OffsetCommit", ApiOffsetCommit, 2),
+      ("OffsetFetch", ApiOffsetFetch, 1)) else Nil
+    base ++ saslApis ++ groupApis
+  }
+
+  @volatile private var preflighted = false
+
+  /** ApiVersions (api 18 v0) preflight on the first connection — sent
+    * before SASL, exactly where real clients send it (brokers serve it
+    * pre-auth so clients can negotiate handshake versions). The client
+    * pins old, universally-served request versions; a future broker that
+    * drops one would otherwise surface as a raw wire parse error, so this
+    * turns that into a named "unsupported version" failure up front. A
+    * broker that errors the request itself (pre-0.10 vintage) skips the
+    * check — the pins are the oldest versions such a broker speaks anyway. */
+  private def preflight(in: DataInputStream, out: DataOutputStream): Unit = {
+    val r = request(in, out, ApiApiVersions, 0, Array.emptyByteArray)
+    val err = r.readShort()
+    if (err != 0) { preflighted = true; return }
+    val n = r.readInt()
+    val ranges = (1 to n).map { _ =>
+      r.readShort() -> ((r.readShort(), r.readShort()))
+    }.toMap
+    val bad = pinnedApis.flatMap { case (name, k, v) =>
+      ranges.get(k) match {
+        case Some((lo, hi)) if v >= lo && v <= hi => None
+        case Some((lo, hi)) => Some(s"$name v$v (broker serves [$lo, $hi])")
+        case None => Some(s"$name v$v (broker does not expose api $k)")
+      }
+    }
+    if (bad.nonEmpty)
+      throw new IOException("kafka broker rejects this client's pinned " +
+        s"protocol dialect: ${bad.mkString("; ")} — the graft kafka client " +
+        "speaks fixed pre-flexible request versions")
+    preflighted = true
   }
 
   /** one configured connection, one request/response (planning-side). */
@@ -499,6 +551,7 @@ private[replay] object KafkaWire {
   val ApiOffsetFetch: Short = 9
   val ApiFindCoordinator: Short = 10
   val ApiSaslHandshake: Short = 17
+  val ApiApiVersions: Short = 18
   val ApiSaslAuthenticate: Short = 36
   val ClientId = "graft"
 

@@ -28,13 +28,23 @@ final class FakeKafkaBroker(dir: String, topic: String,
     sasl: Option[(String, String)] = None,
     tlsKeystore: Option[(String, String)] = None,
     forgeScramServerSig: Boolean = false,
-    legacyMagic: Option[Int] = None) extends AutoCloseable {
+    legacyMagic: Option[Int] = None,
+    advertiseApis: Option[Seq[(Short, Short, Short)]] = None,
+    apiVersionsError: Short = 0) extends AutoCloseable {
   import KafkaWire._
 
   require(legacyMagic.forall(m => m == 0 || m == 1),
     s"legacyMagic must be 0 or 1, got $legacyMagic")
 
   private val saslMechs = Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+
+  /** ApiVersions advertisement: a modern broker's ranges for the APIs this
+    * double serves (overridable per test to simulate a broker that dropped
+    * the client's pinned versions). */
+  private val apiRanges: Seq[(Short, Short, Short)] =
+    advertiseApis.getOrElse(Seq[(Short, Short, Short)](
+      (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
+      (10, 0, 4), (17, 0, 1), (18, 0, 3), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -216,6 +226,18 @@ final class FakeKafkaBroker(dir: String, topic: String,
                 o.writeInt(rb.length); o.write(rb)
               }
             }
+            bo.toByteArray
+          case ApiApiVersions if apiVersion == 0 =>
+            // served pre-auth, like real brokers (clients use it to
+            // negotiate the SASL handshake version)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeShort(apiVersionsError)
+            if (apiVersionsError == 0) {
+              o.writeInt(apiRanges.size)
+              apiRanges.foreach { case (k, lo, hi) =>
+                o.writeShort(k); o.writeShort(lo); o.writeShort(hi)
+              }
+            } else o.writeInt(0)
             bo.toByteArray
           case _ if !authed =>
             // real brokers kill the connection on pre-auth API use

@@ -29,7 +29,7 @@ private[operators] object PipelineReleaseQueries {
     // oracle is out of scope; determinism + the discriminative property
     // (repeated text < natural text < noise) are pinned in ExpressionsSpec.
     GQuery("x34_compression_filter",
-      (s, d) => t(s, d, "documents")
+      (s, d) => spread(t(s, d, "documents"))
         .select(col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
           graft.functions.GraftFunctions.deflate_len(col("text")).as("z_bytes"))

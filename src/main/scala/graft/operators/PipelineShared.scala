@@ -26,6 +26,20 @@ private[operators] object PipelineShared {
 
   private[operators] def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
 
+  /** Spread a narrow scan across the cluster before CPU-DENSE per-row work
+    * (the GraftOps.spreadSmall idiom): a small parquet file arrives as ONE
+    * input split, which runs the whole per-row stage single-threaded — the
+    * round-11 sf3 sweep measured the md5-fingerprint lane at 46 s serial on
+    * one core with 31 idle. If the input already has >= defaultParallelism
+    * splits — always true for a 100 TB table — this is a NO-OP, so the
+    * round-robin exchange exists exactly when it pays for itself. Plan pins
+    * that forbid hash shuffles are unaffected (round-robin ≠
+    * hashpartitioning). */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** The exact-Jaccard pair set over `documents` at (k=5, j>=0.5), shared
     * verbatim by x02_ngram_jaccard, x07_dedup_clusters and
     * x07_dedup_clusters_star — memoized once per (session, dir) and

@@ -40,7 +40,7 @@ private[operators] object PipelineTextQueries {
     GQuery("x04_text_stats",
       (s, d) => {
         val stop = Seq("the", "a", "of", "and", "to")
-        t(s, d, "documents")
+        spread(t(s, d, "documents"))
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"),
             size(col("w")).cast("long").as("n_tokens"),
@@ -179,7 +179,7 @@ ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
     // companion to the custom winnowing expression above. Built purely from
     // codegen'd higher-order functions (sequence → transform → array_min).
     GQuery("x04_fingerprint_md5",
-      (s, d) => t(s, d, "documents")
+      (s, d) => spread(t(s, d, "documents"))
         .select(col("doc_id"),
           // stride-4 shingle positions: identical fingerprint definition on
           // both engines at a quarter of the hash work (hashing EVERY
@@ -200,7 +200,7 @@ FROM documents ORDER BY doc_id NULLS FIRST""")),
     GQuery("x04_quality",
       (s, d) => {
         val stop = Seq("the", "a", "of", "and", "to")
-        t(s, d, "documents")
+        spread(t(s, d, "documents"))
           .withColumn("w", split(col("text"), " "))
           .withColumn("n_tok", size(col("w")).cast("long"))
           .withColumn("n_stop",
@@ -303,7 +303,7 @@ FROM r ORDER BY doc_id NULLS FIRST""")),
     // at all before the final presentation sort, so it streams at scan
     // speed over 100 TB. O-class.
     GQuery("x14_repetition_filter",
-      (s, d) => t(s, d, "documents")
+      (s, d) => spread(t(s, d, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 2)
         .withColumn("bg", expr(
@@ -513,7 +513,7 @@ FROM words GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
             array_join(concat(slice(split(col("text"), " "), 1, 8),
               slice(split(col("text"), " "), 1, 8),
               split(col("text"), " ")), " ").as("text"))
-        docs.select(col("doc_id"), col("text")).unionAll(variants)
+        spread(docs.select(col("doc_id"), col("text")).unionAll(variants))
           .withColumn("w", split(col("text"), " "))
           .withColumn("nc", (size(col("w")) / 4).cast("int"))
           .withColumn("chunks", expr(
@@ -882,7 +882,7 @@ ORDER BY d.doc_id NULLS FIRST""")),
           lit(1.5) * sr
         val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
           .cast("decimal(18,6)").cast("double")
-        t(s, d, "documents")
+        spread(t(s, d, "documents"))
           .select(col("doc_id"), nw.cast("long").as("n_words"),
             score.as("score"),
             floor(score * 10).cast("long").as("decile"),

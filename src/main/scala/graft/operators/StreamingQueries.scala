@@ -533,19 +533,31 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
         .orderBy(col("ws_sec")),
       None),
 
-    // S05b: the EXACT-oracle twin of s05 (VERDICT r10 #5). Same adversarial
-    // late replay, but the batch split is PINNED to exactly two data batches
-    // per partition (cap = ceil(|events|/3/2) rows each), which makes the
-    // dropped set deterministic and expressible in SQL:
-    //   batch 1 = first `cap` log records per partition (arrival order:
-    //     ts + 2h for every 20th event, tie-break event_id — ReplayLog:115);
-    //     watermark is 0, everything is admitted;
-    //   wm1 = floor_ms(max ts over batch-1 rows) - 1h — the watermark the
-    //     engine computes from batch 1's INPUT (dropped rows still advance
-    //     event-time stats);
-    //   batch 2 = the rest; a row is DROPPED iff its window already closed,
-    //     i.e. (ws+600)*1000 <= wm1 — Spark's LessThanOrEqual(window.end,
-    //     wm*1000) predicate, the same boundary s31/s44b pinned;
+    // S05b: the EXACT-oracle twin of s05 (VERDICT r10 #5). Adversarial
+    // late replay with the batch split PINNED to exactly THREE data
+    // batches per partition (cap = ceil(|events|/3/3) rows each), which
+    // makes the dropped set deterministic and expressible in SQL. Uses the
+    // xlate log (lateness = 4/5 of the corpus span, ReplayLog.ensureXlateLog)
+    // because under a coarse pinned split the 2-hour variant never loses a
+    // row: lateness must exceed two batch spans before the previous-batch
+    // filter watermark can pass a window, and three batches of a month-long
+    // corpus are ~10 days wide. With the xlate shift, early-corpus events
+    // resurface in batch 3 behind the batch-1 watermark and are genuinely
+    // dropped at any scale factor (sf0.01: 175 of 10k; sf0.1: 1748 of 100k). The
+    // subtlety this twin documents (probed empirically, round 11): Spark
+    // filters late rows with the PREVIOUS batch's watermark
+    // (eventTimeWatermarkForLateEvents) and evicts/emits with the CURRENT
+    // one (eventTimeWatermarkForEviction) — no data loss for windows still
+    // in state. So with k batches the first drop can only happen in batch 3:
+    //   batch k = records (k-1)·cap < rn <= k·cap per partition (arrival
+    //     order: ts + 2h for every 20th event, tie-break event_id —
+    //     ReplayLog:115);
+    //   wmA = floor_ms(max ts over batch 1) - 1h — the eviction watermark
+    //     of batch 2 and the LATE-FILTER watermark of batch 3;
+    //   a batch-3 row is DROPPED iff its window already left state:
+    //     (ws+600)*1000 <= wmA (Spark's LessThanOrEqual(window.end,
+    //     wm*1000) boundary, the same one s31/s44b pinned); batches 1-2
+    //     are never filtered (their filter watermark is 0);
     //   emission (append) = windows with admitted rows and
     //     (ws+600)*1000 <= final wm, flushed by the no-new-data batch that
     //     AvailableNow runs after the watermark's last advance.
@@ -553,9 +565,11 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
     // semantics into an O-class row.
     GQuery("s05b_watermark_late_drop_pinned",
       (s, d) => {
-        val cap = (Tables.events(s, d).count() + 5) / 6
+        val cap = (Tables.events(s, d).count() + 8) / 9
+        val xlog = ReplayLog.ensureXlateLog(s, d)
         runToMemory(
-          replayStream(s, d, maxRowsPerTrigger = Some(cap), late = true)
+          s.readStream.format("graft-replay").option("path", xlog)
+            .option("maxRowsPerTrigger", cap.toString).load()
             .withColumn("ts", col("timestamp"))
             .withWatermark("ts", "1 hour")
             .groupBy(window(col("ts"), "10 minutes"))
@@ -564,19 +578,20 @@ ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
           .select(col("window.start").cast("long").as("ws_sec"), col("n"))
           .orderBy(col("ws_sec"))
       },
-      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS us,
-  epoch_us(ts) + CASE WHEN event_id % 20 = 0 THEN 7200000000 ELSE 0 END AS arrival,
-  event_id % 3 AS part FROM events),
-m AS (SELECT (count(*) + 5) // 6 AS cap FROM events),
+      Some("""WITH sp AS (SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 5 * 4 AS shift FROM events),
+e AS (SELECT event_id, epoch_us(ts) AS us,
+  epoch_us(ts) + CASE WHEN event_id % 20 = 0 THEN shift ELSE 0 END AS arrival,
+  event_id % 3 AS part FROM events, sp),
+m AS (SELECT (count(*) + 8) // 9 AS cap FROM events),
 r AS (SELECT e.*, row_number() OVER (PARTITION BY part ORDER BY arrival, event_id) AS rn FROM e),
-b AS (SELECT r.*, CASE WHEN rn <= cap THEN 1 ELSE 2 END AS batch FROM r, m),
-wm1 AS (SELECT max(us) // 1000 - 3600000 AS wm1_ms FROM b WHERE batch = 1),
-wmf AS (SELECT max(us) // 1000 - 3600000 AS wmf_ms FROM b),
-adm AS (SELECT (us // 600000000) * 600 AS ws_sec FROM b, wm1
-  WHERE batch = 1 OR ((us // 600000000) * 600 + 600) * 1000 > wm1_ms)
-SELECT ws_sec, count(*) AS n FROM adm, wmf
-GROUP BY ws_sec, wmf_ms
-HAVING (ws_sec + 600) * 1000 <= wmf_ms
+b AS (SELECT r.*, least((rn + cap - 1) // cap, 3) AS batch FROM r, m),
+wma AS (SELECT max(us) // 1000 - 3600000 AS wma_ms FROM b WHERE batch = 1),
+wmc AS (SELECT max(us) // 1000 - 3600000 AS wmc_ms FROM b),
+adm AS (SELECT (us // 600000000) * 600 AS ws_sec FROM b, wma
+  WHERE batch <= 2 OR ((us // 600000000) * 600 + 600) * 1000 > wma_ms)
+SELECT ws_sec, count(*) AS n FROM adm, wmc
+GROUP BY ws_sec, wmc_ms
+HAVING (ws_sec + 600) * 1000 <= wmc_ms
 ORDER BY ws_sec NULLS FIRST""")),
 
     // S06: streaming dedup on the envelope key via the custom source — two

@@ -95,8 +95,30 @@ object ReplayLog {
     * `late = true` produces an adversarial arrival order where every 20th
     * event arrives 2 simulated hours late (for watermark tests).
     * Writes run executor-side (foreachPartition), one job per partition. */
-  def ensureLog(spark: SparkSession, sfDir: String, late: Boolean = false): String = synchronized {
-    val variant = if (late) "late" else "std"
+  def ensureLog(spark: SparkSession, sfDir: String, late: Boolean = false): String =
+    ensureLogVariant(spark, sfDir,
+      if (late) Some(7200000000L) else None, if (late) "late" else "std")
+
+  /** EXTREMELY-late variant for the pinned watermark-drop oracle (s05b):
+    * every 20th event arrives (span * 4/5) late, where span is the corpus'
+    * full event-time extent. The 2-hour `late` variant never actually loses
+    * a row under a coarse pinned batch split — lateness must exceed the
+    * span of two whole micro-batches before the previous-batch filter
+    * watermark can pass a window (Spark filters late rows with the
+    * PREVIOUS batch's watermark and evicts with the current one). 4/5 of
+    * the span guarantees early-corpus events resurface in the LAST batch
+    * at any scale factor, so the drop path is genuinely exercised. The
+    * shift is integer-derived from the data ((max-min) div 5 * 4) so the
+    * DuckDB oracle reproduces it exactly. */
+  def ensureXlateLog(spark: SparkSession, sfDir: String): String = {
+    val mm = graft.Tables.events(spark, sfDir)
+      .agg(min(graft.Tables.tsUs), max(graft.Tables.tsUs)).head()
+    val shift = (mm.getLong(1) - mm.getLong(0)) / 5L * 4L
+    ensureLogVariant(spark, sfDir, Some(shift), "xlate")
+  }
+
+  private def ensureLogVariant(spark: SparkSession, sfDir: String,
+      lateShiftUs: Option[Long], variant: String): String = synchronized {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     // tmpfs when available: the log is re-read every replay run and a real
     // deployment's broker log would be served from page cache anyway
@@ -113,9 +135,9 @@ object ReplayLog {
     val ev = graft.Tables.events(spark, sfDir)
       .withColumn("partition", (col("event_id") % NumPartitions).cast("int"))
       .withColumn("arrival",
-        if (late) graft.Tables.tsUs +
-          when(col("event_id") % 20 === 0, lit(7200000000L)).otherwise(lit(0L))
-        else col("event_id"))
+        lateShiftUs.map(s => graft.Tables.tsUs +
+          when(col("event_id") % 20 === 0, lit(s)).otherwise(lit(0L)))
+          .getOrElse(col("event_id")))
     val w = Window.partitionBy(col("partition"))
       .orderBy(col("arrival"), col("event_id"))
     val env = ev

@@ -53,9 +53,10 @@ import java.net.{InetSocketAddress, Socket}
   * JDK handshake, trusting `consumer.ssl.truststore.location` (PKCS12/JKS,
   * with `.password`) or the JVM default anchors, with HTTPS-style endpoint
   * identification on by default; SASL (SaslHandshake v1 + SaslAuthenticate
-  * v0; `consumer.sasl.mechanism` = PLAIN, SCRAM-SHA-256 or SCRAM-SHA-512)
-  * authenticates every new connection with
-  * `consumer.sasl.username`/`.password` before any other API is used.
+  * v0; `consumer.sasl.mechanism` = PLAIN, SCRAM-SHA-256, SCRAM-SHA-512 or
+  * OAUTHBEARER) authenticates every new connection before any other API is
+  * used — PLAIN/SCRAM with `consumer.sasl.username`/`.password`,
+  * OAUTHBEARER with `consumer.sasl.oauthbearer.token`(`.file`).
   *
   * Registered as client kind `kafka`:
   * `spark.readStream.format("graft-replay").option("client", "kafka")
@@ -98,9 +99,10 @@ final class KafkaLogClient(path: String,
   private val useSasl = securityProtocol.startsWith("SASL")
   private val saslMechanism = conf.getOrElse("sasl.mechanism", "PLAIN").toUpperCase
   if (useSasl) require(
-    Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512").contains(saslMechanism),
+    Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER")
+      .contains(saslMechanism),
     s"sasl.mechanism '$saslMechanism' unsupported " +
-      "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512)")
+      "(PLAIN, SCRAM-SHA-256, SCRAM-SHA-512, OAUTHBEARER)")
 
   /** TLS context: a truststore option pins the broker CA; without one the
     * JVM default trust anchors apply (public-CA broker certs). */
@@ -170,11 +172,58 @@ final class KafkaLogClient(path: String,
         // SaslAuthenticate v0: PLAIN token = [authzid] NUL user NUL password
         saslRound(in, out, ("\u0000" + need("sasl.username") + "\u0000" +
           need("sasl.password")).getBytes("UTF-8"))
+      case "OAUTHBEARER" =>
+        oauthBearerAuthenticate(in, out)
       case scram => // SCRAM-SHA-256 / SCRAM-SHA-512
         scramAuthenticate(in, out, scram.stripPrefix("SCRAM-"),
           need("sasl.username"), need("sasl.password"))
     }
     ()
+  }
+
+  /** SASL/OAUTHBEARER (RFC 7628) — the bearer-token mechanism managed
+    * Kafka offers for OIDC/service-account auth (librdkafka, and hence the
+    * reference, exposes it through the same config seam as PLAIN/SCRAM,
+    * tests/utils.rs:261-285). The initial client response is
+    * `n,, \x01 auth=Bearer <token> \x01\x01` (gs2 header, one kvpair); a
+    * compliant server answers success with empty auth_bytes, or — per the
+    * RFC's failure flow, which Kafka's OAuthBearerSaslServer implements —
+    * an error-JSON *challenge*, after which the client sends the dummy
+    * `\x01` response and the server fails the connection. Both paths are
+    * handled: the JSON body is surfaced in the thrown error so a rejected
+    * token reads as `invalid_token`, not a raw wire error.
+    *
+    * The token is static config — `consumer.sasl.oauthbearer.token`
+    * (inline) or `consumer.sasl.oauthbearer.token.file` (path to a file
+    * whose trimmed contents are the token — the mounted-service-account
+    * shape). A refreshing provider callback is deliberately out of scope:
+    * each connection re-reads the file, so external rotation works. */
+  private def oauthBearerAuthenticate(in: DataInputStream,
+      out: DataOutputStream): Unit = {
+    val token = conf.get("sasl.oauthbearer.token")
+      .orElse(conf.get("sasl.oauthbearer.token.file").map { f =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8").trim
+      })
+      .getOrElse(throw new IOException("sasl.mechanism OAUTHBEARER requires " +
+        "consumer.sasl.oauthbearer.token or .token.file"))
+    require(!token.exists(c => c == '\u0001' || c.isControl),
+      "OAUTHBEARER token must not contain control characters")
+    val challenge = saslRound(in, out,
+      ("n,,\u0001auth=Bearer " + token + "\u0001\u0001").getBytes("UTF-8"))
+    if (challenge.nonEmpty) {
+      // RFC 7628 §3.2.3: a non-empty server message after the initial
+      // response is an error JSON; the client MUST reply with %x01 and the
+      // server then fails the authentication (Kafka returns error 58 on
+      // that leg — saslRound throws; belt-and-braces throw if it doesn't).
+      val errJson = new String(challenge, "UTF-8")
+      try saslRound(in, out, Array[Byte](0x01)) catch {
+        case e: IOException => throw new IOException(
+          s"kafka OAUTHBEARER authentication failed: $errJson", e)
+      }
+      throw new IOException(
+        s"kafka OAUTHBEARER authentication failed: $errJson")
+    }
   }
 
   /** One SaslAuthenticate v0 round trip; returns the server's auth_bytes

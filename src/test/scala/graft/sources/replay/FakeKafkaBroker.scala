@@ -26,6 +26,7 @@ final class FakeKafkaBroker(dir: String, topic: String,
     batchRecords: Int = 200, truncateTail: Boolean = false,
     port: Int = 0, codec: Int = 0,
     sasl: Option[(String, String)] = None,
+    oauthToken: Option[String] = None,
     tlsKeystore: Option[(String, String)] = None,
     forgeScramServerSig: Boolean = false,
     legacyMagic: Option[Int] = None,
@@ -36,7 +37,9 @@ final class FakeKafkaBroker(dir: String, topic: String,
   require(legacyMagic.forall(m => m == 0 || m == 1),
     s"legacyMagic must be 0 or 1, got $legacyMagic")
 
-  private val saslMechs = Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+  private val saslMechs =
+    Seq("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER")
+  private def saslEnabled = sasl.isDefined || oauthToken.isDefined
 
   /** ApiVersions advertisement: a modern broker's ranges for the APIs this
     * double serves (overridable per test to simulate a broker that dropped
@@ -104,7 +107,12 @@ final class FakeKafkaBroker(dir: String, topic: String,
       // handshake + authenticate sequence on EVERY new connection of a
       // SASL listener before any other API is served
       var mechanism: String = null
-      var authed = sasl.isEmpty
+      var authed = !saslEnabled
+      // OAUTHBEARER failure flow (RFC 7628 §3.2.3): after a bad token the
+      // server sends the error JSON as a *challenge*, the client answers
+      // with the dummy %x01 byte, and only then does the server fail the
+      // authentication — this holds the JSON between those two legs
+      var oauthErrJson: String = null
       // SCRAM server state between the two SaslAuthenticate legs:
       // (clientFirstBare, serverFirst, salt) — RFC 5802 server side
       var scramState: (String, String, Array[Byte]) = null
@@ -187,7 +195,9 @@ final class FakeKafkaBroker(dir: String, topic: String,
           case ApiSaslHandshake if apiVersion == 1 =>
             val mech = readString(r)
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            if (sasl.isDefined && saslMechs.contains(mech)) {
+            val mechOk = saslMechs.contains(mech) &&
+              (if (mech == "OAUTHBEARER") oauthToken.isDefined else sasl.isDefined)
+            if (mechOk) {
               mechanism = mech
               o.writeShort(0)
             } else o.writeShort(33)     // UNSUPPORTED_SASL_MECHANISM
@@ -211,6 +221,29 @@ final class FakeKafkaBroker(dir: String, topic: String,
                 writeString(o, "Authentication failed: invalid credentials")
               }
               o.writeInt(0)             // empty auth_bytes
+            } else if (mechanism == "OAUTHBEARER") {
+              val msg = new String(tok, "UTF-8")
+              if (oauthErrJson != null) {
+                // the post-challenge dummy %x01 leg → named failure
+                o.writeShort(58)        // SASL_AUTHENTICATION_FAILED
+                writeString(o, oauthErrJson)
+                o.writeInt(0)
+                oauthErrJson = null
+              } else {
+                val Bearer = "n,,\u0001auth=Bearer (.+)\u0001\u0001".r
+                msg match {
+                  case Bearer(t) if oauthToken.contains(t) =>
+                    authed = true
+                    o.writeShort(0); o.writeShort(-1)
+                    o.writeInt(0)       // success: empty auth_bytes
+                  case _ =>
+                    // RFC 7628 error JSON rides as a CHALLENGE (error 0)
+                    oauthErrJson = """{"status":"invalid_token"}"""
+                    o.writeShort(0); o.writeShort(-1)
+                    val eb = oauthErrJson.getBytes("UTF-8")
+                    o.writeInt(eb.length); o.write(eb)
+                }
+              }
             } else {
               val (reply, done, err) =
                 scramLeg(new String(tok, "UTF-8"))

@@ -137,6 +137,58 @@ class KafkaSecuritySpec extends graft.SparkSpec {
     } finally evil.close()
   }
 
+  test("SASL/OAUTHBEARER: bearer token authenticates (inline and token file)") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val open = new FakeKafkaBroker(dir, "events")
+    val token = "graft.oauth.token-abc123"
+    val gated = new FakeKafkaBroker(dir, "events", oauthToken = Some(token))
+    try {
+      val expected = readAll(open.clientPath)
+      val got = readAll(gated.clientPath,
+        "consumer.security.protocol" -> "SASL_PLAINTEXT",
+        "consumer.sasl.mechanism" -> "OAUTHBEARER",
+        "consumer.sasl.oauthbearer.token" -> token)
+      assert(got.nonEmpty && got === expected,
+        "OAUTHBEARER read must equal the open-listener read")
+      // the mounted-service-account shape: token read (and re-read per
+      // connection) from a file, trailing newline trimmed
+      val tf = java.nio.file.Files.createTempFile("oauth", ".token")
+      java.nio.file.Files.write(tf, (token + "\n").getBytes("UTF-8"))
+      val got2 = readAll(gated.clientPath,
+        "consumer.security.protocol" -> "SASL_PLAINTEXT",
+        "consumer.sasl.mechanism" -> "OAUTHBEARER",
+        "consumer.sasl.oauthbearer.token.file" -> tf.toString)
+      assert(got2 === expected)
+    } finally { open.close(); gated.close() }
+  }
+
+  test("OAUTHBEARER bad token surfaces the RFC 7628 error JSON, not a wire error") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val gated = new FakeKafkaBroker(dir, "events",
+      oauthToken = Some("the-right-token"))
+    try {
+      val c = new KafkaLogClient(gated.clientPath, Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "OAUTHBEARER",
+        "sasl.oauthbearer.token" -> "the-wrong-token"))
+      val e = intercept[IOException] { c.listPartitions() }
+      assert(e.getMessage.contains("invalid_token"),
+        s"expected the RFC error JSON in the failure, got: ${e.getMessage}")
+    } finally gated.close()
+  }
+
+  test("OAUTHBEARER without a token config fails fast with a named error") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val gated = new FakeKafkaBroker(dir, "events", oauthToken = Some("t"))
+    try {
+      val c = new KafkaLogClient(gated.clientPath, Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "OAUTHBEARER"))
+      val e = intercept[IOException] { c.listPartitions() }
+      assert(e.getMessage.contains("sasl.oauthbearer.token"))
+    } finally gated.close()
+  }
+
   test("a SASL listener refuses unauthenticated data APIs") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))

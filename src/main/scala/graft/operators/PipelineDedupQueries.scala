@@ -471,6 +471,150 @@ SELECT doc_id, count(*) AS n_chunks,
 FROM f GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
 
 
+    // ---- X66: content-defined chunk dedup ----------------------------------
+    // The insertion-robust sibling of X43: chunk boundaries come from the
+    // CONTENT (positions where a rolling 8-char polynomial hash ≡ 0 mod 64,
+    // the anchor idiom of FastCDC/LBFS-style chunkers), not from fixed
+    // offsets — so a prefix insertion shifts only the chunk containing it
+    // and every later chunk re-aligns and dedups. Planted shim-prefixed
+    // twins (fixed 50 docs at ANY scale factor — capped operand, the x57
+    // lesson) prove exactly that: under X43's fixed-width chunking a twin
+    // shares ~nothing, here it shares every post-anchor chunk. The hash is
+    // a plain degree-7 polynomial in 31 over char codes (max value ~3.6e12,
+    // safely inside BIGINT on both engines — DuckDB RAISES on overflow
+    // where Spark wraps), replayed identically by the oracle. Scale: pure
+    // per-row higher-order expressions, then ONE well-spread shuffle on
+    // chunk text + a doc_id re-agg — the x43/x01 shape, scan-speed at
+    // 100 TB.
+    GQuery("x66_cdc_chunk_dedup",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("insertion shim >> "), col("text")).as("text"))
+        val ch = spread(base.unionAll(twins))
+          .withColumn("cs", expr(
+            "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+          .withColumn("bnd", expr(
+            """concat(array(0), filter(sequence(1, length(text)), i -> i >= 8 AND
+               (element_at(cs, i-7)*27512614111 + element_at(cs, i-6)*887503681
+                + element_at(cs, i-5)*28629151 + element_at(cs, i-4)*923521
+                + element_at(cs, i-3)*29791 + element_at(cs, i-2)*961
+                + element_at(cs, i-1)*31 + element_at(cs, i)) % 64 = 0),
+               array(length(text)))"""))
+          .select(col("doc_id"), explode(expr(
+            """filter(transform(sequence(1, size(bnd) - 1),
+                 j -> substring(text, element_at(bnd, j) + 1,
+                        element_at(bnd, j + 1) - element_at(bnd, j))),
+               c -> length(c) > 0)""")).as("chunk"))
+        ch.withColumn("freq", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("freq") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+            sum(when(col("freq") >= 2, length(col("chunk")).cast("long"))
+              .otherwise(0L)).as("dup_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'insertion shim >> ' || text
+  FROM documents WHERE doc_id < 50),
+c AS (SELECT doc_id, text,
+    list_transform(range(1, len(text) + 1),
+      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+  FROM base),
+b AS (SELECT doc_id, text,
+    [0] || list_filter(range(1, len(text) + 1), i -> i >= 8 AND
+      (cs[i-7]*27512614111 + cs[i-6]*887503681 + cs[i-5]*28629151
+       + cs[i-4]*923521 + cs[i-3]*29791 + cs[i-2]*961
+       + cs[i-1]*31 + cs[i]) % 64 = 0)
+    || [len(text)] AS bnd
+  FROM c),
+ch AS (SELECT doc_id,
+    unnest(list_filter(list_transform(range(1, len(bnd)),
+      j -> substr(text, CAST(bnd[j] + 1 AS INT), CAST(bnd[j+1] - bnd[j] AS INT))),
+      x -> len(x) > 0)) AS chunk
+  FROM b),
+f AS (SELECT doc_id, chunk, count(*) OVER (PARTITION BY chunk) AS freq FROM ch)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(count(*) FILTER (WHERE freq >= 2) AS BIGINT) AS n_dup_chunks,
+  CAST(coalesce(sum(len(chunk)) FILTER (WHERE freq >= 2), 0) AS BIGINT) AS dup_chars
+FROM f GROUP BY doc_id ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X67: winnowing fingerprints ---------------------------------------
+    // Local document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken
+    // 2003, the MOSS algorithm): hash every 5-char gram, slide a window of 4
+    // consecutive gram hashes, keep each window's MINIMUM — any shared
+    // substring of length ≥ 8 chars is GUARANTEED to surface a shared
+    // fingerprint (the winnowing guarantee), unlike MinHash's probabilistic
+    // recall (x02) or strided sampling (x04_fingerprint). Fingerprints are
+    // the distinct min VALUES (value-distinct sidesteps the tie-position
+    // subtleties of the canonical rightmost rule while keeping the
+    // guarantee). Gram hash = degree-4 polynomial in 31 mixed by the Knuth
+    // multiplier mod 2^31 — max intermediate ~3.2e17, inside BIGINT on both
+    // engines. Scale: per-row transforms, one shuffle on fingerprint (2^31
+    // key space — no skew), one doc re-agg; no pair enumeration anywhere.
+    GQuery("x67_winnowing_fingerprints",
+      (s, d) => {
+        val fp = spread(t(s, d, "documents"))
+          .filter(length(col("text")) >= 8)
+          .withColumn("cs", expr(
+            "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+          .withColumn("gs", expr(
+            """transform(sequence(1, length(text) - 4),
+               i -> ((element_at(cs, i)*923521 + element_at(cs, i+1)*29791
+                     + element_at(cs, i+2)*961 + element_at(cs, i+3)*31
+                     + element_at(cs, i+4)) * 2654435761) % 2147483648)"""))
+          .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+            explode(expr(
+              """array_distinct(transform(sequence(1, size(gs) - 3),
+                   j -> array_min(slice(gs, j, 4))))""")).as("fp"))
+        // Doc-level outputs are the stats winnowing THEORY predicts, so the
+        // oracle checks the algorithm, not corpus accidents: density =
+        // n_fps/n_grams should sit near 2/(w+1) = 0.4 (the expected
+        // winnowing density), and max_ndocs is the promiscuity of the doc's
+        // most-shared fingerprint. (A shared-vs-unique band split is
+        // degenerate here: the corpus' ~24-word vocabulary makes every
+        // 5-gram appear in thousands of docs at sf0.1.)
+        fp.withColumn("ndocs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .groupBy(col("doc_id"))
+          .agg(first(col("n_grams")).as("n_grams"),
+            count(lit(1)).as("n_fps"),
+            max(col("ndocs")).as("max_ndocs"))
+          .select(col("doc_id"), col("n_grams"), col("n_fps"),
+            (col("n_fps").cast("double") / col("n_grams").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("density"),
+            col("max_ndocs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id, text,
+    list_transform(range(1, len(text) + 1),
+      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+  FROM documents WHERE len(text) >= 8),
+g AS (SELECT doc_id,
+    list_transform(range(1, len(text) - 3),
+      i -> ((cs[i]*923521 + cs[i+1]*29791 + cs[i+2]*961 + cs[i+3]*31
+            + cs[i+4]) * 2654435761) % 2147483648) AS gs
+  FROM c),
+fp AS (SELECT doc_id, len(gs) AS n_grams,
+    unnest(list_distinct(list_transform(range(1, len(gs) - 2),
+      j -> list_min(gs[j:j+3])))) AS fp
+  FROM g),
+w AS (SELECT doc_id, n_grams, count(*) OVER (PARTITION BY fp) AS ndocs FROM fp),
+a AS (SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_fps,
+    max(ndocs) AS max_ndocs
+  FROM w GROUP BY doc_id)
+SELECT doc_id, n_grams, n_fps,
+  CAST(CAST(CAST(n_fps AS DOUBLE) / n_grams AS DECIMAL(18,6)) AS DOUBLE)
+    AS density,
+  max_ndocs
+FROM a ORDER BY doc_id NULLS FIRST""")),
+
+
     // ---- X50: order-insensitive (bag-of-words) dedup -----------------------
     // The dedup axis between exact (X01) and near-dup (X02): documents whose
     // word MULTISETS are identical but whose word order differs — scraped

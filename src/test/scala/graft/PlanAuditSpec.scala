@@ -511,6 +511,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"x59 regressed to a window sort:\n$p")
   }
 
+  test("x66/x67 chunk lanes stay per-row: no joins, only content-key + doc re-agg shuffles") {
+    // both are transform/filter HOF lanes over the text column; the only
+    // exchanges allowed are the content-key window shuffle, the doc_id
+    // re-agg, the presentation sort, and the spread() round-robin — any
+    // join node means the lane regressed to pair enumeration
+    Seq("x66_cdc_chunk_dedup", "x67_winnowing_fingerprints").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q grew a join:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+        s"$q pays more than the content+doc shuffles:\n$p")
+    }
+  }
+
   test("replay batch scan runs columnar by default") {
     val log = graft.sources.replay.ReplayLog.ensureLog(spark, sf)
     val df = spark.read.format("graft-replay").option("path", log).load()

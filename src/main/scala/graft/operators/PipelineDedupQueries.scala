@@ -59,6 +59,82 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
       None),
 
 
+    // The O-class twin of x02_minhash_lsh: the SAME MinHash+LSH pipeline
+    // (64 lanes, 16 bands × 4 rows, exact-Jaccard ≥ 0.5 verification) built
+    // entirely from the PORTABLE hash family — one md5 per shingle split
+    // into 48-bit halves, Broder affine lanes ((2l+1)·b0 + b1) mod 2^48
+    // (every intermediate < 2^55: DuckDB BIGINT overflow RAISES where Spark
+    // wraps), band key = md5 of the comma-joined 4 lane minima — so the
+    // DuckDB oracle replays signatures, banding, candidate generation AND
+    // verification bit-exactly. x02_minhash_lsh keeps the codegen xxhash64
+    // family as the raw-throughput path; this twin is the correctness
+    // anchor proving the banding pipeline end-to-end (not just lane minima,
+    // which x58 already oracles). Scale: shingle → per-doc MinLanesAgg
+    // collapse (no lane posexplode), band-key equi-join (never doc×doc),
+    // exact verify only on candidates.
+    GQuery("x02b_minhash_lsh_exact",
+      (s, d) => {
+        val sig = spread(t(s, d, "documents"))
+          .select(col("doc_id"), explode(word_shingles(col("text"), 5)).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("hx"))
+          .select(col("doc_id"),
+            conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("b0"),
+            conv(substring(col("hx"), 13, 12), 16, 10).cast("long").as("b1"))
+          .groupBy(col("doc_id"))
+          .agg(min_lanes(col("b0"), col("b1"), 64).as("mhs"))
+        val banded = sig.select(col("doc_id"),
+            posexplode(expr("""transform(sequence(0, 15),
+              b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4),
+                     v -> cast(v as string)))))""")))
+          .toDF("doc_id", "band", "bh")
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sh = graft.GraftOps.shingles(
+          t(s, d, "documents"), col("doc_id"), col("text"), 5)
+        cand.join(sh.as("sa"), col("doc_a") === col("sa.id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.id"))
+          .withColumn("common",
+            size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+          .withColumn("j", col("common").cast("double")
+            / (col("sa.nsh") + col("sb.nsh") - col("common")))
+          .filter(col("j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("j"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shd AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+sg AS (SELECT doc_id, unnest(s) AS g FROM shd),
+hs AS (SELECT doc_id,
+    CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT) AS b0,
+    CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT) AS b1
+  FROM sg),
+lanes AS (SELECT doc_id, ln.l AS lane,
+    min(((ln.l * 2 + 1) * b0 + b1) % 281474976710656) AS mh
+  FROM hs CROSS JOIN (SELECT unnest(range(0, 64)) AS l) ln
+  GROUP BY doc_id, ln.l),
+sig AS (SELECT doc_id, list(mh ORDER BY lane) AS mhs FROM lanes GROUP BY doc_id),
+bands AS (SELECT doc_id, bb.b AS band,
+    md5(array_to_string(mhs[CAST(bb.b * 4 + 1 AS INT) : CAST(bb.b * 4 + 4 AS INT)], ',')) AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+FROM cand JOIN shd sa ON sa.doc_id = doc_a JOIN shd sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
+
+
     // SimHash near-dup: 64-bit simhash over shingles, candidates from 4
     // 16-bit band collisions, verified by Hamming distance <= 12. G-class.
     GQuery("x02_simhash",

@@ -326,7 +326,10 @@ final class KafkaLogClient(path: String,
       ("FindCoordinator", ApiFindCoordinator, 0),
       ("OffsetCommit", ApiOffsetCommit, 2),
       ("OffsetFetch", ApiOffsetFetch, 1)) else Nil
-    base ++ saslApis ++ groupApis
+    // the sink's clients (ReplayWrite sets graft.role=producer) also produce
+    val produceApis = if (conf.get("graft.role").contains("producer"))
+      Seq[(String, Short, Short)](("Produce", ApiProduce, 3)) else Nil
+    base ++ saslApis ++ groupApis ++ produceApis
   }
 
   @volatile private var preflighted = false
@@ -520,6 +523,77 @@ final class KafkaLogClient(path: String,
     out
   }
 
+  // ---- producer side --------------------------------------------------------
+  // Produce v3 (api 0): the write half of the wire dialect — v3 is the first
+  // version that carries RecordBatch v2 (the format this client encodes) and
+  // the last before flexible headers, so it pairs with the consume pins
+  // above. The reference only produces in its test harness (populate_topic,
+  // tests/utils.rs:156-212, an rdkafka FutureProducer); here the same
+  // capability backs the graft-replay SINK (ReplayWrite), so a streaming
+  // query can write its output back to a topic.
+
+  /** Per-leader persistent produce connections (a sink task produces many
+    * small batches; re-dialing + re-authenticating per call would dominate).
+    * Guarded by this client instance — one sink DataWriter owns one client. */
+  private var prodConns = Map.empty[String, (Socket, DataInputStream, DataOutputStream)]
+  private var prodMeta: Meta = _
+
+  /** Append `recs` = (key, value, timestampMs) to `topic`/`p` as one
+    * RecordBatch v2 (compressed per `codec`), acks=-1 (full ISR — the
+    * strongest public durability setting), returning the broker-assigned
+    * base offset. Non-idempotent (producer id -1): a retry after an
+    * ambiguous failure may duplicate, i.e. at-least-once — the same
+    * contract a default-config librdkafka producer gives the reference. */
+  def produce(p: Int, recs: Seq[(Array[Byte], Array[Byte], Long)],
+      codec: Int = 0): Long = synchronized {
+    require(recs.nonEmpty, "kafka produce needs at least one record")
+    if (prodMeta == null) prodMeta = fetchMeta()
+    val addr = leaderAddr(prodMeta, p)
+    val (_, in, out) = prodConns.getOrElse(addr, {
+      val c = open(addr); prodConns += addr -> c; c
+    })
+    val recordSet = encodeRecordBatchV2(recs, codec)
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    o.writeShort(-1)            // transactional_id: null (non-transactional)
+    o.writeShort(-1)            // acks: all in-sync replicas
+    o.writeInt(30000)           // timeout_ms
+    o.writeInt(1); writeString(o, topic)
+    o.writeInt(1); o.writeInt(p)
+    o.writeInt(recordSet.length); o.write(recordSet)
+    val r = try request(in, out, ApiProduce, 3, body.toByteArray)
+    catch { case e: IOException =>
+      // connection gone (broker bounce / leader move): drop cached state so
+      // the next call re-resolves metadata and re-dials
+      prodConns.get(addr).foreach(_._1.close()); prodConns -= addr
+      prodMeta = null
+      throw e
+    }
+    val nTopics = r.readInt()
+    var base = -1L
+    (1 to nTopics).foreach { _ =>
+      val name = readString(r)
+      val nParts = r.readInt()
+      (1 to nParts).foreach { _ =>
+        val pid = r.readInt(); val err = r.readShort()
+        val off = r.readLong()
+        r.readLong()            // log_append_time
+        if (err != 0)
+          throw new IOException(s"kafka produce error $err for $name/$pid")
+        if (name == topic && pid == p) base = off
+      }
+    }
+    if (base < 0)
+      throw new IOException(s"kafka produce response missing $topic/$p")
+    base
+  }
+
+  /** Close the persistent produce connections (sink task teardown). */
+  def closeProducer(): Unit = synchronized {
+    prodConns.valuesIterator.foreach(_._1.close())
+    prodConns = Map.empty
+    prodMeta = null
+  }
+
   override def openFrames(p: Int, start: Long, needKey: Boolean,
       needValue: Boolean): FrameReader = new FrameReader {
     private var sock: Socket = _
@@ -593,6 +667,7 @@ final class KafkaLogClient(path: String,
   * in-process broker double in KafkaWireSpec (test scope). Big-endian
   * framing, non-flexible (pre-tagged-field) header versions only. */
 private[replay] object KafkaWire {
+  val ApiProduce: Short = 0
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
@@ -696,6 +771,99 @@ private[replay] object KafkaWire {
   /** Number of RecordBatch v2 header bytes covered by batch_length BEFORE
     * the records section (partition_leader_epoch .. records_count). */
   val BatchHeaderAfterLength = 49
+
+  /** Producer-side mirror of [[decompressed]]: wrap `sink` in the codec's
+    * standard framing (the exact streams the official producers use). */
+  def compressed(codec: Int, sink: java.io.OutputStream): java.io.OutputStream =
+    codec match {
+      case 1 => new java.util.zip.GZIPOutputStream(sink)
+      case 2 => new org.xerial.snappy.SnappyOutputStream(sink)
+      case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(sink)
+      case 4 => new com.github.luben.zstd.ZstdOutputStream(sink)
+      case c => throw new IOException(
+        s"unknown kafka compression codec $c (known: 0 none, 1 gzip, " +
+          "2 snappy, 3 lz4, 4 zstd)")
+    }
+
+  /** Encode records as ONE RecordBatch v2 for a Produce request —
+    * the exact layout the official producers write (the decode mirror of
+    * [[decodeBatches]]'s v2 arm): plaintext 61-byte header, records section
+    * compressed as a unit when `codec` != 0, and a REAL CRC-32C
+    * (Castagnoli) over attributes..end. The consume path tolerates crc=0
+    * test doubles, but brokers VERIFY the checksum on produce and reject
+    * the batch with CORRUPT_MESSAGE, so the producer side cannot skip it.
+    * `recs` are (key, value, timestampMs) with nullable key/value;
+    * `baseOffset` is written as 0 — the broker rewrites it to the assigned
+    * log position (producers never know it in advance). Producer id/epoch/
+    * sequence are -1 (non-idempotent, like a default-config producer). */
+  def encodeRecordBatchV2(
+      recs: Seq[(Array[Byte], Array[Byte], Long)], codec: Int): Array[Byte] = {
+    require(recs.nonEmpty, "kafka RecordBatch must carry at least one record")
+    val firstTs = recs.head._3
+    val recBytes = new ByteArrayOutputStream()
+    val ro = new DataOutputStream(recBytes)
+    recs.zipWithIndex.foreach { case ((k, v, tsMs), i) =>
+      val one = new ByteArrayOutputStream(); val oo = new DataOutputStream(one)
+      oo.writeByte(0)                     // record attributes
+      writeVarlong(oo, tsMs - firstTs)
+      writeVarint(oo, i)                  // offset delta
+      def blob(b: Array[Byte]): Unit =
+        if (b == null) writeVarint(oo, -1)
+        else { writeVarint(oo, b.length); oo.write(b) }
+      blob(k); blob(v)
+      writeVarint(oo, 0)                  // headers
+      writeVarint(ro, one.size())         // record length prefix
+      ro.write(one.toByteArray)
+    }
+    val recordsOut: Array[Byte] =
+      if (codec == 0) recBytes.toByteArray
+      else {
+        val cb = new ByteArrayOutputStream()
+        val cs = compressed(codec, cb)
+        cs.write(recBytes.toByteArray); cs.close()
+        cb.toByteArray
+      }
+
+    // attributes..end — the span the CRC covers
+    val body = new ByteArrayOutputStream(); val bo = new DataOutputStream(body)
+    bo.writeShort(codec & 0x07)           // attributes: codec bits, create-time
+    bo.writeInt(recs.size - 1)            // last offset delta
+    bo.writeLong(firstTs)
+    bo.writeLong(recs.map(_._3).max)      // max timestamp
+    bo.writeLong(-1L); bo.writeShort(-1); bo.writeInt(-1) // producer id/epoch/seq
+    bo.writeInt(recs.size)
+    bo.write(recordsOut)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(body.toByteArray)
+
+    val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+    o.writeLong(0L)                       // base offset (broker-assigned)
+    o.writeInt(9 + body.size())           // batch length: epoch+magic+crc+body
+    o.writeInt(-1)                        // partition leader epoch
+    o.writeByte(2)                        // magic
+    o.writeInt(crc.getValue.toInt)
+    o.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** Verify a record_set's RecordBatch v2 CRC-32C fields the way a broker
+    * does on produce: recompute over attributes..end of each batch and
+    * compare with the stored crc. Returns true when every batch checks out.
+    * (Used by the broker double; a real broker answers CORRUPT_MESSAGE.) */
+  def crcValid(recordSet: Array[Byte]): Boolean = {
+    var pos = 0
+    while (recordSet.length - pos >= 17) {
+      val batchLength = java.nio.ByteBuffer.wrap(recordSet, pos + 8, 4).getInt
+      if (recordSet.length - pos < 12 + batchLength || recordSet(pos + 16) != 2)
+        return false                      // truncated or non-v2: reject
+      val stored = java.nio.ByteBuffer.wrap(recordSet, pos + 17, 4).getInt
+      val crc = new java.util.zip.CRC32C()
+      crc.update(recordSet, pos + 21, batchLength - 9)
+      if (crc.getValue.toInt != stored) return false
+      pos += 12 + batchLength
+    }
+    pos == recordSet.length
+  }
 
   /** Decode a Fetch record_set (one or more RecordBatch v2 OR legacy magic
     * 0/1 MessageSet entries, possibly with a truncated tail — brokers cut

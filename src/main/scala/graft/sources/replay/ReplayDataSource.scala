@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
@@ -228,11 +229,20 @@ object ReplayOptions {
   }
 }
 
-class ReplayTable(opts: ReplayOptions) extends Table with SupportsRead {
+class ReplayTable(opts: ReplayOptions) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-replay(${opts.path})"
   override def schema(): StructType = ReplayDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  // the write half: a kafka producer sink (ReplayWrite) — the input schema
+  // is a SUBSET of the read schema (value required), validated there;
+  // ACCEPT_ANY_SCHEMA above defers that validation to the builder instead
+  // of Spark's by-position full-schema match
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ReplayWriteBuilder(info.options(), info)
   // the opaque consumer conf is inspectable where a broker client would read it
   override def properties(): util.Map[String, String] =
     opts.consumerConf.map { case (k, v) => s"consumer.$k" -> v }.asJava

@@ -31,7 +31,8 @@ final class FakeKafkaBroker(dir: String, topic: String,
     forgeScramServerSig: Boolean = false,
     legacyMagic: Option[Int] = None,
     advertiseApis: Option[Seq[(Short, Short, Short)]] = None,
-    apiVersionsError: Short = 0) extends AutoCloseable {
+    apiVersionsError: Short = 0,
+    explicitPartitions: Option[Seq[Int]] = None) extends AutoCloseable {
   import KafkaWire._
 
   require(legacyMagic.forall(m => m == 0 || m == 1),
@@ -46,7 +47,7 @@ final class FakeKafkaBroker(dir: String, topic: String,
     * the client's pinned versions). */
   private val apiRanges: Seq[(Short, Short, Short)] =
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
-      (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
+      (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
       (10, 0, 4), (17, 0, 1), (18, 0, 3), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
@@ -68,6 +69,27 @@ final class FakeKafkaBroker(dir: String, topic: String,
   /** (group, topic, partition) → committed offset — the coordinator state. */
   private val committedStore =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Long]()
+
+  /** Per-partition produced tail: records appended via Produce live here,
+    * logically after the file-backed base log, and are served back through
+    * ListOffsets/Fetch like any broker log segment. (key, value, tsMs). */
+  private val produced = new java.util.concurrent.ConcurrentHashMap[
+    Int, scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte], Long)]]()
+
+  private def partitionIds: Seq[Int] =
+    explicitPartitions.getOrElse(ReplayLog.listPartitions(dir))
+  private def baseCount(p: Int): Long =
+    if (explicitPartitions.isDefined && !ReplayLog.logFile(dir, p).exists()) 0L
+    else ReplayLog.safeRecordCount(dir, p)
+  private def producedTail(p: Int) = produced.computeIfAbsent(p,
+    _ => scala.collection.mutable.ArrayBuffer.empty)
+  private def endOffset(p: Int): Long = baseCount(p) + producedCount(p).toLong
+
+  /** Test-visible count of records appended to partition p via Produce. */
+  def producedCount(p: Int): Int = {
+    val tail = producedTail(p)
+    tail.synchronized { tail.length }
+  }
 
   /** Test-visible view of a group's committed offsets for this topic. */
   def committed(group: String): Map[Int, Long] = {
@@ -276,6 +298,47 @@ final class FakeKafkaBroker(dir: String, topic: String,
             // real brokers kill the connection on pre-auth API use
             throw new IOException(
               s"fake broker: api $apiKey before SASL authentication")
+          case ApiProduce if apiVersion == 3 =>
+            readString(r)               // transactional_id (nullable)
+            r.readShort(); r.readInt()  // acks, timeout_ms
+            val nTopics = r.readInt()
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(nTopics)
+            (1 to nTopics).foreach { _ =>
+              val name = readString(r)
+              val nParts = r.readInt()
+              writeString(o, name)
+              o.writeInt(nParts)
+              (1 to nParts).foreach { _ =>
+                val p = r.readInt()
+                val len = r.readInt()
+                val rs = new Array[Byte](len); r.readFully(rs)
+                // a real broker's produce path: route check, CRC-32C
+                // verification (unlike the tolerant consume-side double),
+                // then append + offset assignment under the log lock
+                val (err, baseOff) =
+                  if (name != topic || !partitionIds.contains(p))
+                    (3, -1L)            // UNKNOWN_TOPIC_OR_PARTITION
+                  else if (!crcValid(rs))
+                    (2, -1L)            // CORRUPT_MESSAGE
+                  else {
+                    val recs = decodeBatches(rs, 0L,
+                      needKey = true, needValue = true).toSeq
+                    val tail = producedTail(p)
+                    tail.synchronized {
+                      val assigned = baseCount(p) + tail.size
+                      recs.foreach { case (_, k, v, tsMs) =>
+                        tail += ((k, v, tsMs))
+                      }
+                      (0, assigned)
+                    }
+                  }
+                o.writeInt(p); o.writeShort(err); o.writeLong(baseOff)
+                o.writeLong(-1L)        // log_append_time: create-time batch
+              }
+            }
+            o.writeInt(0)               // throttle_time_ms (tails Produce)
+            bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiListOffsets if apiVersion == 1 => listOffsets(r)
           case ApiFetch if apiVersion == 4 => fetch(r)
@@ -342,7 +405,7 @@ final class FakeKafkaBroker(dir: String, topic: String,
     o.writeInt(0); writeString(o, "127.0.0.1"); o.writeInt(boundPort)
     o.writeInt(1)                       // topics
     o.writeShort(0); writeString(o, topic)
-    val parts = ReplayLog.listPartitions(dir)
+    val parts = partitionIds
     o.writeInt(parts.size)
     parts.foreach { p =>
       o.writeShort(0); o.writeInt(p); o.writeInt(0) // error, id, leader
@@ -364,7 +427,7 @@ final class FakeKafkaBroker(dir: String, topic: String,
       o.writeInt(nParts)
       (1 to nParts).foreach { _ =>
         val p = r.readInt(); val ts = r.readLong()
-        val off = if (ts == -2L) 0L else ReplayLog.safeRecordCount(dir, p)
+        val off = if (ts == -2L) 0L else endOffset(p)
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
       }
     }
@@ -384,7 +447,7 @@ final class FakeKafkaBroker(dir: String, topic: String,
       o.writeInt(nParts)
       (1 to nParts).foreach { _ =>
         val p = r.readInt(); val fetchOffset = r.readLong(); r.readInt()
-        val end = ReplayLog.safeRecordCount(dir, p)
+        val end = endOffset(p)
         o.writeInt(p); o.writeShort(0)
         o.writeLong(end)                // high watermark
         o.writeLong(end)                // last stable offset
@@ -403,14 +466,30 @@ final class FakeKafkaBroker(dir: String, topic: String,
     * for records [start, until) of partition p; when `truncateTail` is set,
     * a second partial batch header is appended to simulate a broker cutting
     * the record_set at max_bytes. */
-  private def encodeBatch(p: Int, start: Long, until: Long): Array[Byte] = {
-    val frames = new FrameStream(dir, p, start, needKey = true, needValue = true)
-    val recs = try {
-      (start until until).map { off =>
-        frames.readFrame()
-        (off, frames.key, frames.value, frames.tsUs / 1000L)
+  private def encodeBatch(p: Int, start: Long, until0: Long): Array[Byte] = {
+    val base = baseCount(p)
+    // never span the base-log / produced-tail seam inside one batch — the
+    // client simply re-fetches from the seam, like any multi-batch read
+    val until = if (start < base) math.min(until0, base) else until0
+    val recs: Seq[(Long, Array[Byte], Array[Byte], Long)] =
+      if (start < base) {
+        val frames = new FrameStream(dir, p, start,
+          needKey = true, needValue = true)
+        try {
+          (start until until).map { off =>
+            frames.readFrame()
+            (off, frames.key, frames.value, frames.tsUs / 1000L)
+          }
+        } finally frames.close()
+      } else {
+        val tail = producedTail(p)
+        tail.synchronized {
+          (start until until).map { off =>
+            val (k, v, tsMs) = tail((off - base).toInt)
+            (off, k, v, tsMs)
+          }
+        }
       }
-    } finally frames.close()
     legacyMagic match {
       case Some(m) => return encodeLegacySet(m, recs)
       case None =>

@@ -2316,7 +2316,57 @@ SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(CAST(CAST(n_docs AS DOUBLE) / total AS DECIMAL(18,6)) AS DOUBLE)
     AS retained_frac
-FROM stg, tot ORDER BY stage NULLS FIRST"""))
+FROM stg, tot ORDER BY stage NULLS FIRST""")),
+
+    // S55: CONFLUENT-FRAMED AVRO envelope decode with schema-registry
+    // dispatch — the dominant real Kafka payload encoding (magic 0x00 +
+    // int32 BE schema id + avro body), over a bus caught mid-migration:
+    // half the producers still write schema 1 (V1: user_id, cents), half
+    // the evolved schema 2 (V2: + event_type). The query validates the
+    // magic byte (raise_error on garbage — never a silent misparse),
+    // reads the id from the frame, dispatches avro_decode per id (CaseWhen
+    // evaluates only the matching branch — one decode per row), and folds
+    // V1 rows into a 'v1_legacy' cohort: exactly how a consumer survives a
+    // producer-side schema migration. Decode is the native AvroCatalyst
+    // expression (avro-core, no broker/connector libs); per-row, stateless,
+    // so it scales with input like any projection. The frame is
+    // deterministic per event, so DuckDB oracles the aggregate straight
+    // from the events table. (The reference ships DataFusion's `avro`
+    // feature, Cargo.toml:7, without exercising it; this is that surface
+    // made real on the streaming path — s11 is the JSON sibling.)
+    GQuery("s55_avro_envelope_decode",
+      (s, d) => {
+        import graft.functions.GraftFunctions.avro_decode
+        val log = ReplayLog.ensureAvroLog(s, d)
+        val stream = s.readStream.format("graft-replay").option("path", log).load()
+        val sid = expr("""CASE WHEN substring(value, 1, 1) = X'00'
+          THEN CAST(conv(hex(substring(value, 2, 4)), 16, 10) AS INT)
+          ELSE CAST(raise_error('confluent frame: bad magic byte') AS INT)
+          END""")
+        val body = expr("substring(value, 6, length(value) - 5)")
+        val decoded = stream.select(sid.as("sid"), body.as("body"))
+          .withColumn("r1", when(col("sid") === 1,
+            avro_decode(col("body"), ReplayLog.AvroV1)))
+          .withColumn("r2", when(col("sid") === 2,
+            avro_decode(col("body"), ReplayLog.AvroV2)))
+          .select(
+            coalesce(col("r1.user_id"), col("r2.user_id")).as("user_id"),
+            coalesce(col("r1.cents"), col("r2.cents")).as("cents"),
+            when(col("sid") === 1, lit("v1_legacy"))
+              .when(col("sid") === 2, col("r2.event_type"))
+              .otherwise(raise_error(concat(lit("unknown avro schema id "),
+                col("sid")))).as("etype"))
+        runToMemory(
+          decoded.groupBy(col("etype"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+              min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user")),
+          "complete").orderBy(col("etype"))
+      },
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'v1_legacy' ELSE event_type END AS etype,
+  count(*) AS n,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+  min(user_id) AS min_user, max(user_id) AS max_user
+FROM events GROUP BY 1 ORDER BY etype NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

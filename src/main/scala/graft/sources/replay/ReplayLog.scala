@@ -117,8 +117,41 @@ object ReplayLog {
     ensureLogVariant(spark, sfDir, Some(shift), "xlate")
   }
 
+  /** Avro schema-registry envelope pair for [[ensureAvroLog]] / s55: a bus
+    * mid-migration — half the producers still write V1, half the evolved V2
+    * (event_type added). Flat primitive records (the AvroCatalyst subset). */
+  val AvroV1: String =
+    """{"type":"record","name":"EventV1","fields":[
+      |{"name":"user_id","type":"long"},{"name":"cents","type":"long"}]}"""
+      .stripMargin
+  val AvroV2: String =
+    """{"type":"record","name":"EventV2","fields":[
+      |{"name":"user_id","type":"long"},{"name":"cents","type":"long"},
+      |{"name":"event_type","type":"string"}]}""".stripMargin
+
+  /** Log variant whose values are CONFLUENT-FRAMED AVRO — the dominant real
+    * Kafka payload encoding (magic 0x00 + int32 big-endian schema-registry
+    * id + avro binary body). Even event_ids carry schema id 1 (V1), odd
+    * carry id 2 (V2): a schema-evolution migration caught mid-flight, which
+    * the s55 decode query dispatches on. Deterministic per event, so the
+    * DuckDB oracle recomputes the same aggregates straight from `events`. */
+  def ensureAvroLog(spark: SparkSession, sfDir: String): String = {
+    import graft.functions.GraftFunctions.avro_encode
+    val cents = expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val frame = when(col("event_id") % 2 === 0,
+        concat(lit(Array[Byte](0, 0, 0, 0, 1)),
+          avro_encode(struct(col("user_id"), cents.as("cents")), AvroV1)))
+      .otherwise(
+        concat(lit(Array[Byte](0, 0, 0, 0, 2)),
+          avro_encode(struct(col("user_id"), cents.as("cents"),
+            col("event_type")), AvroV2)))
+    ensureLogVariant(spark, sfDir, None, "avro", frame)
+  }
+
   private def ensureLogVariant(spark: SparkSession, sfDir: String,
-      lateShiftUs: Option[Long], variant: String): String = synchronized {
+      lateShiftUs: Option[Long], variant: String,
+      valueCol: org.apache.spark.sql.Column =
+        col("props").cast("binary")): String = synchronized {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     // tmpfs when available: the log is re-read every replay run and a real
     // deployment's broker log would be served from page cache anyway
@@ -144,7 +177,7 @@ object ReplayLog {
       .withColumn("ord", row_number().over(w).cast("long") - 1)
       .select(col("partition"), col("ord"),
         concat(lit("Key "), col("event_id")).cast("binary").as("key"),
-        col("props").cast("binary").as("value"),
+        valueCol.as("value"),
         graft.Tables.tsUs.as("ts_us"))
 
     val path = dir.getAbsolutePath

@@ -133,6 +133,15 @@ class StreamMetricsSpec extends SparkSpec {
     val s52 = runWithMetrics("s52_stream_minhash_sigs", docs.count())._1
     assert(s52.maxStateRows === sources,
       s"s52 state ${s52.maxStateRows} != sources $sources")
+
+    // s55: avro-envelope schema cohorts — state = |event types among the
+    // V2 (odd event_id) half| + 1 for the folded 'v1_legacy' cohort,
+    // bounded by the type vocabulary at ANY stream volume
+    val etypes = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_type")).distinct().count() + 1
+    val s55 = runWithMetrics("s55_avro_envelope_decode", nEvents)._1
+    assert(s55.maxStateRows === etypes,
+      s"s55 state ${s55.maxStateRows} != schema cohorts $etypes")
   }
 
   test("s51b append twin emits each window once and EVICTS closed state") {

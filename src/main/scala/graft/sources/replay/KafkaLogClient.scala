@@ -328,7 +328,11 @@ final class KafkaLogClient(path: String,
       ("OffsetFetch", ApiOffsetFetch, 1)) else Nil
     // the sink's clients (ReplayWrite sets graft.role=producer) also produce
     val produceApis = if (conf.get("graft.role").contains("producer"))
-      Seq[(String, Short, Short)](("Produce", ApiProduce, 3)) else Nil
+      Seq[(String, Short, Short)](("Produce", ApiProduce, 3)) ++
+        (if (conf.get("enable.idempotence").contains("true"))
+          Seq[(String, Short, Short)](("InitProducerId", ApiInitProducerId, 0))
+        else Nil)
+    else Nil
     base ++ saslApis ++ groupApis ++ produceApis
   }
 
@@ -538,21 +542,50 @@ final class KafkaLogClient(path: String,
   private var prodConns = Map.empty[String, (Socket, DataInputStream, DataOutputStream)]
   private var prodMeta: Meta = _
 
+  /** Idempotence (`enable.idempotence=true`, librdkafka's knob): a producer
+    * identity from InitProducerId (api 22 v0) plus a per-partition sequence
+    * number stamped into every batch. Brokers track (pid, partition) →
+    * last sequence range and ABSORB an exact retransmit (same offsets
+    * acked, nothing re-appended), which upgrades the ambiguous-failure
+    * retry below from at-least-once to exactly-once WITHIN this producer
+    * session. Honest scope, same as the real client: a NEW session (task
+    * restart) gets a new pid, so cross-restart duplicates remain possible
+    * — full cross-session exactly-once needs transactions, which this
+    * dialect does not speak. */
+  private val idempotent = conf.get("enable.idempotence").contains("true")
+  private var producerId = -1L
+  private var producerEpoch: Short = -1
+  private val seqByPartition = scala.collection.mutable.Map.empty[Int, Int]
+
+  private def ensureProducerId(): Unit = if (idempotent && producerId < 0) {
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    o.writeShort(-1)            // transactional_id: null (idempotence only)
+    o.writeInt(60000)           // transaction_timeout_ms (unused w/o txns)
+    val r = oneShot(bootstrap, ApiInitProducerId, 0, body.toByteArray)
+    r.readInt()                 // throttle_time_ms
+    val err = r.readShort()
+    if (err != 0)
+      throw new IOException(s"kafka InitProducerId error $err")
+    producerId = r.readLong()
+    producerEpoch = r.readShort()
+  }
+
   /** Append `recs` = (key, value, timestampMs) to `topic`/`p` as one
     * RecordBatch v2 (compressed per `codec`), acks=-1 (full ISR — the
     * strongest public durability setting), returning the broker-assigned
-    * base offset. Non-idempotent (producer id -1): a retry after an
-    * ambiguous failure may duplicate, i.e. at-least-once — the same
-    * contract a default-config librdkafka producer gives the reference. */
+    * base offset. An ambiguous failure (request sent, response lost) is
+    * retried ONCE on a fresh connection with the IDENTICAL wire batch:
+    * with idempotence on, the broker recognizes the (pid, sequence) and
+    * acks without re-appending — exactly-once within this session; without
+    * it, the retry may duplicate (at-least-once, the default-config
+    * librdkafka contract the reference inherits). */
   def produce(p: Int, recs: Seq[(Array[Byte], Array[Byte], Long)],
       codec: Int = 0): Long = synchronized {
     require(recs.nonEmpty, "kafka produce needs at least one record")
-    if (prodMeta == null) prodMeta = fetchMeta()
-    val addr = leaderAddr(prodMeta, p)
-    val (_, in, out) = prodConns.getOrElse(addr, {
-      val c = open(addr); prodConns += addr -> c; c
-    })
-    val recordSet = encodeRecordBatchV2(recs, codec)
+    ensureProducerId()
+    val baseSeq = if (idempotent) seqByPartition.getOrElse(p, 0) else -1
+    val recordSet =
+      encodeRecordBatchV2(recs, codec, producerId, producerEpoch, baseSeq)
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
     o.writeShort(-1)            // transactional_id: null (non-transactional)
     o.writeShort(-1)            // acks: all in-sync replicas
@@ -560,30 +593,48 @@ final class KafkaLogClient(path: String,
     o.writeInt(1); writeString(o, topic)
     o.writeInt(1); o.writeInt(p)
     o.writeInt(recordSet.length); o.write(recordSet)
-    val r = try request(in, out, ApiProduce, 3, body.toByteArray)
-    catch { case e: IOException =>
-      // connection gone (broker bounce / leader move): drop cached state so
-      // the next call re-resolves metadata and re-dials
-      prodConns.get(addr).foreach(_._1.close()); prodConns -= addr
-      prodMeta = null
-      throw e
-    }
-    val nTopics = r.readInt()
-    var base = -1L
-    (1 to nTopics).foreach { _ =>
-      val name = readString(r)
-      val nParts = r.readInt()
-      (1 to nParts).foreach { _ =>
-        val pid = r.readInt(); val err = r.readShort()
-        val off = r.readLong()
-        r.readLong()            // log_append_time
-        if (err != 0)
-          throw new IOException(s"kafka produce error $err for $name/$pid")
-        if (name == topic && pid == p) base = off
+    val reqBytes = body.toByteArray
+
+    def attempt(): Long = {
+      if (prodMeta == null) prodMeta = fetchMeta()
+      val addr = leaderAddr(prodMeta, p)
+      val (_, in, out) = prodConns.getOrElse(addr, {
+        val c = open(addr); prodConns += addr -> c; c
+      })
+      val r = try request(in, out, ApiProduce, 3, reqBytes)
+      catch { case e: IOException =>
+        // connection gone (broker bounce / leader move): drop cached state
+        // so a retry re-resolves metadata and re-dials
+        prodConns.get(addr).foreach(_._1.close()); prodConns -= addr
+        prodMeta = null
+        throw e
       }
+      val nTopics = r.readInt()
+      var base = -1L
+      (1 to nTopics).foreach { _ =>
+        val name = readString(r)
+        val nParts = r.readInt()
+        (1 to nParts).foreach { _ =>
+          val pid = r.readInt(); val err = r.readShort()
+          val off = r.readLong()
+          r.readLong()          // log_append_time
+          if (err != 0)
+            throw new IOException(s"kafka produce error $err for $name/$pid")
+          if (name == topic && pid == p) base = off
+        }
+      }
+      if (base < 0)
+        throw new IOException(s"kafka produce response missing $topic/$p")
+      base
     }
-    if (base < 0)
-      throw new IOException(s"kafka produce response missing $topic/$p")
+    val base = try attempt() catch {
+      // ambiguous only on transport failure (the broker may or may not have
+      // appended); a NAMED produce error is a definitive reject — rethrown
+      case e: IOException if !Option(e.getMessage).getOrElse("")
+          .startsWith("kafka produce error") =>
+        attempt()
+    }
+    if (idempotent) seqByPartition(p) = baseSeq + recs.size
     base
   }
 
@@ -676,6 +727,7 @@ private[replay] object KafkaWire {
   val ApiFindCoordinator: Short = 10
   val ApiSaslHandshake: Short = 17
   val ApiApiVersions: Short = 18
+  val ApiInitProducerId: Short = 22
   val ApiSaslAuthenticate: Short = 36
   val ClientId = "graft"
 
@@ -795,9 +847,13 @@ private[replay] object KafkaWire {
     * `recs` are (key, value, timestampMs) with nullable key/value;
     * `baseOffset` is written as 0 — the broker rewrites it to the assigned
     * log position (producers never know it in advance). Producer id/epoch/
-    * sequence are -1 (non-idempotent, like a default-config producer). */
+    * baseSeq default to -1 (non-idempotent, like a default-config
+    * producer); an idempotent producer passes its InitProducerId-assigned
+    * identity plus the partition's next sequence number, which brokers use
+    * to absorb retried duplicates. */
   def encodeRecordBatchV2(
-      recs: Seq[(Array[Byte], Array[Byte], Long)], codec: Int): Array[Byte] = {
+      recs: Seq[(Array[Byte], Array[Byte], Long)], codec: Int,
+      pid: Long = -1L, pepoch: Short = -1, baseSeq: Int = -1): Array[Byte] = {
     require(recs.nonEmpty, "kafka RecordBatch must carry at least one record")
     val firstTs = recs.head._3
     val recBytes = new ByteArrayOutputStream()
@@ -830,7 +886,7 @@ private[replay] object KafkaWire {
     bo.writeInt(recs.size - 1)            // last offset delta
     bo.writeLong(firstTs)
     bo.writeLong(recs.map(_._3).max)      // max timestamp
-    bo.writeLong(-1L); bo.writeShort(-1); bo.writeInt(-1) // producer id/epoch/seq
+    bo.writeLong(pid); bo.writeShort(pepoch); bo.writeInt(baseSeq)
     bo.writeInt(recs.size)
     bo.write(recordsOut)
     val crc = new java.util.zip.CRC32C()
@@ -844,6 +900,20 @@ private[replay] object KafkaWire {
     o.writeInt(crc.getValue.toInt)
     o.write(body.toByteArray)
     out.toByteArray
+  }
+
+  /** Producer identity + sequence range of a record_set's FIRST RecordBatch
+    * v2 — the fields a broker's idempotence check reads (fixed offsets in
+    * the batch header: pid@43, epoch@51, baseSeq@53, lastSeq = baseSeq +
+    * lastOffsetDelta@23). Returns (pid, epoch, baseSeq, lastSeq); pid -1 =
+    * non-idempotent batch. */
+  def batchProducerInfo(recordSet: Array[Byte]): (Long, Short, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(recordSet)
+    val lastOffsetDelta = bb.getInt(23)
+    val pid = bb.getLong(43)
+    val epoch = bb.getShort(51)
+    val baseSeq = bb.getInt(53)
+    (pid, epoch, baseSeq, if (baseSeq < 0) -1 else baseSeq + lastOffsetDelta)
   }
 
   /** Verify a record_set's RecordBatch v2 CRC-32C fields the way a broker

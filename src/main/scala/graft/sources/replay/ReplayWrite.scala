@@ -34,10 +34,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * per `producer.compression.type`) — so a 1000-task write fans out to the
   * leaders directly, no driver funnel, exactly how distributed Kafka
   * writers are built. Delivery is AT-LEAST-ONCE: acks=-1, but a retried
-  * Spark task re-produces its buffered rows (producer id -1 — no idempotent
-  * dedup, same contract as a default-config librdkafka producer); Kafka has
-  * no atomic multi-partition commit for the driver to use. The streaming
-  * epoch commit is therefore an observability no-op, like every Kafka sink.
+  * Spark task re-produces its buffered rows; Kafka has no atomic
+  * multi-partition commit for the driver to use, so the streaming epoch
+  * commit is an observability no-op, like every Kafka sink.
+  * `producer.enable.idempotence=true` (librdkafka's knob) upgrades the
+  * TRANSPORT layer to exactly-once within each task's producer session —
+  * an InitProducerId identity + per-partition sequence numbers let brokers
+  * absorb the client's ambiguous-failure retries without re-appending —
+  * but a restarted task is a NEW session with a new pid, so Spark-level
+  * task retries remain at-least-once (full cross-session exactly-once
+  * needs transactions, which this dialect does not speak; stated honestly).
   *
   * Only the `kafka` client kind can write (the file/socket backends are
   * read-side test seams; concurrent multi-task appends to a shared file log

@@ -48,7 +48,7 @@ final class FakeKafkaBroker(dir: String, topic: String,
   private val apiRanges: Seq[(Short, Short, Short)] =
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
-      (10, 0, 4), (17, 0, 1), (18, 0, 3), (36, 0, 2)))
+      (10, 0, 4), (17, 0, 1), (18, 0, 3), (22, 0, 4), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -90,6 +90,20 @@ final class FakeKafkaBroker(dir: String, topic: String,
     val tail = producedTail(p)
     tail.synchronized { tail.length }
   }
+
+  /** InitProducerId assignment counter + per-(pid, partition) last sequence
+    * range and assigned base offset — the broker-side idempotence cache
+    * (real brokers keep the last 5 ranges; one suffices for a retry-once
+    * client). */
+  private val pidCounter = new java.util.concurrent.atomic.AtomicLong(1000L)
+  private val seqStore = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), (Int, Int, Long)]()
+
+  /** Fault injection: when > 0, that many Produce requests are fully
+    * PROCESSED (appended) but the response is withheld and the connection
+    * killed — the ambiguous-failure window an idempotent producer's retry
+    * must absorb. */
+  @volatile var dropProduceResponses: Int = 0
 
   /** Test-visible view of a group's committed offsets for this topic. */
   def committed(group: String): Map[Int, Long] = {
@@ -315,29 +329,63 @@ final class FakeKafkaBroker(dir: String, topic: String,
                 val rs = new Array[Byte](len); r.readFully(rs)
                 // a real broker's produce path: route check, CRC-32C
                 // verification (unlike the tolerant consume-side double),
-                // then append + offset assignment under the log lock
+                // idempotence sequence check, then append + offset
+                // assignment under the log lock
                 val (err, baseOff) =
                   if (name != topic || !partitionIds.contains(p))
                     (3, -1L)            // UNKNOWN_TOPIC_OR_PARTITION
                   else if (!crcValid(rs))
                     (2, -1L)            // CORRUPT_MESSAGE
                   else {
-                    val recs = decodeBatches(rs, 0L,
-                      needKey = true, needValue = true).toSeq
+                    val (pid, _, baseSeq, lastSeq) = batchProducerInfo(rs)
                     val tail = producedTail(p)
                     tail.synchronized {
-                      val assigned = baseCount(p) + tail.size
-                      recs.foreach { case (_, k, v, tsMs) =>
-                        tail += ((k, v, tsMs))
+                      val cached =
+                        if (pid < 0) null else seqStore.get((pid, p))
+                      if (pid >= 0 && cached != null &&
+                          baseSeq == cached._1 && lastSeq == cached._2) {
+                        // exact retransmit of the last acked batch: absorb —
+                        // ack the ORIGINAL offsets, append nothing (the
+                        // idempotent-producer contract)
+                        (0, cached._3)
+                      } else if (pid >= 0 &&
+                          ((cached == null && baseSeq != 0) ||
+                           (cached != null && baseSeq != cached._2 + 1))) {
+                        (45, -1L)       // OUT_OF_ORDER_SEQUENCE_NUMBER
+                      } else {
+                        val recs = decodeBatches(rs, 0L,
+                          needKey = true, needValue = true).toSeq
+                        val assigned = baseCount(p) + tail.size
+                        recs.foreach { case (_, k, v, tsMs) =>
+                          tail += ((k, v, tsMs))
+                        }
+                        if (pid >= 0)
+                          seqStore.put((pid, p), (baseSeq, lastSeq, assigned))
+                        (0, assigned)
                       }
-                      (0, assigned)
                     }
                   }
                 o.writeInt(p); o.writeShort(err); o.writeLong(baseOff)
                 o.writeLong(-1L)        // log_append_time: create-time batch
               }
             }
+            if (dropProduceResponses > 0) {
+              // ambiguous-failure injection: the append above HAPPENED but
+              // the producer never hears back — it must retry and the
+              // sequence check must absorb the duplicate
+              dropProduceResponses -= 1
+              throw new EOFException("fake broker: produce response dropped")
+            }
             o.writeInt(0)               // throttle_time_ms (tails Produce)
+            bo.toByteArray
+          case ApiInitProducerId if apiVersion == 0 =>
+            readString(r)               // transactional_id (nullable)
+            r.readInt()                 // transaction_timeout_ms
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            o.writeShort(0)             // error
+            o.writeLong(pidCounter.getAndIncrement())
+            o.writeShort(0)             // producer epoch
             bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiListOffsets if apiVersion == 1 => listOffsets(r)

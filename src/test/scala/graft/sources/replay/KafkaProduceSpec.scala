@@ -178,6 +178,122 @@ class KafkaProduceSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("idempotent producer: sequences advance and exact retransmits are absorbed") {
+    val broker = emptyBroker("idem")
+    try {
+      val c = new KafkaLogClient(broker.clientPath,
+        Map("enable.idempotence" -> "true"))
+      val b1 = (0 until 10).map(i => (bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+      val b2 = (10 until 25).map(i => (bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+      assert(c.produce(0, b1) === 0L)
+      assert(c.produce(0, b2) === 10L, "second batch lands after the first")
+      assert(broker.producedCount(0) === 25)
+
+      // ambiguous failure: the broker appends but withholds the response —
+      // the client's retry resends the SAME (pid, sequence) batch and the
+      // broker must ack the ORIGINAL offsets without re-appending
+      broker.dropProduceResponses = 1
+      val b3 = (25 until 40).map(i => (bytes(s"k$i"), bytes(s"v$i"), 1000L + i))
+      assert(c.produce(0, b3) === 25L,
+        "retry must be acked at the originally-assigned base offset")
+      assert(broker.producedCount(0) === 40,
+        "the retransmit must be absorbed, not re-appended")
+
+      // and the session continues cleanly past the absorbed retry
+      assert(c.produce(0, Seq((null, bytes("tail"), 99L))) === 40L)
+      assert(broker.producedCount(0) === 41)
+    } finally broker.close()
+  }
+
+  test("without idempotence the same ambiguous failure duplicates (honest at-least-once)") {
+    val broker = emptyBroker("atleast")
+    try {
+      val c = new KafkaLogClient(broker.clientPath)
+      broker.dropProduceResponses = 1
+      c.produce(2, (0 until 5).map(i => (null, bytes(s"v$i"), 1L + i)))
+      assert(broker.producedCount(2) === 10,
+        "a non-idempotent retry re-appends — the documented contract")
+    } finally broker.close()
+  }
+
+  test("a sequence gap is rejected with OUT_OF_ORDER_SEQUENCE_NUMBER") {
+    val broker = emptyBroker("seqgap")
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      try {
+        val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        val out = new DataOutputStream(sock.getOutputStream)
+        def produceRaw(rs: Array[Byte]): Short = {
+          val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+          o.writeShort(-1); o.writeShort(-1); o.writeInt(30000)
+          o.writeInt(1); writeString(o, "seqgap")
+          o.writeInt(1); o.writeInt(0)
+          o.writeInt(rs.length); o.write(rs)
+          val r = request(in, out, ApiProduce, 3, body.toByteArray)
+          r.readInt(); readString(r); r.readInt(); r.readInt()
+          r.readShort()
+        }
+        // a fresh pid must start at sequence 0; 5 is a gap
+        val gap = encodeRecordBatchV2(Seq((null, bytes("x"), 1L)), 0,
+          pid = 4242L, pepoch = 0, baseSeq = 5)
+        assert(produceRaw(gap) === 45, "OUT_OF_ORDER_SEQUENCE_NUMBER")
+        val ok = encodeRecordBatchV2(Seq((null, bytes("x"), 1L)), 0,
+          pid = 4242L, pepoch = 0, baseSeq = 0)
+        assert(produceRaw(ok) === 0)
+      } finally sock.close()
+    } finally broker.close()
+  }
+
+  test("produce works over SASL_SSL (the security seam covers the write half)") {
+    // self-signed broker keystore + pinned client truststore via keytool —
+    // same fixture shape as KafkaSecuritySpec
+    val dir = java.nio.file.Files.createTempDirectory("kafka-prod-tls")
+    val ks = dir.resolve("broker.p12").toString
+    val ts = dir.resolve("trust.p12").toString
+    val cert = dir.resolve("broker.crt").toString
+    val pass = "graft-test"
+    val keytool = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "keytool").toString
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val o = new String(p.getInputStream.readAllBytes, "UTF-8")
+      assert(p.waitFor() == 0, s"keytool ${args.head} failed: $o")
+    }
+    run("-genkeypair", "-alias", "broker", "-keyalg", "RSA", "-keysize",
+      "2048", "-validity", "1", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", pass, "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1")
+    run("-exportcert", "-alias", "broker", "-keystore", ks,
+      "-storepass", pass, "-file", cert)
+    run("-importcert", "-alias", "broker", "-file", cert, "-keystore", ts,
+      "-storepass", pass, "-noprompt")
+
+    val logDir = java.nio.file.Files.createTempDirectory("kafka-prod-sasl").toString
+    val broker = new FakeKafkaBroker(logDir, "sec",
+      sasl = Some(("svc-writer", "hunter2")), tlsKeystore = Some((ks, pass)),
+      explicitPartitions = Some(Seq(0, 1, 2)))
+    try {
+      val conf = Map(
+        "security.protocol" -> "SASL_SSL",
+        "sasl.mechanism" -> "PLAIN",
+        "sasl.username" -> "svc-writer",
+        "sasl.password" -> "hunter2",
+        "ssl.truststore.location" -> ts,
+        "ssl.truststore.password" -> pass,
+        "enable.idempotence" -> "true")
+      val c = new KafkaLogClient(broker.clientPath, conf)
+      val recs = (0 until 20).map(i => (bytes(s"k$i"), bytes(s"v$i"), 1L + i))
+      assert(c.produce(1, recs, codec = 4) === 0L)
+      val frames = c.openFrames(1, 0L, needKey = true, needValue = true)
+      try recs.foreach { case (k, v, _) =>
+        frames.readFrame()
+        assert(java.util.Arrays.equals(frames.key, k))
+        assert(java.util.Arrays.equals(frames.value, v))
+      } finally frames.close()
+    } finally broker.close()
+  }
+
   test("streaming sink pipes a replay stream back into a topic end-to-end") {
     // source broker serves the file-backed events log; the query projects
     // key/value/timestamp and PRODUCES into an empty topic on a second
@@ -195,6 +311,7 @@ class KafkaProduceSpec extends graft.SparkSpec {
         .writeStream.format("graft-replay")
         .option("client", "kafka").option("path", dst.clientPath)
         .option("producer.compression.type", "zstd")
+        .option("producer.enable.idempotence", "true")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

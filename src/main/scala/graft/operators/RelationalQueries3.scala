@@ -1197,6 +1197,39 @@ FROM v ORDER BY id NULLS FIRST""")),
             col("n_distinct_approx"), col("min_v"), col("max_v"))
           .orderBy(col("col_name"))
       },
-      None)
+      None),
+
+    // Q116: SQL-defined UDFs (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN
+    // <expr>`) — the DECLARATIVE extension surface next to the ~22 native
+    // codegen expressions: the function body is SQL, so Catalyst INLINES it
+    // into the caller's plan (constant folding, pushdown and whole-stage
+    // codegen all apply — nothing like the black-box JVM UDF cliff). A
+    // scalar pricing UDF in the exact q13 decimal idiom plus a tier
+    // classifier composed ON TOP of it; the oracle replays the inlined
+    // bodies. Session-scoped temporaries: name-spaced q116_* to keep the
+    // shared harness session clean.
+    GQuery("q116_sql_udf",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_q116")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q116_disc_price(
+            p DOUBLE, dd DOUBLE) RETURNS DECIMAL(16,4)
+          RETURN CAST(CAST(p AS DECIMAL(12,2))
+            * CAST(1 - CAST(dd AS DECIMAL(4,2)) AS DECIMAL(4,2))
+            AS DECIMAL(16,4))""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q116_tier(
+            v DECIMAL(16,4)) RETURNS STRING
+          RETURN CASE WHEN v < 1000 THEN 'low'
+                      WHEN v < 30000 THEN 'mid' ELSE 'high' END""")
+        s.sql("""SELECT q116_tier(q116_disc_price(l_extendedprice, l_discount)) AS tier,
+            count(*) AS n,
+            CAST(SUM(q116_disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
+          FROM li_q116 GROUP BY tier ORDER BY tier NULLS FIRST""")
+      },
+      Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+    AS DECIMAL(16,4)) AS dp FROM lineitem)
+SELECT CASE WHEN dp < 1000 THEN 'low' WHEN dp < 30000 THEN 'mid' ELSE 'high' END AS tier,
+  count(*) AS n, CAST(SUM(dp) AS DOUBLE) AS revenue
+FROM v GROUP BY 1 ORDER BY tier NULLS FIRST"""))
   )
 }

@@ -534,4 +534,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ColumnarToRow"), s"expected the columnar read path:\n$p")
   }
+
+  test("x02b exact-oracle LSH twin joins on band keys — never all-pairs") {
+    val p = plan("x02b_minhash_lsh_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"doc×doc blowup in the banding pipeline:\n$p")
+  }
+
+  test("q116 SQL UDFs inline into the plan (no black-box UDF call)") {
+    val p = plan("q116_sql_udf")
+    // the SQL function bodies must dissolve into ordinary expressions that
+    // aggregate partially — a ScalaUDF node would mean the black-box cliff
+    assert(!p.contains("ScalaUDF"), s"SQL UDF did not inline:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
 }

@@ -294,6 +294,84 @@ class KafkaProduceSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("sink restart over a completed checkpoint re-produces NOTHING") {
+    // the checkpoint WAL owns epoch truth: a completed epoch is never
+    // re-planned, so restarting the sink query cannot duplicate its output
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val src = new FakeKafkaBroker(dir, "events")
+    val dst = emptyBroker("ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-sink-ckpt").toString
+    try {
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-replay")
+          .option("client", "kafka").option("path", src.clientPath)
+          .option("maxRowsPerTrigger", "400") // several epochs
+          .load()
+          .select(col("key"), col("value"), col("timestamp"))
+          .writeStream.format("graft-replay")
+          .option("client", "kafka").option("path", dst.clientPath)
+          .option("producer.enable.idempotence", "true")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val file = new FileLogClient(dir)
+      val n = file.listPartitions().map(file.recordCount).sum
+      val afterFirst = (0 until 3).map(dst.producedCount).sum
+      assert(afterFirst.toLong === n, s"first run must produce all $n records")
+      runOnce() // resume: every epoch already committed
+      assert((0 until 3).map(dst.producedCount).sum.toLong === n,
+        "a restart over a completed checkpoint re-produced data")
+    } finally { src.close(); dst.close() }
+  }
+
+  test("sink killed mid-stream loses nothing on resume (at-least-once, bounded dups)") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val src = new FakeKafkaBroker(dir, "events")
+    val dst = emptyBroker("killed")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-sink-kill").toString
+    try {
+      def build(trigger: Trigger) = spark.readStream.format("graft-replay")
+        .option("client", "kafka").option("path", src.clientPath)
+        .option("maxRowsPerTrigger", "300")
+        .load()
+        .select(col("key"), col("value"), col("timestamp"))
+        .writeStream.format("graft-replay")
+        .option("client", "kafka").option("path", dst.clientPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      // run 1: free-running; kill as soon as one batch has landed — the
+      // in-flight epoch may have produced rows whose commit never happened
+      val q1 = build(Trigger.ProcessingTime("10 milliseconds"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((q1.recentProgress.isEmpty ||
+          q1.recentProgress.map(_.numInputRows).sum == 0) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q1.stop()
+      // run 2: resume from the WAL to the end
+      val q2 = build(Trigger.AvailableNow()); q2.awaitTermination()
+
+      val file = new FileLogClient(dir)
+      val n = file.listPartitions().map(file.recordCount).sum
+      val got = spark.read.format("graft-replay")
+        .option("client", "kafka").option("path", dst.clientPath).load()
+        .select(col("value").cast("string")).as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      val want = spark.read.format("graft-replay")
+        .option("client", "kafka").option("path", src.clientPath).load()
+        .select(col("value").cast("string")).as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      assert(got.toSet === want.toSet, "a record was LOST across the kill")
+      assert(got.size >= n.toInt, "at-least-once: every record delivered")
+      // duplicates can come only from epochs in flight at the kill — each
+      // bounded by the per-trigger admission cap across the 3 partitions
+      assert(got.size - n <= 2 * 3 * 300,
+        s"${got.size - n} duplicates exceeds the in-flight epoch bound")
+    } finally { src.close(); dst.close() }
+  }
+
   test("streaming sink pipes a replay stream back into a topic end-to-end") {
     // source broker serves the file-backed events log; the query projects
     // key/value/timestamp and PRODUCES into an empty topic on a second

@@ -295,6 +295,80 @@ SELECT doc_id,
 FROM r ORDER BY doc_id NULLS FIRST""")),
 
 
+    // ---- X68: checksum-validated PII (Luhn) ---------------------------------
+    // The precision upgrade over x12's shape-only regexes: 13-16 digit runs
+    // are card CANDIDATES, but only those passing the Luhn check digit
+    // (ISO/IEC 7812 — the public mod-10 algorithm every card number
+    // satisfies) are redacted; plausible-but-invalid order numbers survive
+    // untouched. False-positive PII masking destroys training text, so real
+    // curation pipelines validate before they redact. Contact lines are
+    // synthesized deterministically like x12 (the corpus has no real PII):
+    // one ALWAYS-valid card built by computing its own check digit, and one
+    // data-dependent number valid for ~10% of docs — so the oracle replays
+    // candidate extraction, validation and the selective-redaction fold
+    // exactly. Pure per-row integer/string expressions — no shuffle before
+    // the presentation sort; streams at scan speed over 100 TB.
+    GQuery("x68_luhn_pii",
+      (s, d) => {
+        // Luhn sum over a digit string: double every second digit from the
+        // RIGHT (0-based odd index of the reversed sequence), 9-cap, sum.
+        def luhnSum(c: String, parity: Int) =
+          s"""aggregate(transform(
+               reverse(transform(regexp_extract_all($c, '[0-9]', 0), x -> int(x))),
+               (d, i) -> CASE WHEN i % 2 = $parity
+                 THEN (CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END)
+                 ELSE d END),
+             0, (a, x) -> a + x)"""
+        spread(t(s, d, "documents"))
+          .withColumn("pay",
+            expr("lpad(CAST(doc_id * 37 + 11 AS STRING), 15, '0')"))
+          .withColumn("card2",
+            expr("lpad(CAST(doc_id * 91 + 7 AS STRING), 16, '0')"))
+          // check digit lands at reversed index 0, so the payload's parity
+          // flips: double at EVEN reversed indexes of the 15-digit payload
+          .withColumn("cd",
+            expr(s"(10 - ${luhnSum("pay", 0)} % 10) % 10"))
+          .withColumn("raw", expr(
+            "concat('order ', card2, ' pay ', pay, cd, ' :: ', text)"))
+          .withColumn("cs",
+            expr("regexp_extract_all(raw, '[0-9]{13,16}', 0)"))
+          .withColumn("ok",
+            expr(s"filter(cs, c -> ${luhnSum("c", 1)} % 10 = 0)"))
+          .select(col("doc_id"),
+            size(col("cs")).cast("long").as("n_candidates"),
+            size(col("ok")).cast("long").as("n_valid"),
+            expr("aggregate(ok, raw, (a, x) -> replace(a, x, '[CARD]'))")
+              .as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+    lpad(CAST(doc_id * 37 + 11 AS VARCHAR), 15, '0') AS pay,
+    lpad(CAST(doc_id * 91 + 7 AS VARCHAR), 16, '0') AS card2,
+    text FROM documents),
+chk AS (SELECT *,
+    (10 - list_sum(list_transform(
+        list_reverse(list_transform(regexp_extract_all(pay, '[0-9]'), x -> CAST(x AS INT))),
+        (d, i) -> CASE WHEN (i - 1) % 2 = 0
+          THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+          ELSE d END)) % 10) % 10 AS cd
+  FROM base),
+r AS (SELECT doc_id,
+    'order ' || card2 || ' pay ' || pay || cd || ' :: ' || text AS raw
+  FROM chk),
+cands AS (SELECT doc_id, raw,
+    regexp_extract_all(raw, '[0-9]{13,16}') AS cs FROM r),
+v AS (SELECT doc_id, raw, cs,
+    list_filter(cs, c -> list_sum(list_transform(
+        list_reverse(list_transform(regexp_extract_all(c, '[0-9]'), x -> CAST(x AS INT))),
+        (d, i) -> CASE WHEN (i - 1) % 2 = 1
+          THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+          ELSE d END)) % 10 = 0) AS ok
+  FROM cands)
+SELECT doc_id, len(cs) AS n_candidates, len(ok) AS n_valid,
+  list_reduce([raw] || ok, (a, x) -> replace(a, x, '[CARD]')) AS clean
+FROM v ORDER BY doc_id NULLS FIRST""")),
+
+
     // ---- X14: repetition quality filter ------------------------------------
     // Gopher-style repetition heuristics, adapted to this corpus: per-doc
     // distinct-word fraction and most-common-bigram fraction, with a

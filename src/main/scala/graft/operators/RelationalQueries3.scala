@@ -1230,6 +1230,28 @@ FROM v ORDER BY id NULLS FIRST""")),
     AS DECIMAL(16,4)) AS dp FROM lineitem)
 SELECT CASE WHEN dp < 1000 THEN 'low' WHEN dp < 30000 THEN 'mid' ELSE 'high' END AS tier,
   count(*) AS n, CAST(SUM(dp) AS DOUBLE) AS revenue
-FROM v GROUP BY 1 ORDER BY tier NULLS FIRST"""))
+FROM v GROUP BY 1 ORDER BY tier NULLS FIRST""")),
+
+    // Q117: AGGREGATE PUSHDOWN into the custom DSv2 source — count/min/max
+    // over the replay log answered from the OFFSET INDEX alone (file
+    // backend: idx length; kafka backend: ListOffsets), no payload bytes
+    // read: counting a 100 TB topic becomes one O(1) metadata read per
+    // partition. The plan's BatchScan says "INDEX-ONLY PushedAggregation"
+    // (PlanAuditSpec pins it); Spark's final aggregate merges the per-
+    // partition pre-aggregated rows (partial-pushdown contract). The oracle
+    // recomputes the same statistics from the events table the log was
+    // built from (partition = event_id % 3, offsets dense from 0).
+    GQuery("q117_agg_pushdown",
+      (s, d) => {
+        val log = graft.sources.replay.ReplayLog.ensureLog(s, d)
+        s.read.format("graft-replay").option("path", log).load()
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n"), min(col("offset")).as("min_off"),
+            max(col("offset")).as("max_off"))
+          .orderBy(col("partition"))
+      },
+      Some("""SELECT CAST(event_id % 3 AS INT) AS "partition", count(*) AS n,
+  CAST(0 AS BIGINT) AS min_off, count(*) - 1 AS max_off
+FROM events GROUP BY 1 ORDER BY "partition" NULLS FIRST"""))
   )
 }

@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -247,12 +248,14 @@ class ReplayTable(opts: ReplayOptions) extends Table
   override def properties(): util.Map[String, String] =
     opts.consumerConf.map { case (k, v) => s"consumer.$k" -> v }.asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+        with SupportsPushDownAggregates {
       // column pruning reaches the scan (the reference always materializes
       // both binary columns, execution.rs:81-102; at scale, queries touching
       // only offsets/metadata must not deserialize payload bytes)
       private var pruned: StructType = ReplayDataSource.Schema
       private var scanRange: ScanRange = ScanRange.Full
+      private var pushedAgg: Option[ReplayAggScan.PushedAgg] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         pruned = StructType(ReplayDataSource.Schema.fields
           .filter(f => requiredSchema.fieldNames.contains(f.name)))
@@ -267,8 +270,114 @@ class ReplayTable(opts: ReplayOptions) extends Table
         filters
       }
       override def pushedFilters(): Array[Filter] = Array.empty
-      override def build(): Scan = new ReplayScan(opts, pruned, scanRange)
+      // COUNT(*) / MIN(offset) / MAX(offset), optionally grouped by
+      // `partition`, are answerable from the OFFSET INDEX alone — a
+      // count over a 100 TB topic becomes one O(1) metadata read per
+      // partition, no payload bytes ever leave disk (the log-backed
+      // analogue of Kafka answering ListOffsets from segment metadata).
+      // Spark only attempts the push when every filter was consumed, and
+      // this builder consumes none, so the pushed counts are always exact
+      // full-log values; PARTIAL pushdown — Spark still merges per-split
+      // rows (sum of counts, min of mins), keeping the split contract free.
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+        def isField(e: org.apache.spark.sql.connector.expressions.Expression,
+            name: String) = e match {
+          case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+            f.fieldNames().sameElements(Array(name))
+          case _ => false
+        }
+        if (scanRange != ScanRange.Full) return false
+        // only the DEFAULT read window is answerable from the index: explicit
+        // starting offsets, latest-start, or a group-instance split all
+        // change which records a scan would return
+        if (opts.startingUniform != 0L || opts.startingPerPartition.nonEmpty ||
+            opts.startingLatest || opts.groupInstances != 1) return false
+        val groupOk = agg.groupByExpressions().forall(isField(_, "partition"))
+        val tags = agg.aggregateExpressions().map {
+          case _: CountStar => "count"
+          case m: Min if isField(m.column, "offset") => "min"
+          case m: Max if isField(m.column, "offset") => "max"
+          case _ => return false
+        }
+        if (!groupOk || tags.isEmpty) return false
+        pushedAgg = Some(ReplayAggScan.PushedAgg(
+          agg.groupByExpressions().nonEmpty, tags))
+        true
+      }
+      override def build(): Scan = pushedAgg match {
+        case Some(a) => new ReplayAggScan(opts, a)
+        case None => new ReplayScan(opts, pruned, scanRange)
+      }
     }
+}
+
+object ReplayAggScan {
+  /** Serializable form of the accepted pushdown: grouped-by-partition flag +
+    * one tag per aggregate expression, in caller order. */
+  case class PushedAgg(grouped: Boolean, tags: Seq[String])
+}
+
+/** Index-only scan for a pushed aggregation: one input partition per log
+  * partition, each emitting ONE pre-aggregated row from the O(1) record
+  * count (file backend: idx length; kafka backend: ListOffsets) — no record
+  * payload is ever read. Partial-pushdown contract: Spark's final aggregate
+  * merges the per-partition rows. */
+class ReplayAggScan(opts: ReplayOptions, agg: ReplayAggScan.PushedAgg)
+    extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val gb = if (agg.grouped)
+      Seq(StructField("partition", IntegerType, nullable = false)) else Nil
+    val as = agg.tags.zipWithIndex.map {
+      case ("count", i) => StructField(s"agg_count_$i", LongType, nullable = false)
+      case (t, i) => StructField(s"agg_${t}_offset_$i", LongType, nullable = true)
+    }
+    StructType(gb ++ as)
+  }
+  override def description(): String =
+    s"graft-replay(${opts.path}) INDEX-ONLY PushedAggregation " +
+      s"[${agg.tags.mkString(", ")}]" +
+      (if (agg.grouped) " PushedGroupBy [partition]" else "")
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    opts.client.listPartitions().sorted.map(p =>
+      ReplayAggInputPartition(opts.path, p, agg, opts.clientKind,
+        opts.consumerConf): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    ReplayAggReaderFactory
+}
+
+case class ReplayAggInputPartition(path: String, partition: Int,
+    agg: ReplayAggScan.PushedAgg, clientKind: String,
+    consumerConf: Map[String, String]) extends InputPartition
+
+object ReplayAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ip = partition.asInstanceOf[ReplayAggInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        // the exact window a record scan would read: endOffset is the SAFE
+        // end (file backend: fully-flushed frames only), earliest is the
+        // retention head (kafka backend: may be > 0; file backend: 0 —
+        // recordCount there counts raw idx entries, never below end)
+        val c = LogClient.create(ip.clientKind, ip.path, ip.consumerConf)
+        val end = c.endOffset(ip.partition)
+        val earliest = math.max(0L, end - c.recordCount(ip.partition))
+        val n = end - earliest
+        val gb: Seq[Any] = if (ip.agg.grouped) Seq(ip.partition) else Nil
+        val as: Seq[Any] = ip.agg.tags.map {
+          case "count" => n
+          case "min" => if (n > 0) earliest else null
+          case "max" => if (n > 0) end - 1 else null
+        }
+        new GenericInternalRow((gb ++ as).toArray)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Scan-narrowing ranges derived from pushed partition/offset predicates. */

@@ -541,6 +541,12 @@ class PlanAuditSpec extends SparkSpec {
       s"doc×doc blowup in the banding pipeline:\n$p")
   }
 
+  test("q117 count/min/max push into the replay source as an index-only scan") {
+    val p = plan("q117_agg_pushdown")
+    assert(p.contains("INDEX-ONLY PushedAggregation"),
+      s"aggregation did not push into the source:\n$p")
+  }
+
   test("q116 SQL UDFs inline into the plan (no black-box UDF call)") {
     val p = plan("q116_sql_udf")
     // the SQL function bodies must dissolve into ordinary expressions that

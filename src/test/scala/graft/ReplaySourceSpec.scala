@@ -411,4 +411,24 @@ class ReplaySourceSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(per === want, s"streaming per-partition counts drifted: $per vs $want")
   }
+
+  test("aggregate pushdown: index-only counts match the scan; filters refuse the push") {
+    val df = spark.read.format("graft-replay").option("path", log).load()
+    // index-only global count == a count forced through the record scan
+    val viaScan = df.select(col("key")).collect().length.toLong
+    assert(df.count() === viaScan)
+    val gp = df.groupBy(col("partition")).count()
+    assert(gp.queryExecution.executedPlan.toString.contains("INDEX-ONLY"),
+      "grouped count should answer from the offset index")
+    // a filtered aggregate must NOT push (the index can't see filters this
+    // builder never consumes) and must still count correctly
+    val filtered = df.filter(col("offset") >= 5).agg(count(lit(1)))
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(!fp.contains("INDEX-ONLY"),
+      s"filtered aggregate wrongly pushed into the index:\n$fp")
+    val expected = df.collect().count(_.getLong(4) >= 5).toLong
+    assert(filtered.collect().head.getLong(0) === expected)
+    // min/max offset over an EMPTY topic partition stay null-safe
+    assert(df.filter(col("partition") === 99).count() === 0L)
+  }
 }

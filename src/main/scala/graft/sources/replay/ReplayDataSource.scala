@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -249,7 +249,7 @@ class ReplayTable(opts: ReplayOptions) extends Table
     opts.consumerConf.map { case (k, v) => s"consumer.$k" -> v }.asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-        with SupportsPushDownAggregates {
+        with SupportsPushDownAggregates with SupportsPushDownLimit {
       // column pruning reaches the scan (the reference always materializes
       // both binary columns, execution.rs:81-102; at scale, queries touching
       // only offsets/metadata must not deserialize payload bytes)
@@ -305,9 +305,16 @@ class ReplayTable(opts: ReplayOptions) extends Table
           agg.groupByExpressions().nonEmpty, tags))
         true
       }
+      // pushed LIMIT caps the planned offset span (any n rows satisfy an
+      // unordered limit); Spark keeps its own Limit on top, so answering
+      // "partially pushed" is always safe — the cap is a data-volume
+      // optimization, never a semantic contract
+      private var pushedLimit = -1
+      override def pushLimit(n: Int): Boolean = { pushedLimit = n; true }
+      override def isPartiallyPushed: Boolean = true
       override def build(): Scan = pushedAgg match {
         case Some(a) => new ReplayAggScan(opts, a)
-        case None => new ReplayScan(opts, pruned, scanRange)
+        case None => new ReplayScan(opts, pruned, scanRange, pushedLimit)
       }
     }
 }
@@ -413,7 +420,8 @@ object ScanRange { val Full: ScanRange = ScanRange(None, 0L, Long.MaxValue) }
 
 class ReplayScan(opts: ReplayOptions,
     prunedSchema: StructType = ReplayDataSource.Schema,
-    range: ScanRange = ScanRange.Full)
+    range: ScanRange = ScanRange.Full,
+    limit: Int = -1)
     extends Scan with SupportsReportStatistics {
   // dev/test convenience constructor (path only, defaults otherwise)
   def this(path: String, maxRowsPerTrigger: Option[Long]) =
@@ -423,8 +431,9 @@ class ReplayScan(opts: ReplayOptions,
     prunedSchema.fieldNames.map(ReplayDataSource.Schema.fieldIndex)
   override def readSchema(): StructType = prunedSchema
   override def description(): String =
-    s"ReplayScan(${opts.path}, columns=[${prunedSchema.fieldNames.mkString(",")}], ${range.describe})"
-  override def toBatch: Batch = new ReplayBatch(opts, fieldIdx, range)
+    s"ReplayScan(${opts.path}, columns=[${prunedSchema.fieldNames.mkString(",")}], ${range.describe}" +
+      (if (limit >= 0) s", PushedLimit [$limit])" else ")")
+  override def toBatch: Batch = new ReplayBatch(opts, fieldIdx, range, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ReplayMicroBatchStream(opts, fieldIdx)
   // honest stats where the reference panics (execution.rs:114-116 todo!()):
@@ -684,19 +693,27 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
 
 class ReplayBatch(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6),
-    range: ScanRange = ScanRange.Full) extends Batch {
+    range: ScanRange = ScanRange.Full,
+    limit: Int = -1) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val client = opts.client
+    // pushed LIMIT: cap the total planned offset span — a limit-n probe of
+    // a 100 TB topic reads n records, not the log (any n rows satisfy an
+    // unordered limit, so greedy front-filling is exact; Spark re-applies
+    // its own Limit on top either way)
+    var remaining = if (limit >= 0) limit.toLong else Long.MaxValue
     val planned = client.listPartitions()
       .filter(opts.owns)
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
-        val end = math.min(client.endOffset(p), range.offHi)
-        val req = opts.startFor(p, end)
-        if (req > end && opts.failOnDataLoss)
+        val end0 = math.min(client.endOffset(p), range.offHi)
+        val req = opts.startFor(p, end0)
+        if (req > end0 && opts.failOnDataLoss)
           throw new IllegalStateException(
-            s"startingOffsets requests offset $req past the end ($end) of partition $p")
-        val start = math.max(math.min(req, end), range.offLo)
+            s"startingOffsets requests offset $req past the end ($end0) of partition $p")
+        val start = math.max(math.min(req, end0), range.offLo)
+        val end = if (limit >= 0) math.min(end0, start + remaining) else end0
+        if (limit >= 0 && end > start) remaining -= end - start
         if (end > start)
           Some(ReplayInputPartition(opts.path, p, start, end, fields,
             opts.columnarBatchSize, opts.clientKind, opts.consumerConf))

@@ -431,4 +431,31 @@ class ReplaySourceSpec extends SparkSpec {
     // min/max offset over an EMPTY topic partition stay null-safe
     assert(df.filter(col("partition") === 99).count() === 0L)
   }
+
+  test("limit pushdown caps the planned offset span to n records") {
+    val df = spark.read.format("graft-replay").option("path", log).load()
+    val limited = df.limit(7)
+    assert(limited.collect().length === 7)
+    val p = limited.queryExecution.executedPlan.toString
+    assert(p.contains("PushedLimit [7]"), s"limit did not reach the scan:\n$p")
+    // the scan plans at most 7 records' worth of offset ranges
+    val batch = new sources.replay.ReplayBatch(
+      sources.replay.ReplayOptions(path = log, maxRowsPerTrigger = None,
+        minRowsPerTrigger = None, maxTriggerDelayMs = 0L, startingUniform = 0L,
+        startingPerPartition = Map.empty, failOnDataLoss = true,
+        consumerConf = Map.empty), limit = 7)
+    val span = batch.planInputPartitions().map { ip =>
+      val r = ip.asInstanceOf[sources.replay.ReplayInputPartition]
+      r.end - r.start
+    }.sum
+    assert(span === 7L, s"planned $span records for a limit of 7")
+    // limit larger than the log: everything, once
+    assert(df.limit(1000000).count() === df.count())
+    // a filter above the scan keeps the limit OUT of the scan (this source
+    // never consumes filters, so a pushed limit would under-count)
+    val fp = df.filter(col("offset") >= 5).limit(3)
+    assert(fp.collect().length === 3)
+    assert(!fp.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      "limit must not push below an unconsumed filter")
+  }
 }

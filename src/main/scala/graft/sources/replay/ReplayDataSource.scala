@@ -422,7 +422,8 @@ class ReplayScan(opts: ReplayOptions,
     prunedSchema: StructType = ReplayDataSource.Schema,
     range: ScanRange = ScanRange.Full,
     limit: Int = -1)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // dev/test convenience constructor (path only, defaults otherwise)
   def this(path: String, maxRowsPerTrigger: Option[Long]) =
     this(ReplayOptions(path, maxRowsPerTrigger, None, 15L * 60 * 1000, 0L,
@@ -433,7 +434,29 @@ class ReplayScan(opts: ReplayOptions,
   override def description(): String =
     s"ReplayScan(${opts.path}, columns=[${prunedSchema.fieldNames.mkString(",")}], ${range.describe}" +
       (if (limit >= 0) s", PushedLimit [$limit])" else ")")
-  override def toBatch: Batch = new ReplayBatch(opts, fieldIdx, range, limit)
+  private lazy val batch = new ReplayBatch(opts, fieldIdx, range, limit)
+  override def toBatch: Batch = batch
+  /** STORAGE-PARTITIONED execution (SPJ machinery): every input split holds
+    * exactly one log partition, so the scan reports KeyGroupedPartitioning
+    * on the `partition` column — a groupBy(partition) aggregation or a
+    * co-partitioned join on it then runs EXCHANGE-FREE (gated by Spark's
+    * `spark.sql.sources.v2.bucketing.enabled`; with `minPartitions`
+    * splitting active a key spans several splits, which that conf's
+    * grouping also handles, but we stay conservative and only report when
+    * keys are unique per split). The count must match the PLANNED splits
+    * (empty partitions are not planned), hence the memoized batch. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val planned = batch.planInputPartitions()
+    if (opts.minPartitions == 0 && prunedSchema.fieldNames.contains("partition")
+        && planned.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("partition")), planned.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planned.length)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ReplayMicroBatchStream(opts, fieldIdx)
   // honest stats where the reference panics (execution.rs:114-116 todo!()):
@@ -695,7 +718,12 @@ class ReplayBatch(opts: ReplayOptions,
     fields: Array[Int] = Array.range(0, 6),
     range: ScanRange = ScanRange.Full,
     limit: Int = -1) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] = {
+  // memoized: outputPartitioning's split count must equal what execution
+  // plans (empty partitions are filtered out), and re-listing between the
+  // two calls could race a growing log
+  private lazy val plannedPartitions: Array[InputPartition] = plan()
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+  private def plan(): Array[InputPartition] = {
     val client = opts.client
     // pushed LIMIT: cap the total planned offset span — a limit-n probe of
     // a 100 TB topic reads n records, not the log (any n rows satisfy an
@@ -729,11 +757,16 @@ case class ReplayInputPartition(path: String, partition: Int,
     start: Long, end: Long, fields: Array[Int] = Array.range(0, 6),
     columnarBatchSize: Int = 0, clientKind: String = "file",
     consumerConf: Map[String, String] = Map.empty)
-    extends InputPartition {
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** executor-side frame cursor via the registered client factory */
   def openFrames(needKey: Boolean, needValue: Boolean): FrameReader =
     LogClient.create(clientKind, path, consumerConf)
       .openFrames(partition, start, needKey, needValue)
+  /** SPJ key: the log partition this split serves (see
+    * [[ReplayScan.outputPartitioning]]). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](partition))
 }
 
 object ReplayReaderFactory extends PartitionReaderFactory {

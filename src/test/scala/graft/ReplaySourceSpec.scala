@@ -432,6 +432,34 @@ class ReplaySourceSpec extends SparkSpec {
     assert(df.filter(col("partition") === 99).count() === 0L)
   }
 
+  test("storage-partitioned aggregation on `partition` runs exchange-free") {
+    // the scan reports KeyGroupedPartitioning(partition) with one split per
+    // log partition, so under v2 bucketing a groupBy(partition) aggregate
+    // needs NO shuffle — on a 1000-partition topic that is the difference
+    // between a metadata-local pass and a full-cluster exchange
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.read.format("graft-replay").option("path", log).load()
+        // sum(length(value)) cannot push to the index, so this exercises the
+        // record scan's reported partitioning, not the agg-pushdown path
+        .groupBy(col("partition")).agg(sum(length(col("value"))).as("bytes"))
+      val rows = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"groupBy(partition) should not shuffle a key-grouped scan:\n$p")
+      // same numbers as the shuffled plan
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val want = spark.read.format("graft-replay").option("path", log).load()
+        .groupBy(col("partition")).agg(sum(length(col("value"))))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rows === want)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("limit pushdown caps the planned offset span to n records") {
     val df = spark.read.format("graft-replay").option("path", log).load()
     val limited = df.limit(7)

@@ -2366,7 +2366,70 @@ FROM stg, tot ORDER BY stage NULLS FIRST""")),
   count(*) AS n,
   CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
   min(user_id) AS min_user, max(user_id) AS max_user
-FROM events GROUP BY 1 ORDER BY etype NULLS FIRST"""))
+FROM events GROUP BY 1 ORDER BY etype NULLS FIRST""")),
+
+    // S56: the replay stream consumed over the KAFKA WIRE PROTOCOL — s35's
+    // kafka twin: client=kafka against an in-process wire-faithful broker
+    // (Metadata/ListOffsets/Fetch v4, RecordBatch v2), putting the wire
+    // client into the driver's DuckDB gate (it was spec-evidenced only).
+    // Same offsets, same admission, same checkpointing; only the wire
+    // differs. Envelope oracle ≡ s35 (partition = event_id % 3,
+    // offset = event_id // 3).
+    GQuery("s56_kafka_wire_replay",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        val broker = new graft.sources.replay.KafkaLogServer(log, "events")
+        try {
+          runToMemory(
+            s.readStream.format("graft-replay")
+              .option("client", "kafka").option("path", broker.clientPath)
+              .option("maxRowsPerTrigger", adaptiveTrigger(s, d).toString)
+              .load()
+              .select(col("partition").cast("long").as("partition"), col("offset"),
+                col("key").cast("string").as("key"),
+                length(col("value").cast("string")).cast("long").as("vlen")),
+            "append").orderBy(col("partition"), col("offset"))
+        } finally broker.close()
+      },
+      Some("""SELECT event_id % 3 AS "partition", event_id // 3 AS "offset",
+  'Key ' || event_id AS key, len(props) AS vlen
+FROM events
+ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
+    // S57: the PRODUCE round-trip as a declared query — the events envelope
+    // written through the graft-replay SINK (Produce v3 wire batches, real
+    // CRC-32C, zstd, idempotent producer) into an empty 3-partition topic,
+    // then read back over the same wire and checked row-by-row against the
+    // source table. Key-level identity is routing-independent (partition
+    // assignment is murmur2's business, offsets the broker's), so the
+    // oracle replays exactly the content contract the sink guarantees.
+    GQuery("s57_kafka_produce_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory(tmpBase, "kafka-sunk").toString
+        val broker = new graft.sources.replay.KafkaLogServer(dir, "sunk",
+          explicitPartitions = Some(0 until 3))
+        try {
+          Tables.events(s, d)
+            .select(concat(lit("Key "), col("event_id")).cast("binary").as("key"),
+              col("props").cast("binary").as("value"))
+            .write.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .option("producer.compression.type", "zstd")
+            .option("producer.enable.idempotence", "true")
+            .mode("append").save()
+          // materialize BEFORE the finally kills the broker: the returned
+          // frame must not re-dial a closed socket when the caller collects
+          s.read.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .load()
+            .select(col("key").cast("string").as("key"),
+              length(col("value").cast("string")).cast("long").as("vlen"))
+            .orderBy(col("key"))
+            .localCheckpoint(true)
+        } finally broker.close()
+      },
+      Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
+FROM events ORDER BY key NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

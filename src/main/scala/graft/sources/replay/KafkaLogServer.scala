@@ -5,8 +5,16 @@ import java.net.{ServerSocket, Socket}
 
 /** Wire-faithful single-node Kafka broker double for [[KafkaLogClient]]:
   * speaks the exact protocol subset the client consumes — Metadata v0,
-  * ListOffsets v1, Fetch v4 with RecordBatch v2 — serving one
-  * topic from a file-backed [[ReplayLog]] directory. Persistent connections
+  * ListOffsets v1, Fetch v4 with RecordBatch v2, Produce v3 (+CRC-32C
+  * verification and idempotent-producer sequence absorption),
+  * InitProducerId v0 — serving one
+  * topic from a file-backed [[ReplayLog]] directory. Lives in MAIN scope
+  * (like [[SocketLogServer]], the socket backend's double) so the declared
+  * registry queries s56/s57 can run the kafka wire client and the produce
+  * sink through the driver's DuckDB correctness gate, not just the specs;
+  * the fault-injection knobs (truncateTail, forgeScramServerSig,
+  * dropProduceResponses, apiVersionsError, legacyMagic) are all off by
+  * default and only exercised from the test suites. Persistent connections
   * (the client's frame cursor issues sequential Fetch requests on one
   * socket). Batches are capped at [[batchRecords]] records so a ranged read
   * exercises the multi-batch and multi-fetch decode paths, and the tail of
@@ -22,7 +30,7 @@ import java.net.{ServerSocket, Socket}
   * µs event times truncate to ms — exactly what a real broker round-trip
   * does.
   */
-final class FakeKafkaBroker(dir: String, topic: String,
+final class KafkaLogServer(dir: String, topic: String,
     batchRecords: Int = 200, truncateTail: Boolean = false,
     port: Int = 0, codec: Int = 0,
     sasl: Option[(String, String)] = None,

@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.replay.{FakeKafkaBroker, KafkaLogClient, ReplayLog}
+import graft.sources.replay.{KafkaLogServer, KafkaLogClient, ReplayLog}
 
 /** Contract tests for the `kafka` [[graft.sources.replay.LogClient]] backend
   * — the reference's literal core capability (an rdkafka consumer with
   * partition EOF, /root/reference/src/kafka/execution.rs:62-112) spoken as
   * the public Kafka wire protocol with zero broker libraries.
   *
-  * The in-process [[FakeKafkaBroker]] is wire-faithful (Metadata v0 /
+  * The in-process [[KafkaLogServer]] is wire-faithful (Metadata v0 /
   * ListOffsets v1 / Fetch v4 / RecordBatch v2), so these tests prove the
   * client's framing, varint and batch decode against real encoded bytes over
   * real TCP. The final test runs the same contract against an actual broker
@@ -21,7 +21,7 @@ class KafkaWireSpec extends SparkSpec {
 
   test("planning contract: partitions and offsets match the file client") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     try {
       val kafka = new KafkaLogClient(s"${broker.address}/events")
       val file = new graft.sources.replay.FileLogClient(dir)
@@ -35,7 +35,7 @@ class KafkaWireSpec extends SparkSpec {
 
   test("batch read through the kafka client matches the file client") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     try {
       def read(client: String, path: String) = spark.read.format("graft-replay")
         .option("client", client).option("path", path).load()
@@ -57,7 +57,7 @@ class KafkaWireSpec extends SparkSpec {
     // 7-record batches force many batches per range; every record_set also
     // carries a cut partial batch after the real one (brokers cut at
     // max_bytes) — the decoder must take the whole batches and re-fetch
-    val broker = new FakeKafkaBroker(dir, "events", batchRecords = 7,
+    val broker = new KafkaLogServer(dir, "events", batchRecords = 7,
       truncateTail = true)
     try {
       val n = spark.read.format("graft-replay")
@@ -71,7 +71,7 @@ class KafkaWireSpec extends SparkSpec {
   test("micro-batch stream with admission control over the kafka client") {
     import spark.implicits._
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-ckpt").toString
     try {
       val q = spark.readStream.format("graft-replay")

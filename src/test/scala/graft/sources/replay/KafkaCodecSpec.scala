@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * src/kafka/execution.rs:62-112), and compressed topics are default
   * producer configs, so a real user hits this on the first fetch.
   *
-  * Each codec fixture serves the SAME ReplayLog through [[FakeKafkaBroker]]
+  * Each codec fixture serves the SAME ReplayLog through [[KafkaLogServer]]
   * with that codec's real framing (GZIPOutputStream / xerial
   * SnappyOutputStream / LZ4FrameOutputStream / ZstdOutputStream — exactly
   * what the official producers write) and asserts the full batch read is
@@ -32,8 +32,8 @@ class KafkaCodecSpec extends graft.SparkSpec {
   codecs.foreach { case (id, name) =>
     test(s"$name-compressed batches decode bit-identically to uncompressed") {
       val dir = ReplayLog.ensureLog(spark, sf)
-      val plain = new FakeKafkaBroker(dir, "events")
-      val comp = new FakeKafkaBroker(dir, "events", codec = id)
+      val plain = new KafkaLogServer(dir, "events")
+      val comp = new KafkaLogServer(dir, "events", codec = id)
       try {
         val got = readAll(comp.clientPath)
         val want = readAll(plain.clientPath)
@@ -47,8 +47,8 @@ class KafkaCodecSpec extends graft.SparkSpec {
     val dir = ReplayLog.ensureLog(spark, sf)
     // small batches force several compressed units per fetch response — each
     // must open its own decompression stream positioned at its own header
-    val comp = new FakeKafkaBroker(dir, "events", batchRecords = 7, codec = 4)
-    val plain = new FakeKafkaBroker(dir, "events")
+    val comp = new KafkaLogServer(dir, "events", batchRecords = 7, codec = 4)
+    val plain = new KafkaLogServer(dir, "events")
     try {
       val got = readAll(comp.clientPath)
       assert(got.nonEmpty)
@@ -75,8 +75,8 @@ class KafkaCodecSpec extends graft.SparkSpec {
     case ((magic, codecName), codecId) =>
       test(s"legacy magic-$magic $codecName MessageSet decodes to the v2 twin") {
         val dir = ReplayLog.ensureLog(spark, sf)
-        val v2 = new FakeKafkaBroker(dir, "events")
-        val old = new FakeKafkaBroker(dir, "events", codec = codecId,
+        val v2 = new KafkaLogServer(dir, "events")
+        val old = new KafkaLogServer(dir, "events", codec = codecId,
           legacyMagic = Some(magic))
         try {
           // magic 0 has no wire timestamp (surfaces as -1 ms) — compare the
@@ -100,8 +100,8 @@ class KafkaCodecSpec extends graft.SparkSpec {
 
   test("legacy uncompressed magic-1 entries (one message per set entry) decode exactly") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val v2 = new FakeKafkaBroker(dir, "events")
-    val old = new FakeKafkaBroker(dir, "events", batchRecords = 7,
+    val v2 = new KafkaLogServer(dir, "events")
+    val old = new KafkaLogServer(dir, "events", batchRecords = 7,
       legacyMagic = Some(1))
     try {
       val got = readAll(old.clientPath)

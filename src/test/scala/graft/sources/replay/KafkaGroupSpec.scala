@@ -20,7 +20,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
 
   test("auto-commit publishes each batch's end offsets under the group") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-grp").toString
     try {
       val q = spark.readStream.format("graft-replay")
@@ -53,7 +53,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
     // restart truth (never the broker's committed group offsets), and the
     // union of the two runs must be every record exactly once
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-resume").toString
     val out = java.nio.file.Files.createTempDirectory("kafka-resume-out").toString
     try {
@@ -86,7 +86,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
     // Unit-level pin of the mode-aware flush: drive the MicroBatchStream
     // directly, simulating the three lifecycle shapes.
     val dir = ReplayLog.ensureLog(spark, sf)
-    def stream(broker: FakeKafkaBroker) = new ReplayMicroBatchStream(
+    def stream(broker: KafkaLogServer) = new ReplayMicroBatchStream(
       ReplayOptions(path = broker.clientPath, maxRowsPerTrigger = None,
         minRowsPerTrigger = None, maxTriggerDelayMs = 0L, startingUniform = 0L,
         startingPerPartition = Map.empty, failOnDataLoss = true,
@@ -101,7 +101,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
     }
     // 1. ProcessingTime killed mid-batch: planned, never commit()ed → the
     //    close-flush must publish NOTHING (the old code published the plan)
-    val b1 = new FakeKafkaBroker(dir, "events")
+    val b1 = new KafkaLogServer(dir, "events")
     try {
       val s = stream(b1); plan(s); s.stop()
       assert(b1.committed("flush-g") === Map.empty,
@@ -109,7 +109,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
     } finally b1.close()
     // 2. ProcessingTime with a completed batch: commit(end) fired → the
     //    close-flush publishes exactly that end
-    val b2 = new FakeKafkaBroker(dir, "events")
+    val b2 = new KafkaLogServer(dir, "events")
     try {
       val s = stream(b2); val end = plan(s)
       s.commit(end); s.stop()
@@ -117,7 +117,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
     } finally b2.close()
     // 3. AvailableNow (commit() never fires there): the planned end IS the
     //    run-to-end result — close-flush keeps publishing it
-    val b3 = new FakeKafkaBroker(dir, "events")
+    val b3 = new KafkaLogServer(dir, "events")
     try {
       val s = stream(b3)
       s.prepareForTriggerAvailableNow()
@@ -128,7 +128,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
 
   test("no group.id or auto-commit off → nothing is committed") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-grp2").toString
     try {
       val q = spark.readStream.format("graft-replay")
@@ -154,7 +154,7 @@ class KafkaGroupSpec extends graft.SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("kgrow").toString
     RL.writePartitionFile(dir, 0, Iterator(
       org.apache.spark.sql.Row("k0".getBytes, "v0".getBytes, 1000L)))
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     val name = "kafka_grow_mem"
     val q = spark.readStream.format("graft-replay")
       .option("client", "kafka").option("path", broker.clientPath).load()

@@ -24,7 +24,7 @@ class KafkaPreflightSpec extends graft.SparkSpec {
   test("a broker that dropped Fetch v4 fails the preflight with a named error") {
     val dir = ReplayLog.ensureLog(spark, sf)
     // modern ranges except Fetch now starts at v5
-    val broker = new FakeKafkaBroker(dir, "events",
+    val broker = new KafkaLogServer(dir, "events",
       advertiseApis = Some(Seq[(Short, Short, Short)](
         (1, 5, 13), (2, 0, 7), (3, 0, 12), (18, 0, 3))))
     try {
@@ -40,7 +40,7 @@ class KafkaPreflightSpec extends graft.SparkSpec {
 
   test("a broker that does not expose a pinned api key is named too") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events",
+    val broker = new KafkaLogServer(dir, "events",
       advertiseApis = Some(Seq[(Short, Short, Short)](
         (1, 0, 13), (3, 0, 12), (18, 0, 3)))) // no ListOffsets at all
     try {
@@ -55,8 +55,8 @@ class KafkaPreflightSpec extends graft.SparkSpec {
 
   test("an ancient broker that errors ApiVersions is tolerated (read succeeds)") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val modern = new FakeKafkaBroker(dir, "events")
-    val ancient = new FakeKafkaBroker(dir, "events",
+    val modern = new KafkaLogServer(dir, "events")
+    val ancient = new KafkaLogServer(dir, "events",
       apiVersionsError = 35) // UNSUPPORTED_VERSION
     try {
       val got = readAll(ancient.clientPath)

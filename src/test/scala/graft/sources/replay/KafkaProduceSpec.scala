@@ -18,14 +18,14 @@ class KafkaProduceSpec extends graft.SparkSpec {
   private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
 
   /** empty 3-partition topic: nothing file-backed, produce-only. */
-  private def emptyBroker(topic: String): FakeKafkaBroker = {
+  private def emptyBroker(topic: String): KafkaLogServer = {
     val dir = java.nio.file.Files.createTempDirectory("kafka-prod").toString
-    new FakeKafkaBroker(dir, topic, explicitPartitions = Some(Seq(0, 1, 2)))
+    new KafkaLogServer(dir, topic, explicitPartitions = Some(Seq(0, 1, 2)))
   }
 
   test("produce appends after the base log and round-trips bit-identically") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val broker = new FakeKafkaBroker(dir, "events")
+    val broker = new KafkaLogServer(dir, "events")
     try {
       val c = new KafkaLogClient(broker.clientPath)
       val before = c.endOffset(0)
@@ -270,7 +270,7 @@ class KafkaProduceSpec extends graft.SparkSpec {
       "-storepass", pass, "-noprompt")
 
     val logDir = java.nio.file.Files.createTempDirectory("kafka-prod-sasl").toString
-    val broker = new FakeKafkaBroker(logDir, "sec",
+    val broker = new KafkaLogServer(logDir, "sec",
       sasl = Some(("svc-writer", "hunter2")), tlsKeystore = Some((ks, pass)),
       explicitPartitions = Some(Seq(0, 1, 2)))
     try {
@@ -298,7 +298,7 @@ class KafkaProduceSpec extends graft.SparkSpec {
     // the checkpoint WAL owns epoch truth: a completed epoch is never
     // re-planned, so restarting the sink query cannot duplicate its output
     val dir = ReplayLog.ensureLog(spark, sf)
-    val src = new FakeKafkaBroker(dir, "events")
+    val src = new KafkaLogServer(dir, "events")
     val dst = emptyBroker("ckpt")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-sink-ckpt").toString
     try {
@@ -328,7 +328,7 @@ class KafkaProduceSpec extends graft.SparkSpec {
 
   test("sink killed mid-stream loses nothing on resume (at-least-once, bounded dups)") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val src = new FakeKafkaBroker(dir, "events")
+    val src = new KafkaLogServer(dir, "events")
     val dst = emptyBroker("killed")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-sink-kill").toString
     try {
@@ -377,7 +377,7 @@ class KafkaProduceSpec extends graft.SparkSpec {
     // key/value/timestamp and PRODUCES into an empty topic on a second
     // broker — then a batch read of the sink topic must hold every record
     val dir = ReplayLog.ensureLog(spark, sf)
-    val src = new FakeKafkaBroker(dir, "events")
+    val src = new KafkaLogServer(dir, "events")
     val dst = emptyBroker("mirrored")
     val ckpt = java.nio.file.Files.createTempDirectory("kafka-sink").toString
     try {

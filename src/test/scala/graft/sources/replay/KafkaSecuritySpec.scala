@@ -60,8 +60,8 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("SASL/PLAIN authenticates through the consumer.* option seam") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val open = new FakeKafkaBroker(dir, "events")
-    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    val open = new KafkaLogServer(dir, "events")
+    val gated = new KafkaLogServer(dir, "events", sasl = Some((user, pass)))
     try {
       val got = readAll(gated.clientPath,
         "consumer.security.protocol" -> "SASL_PLAINTEXT",
@@ -76,7 +76,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("wrong password fails loudly with the broker's error 58") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    val gated = new KafkaLogServer(dir, "events", sasl = Some((user, pass)))
     try {
       val c = new KafkaLogClient(gated.clientPath, Map(
         "security.protocol" -> "SASL_PLAINTEXT",
@@ -89,8 +89,8 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("SASL/SCRAM-SHA-256 and -512: full RFC 5802 exchange authenticates") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val open = new FakeKafkaBroker(dir, "events")
-    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    val open = new KafkaLogServer(dir, "events")
+    val gated = new KafkaLogServer(dir, "events", sasl = Some((user, pass)))
     try {
       val expected = readAll(open.clientPath)
       Seq("SCRAM-SHA-256", "SCRAM-SHA-512").foreach { mech =>
@@ -107,7 +107,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("SCRAM wrong password is rejected at the client-final leg (error 58)") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    val gated = new KafkaLogServer(dir, "events", sasl = Some((user, pass)))
     try {
       val c = new KafkaLogClient(gated.clientPath, Map(
         "security.protocol" -> "SASL_PLAINTEXT",
@@ -124,7 +124,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
     // HMAC(ServerKey, AuthMessage); the client must verify v= and refuse —
     // otherwise a MITM that relays the handshake could serve forged data.
     val dir = ReplayLog.ensureLog(spark, sf)
-    val evil = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)),
+    val evil = new KafkaLogServer(dir, "events", sasl = Some((user, pass)),
       forgeScramServerSig = true)
     try {
       val c = new KafkaLogClient(evil.clientPath, Map(
@@ -139,9 +139,9 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("SASL/OAUTHBEARER: bearer token authenticates (inline and token file)") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val open = new FakeKafkaBroker(dir, "events")
+    val open = new KafkaLogServer(dir, "events")
     val token = "graft.oauth.token-abc123"
-    val gated = new FakeKafkaBroker(dir, "events", oauthToken = Some(token))
+    val gated = new KafkaLogServer(dir, "events", oauthToken = Some(token))
     try {
       val expected = readAll(open.clientPath)
       val got = readAll(gated.clientPath,
@@ -164,7 +164,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("OAUTHBEARER bad token surfaces the RFC 7628 error JSON, not a wire error") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val gated = new FakeKafkaBroker(dir, "events",
+    val gated = new KafkaLogServer(dir, "events",
       oauthToken = Some("the-right-token"))
     try {
       val c = new KafkaLogClient(gated.clientPath, Map(
@@ -179,7 +179,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("OAUTHBEARER without a token config fails fast with a named error") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val gated = new FakeKafkaBroker(dir, "events", oauthToken = Some("t"))
+    val gated = new KafkaLogServer(dir, "events", oauthToken = Some("t"))
     try {
       val c = new KafkaLogClient(gated.clientPath, Map(
         "security.protocol" -> "SASL_PLAINTEXT",
@@ -191,7 +191,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
 
   test("a SASL listener refuses unauthenticated data APIs") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    val gated = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)))
+    val gated = new KafkaLogServer(dir, "events", sasl = Some((user, pass)))
     try {
       // plaintext client straight to Metadata: the broker kills the
       // connection rather than serve it
@@ -203,8 +203,8 @@ class KafkaSecuritySpec extends graft.SparkSpec {
   test("TLS: full batch read over an encrypted listener with a pinned truststore") {
     val (ks, ts, storePass) = tls
     val dir = ReplayLog.ensureLog(spark, sf)
-    val open = new FakeKafkaBroker(dir, "events")
-    val sec = new FakeKafkaBroker(dir, "events", tlsKeystore = Some((ks, storePass)))
+    val open = new KafkaLogServer(dir, "events")
+    val sec = new KafkaLogServer(dir, "events", tlsKeystore = Some((ks, storePass)))
     try {
       val got = readAll(sec.clientPath,
         "consumer.security.protocol" -> "SSL",
@@ -219,7 +219,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
   test("TLS without the broker's CA in the truststore fails the handshake") {
     val (ks, _, storePass) = tls
     val dir = ReplayLog.ensureLog(spark, sf)
-    val sec = new FakeKafkaBroker(dir, "events", tlsKeystore = Some((ks, storePass)))
+    val sec = new KafkaLogServer(dir, "events", tlsKeystore = Some((ks, storePass)))
     try {
       // JVM default trust anchors do not include the self-signed cert
       val c = new KafkaLogClient(sec.clientPath,
@@ -255,7 +255,7 @@ class KafkaSecuritySpec extends graft.SparkSpec {
     run("-importcert", "-alias", "evil", "-file", cert, "-keystore", ts,
       "-storepass", storePass, "-noprompt")
     val logDir = ReplayLog.ensureLog(spark, sf)
-    val sec = new FakeKafkaBroker(logDir, "events",
+    val sec = new KafkaLogServer(logDir, "events",
       tlsKeystore = Some((ks, storePass)))
     try {
       // trusted chain, wrong identity (cert says evil.example, peer is
@@ -279,8 +279,8 @@ class KafkaSecuritySpec extends graft.SparkSpec {
   test("SASL_SSL: authentication inside the encrypted channel") {
     val (ks, ts, storePass) = tls
     val dir = ReplayLog.ensureLog(spark, sf)
-    val open = new FakeKafkaBroker(dir, "events")
-    val sec = new FakeKafkaBroker(dir, "events", sasl = Some((user, pass)),
+    val open = new KafkaLogServer(dir, "events")
+    val sec = new KafkaLogServer(dir, "events", sasl = Some((user, pass)),
       tlsKeystore = Some((ks, storePass)))
     try {
       val got = readAll(sec.clientPath,

@@ -144,6 +144,73 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
       None),
 
 
+    // The O-class twin of x02_simhash (the x02b pattern applied to SimHash):
+    // a 60-bit signature from the PORTABLE hash family — per shingle the
+    // first 15 md5 hex chars as a sign-safe BIGINT (< 2^60; DuckDB CAST
+    // raises past 2^63 where Spark conv would wrap), per-bit majority vote
+    // with the tie broken as 2·ones >= n, 4 bands × 15 bits for candidates,
+    // exact Hamming (bit_count of xor) <= 9 verification — so the DuckDB
+    // oracle replays signatures, banding AND verification bit-for-bit.
+    // x02_simhash keeps the codegen simhash64 expression as the throughput
+    // path; this twin is the correctness anchor for the whole SimHash
+    // pipeline. Scale: per-row vote fold (O(60·n) per doc, no shuffle),
+    // band equi-join (never doc×doc), Hamming only on candidates.
+    GQuery("x02c_simhash_exact",
+      (s, d) => {
+        // per-bit majority votes as 60 codegen'd aggregate columns (a
+        // per-row fold over 60 nested lambdas measured 15x slower — HOF
+        // interpretation, not data, was the cost): explode shingles, one
+        // map-side-combined groupBy, then the signature folds 60 SCALAR
+        // columns inside whole-stage codegen.
+        val exploded = spread(t(s, d, "documents"))
+          .select(col("doc_id"), explode(word_shingles(col("text"), 5)).as("g"))
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"))
+        val voteCols = (0 until 60).map(b =>
+          sum(expr(s"shiftright(h, $b) & 1")).as(s"v$b"))
+        val votes = exploded.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"), voteCols: _*)
+        val sigExpr = (0 until 60).map(b =>
+          s"if(2 * v$b >= n, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))")
+          .mkString(" + ")
+        val sig = votes.select(col("doc_id"), expr(sigExpr).as("sig"))
+        val banded = sig.select(col("doc_id"), col("sig"),
+            posexplode(expr(
+              "transform(sequence(0, 3), b -> shiftright(sig, b * 15) & 32767)")))
+          .toDF("doc_id", "sig", "band", "bk")
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("cast(bit_count(a.sig ^ b.sig) as bigint)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 9)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shd AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+hs AS (SELECT doc_id,
+    list_transform(s, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hv
+  FROM shd),
+sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+    CASE WHEN 2 * len(list_filter(hv, h -> ((h >> b) & 1) = 1)) >= len(hv)
+      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END))
+    AS BIGINT) AS sg FROM hs),
+bands AS (SELECT doc_id, sg, bb.b AS band,
+    (sg >> CAST(bb.b * 15 AS INT)) & 32767 AS bk
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sg AS sa, b.sg AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 9
+ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
+
+
     // ---- X07: duplicate-cluster assignment ---------------------------------
     // Near-dup PAIRS become per-document cluster ids (min doc id of the
     // connected component) via iterative min-label propagation — the

@@ -987,6 +987,82 @@ st AS (
 SELECT stage, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
   CAST(CAST(CAST(count(*) AS DOUBLE) / max(total) AS DECIMAL(18,6)) AS DOUBLE)
     AS retained_frac
-FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST"""))
+FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST""")),
+
+
+    // ---- X69: DSIR importance resampling (Xie et al., NeurIPS 2023) --------
+    // Data Selection via Importance Resampling — the published recipe for
+    // cutting a raw crawl toward a TARGET domain: estimate target and raw
+    // distributions over HASHED n-gram features (here: word unigrams →
+    // md5 buckets mod 512, the paper's hashing trick at oracle-checkable
+    // size), weight every doc by its log importance ratio
+    // Σ count_b · ln(p̂_target(b)/p̂_raw(b)) (add-1 smoothed), then draw a
+    // fixed-size sample ∝ exp(weight) WITHOUT replacement via the
+    // Gumbel-max trick (score = logw + standard Gumbel from the portable
+    // md5 uniform; global top-K by score IS the importance resample).
+    // The 100 TB shape: ONE (doc, bucket) count shuffle feeds both sides —
+    // the 512-row bucket table (reused exchange) and the per-doc fold; the
+    // rate table broadcasts; the top-K is TakeOrderedAndProject (no global
+    // sort). Target slice = source 'src0' (the curated-domain stand-in).
+    // Cross-engine exactness: integer bucket counts; ln args built from
+    // identical double divisions; each ln quantized to decimal(18,6) (ln
+    // agrees to 1 ulp — the x55 analysis; the Gumbel chain's inner -ln(u)
+    // ∈ [6e-8, 16.6] keeps the outer ln's relative drift ~1e-16, far below
+    // the grain); per-doc Σ count·lr is exact decimal arithmetic, so the
+    // K-boundary is deterministic with the doc_id tiebreak. O-class.
+    GQuery("x69_dsir_resample",
+      (s, d) => {
+        val bucket = expr("CAST(conv(substr(md5(concat('dsir69:', word)), " +
+          "1, 6), 16, 10) AS BIGINT) % 512")
+        val dc = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), col("source"), bucket.as("b"))
+          .groupBy(col("doc_id"), col("source"), col("b"))
+          .agg(count(lit(1)).as("dc"))
+        val bc = dc.groupBy(col("b"))
+          .agg(sum(col("dc")).as("cc"),
+            sum(when(col("source") === "src0", col("dc"))
+              .otherwise(lit(0L))).as("tc"))
+        val tot = bc.agg(sum(col("cc")).as("c"), sum(col("tc")).as("t"))
+        val rates = bc.crossJoin(broadcast(tot))
+          .select(col("b"),
+            log(((col("tc") + lit(1.0)) / (col("t") + lit(512))) /
+              ((col("cc") + lit(1.0)) / (col("c") + lit(512))))
+              .cast("decimal(18,6)").as("lr"))
+        val gum = expr("CAST(-ln(-ln((CAST(conv(substr(md5(concat('g69:', " +
+          "doc_id)), 1, 6), 16, 10) AS BIGINT) + 1.0) / 16777217.0)) " +
+          "AS DECIMAL(18,6))")
+        dc.join(broadcast(rates), "b")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("dc") * col("lr")).as("lw"))
+          .select(col("doc_id"), col("source"),
+            col("lw").cast("double").as("logw"),
+            (col("lw") + gum).cast("double").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(60)
+      },
+      Some("""WITH w AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5('dsir69:' || word), 1, 6)) AS BIGINT) % 512
+      AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents)),
+dcnt AS (SELECT doc_id, source, b, count(*) AS dc FROM w GROUP BY 1, 2, 3),
+bc AS (SELECT b, sum(dc) AS cc,
+    sum(CASE WHEN source = 'src0' THEN dc ELSE 0 END) AS tc
+  FROM dcnt GROUP BY 1),
+tot AS (SELECT sum(cc) AS c, sum(tc) AS t FROM bc),
+rates AS (SELECT b,
+    CAST(ln(((tc + 1.0) / (t + 512)) / ((cc + 1.0) / (c + 512)))
+      AS DECIMAL(18,6)) AS lr
+  FROM bc, tot),
+lw AS (SELECT doc_id, source, sum(dc * lr) AS lw
+  FROM dcnt JOIN rates USING (b) GROUP BY 1, 2)
+SELECT doc_id, source, CAST(lw AS DOUBLE) AS logw,
+  CAST(lw + CAST(-ln(-ln((CAST(concat('0x', substr(md5('g69:' || doc_id),
+      1, 6)) AS BIGINT) + 1.0) / 16777217.0)) AS DECIMAL(18,6)) AS DOUBLE)
+    AS score
+FROM lw ORDER BY score DESC, doc_id LIMIT 60"""))
   )
 }

@@ -2429,6 +2429,56 @@ ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
         } finally broker.close()
       },
       Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
+FROM events ORDER BY key NULLS FIRST""")),
+
+    // S58: Kafka TRANSACTIONS through the correctness gate — the
+    // exactly-once pair the reference inherits from librdkafka
+    // (transactional.id + isolation.level). Two ABORTED decoy
+    // transactions sandwich the real data: decoys land first (a leading
+    // aborted span + abort marker the reader must skip over), then the
+    // events envelope commits through the TRANSACTIONAL sink (one Kafka
+    // transaction per task, committed at task commit), then a second decoy
+    // txn aborts after. The default read_committed read must surface
+    // EXACTLY the committed table rows — any leaked decoy key or dropped
+    // event changes the oracle hash — while walking a log whose offsets
+    // now have real gaps (control markers + hidden aborted spans).
+    GQuery("s58_kafka_txn_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory(tmpBase, "kafka-txn").toString
+        val broker = new graft.sources.replay.KafkaLogServer(dir, "txn",
+          explicitPartitions = Some(0 until 2))
+        try {
+          val decoys = new graft.sources.replay.KafkaLogClient(
+            broker.clientPath,
+            Map("transactional.id" -> "s58-decoy", "graft.role" -> "producer"))
+          def abortedDecoys(tag: String): Unit = {
+            decoys.beginTxn()
+            (0 until 2).foreach { p =>
+              decoys.produce(p, (0 until 250).map(i =>
+                (s"Key decoy-$tag-$i".getBytes("UTF-8"),
+                  s"never-visible-$i".getBytes("UTF-8"), 1723700000000L + i)))
+            }
+            decoys.endTxn(commit = false)
+          }
+          abortedDecoys("pre")
+          Tables.events(s, d)
+            .select(concat(lit("Key "), col("event_id")).cast("binary").as("key"),
+              col("props").cast("binary").as("value"))
+            .write.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .option("producer.transactional.id", "s58-sink")
+            .mode("append").save()
+          abortedDecoys("post")
+          s.read.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .load()
+            .select(col("key").cast("string").as("key"),
+              length(col("value").cast("string")).cast("long").as("vlen"))
+            .orderBy(col("key"))
+            .localCheckpoint(true)
+        } finally broker.close()
+      },
+      Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
 FROM events ORDER BY key NULLS FIRST"""))
   )
 

@@ -17,10 +17,12 @@ import java.net.{InetSocketAddress, Socket}
   *     address book. Re-requested every trigger via [[listPartitions]], so
   *     mid-stream partition growth is observed like the file client's
   *     re-listing.
-  *   - ListOffsets v1 (api 2): timestamp −2 → earliest, −1 → log-end. The
+  *   - ListOffsets v2 (api 2): timestamp −2 → earliest, −1 → log-end. The
   *     planner's `[earliest, endOffset)` range IS the reference's
   *     `enable.partition.eof` bounded batch: each micro-batch plan reads to
-  *     the frozen high watermark and stops.
+  *     the frozen high watermark and stops. v2 carries the isolation level,
+  *     so a read_committed consumer's "latest" is the LAST STABLE OFFSET —
+  *     planned ranges never include records of a still-open transaction.
   *   - ApiVersions v0 (api 18): first-connection preflight — verifies the
   *     broker still serves every request version pinned below and fails
   *     with a named error instead of a raw wire parse error if not
@@ -317,7 +319,7 @@ final class KafkaLogClient(path: String,
     * only the APIs a given configuration will actually use. */
   private def pinnedApis: Seq[(String, Short, Short)] = {
     val base = Seq[(String, Short, Short)](
-      ("Fetch", ApiFetch, 4), ("ListOffsets", ApiListOffsets, 1),
+      ("Fetch", ApiFetch, 4), ("ListOffsets", ApiListOffsets, 2),
       ("Metadata", ApiMetadata, 0))
     val saslApis = if (useSasl) Seq[(String, Short, Short)](
       ("SaslHandshake", ApiSaslHandshake, 1),
@@ -329,8 +331,13 @@ final class KafkaLogClient(path: String,
     // the sink's clients (ReplayWrite sets graft.role=producer) also produce
     val produceApis = if (conf.get("graft.role").contains("producer"))
       Seq[(String, Short, Short)](("Produce", ApiProduce, 3)) ++
-        (if (conf.get("enable.idempotence").contains("true"))
+        (if (conf.get("enable.idempotence").contains("true") ||
+            conf.contains("transactional.id"))
           Seq[(String, Short, Short)](("InitProducerId", ApiInitProducerId, 0))
+        else Nil) ++
+        (if (conf.contains("transactional.id")) Seq[(String, Short, Short)](
+          ("AddPartitionsToTxn", ApiAddPartitionsToTxn, 0),
+          ("EndTxn", ApiEndTxn, 0))
         else Nil)
     else Nil
     base ++ saslApis ++ groupApis ++ produceApis
@@ -420,15 +427,21 @@ final class KafkaLogClient(path: String,
 
   override def listPartitions(): Seq[Int] = fetchMeta().leaders.keys.toSeq.sorted
 
-  /** ListOffsets at `ts` (−1 latest, −2 earliest) against the leader. */
+  /** ListOffsets v2 at `ts` (−1 latest, −2 earliest) against the leader.
+    * v2 is the first ISOLATION-AWARE version: under read_committed the
+    * "latest" offset is the LAST STABLE OFFSET, so every planned
+    * micro-batch range ends at transactionally-decided data — a range can
+    * never include records of a still-open transaction. */
   private def listOffset(p: Int, ts: Long): Long = {
     val meta = fetchMeta()
     val body = new ByteArrayOutputStream()
     val o = new DataOutputStream(body)
     o.writeInt(-1)              // replica_id: consumer
+    o.writeByte(if (readCommitted) 1 else 0) // isolation_level
     o.writeInt(1); writeString(o, topic)
     o.writeInt(1); o.writeInt(p); o.writeLong(ts)
-    val in = oneShot(leaderAddr(meta, p), ApiListOffsets, 1, body.toByteArray)
+    val in = oneShot(leaderAddr(meta, p), ApiListOffsets, 2, body.toByteArray)
+    in.readInt()                // throttle_time_ms
     val nTopics = in.readInt()
     var result = -1L
     (1 to nTopics).foreach { _ =>
@@ -552,15 +565,33 @@ final class KafkaLogClient(path: String,
     * restart) gets a new pid, so cross-restart duplicates remain possible
     * — full cross-session exactly-once needs transactions, which this
     * dialect does not speak. */
-  private val idempotent = conf.get("enable.idempotence").contains("true")
+  /** `transactional.id` (librdkafka's knob) upgrades the producer to
+    * TRANSACTIONS — the full exactly-once write path this dialect's
+    * consume side already understands: InitProducerId registers the id,
+    * [[beginTxn]] opens a transaction, produce stamps the transactional
+    * attribute bit and lazily registers each partition via
+    * AddPartitionsToTxn (api 24 v0 — Kafka has no wire "begin"; a txn
+    * starts when its first partition is added), and [[endTxn]] asks the
+    * coordinator to write COMMIT/ABORT control markers (EndTxn, api 26
+    * v0). Until the commit marker lands, a read_committed consumer sees
+    * nothing; an abort makes the produced records permanently invisible.
+    * A transactional id implies idempotence, as in every real client. */
+  private val transactionalId = conf.get("transactional.id")
+  private val idempotent = transactionalId.isDefined ||
+    conf.get("enable.idempotence").contains("true")
   private var producerId = -1L
   private var producerEpoch: Short = -1
   private val seqByPartition = scala.collection.mutable.Map.empty[Int, Int]
+  private var txnOpen = false
+  private val txnPartitions = scala.collection.mutable.Set.empty[Int]
 
   private def ensureProducerId(): Unit = if (idempotent && producerId < 0) {
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    o.writeShort(-1)            // transactional_id: null (idempotence only)
-    o.writeInt(60000)           // transaction_timeout_ms (unused w/o txns)
+    transactionalId match {
+      case Some(id) => writeString(o, id)
+      case None => o.writeShort(-1) // null: idempotence only
+    }
+    o.writeInt(60000)           // transaction_timeout_ms
     val r = oneShot(bootstrap, ApiInitProducerId, 0, body.toByteArray)
     r.readInt()                 // throttle_time_ms
     val err = r.readShort()
@@ -568,6 +599,60 @@ final class KafkaLogClient(path: String,
       throw new IOException(s"kafka InitProducerId error $err")
     producerId = r.readLong()
     producerEpoch = r.readShort()
+  }
+
+  /** Open a transaction. All subsequent [[produce]] calls belong to it
+    * until [[endTxn]]. (Wire-wise this only fences local state — the
+    * broker learns of the txn at the first AddPartitionsToTxn.) */
+  def beginTxn(): Unit = synchronized {
+    require(transactionalId.isDefined,
+      "beginTxn requires producer transactional.id")
+    require(!txnOpen, "a transaction is already open")
+    ensureProducerId()
+    txnPartitions.clear()
+    txnOpen = true
+  }
+
+  /** AddPartitionsToTxn v0: register `p` with the coordinator as part of
+    * the open transaction (sent lazily on first produce to `p`). */
+  private def addPartitionToTxn(p: Int): Unit = {
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    writeString(o, transactionalId.get)
+    o.writeLong(producerId); o.writeShort(producerEpoch)
+    o.writeInt(1); writeString(o, topic)
+    o.writeInt(1); o.writeInt(p)
+    val r = oneShot(bootstrap, ApiAddPartitionsToTxn, 0, body.toByteArray)
+    r.readInt()                 // throttle_time_ms
+    val nTopics = r.readInt()
+    (1 to nTopics).foreach { _ =>
+      val name = readString(r)
+      val nParts = r.readInt()
+      (1 to nParts).foreach { _ =>
+        val pid = r.readInt(); val err = r.readShort()
+        if (err != 0) throw new IOException(
+          s"kafka AddPartitionsToTxn error $err for $name/$pid")
+      }
+    }
+    txnPartitions += p
+  }
+
+  /** EndTxn v0: commit (true) or abort (false) the open transaction — the
+    * coordinator writes the control markers into every added partition.
+    * On a single-broker cluster the bootstrap IS the coordinator; a
+    * multi-broker dialect would resolve it via FindCoordinator key_type 1
+    * first (the group path above shows the shape). */
+  def endTxn(commit: Boolean): Unit = synchronized {
+    require(txnOpen, "no open transaction to end")
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    writeString(o, transactionalId.get)
+    o.writeLong(producerId); o.writeShort(producerEpoch)
+    o.writeBoolean(commit)
+    val r = oneShot(bootstrap, ApiEndTxn, 0, body.toByteArray)
+    r.readInt()                 // throttle_time_ms
+    val err = r.readShort()
+    if (err != 0) throw new IOException(s"kafka EndTxn error $err")
+    txnOpen = false
+    txnPartitions.clear()
   }
 
   /** Append `recs` = (key, value, timestampMs) to `topic`/`p` as one
@@ -582,12 +667,21 @@ final class KafkaLogClient(path: String,
   def produce(p: Int, recs: Seq[(Array[Byte], Array[Byte], Long)],
       codec: Int = 0): Long = synchronized {
     require(recs.nonEmpty, "kafka produce needs at least one record")
+    if (transactionalId.isDefined) {
+      require(txnOpen,
+        "a transactional producer must produce inside beginTxn()/endTxn()")
+      if (!txnPartitions.contains(p)) addPartitionToTxn(p)
+    }
     ensureProducerId()
     val baseSeq = if (idempotent) seqByPartition.getOrElse(p, 0) else -1
     val recordSet =
-      encodeRecordBatchV2(recs, codec, producerId, producerEpoch, baseSeq)
+      encodeRecordBatchV2(recs, codec, producerId, producerEpoch, baseSeq,
+        transactional = transactionalId.isDefined)
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    o.writeShort(-1)            // transactional_id: null (non-transactional)
+    transactionalId match {
+      case Some(id) => writeString(o, id)
+      case None => o.writeShort(-1) // null: non-transactional
+    }
     o.writeShort(-1)            // acks: all in-sync replicas
     o.writeInt(30000)           // timeout_ms
     o.writeInt(1); writeString(o, topic)
@@ -645,11 +739,29 @@ final class KafkaLogClient(path: String,
     prodMeta = null
   }
 
+  /** `isolation.level` ≡ the Kafka consumer config (librdkafka defaults to
+    * read_committed, so the reference's rdkafka consumer never surfaces
+    * aborted transactional data — this client matches): read_committed
+    * hides records of aborted transactions and waits behind the last
+    * stable offset; read_uncommitted reads everything. Control markers are
+    * never surfaced in either mode. */
+  private val readCommitted =
+    conf.getOrElse("isolation.level", "read_committed") match {
+      case "read_committed" => true
+      case "read_uncommitted" => false
+      case other => throw new IllegalArgumentException(
+        s"unknown isolation.level '$other' " +
+          "(read_committed, read_uncommitted)")
+    }
+
   override def openFrames(p: Int, start: Long, needKey: Boolean,
       needValue: Boolean): FrameReader = new FrameReader {
     private var sock: Socket = _
     private var sin: DataInputStream = _
     private var sout: DataOutputStream = _
+    // scan position: the next offset a Fetch resumes from. With
+    // transactions in the log this advances past control markers and
+    // aborted spans even when they decode to zero data records.
     private var nextOffset = start
     // decoded records of the current batch, pre-filtered to >= nextOffset
     private var pending: Iterator[(Long, Array[Byte], Array[Byte], Long)] =
@@ -657,6 +769,8 @@ final class KafkaLogClient(path: String,
     var key: Array[Byte] = _
     var value: Array[Byte] = _
     var tsUs: Long = _
+    private var lastOff = -1L
+    override def frameOffset: Long = lastOff
 
     private def ensureConn(): Unit = if (sock == null) {
       val (s, in, out) = open(leaderAddr(fetchMeta(), p))
@@ -671,13 +785,14 @@ final class KafkaLogClient(path: String,
       o.writeInt(100)           // max_wait_ms
       o.writeInt(1)             // min_bytes
       o.writeInt(1 << 22)       // max_bytes (4 MiB)
-      o.writeByte(0)            // isolation: read_uncommitted
+      o.writeByte(if (readCommitted) 1 else 0) // isolation_level
       o.writeInt(1); writeString(o, topic)
       o.writeInt(1); o.writeInt(p); o.writeLong(nextOffset); o.writeInt(1 << 22)
       val in = request(sin, sout, ApiFetch, 4, body.toByteArray)
       in.readInt()              // throttle_time_ms
       val nTopics = in.readInt()
       var recordSet: Array[Byte] = null
+      var aborted: Seq[AbortedTxn] = Nil
       (1 to nTopics).foreach { _ =>
         val name = readString(in)
         val nParts = in.readInt()
@@ -686,27 +801,51 @@ final class KafkaLogClient(path: String,
           in.readLong()         // high_watermark
           in.readLong()         // last_stable_offset
           val nAborted = in.readInt()
-          (1 to math.max(nAborted, 0)).foreach { _ =>
-            in.readLong(); in.readLong()
+          val ab = (1 to math.max(nAborted, 0)).map { _ =>
+            AbortedTxn(in.readLong(), in.readLong())
           }
           val len = in.readInt()
           val bytes = if (len <= 0) Array.emptyByteArray
             else { val b = new Array[Byte](len); in.readFully(b); b }
           if (err != 0)
             throw new IOException(s"kafka fetch error $err for $name/$pid")
-          if (name == topic && pid == p) recordSet = bytes
+          if (name == topic && pid == p) { recordSet = bytes; aborted = ab }
         }
       }
       if (recordSet == null || recordSet.isEmpty)
         throw new EOFException(
           s"kafka fetch returned no data for $topic/$p at offset $nextOffset")
-      pending = decodeBatches(recordSet, nextOffset, needKey, needValue)
+      val (recs, scanPos) = decodeBatchesTxn(recordSet, nextOffset,
+        needKey, needValue, aborted, readCommitted)
+      pending = recs
+      nextOffset = math.max(scanPos, nextOffset)
     }
 
     override def readFrame(): Unit = {
       while (!pending.hasNext) fetchMore()
-      val (off, k, v, tsMs) = pending.next()
-      nextOffset = off + 1
+      emit(pending.next())
+    }
+
+    override def readFrameBefore(end: Long): Boolean = {
+      while (!pending.hasNext) {
+        if (nextOffset >= end) return false
+        fetchMore()
+      }
+      val rec = pending.next()
+      if (rec._1 >= end) {
+        // the tail batch spanned the planned end: stop, leave the rest
+        pending = Iterator.empty
+        nextOffset = end
+        return false
+      }
+      emit(rec)
+      true
+    }
+
+    private def emit(rec: (Long, Array[Byte], Array[Byte], Long)): Unit = {
+      val (off, k, v, tsMs) = rec
+      nextOffset = math.max(nextOffset, off + 1)
+      lastOff = off
       key = k; value = v; tsUs = tsMs * 1000L
     }
 
@@ -728,8 +867,18 @@ private[replay] object KafkaWire {
   val ApiSaslHandshake: Short = 17
   val ApiApiVersions: Short = 18
   val ApiInitProducerId: Short = 22
+  val ApiAddPartitionsToTxn: Short = 24
+  val ApiEndTxn: Short = 26
   val ApiSaslAuthenticate: Short = 36
   val ClientId = "graft"
+
+  /** One aborted transaction from a Fetch response's per-partition
+    * `aborted_transactions` list: the producer id and the first offset it
+    * wrote to this partition. A read_committed consumer drops every
+    * TRANSACTIONAL batch from `pid` between `firstOffset` and that
+    * producer's next control marker — exactly the official client's
+    * aborted-producer scan. */
+  final case class AbortedTxn(pid: Long, firstOffset: Long)
 
   def writeString(o: DataOutputStream, s: String): Unit = {
     val b = s.getBytes("UTF-8")
@@ -845,15 +994,20 @@ private[replay] object KafkaWire {
     * test doubles, but brokers VERIFY the checksum on produce and reject
     * the batch with CORRUPT_MESSAGE, so the producer side cannot skip it.
     * `recs` are (key, value, timestampMs) with nullable key/value;
-    * `baseOffset` is written as 0 — the broker rewrites it to the assigned
-    * log position (producers never know it in advance). Producer id/epoch/
+    * `baseOffset` is written as 0 on produce — the broker rewrites it to
+    * the assigned log position (producers never know it in advance); the
+    * broker double passes the real assigned offset when re-serving stored
+    * batches through Fetch. Producer id/epoch/
     * baseSeq default to -1 (non-idempotent, like a default-config
     * producer); an idempotent producer passes its InitProducerId-assigned
     * identity plus the partition's next sequence number, which brokers use
-    * to absorb retried duplicates. */
+    * to absorb retried duplicates. `transactional` sets attributes bit 4 —
+    * the flag that scopes the batch to its producer's open transaction
+    * (read_committed consumers hide it until the commit marker lands). */
   def encodeRecordBatchV2(
       recs: Seq[(Array[Byte], Array[Byte], Long)], codec: Int,
-      pid: Long = -1L, pepoch: Short = -1, baseSeq: Int = -1): Array[Byte] = {
+      pid: Long = -1L, pepoch: Short = -1, baseSeq: Int = -1,
+      transactional: Boolean = false, baseOffset: Long = 0L): Array[Byte] = {
     require(recs.nonEmpty, "kafka RecordBatch must carry at least one record")
     val firstTs = recs.head._3
     val recBytes = new ByteArrayOutputStream()
@@ -882,7 +1036,8 @@ private[replay] object KafkaWire {
 
     // attributes..end — the span the CRC covers
     val body = new ByteArrayOutputStream(); val bo = new DataOutputStream(body)
-    bo.writeShort(codec & 0x07)           // attributes: codec bits, create-time
+    bo.writeShort((codec & 0x07) |        // attributes: codec bits, create-time
+      (if (transactional) 0x10 else 0))   // bit 4: transactional
     bo.writeInt(recs.size - 1)            // last offset delta
     bo.writeLong(firstTs)
     bo.writeLong(recs.map(_._3).max)      // max timestamp
@@ -893,7 +1048,7 @@ private[replay] object KafkaWire {
     crc.update(body.toByteArray)
 
     val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
-    o.writeLong(0L)                       // base offset (broker-assigned)
+    o.writeLong(baseOffset)               // base offset (broker-assigned)
     o.writeInt(9 + body.size())           // batch length: epoch+magic+crc+body
     o.writeInt(-1)                        // partition leader epoch
     o.writeByte(2)                        // magic
@@ -901,6 +1056,56 @@ private[replay] object KafkaWire {
     o.write(body.toByteArray)
     out.toByteArray
   }
+
+  /** Encode a transaction CONTROL batch — the marker the coordinator writes
+    * into each data partition when a transaction ends (WriteTxnMarkers on a
+    * real cluster). One record, attributes bits 4+5 (transactional +
+    * control), key = int16 version 0 + int16 type (1 = COMMIT, 0 = ABORT),
+    * value = int16 version 0 + int32 coordinator epoch — the public control
+    * record schema. Consumers never surface it as data; it occupies one log
+    * offset (the reason Kafka offsets are not dense) and tells a
+    * read_committed scan where `pid`'s in-flight span ends. */
+  def encodeControlBatch(baseOffset: Long, pid: Long, pepoch: Short,
+      commit: Boolean, tsMs: Long): Array[Byte] = {
+    val key = new ByteArrayOutputStream(); val ko = new DataOutputStream(key)
+    ko.writeShort(0)                      // control record version
+    ko.writeShort(if (commit) 1 else 0)   // type: 1 commit, 0 abort
+    val value = new ByteArrayOutputStream(); val vo = new DataOutputStream(value)
+    vo.writeShort(0)                      // marker value version
+    vo.writeInt(0)                        // coordinator epoch
+
+    val one = new ByteArrayOutputStream(); val oo = new DataOutputStream(one)
+    oo.writeByte(0)                       // record attributes
+    writeVarlong(oo, 0L)                  // ts delta
+    writeVarint(oo, 0)                    // offset delta
+    writeVarint(oo, key.size()); oo.write(key.toByteArray)
+    writeVarint(oo, value.size()); oo.write(value.toByteArray)
+    writeVarint(oo, 0)                    // headers
+    val recBytes = new ByteArrayOutputStream()
+    val ro = new DataOutputStream(recBytes)
+    writeVarint(ro, one.size()); ro.write(one.toByteArray)
+
+    val body = new ByteArrayOutputStream(); val bo = new DataOutputStream(body)
+    bo.writeShort(0x30)                   // attributes: control + transactional
+    bo.writeInt(0)                        // last offset delta
+    bo.writeLong(tsMs); bo.writeLong(tsMs)
+    bo.writeLong(pid); bo.writeShort(pepoch); bo.writeInt(-1) // seq: markers have none
+    bo.writeInt(1)
+    bo.write(recBytes.toByteArray)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(body.toByteArray)
+    val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+    o.writeLong(baseOffset)
+    o.writeInt(9 + body.size())
+    o.writeInt(-1); o.writeByte(2); o.writeInt(crc.getValue.toInt)
+    o.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** True when a record_set's FIRST RecordBatch v2 carries the
+    * transactional attribute bit (attributes int16 at fixed offset 21). */
+  def batchIsTransactional(recordSet: Array[Byte]): Boolean =
+    (java.nio.ByteBuffer.wrap(recordSet, 21, 2).getShort & 0x10) != 0
 
   /** Producer identity + sequence range of a record_set's FIRST RecordBatch
     * v2 — the fields a broker's idempotence check reads (fixed offsets in
@@ -950,10 +1155,35 @@ private[replay] object KafkaWire {
     * log-append-time override per the public format spec. Unknown magic
     * still throws. */
   def decodeBatches(recordSet: Array[Byte], minOffset: Long, needKey: Boolean,
-      needValue: Boolean): Iterator[(Long, Array[Byte], Array[Byte], Long)] = {
+      needValue: Boolean): Iterator[(Long, Array[Byte], Array[Byte], Long)] =
+    decodeBatchesTxn(recordSet, minOffset, needKey, needValue,
+      Nil, readCommitted = false)._1
+
+  /** Transaction-aware variant of [[decodeBatches]]: additionally returns
+    * the SCAN POSITION after the last complete batch (baseOffset +
+    * lastOffsetDelta + 1), which is where the next Fetch must resume — with
+    * transactions in the log, offsets are NOT dense (control markers occupy
+    * offsets, aborted spans may decode to zero records), so "last record
+    * offset + 1" under-advances and would re-fetch marker batches forever.
+    * Under `readCommitted`, records of TRANSACTIONAL batches whose producer
+    * appears in `aborted` at or before the batch's base offset are dropped;
+    * a control marker (any type) ends that producer's tracked span — the
+    * official consumer's aborted-producer scan, driven by the broker's
+    * per-partition aborted_transactions list. */
+  def decodeBatchesTxn(recordSet: Array[Byte], minOffset: Long,
+      needKey: Boolean, needValue: Boolean, aborted: Seq[AbortedTxn],
+      readCommitted: Boolean)
+      : (Iterator[(Long, Array[Byte], Array[Byte], Long)], Long) = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Array[Byte], Array[Byte], Long)]
     var pos = 0
+    var scanPos = minOffset
+    // aborted producers whose span has opened but whose marker has not yet
+    // been crossed, ordered by span start so activation is offset-driven
+    val pendingAborts = scala.collection.mutable.PriorityQueue
+      .empty[AbortedTxn](Ordering.by((a: AbortedTxn) => -a.firstOffset))
+    pendingAborts ++= aborted
+    val abortedPids = scala.collection.mutable.Set.empty[Long]
     // smallest complete prefix: offset+length+crc+magic = 17 bytes
     while (recordSet.length - pos >= 17) {
       val in = new DataInputStream(new ByteArrayInputStream(
@@ -966,6 +1196,9 @@ private[replay] object KafkaWire {
         // legacy MessageSet entry (magic 0/1): crc..value is batchLength bytes
         decodeLegacyEntry(baseOffset, in, minOffset, needKey, needValue,
           None, out)
+        // legacy wrapper offsets are the LAST inner absolute offset, so the
+        // entry's own offset + 1 is the resume point in every layout
+        scanPos = math.max(scanPos, baseOffset + 1)
         pos += 12 + batchLength
       } else {
         in.readInt()            // partition leader epoch
@@ -974,10 +1207,20 @@ private[replay] object KafkaWire {
         val attrs = in.readShort()
         val codec = attrs & 0x07
         val isControl = (attrs & 0x20) != 0
-        in.readInt()            // last offset delta
+        val isTransactional = (attrs & 0x10) != 0
+        val lastOffsetDelta = in.readInt()
         val firstTs = in.readLong()
         in.readLong()           // max timestamp
-        in.readLong(); in.readShort(); in.readInt() // producer id/epoch/base seq
+        val producerId = in.readLong()
+        in.readShort(); in.readInt() // producer epoch / base seq
+        // activate every aborted span that starts at or before this batch
+        while (pendingAborts.nonEmpty &&
+            pendingAborts.head.firstOffset <= baseOffset) {
+          abortedPids += pendingAborts.dequeue().pid
+        }
+        val dropAborted = readCommitted && isTransactional && !isControl &&
+          abortedPids.contains(producerId)
+        if (isControl) abortedPids -= producerId // marker closes the span
         val nRecords = in.readInt()
         // v2 compresses the RECORDS SECTION as one unit; the header above is
         // always plaintext. Decode-side pruning (needKey/needValue) still
@@ -1016,13 +1259,14 @@ private[replay] object KafkaWire {
           val nHeaders = readVarint(rin)
           (1 to nHeaders).foreach { _ => blob(false); blob(false) }
           val off = baseOffset + offDelta
-          if (!isControl && off >= minOffset)
+          if (!isControl && !dropAborted && off >= minOffset)
             out += ((off, k, v, firstTs + tsDelta))
         }
+        scanPos = math.max(scanPos, baseOffset + lastOffsetDelta + 1)
         pos += 12 + batchLength
       }
     }
-    out.iterator
+    (out.iterator, scanPos)
   }
 
   /** Decode one legacy (pre-0.11 message format) MessageSet entry:

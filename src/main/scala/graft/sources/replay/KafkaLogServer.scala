@@ -56,7 +56,8 @@ final class KafkaLogServer(dir: String, topic: String,
   private val apiRanges: Seq[(Short, Short, Short)] =
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
-      (10, 0, 4), (17, 0, 1), (18, 0, 3), (22, 0, 4), (36, 0, 2)))
+      (10, 0, 4), (17, 0, 1), (18, 0, 3), (22, 0, 4), (24, 0, 3), (26, 0, 3),
+      (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -78,11 +79,27 @@ final class KafkaLogServer(dir: String, topic: String,
   private val committedStore =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Long]()
 
-  /** Per-partition produced tail: records appended via Produce live here,
-    * logically after the file-backed base log, and are served back through
-    * ListOffsets/Fetch like any broker log segment. (key, value, tsMs). */
+  /** One stored batch of the produced tail. Real broker logs are BATCH
+    * sequences, not flat record lists — transaction semantics live on the
+    * batch (producer identity, the transactional attribute bit, control
+    * markers), so the tail preserves batch boundaries and Fetch re-serves
+    * whole batches at their assigned base offsets (clients filter records
+    * below the fetch offset, exactly as against a real broker).
+    * `control` = Some(committed) makes this a one-record control marker. */
+  private final class TailBatch(val base: Long,
+      val recs: Seq[(Array[Byte], Array[Byte], Long)],
+      val pid: Long, val epoch: Short, val baseSeq: Int,
+      val transactional: Boolean, val control: Option[Boolean]) {
+    def size: Int = recs.size
+    def end: Long = base + recs.size
+  }
+
+  /** Per-partition produced tail: batches appended via Produce (and txn
+    * control markers) live here, logically after the file-backed base log,
+    * and are served back through ListOffsets/Fetch like any broker log
+    * segment. */
   private val produced = new java.util.concurrent.ConcurrentHashMap[
-    Int, scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte], Long)]]()
+    Int, scala.collection.mutable.ArrayBuffer[TailBatch]]()
 
   private def partitionIds: Seq[Int] =
     explicitPartitions.getOrElse(ReplayLog.listPartitions(dir))
@@ -93,10 +110,40 @@ final class KafkaLogServer(dir: String, topic: String,
     _ => scala.collection.mutable.ArrayBuffer.empty)
   private def endOffset(p: Int): Long = baseCount(p) + producedCount(p).toLong
 
-  /** Test-visible count of records appended to partition p via Produce. */
+  /** Test-visible count of records appended to partition p via Produce,
+    * INCLUDING transaction control markers (they occupy log offsets). */
   def producedCount(p: Int): Int = {
     val tail = producedTail(p)
-    tail.synchronized { tail.length }
+    tail.synchronized { tail.map(_.size).sum }
+  }
+
+  // ---- transaction coordinator state ---------------------------------------
+  /** transactional id → producer id (InitProducerId registration). */
+  private val txnProducers =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Open transaction per producer id: partitions added via
+    * AddPartitionsToTxn, plus the first data offset written per partition
+    * (the LSO floor and, on abort, the aborted-span start). */
+  private final class OpenTxn {
+    val partitions = scala.collection.mutable.Set.empty[Int]
+    val firstOffsets = scala.collection.mutable.Map.empty[Int, Long]
+  }
+  private val openTxns =
+    new java.util.concurrent.ConcurrentHashMap[Long, OpenTxn]()
+  /** Per-partition ABORTED spans, served in Fetch's aborted_transactions
+    * list: (producer id, first offset of the span). */
+  private val abortedTxns = new java.util.concurrent.ConcurrentHashMap[
+    Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+  private def abortedOf(p: Int) = abortedTxns.computeIfAbsent(p,
+    _ => scala.collection.mutable.ArrayBuffer.empty)
+
+  /** Last stable offset: everything below it is transactionally decided.
+    * With open transactions on p, the LSO is the earliest still-undecided
+    * data offset; otherwise the log end. */
+  private def lastStable(p: Int): Long = {
+    import scala.jdk.CollectionConverters._
+    val floors = openTxns.values.asScala.flatMap(_.firstOffsets.get(p))
+    if (floors.isEmpty) endOffset(p) else floors.min
   }
 
   /** InitProducerId assignment counter + per-(pid, partition) last sequence
@@ -321,7 +368,7 @@ final class KafkaLogServer(dir: String, topic: String,
             throw new IOException(
               s"fake broker: api $apiKey before SASL authentication")
           case ApiProduce if apiVersion == 3 =>
-            readString(r)               // transactional_id (nullable)
+            val txnId = readString(r)   // transactional_id (nullable)
             r.readShort(); r.readInt()  // acks, timeout_ms
             val nTopics = r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
@@ -345,9 +392,19 @@ final class KafkaLogServer(dir: String, topic: String,
                   else if (!crcValid(rs))
                     (2, -1L)            // CORRUPT_MESSAGE
                   else {
-                    val (pid, _, baseSeq, lastSeq) = batchProducerInfo(rs)
+                    val (pid, pepoch, baseSeq, lastSeq) = batchProducerInfo(rs)
+                    val transactional = batchIsTransactional(rs)
+                    // a transactional batch must come from a registered
+                    // transactional producer whose OPEN txn includes this
+                    // partition — otherwise INVALID_TXN_STATE, like a real
+                    // coordinator-backed partition leader
+                    val txnOk = !transactional || (txnId != null &&
+                      Option(txnProducers.get(txnId)).exists(_ == pid) &&
+                      Option(openTxns.get(pid))
+                        .exists(_.partitions.contains(p)))
                     val tail = producedTail(p)
-                    tail.synchronized {
+                    if (!txnOk) (48, -1L) // INVALID_TXN_STATE
+                    else tail.synchronized {
                       val cached =
                         if (pid < 0) null else seqStore.get((pid, p))
                       if (pid >= 0 && cached != null &&
@@ -363,10 +420,14 @@ final class KafkaLogServer(dir: String, topic: String,
                       } else {
                         val recs = decodeBatches(rs, 0L,
                           needKey = true, needValue = true).toSeq
-                        val assigned = baseCount(p) + tail.size
-                        recs.foreach { case (_, k, v, tsMs) =>
-                          tail += ((k, v, tsMs))
-                        }
+                        val assigned = baseCount(p) +
+                          tail.map(_.size).sum.toLong
+                        tail += new TailBatch(assigned,
+                          recs.map { case (_, k, v, tsMs) => (k, v, tsMs) },
+                          pid, pepoch, baseSeq, transactional, None)
+                        if (transactional)
+                          openTxns.get(pid).firstOffsets
+                            .getOrElseUpdate(p, assigned)
                         if (pid >= 0)
                           seqStore.put((pid, p), (baseSeq, lastSeq, assigned))
                         (0, assigned)
@@ -387,16 +448,73 @@ final class KafkaLogServer(dir: String, topic: String,
             o.writeInt(0)               // throttle_time_ms (tails Produce)
             bo.toByteArray
           case ApiInitProducerId if apiVersion == 0 =>
-            readString(r)               // transactional_id (nullable)
+            val txnId = readString(r)   // transactional_id (nullable)
             r.readInt()                 // transaction_timeout_ms
+            val pid = pidCounter.getAndIncrement()
+            if (txnId != null) txnProducers.put(txnId, pid)
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(0)               // throttle_time_ms
             o.writeShort(0)             // error
-            o.writeLong(pidCounter.getAndIncrement())
+            o.writeLong(pid)
             o.writeShort(0)             // producer epoch
             bo.toByteArray
+          case ApiAddPartitionsToTxn if apiVersion == 0 =>
+            val txnId = readString(r)
+            val pid = r.readLong(); r.readShort() // producer epoch
+            val registered = Option(txnProducers.get(txnId)).exists(_ == pid)
+            if (registered)
+              openTxns.computeIfAbsent(pid, _ => new OpenTxn)
+            val nTopics = r.readInt()
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            o.writeInt(nTopics)
+            (1 to nTopics).foreach { _ =>
+              val name = readString(r)
+              val nParts = r.readInt()
+              writeString(o, name)
+              o.writeInt(nParts)
+              (1 to nParts).foreach { _ =>
+                val p = r.readInt()
+                val err =
+                  if (!registered) 48   // INVALID_TXN_STATE
+                  else if (name != topic || !partitionIds.contains(p)) 3
+                  else { openTxns.get(pid).partitions += p; 0 }
+                o.writeInt(p); o.writeShort(err)
+              }
+            }
+            bo.toByteArray
+          case ApiEndTxn if apiVersion == 0 =>
+            val txnId = readString(r)
+            val pid = r.readLong(); r.readShort() // producer epoch
+            val commit = r.readBoolean()
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            val txn = openTxns.get(pid)
+            if (txn == null || !Option(txnProducers.get(txnId)).contains(pid))
+              o.writeShort(48)          // INVALID_TXN_STATE
+            else {
+              // the coordinator's WriteTxnMarkers step: a control marker
+              // lands in EVERY partition the txn touched; aborts also
+              // record the span for Fetch's aborted_transactions list
+              txn.partitions.toSeq.sorted.foreach { p =>
+                val tail = producedTail(p)
+                tail.synchronized {
+                  val markerOff = baseCount(p) + tail.map(_.size).sum.toLong
+                  tail += new TailBatch(markerOff, Seq((null, null,
+                    System.currentTimeMillis())), pid, 0, -1,
+                    transactional = true, control = Some(commit))
+                  if (!commit) txn.firstOffsets.get(p).foreach { first =>
+                    abortedOf(p).synchronized { abortedOf(p) += ((pid, first)) }
+                  }
+                }
+              }
+              openTxns.remove(pid)
+              o.writeShort(0)
+            }
+            bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
-          case ApiListOffsets if apiVersion == 1 => listOffsets(r)
+          case ApiListOffsets if apiVersion == 1 || apiVersion == 2 =>
+            listOffsets(r, apiVersion)
           case ApiFetch if apiVersion == 4 => fetch(r)
           case ApiFindCoordinator if apiVersion == 0 =>
             readString(r)               // group id: single node = coordinator
@@ -471,10 +589,13 @@ final class KafkaLogServer(dir: String, topic: String,
     bo.toByteArray
   }
 
-  private def listOffsets(r: DataInputStream): Array[Byte] = {
+  private def listOffsets(r: DataInputStream, version: Short): Array[Byte] = {
     r.readInt()                         // replica id
+    // v2 added the isolation level: read_committed's "latest" is the LSO
+    val isolation = if (version >= 2) r.readByte() else 0
     val nTopics = r.readInt()
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    if (version >= 2) o.writeInt(0)     // throttle_time_ms
     o.writeInt(nTopics)
     (1 to nTopics).foreach { _ =>
       val name = readString(r)
@@ -483,7 +604,10 @@ final class KafkaLogServer(dir: String, topic: String,
       o.writeInt(nParts)
       (1 to nParts).foreach { _ =>
         val p = r.readInt(); val ts = r.readLong()
-        val off = if (ts == -2L) 0L else endOffset(p)
+        val off =
+          if (ts == -2L) 0L
+          else if (isolation == 1) lastStable(p)
+          else endOffset(p)
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
       }
     }
@@ -491,7 +615,8 @@ final class KafkaLogServer(dir: String, topic: String,
   }
 
   private def fetch(r: DataInputStream): Array[Byte] = {
-    r.readInt(); r.readInt(); r.readInt(); r.readInt(); r.readByte() // replica/wait/min/max/isolation
+    r.readInt(); r.readInt(); r.readInt(); r.readInt() // replica/wait/min/max
+    val isolation = r.readByte()        // 0 read_uncommitted, 1 read_committed
     val nTopics = r.readInt()
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
     o.writeInt(0)                       // throttle_time_ms
@@ -503,11 +628,22 @@ final class KafkaLogServer(dir: String, topic: String,
       o.writeInt(nParts)
       (1 to nParts).foreach { _ =>
         val p = r.readInt(); val fetchOffset = r.readLong(); r.readInt()
-        val end = endOffset(p)
+        val hw = endOffset(p)
+        val lso = lastStable(p)
+        // a read_committed fetch never serves past the LSO — records of a
+        // still-open transaction are not yet decided
+        val end = if (isolation == 1) lso else hw
         o.writeInt(p); o.writeShort(0)
-        o.writeLong(end)                // high watermark
-        o.writeLong(end)                // last stable offset
-        o.writeInt(0)                   // aborted txns
+        o.writeLong(hw)                 // high watermark
+        o.writeLong(lso)                // last stable offset
+        val aborted =
+          if (isolation == 1)
+            abortedOf(p).synchronized { abortedOf(p).toVector }
+          else Vector.empty
+        o.writeInt(aborted.size)
+        aborted.foreach { case (pid, first) =>
+          o.writeLong(pid); o.writeLong(first)
+        }
         val recordSet =
           if (fetchOffset >= end) Array.emptyByteArray
           else encodeBatch(p, fetchOffset, math.min(end, fetchOffset + batchRecords))
@@ -527,8 +663,8 @@ final class KafkaLogServer(dir: String, topic: String,
     // never span the base-log / produced-tail seam inside one batch — the
     // client simply re-fetches from the seam, like any multi-batch read
     val until = if (start < base) math.min(until0, base) else until0
-    val recs: Seq[(Long, Array[Byte], Array[Byte], Long)] =
-      if (start < base) {
+    if (start >= base) return encodeTailBatches(p, start, until)
+    val recs: Seq[(Long, Array[Byte], Array[Byte], Long)] = {
         val frames = new FrameStream(dir, p, start,
           needKey = true, needValue = true)
         try {
@@ -537,14 +673,6 @@ final class KafkaLogServer(dir: String, topic: String,
             (off, frames.key, frames.value, frames.tsUs / 1000L)
           }
         } finally frames.close()
-      } else {
-        val tail = producedTail(p)
-        tail.synchronized {
-          (start until until).map { off =>
-            val (k, v, tsMs) = tail((off - base).toInt)
-            (off, k, v, tsMs)
-          }
-        }
       }
     legacyMagic match {
       case Some(m) => return encodeLegacySet(m, recs)
@@ -606,6 +734,32 @@ final class KafkaLogServer(dir: String, topic: String,
       o.writeLong(until)
       o.writeInt(1000)
       o.write(new Array[Byte](50))
+    }
+    bo.toByteArray
+  }
+
+  /** Serve stored produced-tail batches overlapping [start, until): whole
+    * batches at their assigned base offsets, preserving producer identity,
+    * the transactional bit, and control markers — the batch-boundary
+    * fidelity transaction semantics need (a client filters records below
+    * its fetch offset, exactly as against a real broker's log segments).
+    * Data batches re-encode with the server's configured codec; control
+    * markers use the public control-record schema. */
+  private def encodeTailBatches(p: Int, start: Long, until: Long): Array[Byte] = {
+    val tail = producedTail(p)
+    val entries = tail.synchronized { tail.toVector }
+    val bo = new ByteArrayOutputStream()
+    entries.foreach { e =>
+      if (e.end > start && e.base < until) {
+        val bytes = e.control match {
+          case Some(commit) =>
+            encodeControlBatch(e.base, e.pid, e.epoch, commit, e.recs.head._3)
+          case None =>
+            encodeRecordBatchV2(e.recs, codec, e.pid, e.epoch, e.baseSeq,
+              transactional = e.transactional, baseOffset = e.base)
+        }
+        bo.write(bytes)
+      }
     }
     bo.toByteArray
   }

@@ -9,6 +9,19 @@ trait FrameReader extends AutoCloseable {
   def key: Array[Byte]
   def value: Array[Byte]
   def tsUs: Long
+
+  /** Bounded advance for logs whose offsets may have GAPS (Kafka logs:
+    * transaction control markers occupy offsets, aborted spans are hidden
+    * from read_committed readers, compacted segments drop records): read
+    * the next DATA frame whose offset is < `end`, returning false when the
+    * cursor reached `end` without one. Dense logs (file/socket) keep the
+    * default one-frame-per-offset behavior — the caller already bounds the
+    * number of calls by `end - start`. */
+  def readFrameBefore(end: Long): Boolean = { readFrame(); true }
+
+  /** Log offset of the frame just read, for readers over gap-ful logs;
+    * -1 = dense (the caller's running position IS the offset). */
+  def frameOffset: Long = -1L
   override def close(): Unit
 }
 

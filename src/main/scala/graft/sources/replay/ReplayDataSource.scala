@@ -293,6 +293,11 @@ class ReplayTable(opts: ReplayOptions) extends Table
         // change which records a scan would return
         if (opts.startingUniform != 0L || opts.startingPerPartition.nonEmpty ||
             opts.startingLatest || opts.groupInstances != 1) return false
+        // Kafka log offsets are NOT dense (transaction control markers
+        // occupy offsets, aborted spans hide records, compaction drops
+        // them), so offset arithmetic is not a record count there — refuse
+        // the push and let the scan count what it actually reads
+        if (opts.clientKind == "kafka") return false
         val groupOk = agg.groupByExpressions().forall(isField(_, "partition"))
         val tags = agg.aggregateExpressions().map {
           case _: CountStar => "count"
@@ -808,24 +813,29 @@ class ReplayColumnarReader(ip: ReplayInputPartition)
     vectors.foreach(_.reset())
     var n = 0
     while (n < ip.columnarBatchSize && offset < ip.end) {
-      frames.readFrame()
-      var c = 0
-      while (c < ip.fields.length) {
-        ip.fields(c) match {
-          case 0 => if (frames.key == null) vectors(c).putNull(n)
-            else vectors(c).putByteArray(n, frames.key)
-          case 1 => if (frames.value == null) vectors(c).putNull(n)
-            else vectors(c).putByteArray(n, frames.value)
-          case 2 => vectors(c).putByteArray(n, topicBytes)
-          case 3 => vectors(c).putInt(n, ip.partition)
-          case 4 => vectors(c).putLong(n, offset)
-          case 5 => vectors(c).putLong(n, frames.tsUs)
+      // gap-tolerant advance, as in the row reader
+      if (!frames.readFrameBefore(ip.end)) { offset = ip.end }
+      else {
+        val off = { val fo = frames.frameOffset; if (fo >= 0) fo else offset }
+        var c = 0
+        while (c < ip.fields.length) {
+          ip.fields(c) match {
+            case 0 => if (frames.key == null) vectors(c).putNull(n)
+              else vectors(c).putByteArray(n, frames.key)
+            case 1 => if (frames.value == null) vectors(c).putNull(n)
+              else vectors(c).putByteArray(n, frames.value)
+            case 2 => vectors(c).putByteArray(n, topicBytes)
+            case 3 => vectors(c).putInt(n, ip.partition)
+            case 4 => vectors(c).putLong(n, off)
+            case 5 => vectors(c).putLong(n, frames.tsUs)
+          }
+          c += 1
         }
-        c += 1
+        offset = off + 1
+        n += 1
       }
-      offset += 1
-      n += 1
     }
+    if (n == 0) return false
     batch.setNumRows(n)
     true
   }
@@ -886,12 +896,17 @@ class ReplayPartitionReader(ip: ReplayInputPartition)
 
   override def next(): Boolean = {
     if (offset >= ip.end) return false
-    frames.readFrame()
+    // gap-tolerant advance: broker-backed logs may have offsets with no
+    // data record (transaction control markers, aborted spans) — the
+    // cursor reports when the planned end was reached without one, and
+    // the TRUE log offset of each frame when it differs from the count
+    if (!frames.readFrameBefore(ip.end)) { offset = ip.end; return false }
+    val off = { val fo = frames.frameOffset; if (fo >= 0) fo else offset }
     row = new GenericInternalRow(ip.fields.map[Any] {
       case 0 => frames.key; case 1 => frames.value; case 2 => topic
-      case 3 => ip.partition; case 4 => offset; case 5 => frames.tsUs
+      case 3 => ip.partition; case 4 => off; case 5 => frames.tsUs
     })
-    offset += 1
+    offset = off + 1
     true
   }
 

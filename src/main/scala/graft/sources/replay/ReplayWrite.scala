@@ -123,6 +123,17 @@ class ReplayWriteBuilder(options: CaseInsensitiveStringMap,
     require(batchRecords > 0, s"producer.batch.records must be > 0")
     val codec = ReplayWrite.codecId(
       producerConf.getOrElse("compression.type", "none"))
+    // `producer.transactional.id` upgrades the sink to TASK-ATTEMPT
+    // transactions: each DataWriter owns one transaction (txn id =
+    // `<base>-<sparkPartition>-<taskId>`, unique per attempt), committed at
+    // task commit and aborted at task abort — so a failed or speculative
+    // attempt's rows are PERMANENTLY invisible to read_committed consumers,
+    // closing the duplicate-from-failed-attempts class the idempotent
+    // producer alone cannot (honest scope: Spark's commit coordinator picks
+    // the surviving attempt; an executor that dies WITHOUT running abort()
+    // leaves its txn to the broker's transaction timeout, as with any
+    // Kafka transactional producer).
+    val txnBase = producerConf.get("transactional.id")
 
     val schema = info.schema()
     val unknown = schema.fieldNames.filterNot(f =>
@@ -151,7 +162,7 @@ class ReplayWriteBuilder(options: CaseInsensitiveStringMap,
     require(partitionIds.nonEmpty, s"topic at '$path' has no partitions")
 
     val factory = ReplayWriterFactory(path, producerConf, partitionIds,
-      keyIdx, valueIdx, tsIdx, partIdx, batchRecords, codec)
+      keyIdx, valueIdx, tsIdx, partIdx, batchRecords, codec, txnBase)
     new Write {
       override def toBatch: BatchWrite = new ReplayBatchWrite(factory)
       override def toStreaming: StreamingWrite = new ReplayStreamingWrite(factory)
@@ -166,7 +177,8 @@ case class ReplayWriteCommit(taskId: Long, records: Long)
 
 case class ReplayWriterFactory(path: String, conf: Map[String, String],
     partitionIds: Array[Int], keyIdx: Int, valueIdx: Int, tsIdx: Int,
-    partIdx: Int, batchRecords: Int, codec: Int)
+    partIdx: Int, batchRecords: Int, codec: Int,
+    txnBase: Option[String] = None)
   extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ReplayDataWriter(this, partitionId, taskId)
@@ -176,11 +188,16 @@ case class ReplayWriterFactory(path: String, conf: Map[String, String],
 }
 
 /** Executor-side producer task: route → buffer per partition → flush
-  * RecordBatch v2 frames of `batchRecords` through one persistent client. */
+  * RecordBatch v2 frames of `batchRecords` through one persistent client.
+  * With a transactional sink (factory.txnBase set), the whole task runs as
+  * ONE Kafka transaction: opened lazily at the first row, committed in
+  * [[commit]], aborted in [[abort]]. */
 class ReplayDataWriter(f: ReplayWriterFactory, sparkPartitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
   private val client = new KafkaLogClient(f.path,
-    f.conf + ("graft.role" -> "producer"))
+    f.conf ++ Seq("graft.role" -> "producer") ++
+      f.txnBase.map(b => "transactional.id" -> s"$b-$sparkPartitionId-$taskId"))
+  private var txnOpen = false
   private val buffers = Array.fill(f.partitionIds.length)(
     scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte], Long)])
   // null-key round-robin cursor, seeded by the Spark task so concurrent
@@ -203,6 +220,7 @@ class ReplayDataWriter(f: ReplayWriterFactory, sparkPartitionId: Int,
   }
 
   override def write(row: InternalRow): Unit = {
+    if (f.txnBase.isDefined && !txnOpen) { client.beginTxn(); txnOpen = true }
     val key = if (f.keyIdx >= 0 && !row.isNullAt(f.keyIdx))
       row.getBinary(f.keyIdx) else null
     val value = if (!row.isNullAt(f.valueIdx)) row.getBinary(f.valueIdx) else null
@@ -230,11 +248,21 @@ class ReplayDataWriter(f: ReplayWriterFactory, sparkPartitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     buffers.indices.foreach(flush)
+    if (txnOpen) { client.endTxn(commit = true); txnOpen = false }
     client.closeProducer()
     ReplayWriteCommit(taskId, written)
   }
 
-  override def abort(): Unit = close()
+  override def abort(): Unit = {
+    // transactional task abort: the marker makes every row this attempt
+    // produced permanently invisible to read_committed consumers
+    if (txnOpen) {
+      try client.endTxn(commit = false)
+      catch { case _: java.io.IOException => () } // broker gone: txn times out
+      txnOpen = false
+    }
+    close()
+  }
   override def close(): Unit = {
     buffers.foreach(_.clear())
     client.closeProducer()

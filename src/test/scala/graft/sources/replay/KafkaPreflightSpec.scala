@@ -48,7 +48,7 @@ class KafkaPreflightSpec extends graft.SparkSpec {
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
       val msg = chain(e).map(_.getMessage).mkString(" | ")
-      assert(msg.contains("ListOffsets v1 (broker does not expose api 2)"),
+      assert(msg.contains("ListOffsets v2 (broker does not expose api 2)"),
         s"expected a missing-api error, got: $msg")
     } finally broker.close()
   }

@@ -86,6 +86,15 @@ object GraftFunctions {
     * payload: 8×8 block-average grid, bit i = cell i above the grid mean. */
   def avg_hash64(image: Column): Column = c(AvgHash64(x(image)))
 
+  /** encode an int array as a real PCM16 mono RIFF/WAVE payload. */
+  def wav_pcm16(samples: Column, sampleRate: Column): Column =
+    c(WavEncodePcm16(x(samples), x(sampleRate)))
+
+  /** parse a PCM16 RIFF/WAVE payload into exact audio-QA statistics
+    * (sample_rate, channels, n_samples, peak, clipped, zero_cross, sum_sq);
+    * NULL for undecodable payloads. */
+  def wav_stats(bytes: Column): Column = c(WavStats(x(bytes)))
+
   /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
     * and `b` (odd positions) so lexicographic order on the result is a
     * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions

@@ -557,6 +557,67 @@ ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
             col("doc_id"), col("img"), maxHamming = 3)
           .orderBy(col("img_a"), col("img_b"))
       },
-      None)
+      None),
+
+
+    // ---- X70: audio QA over REAL RIFF/WAVE payloads -------------------------
+    // The audio leg of the multimodal story, held to a harder standard than
+    // a stub: per event, a deterministic integer PCM16 sample stream is
+    // ENCODED into genuine WAV bytes (canonical RIFF header + little-endian
+    // int16 data — wav_pcm16, a codegen expression) and then PARSED BACK by
+    // wav_stats (real chunk walk: fmt before data, unknown chunks skipped,
+    // PCM16 validated, NULL for poisoned payloads) into the exact-integer
+    // QA statistics a pipeline gates audio on: peak amplitude, clipped
+    // sample count, zero-crossing rate, exact energy Σs². The DuckDB oracle
+    // computes the SAME statistics straight from the sample definition
+    // without any WAV round trip — so a hash match proves encode→parse is
+    // the identity on every field, including the header's sample rate and
+    // channel count (min=max=8000/1 only if the parsed header is right).
+    // Per-row only (encode+parse never shuffles); one rollup exchange.
+    // RMS = √(Σs²/n) stays bit-portable because IEEE sqrt is correctly
+    // rounded; per-event RMS is quantized to decimal(18,6) and summed
+    // exactly. O-class.
+    GQuery("x70_audio_qa",
+      (s, d) => {
+        val samples = expr("transform(sequence(0, 63), " +
+          "i -> CAST((event_id * 37 + i * 997) % 65536 - 32768 AS INT))")
+        Tables.events(s, d)
+          .select(col("event_type"),
+            wav_stats(wav_pcm16(samples, lit(8000))).as("st"))
+          .select(col("event_type"), col("st.*"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("sample_rate")).cast("long").as("min_rate"),
+            max(col("sample_rate")).cast("long").as("max_rate"),
+            max(col("channels")).cast("long").as("max_channels"),
+            sum(col("n_samples").cast("long")).as("total_samples"),
+            max(col("peak")).cast("long").as("max_peak"),
+            sum(col("clipped").cast("long")).as("n_clipped"),
+            sum(col("zero_cross").cast("long")).as("n_zero_cross"),
+            sum(sqrt(col("sum_sq") / lit(64.0)).cast("decimal(18,6)"))
+              .cast("double").as("rms_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH sm AS (
+  SELECT event_id, event_type,
+    [(event_id * 37 + i * 997) % 65536 - 32768 for i in range(0, 64)] AS s
+  FROM events),
+st AS (
+  SELECT event_type,
+    list_max(list_transform(s, x -> abs(x))) AS peak,
+    len(list_filter(s, x -> x = 32767 OR x = -32768)) AS clipped,
+    len([i for i in range(1, 64) if (s[i] < 0) != (s[i + 1] < 0)])
+      AS zero_cross,
+    CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq
+  FROM sm)
+SELECT event_type, count(*) AS n,
+  CAST(8000 AS BIGINT) AS min_rate, CAST(8000 AS BIGINT) AS max_rate,
+  CAST(1 AS BIGINT) AS max_channels,
+  count(*) * 64 AS total_samples,
+  CAST(max(peak) AS BIGINT) AS max_peak,
+  CAST(sum(clipped) AS BIGINT) AS n_clipped,
+  CAST(sum(zero_cross) AS BIGINT) AS n_zero_cross,
+  CAST(sum(CAST(sqrt(sum_sq / 64.0) AS DECIMAL(18,6))) AS DOUBLE) AS rms_sum
+FROM st GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
   )
 }

@@ -574,9 +574,16 @@ ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
     // the identity on every field, including the header's sample rate and
     // channel count (min=max=8000/1 only if the parsed header is right).
     // Per-row only (encode+parse never shuffles); one rollup exchange.
-    // RMS = √(Σs²/n) stays bit-portable because IEEE sqrt is correctly
-    // rounded; per-event RMS is quantized to decimal(18,6) and summed
-    // exactly. O-class.
+    // Every aggregate is an exact integer; the one derived float — group
+    // RMS = √(Σs²/Σn) — is computed from those exact integers through
+    // IEEE-exact steps only (int→double conversion, division and sqrt are
+    // all correctly rounded), so it is bit-portable WITHOUT any decimal
+    // quantization. (The first cut quantized a per-event RMS to
+    // decimal(18,6) and summed — at 100k events a few doubles landed in
+    // the ±1-ulp zone around a .5e-6 rounding boundary where Spark's
+    // exact-expansion HALF_UP and DuckDB's scaled-llround disagree; exact
+    // integers + one group-level sqrt removes that boundary entirely.)
+    // O-class.
     GQuery("x70_audio_qa",
       (s, d) => {
         val samples = expr("transform(sequence(0, 63), " +
@@ -594,8 +601,13 @@ ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""")),
             max(col("peak")).cast("long").as("max_peak"),
             sum(col("clipped").cast("long")).as("n_clipped"),
             sum(col("zero_cross").cast("long")).as("n_zero_cross"),
-            sum(sqrt(col("sum_sq") / lit(64.0)).cast("decimal(18,6)"))
-              .cast("double").as("rms_sum"))
+            sum(col("sum_sq")).as("total_sum_sq"))
+          .select(col("event_type"), col("n"), col("min_rate"),
+            col("max_rate"), col("max_channels"), col("total_samples"),
+            col("max_peak"), col("n_clipped"), col("n_zero_cross"),
+            col("total_sum_sq"),
+            sqrt(col("total_sum_sq").cast("double") /
+              col("total_samples").cast("double")).as("rms"))
           .orderBy(col("event_type"))
       },
       Some("""WITH sm AS (
@@ -617,7 +629,9 @@ SELECT event_type, count(*) AS n,
   CAST(max(peak) AS BIGINT) AS max_peak,
   CAST(sum(clipped) AS BIGINT) AS n_clipped,
   CAST(sum(zero_cross) AS BIGINT) AS n_zero_cross,
-  CAST(sum(CAST(sqrt(sum_sq / 64.0) AS DECIMAL(18,6))) AS DOUBLE) AS rms_sum
+  CAST(sum(sum_sq) AS BIGINT) AS total_sum_sq,
+  sqrt(CAST(CAST(sum(sum_sq) AS BIGINT) AS DOUBLE)
+    / CAST(count(*) * 64 AS DOUBLE)) AS rms
 FROM st GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
   )
 }

@@ -555,4 +555,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
+
+  test("x69 DSIR: rate table broadcasts, top-K never global-sorts") {
+    val p = plan("x69_dsir_resample")
+    // the 512-row rate side must broadcast into the per-doc fold (a
+    // sort-merge join there would shuffle the whole corpus on bucket), and
+    // the K-row resample must be TakeOrderedAndProject (per-partition
+    // top-K + single reduction), not a global Sort
+    assert(p.contains("BroadcastHashJoin"), s"rates did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K global-sorted:\n$p")
+  }
+
+  test("x70 audio lane is per-row: encode+parse never shuffle or join") {
+    val p = plan("x70_audio_qa")
+    assert(!p.contains("Join"), s"x70 grew a join:\n$p")
+    // one rollup exchange (event_type) and nothing else but presentation
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"x70 pays more than the rollup shuffle:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
 }

@@ -2446,14 +2446,14 @@ FROM events ORDER BY key NULLS FIRST""")),
       (s, d) => {
         val dir = Files.createTempDirectory(tmpBase, "kafka-txn").toString
         val broker = new graft.sources.replay.KafkaLogServer(dir, "txn",
-          explicitPartitions = Some(0 until 2))
+          explicitPartitions = Some(0 until 3))
         try {
           val decoys = new graft.sources.replay.KafkaLogClient(
             broker.clientPath,
             Map("transactional.id" -> "s58-decoy", "graft.role" -> "producer"))
           def abortedDecoys(tag: String): Unit = {
             decoys.beginTxn()
-            (0 until 2).foreach { p =>
+            (0 until 3).foreach { p =>
               decoys.produce(p, (0 until 250).map(i =>
                 (s"Key decoy-$tag-$i".getBytes("UTF-8"),
                   s"never-visible-$i".getBytes("UTF-8"), 1723700000000L + i)))
@@ -2467,6 +2467,7 @@ FROM events ORDER BY key NULLS FIRST""")),
             .write.format("graft-replay")
             .option("client", "kafka").option("path", broker.clientPath)
             .option("producer.transactional.id", "s58-sink")
+            .option("producer.compression.type", "zstd")
             .mode("append").save()
           abortedDecoys("post")
           s.read.format("graft-replay")

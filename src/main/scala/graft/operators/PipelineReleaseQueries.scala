@@ -993,9 +993,9 @@ FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST""")),
     // ---- X69: DSIR importance resampling (Xie et al., NeurIPS 2023) --------
     // Data Selection via Importance Resampling — the published recipe for
     // cutting a raw crawl toward a TARGET domain: estimate target and raw
-    // distributions over HASHED n-gram features (here: word unigrams →
-    // md5 buckets mod 512, the paper's hashing trick at oracle-checkable
-    // size), weight every doc by its log importance ratio
+    // distributions over HASHED n-gram features (the paper's exact feature
+    // map: word unigrams AND bigrams → hashed buckets, here md5 mod 512 at
+    // oracle-checkable size), weight every doc by its log importance ratio
     // Σ count_b · ln(p̂_target(b)/p̂_raw(b)) (add-1 smoothed), then draw a
     // fixed-size sample ∝ exp(weight) WITHOUT replacement via the
     // Gumbel-max trick (score = logw + standard Gumbel from the portable
@@ -1012,11 +1012,20 @@ FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST""")),
     // K-boundary is deterministic with the doc_id tiebreak. O-class.
     GQuery("x69_dsir_resample",
       (s, d) => {
-        val bucket = expr("CAST(conv(substr(md5(concat('dsir69:', word)), " +
+        val bucket = expr("CAST(conv(substr(md5(concat('dsir69:', feat)), " +
           "1, 6), 16, 10) AS BIGINT) % 512")
+        // feature stream = unigrams ++ adjacent bigrams (guarded: Spark's
+        // sequence(1, 0) would count DOWN, so 1-word docs take the empty
+        // branch explicitly)
+        val feats = expr("""concat(toks,
+          CASE WHEN size(toks) < 2 THEN array()
+               ELSE transform(sequence(1, size(toks) - 1),
+                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          END)""")
         val dc = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
-            explode(split(col("text"), " ")).as("word"))
+            split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("source"), explode(feats).as("feat"))
           .select(col("doc_id"), col("source"), bucket.as("b"))
           .groupBy(col("doc_id"), col("source"), col("b"))
           .agg(count(lit(1)).as("dc"))
@@ -1044,10 +1053,13 @@ FROM st, tot GROUP BY stage ORDER BY stage NULLS FIRST""")),
       },
       Some("""WITH w AS (
   SELECT doc_id, source,
-    CAST(concat('0x', substr(md5('dsir69:' || word), 1, 6)) AS BIGINT) % 512
+    CAST(concat('0x', substr(md5('dsir69:' || feat), 1, 6)) AS BIGINT) % 512
       AS b
-  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-        FROM documents)),
+  FROM (SELECT doc_id, source,
+          unnest(toks || list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents))),
 dcnt AS (SELECT doc_id, source, b, count(*) AS dc FROM w GROUP BY 1, 2, 3),
 bc AS (SELECT b, sum(dc) AS cc,
     sum(CASE WHEN source = 'src0' THEN dc ELSE 0 END) AS tc

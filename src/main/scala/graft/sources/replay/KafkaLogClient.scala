@@ -629,6 +629,10 @@ final class KafkaLogClient(path: String,
       val nParts = r.readInt()
       (1 to nParts).foreach { _ =>
         val pid = r.readInt(); val err = r.readShort()
+        if (err == 90) throw new IOException(
+          s"kafka AddPartitionsToTxn error 90 for $name/$pid: producer " +
+            s"fenced — a newer producer re-registered transactional.id " +
+            s"'${transactionalId.get}'")
         if (err != 0) throw new IOException(
           s"kafka AddPartitionsToTxn error $err for $name/$pid")
       }
@@ -650,6 +654,10 @@ final class KafkaLogClient(path: String,
     val r = oneShot(bootstrap, ApiEndTxn, 0, body.toByteArray)
     r.readInt()                 // throttle_time_ms
     val err = r.readShort()
+    if (err == 90) throw new IOException(
+      "kafka EndTxn error 90: producer fenced — a newer producer " +
+        s"re-registered transactional.id '${transactionalId.get}' " +
+        "(this zombie's open transaction was already aborted broker-side)")
     if (err != 0) throw new IOException(s"kafka EndTxn error $err")
     txnOpen = false
     txnPartitions.clear()
@@ -712,6 +720,10 @@ final class KafkaLogClient(path: String,
           val pid = r.readInt(); val err = r.readShort()
           val off = r.readLong()
           r.readLong()          // log_append_time
+          if (err == 47)        // INVALID_PRODUCER_EPOCH
+            throw new IOException("kafka produce error 47 for " +
+              s"$name/$pid: producer fenced — a newer producer " +
+              s"re-registered transactional.id '${transactionalId.orNull}'")
           if (err != 0)
             throw new IOException(s"kafka produce error $err for $name/$pid")
           if (name == topic && pid == p) base = off

@@ -118,9 +118,13 @@ final class KafkaLogServer(dir: String, topic: String,
   }
 
   // ---- transaction coordinator state ---------------------------------------
-  /** transactional id → producer id (InitProducerId registration). */
+  /** transactional id → (producer id, CURRENT epoch). Re-registering a
+    * known transactional id keeps the pid and bumps the epoch — the
+    * fencing handshake: every in-flight request still carrying the old
+    * epoch is a ZOMBIE and gets rejected, exactly how Kafka guarantees a
+    * restarted exactly-once producer cannot be raced by its predecessor. */
   private val txnProducers =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Short)]()
   /** Open transaction per producer id: partitions added via
     * AddPartitionsToTxn, plus the first data offset written per partition
     * (the LSO floor and, on abort, the aborted-span start). */
@@ -136,6 +140,29 @@ final class KafkaLogServer(dir: String, topic: String,
     Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
   private def abortedOf(p: Int) = abortedTxns.computeIfAbsent(p,
     _ => scala.collection.mutable.ArrayBuffer.empty)
+
+  /** End pid's open transaction: one control marker per touched partition
+    * (the coordinator's WriteTxnMarkers step); aborts also record the span
+    * for Fetch's aborted_transactions list. No-op without an open txn. */
+  private def endOpenTxn(pid: Long, commit: Boolean): Unit = {
+    val txn = openTxns.remove(pid)
+    if (txn != null) txn.partitions.toSeq.sorted.foreach { p =>
+      val tail = producedTail(p)
+      tail.synchronized {
+        val markerOff = baseCount(p) + tail.map(_.size).sum.toLong
+        tail += new TailBatch(markerOff, Seq((null, null,
+          System.currentTimeMillis())), pid, 0, -1,
+          transactional = true, control = Some(commit))
+        if (!commit) txn.firstOffsets.get(p).foreach { first =>
+          abortedOf(p).synchronized { abortedOf(p) += ((pid, first)) }
+        }
+      }
+    }
+  }
+
+  /** Fencing abort: a re-registered transactional id aborts its
+    * predecessor's open transaction. */
+  private def abortOpenTxn(pid: Long): Unit = endOpenTxn(pid, commit = false)
 
   /** Last stable offset: everything below it is transactionally decided.
     * With open transactions on p, the LSO is the earliest still-undecided
@@ -397,13 +424,20 @@ final class KafkaLogServer(dir: String, topic: String,
                     // a transactional batch must come from a registered
                     // transactional producer whose OPEN txn includes this
                     // partition — otherwise INVALID_TXN_STATE, like a real
-                    // coordinator-backed partition leader
-                    val txnOk = !transactional || (txnId != null &&
-                      Option(txnProducers.get(txnId)).exists(_ == pid) &&
+                    // coordinator-backed partition leader; a STALE epoch
+                    // (a newer producer re-registered the id) is the
+                    // zombie-fencing reject, INVALID_PRODUCER_EPOCH
+                    val reg = if (txnId == null) None
+                      else Option(txnProducers.get(txnId))
+                    val fenced = transactional &&
+                      reg.exists(r => r._1 == pid && pepoch < r._2)
+                    val txnOk = !transactional || (
+                      reg.exists(r => r._1 == pid && r._2 == pepoch) &&
                       Option(openTxns.get(pid))
                         .exists(_.partitions.contains(p)))
                     val tail = producedTail(p)
-                    if (!txnOk) (48, -1L) // INVALID_TXN_STATE
+                    if (fenced) (47, -1L)      // INVALID_PRODUCER_EPOCH
+                    else if (!txnOk) (48, -1L) // INVALID_TXN_STATE
                     else tail.synchronized {
                       val cached =
                         if (pid < 0) null else seqStore.get((pid, p))
@@ -450,18 +484,32 @@ final class KafkaLogServer(dir: String, topic: String,
           case ApiInitProducerId if apiVersion == 0 =>
             val txnId = readString(r)   // transactional_id (nullable)
             r.readInt()                 // transaction_timeout_ms
-            val pid = pidCounter.getAndIncrement()
-            if (txnId != null) txnProducers.put(txnId, pid)
+            val (pid, epoch) =
+              if (txnId == null) (pidCounter.getAndIncrement(), 0: Short)
+              else txnProducers.compute(txnId, (_, prev) =>
+                if (prev == null) (pidCounter.getAndIncrement(), 0: Short)
+                else (prev._1, (prev._2 + 1).toShort)) // fence: epoch bump
+            if (txnId != null && epoch > 0) {
+              // a re-registration ABORTS the predecessor's open txn (the
+              // coordinator's bumpEpoch path): zombie data must not hold
+              // the LSO hostage or ever become visible
+              abortOpenTxn(pid)
+              // and its sequence expectations reset with the new epoch
+              val it = seqStore.keySet.iterator()
+              while (it.hasNext) if (it.next()._1 == pid) it.remove()
+            }
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(0)               // throttle_time_ms
             o.writeShort(0)             // error
             o.writeLong(pid)
-            o.writeShort(0)             // producer epoch
+            o.writeShort(epoch)
             bo.toByteArray
           case ApiAddPartitionsToTxn if apiVersion == 0 =>
             val txnId = readString(r)
-            val pid = r.readLong(); r.readShort() // producer epoch
-            val registered = Option(txnProducers.get(txnId)).exists(_ == pid)
+            val pid = r.readLong(); val pepoch = r.readShort()
+            val reg = Option(txnProducers.get(txnId))
+            val fenced = reg.exists(t => t._1 == pid && pepoch < t._2)
+            val registered = reg.exists(t => t._1 == pid && t._2 == pepoch)
             if (registered)
               openTxns.computeIfAbsent(pid, _ => new OpenTxn)
             val nTopics = r.readInt()
@@ -476,7 +524,8 @@ final class KafkaLogServer(dir: String, topic: String,
               (1 to nParts).foreach { _ =>
                 val p = r.readInt()
                 val err =
-                  if (!registered) 48   // INVALID_TXN_STATE
+                  if (fenced) 90        // PRODUCER_FENCED
+                  else if (!registered) 48 // INVALID_TXN_STATE
                   else if (name != topic || !partitionIds.contains(p)) 3
                   else { openTxns.get(pid).partitions += p; 0 }
                 o.writeInt(p); o.writeShort(err)
@@ -485,30 +534,18 @@ final class KafkaLogServer(dir: String, topic: String,
             bo.toByteArray
           case ApiEndTxn if apiVersion == 0 =>
             val txnId = readString(r)
-            val pid = r.readLong(); r.readShort() // producer epoch
+            val pid = r.readLong(); val pepoch = r.readShort()
             val commit = r.readBoolean()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(0)               // throttle_time_ms
-            val txn = openTxns.get(pid)
-            if (txn == null || !Option(txnProducers.get(txnId)).contains(pid))
+            val reg = Option(txnProducers.get(txnId))
+            if (reg.exists(t => t._1 == pid && pepoch < t._2))
+              o.writeShort(90)          // PRODUCER_FENCED: zombie EndTxn
+            else if (openTxns.get(pid) == null ||
+                !reg.exists(t => t._1 == pid && t._2 == pepoch))
               o.writeShort(48)          // INVALID_TXN_STATE
             else {
-              // the coordinator's WriteTxnMarkers step: a control marker
-              // lands in EVERY partition the txn touched; aborts also
-              // record the span for Fetch's aborted_transactions list
-              txn.partitions.toSeq.sorted.foreach { p =>
-                val tail = producedTail(p)
-                tail.synchronized {
-                  val markerOff = baseCount(p) + tail.map(_.size).sum.toLong
-                  tail += new TailBatch(markerOff, Seq((null, null,
-                    System.currentTimeMillis())), pid, 0, -1,
-                    transactional = true, control = Some(commit))
-                  if (!commit) txn.firstOffsets.get(p).foreach { first =>
-                    abortedOf(p).synchronized { abortedOf(p) += ((pid, first)) }
-                  }
-                }
-              }
-              openTxns.remove(pid)
+              endOpenTxn(pid, commit)
               o.writeShort(0)
             }
             bo.toByteArray

@@ -187,6 +187,39 @@ class KafkaTxnSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("a re-registered transactional.id fences the zombie producer") {
+    val broker = emptyBroker("txnf")
+    try {
+      // zombie: opens a txn, produces, then stalls mid-flight
+      val zombie = producer(broker, "shared-id")
+      zombie.beginTxn()
+      zombie.produce(0, Seq((null, bytes("zombie1"), 1000L),
+        (null, bytes("zombie2"), 1001L)))
+
+      // successor registers the SAME transactional.id → epoch bump, and
+      // the broker aborts the zombie's open txn (LSO released, span hidden)
+      val successor = producer(broker, "shared-id")
+      successor.beginTxn()
+      successor.produce(0, Seq((null, bytes("fresh1"), 2000L)))
+      successor.endTxn(commit = true)
+
+      // the zombie's late produce and EndTxn are REJECTED, not absorbed
+      val e1 = intercept[java.io.IOException] {
+        zombie.produce(0, Seq((null, bytes("zombie3"), 1002L)))
+      }
+      assert(e1.getMessage.contains("fenced"), e1.getMessage)
+      val e2 = intercept[java.io.IOException] { zombie.endTxn(commit = true) }
+      assert(e2.getMessage.contains("fenced"), e2.getMessage)
+
+      // only the successor's committed row is visible; the zombie span is
+      // aborted even though the zombie never reached EndTxn
+      assert(drain(broker, 0, "read_committed").map(_._2) === Seq("fresh1"))
+      val rc = new KafkaLogClient(broker.clientPath)
+      assert(rc.endOffset(0) === broker.producedCount(0).toLong,
+        "the fencing abort must release the last stable offset")
+    } finally broker.close()
+  }
+
   test("ambiguous-failure retry inside a transaction is absorbed once") {
     val broker = emptyBroker("txn6")
     try {

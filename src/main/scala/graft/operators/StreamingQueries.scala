@@ -2480,7 +2480,100 @@ FROM events ORDER BY key NULLS FIRST""")),
         } finally broker.close()
       },
       Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
-FROM events ORDER BY key NULLS FIRST"""))
+FROM events ORDER BY key NULLS FIRST""")),
+
+    // S59: the streaming DSIR gate — x69's importance scorer applied LIVE.
+    // The rate table is trained batch-side (the same 512-bucket hashed
+    // unigram+bigram log-ratio computation as x69, one bounded aggregate),
+    // collected ONCE as 512 micro-unit longs (the BPE merge-table idiom:
+    // a driver fetch of a fixed-size model, never corpus rows) and folded
+    // into every arriving doc as a per-row HOF over its feature array —
+    // exact integer micro-units, so the fold is order-free and the gate is
+    // ZERO-STATE: no shuffle, no stateful operator, unbounded stream legal
+    // in append mode at any volume. Unseen buckets take the add-1
+    // smoothing default ln((C+B)/(T+B)) (never fires on this replay — the
+    // stream IS the training corpus — but the gate must be total for real
+    // fresh traffic). The verdict bands route docs toward the target
+    // mixture the way x69's top-K resample does offline. O-class: the
+    // oracle replays training + per-doc micro-unit sums in SQL.
+    GQuery("s59_stream_dsir_gate",
+      (s, d) => {
+        val feats = expr("""concat(toks,
+          CASE WHEN size(toks) < 2 THEN array()
+               ELSE transform(sequence(1, size(toks) - 1),
+                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          END)""")
+        val bucket = "CAST(conv(substr(md5(concat('dsir69:', f)), 1, 6), " +
+          "16, 10) AS BIGINT) % 512"
+        val dc = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(feats).as("f"))
+          .select(col("doc_id"), col("source"), expr(bucket).as("b"))
+          .groupBy(col("doc_id"), col("source"), col("b"))
+          .agg(count(lit(1)).as("dc"))
+        val bc = dc.groupBy(col("b"))
+          .agg(sum(col("dc")).as("cc"),
+            sum(when(col("source") === "src0", col("dc"))
+              .otherwise(lit(0L))).as("tc"))
+        // train with EXACTLY x69's engine formulation (hash-proven against
+        // the oracle), then collect the 512 micro-unit longs driver-side
+        val tot = bc.agg(sum(col("cc")).as("c"), sum(col("tc")).as("t"))
+        val rates6: Map[Long, Long] = bc.crossJoin(broadcast(tot))
+          .select(col("b"),
+            (log(((col("tc") + lit(1.0)) / (col("t") + lit(512))) /
+              ((col("cc") + lit(1.0)) / (col("c") + lit(512))))
+              .cast("decimal(18,6)") * lit(1000000)).cast("long").as("lr6"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val default6 = tot.select(
+          (log((col("c") + lit(512.0)) / (col("t") + lit(512.0)))
+            .cast("decimal(18,6)") * lit(1000000)).cast("long"))
+          .collect().head.getLong(0)
+        val logw6 = expr(s"""aggregate(concat(toks,
+            CASE WHEN size(toks) < 2 THEN array()
+                 ELSE transform(sequence(1, size(toks) - 1),
+                   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+            END),
+          CAST(0 AS BIGINT),
+          (acc, f) -> acc + coalesce(element_at(rates6, $bucket),
+            CAST($default6 AS BIGINT)))""")
+        runToMemory(
+          docStream(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .withColumn("rates6", typedLit(rates6))
+            .select(col("doc_id"), logw6.as("logw6"))
+            .select(col("doc_id"),
+              (col("logw6").cast("double") / lit(1000000.0)).as("logw"),
+              when(col("logw6") >= 1000000L, "strong_target")
+                .when(col("logw6") > 0L, "lean_target")
+                .otherwise("raw").as("verdict")),
+          "append").orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5('dsir69:' || feat), 1, 6)) AS BIGINT) % 512
+      AS b
+  FROM (SELECT doc_id, source,
+          unnest(toks || list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents))),
+dcnt AS (SELECT doc_id, source, b, count(*) AS dc FROM w GROUP BY 1, 2, 3),
+bc AS (SELECT b, sum(dc) AS cc,
+    sum(CASE WHEN source = 'src0' THEN dc ELSE 0 END) AS tc
+  FROM dcnt GROUP BY 1),
+tot AS (SELECT sum(cc) AS c, sum(tc) AS t FROM bc),
+rates AS (SELECT b,
+    CAST(CAST(ln(((tc + 1.0) / (t + 512)) / ((cc + 1.0) / (c + 512)))
+      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lr6
+  FROM bc, tot),
+lw AS (SELECT doc_id, CAST(sum(dc * lr6) AS BIGINT) AS logw6
+  FROM dcnt JOIN rates USING (b) GROUP BY 1)
+SELECT doc_id, CAST(logw6 AS DOUBLE) / 1000000.0 AS logw,
+  CASE WHEN logw6 >= 1000000 THEN 'strong_target'
+       WHEN logw6 > 0 THEN 'lean_target' ELSE 'raw' END AS verdict
+FROM lw ORDER BY doc_id NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

@@ -226,6 +226,19 @@ class StreamMetricsSpec extends SparkSpec {
       s"s54 final state ${batches.last.stateRows} != $newHashes")
   }
 
+  test("s59 DSIR gate is ZERO-state: a pure per-row scorer at any volume") {
+    // the gate folds a collected 512-entry micro-unit rate table into each
+    // row — no stateful operator may appear, so state is 0 in every batch
+    // and the stream is append-legal unbounded
+    val docs = Tables.table(spark, sf, "documents")
+    val (s, batches, emitted) =
+      runWithMetrics("s59_stream_dsir_gate", docs.count())
+    assert(emitted === docs.count(), "one verdict per doc")
+    assert(s.maxStateRows === 0L,
+      s"s59 grew ${s.maxStateRows} state rows — the gate must be stateless")
+    assert(batches.forall(_.stateRows == 0L))
+  }
+
   test("append-mode harness keeps table-sized results off the driver") {
     // append outputs scale with the input (s01/s23/s25 are |events| rows):
     // the harness must hand back a distributed file-sink read, never a

@@ -2573,7 +2573,53 @@ lw AS (SELECT doc_id, CAST(sum(dc * lr6) AS BIGINT) AS logw6
 SELECT doc_id, CAST(logw6 AS DOUBLE) / 1000000.0 AS logw,
   CASE WHEN logw6 >= 1000000 THEN 'strong_target'
        WHEN logw6 > 0 THEN 'lean_target' ELSE 'raw' END AS verdict
-FROM lw ORDER BY doc_id NULLS FIRST"""))
+FROM lw ORDER BY doc_id NULLS FIRST""")),
+
+    // S60: streaming audio QA — x70's WAV lane live. Every arriving event's
+    // payload round-trips through REAL RIFF/WAVE bytes (wav_pcm16 encode →
+    // wav_stats chunk-walk parse, both codegen expressions) and emits its
+    // exact-integer gate row in append mode — per-row, zero state, the
+    // multimodal twin of s49/s59's scoring gates. The oracle computes the
+    // same statistics from the sample definition without the WAV round
+    // trip, so the stream lane inherits x70's encode→parse identity proof
+    // per event. rms over exact integers through IEEE-exact steps only.
+    GQuery("s60_stream_audio_qa",
+      (s, d) => {
+        val samples = expr("transform(sequence(0, 63), " +
+          "i -> CAST((event_id * 37 + i * 997) % 65536 - 32768 AS INT))")
+        runToMemory(
+          eventStream(s, d)
+            .select(col("event_id"), graft.functions.GraftFunctions
+              .wav_stats(graft.functions.GraftFunctions
+                .wav_pcm16(samples, lit(8000))).as("st"))
+            .select(col("event_id"),
+              col("st.n_samples").cast("long").as("n_samples"),
+              col("st.peak").cast("long").as("peak"),
+              col("st.clipped").cast("long").as("clipped"),
+              col("st.zero_cross").cast("long").as("zero_cross"),
+              col("st.sum_sq").as("sum_sq"),
+              sqrt(col("st.sum_sq").cast("double") / lit(64.0)).as("rms"),
+              (col("st.peak") === 32768 || col("st.clipped") > 0)
+                .as("hot_flag")),
+          "append").orderBy(col("event_id"))
+      },
+      Some("""WITH sm AS (
+  SELECT event_id,
+    [(event_id * 37 + i * 997) % 65536 - 32768 for i in range(0, 64)] AS s
+  FROM events)
+SELECT event_id,
+  CAST(64 AS BIGINT) AS n_samples,
+  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+  CAST(len(list_filter(s, x -> x = 32767 OR x = -32768)) AS BIGINT)
+    AS clipped,
+  CAST(len([i for i in range(1, 64) if (s[i] < 0) != (s[i + 1] < 0)])
+    AS BIGINT) AS zero_cross,
+  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+  sqrt(CAST(CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+    AS DOUBLE) / 64.0) AS rms,
+  (list_max(list_transform(s, x -> abs(x))) = 32768
+    OR len(list_filter(s, x -> x = 32767 OR x = -32768)) > 0) AS hot_flag
+FROM sm ORDER BY event_id NULLS FIRST"""))
   )
 
   /** Public registry: each declared query body runs against the dedicated

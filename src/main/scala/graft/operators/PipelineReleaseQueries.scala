@@ -1075,6 +1075,74 @@ SELECT doc_id, source, CAST(lw AS DOUBLE) AS logw,
   CAST(lw + CAST(-ln(-ln((CAST(concat('0x', substr(md5('g69:' || doc_id),
       1, 6)) AS BIGINT) + 1.0) / 16777217.0)) AS DECIMAL(18,6)) AS DOUBLE)
     AS score
-FROM lw ORDER BY score DESC, doc_id LIMIT 60"""))
+FROM lw ORDER BY score DESC, doc_id LIMIT 60""")),
+
+
+    // ---- X71: cross-release corpus diff -------------------------------------
+    // The release-lifecycle closer (manifest x54 → card x62 → funnel x64 →
+    // DIFF): what changed between release N and N+1, per source — docs
+    // added / removed / changed (same id, different content hash) /
+    // unchanged, with doc and token deltas. Simulated releases derived
+    // from the corpus by integer rules both engines replay exactly: the
+    // previous release lacks doc_id % 7 == 0 (they are ADDED in N+1), the
+    // next release drops doc_id % 5 == 0 (REMOVED), and doc_id % 11 == 0
+    // survivors ship a revised body (CHANGED — md5 differs). Shape at
+    // 100 TB: one full-outer join on doc_id (both sides hash-partitioned
+    // on the release's natural key — bucket both releases on doc_id and
+    // this is exchange-free), then a tiny (source × status) rollup.
+    // Every output is an exact integer. O-class.
+    GQuery("x71_release_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val prev = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            md5(col("text")).as("h_prev"),
+            size(split(col("text"), " ")).cast("long").as("tok_prev"))
+        val next = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("source"),
+            md5(when(col("doc_id") % 11 === 0,
+                concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("h_next"),
+            (size(split(col("text"), " ")) +
+              when(col("doc_id") % 11 === 0, 1).otherwise(0))
+              .cast("long").as("tok_next"))
+        prev.join(next, Seq("doc_id", "source"), "full_outer")
+          .select(col("source"),
+            when(col("h_prev").isNull, "added")
+              .when(col("h_next").isNull, "removed")
+              .when(col("h_prev") =!= col("h_next"), "changed")
+              .otherwise("unchanged").as("status"),
+            coalesce(col("tok_prev"), lit(0L)).as("tp"),
+            coalesce(col("tok_next"), lit(0L)).as("tn"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tn") - col("tp")).as("token_delta"),
+            sum(col("tn")).as("tokens_next"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some("""WITH prev AS (
+  SELECT doc_id, source, md5(text) AS h_prev,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_prev
+  FROM documents WHERE doc_id % 7 <> 0),
+nxt AS (
+  SELECT doc_id, source,
+    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END)
+      AS h_next,
+    CAST(len(string_split(text, ' '))
+      + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS tok_next
+  FROM documents WHERE doc_id % 5 <> 0),
+j AS (
+  SELECT source,
+    CASE WHEN h_prev IS NULL THEN 'added'
+         WHEN h_next IS NULL THEN 'removed'
+         WHEN h_prev <> h_next THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    coalesce(tok_prev, 0) AS tp, coalesce(tok_next, 0) AS tn
+  FROM prev FULL OUTER JOIN nxt USING (doc_id, source))
+SELECT source, status, count(*) AS n_docs,
+  CAST(sum(tn - tp) AS BIGINT) AS token_delta,
+  CAST(sum(tn) AS BIGINT) AS tokens_next
+FROM j GROUP BY 1, 2
+ORDER BY source NULLS FIRST, status NULLS FIRST"""))
   )
 }

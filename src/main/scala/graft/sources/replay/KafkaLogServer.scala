@@ -90,8 +90,12 @@ final class KafkaLogServer(dir: String, topic: String,
       val recs: Seq[(Array[Byte], Array[Byte], Long)],
       val pid: Long, val epoch: Short, val baseSeq: Int,
       val transactional: Boolean, val control: Option[Boolean]) {
-    def size: Int = recs.size
-    def end: Long = base + recs.size
+    // computed ONCE: recs may be a List, whose .size is O(n) — every
+    // endOffset/fetch walks all entries, so a per-call size turned the
+    // whole produce/consume path quadratic (caught by stack sampling at
+    // the ×30 spot: 90% of samples inside List.length)
+    val size: Int = recs.size
+    val end: Long = base + size
   }
 
   /** Per-partition produced tail: batches appended via Produce (and txn

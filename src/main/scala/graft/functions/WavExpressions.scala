@@ -127,7 +127,10 @@ object WavCodec {
     while (pos + 8 <= bytes.length && dataOff < 0) {
       val id = fourcc(pos)
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return null
+      // LONG arithmetic: a crafted near-Int.MaxValue chunk size would wrap
+      // `pos + 8 + size` negative and slip past an Int bound check — the
+      // contract is NULL for poisoned payloads, never a crash
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return null
       id match {
         case "fmt " =>
           if (size < 16) return null
@@ -147,16 +150,21 @@ object WavCodec {
     val total = dataLen / 2             // samples across channels
     var peak = 0; var clipped = 0; var zc = 0
     var sumSq = 0L
-    var prevNeg = false; var first = true
+    // zero crossings are a PER-CHANNEL signal property: samples interleave
+    // L R L R …, so comparing raw neighbors would count sign flips BETWEEN
+    // channels (a constant +L/−R stereo pair would read as all-crossings)
+    val prevNeg = new Array[Boolean](channels)
+    val started = new Array[Boolean](channels)
     var i = 0
     while (i < total) {
       val s = bb.getShort(dataOff + i * 2).toInt
+      val ch = i % channels
       val a = math.abs(s)
       if (a > peak) peak = a
       if (s == 32767 || s == -32768) clipped += 1
       val neg = s < 0
-      if (!first && neg != prevNeg) zc += 1
-      prevNeg = neg; first = false
+      if (started(ch) && neg != prevNeg(ch)) zc += 1
+      prevNeg(ch) = neg; started(ch) = true
       sumSq += s.toLong * s
       i += 1
     }

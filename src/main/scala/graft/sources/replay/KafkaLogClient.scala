@@ -591,7 +591,11 @@ final class KafkaLogClient(path: String,
       case Some(id) => writeString(o, id)
       case None => o.writeShort(-1) // null: idempotence only
     }
-    o.writeInt(60000)           // transaction_timeout_ms
+    // transaction.timeout.ms ≡ librdkafka's knob: the broker aborts (and
+    // fences) a transaction left open past this — the liveness bound that
+    // keeps a crashed writer from pinning the LSO forever
+    o.writeInt(conf.get("transaction.timeout.ms").map(_.toInt)
+      .getOrElse(60000))
     val r = oneShot(bootstrap, ApiInitProducerId, 0, body.toByteArray)
     r.readInt()                 // throttle_time_ms
     val err = r.readShort()

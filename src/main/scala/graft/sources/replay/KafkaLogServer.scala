@@ -115,10 +115,15 @@ final class KafkaLogServer(dir: String, topic: String,
   private def endOffset(p: Int): Long = baseCount(p) + producedCount(p).toLong
 
   /** Test-visible count of records appended to partition p via Produce,
-    * INCLUDING transaction control markers (they occupy log offsets). */
+    * INCLUDING transaction control markers (they occupy log offsets).
+    * O(1): offsets are assigned contiguously, so the last entry's end IS
+    * the count (summing per-entry sizes here made every wire request
+    * O(#batches)). */
   def producedCount(p: Int): Int = {
     val tail = producedTail(p)
-    tail.synchronized { tail.map(_.size).sum }
+    tail.synchronized {
+      tail.lastOption.fold(0L)(_.end - baseCount(p)).toInt
+    }
   }
 
   // ---- transaction coordinator state ---------------------------------------
@@ -132,35 +137,59 @@ final class KafkaLogServer(dir: String, topic: String,
   /** Open transaction per producer id: partitions added via
     * AddPartitionsToTxn, plus the first data offset written per partition
     * (the LSO floor and, on abort, the aborted-span start). */
-  private final class OpenTxn {
+  private final class OpenTxn(timeoutMs: Int) {
     val partitions = scala.collection.mutable.Set.empty[Int]
     val firstOffsets = scala.collection.mutable.Map.empty[Int, Long]
+    /** transaction.timeout.ms deadline — crossed = reaped (abort + fence). */
+    val deadline: Long = System.currentTimeMillis() + math.max(timeoutMs, 1)
   }
+  /** pid → registered transaction timeout (from InitProducerId). */
+  private val txnTimeouts =
+    new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
   private val openTxns =
     new java.util.concurrent.ConcurrentHashMap[Long, OpenTxn]()
-  /** Per-partition ABORTED spans, served in Fetch's aborted_transactions
-    * list: (producer id, first offset of the span). */
+  /** Per-partition ABORTED spans: (producer id, first offset, marker
+    * offset). Fetch serves the (pid, firstOffset) pairs whose MARKER lies
+    * at or beyond the fetch offset — a span whose marker the consumer has
+    * already passed must NOT be re-served: the client's scan activates any
+    * span with firstOffset <= batch base and only deactivates it when it
+    * crosses the marker batch, so re-serving a closed span to a fetch that
+    * starts after its marker would hide the same producer's LATER
+    * COMMITTED data (exactly how a real broker's txn index filters). */
   private val abortedTxns = new java.util.concurrent.ConcurrentHashMap[
-    Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+    Int, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]()
   private def abortedOf(p: Int) = abortedTxns.computeIfAbsent(p,
     _ => scala.collection.mutable.ArrayBuffer.empty)
 
   /** End pid's open transaction: one control marker per touched partition
     * (the coordinator's WriteTxnMarkers step); aborts also record the span
-    * for Fetch's aborted_transactions list. No-op without an open txn. */
+    * for Fetch's aborted_transactions list. No-op without an open txn.
+    * ORDERING: markers + abort spans land BEFORE the txn leaves openTxns —
+    * removing first would advance the LSO past still-unmarked aborted data
+    * and a concurrent read_committed fetch in that window would serve it
+    * as committed. */
   private def endOpenTxn(pid: Long, commit: Boolean): Unit = {
-    val txn = openTxns.remove(pid)
-    if (txn != null) txn.partitions.toSeq.sorted.foreach { p =>
-      val tail = producedTail(p)
-      tail.synchronized {
-        val markerOff = baseCount(p) + tail.map(_.size).sum.toLong
-        tail += new TailBatch(markerOff, Seq((null, null,
-          System.currentTimeMillis())), pid, 0, -1,
-          transactional = true, control = Some(commit))
-        if (!commit) txn.firstOffsets.get(p).foreach { first =>
-          abortedOf(p).synchronized { abortedOf(p) += ((pid, first)) }
+    val txn = openTxns.get(pid)
+    if (txn != null) {
+      val parts = txn.synchronized { txn.partitions.toSeq.sorted }
+      parts.foreach { p =>
+        val tail = producedTail(p)
+        tail.synchronized {
+          val markerOff = tail.lastOption.fold(baseCount(p))(_.end)
+          tail += new TailBatch(markerOff, Seq((null, null,
+            System.currentTimeMillis())), pid, 0, -1,
+            transactional = true, control = Some(commit))
+          if (!commit) {
+            val first = txn.synchronized { txn.firstOffsets.get(p) }
+            first.foreach { f =>
+              abortedOf(p).synchronized {
+                abortedOf(p) += ((pid, f, markerOff))
+              }
+            }
+          }
         }
       }
+      openTxns.remove(pid)
     }
   }
 
@@ -170,11 +199,30 @@ final class KafkaLogServer(dir: String, topic: String,
 
   /** Last stable offset: everything below it is transactionally decided.
     * With open transactions on p, the LSO is the earliest still-undecided
-    * data offset; otherwise the log end. */
+    * data offset; otherwise the log end. Reaps expired transactions first
+    * — the broker-side transaction.timeout.ms guarantee that a writer
+    * which died without abort() cannot pin the LSO forever. */
   private def lastStable(p: Int): Long = {
+    reapExpiredTxns()
     import scala.jdk.CollectionConverters._
-    val floors = openTxns.values.asScala.flatMap(_.firstOffsets.get(p))
+    val floors = openTxns.values.asScala
+      .flatMap(t => t.synchronized { t.firstOffsets.get(p) })
     if (floors.isEmpty) endOffset(p) else floors.min
+  }
+
+  /** Abort every open transaction past its timeout deadline and FENCE its
+    * producer (epoch bump), exactly what a real coordinator's
+    * transaction.timeout.ms reaper does: the dead writer's data becomes
+    * permanently invisible, the LSO advances, and a zombie that wakes up
+    * later is rejected rather than resumed. */
+  private def reapExpiredTxns(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    openTxns.asScala.filter(_._2.deadline <= now).keys.toSeq.foreach { pid =>
+      endOpenTxn(pid, commit = false)
+      txnProducers.replaceAll((_, reg) =>
+        if (reg._1 == pid) (reg._1, (reg._2 + 1).toShort) else reg)
+    }
   }
 
   /** InitProducerId assignment counter + per-(pid, partition) last sequence
@@ -458,14 +506,16 @@ final class KafkaLogServer(dir: String, topic: String,
                       } else {
                         val recs = decodeBatches(rs, 0L,
                           needKey = true, needValue = true).toSeq
-                        val assigned = baseCount(p) +
-                          tail.map(_.size).sum.toLong
+                        val assigned = tail.lastOption.fold(baseCount(p))(_.end)
                         tail += new TailBatch(assigned,
                           recs.map { case (_, k, v, tsMs) => (k, v, tsMs) },
                           pid, pepoch, baseSeq, transactional, None)
-                        if (transactional)
-                          openTxns.get(pid).firstOffsets
-                            .getOrElseUpdate(p, assigned)
+                        if (transactional) {
+                          val txn = openTxns.get(pid)
+                          txn.synchronized {
+                            txn.firstOffsets.getOrElseUpdate(p, assigned)
+                          }
+                        }
                         if (pid >= 0)
                           seqStore.put((pid, p), (baseSeq, lastSeq, assigned))
                         (0, assigned)
@@ -487,12 +537,13 @@ final class KafkaLogServer(dir: String, topic: String,
             bo.toByteArray
           case ApiInitProducerId if apiVersion == 0 =>
             val txnId = readString(r)   // transactional_id (nullable)
-            r.readInt()                 // transaction_timeout_ms
+            val timeoutMs = r.readInt() // transaction_timeout_ms
             val (pid, epoch) =
               if (txnId == null) (pidCounter.getAndIncrement(), 0: Short)
               else txnProducers.compute(txnId, (_, prev) =>
                 if (prev == null) (pidCounter.getAndIncrement(), 0: Short)
                 else (prev._1, (prev._2 + 1).toShort)) // fence: epoch bump
+            if (txnId != null) txnTimeouts.put(pid, timeoutMs)
             if (txnId != null && epoch > 0) {
               // a re-registration ABORTS the predecessor's open txn (the
               // coordinator's bumpEpoch path): zombie data must not hold
@@ -515,7 +566,8 @@ final class KafkaLogServer(dir: String, topic: String,
             val fenced = reg.exists(t => t._1 == pid && pepoch < t._2)
             val registered = reg.exists(t => t._1 == pid && t._2 == pepoch)
             if (registered)
-              openTxns.computeIfAbsent(pid, _ => new OpenTxn)
+              openTxns.computeIfAbsent(pid, _ => new OpenTxn(
+                Option(txnTimeouts.get(pid)).fold(60000)(_.intValue)))
             val nTopics = r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(0)               // throttle_time_ms
@@ -531,7 +583,11 @@ final class KafkaLogServer(dir: String, topic: String,
                   if (fenced) 90        // PRODUCER_FENCED
                   else if (!registered) 48 // INVALID_TXN_STATE
                   else if (name != topic || !partitionIds.contains(p)) 3
-                  else { openTxns.get(pid).partitions += p; 0 }
+                  else {
+                    val txn = openTxns.get(pid)
+                    txn.synchronized { txn.partitions += p }
+                    0
+                  }
                 o.writeInt(p); o.writeShort(err)
               }
             }
@@ -677,12 +733,17 @@ final class KafkaLogServer(dir: String, topic: String,
         o.writeInt(p); o.writeShort(0)
         o.writeLong(hw)                 // high watermark
         o.writeLong(lso)                // last stable offset
+        // only spans whose MARKER is at or beyond the fetch offset — a
+        // span the consumer's scan position has already passed must not be
+        // re-served, or its producer's later committed data would be hidden
         val aborted =
           if (isolation == 1)
-            abortedOf(p).synchronized { abortedOf(p).toVector }
+            abortedOf(p).synchronized {
+              abortedOf(p).toVector.filter(_._3 >= fetchOffset)
+            }
           else Vector.empty
         o.writeInt(aborted.size)
-        aborted.foreach { case (pid, first) =>
+        aborted.foreach { case (pid, first, _) =>
           o.writeLong(pid); o.writeLong(first)
         }
         val recordSet =
@@ -789,18 +850,33 @@ final class KafkaLogServer(dir: String, topic: String,
   private def encodeTailBatches(p: Int, start: Long, until: Long): Array[Byte] = {
     val tail = producedTail(p)
     val entries = tail.synchronized { tail.toVector }
+    val overlapping = entries.filter(e => e.end > start && e.base < until)
+    legacyMagic match {
+      case Some(m) =>
+        // a pre-0.11 broker double serves produced records in the legacy
+        // MessageSet framing too; transactions postdate that wire format
+        // by years, so a transactional tail under legacyMagic is a test
+        // configuration error, not something to encode silently
+        require(overlapping.forall(e => !e.transactional && e.control.isEmpty),
+          "fake broker: legacyMagic cannot serve transactional batches " +
+            "(pre-0.11 wire format has no transactions)")
+        val flat = overlapping.flatMap(e => e.recs.zipWithIndex.map {
+          case ((k, v, tsMs), i) => (e.base + i, k, v, tsMs)
+        })
+        return if (flat.isEmpty) Array.emptyByteArray
+          else encodeLegacySet(m, flat)
+      case None =>
+    }
     val bo = new ByteArrayOutputStream()
-    entries.foreach { e =>
-      if (e.end > start && e.base < until) {
-        val bytes = e.control match {
-          case Some(commit) =>
-            encodeControlBatch(e.base, e.pid, e.epoch, commit, e.recs.head._3)
-          case None =>
-            encodeRecordBatchV2(e.recs, codec, e.pid, e.epoch, e.baseSeq,
-              transactional = e.transactional, baseOffset = e.base)
-        }
-        bo.write(bytes)
+    overlapping.foreach { e =>
+      val bytes = e.control match {
+        case Some(commit) =>
+          encodeControlBatch(e.base, e.pid, e.epoch, commit, e.recs.head._3)
+        case None =>
+          encodeRecordBatchV2(e.recs, codec, e.pid, e.epoch, e.baseSeq,
+            transactional = e.transactional, baseOffset = e.base)
       }
+      bo.write(bytes)
     }
     bo.toByteArray
   }

@@ -315,7 +315,14 @@ class ReplayTable(opts: ReplayOptions) extends Table
       // "partially pushed" is always safe — the cap is a data-volume
       // optimization, never a semantic contract
       private var pushedLimit = -1
-      override def pushLimit(n: Int): Boolean = { pushedLimit = n; true }
+      // limit pushdown narrows the planned OFFSET span to n records —
+      // only sound where offsets are dense (file/socket logs). Kafka logs
+      // have gaps (transaction control markers, hidden aborted spans,
+      // compaction), so an n-offset span can hold fewer than n data rows
+      // and Spark's residual Limit could not recover the shortfall.
+      override def pushLimit(n: Int): Boolean =
+        if (opts.clientKind == "kafka") false
+        else { pushedLimit = n; true }
       override def isPartiallyPushed: Boolean = true
       override def build(): Scan = pushedAgg match {
         case Some(a) => new ReplayAggScan(opts, a)

@@ -81,9 +81,28 @@ class WavSpec extends SparkSpec {
     bb.putInt(22050 * 4); bb.putShort(4); bb.putShort(16)
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     frames.foreach { case (l, r) => bb.putShort(l.toShort); bb.putShort(r.toShort) }
-    val Some((sr, ch, n, peak, clipped, _, _)) = statsOf(bb.array())
+    val Some((sr, ch, n, peak, clipped, zc, _)) = statsOf(bb.array())
     assert((sr, ch, n) === ((22050, 2, 4)))
     assert(peak === 32768 && clipped === 2)
+    // PER-CHANNEL crossings: L = 100,200,32767,0 (none), R = -100,-200,
+    // -32768,50 (one). Interleaved counting would report 7 — the sign
+    // flips BETWEEN channels, not a signal property.
+    assert(zc === 1, s"zero crossings must be per-channel, got $zc")
+  }
+
+  test("a constant +L/-R stereo signal has zero crossings") {
+    val dataLen = 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(8000)
+    bb.putInt(8000 * 4); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (1 to 4).foreach { _ => bb.putShort(100); bb.putShort(-100) }
+    val Some((_, _, _, _, _, zc, _)) = statsOf(bb.array())
+    assert(zc === 0, s"constant channels have no crossings, got $zc")
   }
 
   test("poisoned payloads return null, never crash") {
@@ -102,6 +121,12 @@ class WavSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(float32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(20, 3)
     assert(statsOf(float32).isEmpty, "non-PCM format tag")
+    // a near-Int.MaxValue declared chunk size must not wrap the bound
+    // check negative and walk past the buffer
+    val wrap = good.clone()
+    java.nio.ByteBuffer.wrap(wrap).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 1)
+    assert(statsOf(wrap).isEmpty, "overflowing declared size")
   }
 
   test("the DataFrame lane encodes, parses and clamps inside codegen") {

@@ -220,6 +220,89 @@ class KafkaTxnSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("a closed aborted span is not re-served: later commits from the " +
+      "same producer stay visible to fetches starting past the marker") {
+    val broker = emptyBroker("txnr")
+    try {
+      // ONE producer identity: abort txn1, then commit txn2 — the classic
+      // sequence where re-serving the historical aborted span to a fetch
+      // that starts after its marker would wrongly hide txn2's data
+      val a = producer(broker, "txn-a")
+      a.beginTxn()
+      a.produce(0, Seq((null, bytes("dead1"), 1000L),
+        (null, bytes("dead2"), 1001L)))         // offsets 0-1
+      a.endTxn(commit = false)                  // marker 2
+      a.beginTxn()
+      a.produce(0, Seq((null, bytes("live1"), 2000L),
+        (null, bytes("live2"), 2001L)))         // offsets 3-4
+      a.endTxn(commit = true)                   // marker 5
+
+      assert(drain(broker, 0, "read_committed").map(_._2) ===
+        Seq("live1", "live2"))
+
+      // the regression shape: a fetch STARTING past the abort marker —
+      // a second micro-batch, a range split, or any resumed cursor
+      val c = new KafkaLogClient(broker.clientPath)
+      val frames = c.openFrames(0, 3L, needKey = false, needValue = true)
+      try {
+        val got = Seq.newBuilder[String]
+        while (frames.readFrameBefore(6L)) got += str(frames.value)
+        assert(got.result() === Seq("live1", "live2"),
+          "a fetch past the abort marker must see the later commit")
+      } finally frames.close()
+    } finally broker.close()
+  }
+
+  test("the broker reaps a transaction past transaction.timeout.ms") {
+    val broker = emptyBroker("txnt")
+    try {
+      val a = new KafkaLogClient(broker.clientPath,
+        Map("transactional.id" -> "slow", "graft.role" -> "producer",
+          "transaction.timeout.ms" -> "300"))
+      a.beginTxn()
+      a.produce(0, Seq((null, bytes("stuck1"), 1000L),
+        (null, bytes("stuck2"), 1001L)))
+      val rc = new KafkaLogClient(broker.clientPath)
+      assert(rc.endOffset(0) === 0L, "open txn pins the LSO")
+      Thread.sleep(400)
+      // the reaper runs on the next isolation-aware request: the dead
+      // txn aborts, the LSO advances past data + marker, nothing surfaces
+      assert(rc.endOffset(0) === 3L,
+        "after the timeout the LSO must advance (data + abort marker)")
+      assert(drain(broker, 0, "read_committed").isEmpty)
+      // and the producer is FENCED, not resumed
+      val e = intercept[java.io.IOException] {
+        a.produce(0, Seq((null, bytes("late"), 1002L)))
+      }
+      assert(e.getMessage.contains("fenced") ||
+        e.getMessage.contains("error 48"), e.getMessage)
+    } finally broker.close()
+  }
+
+  test("LIMIT over a gap-ful kafka log returns exactly n rows") {
+    val broker = emptyBroker("txnl")
+    try {
+      val a = producer(broker, "txn-a")
+      // markers at offsets 2 and 5: offsets 0-5 hold only 4 data rows, so
+      // a pushed 4-offset span would silently return 3 — the push must be
+      // refused for kafka and Spark's own Limit applied over real rows
+      a.beginTxn()
+      a.produce(0, Seq((null, bytes("r1"), 1000L), (null, bytes("r2"), 1001L)))
+      a.endTxn(commit = true)
+      a.beginTxn()
+      a.produce(0, Seq((null, bytes("r3"), 1002L), (null, bytes("r4"), 1003L),
+        (null, bytes("r5"), 1004L)))
+      a.endTxn(commit = true)
+      val got = spark.read.format("graft-replay")
+        .option("client", "kafka").option("path", broker.clientPath)
+        .load().limit(4)
+        .select(org.apache.spark.sql.functions.col("value").cast("string"))
+        .collect().map(_.getString(0)).toSet
+      assert(got.size === 4 && got.subsetOf(Set("r1", "r2", "r3", "r4", "r5")),
+        s"limit over offset gaps returned $got")
+    } finally broker.close()
+  }
+
   test("ambiguous-failure retry inside a transaction is absorbed once") {
     val broker = emptyBroker("txn6")
     try {

@@ -1150,6 +1150,71 @@ SELECT source, status, count(*) AS n_docs,
   CAST(sum(tn - tp) AS BIGINT) AS token_delta,
   CAST(sum(tn) AS BIGINT) AS tokens_next
 FROM j GROUP BY 1, 2
-ORDER BY source NULLS FIRST, status NULLS FIRST"""))
+ORDER BY source NULLS FIRST, status NULLS FIRST""")),
+
+
+    // ---- X72: k-anonymity / l-diversity release audit -----------------------
+    // The privacy-governance gate a dataset release runs beside the PII
+    // scrubbers (x17/x68): generalize each record to its quasi-identifier
+    // tuple — here (event_type, hour-of-day, value band) — and measure
+    // re-identification risk à la Sweeney's k-anonymity: every equivalence
+    // class of size < k is a linkage risk (its members are distinguishable
+    // among fewer than k records), and every class whose SENSITIVE
+    // attribute (the user cohort) is constant leaks that attribute even at
+    // k (the l-diversity refinement, l = 1). Per event type: the dataset's
+    // achieved k (min class size), rows in classes below k = 5 and the
+    // suppression fraction enforcing k = 5 would cost, and the l = 1
+    // attribute-disclosure exposure. Shape at 100 TB: one (QI-tuple)
+    // aggregation — partial map-side, class count ≪ rows — then a tiny
+    // per-type rollup; the distinct-cohort count per class is over a
+    // 10-value domain. All exact integers + one ratio. O-class.
+    GQuery("x72_k_anonymity",
+      (s, d) => {
+        val classes = Tables.events(s, d)
+          .select(col("event_type"),
+            hour(col("ts")).cast("long").as("hr"),
+            least(greatest(floor(col("value") / lit(100.0)), lit(0.0)),
+              lit(9.0)).cast("long").as("vband"),
+            (col("user_id") % 10).as("cohort"))
+          .groupBy(col("event_type"), col("hr"), col("vband"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("cohort")).as("l"))
+        classes.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min(col("n")).as("min_k"),
+            sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
+              .as("rows_lt5"),
+            sum(when(col("l") === 1, lit(1L)).otherwise(lit(0L)))
+              .as("l1_classes"),
+            sum(when(col("l") === 1, col("n")).otherwise(lit(0L)))
+              .as("l1_rows"))
+          .select(col("event_type"), col("n_rows"), col("n_classes"),
+            col("min_k"), col("rows_lt5"),
+            (col("rows_lt5").cast("double") / col("n_rows").cast("double"))
+              .cast("decimal(18,6)").cast("double").as("suppress_frac_k5"),
+            col("l1_classes"), col("l1_rows"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+  SELECT event_type, hour(ts) AS hr,
+    CAST(least(greatest(floor(value / 100.0), 0), 9) AS BIGINT) AS vband,
+    user_id % 10 AS cohort
+  FROM events),
+cls AS (
+  SELECT event_type, hr, vband, count(*) AS n,
+    count(DISTINCT cohort) AS l
+  FROM g GROUP BY 1, 2, 3)
+SELECT event_type,
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  count(*) AS n_classes,
+  CAST(min(n) AS BIGINT) AS min_k,
+  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_lt5,
+  CAST(CAST(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+    / CAST(sum(n) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+    AS suppress_frac_k5,
+  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1_classes,
+  CAST(sum(CASE WHEN l = 1 THEN n ELSE 0 END) AS BIGINT) AS l1_rows
+FROM cls GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
   )
 }

@@ -151,5 +151,23 @@ object Bench {
       System.err.println(s"[bench] close snapshot written: $p")
     }
     spark.stop()
+    // The driver captures only the LAST ~2000 chars of stdout; the full
+    // per-query line above is ~8 KB, so r10/r11 landed as `parsed: null`
+    // (the tail started mid-line). The FINAL stdout line is therefore a
+    // compact, complete JSON that fits the tail window: headline total +
+    // the slowest queries, with the full map in bench_out.json / the close
+    // snapshot. Printed after spark.stop() so no shutdown chatter follows.
+    val slow = good.sortBy(-_._2)
+    val budget = 1500 // chars for the queries map, well under the window
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    slow.iterator.takeWhile { case (k, _) =>
+      used += k.length + 12; used < budget
+    }.foreach(picked += _)
+    val qsTop = picked.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${good.size},"failed":$fs,"sf":"$sfDir","queries":$qsTop,"queries_note":"slowest ${picked.size} of ${good.size}; full map in bench_out.json"}""")
+    System.out.flush()
   }
 }

@@ -20,17 +20,24 @@ case class WavEncodePcm16(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
   override def prettyName: String = "wav_pcm16"
   override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
     Seq(ArrayType(IntegerType), IntegerType)
 
+  // null SAMPLES (array elements) → NULL result, mirroring wav_stats'
+  // poisoned-payload contract. Deliberately not toIntArray(): on a
+  // null-bearing array GenericArrayData throws NPE while UnsafeArrayData
+  // silently yields 0 — interpreted and codegen paths would diverge.
   override def nullSafeEval(samples: Any, rate: Any): Any =
-    WavCodec.encode(samples.asInstanceOf[ArrayData].toIntArray(),
+    WavCodec.encodeChecked(samples.asInstanceOf[ArrayData],
       rate.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (s, r) =>
-      s"${ev.value} = graft.functions.WavCodec.encode($s.toIntArray(), $r);")
+    nullSafeCodeGen(ctx, ev, (s, r) => s"""
+      ${ev.value} = graft.functions.WavCodec.encodeChecked($s, $r);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
@@ -84,6 +91,20 @@ object WavCodec {
     StructField("clipped", IntegerType, nullable = false),
     StructField("zero_cross", IntegerType, nullable = false),
     StructField("sum_sq", LongType, nullable = false)))
+
+  /** [[encode]] over an [[ArrayData]], returning null (instead of an
+    * engine-dependent NPE-or-zero) when any sample element is null. */
+  def encodeChecked(samples: ArrayData, sampleRate: Int): Array[Byte] = {
+    val n = samples.numElements()
+    val arr = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (samples.isNullAt(i)) return null
+      arr(i) = samples.getInt(i)
+      i += 1
+    }
+    encode(arr, sampleRate)
+  }
 
   /** Canonical PCM16 mono WAV bytes: RIFF("WAVE") + fmt(16) + data. */
   def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {

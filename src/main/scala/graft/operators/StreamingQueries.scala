@@ -2447,8 +2447,9 @@ FROM events ORDER BY key NULLS FIRST""")),
         val dir = Files.createTempDirectory(tmpBase, "kafka-txn").toString
         val broker = new graft.sources.replay.KafkaLogServer(dir, "txn",
           explicitPartitions = Some(0 until 3))
+        var decoys: graft.sources.replay.KafkaLogClient = null
         try {
-          val decoys = new graft.sources.replay.KafkaLogClient(
+          decoys = new graft.sources.replay.KafkaLogClient(
             broker.clientPath,
             Map("transactional.id" -> "s58-decoy", "graft.role" -> "producer"))
           def abortedDecoys(tag: String): Unit = {
@@ -2477,7 +2478,13 @@ FROM events ORDER BY key NULLS FIRST""")),
               length(col("value").cast("string")).cast("long").as("vlen"))
             .orderBy(col("key"))
             .localCheckpoint(true)
-        } finally broker.close()
+        } finally {
+          // the decoy producer keeps persistent sockets — close them before
+          // the broker, or each run of this query leaks two connections
+          if (decoys != null)
+            try decoys.closeProducer() catch { case _: Throwable => () }
+          broker.close()
+        }
       },
       Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
 FROM events ORDER BY key NULLS FIRST""")),

@@ -651,6 +651,14 @@ final class KafkaLogClient(path: String,
     * first (the group path above shows the shape). */
   def endTxn(commit: Boolean): Unit = synchronized {
     require(txnOpen, "no open transaction to end")
+    if (txnPartitions.isEmpty) {
+      // Empty transaction: the coordinator only learns of a txn at the
+      // first AddPartitionsToTxn, so an EndTxn here would draw
+      // INVALID_TXN_STATE from a real broker. The Java client resolves an
+      // empty commit/abort locally the same way.
+      txnOpen = false
+      return
+    }
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
     writeString(o, transactionalId.get)
     o.writeLong(producerId); o.writeShort(producerEpoch)

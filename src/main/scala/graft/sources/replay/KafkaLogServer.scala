@@ -725,8 +725,11 @@ final class KafkaLogServer(dir: String, topic: String,
       o.writeInt(nParts)
       (1 to nParts).foreach { _ =>
         val p = r.readInt(); val fetchOffset = r.readLong(); r.readInt()
-        val hw = endOffset(p)
+        // LSO first: lastStable() reaps expired transactions, which can
+        // APPEND abort markers — reading the high watermark before the reap
+        // could publish a protocol-inconsistent (lso > hw) response pair
         val lso = lastStable(p)
+        val hw = endOffset(p)
         // a read_committed fetch never serves past the LSO — records of a
         // still-open transaction are not yet decided
         val end = if (isolation == 1) lso else hw

@@ -139,4 +139,23 @@ class WavSpec extends SparkSpec {
     assert(row.getInt(0) === 32768 && row.getInt(1) === 2 && row.getInt(2) === 3,
       "out-of-range samples clamp to full scale (and count as clipped)")
   }
+
+  test("a null sample element yields NULL, identically in codegen and interpreted") {
+    import spark.implicits._
+    // before the encodeChecked fix this DIVERGED: GenericArrayData (the
+    // interpreted/local-relation path) threw NPE from toIntArray while
+    // UnsafeArrayData silently encoded the null as sample 0
+    val df = Seq((1L, Seq[Integer](100, null, 300)), (2L, Seq[Integer](1, 2)))
+      .toDF("id", "s")
+      .select(col("id"),
+        GraftFunctions.wav_pcm16(col("s").cast("array<int>"), lit(8000)).as("w"))
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = df.orderBy("id").collect()
+        assert(rows(0).isNullAt(1), s"null element must yield NULL ($codegen)")
+        assert(!rows(1).isNullAt(1), s"clean array must encode ($codegen)")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

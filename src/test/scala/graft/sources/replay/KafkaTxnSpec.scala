@@ -303,6 +303,25 @@ class KafkaTxnSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("an empty transaction commits (and aborts) without a wire error") {
+    // The broker only creates the txn at the first AddPartitionsToTxn, so
+    // an EndTxn for a zero-produce txn would draw INVALID_TXN_STATE; the
+    // client must resolve it locally, like the Java client does.
+    val broker = emptyBroker("txn-empty")
+    try {
+      val p = producer(broker, "txn-e")
+      p.beginTxn(); p.endTxn(commit = true)   // empty commit
+      p.beginTxn(); p.endTxn(commit = false)  // empty abort
+      // the producer is still usable for a REAL transaction afterwards
+      p.beginTxn()
+      p.produce(0, Seq((null, bytes("after-empty"), 1000L)))
+      p.endTxn(commit = true)
+      p.closeProducer()
+      assert(drain(broker, 0, "read_committed").map(_._2) ===
+        Seq("after-empty"))
+    } finally broker.close()
+  }
+
   test("ambiguous-failure retry inside a transaction is absorbed once") {
     val broker = emptyBroker("txn6")
     try {

@@ -1,0 +1,498 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{GQuery, Tables}
+import graft.sources.replay.ReplayLog
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types._
+
+/** The Kafka wire gate and live pipeline twins: release funnel (s54),
+  * Confluent-framed Avro decode (s55), the wire-protocol replay /
+  * produce / transaction round-trips against the broker double
+  * (s56-s58), the streaming DSIR gate (s59) and audio QA (s60).
+  *
+  * Part of the [[StreamingQueries]] registry (split from the former
+  * monolithic file in round 12); execution helpers (runToMemory, the
+  * 8-partition harness session, replay/event/doc streams) live on
+  * [[StreamingQueries]] itself.
+  */
+private[operators] object StreamingGateQueries {
+  import StreamingQueries._
+
+  val queries: Seq[GQuery] = Seq(
+
+    // S54: streaming release funnel — the live twin of x64's attrition
+    // dashboard (VERDICT r10 #8). Fresh documents (doc_id % 10 = 7) stream
+    // against the already-released corpus and flow the same gate chain:
+    //   raw → exact-new (s30's incremental-dedup shape: a STATIC history
+    //   hash table probed with a stream-static left-anti join — history
+    //   never enters stream state — then dropDuplicates for first-arrival
+    //   within the stream) → n-gram-clean (x13/x57's broadcast eval-gram
+    //   probe as a per-row array_intersect against a ONE-ROW static frame,
+    //   so the stage keeps append mode: no stream-side aggregation) →
+    //   quality (s49's per-row rational-sigmoid score at the 'keep'
+    //   boundary, ≥ 0.6; the n-gram gate at 0.15 — both chosen so every
+    //   stage has attrition at the test corpora).
+    // The sink receives per-doc flag rows (append, file sink — distributed
+    // end to end); the funnel itself is a batch-side stack()+aggregate over
+    // the sunk flags, exactly like x64. Deterministic despite arrival
+    // order: duplicates share text, hence token counts, so per-stage
+    // doc/token totals are order-invariant. State is |distinct new hashes|
+    // in the fresh slice only (pinned in StreamMetricsSpec). At 100 TB:
+    // history is a broadcast/bucketed static probe, eval grams are a
+    // broadcast array, scoring is per-row — the only state is the fresh
+    // window's dedup set, the same bound s30 carries.
+    GQuery("s54_stream_release_funnel",
+      (s, d) => {
+        val ds = Tables.table(s, d, "documents")
+        val isFresh = col("doc_id") % 10 === 7
+        val isEval = col("doc_id") % 20 === 0 && col("doc_id") < 2000
+        // static sides persisted: a stream-static join re-executes the
+        // static plan every micro-batch (the s27 lesson)
+        val hist = ds.filter(!isFresh).select(md5(col("text")).as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hist.count()
+        val evg = ds.filter(isEval)
+          .select(explode(graft.functions.GraftFunctions
+            .word_shingles(col("text"), 3)).as("g"))
+          .distinct().agg(collect_list(col("g")).as("evs"))
+          .withColumn("jk", lit(1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        evg.count()
+        // s49's quality score, per-row on the stream
+        val ws = split(col("text"), " ")
+        val nwS = greatest(size(ws), lit(1))
+        val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "for")
+          .map(lit): _*)
+        val punct = length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val z = lit(-1.0) +
+          lit(2.4) * (size(array_distinct(ws)) / nwS) +
+          lit(1.2) * (least(size(ws), lit(400)) / lit(400.0)) -
+          lit(3.0) * (punct / greatest(length(col("text")), lit(1))) -
+          lit(0.8) * abs((length(col("text")) - (size(ws) - lit(1))) / nwS -
+            lit(5.0)) / lit(5.0) +
+          lit(1.5) * (size(filter(ws, w => array_contains(stops, w))) / nwS)
+        val score = (lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z))))
+          .cast("decimal(18,6)").cast("double")
+        val flags = docStream(s, d).filter(isFresh)
+          .select(col("text"),
+            size(split(col("text"), " ")).cast("long").as("tok"),
+            md5(col("text")).as("h"),
+            graft.functions.GraftFunctions.word_shingles(col("text"), 3)
+              .as("sh"))
+          .join(hist, Seq("h"), "left_anti")
+          .dropDuplicates("h")
+          .withColumn("jk", lit(1))
+          .join(broadcast(evg), "jk")
+          // the x57/x61/x64 canary: an empty eval slice would null the
+          // probe into a silent pass-everything stage — fail loudly
+          .withColumn("evs",
+            when(assert_true(size(col("evs")) > 0,
+              lit("s54: eval gram set is empty — the n-gram stage would " +
+                "silently pass every doc")).isNull, col("evs")))
+          .withColumn("p2",
+            size(array_intersect(col("sh"), col("evs"))).cast("double") /
+              size(col("sh")).cast("double") < 0.15)
+          .withColumn("p3", score >= 0.6)
+          .select(col("tok"), col("p2"), col("p3"))
+        val sunk = runToMemory(flags, "append")
+        val raw = ds.filter(isFresh)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .select(lit("0_raw").as("stage"), col("n_docs"), col("n_tokens"))
+        val staged = sunk.select(col("tok"), expr("""stack(3,
+            '1_exact_new', true,
+            '2_ngram_clean', p2,
+            '3_quality_keep', p2 AND p3) AS (stage, pass)"""))
+          .filter(col("pass"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        val total = ds.filter(isFresh).agg(count(lit(1)).as("total"))
+        raw.unionByName(staged)
+          .crossJoin(broadcast(total))
+          .select(col("stage"), col("n_docs"), col("n_tokens"),
+            (col("n_docs").cast("double") / col("total"))
+              .cast("decimal(18,6)").cast("double").as("retained_frac"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text, md5(text) AS h,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents WHERE doc_id % 10 = 7),
+hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+surv AS (SELECT h, min(doc_id) AS doc_id FROM f
+  WHERE h NOT IN (SELECT h FROM hist) GROUP BY h),
+sd AS (SELECT f.doc_id, f.tok FROM f JOIN surv USING (h, doc_id)),
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+shd AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+    i -> array_to_string(w[i:i+2], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s FROM toks),
+evg AS (SELECT DISTINCT unnest(s) AS g FROM shd
+  WHERE doc_id % 20 = 0 AND doc_id < 2000),
+hits AS (SELECT t.doc_id, count(*) AS n
+  FROM (SELECT sd.doc_id, unnest(shd.s) AS g FROM sd JOIN shd USING (doc_id)) t
+  JOIN evg USING (g) GROUP BY t.doc_id),
+p2t AS (SELECT sd.doc_id,
+    (CAST(coalesce(hits.n, 0) AS DOUBLE) / len(shd.s)) < 0.15 AS p2
+  FROM sd JOIN shd USING (doc_id) LEFT JOIN hits ON hits.doc_id = sd.doc_id),
+zt AS (SELECT sd.doc_id,
+    -1.0 + 2.4 * (len(list_distinct(w)) / greatest(len(w), 1))
+         + 1.2 * (least(len(w), 400) / 400.0)
+         - 3.0 * ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / greatest(length(text), 1))
+         - 0.8 * abs(((length(text) - (len(w) - 1)) / greatest(len(w), 1)) - 5.0) / 5.0
+         + 1.5 * (len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','for'], x))) / greatest(len(w), 1))
+      AS z
+  FROM sd JOIN toks USING (doc_id)),
+p3t AS (SELECT doc_id,
+    CAST(CAST(0.5 + 0.5 * (z / (1.0 + abs(z))) AS DECIMAL(18,6)) AS DOUBLE) >= 0.6 AS p3
+  FROM zt),
+stg AS (
+  SELECT '0_raw' AS stage, count(*) AS n_docs, sum(tok) AS n_tokens FROM f
+  UNION ALL
+  SELECT '1_exact_new', count(*), sum(tok) FROM sd
+  UNION ALL
+  SELECT '2_ngram_clean', count(*), sum(tok)
+  FROM sd JOIN p2t USING (doc_id) WHERE p2
+  UNION ALL
+  SELECT '3_quality_keep', count(*), sum(tok)
+  FROM sd JOIN p2t USING (doc_id) JOIN p3t USING (doc_id) WHERE p2 AND p3),
+tot AS (SELECT count(*) AS total FROM f)
+SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CAST(CAST(n_docs AS DOUBLE) / total AS DECIMAL(18,6)) AS DOUBLE)
+    AS retained_frac
+FROM stg, tot ORDER BY stage NULLS FIRST""")),
+
+    // S55: CONFLUENT-FRAMED AVRO envelope decode with schema-registry
+    // dispatch — the dominant real Kafka payload encoding (magic 0x00 +
+    // int32 BE schema id + avro body), over a bus caught mid-migration:
+    // half the producers still write schema 1 (V1: user_id, cents), half
+    // the evolved schema 2 (V2: + event_type). The query validates the
+    // magic byte (raise_error on garbage — never a silent misparse),
+    // reads the id from the frame, dispatches avro_decode per id (CaseWhen
+    // evaluates only the matching branch — one decode per row), and folds
+    // V1 rows into a 'v1_legacy' cohort: exactly how a consumer survives a
+    // producer-side schema migration. Decode is the native AvroCatalyst
+    // expression (avro-core, no broker/connector libs); per-row, stateless,
+    // so it scales with input like any projection. The frame is
+    // deterministic per event, so DuckDB oracles the aggregate straight
+    // from the events table. (The reference ships DataFusion's `avro`
+    // feature, Cargo.toml:7, without exercising it; this is that surface
+    // made real on the streaming path — s11 is the JSON sibling.)
+    // Round 12: the schemas are no longer compile-time constants in the
+    // query — they are FETCHED BY ID over the registry's public REST
+    // contract (GET /schemas/ids/{id}), driver-side, once per id, then
+    // travel to executors inside the serialized decode expressions.
+    // In-process registry double by default; a real registry via
+    // GRAFT_SCHEMA_REGISTRY_URL (the live-broker gating pattern).
+    GQuery("s55_avro_envelope_decode",
+      (s, d) => {
+        import graft.functions.GraftFunctions.avro_decode
+        val log = ReplayLog.ensureAvroLog(s, d)
+        val extUrl = sys.env.get("GRAFT_SCHEMA_REGISTRY_URL")
+        val double = if (extUrl.isEmpty) Some(new graft.sources.replay
+            .SchemaRegistry.Server(Map(1 -> ReplayLog.AvroV1,
+              2 -> ReplayLog.AvroV2)))
+          else None
+        val (schemaV1, schemaV2) = try {
+          val reg = new graft.sources.replay.SchemaRegistry.Client(
+            extUrl.getOrElse(double.get.url))
+          (reg.schemaById(1), reg.schemaById(2))
+        } finally double.foreach(_.close())
+        val stream = s.readStream.format("graft-replay").option("path", log).load()
+        val sid = expr("""CASE WHEN substring(value, 1, 1) = X'00'
+          THEN CAST(conv(hex(substring(value, 2, 4)), 16, 10) AS INT)
+          ELSE CAST(raise_error('confluent frame: bad magic byte') AS INT)
+          END""")
+        val body = expr("substring(value, 6, length(value) - 5)")
+        val decoded = stream.select(sid.as("sid"), body.as("body"))
+          .withColumn("r1", when(col("sid") === 1,
+            avro_decode(col("body"), schemaV1)))
+          .withColumn("r2", when(col("sid") === 2,
+            avro_decode(col("body"), schemaV2)))
+          .select(
+            coalesce(col("r1.user_id"), col("r2.user_id")).as("user_id"),
+            coalesce(col("r1.cents"), col("r2.cents")).as("cents"),
+            when(col("sid") === 1, lit("v1_legacy"))
+              .when(col("sid") === 2, col("r2.event_type"))
+              .otherwise(raise_error(concat(lit("unknown avro schema id "),
+                col("sid")))).as("etype"))
+        runToMemory(
+          decoded.groupBy(col("etype"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+              min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user")),
+          "complete").orderBy(col("etype"))
+      },
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'v1_legacy' ELSE event_type END AS etype,
+  count(*) AS n,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+  min(user_id) AS min_user, max(user_id) AS max_user
+FROM events GROUP BY 1 ORDER BY etype NULLS FIRST""")),
+
+    // S56: the replay stream consumed over the KAFKA WIRE PROTOCOL — s35's
+    // kafka twin: client=kafka against an in-process wire-faithful broker
+    // (Metadata/ListOffsets/Fetch v4, RecordBatch v2), putting the wire
+    // client into the driver's DuckDB gate (it was spec-evidenced only).
+    // Same offsets, same admission, same checkpointing; only the wire
+    // differs. Envelope oracle ≡ s35 (partition = event_id % 3,
+    // offset = event_id // 3).
+    GQuery("s56_kafka_wire_replay",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        val broker = new graft.sources.replay.KafkaLogServer(log, "events")
+        try {
+          runToMemory(
+            s.readStream.format("graft-replay")
+              .option("client", "kafka").option("path", broker.clientPath)
+              .option("maxRowsPerTrigger", adaptiveTrigger(s, d).toString)
+              .load()
+              .select(col("partition").cast("long").as("partition"), col("offset"),
+                col("key").cast("string").as("key"),
+                length(col("value").cast("string")).cast("long").as("vlen")),
+            "append").orderBy(col("partition"), col("offset"))
+        } finally broker.close()
+      },
+      Some("""SELECT event_id % 3 AS "partition", event_id // 3 AS "offset",
+  'Key ' || event_id AS key, len(props) AS vlen
+FROM events
+ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
+    // S57: the PRODUCE round-trip as a declared query — the events envelope
+    // written through the graft-replay SINK (Produce v3 wire batches, real
+    // CRC-32C, zstd, idempotent producer) into an empty 3-partition topic,
+    // then read back over the same wire and checked row-by-row against the
+    // source table. Key-level identity is routing-independent (partition
+    // assignment is murmur2's business, offsets the broker's), so the
+    // oracle replays exactly the content contract the sink guarantees.
+    GQuery("s57_kafka_produce_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory(tmpBase, "kafka-sunk").toString
+        val broker = new graft.sources.replay.KafkaLogServer(dir, "sunk",
+          explicitPartitions = Some(0 until 3))
+        try {
+          Tables.events(s, d)
+            .select(concat(lit("Key "), col("event_id")).cast("binary").as("key"),
+              col("props").cast("binary").as("value"))
+            .write.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .option("producer.compression.type", "zstd")
+            .option("producer.enable.idempotence", "true")
+            .mode("append").save()
+          // materialize BEFORE the finally kills the broker: the returned
+          // frame must not re-dial a closed socket when the caller collects
+          s.read.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .load()
+            .select(col("key").cast("string").as("key"),
+              length(col("value").cast("string")).cast("long").as("vlen"))
+            .orderBy(col("key"))
+            .localCheckpoint(true)
+        } finally broker.close()
+      },
+      Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
+FROM events ORDER BY key NULLS FIRST""")),
+
+    // S58: Kafka TRANSACTIONS through the correctness gate — the
+    // exactly-once pair the reference inherits from librdkafka
+    // (transactional.id + isolation.level). Two ABORTED decoy
+    // transactions sandwich the real data: decoys land first (a leading
+    // aborted span + abort marker the reader must skip over), then the
+    // events envelope commits through the TRANSACTIONAL sink (one Kafka
+    // transaction per task, committed at task commit), then a second decoy
+    // txn aborts after. The default read_committed read must surface
+    // EXACTLY the committed table rows — any leaked decoy key or dropped
+    // event changes the oracle hash — while walking a log whose offsets
+    // now have real gaps (control markers + hidden aborted spans).
+    GQuery("s58_kafka_txn_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory(tmpBase, "kafka-txn").toString
+        val broker = new graft.sources.replay.KafkaLogServer(dir, "txn",
+          explicitPartitions = Some(0 until 3))
+        var decoys: graft.sources.replay.KafkaLogClient = null
+        try {
+          decoys = new graft.sources.replay.KafkaLogClient(
+            broker.clientPath,
+            Map("transactional.id" -> "s58-decoy", "graft.role" -> "producer"))
+          def abortedDecoys(tag: String): Unit = {
+            decoys.beginTxn()
+            (0 until 3).foreach { p =>
+              decoys.produce(p, (0 until 250).map(i =>
+                (s"Key decoy-$tag-$i".getBytes("UTF-8"),
+                  s"never-visible-$i".getBytes("UTF-8"), 1723700000000L + i)))
+            }
+            decoys.endTxn(commit = false)
+          }
+          abortedDecoys("pre")
+          Tables.events(s, d)
+            .select(concat(lit("Key "), col("event_id")).cast("binary").as("key"),
+              col("props").cast("binary").as("value"))
+            .write.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .option("producer.transactional.id", "s58-sink")
+            .option("producer.compression.type", "zstd")
+            .mode("append").save()
+          abortedDecoys("post")
+          s.read.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .load()
+            .select(col("key").cast("string").as("key"),
+              length(col("value").cast("string")).cast("long").as("vlen"))
+            .orderBy(col("key"))
+            .localCheckpoint(true)
+        } finally {
+          // the decoy producer keeps persistent sockets — close them before
+          // the broker, or each run of this query leaks two connections
+          if (decoys != null)
+            try decoys.closeProducer() catch { case _: Throwable => () }
+          broker.close()
+        }
+      },
+      Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
+FROM events ORDER BY key NULLS FIRST""")),
+
+    // S59: the streaming DSIR gate — x69's importance scorer applied LIVE.
+    // The rate table is trained batch-side (the same 512-bucket hashed
+    // unigram+bigram log-ratio computation as x69, one bounded aggregate),
+    // collected ONCE as 512 micro-unit longs (the BPE merge-table idiom:
+    // a driver fetch of a fixed-size model, never corpus rows) and folded
+    // into every arriving doc as a per-row HOF over its feature array —
+    // exact integer micro-units, so the fold is order-free and the gate is
+    // ZERO-STATE: no shuffle, no stateful operator, unbounded stream legal
+    // in append mode at any volume. Unseen buckets take the add-1
+    // smoothing default ln((C+B)/(T+B)) (never fires on this replay — the
+    // stream IS the training corpus — but the gate must be total for real
+    // fresh traffic). The verdict bands route docs toward the target
+    // mixture the way x69's top-K resample does offline. O-class: the
+    // oracle replays training + per-doc micro-unit sums in SQL.
+    GQuery("s59_stream_dsir_gate",
+      (s, d) => {
+        val feats = expr("""concat(toks,
+          CASE WHEN size(toks) < 2 THEN array()
+               ELSE transform(sequence(1, size(toks) - 1),
+                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          END)""")
+        val bucket = "CAST(conv(substr(md5(concat('dsir69:', f)), 1, 6), " +
+          "16, 10) AS BIGINT) % 512"
+        val dc = Tables.table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(feats).as("f"))
+          .select(col("doc_id"), col("source"), expr(bucket).as("b"))
+          .groupBy(col("doc_id"), col("source"), col("b"))
+          .agg(count(lit(1)).as("dc"))
+        val bc = dc.groupBy(col("b"))
+          .agg(sum(col("dc")).as("cc"),
+            sum(when(col("source") === "src0", col("dc"))
+              .otherwise(lit(0L))).as("tc"))
+        // train with EXACTLY x69's engine formulation (hash-proven against
+        // the oracle), then collect the 512 micro-unit longs driver-side
+        val tot = bc.agg(sum(col("cc")).as("c"), sum(col("tc")).as("t"))
+        val rates6: Map[Long, Long] = bc.crossJoin(broadcast(tot))
+          .select(col("b"),
+            (log(((col("tc") + lit(1.0)) / (col("t") + lit(512))) /
+              ((col("cc") + lit(1.0)) / (col("c") + lit(512))))
+              .cast("decimal(18,6)") * lit(1000000)).cast("long").as("lr6"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val default6 = tot.select(
+          (log((col("c") + lit(512.0)) / (col("t") + lit(512.0)))
+            .cast("decimal(18,6)") * lit(1000000)).cast("long"))
+          .collect().head.getLong(0)
+        val logw6 = expr(s"""aggregate(concat(toks,
+            CASE WHEN size(toks) < 2 THEN array()
+                 ELSE transform(sequence(1, size(toks) - 1),
+                   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+            END),
+          CAST(0 AS BIGINT),
+          (acc, f) -> acc + coalesce(element_at(rates6, $bucket),
+            CAST($default6 AS BIGINT)))""")
+        runToMemory(
+          docStream(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .withColumn("rates6", typedLit(rates6))
+            .select(col("doc_id"), logw6.as("logw6"))
+            .select(col("doc_id"),
+              (col("logw6").cast("double") / lit(1000000.0)).as("logw"),
+              when(col("logw6") >= 1000000L, "strong_target")
+                .when(col("logw6") > 0L, "lean_target")
+                .otherwise("raw").as("verdict")),
+          "append").orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5('dsir69:' || feat), 1, 6)) AS BIGINT) % 512
+      AS b
+  FROM (SELECT doc_id, source,
+          unnest(toks || list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents))),
+dcnt AS (SELECT doc_id, source, b, count(*) AS dc FROM w GROUP BY 1, 2, 3),
+bc AS (SELECT b, sum(dc) AS cc,
+    sum(CASE WHEN source = 'src0' THEN dc ELSE 0 END) AS tc
+  FROM dcnt GROUP BY 1),
+tot AS (SELECT sum(cc) AS c, sum(tc) AS t FROM bc),
+rates AS (SELECT b,
+    CAST(CAST(ln(((tc + 1.0) / (t + 512)) / ((cc + 1.0) / (c + 512)))
+      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lr6
+  FROM bc, tot),
+lw AS (SELECT doc_id, CAST(sum(dc * lr6) AS BIGINT) AS logw6
+  FROM dcnt JOIN rates USING (b) GROUP BY 1)
+SELECT doc_id, CAST(logw6 AS DOUBLE) / 1000000.0 AS logw,
+  CASE WHEN logw6 >= 1000000 THEN 'strong_target'
+       WHEN logw6 > 0 THEN 'lean_target' ELSE 'raw' END AS verdict
+FROM lw ORDER BY doc_id NULLS FIRST""")),
+
+    // S60: streaming audio QA — x70's WAV lane live. Every arriving event's
+    // payload round-trips through REAL RIFF/WAVE bytes (wav_pcm16 encode →
+    // wav_stats chunk-walk parse, both codegen expressions) and emits its
+    // exact-integer gate row in append mode — per-row, zero state, the
+    // multimodal twin of s49/s59's scoring gates. The oracle computes the
+    // same statistics from the sample definition without the WAV round
+    // trip, so the stream lane inherits x70's encode→parse identity proof
+    // per event. rms over exact integers through IEEE-exact steps only.
+    GQuery("s60_stream_audio_qa",
+      (s, d) => {
+        val samples = expr("transform(sequence(0, 63), " +
+          "i -> CAST((event_id * 37 + i * 997) % 65536 - 32768 AS INT))")
+        runToMemory(
+          eventStream(s, d)
+            .select(col("event_id"), graft.functions.GraftFunctions
+              .wav_stats(graft.functions.GraftFunctions
+                .wav_pcm16(samples, lit(8000))).as("st"))
+            .select(col("event_id"),
+              col("st.n_samples").cast("long").as("n_samples"),
+              col("st.peak").cast("long").as("peak"),
+              col("st.clipped").cast("long").as("clipped"),
+              col("st.zero_cross").cast("long").as("zero_cross"),
+              col("st.sum_sq").as("sum_sq"),
+              sqrt(col("st.sum_sq").cast("double") / lit(64.0)).as("rms"),
+              (col("st.peak") === 32768 || col("st.clipped") > 0)
+                .as("hot_flag")),
+          "append").orderBy(col("event_id"))
+      },
+      Some("""WITH sm AS (
+  SELECT event_id,
+    [(event_id * 37 + i * 997) % 65536 - 32768 for i in range(0, 64)] AS s
+  FROM events)
+SELECT event_id,
+  CAST(64 AS BIGINT) AS n_samples,
+  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+  CAST(len(list_filter(s, x -> x = 32767 OR x = -32768)) AS BIGINT)
+    AS clipped,
+  CAST(len([i for i in range(1, 64) if (s[i] < 0) != (s[i + 1] < 0)])
+    AS BIGINT) AS zero_cross,
+  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+  sqrt(CAST(CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+    AS DOUBLE) / 64.0) AS rms,
+  (list_max(list_transform(s, x -> abs(x))) = 32768
+    OR len(list_filter(s, x -> x = 32767 OR x = -32768)) > 0) AS hot_flag
+FROM sm ORDER BY event_id NULLS FIRST"""))
+  )
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
 
-import graft.operators.SpendProcessor
+import graft.streaming.SpendProcessor
 
 /** Spark 4 state introspection — the ops surface for debugging a live
   * streaming job: `state-metadata` enumerates a checkpoint's stateful

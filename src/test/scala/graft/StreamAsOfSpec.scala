@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, TimeMode, Trigger}
 
-import graft.operators.StreamAsOfProcessor
+import graft.streaming.StreamAsOfProcessor
 import graft.streaming.IdempotentSink
 
 /** Pins the two properties that make s40 a real streaming as-of join rather

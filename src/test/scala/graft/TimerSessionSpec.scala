@@ -36,7 +36,7 @@ class TimerSessionSpec extends SparkSpec {
       .select(col("user_id"), col("us"), col("cents"))
       .as[(Long, Long, Long)]
     val out = typed.groupByKey(_._1)
-      .transformWithState(new operators.SessionProcessor,
+      .transformWithState(new streaming.SessionProcessor,
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "ss_us", "se_us", "n", "cents")
 

@@ -1,0 +1,94 @@
+package graft.sources.replay
+
+import java.io.IOException
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The schema-registry fetch-by-id seam (VERDICT r11 missing-3): a real
+  * HTTP round trip over a real loopback socket against the in-process
+  * registry double, covering the happy path, the client cache, and the
+  * three failure shapes a registry can hand a consumer — unknown id,
+  * 200-with-garbage, and 500 — each of which must surface LOUDLY with the
+  * registry named, never as a silent misparse or a Catalyst-deep error. */
+class RegistrySpec extends AnyFunSuite {
+
+  private def withServer[A](schemas: Map[Int, String],
+      malformed: Set[Int] = Set.empty, broken: Set[Int] = Set.empty)
+      (f: (SchemaRegistry.Server, SchemaRegistry.Client) => A): A = {
+    val srv = new SchemaRegistry.Server(schemas, malformed, broken)
+    try f(srv, new SchemaRegistry.Client(srv.url)) finally srv.close()
+  }
+
+  test("fetch-by-id round-trips the registered schema over a real socket") {
+    withServer(Map(1 -> ReplayLog.AvroV1, 2 -> ReplayLog.AvroV2)) { (_, c) =>
+      assert(c.schemaById(1) == ReplayLog.AvroV1)
+      assert(c.schemaById(2) == ReplayLog.AvroV2)
+      // and both parse as real Avro (the client validated them already;
+      // prove the round trip preserved record identity)
+      val p = new org.apache.avro.Schema.Parser()
+      assert(p.parse(c.schemaById(1)).getName == "EventV1")
+      assert(p.parse(c.schemaById(2)).getFields.size() == 3)
+    }
+  }
+
+  test("ids are cached: a re-fetch makes no second HTTP request") {
+    withServer(Map(1 -> ReplayLog.AvroV1)) { (srv, c) =>
+      c.schemaById(1)
+      val after1 = srv.requests.get()
+      (1 to 5).foreach(_ => c.schemaById(1))
+      assert(srv.requests.get() == after1,
+        "cached id must not re-hit the registry")
+    }
+  }
+
+  test("unknown id surfaces the registry's 40403 error envelope") {
+    withServer(Map(1 -> ReplayLog.AvroV1)) { (_, c) =>
+      val e = intercept[IOException](c.schemaById(99))
+      assert(e.getMessage.contains("HTTP 404"))
+      assert(e.getMessage.contains("40403"))
+      assert(e.getMessage.contains("id 99"))
+    }
+  }
+
+  test("200 with a non-JSON body fails loudly, naming the registry") {
+    withServer(Map(7 -> ReplayLog.AvroV1), malformed = Set(7)) { (_, c) =>
+      val e = intercept[IOException](c.schemaById(7))
+      assert(e.getMessage.contains("not JSON"))
+      assert(e.getMessage.contains("schema registry"))
+    }
+  }
+
+  test("JSON body without a textual 'schema' field fails loudly") {
+    // a registry answering 200 with the WRONG (but valid-JSON) envelope —
+    // not expressible through the double's Map[Int,String] model, so a
+    // one-off inline server plays it
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/schemas/ids/", { ex =>
+      val b = """{"id":3,"version":1}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    http.start()
+    val e = try intercept[IOException](new SchemaRegistry.Client(
+        s"http://127.0.0.1:${http.getAddress.getPort}").schemaById(3))
+      finally http.stop(0)
+    assert(e.getMessage.contains("no textual 'schema' field"))
+  }
+
+  test("500 from the registry is surfaced with status and body prefix") {
+    withServer(Map(1 -> ReplayLog.AvroV1), broken = Set(1)) { (_, c) =>
+      val e = intercept[IOException](c.schemaById(1))
+      assert(e.getMessage.contains("HTTP 500"))
+      assert(e.getMessage.contains("registry exploded"))
+    }
+  }
+
+  test("a registered schema that is not valid Avro fails at the FETCH") {
+    withServer(Map(4 -> """{"type":"record","name":"X"}""")) { (_, c) =>
+      val e = intercept[IOException](c.schemaById(4))
+      assert(e.getMessage.contains("invalid avro schema"))
+      assert(e.getMessage.contains("id 4"))
+    }
+  }
+}

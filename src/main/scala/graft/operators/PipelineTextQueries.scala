@@ -17,6 +17,42 @@ import org.apache.spark.sql.functions._
 private[operators] object PipelineTextQueries {
   import PipelineShared._
 
+  /** DuckDB replay of [[graft.GraftOps.bpeVocab]] at batch=1 — the EXACT
+    * classic BPE trainer: `merges` unrolled rounds of (pair-count → top-1
+    * by (count desc, l, r) → one greedy left-to-right re-segmentation),
+    * emitting the merge table itself. The re-segmentation fold is x53's
+    * proven template specialized to a single merge per round (scalar CASE
+    * / computed slice bounds only — the DuckDB v1.0 list-in-CASE
+    * list_reduce trap). */
+  private def bpeMergesOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { n =>
+      val prev = if (n == 1) "w0s" else s"w${n - 1}"
+      s"""p$n AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM $prev)
+  GROUP BY 1, 2),
+t$n AS (SELECT l, r, pf FROM p$n ORDER BY pf DESC, l, r LIMIT 1),
+w$n AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - ((acc[len(acc)] = t$n.l AND e[1] = t$n.r)::INT)]
+      || [CASE WHEN acc[len(acc)] = t$n.l AND e[1] = t$n.r
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM $prev, t$n)"""
+    }.mkString(",\n")
+    val finals = (1 to merges).map { n =>
+      s"""SELECT CAST(${n - 1} AS INT) AS "rank", l AS "left", r AS "right", l || r AS merged, CAST(pf AS BIGINT) AS pair_freq FROM t$n"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0s AS (SELECT word, freq,
+  list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS syms FROM w0),
+$rounds
+SELECT * FROM ($finals) ORDER BY "rank""""
+  }
+
   val queries: Seq[GQuery] = Seq(
 
 
@@ -145,14 +181,18 @@ ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
 
 
     // Full iterative induction: 8 learned merges over the documents corpus.
-    // G-class (the loop's driver-side argmax has no SQL replay), but fully
-    // deterministic — ties break (count desc, left, right) — and BpeSpec
+    // O-class since round 12 via the x53 trainer-replay recipe: batch=1 is
+    // the EXACT classic algorithm, so each round is top-1 pair (count desc,
+    // l, r) → one greedy left-to-right re-segmentation — 8 unrolled DuckDB
+    // CTE rounds walk the identical op tree and the merge TABLE itself
+    // (rank, left, right, merged, pair_freq) hash-matches. BpeSpec still
     // proves the distributed trainer equals an independent in-memory BPE
     // reference on randomized corpora.
     GQuery("x41_bpe_merges",
       (s, d) => graft.GraftOps.bpeVocab(
-        t(s, d, "documents"), col("text"), merges = 8),
-      None),
+          t(s, d, "documents"), col("text"), merges = 8)
+        .orderBy(col("rank")),
+      Some(bpeMergesOracle(8))),
 
 
     // Heuristic language-ID vs the labeled lang column. O-class: the

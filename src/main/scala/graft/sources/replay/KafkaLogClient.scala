@@ -383,6 +383,47 @@ final class KafkaLogClient(path: String,
     finally s.close() // response fully buffered by request()
   }
 
+  // ---- admin ---------------------------------------------------------------
+
+  /** CreateTopics (api 19 v0) — the admin call the reference's test harness
+    * makes before producing (rdkafka AdminClient create_topics,
+    * `tests/utils.rs:104-117`): create each (name, partitions) with
+    * replication factor 1 (single node), broker-assigned replicas, no
+    * configs. Throws with the NAMED Kafka error on any per-topic failure —
+    * a topic that silently failed to create would surface later as an
+    * UNKNOWN_TOPIC produce error, far from the cause. */
+  def createTopics(topics: Seq[(String, Int)], timeoutMs: Int = 30000): Unit = {
+    val body = new ByteArrayOutputStream()
+    val o = new DataOutputStream(body)
+    o.writeInt(topics.size)
+    topics.foreach { case (name, partitions) =>
+      writeString(o, name)
+      o.writeInt(partitions)
+      o.writeShort(1)           // replication_factor (single-node)
+      o.writeInt(0)             // replica_assignment: broker assigns
+      o.writeInt(0)             // config_entries: defaults
+    }
+    o.writeInt(timeoutMs)
+    val in = oneShot(bootstrap, ApiCreateTopics, 0, body.toByteArray)
+    val n = in.readInt()
+    val failed = (1 to n).map(_ => (readString(in), in.readShort()))
+      .filter(_._2 != 0)
+    if (failed.nonEmpty) {
+      val named = failed.map { case (t, e) =>
+        val name = e match {
+          case 3 => "UNKNOWN_TOPIC_OR_PARTITION"
+          case 36 => "TOPIC_ALREADY_EXISTS"
+          case 37 => "INVALID_PARTITIONS"
+          case 38 => "INVALID_REPLICATION_FACTOR"
+          case 42 => "INVALID_REQUEST"
+          case other => s"error $other"
+        }
+        s"'$t' -> $name"
+      }
+      throw new IOException(s"kafka CreateTopics failed: ${named.mkString(", ")}")
+    }
+  }
+
   // ---- metadata ------------------------------------------------------------
 
   private case class Meta(brokers: Map[Int, String], leaders: Map[Int, Int])
@@ -890,6 +931,7 @@ private[replay] object KafkaWire {
   val ApiFindCoordinator: Short = 10
   val ApiSaslHandshake: Short = 17
   val ApiApiVersions: Short = 18
+  val ApiCreateTopics: Short = 19
   val ApiInitProducerId: Short = 22
   val ApiAddPartitionsToTxn: Short = 24
   val ApiEndTxn: Short = 26

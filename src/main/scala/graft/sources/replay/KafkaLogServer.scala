@@ -40,7 +40,8 @@ final class KafkaLogServer(dir: String, topic: String,
     legacyMagic: Option[Int] = None,
     advertiseApis: Option[Seq[(Short, Short, Short)]] = None,
     apiVersionsError: Short = 0,
-    explicitPartitions: Option[Seq[Int]] = None) extends AutoCloseable {
+    explicitPartitions: Option[Seq[Int]] = None,
+    requireCreate: Boolean = false) extends AutoCloseable {
   import KafkaWire._
 
   require(legacyMagic.forall(m => m == 0 || m == 1),
@@ -56,8 +57,8 @@ final class KafkaLogServer(dir: String, topic: String,
   private val apiRanges: Seq[(Short, Short, Short)] =
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
-      (10, 0, 4), (17, 0, 1), (18, 0, 3), (22, 0, 4), (24, 0, 3), (26, 0, 3),
-      (36, 0, 2)))
+      (10, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (22, 0, 4), (24, 0, 3),
+      (26, 0, 3), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -105,10 +106,24 @@ final class KafkaLogServer(dir: String, topic: String,
   private val produced = new java.util.concurrent.ConcurrentHashMap[
     Int, scala.collection.mutable.ArrayBuffer[TailBatch]]()
 
+  /** Wire-created topic (CreateTopics, api 19): (name, partition ids).
+    * `requireCreate = true` starts the broker TOPICLESS — every topic
+    * request answers UNKNOWN_TOPIC_OR_PARTITION until an admin client
+    * creates one, exactly the pre-harness state of a real test broker
+    * (the reference creates its topics through rdkafka's AdminClient,
+    * `tests/utils.rs:104-117`). The double stays single-topic by design:
+    * creating a second distinct topic answers INVALID_REQUEST. */
+  @volatile private var created: Option[(String, Seq[Int])] = None
+  /** The topic this broker currently serves, if any. */
+  private def activeTopic: Option[String] =
+    created.map(_._1).orElse(if (requireCreate) None else Some(topic))
   private def partitionIds: Seq[Int] =
-    explicitPartitions.getOrElse(ReplayLog.listPartitions(dir))
+    created.map(_._2).getOrElse(
+      if (requireCreate) Nil
+      else explicitPartitions.getOrElse(ReplayLog.listPartitions(dir)))
   private def baseCount(p: Int): Long =
-    if (explicitPartitions.isDefined && !ReplayLog.logFile(dir, p).exists()) 0L
+    if ((explicitPartitions.isDefined || requireCreate) &&
+        !ReplayLog.logFile(dir, p).exists()) 0L
     else ReplayLog.safeRecordCount(dir, p)
   private def producedTail(p: Int) = produced.computeIfAbsent(p,
     _ => scala.collection.mutable.ArrayBuffer.empty)
@@ -466,7 +481,7 @@ final class KafkaLogServer(dir: String, topic: String,
                 // idempotence sequence check, then append + offset
                 // assignment under the log lock
                 val (err, baseOff) =
-                  if (name != topic || !partitionIds.contains(p))
+                  if (!activeTopic.contains(name) || !partitionIds.contains(p))
                     (3, -1L)            // UNKNOWN_TOPIC_OR_PARTITION
                   else if (!crcValid(rs))
                     (2, -1L)            // CORRUPT_MESSAGE
@@ -582,7 +597,8 @@ final class KafkaLogServer(dir: String, topic: String,
                 val err =
                   if (fenced) 90        // PRODUCER_FENCED
                   else if (!registered) 48 // INVALID_TXN_STATE
-                  else if (name != topic || !partitionIds.contains(p)) 3
+                  else if (!activeTopic.contains(name) ||
+                    !partitionIds.contains(p)) 3
                   else {
                     val txn = openTxns.get(pid)
                     txn.synchronized { txn.partitions += p }
@@ -607,6 +623,32 @@ final class KafkaLogServer(dir: String, topic: String,
             else {
               endOpenTxn(pid, commit)
               o.writeShort(0)
+            }
+            bo.toByteArray
+          case ApiCreateTopics if apiVersion == 0 =>
+            val nTopics = r.readInt()
+            val reqs = (1 to nTopics).map { _ =>
+              val name = readString(r)
+              val nParts = r.readInt()
+              val rf = r.readShort()
+              val nAssign = r.readInt()
+              (1 to nAssign).foreach { _ => r.readInt(); skipIntArray(r) }
+              val nConfigs = r.readInt()
+              (1 to nConfigs).foreach { _ => readString(r); readString(r) }
+              (name, nParts, rf)
+            }
+            r.readInt()             // timeout_ms (in-process: instantaneous)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(reqs.size)
+            reqs.foreach { case (name, nParts, rf) =>
+              val err: Int =
+                if (activeTopic.contains(name)) 36 // TOPIC_ALREADY_EXISTS
+                else if (activeTopic.isDefined) 42 // INVALID_REQUEST: the
+                                                   // double is single-topic
+                else if (nParts < 1) 37            // INVALID_PARTITIONS
+                else if (rf != 1 && rf != -1) 38   // INVALID_REPLICATION_FACTOR
+                else { created = Some((name, 0 until nParts)); 0 }
+              writeString(o, name); o.writeShort(err)
             }
             bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
@@ -671,17 +713,34 @@ final class KafkaLogServer(dir: String, topic: String,
   }
 
   private def metadata(r: DataInputStream): Array[Byte] = {
+    // honor the request's topic list: a topic this broker does not serve
+    // (not yet created under requireCreate, or simply foreign) answers
+    // UNKNOWN_TOPIC_OR_PARTITION per topic, like a real broker with
+    // auto-creation off; an empty request (= all topics) lists the active
+    // topic if there is one
+    val requested = {
+      val n = r.readInt()
+      if (n <= 0) activeTopic.toSeq else (1 to n).map(_ => readString(r))
+    }
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
     o.writeInt(1)                       // brokers
     o.writeInt(0); writeString(o, "127.0.0.1"); o.writeInt(boundPort)
-    o.writeInt(1)                       // topics
-    o.writeShort(0); writeString(o, topic)
-    val parts = partitionIds
-    o.writeInt(parts.size)
-    parts.foreach { p =>
-      o.writeShort(0); o.writeInt(p); o.writeInt(0) // error, id, leader
-      o.writeInt(1); o.writeInt(0)     // replicas [0]
-      o.writeInt(1); o.writeInt(0)     // isr [0]
+    o.writeInt(requested.size)          // topics
+    requested.foreach { name =>
+      if (activeTopic.contains(name)) {
+        o.writeShort(0); writeString(o, name)
+        val parts = partitionIds
+        o.writeInt(parts.size)
+        parts.foreach { p =>
+          o.writeShort(0); o.writeInt(p); o.writeInt(0) // error, id, leader
+          o.writeInt(1); o.writeInt(0) // replicas [0]
+          o.writeInt(1); o.writeInt(0) // isr [0]
+        }
+      } else {
+        o.writeShort(3)                 // UNKNOWN_TOPIC_OR_PARTITION
+        writeString(o, name)
+        o.writeInt(0)                   // no partitions
+      }
     }
     bo.toByteArray
   }

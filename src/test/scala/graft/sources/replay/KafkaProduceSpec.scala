@@ -17,10 +17,49 @@ class KafkaProduceSpec extends graft.SparkSpec {
 
   private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
 
-  /** empty 3-partition topic: nothing file-backed, produce-only. */
+  /** empty 3-partition topic created THROUGH THE WIRE (CreateTopics,
+    * api 19) against a topicless broker — the reference harness's admin
+    * flow (rdkafka AdminClient create_topics, tests/utils.rs:104-117)
+    * instead of server-side constructor setup. */
   private def emptyBroker(topic: String): KafkaLogServer = {
     val dir = java.nio.file.Files.createTempDirectory("kafka-prod").toString
-    new KafkaLogServer(dir, topic, explicitPartitions = Some(Seq(0, 1, 2)))
+    val b = new KafkaLogServer(dir, topic, requireCreate = true)
+    new KafkaLogClient(b.clientPath).createTopics(Seq(topic -> 3))
+    b
+  }
+
+  test("CreateTopics: topicless broker refuses produce and metadata until " +
+      "the admin client creates the topic over the wire") {
+    val dir = java.nio.file.Files.createTempDirectory("kafka-prod").toString
+    val broker = new KafkaLogServer(dir, "adm", requireCreate = true)
+    try {
+      val c = new KafkaLogClient(broker.clientPath,
+        Map("graft.role" -> "producer"))
+      // before creation: metadata names the unknown topic loudly...
+      val em = intercept[java.io.IOException](c.endOffset(0))
+      assert(em.getMessage.contains("error 3"), em.getMessage)
+      // ...and a raw produce to it answers UNKNOWN_TOPIC_OR_PARTITION
+      val ep = intercept[java.io.IOException](
+        c.produce(0, Seq((bytes("k"), bytes("v"), 1723700000000L))))
+      assert(ep.getMessage.contains("UNKNOWN_TOPIC_OR_PARTITION") ||
+        ep.getMessage.contains("error 3"), ep.getMessage)
+      // invalid partition count is refused with the named error
+      val ei = intercept[java.io.IOException](
+        c.createTopics(Seq("adm" -> 0)))
+      assert(ei.getMessage.contains("INVALID_PARTITIONS"), ei.getMessage)
+      // create, then the same produce lands
+      c.createTopics(Seq("adm" -> 3))
+      assert(c.produce(2,
+        Seq((bytes("k"), bytes("v"), 1723700000000L))) === 0L)
+      assert(c.endOffset(2) === 1L)
+      // re-creating answers TOPIC_ALREADY_EXISTS, like a real broker
+      val ed = intercept[java.io.IOException](c.createTopics(Seq("adm" -> 3)))
+      assert(ed.getMessage.contains("TOPIC_ALREADY_EXISTS"), ed.getMessage)
+      // and a SECOND distinct topic is beyond the single-topic double
+      val es = intercept[java.io.IOException](c.createTopics(Seq("oth" -> 1)))
+      assert(es.getMessage.contains("INVALID_REQUEST"), es.getMessage)
+      c.closeProducer()
+    } finally broker.close()
   }
 
   test("produce appends after the base log and round-trips bit-identically") {

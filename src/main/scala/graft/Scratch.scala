@@ -8,8 +8,14 @@ package graft
   * session leaves no stray layouts behind. */
 object Scratch {
   private lazy val root: java.nio.file.Path = {
+    // per-JVM root: two concurrent harness processes sharing one scratch
+    // path would overwrite each other's bucket layouts mid-read (caught by
+    // the round-12 triple-sweep: a clean sweep's q91 rewrite raced a fault
+    // sweep's read → FILE_NOT_EXIST). Within one JVM the memoization
+    // benefit is unchanged; the shutdown hook reaps the whole root.
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-scratch")
+      System.getProperty("java.io.tmpdir"),
+      "graft-scratch-" + ProcessHandle.current().pid())
     java.nio.file.Files.createDirectories(p)
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRecursively(p.toFile)))

@@ -13,6 +13,11 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 DST = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sf1'
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# optional 4th arg: comma-separated tables to scale (others copy 1:1) —
+# the sf10 spot tier replicates only documents+embeddings x100 so the
+# candidate-growth families get their third scale point without a 100x
+# relational fact blow-up nothing reads
+ONLY = set(sys.argv[4].split(',')) if len(sys.argv) > 4 else None
 os.makedirs(DST, exist_ok=True)
 
 SPAN = dict(customer=15000, supplier=1000, part=20000, orders=150000,
@@ -48,8 +53,9 @@ for name in ['region', 'nation']:
 
 for name, remaps in REMAP.items():
     t = pq.read_table(f'{SRC}/{name}.parquet')
+    copies = COPIES if ONLY is None or name in ONLY else 1
     chunks = []
-    for k in range(COPIES):
+    for k in range(copies):
         cols = {}
         for field in t.schema:
             col = t[field.name]

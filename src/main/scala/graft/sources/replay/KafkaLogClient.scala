@@ -376,7 +376,7 @@ final class KafkaLogClient(path: String,
   }
 
   /** one configured connection, one request/response (planning-side). */
-  private def oneShot(addr: String, apiKey: Short, apiVersion: Short,
+  private[replay] def oneShot(addr: String, apiKey: Short, apiVersion: Short,
       body: Array[Byte]): DataInputStream = {
     val (s, in, out) = open(addr)
     try request(in, out, apiKey, apiVersion, body)
@@ -516,7 +516,7 @@ final class KafkaLogClient(path: String,
 
   /** The group coordinator's address for `group` (a real cluster routes
     * group state to one broker; the bootstrap answers FindCoordinator). */
-  private def coordinator(group: String): String = {
+  private[replay] def coordinator(group: String): String = {
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
     writeString(o, group)
     val in = oneShot(bootstrap, ApiFindCoordinator, 0, body.toByteArray)
@@ -929,6 +929,10 @@ private[replay] object KafkaWire {
   val ApiOffsetCommit: Short = 8
   val ApiOffsetFetch: Short = 9
   val ApiFindCoordinator: Short = 10
+  val ApiJoinGroup: Short = 11
+  val ApiHeartbeat: Short = 12
+  val ApiLeaveGroup: Short = 13
+  val ApiSyncGroup: Short = 14
   val ApiSaslHandshake: Short = 17
   val ApiApiVersions: Short = 18
   val ApiCreateTopics: Short = 19

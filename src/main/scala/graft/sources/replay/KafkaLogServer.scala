@@ -57,8 +57,8 @@ final class KafkaLogServer(dir: String, topic: String,
   private val apiRanges: Seq[(Short, Short, Short)] =
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
-      (10, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (22, 0, 4), (24, 0, 3),
-      (26, 0, 3), (36, 0, 2)))
+      (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (17, 0, 1),
+      (18, 0, 3), (19, 0, 7), (22, 0, 4), (24, 0, 3), (26, 0, 3), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -79,6 +79,10 @@ final class KafkaLogServer(dir: String, topic: String,
   /** (group, topic, partition) → committed offset — the coordinator state. */
   private val committedStore =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Long]()
+
+  /** Group-membership coordinator (JoinGroup/SyncGroup/Heartbeat/LeaveGroup
+    * + OffsetCommit generation fencing) — see [[GroupCoordinator]]. */
+  private val groupCoordinator = new GroupCoordinator
 
   /** One stored batch of the produced tail. Real broker logs are BATCH
     * sequences, not flat record lists — transaction semantics live on the
@@ -661,9 +665,18 @@ final class KafkaLogServer(dir: String, topic: String,
             o.writeShort(0); o.writeInt(0)
             writeString(o, "127.0.0.1"); o.writeInt(boundPort)
             bo.toByteArray
+          case ApiJoinGroup if apiVersion == 0 => groupCoordinator.joinGroup(r)
+          case ApiSyncGroup if apiVersion == 0 => groupCoordinator.syncGroup(r)
+          case ApiHeartbeat if apiVersion == 0 => groupCoordinator.heartbeat(r)
+          case ApiLeaveGroup if apiVersion == 0 => groupCoordinator.leaveGroup(r)
           case ApiOffsetCommit if apiVersion == 2 =>
             val group = readString(r)
-            r.readInt(); readString(r); r.readLong() // generation/member/retention
+            val generation = r.readInt()
+            val member = readString(r)
+            r.readLong()                // retention
+            // generation fencing: a member commit must carry the LIVE
+            // generation; -1/"" is the simple consumer and always passes
+            val fence = groupCoordinator.validateCommit(group, generation, member)
             val nTopics = r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(nTopics)
@@ -674,8 +687,8 @@ final class KafkaLogServer(dir: String, topic: String,
               o.writeInt(nParts)
               (1 to nParts).foreach { _ =>
                 val p = r.readInt(); val off = r.readLong(); readString(r)
-                committedStore.put((group, name, p), off)
-                o.writeInt(p); o.writeShort(0)
+                if (fence == 0) committedStore.put((group, name, p), off)
+                o.writeInt(p); o.writeShort(fence)
               }
             }
             bo.toByteArray

@@ -1,0 +1,161 @@
+package graft.sources.replay
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Subscription-based group membership over real sockets against the
+  * broker double's GroupCoordinator: join/sync give DISJOINT covering
+  * assignments, heartbeat is the rebalance signal, leave and session
+  * expiry rebalance the remainder, and OffsetCommit is generation-fenced
+  * (VERDICT r11 missing-2 — the one librdkafka seam the double had not
+  * mirrored; the reference itself uses manual assign,
+  * src/kafka/execution.rs:79). */
+class KafkaRebalanceSpec extends graft.SparkSpec {
+
+  private def withBroker[A](f: (KafkaLogServer, String) => A): A = {
+    val dir = ReplayLog.ensureLog(spark, sf) // 3 file-backed partitions
+    val broker = new KafkaLogServer(dir, "events")
+    try f(broker, broker.clientPath) finally broker.close()
+  }
+
+  test("single member becomes leader and owns every partition") {
+    withBroker { (_, path) =>
+      val c = new KafkaLogClient(path)
+      val m = new KafkaGroupMembership(c, "g-solo", "events")
+      val parts = m.join()
+      assert(m.isLeader)
+      assert(parts === c.listPartitions())
+      assert(m.generation === 1)
+      assert(m.heartbeat(), "stable group heartbeat must be clean")
+      m.leave()
+    }
+  }
+
+  test("second joiner triggers a rebalance; assignments are disjoint and cover") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      val m1 = new KafkaGroupMembership(c1, "g-pair", "events")
+      val p1 = m1.join()
+      assert(p1.size === 3)
+      // a second member joins on another thread (its JoinGroup parks in
+      // the coordinator's window); m1 learns via heartbeat and rejoins
+      val m2 = new KafkaGroupMembership(c2, "g-pair", "events")
+      val p2ref = new java.util.concurrent.atomic.AtomicReference[Seq[Int]]
+      val t = new Thread(() => p2ref.set(m2.join()))
+      t.start()
+      val deadline = System.currentTimeMillis() + 5000
+      while (m1.heartbeat() && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val p1b = m1.join()
+      t.join(5000)
+      val p2 = p2ref.get()
+      assert(p2 != null, "second member's join must settle")
+      assert(m1.generation === m2.generation)
+      assert((p1b ++ p2).sorted === Seq(0, 1, 2), s"cover: $p1b ++ $p2")
+      assert(p1b.intersect(p2).isEmpty, s"disjoint: $p1b vs $p2")
+      assert(p1b.nonEmpty && p2.nonEmpty, "range assignment spreads 3 over 2")
+      m1.leave(); m2.leave()
+    }
+  }
+
+  test("leave rebalances the remainder back to full ownership") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      val m1 = new KafkaGroupMembership(c1, "g-leave", "events")
+      val m2 = new KafkaGroupMembership(c2, "g-leave", "events")
+      val t = new Thread(() => m1.join())
+      t.start()
+      m2.join(); t.join(5000)
+      val genBefore = m2.generation
+      m1.leave()
+      assert(!m2.heartbeat(), "leave must signal the survivor to rejoin")
+      val p2 = m2.join()
+      assert(p2 === Seq(0, 1, 2))
+      assert(m2.generation > genBefore)
+      m2.leave()
+    }
+  }
+
+  test("a member that stops heartbeating is session-reaped; survivor rebalances") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      // short session for the flaky member, long for the survivor
+      val flaky = new KafkaGroupMembership(c1, "g-reap", "events",
+        sessionTimeoutMs = 300)
+      val steady = new KafkaGroupMembership(c2, "g-reap", "events",
+        sessionTimeoutMs = 30000)
+      val t = new Thread(() => flaky.join())
+      t.start()
+      steady.join(); t.join(5000)
+      // flaky goes silent; steady keeps the session alive until the
+      // coordinator reaps flaky and opens a rebalance
+      val deadline = System.currentTimeMillis() + 5000
+      var rebalanced = false
+      while (!rebalanced && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        rebalanced = !steady.heartbeat()
+      }
+      assert(rebalanced, "session expiry must open a rebalance")
+      assert(steady.join() === Seq(0, 1, 2))
+      steady.leave()
+    }
+  }
+
+  test("OffsetCommit is generation-fenced: a fenced-out member cannot commit") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val m1 = new KafkaGroupMembership(c1, "g-fence", "events")
+      m1.join()
+      m1.commitOffsets(Map(0 -> 5L))
+      assert(c1.committedOffsets("g-fence", Seq(0)) === Map(0 -> 5L))
+      // a second member joins; generation moves on while m1 stays stale
+      val c2 = new KafkaLogClient(path)
+      val m2 = new KafkaGroupMembership(c2, "g-fence", "events")
+      val t = new Thread(() => m2.join())
+      t.start()
+      val deadline = System.currentTimeMillis() + 5000
+      while (m1.heartbeat() && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      m1.join(); t.join(5000)
+      // both at gen 2 now; forge a GHOST member's commit over the raw wire
+      // (generation 99, member id never registered)
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      KafkaWire.writeString(o, "g-fence")
+      o.writeInt(99); KafkaWire.writeString(o, "graft-member-ghost")
+      o.writeLong(-1L)
+      o.writeInt(1); KafkaWire.writeString(o, "events")
+      o.writeInt(1); o.writeInt(0); o.writeLong(999L); KafkaWire.writeString(o, "")
+      val in = c1.oneShot(c1.coordinator("g-fence"),
+        KafkaWire.ApiOffsetCommit, 2, bo.toByteArray)
+      in.readInt(); KafkaWire.readString(in); in.readInt() // topics/name/nparts
+      in.readInt()  // partition
+      assert(in.readShort() === 25, "ghost commit must answer UNKNOWN_MEMBER_ID")
+      // the fenced commit must NOT have landed
+      assert(c1.committedOffsets("g-fence", Seq(0)) === Map(0 -> 5L))
+      // and the live member's generation-carrying commit does land
+      m1.commitOffsets(Map(0 -> 7L))
+      assert(c1.committedOffsets("g-fence", Seq(0)) === Map(0 -> 7L))
+    }
+  }
+
+  test("simultaneous first joiners land in one generation with a split") {
+    withBroker { (_, path) =>
+      val ms = (1 to 3).map(_ => new KafkaGroupMembership(
+        new KafkaLogClient(path), "g-burst", "events"))
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+      val ts = ms.zipWithIndex.map { case (m, i) =>
+        new Thread(() => results.put(i, m.join()))
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(10000))
+      assert(results.size === 3)
+      assert(ms.map(_.generation).toSet.size === 1,
+        s"one generation, got ${ms.map(_.generation)}")
+      val all = (0 until 3).flatMap(results.get(_))
+      assert(all.sorted === Seq(0, 1, 2), s"3 partitions over 3 members: $all")
+      ms.foreach(_.leave())
+    }
+  }
+}

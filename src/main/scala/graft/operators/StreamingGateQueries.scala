@@ -356,6 +356,41 @@ FROM events ORDER BY key NULLS FIRST""")),
       Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
 FROM events ORDER BY key NULLS FIRST""")),
 
+    // S61: the ADMIN lifecycle through the hash gate — the broker starts
+    // TOPICLESS (requireCreate), the client creates the 3-partition topic
+    // over the wire (CreateTopics, api 19 — the reference harness's
+    // rdkafka AdminClient step, tests/utils.rs:104-117), and only then
+    // does the events envelope commit through the produce sink and read
+    // back. Any silent create failure surfaces as UNKNOWN_TOPIC produce
+    // errors; any partial create changes the hash. Same content contract
+    // as s57, so the oracle is shared.
+    GQuery("s61_kafka_admin_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory(tmpBase, "kafka-admin").toString
+        val broker = new graft.sources.replay.KafkaLogServer(dir, "adm",
+          requireCreate = true)
+        try {
+          new graft.sources.replay.KafkaLogClient(broker.clientPath)
+            .createTopics(Seq("adm" -> 3))
+          Tables.events(s, d)
+            .select(concat(lit("Key "), col("event_id")).cast("binary").as("key"),
+              col("props").cast("binary").as("value"))
+            .write.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .option("producer.compression.type", "lz4")
+            .mode("append").save()
+          s.read.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .load()
+            .select(col("key").cast("string").as("key"),
+              length(col("value").cast("string")).cast("long").as("vlen"))
+            .orderBy(col("key"))
+            .localCheckpoint(true)
+        } finally broker.close()
+      },
+      Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
+FROM events ORDER BY key NULLS FIRST""")),
+
     // S59: the streaming DSIR gate — x69's importance scorer applied LIVE.
     // The rate table is trained batch-side (the same 512-bucket hashed
     // unigram+bigram log-ratio computation as x69, one bounded aggregate),

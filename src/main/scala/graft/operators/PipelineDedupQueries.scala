@@ -382,6 +382,19 @@ ORDER BY thr_pct NULLS FIRST""")),
         // At both oracle tiers (≤ 2000 vectors) this is exactly 8, so the
         // DuckDB replay's literal `cid <= 8` stays equivalent.
         val k = math.max(8L, (e.count() + 511L) / 512L).toInt
+        // IVF-style coarse quantization (round 12): a FLAT nearest-of-k
+        // assign is n·k = n²/512 work, and the sf10 spot tier measured the
+        // knee (200k vectors, k=391: ×10.2 on ×3.33 data). With
+        // kc = ceil(sqrt(k)) coarse cells — the first kc seeded centroids —
+        // assignment drops to n·(kc + k/kc) (the faiss IVF recipe) and the
+        // within-cluster pair stage (n·occupancy/2, LINEAR in n) goes back
+        // to dominating. kc == 1 for k ≤ 64, where the two-level tree
+        // degenerates to the EXACT flat algorithm: the DuckDB replay and
+        // PipelineSpec tiers (k = 8) are bit-unchanged. At larger n the
+        // assignment is approximate in precisely the way SemDeDup
+        // tolerates — any deterministic space partition localizes the
+        // pair scan; nearest-of-all-k was never semantically load-bearing.
+        val kc = if (k <= 64) 1 else math.ceil(math.sqrt(k.toDouble)).toInt
         val wSeed = org.apache.spark.sql.expressions.Window
           .orderBy(col("h"), col("vec_id"))
         val c0 = e.select(col("vec_id"), col("v"),
@@ -394,16 +407,49 @@ ORDER BY thr_pct NULLS FIRST""")),
         // centroid side is broadcast), where the window form shuffled all
         // n·k rows. (dist, cid) is unique per vector, so the min_by pick
         // is deterministic and identical to the old rn=1.
-        def assign(cs: DataFrame): DataFrame =
+        val dist2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          graft.functions.GraftFunctions.l2_dist(a, b)
+        def flatAssign(cs: DataFrame): DataFrame =
           e.crossJoin(broadcast(cs))
-            .withColumn("dist",
-              graft.functions.GraftFunctions.l2_dist(col("v"), col("cv")))
+            .withColumn("dist", dist2(col("v"), col("cv")))
             .groupBy(col("vec_id"))
             .agg(min_by(struct(col("cid"), col("dist"), col("v"), col("fv")),
               struct(col("dist"), col("cid"))).as("sel"))
             .select(col("vec_id"), col("sel.cid").as("cid"),
               col("sel.dist").as("dist"), col("sel.v").as("v"),
               col("sel.fv").as("fv"))
+        def assign(cs: DataFrame): DataFrame =
+          if (kc == 1) flatAssign(cs)
+          else {
+            val cc = cs.filter(col("cid") <= kc)
+              .select(col("cid").as("ccid"), col("cv").as("ccv"))
+            // centroid → coarse cell (k·kc evals; every coarse is its own
+            // nearest at d=0, so no cell is childless)
+            val kids = cs.crossJoin(broadcast(cc))
+              .withColumn("cd", dist2(col("cv"), col("ccv")))
+              .groupBy(col("cid"))
+              .agg(min_by(struct(col("ccid"), col("cv")),
+                struct(col("cd"), col("ccid"))).as("s"))
+              .select(col("s.ccid").as("ccid"), col("cid"),
+                col("s.cv").as("cv"))
+            // vector → nearest coarse cell (n·kc evals)
+            val coarse = e.crossJoin(broadcast(cc))
+              .withColumn("cd", dist2(col("v"), col("ccv")))
+              .groupBy(col("vec_id"))
+              .agg(min_by(struct(col("ccid"), col("v"), col("fv")),
+                struct(col("cd"), col("ccid"))).as("s"))
+              .select(col("vec_id"), col("s.ccid").as("ccid"),
+                col("s.v").as("v"), col("s.fv").as("fv"))
+            // vector → nearest child centroid inside its cell (n·k/kc avg)
+            coarse.join(broadcast(kids), "ccid")
+              .withColumn("dist", dist2(col("v"), col("cv")))
+              .groupBy(col("vec_id"))
+              .agg(min_by(struct(col("cid"), col("dist"), col("v"), col("fv")),
+                struct(col("dist"), col("cid"))).as("sel"))
+              .select(col("vec_id"), col("sel.cid").as("cid"),
+                col("sel.dist").as("dist"), col("sel.v").as("v"),
+                col("sel.fv").as("fv"))
+          }
         def update(a: DataFrame): DataFrame =
           a.select(col("cid"), posexplode(col("v")))
             .groupBy(col("cid"), col("pos"))

@@ -147,6 +147,11 @@ private[replay] final class GroupCoordinator {
         g.generation += 1
         g.leader = g.members.keys.head
         g.state = "CompletingRebalance"
+        // every rejoined member just proved liveness by sitting in this
+        // window — refresh the session clock at the close, or a session
+        // shorter than the window would reap members mid-dance
+        val closed = System.currentTimeMillis()
+        g.rejoined.foreach(m => if (g.members.contains(m)) g.lastSeen(m) = closed)
         g.notifyAll()
       }
       o.writeShort(0)

@@ -81,9 +81,12 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
     withBroker { (_, path) =>
       val c1 = new KafkaLogClient(path)
       val c2 = new KafkaLogClient(path)
-      // short session for the flaky member, long for the survivor
+      // short session for the flaky member (but comfortably longer than
+      // the coordinator's 300 ms join window — a session shorter than the
+      // dance itself can never stabilize, especially on a loaded box),
+      // long for the survivor
       val flaky = new KafkaGroupMembership(c1, "g-reap", "events",
-        sessionTimeoutMs = 300)
+        sessionTimeoutMs = 1200)
       val steady = new KafkaGroupMembership(c2, "g-reap", "events",
         sessionTimeoutMs = 30000)
       val t = new Thread(() => flaky.join())

@@ -234,8 +234,7 @@ FROM per, z ORDER BY source NULLS FIRST""")),
     // pins content preservation.
     GQuery("x22_compact_files",
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = graft.Scratch.dir("graft_compact", d)
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         ev.repartition(48).write.mode("overwrite").parquet(s"$base/frag")
@@ -297,8 +296,7 @@ WHERE rk <= 25 ORDER BY source NULLS FIRST, rk NULLS FIRST""")),
     // subsequent scan's file-level stats pruning.
     GQuery("x26_zorder_layout",
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = graft.Scratch.dir("graft_zorder", d)
         val ev = graft.Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), col("ts_ns"))

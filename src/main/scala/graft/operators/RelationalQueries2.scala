@@ -184,8 +184,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")),
     // (doubles survive via shortest-round-trip rendering).
     GQuery("q45_csv_roundtrip",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val out = graft.Scratch.dir("graft_csv", d)
         t(s, d, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
           .write.mode("overwrite").option("header", "true").csv(out)
@@ -218,8 +217,7 @@ FROM events GROUP BY 1 ORDER BY k NULLS FIRST""")),
     // second columnar format, exercised end to end).
     GQuery("q47_orc_roundtrip",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val out = graft.Scratch.dir("graft_orc", d)
         t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_quantity"))
@@ -752,8 +750,7 @@ FROM m ORDER BY l_returnflag NULLS FIRST""")),
     // directory; PlanAuditSpec asserts the PartitionFilters).
     GQuery("q48_partitioned_write",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val out = graft.Scratch.dir("graft_part", d)
         ev(s, d).select(col("event_id"), col("user_id"), col("value"),
             col("event_type"))
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -826,8 +823,7 @@ GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST""")),
     // schema) → aggregate.
     GQuery("q46_json_roundtrip",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val out = graft.Scratch.dir("graft_json", d)
         t(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"))
@@ -1308,8 +1304,7 @@ ORDER BY custdist DESC, c_count DESC""")),
     // rows carry the evolved column.
     GQuery("q87_schema_evolution",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val out = graft.Scratch.dir("graft_evolve", d)
         val o = t(s, d, "orders")
         o.filter(year(col("o_orderdate")) < 1997)
           .select(col("o_orderkey"), col("o_orderstatus"))

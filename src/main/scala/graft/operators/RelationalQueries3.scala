@@ -234,8 +234,7 @@ GROUP BY n_name ORDER BY n_name NULLS FIRST""")),
     // the incremental plan in the first place.
     GQuery("q93_incremental_mv",
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = graft.Scratch.dir("graft_mv", d)
         val cutNs = 1706054400000000000L // 2024-01-24T00:00:00Z
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"), col("ts_ns"),

@@ -1,0 +1,367 @@
+package graft.operators
+
+import graft.GQuery
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation-engineering operators (round-12 widening): the jobs a data
+  * team runs ABOUT its pipeline, not just inside it — measuring the
+  * candidate-generation quality of the LSH stage against exact truth
+  * (x73), mining contrastive supervision from the dedup byproducts (x74),
+  * auditing tokenizer fertility across languages (x75), gating on
+  * character-entropy (x76), and the blocklist term filter every public
+  * corpus release documents (x77).
+  *
+  * Part of the [[PipelineQueries]] registry; shared helpers live in
+  * [[PipelineShared]]. All five are O-class: the portable-hash discipline
+  * (md5-derived signatures, decimal quantization before thresholds and
+  * order-free decimal sums) makes every output hash-exact against the
+  * DuckDB replay.
+  */
+private[operators] object PipelineCurationQueries {
+  import PipelineShared._
+
+  /** Banded MinHash candidate pairs from the PORTABLE hash family — the
+    * exact signature/banding pipeline x02b_minhash_lsh_exact proved
+    * hash-identical to the DuckDB replay (64 md5-derived lanes folded by
+    * [[graft.functions.MinLanesAgg]], 16 bands x 4 rows). Factored out so
+    * x73's recall audit measures the SAME candidate generator the dedup
+    * path uses. Scale: band equi-join on (band, band-hash) — candidates
+    * only within buckets, never doc x doc. */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val sig = spread(t(s, d, "documents"))
+      .select(col("doc_id"), explode(word_shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("hx"))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 12), 16, 10).cast("long").as("b0"),
+        conv(substring(col("hx"), 13, 12), 16, 10).cast("long").as("b1"))
+      .groupBy(col("doc_id"))
+      .agg(min_lanes(col("b0"), col("b1"), 64).as("mhs"))
+    val banded = sig.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 15),
+          b -> md5(concat_ws(',', transform(slice(mhs, b * 4 + 1, 4),
+                 v -> cast(v as string)))))""")))
+      .toDF("doc_id", "band", "bh")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB replay of [[lshCandidates]] (the x02b CTE chain up to `cand`),
+    * plus `shd` for exact-Jaccard verification. */
+  private val lshCandCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shd AS (SELECT doc_id,
+  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+    i -> array_to_string(w[i:i+4], ' ')))
+  ELSE [array_to_string(w, ' ')] END AS s
+FROM toks),
+sg AS (SELECT doc_id, unnest(s) AS g FROM shd),
+hs AS (SELECT doc_id,
+    CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT) AS b0,
+    CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT) AS b1
+  FROM sg),
+lanes AS (SELECT doc_id, ln.l AS lane,
+    min(((ln.l * 2 + 1) * b0 + b1) % 281474976710656) AS mh
+  FROM hs CROSS JOIN (SELECT unnest(range(0, 64)) AS l) ln
+  GROUP BY doc_id, ln.l),
+sig AS (SELECT doc_id, list(mh ORDER BY lane) AS mhs FROM lanes GROUP BY doc_id),
+bands AS (SELECT doc_id, bb.b AS band,
+    md5(array_to_string(mhs[CAST(bb.b * 4 + 1 AS INT) : CAST(bb.b * 4 + 4 AS INT)], ',')) AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ---- X73: LSH recall/precision audit -----------------------------------
+    // The question every banded-LSH deployment must answer before it is
+    // trusted to dedup 100 TB: WHICH true near-dup pairs does the candidate
+    // generator miss, and how much junk does it admit? Joins the portable
+    // banding's candidate pairs (the x02b generator) FULL OUTER against the
+    // exact Jaccard pair table (j >= 0.5 at k = 5 — the memoized truth the
+    // x07 cluster family consumes) and classifies every pair: `hit` (true
+    // pair, banded together), `miss` (true pair the bands split — the
+    // recall loss), `extra` (band collision below threshold — the
+    // verification cost). Corpus-level recall/precision ride on each row
+    // from a one-row broadcast stat frame. Scale: both inputs are band/
+    // shingle-key equi-joins (never doc x doc); the full-outer runs on the
+    // PAIR key — |pairs| rows, not |docs|^2. At 100 TB this audit runs on a
+    // sampled stratum first, and its `miss` rows are exactly the tuning
+    // signal for band geometry (16x4 -> 32x2 trades precision for recall).
+    GQuery("x73_lsh_recall_audit",
+      (s, d) => {
+        val truth = nearDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), col("j"), lit(true).as("is_true"))
+        val cand = lshCandidates(s, d).withColumn("is_cand", lit(true))
+        val cls = truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"), col("j"),
+            when(col("is_true").isNotNull && col("is_cand").isNotNull, "hit")
+              .when(col("is_true").isNotNull, "miss")
+              .otherwise("extra").as("cls"))
+        val stats = cls.agg(
+          sum(when(col("cls") === "hit", 1L).otherwise(0L)).as("nh"),
+          sum(when(col("cls") === "miss", 1L).otherwise(0L)).as("nm"),
+          sum(when(col("cls") === "extra", 1L).otherwise(0L)).as("nx"))
+        cls.crossJoin(broadcast(stats))
+          .select(col("doc_a"), col("doc_b"), col("j"), col("cls"),
+            (col("nh") + col("nm")).as("n_true"),
+            (col("nh") + col("nx")).as("n_cand"),
+            when(col("nh") + col("nm") > 0,
+              (col("nh").cast("double") / (col("nh") + col("nm")))
+                .cast("decimal(18,6)").cast("double")).as("recall"),
+            when(col("nh") + col("nx") > 0,
+              (col("nh").cast("double") / (col("nh") + col("nx")))
+                .cast("decimal(18,6)").cast("double")).as("precision"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(lshCandCte + """,
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+cls AS (SELECT coalesce(p.doc_a, c.doc_a) AS doc_a,
+    coalesce(p.doc_b, c.doc_b) AS doc_b, p.j,
+    CASE WHEN p.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 'hit'
+         WHEN p.doc_a IS NOT NULL THEN 'miss' ELSE 'extra' END AS cls
+  FROM pairs p FULL JOIN cand c
+    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b),
+st AS (SELECT
+    count(*) FILTER (WHERE cls = 'hit') AS nh,
+    count(*) FILTER (WHERE cls = 'miss') AS nm,
+    count(*) FILTER (WHERE cls = 'extra') AS nx FROM cls)
+SELECT doc_a, doc_b, j, cls,
+  CAST(nh + nm AS BIGINT) AS n_true, CAST(nh + nx AS BIGINT) AS n_cand,
+  CASE WHEN nh + nm > 0 THEN
+    CAST(CAST(CAST(nh AS DOUBLE) / (nh + nm) AS DECIMAL(18,6)) AS DOUBLE)
+  END AS recall,
+  CASE WHEN nh + nx > 0 THEN
+    CAST(CAST(CAST(nh AS DOUBLE) / (nh + nx) AS DECIMAL(18,6)) AS DOUBLE)
+  END AS precision
+FROM cls, st ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
+
+
+    // ---- X74: contrastive pair mining --------------------------------------
+    // Embedding-model training data minted from the dedup pipeline's own
+    // byproducts: every exact near-dup pair (j >= 0.5) becomes an
+    // (anchor, positive) example, and the negative is drawn DETERMINISTICALLY
+    // from a 16-doc global pool — the pool is the corpus's 16 smallest
+    // md5('pool42:'||doc_id) ranks (a TakeOrdered K-row reduction, no full
+    // sort), and each pair indexes into it by 24 bits of md5 over the pair
+    // key. `valid` marks the (rare) draw that collides with the pair
+    // itself — emitted, not silently dropped, so the miner's yield is
+    // auditable. Scale: pair table + one broadcast 16-row join; nothing
+    // quadratic, nothing driver-side. Same hard-negative story at 100 TB:
+    // the pool becomes per-stratum K rows, still a broadcast.
+    GQuery("x74_contrastive_pairs",
+      (s, d) => {
+        val ranked = t(s, d, "documents")
+          .select(col("doc_id").as("negative"),
+            md5(concat(lit("pool42:"), col("doc_id"))).as("pr"))
+          .orderBy(col("pr"), col("negative")).limit(16)
+        val pool = ranked
+          .withColumn("idx",
+            (row_number().over(Window.orderBy(col("pr"), col("negative")))
+              - 1).cast("long"))
+          .select(col("idx"), col("negative"))
+        val pairs = nearDupPairs(s, d)
+          .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+            col("j"))
+          .withColumn("idx",
+            conv(substring(md5(concat(lit("neg42:"), col("anchor"),
+              lit(":"), col("positive"))), 1, 6), 16, 10)
+              .cast("long") % 16)
+        pairs.join(broadcast(pool), Seq("idx"))
+          .select(col("anchor"), col("positive"), col("j"), col("negative"),
+            (col("negative") =!= col("anchor")
+              && col("negative") =!= col("positive")).as("valid"))
+          .orderBy(col("anchor"), col("positive"))
+      },
+      Some(shingleCte + """,
+pairs AS (SELECT a.doc_id AS anchor, b.doc_id AS positive,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+pool AS (SELECT CAST(row_number() OVER (
+      ORDER BY md5('pool42:' || doc_id), doc_id) - 1 AS BIGINT) AS idx,
+    doc_id AS negative
+  FROM documents
+  QUALIFY row_number() OVER (ORDER BY md5('pool42:' || doc_id), doc_id) <= 16)
+SELECT anchor, positive, j, negative,
+  negative <> anchor AND negative <> positive AS valid
+FROM (SELECT anchor, positive, j,
+    CAST(concat('0x', substr(md5('neg42:' || anchor || ':' || positive), 1, 6))
+      AS BIGINT) % 16 AS idx
+  FROM pairs) p JOIN pool USING (idx)
+ORDER BY anchor NULLS FIRST, positive NULLS FIRST""")),
+
+
+    // ---- X75: tokenizer fertility audit ------------------------------------
+    // The tokenizer-governance number multilingual corpus work reports
+    // before training: tokens-per-word (fertility) and chars-per-token by
+    // language, under the corpus's OWN induced BPE vocabulary (x41's
+    // 32-merge trainer + x53's encoder). A language whose fertility runs
+    // far above the corpus mean is under-served by the merge table — its
+    // documents cost proportionally more sequence length per word. Exact
+    // integer sums per language, one divide at the end (decimal-quantized),
+    // so the oracle — which REPLAYS the whole trainer and encoder in SQL
+    // (the x53 CTE chain) — is hash-exact. Scale: encode is a broadcast
+    // merge table + one mapPartitions scan; the per-lang rollup is a
+    // |langs|-row aggregate.
+    GQuery("x75_tokenizer_fertility",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.GraftOps.bpeVocab(docs, col("text"),
+          merges = 32, batch = 16)
+        graft.GraftOps.bpeEncode(docs, col("doc_id"), col("text"), merges)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("words"),
+            sum(col("n_chars")).as("chars"),
+            sum(col("n_tokens")).as("tokens"))
+          .select(col("lang"), col("n_docs"), col("words"), col("tokens"),
+            when(col("words") > 0,
+              (col("tokens").cast("double") / col("words"))
+                .cast("decimal(18,6)").cast("double")).as("fertility"),
+            when(col("tokens") > 0,
+              (col("chars").cast("double") / col("tokens"))
+                .cast("decimal(18,6)").cast("double")).as("chars_per_token"))
+          .orderBy(col("lang"))
+      },
+      Some(PipelineShared.bpeEncodeCte + """,
+perdoc AS (SELECT d.doc_id,
+    CAST(len(d.ws) AS BIGINT) AS n_words,
+    CAST(coalesce(list_aggregate(list_transform(d.ws, w -> length(w)), 'sum'), 0) AS BIGINT) AS n_chars,
+    CAST(coalesce(len(enc.toks), 0) AS BIGINT) AS n_tokens
+  FROM dws d LEFT JOIN enc USING (doc_id))
+SELECT doc.lang, count(*) AS n_docs,
+  CAST(sum(p.n_words) AS BIGINT) AS words,
+  CAST(sum(p.n_tokens) AS BIGINT) AS tokens,
+  CASE WHEN sum(p.n_words) > 0 THEN
+    CAST(CAST(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words)
+      AS DECIMAL(18,6)) AS DOUBLE) END AS fertility,
+  CASE WHEN sum(p.n_tokens) > 0 THEN
+    CAST(CAST(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens)
+      AS DECIMAL(18,6)) AS DOUBLE) END AS chars_per_token
+FROM perdoc p JOIN documents doc USING (doc_id)
+GROUP BY doc.lang ORDER BY doc.lang NULLS FIRST""")),
+
+
+    // ---- X76: character-entropy gate ---------------------------------------
+    // The gibberish detector every web-scale filter stack runs before any
+    // model-based scoring: per-document Shannon entropy over the character
+    // distribution, in bits/char. Encrypted/base64 spew reads HIGH (toward
+    // log2 of the alphabet), template/repetition spew reads LOW; natural
+    // text sits in a band. Cross-engine exactness: each histogram term
+    // (c/n)*ln(n/c) quantizes to decimal(18,9) BEFORE the per-doc sum, the
+    // sum runs in DECIMAL (exact, order-free — immune to float
+    // sum-reordering across partitions), and bits = sum/ln(2) quantizes at
+    // decimal(18,6) before the band thresholds, so the verdict can never
+    // straddle an ulp. Scale: two doc_id-keyed aggregations (char counts
+    // pre-combine map-side), linear in corpus bytes, no state.
+    GQuery("x76_char_entropy_gate",
+      (s, d) => {
+        val cnt = spread(t(s, d, "documents"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+          .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+        val ent = cnt.join(tot, Seq("doc_id"))
+          .withColumn("term",
+            ((col("c").cast("double") / col("n").cast("double"))
+              * log(col("n").cast("double") / col("c").cast("double")))
+              .cast("decimal(18,9)"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_chars"), max(col("k")).as("n_distinct"),
+            sum(col("term")).as("st"))
+        ent.select(col("doc_id"), col("n_chars"), col("n_distinct"),
+            (col("st").cast("double") / log(lit(2.0)))
+              .cast("decimal(18,6)").cast("double").as("entropy_bits"))
+          .withColumn("gate",
+            when(col("entropy_bits") < 4.0, "low")
+              .when(col("entropy_bits") > 4.2, "high")
+              .otherwise("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, length(text) + 1)) r(i)),
+cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS k
+  FROM cnt GROUP BY 1),
+ent AS (SELECT cnt.doc_id, max(n) AS n_chars, max(k) AS n_distinct,
+    sum(CAST((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)
+      AS DECIMAL(18,9))) AS st
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id),
+e2 AS (SELECT doc_id, n_chars, n_distinct,
+    CAST(CAST(CAST(st AS DOUBLE) / ln(2.0) AS DECIMAL(18,6)) AS DOUBLE)
+      AS entropy_bits
+  FROM ent)
+SELECT doc_id, n_chars, n_distinct, entropy_bits,
+  CASE WHEN entropy_bits < 4.0 THEN 'low'
+       WHEN entropy_bits > 4.2 THEN 'high' ELSE 'ok' END AS gate
+FROM e2 ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X77: category blocklist filter ------------------------------------
+    // The term-blocklist pass every public corpus release documents
+    // (C4's badwords filter, the Gopher/RefinedWeb policy gates): match
+    // each document's token stream against per-CATEGORY term sets, count
+    // occurrences and distinct terms hit, and route block/review/keep on
+    // per-category thresholds. The lists here are stand-in vocabulary (the
+    // synthetic corpus has no profanity); the MACHINERY is the product:
+    // per-row membership against broadcast-sized term sets — at 100 TB the
+    // categories live in a broadcast map and this stays a pure scan-speed
+    // filter, no shuffle before the presentation sort. Occurrence counts
+    // (not booleans) so the audit distinguishes one incidental hit from
+    // saturation.
+    GQuery("x77_blocklist_filter",
+      (s, d) => {
+        val ws = split(lower(col("text")), " ")
+        def hits(terms: Seq[String]): Column =
+          size(filter(ws, w => array_contains(
+            array(terms.map(lit): _*), w))).cast("long")
+        def matched(terms: Seq[String]): Column =
+          size(array_intersect(array_distinct(ws),
+            array(terms.map(lit): _*))).cast("long")
+        val speed = Seq("fast", "slow")
+        val infra = Seq("spark", "table", "hash")
+        spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            hits(speed).as("speed_hits"), hits(infra).as("infra_hits"),
+            (matched(speed) + matched(infra)).as("n_terms_matched"))
+          .withColumn("action",
+            when(col("speed_hits") >= 8 || col("infra_hits") >= 12, "block")
+              .when(col("speed_hits") >= 5 || col("infra_hits") >= 8, "review")
+              .otherwise("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+    string_split(lower(text), ' ') AS ws FROM documents),
+c AS (SELECT doc_id,
+    CAST(len(list_filter(ws, w -> list_contains(['fast','slow'], w)))
+      AS BIGINT) AS speed_hits,
+    CAST(len(list_filter(ws, w -> list_contains(['spark','table','hash'], w)))
+      AS BIGINT) AS infra_hits,
+    CAST(len(list_intersect(list_distinct(ws), ['fast','slow']))
+      + len(list_intersect(list_distinct(ws), ['spark','table','hash']))
+      AS BIGINT) AS n_terms_matched
+  FROM f)
+SELECT doc_id, speed_hits, infra_hits, n_terms_matched,
+  CASE WHEN speed_hits >= 8 OR infra_hits >= 12 THEN 'block'
+       WHEN speed_hits >= 5 OR infra_hits >= 8 THEN 'review'
+       ELSE 'keep' END AS action
+FROM c ORDER BY doc_id NULLS FIRST"""))
+  )
+}

@@ -30,5 +30,5 @@ object PipelineQueries {
   val all: Seq[GQuery] =
     PipelineDedupQueries.queries ++ PipelineSimilarityQueries.queries ++
       PipelineTextQueries.queries ++ PipelineDecontamQueries.queries ++
-      PipelineReleaseQueries.queries
+      PipelineReleaseQueries.queries ++ PipelineCurationQueries.queries
 }

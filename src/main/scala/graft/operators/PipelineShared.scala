@@ -75,6 +75,143 @@ private[operators] object PipelineShared {
     ()
   }
 
+  /** DuckDB replay of the FULL BPE pipeline (train 32 merges in 6
+    * unrolled frontier rounds, then re-segment every document) — the CTE
+    * chain behind x53's oracle, ending at `enc(doc_id, toks)` (+`dws`,
+    * `w6`); x53 and x75 append their own final SELECTs. See the x53
+    * Scaladoc for the DuckDB list_reduce traps this encodes around. */
+  private[operators] val bpeEncodeCte: String =
+    """WITH w0 AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0s AS (SELECT word, freq,
+  list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS syms FROM w0),
+p1 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w0s)
+  GROUP BY 1, 2),
+c1 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p1 ORDER BY pf DESC, l, r LIMIT 64)),
+s1 AS (SELECT []::VARCHAR[] AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c1.cand[1:(4 * least(16, 32 - len([]::VARCHAR[])))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len([]::VARCHAR[]))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c1),
+w1 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s1.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s1.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w0s, s1),
+sp2 AS (SELECT s1.keys AS keys FROM s1),
+p2 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w1)
+  GROUP BY 1, 2),
+c2 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p2 ORDER BY pf DESC, l, r LIMIT 64)),
+s2 AS (SELECT sp2.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c2.cand[1:(4 * least(16, 32 - len(sp2.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp2.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c2, sp2),
+w2 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s2.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s2.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w1, s2),
+sp3 AS (SELECT s1.keys || s2.keys AS keys FROM s1, s2),
+p3 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w2)
+  GROUP BY 1, 2),
+c3 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p3 ORDER BY pf DESC, l, r LIMIT 64)),
+s3 AS (SELECT sp3.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c3.cand[1:(4 * least(16, 32 - len(sp3.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp3.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c3, sp3),
+w3 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s3.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s3.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w2, s3),
+sp4 AS (SELECT s1.keys || s2.keys || s3.keys AS keys FROM s1, s2, s3),
+p4 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w3)
+  GROUP BY 1, 2),
+c4 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p4 ORDER BY pf DESC, l, r LIMIT 64)),
+s4 AS (SELECT sp4.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c4.cand[1:(4 * least(16, 32 - len(sp4.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp4.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c4, sp4),
+w4 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s4.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s4.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w3, s4),
+sp5 AS (SELECT s1.keys || s2.keys || s3.keys || s4.keys AS keys FROM s1, s2, s3, s4),
+p5 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w4)
+  GROUP BY 1, 2),
+c5 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p5 ORDER BY pf DESC, l, r LIMIT 64)),
+s5 AS (SELECT sp5.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c5.cand[1:(4 * least(16, 32 - len(sp5.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp5.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c5, sp5),
+w5 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s5.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s5.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w4, s5),
+sp6 AS (SELECT s1.keys || s2.keys || s3.keys || s4.keys || s5.keys AS keys FROM s1, s2, s3, s4, s5),
+p6 AS (
+  SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS pf FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr,
+           freq FROM w5)
+  GROUP BY 1, 2),
+c6 AS (SELECT list([l, r, l || r, l || chr(1) || r] ORDER BY pf DESC, l, r) AS cand
+       FROM (SELECT l, r, pf FROM p6 ORDER BY pf DESC, l, r LIMIT 64)),
+s6 AS (SELECT sp6.keys AS prev, list_filter(list_reduce(
+    [[]::VARCHAR[]] || c6.cand[1:(4 * least(16, 32 - len(sp6.keys)))],
+    (acc, e) -> acc || e[1:(4 * (len(acc) // 4 < least(16, 32 - len(sp6.keys))
+        AND NOT list_contains(acc, e[1]) AND NOT list_contains(acc, e[2])
+        AND NOT list_contains(acc, e[3]))::INT)]),
+    z -> contains(z, chr(1))) AS keys FROM c6, sp6),
+w6 AS (SELECT word, freq,
+  list_reduce(list_transform(syms, s -> [s]),
+    (acc, e) -> acc[1:len(acc) - (CASE WHEN list_contains(s6.keys, acc[len(acc)] || chr(1) || e[1]) THEN 1 ELSE 0 END)]
+      || [CASE WHEN list_contains(s6.keys, acc[len(acc)] || chr(1) || e[1])
+          THEN acc[len(acc)] || e[1] ELSE e[1] END]) AS syms
+  FROM w5, s6),
+dws AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents),
+dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS wi FROM dws),
+enc AS (SELECT doc_id, flatten(list(w6.syms ORDER BY wi)) AS toks
+        FROM dw JOIN w6 USING (word) GROUP BY doc_id)"""
+
   /** DuckDB-side equivalent of [[graft.GraftOps.shingles]] (brute-force
     * oracle runs at sf0.01
     * scale only; the Spark side is the scale path). */

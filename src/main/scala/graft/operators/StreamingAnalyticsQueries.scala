@@ -708,5 +708,44 @@ SELECT source, ln.l AS lane,
 FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS l) ln
 GROUP BY source, ln.l
 ORDER BY source NULLS FIRST, lane NULLS FIRST""")),
+
+    // S62: LIVE blocklist quarantine gate — x77's category term filter on
+    // the streaming document path: per-row membership against the broadcast
+    // term sets, and only the NON-keep rows (the quarantine feed a policy
+    // reviewer consumes) are emitted downstream. Pure per-row arithmetic,
+    // APPEND mode, zero state — at 100 TB/day the gate runs at scan speed
+    // and the quarantine stream is the small fraction that needs eyes.
+    // Oracle = the batch filter over the same table (availableNow drains
+    // the file source to the identical endpoint).
+    GQuery("s62_stream_blocklist_gate",
+      (s, d) => {
+        val ws = split(lower(col("text")), " ")
+        def hits(terms: Seq[String]) =
+          size(filter(ws, w => array_contains(
+            array(terms.map(lit): _*), w))).cast("long")
+        val out = docStream(s, d)
+          .select(col("doc_id"),
+            hits(Seq("fast", "slow")).as("speed_hits"),
+            hits(Seq("spark", "table", "hash")).as("infra_hits"))
+          .withColumn("action",
+            when(col("speed_hits") >= 8 || col("infra_hits") >= 12, "block")
+              .when(col("speed_hits") >= 5 || col("infra_hits") >= 8, "review")
+              .otherwise("keep"))
+          .filter(col("action") =!= "keep")
+        runToMemory(out, "append").orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+      w -> list_contains(['fast','slow'], w))) AS BIGINT) AS speed_hits,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+      w -> list_contains(['spark','table','hash'], w))) AS BIGINT) AS infra_hits
+  FROM documents)
+SELECT doc_id, speed_hits, infra_hits,
+  CASE WHEN speed_hits >= 8 OR infra_hits >= 12 THEN 'block'
+       WHEN speed_hits >= 5 OR infra_hits >= 8 THEN 'review'
+       ELSE 'keep' END AS action
+FROM c
+WHERE NOT (speed_hits < 5 AND infra_hits < 8)
+ORDER BY doc_id NULLS FIRST""")),
   )
 }

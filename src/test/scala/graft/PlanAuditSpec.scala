@@ -575,4 +575,37 @@ class PlanAuditSpec extends SparkSpec {
       s"x70 pays more than the rollup shuffle:\n$p")
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
+
+  test("x73 audit: banding + truth join stay equi-keyed, stats ride a 1-row broadcast") {
+    val p = plan("x73_lsh_recall_audit")
+    // the only permitted nested-loop is the one-row stats crossJoin (the
+    // x48 idiom); the candidate generator and the pair-key full outer must
+    // never degenerate to a cartesian product
+    assert(!p.contains("CartesianProduct"), s"pair path went doc x doc:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"banding/full-outer lost its equi key:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more than the one-row stats broadcast loop:\n$p")
+  }
+
+  test("x74 mining: negative pool broadcasts, nothing quadratic") {
+    val p = plan("x74_contrastive_pairs")
+    assert(p.contains("BroadcastHashJoin"), s"pool did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mining grew a nested loop:\n$p")
+  }
+
+  test("x76 entropy: doc_id-keyed aggregation only, map-side combined") {
+    val p = plan("x76_char_entropy_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"entropy grew a nested loop:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("x77 blocklist is a pure scan: no joins, no pre-sort exchange") {
+    val p = plan("x77_blocklist_filter")
+    assert(!p.contains("Join"), s"blocklist grew a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"blocklist pays a hash shuffle:\n$p")
+  }
 }

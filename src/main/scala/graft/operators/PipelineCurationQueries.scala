@@ -362,6 +362,61 @@ SELECT doc_id, speed_hits, infra_hits, n_terms_matched,
   CASE WHEN speed_hits >= 8 OR infra_hits >= 12 THEN 'block'
        WHEN speed_hits >= 5 OR infra_hits >= 8 THEN 'review'
        ELSE 'keep' END AS action
-FROM c ORDER BY doc_id NULLS FIRST"""))
+FROM c ORDER BY doc_id NULLS FIRST""")),
+
+
+    // ---- X78: language-ID confusion audit ----------------------------------
+    // The classifier-quality report behind every "lang" column a corpus
+    // ships: x04_langid's letter-frequency classifier scored against the
+    // labeled `lang`, as the full confusion matrix (actual x guess cell
+    // counts), per-ACTUAL-language recall (share of the label's docs
+    // guessed right — the number that says which languages the heuristic
+    // under-serves), and corpus accuracy riding on a one-row broadcast.
+    // Downstream samplers weight by lang; a 60%-recall language means its
+    // mixture share is silently wrong — this audit is how that is caught.
+    // Exactness: counts are integers, shares/accuracy quantize at
+    // decimal(18,6) from exact integer ratios. Scale: per-row classify +
+    // one |langs|^2-bounded aggregate; nothing grows with corpus size
+    // after the scan.
+    GQuery("x78_langid_confusion",
+      (s, d) => {
+        val pred = spread(t(s, d, "documents"))
+          .select(col("lang"), lang_id(col("text")).as("guess"))
+        val cells = pred.groupBy(col("lang"), col("guess"))
+          .agg(count(lit(1)).as("n"))
+        val actual = cells.groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_lang"),
+            sum(when(col("guess") === col("lang"), col("n")).otherwise(0L))
+              .as("n_right"))
+        val overall = actual.agg(
+          sum(col("n_lang")).as("n_total"), sum(col("n_right")).as("n_ok"))
+        cells.join(actual, Seq("lang"))
+          .crossJoin(broadcast(overall))
+          .select(col("lang"), col("guess"), col("n"), col("n_lang"),
+            (col("n").cast("double") / col("n_lang"))
+              .cast("decimal(18,6)").cast("double").as("share_of_actual"),
+            (col("n_right").cast("double") / col("n_lang"))
+              .cast("decimal(18,6)").cast("double").as("lang_recall"),
+            (col("n_ok").cast("double") / col("n_total"))
+              .cast("decimal(18,6)").cast("double").as("accuracy"))
+          .orderBy(col("lang"), col("guess"))
+      },
+      Some(s"""WITH pred AS (${graft.functions.LanguageId.oracleSql}),
+cells AS (SELECT lang, guess, count(*)::BIGINT AS n
+  FROM pred GROUP BY lang, guess),
+act AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang,
+    CAST(sum(CASE WHEN guess = lang THEN n ELSE 0 END) AS BIGINT) AS n_right
+  FROM cells GROUP BY lang),
+ov AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+    CAST(sum(n_right) AS BIGINT) AS n_ok FROM act)
+SELECT cells.lang, guess, n, n_lang,
+  CAST(CAST(CAST(n AS DOUBLE) / n_lang AS DECIMAL(18,6)) AS DOUBLE)
+    AS share_of_actual,
+  CAST(CAST(CAST(n_right AS DOUBLE) / n_lang AS DECIMAL(18,6)) AS DOUBLE)
+    AS lang_recall,
+  CAST(CAST(CAST(n_ok AS DOUBLE) / n_total AS DECIMAL(18,6)) AS DOUBLE)
+    AS accuracy
+FROM cells JOIN act ON cells.lang = act.lang, ov
+ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST"""))
   )
 }

@@ -94,6 +94,21 @@ class CurationSpec extends SparkSpec {
     assert(base.exceptAll(rev).count() === 0 && rev.exceptAll(base).count() === 0)
   }
 
+  test("x78 confusion audit: cells sum to the label totals and accuracy is the trace") {
+    val rows = q("x78_langid_confusion").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum === cells.head.getAs[Long]("n_lang"))
+    }
+    val total = byLang.values.map(_.head.getAs[Long]("n_lang")).sum
+    val diag = rows.filter(r => r.getAs[String]("lang") == r.getAs[String]("guess"))
+      .map(_.getAs[Long]("n")).sum
+    val acc = rows.head.getAs[Double]("accuracy")
+    assert(math.abs(acc - diag.toDouble / total) < 1e-6,
+      s"accuracy $acc != trace $diag / total $total")
+  }
+
   test("s62 streaming gate emits exactly x77's non-keep rows") {
     val batch = q("x77_blocklist_filter")
       .filter(col("action") =!= "keep")

@@ -60,6 +60,15 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", (16L << 20).toString))
       .config("spark.ui.enabled", "false")
+    // Config-invariance sweeps (round-12): SPARK_GRAFT_EXTRA_CONF holds
+    // semicolon-separated k=v pairs layered onto the builder — the seam the
+    // AQE-off / codegen-off / different-shuffle-partitions arms use to
+    // prove the registry's results are invariant to the physical-planning
+    // knobs a cluster operator actually varies.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
     if (fault.contains("cluster")) {
       // speculation armed (inert on one host — see above — but this is the
       // exact conf a multi-host run would use), executors as separate JVMs

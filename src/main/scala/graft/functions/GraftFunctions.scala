@@ -95,6 +95,20 @@ object GraftFunctions {
     * NULL for undecodable payloads. */
   def wav_stats(bytes: Column): Column = c(WavStats(x(bytes)))
 
+  /** encode an array of raw 8-bit grayscale frames as a real RIFF/AVI 1.0
+    * payload (hdrl/avih/strl/strh/strf + movi 00db chunks + idx1 index,
+    * AVIIF_KEYFRAME every `keyEvery`-th frame). */
+  def avi_pack(frames: Column, fps: Column, width: Column, height: Column,
+      keyEvery: Column): Column =
+    c(AviPack(Seq(x(frames), x(fps), x(width), x(height), x(keyEvery))))
+
+  /** parse a RIFF/AVI payload and sample every `every`-th frame through the
+    * idx1 index (seek + verify, only sampled payloads touched): exact-integer
+    * stats (width, height, usec_per_frame, fps, n_frames, n_keyframes,
+    * sampled_n, sampled_sum, sampled_max); NULL for undecodable payloads. */
+  def avi_frame_sample(bytes: Column, every: Column): Column =
+    c(AviFrameSample(x(bytes), x(every)))
+
   /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
     * and `b` (odd positions) so lexicographic order on the result is a
     * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions

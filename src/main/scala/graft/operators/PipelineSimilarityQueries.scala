@@ -632,6 +632,274 @@ SELECT event_type, count(*) AS n,
   CAST(sum(sum_sq) AS BIGINT) AS total_sum_sq,
   sqrt(CAST(CAST(sum(sum_sq) AS BIGINT) AS DOUBLE)
     / CAST(count(*) * 64 AS DOUBLE)) AS rms
-FROM st GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
+FROM st GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
+
+    // ---- X80: video QA over REAL RIFF/AVI containers -----------------------
+    // The video leg of the multimodal story, closing the image (x40) /
+    // audio (x70) / video triad and held to the same no-stub standard: per
+    // event, a deterministic stack of 8..16 raw 4×4 Y800 grayscale frames is
+    // ENCODED into a genuine AVI 1.0 file (avi_pack: hdrl list with
+    // avih/strh/strf, movi list of 00db chunks, idx1 index with
+    // AVIIF_KEYFRAME flags every 4th frame) and then PARSED BACK by
+    // avi_frame_sample, which samples every 3rd frame THROUGH THE INDEX —
+    // resolve the idx1 offset into movi (relative per spec, absolute-writer
+    // variant auto-detected), verify the chunk header at the seek target,
+    // and touch only the sampled payloads. That index-seek pattern is the
+    // 100 TB design point: frame sampling is O(sampled frames), not
+    // O(container bytes), exactly how a real pipeline thumbnails petabytes
+    // of video. The frame count is cross-validated four ways inside the
+    // parse (avih.dwTotalFrames = strh.dwLength = movi chunk scan = idx1
+    // entries; any disagreement → NULL). The DuckDB oracle computes the
+    // same statistics straight from the frame-byte definition without any
+    // AVI round trip — a hash match therefore proves encode→index-seek→
+    // parse is the identity on every header field (the hard-coded 4/83333/
+    // 12 oracle columns only match if the parsed avih/strh agree), the
+    // keyframe flags, and each sampled payload byte. Per-row only
+    // (encode+parse never shuffles); one rollup exchange; every output an
+    // exact integer. O-class.
+    GQuery("x80_video_framesample",
+      (s, d) => {
+        val frames = expr(
+          "transform(sequence(0, 7 + CAST(event_id % 9 AS INT)), f -> " +
+            "unhex(array_join(transform(sequence(0, 15), p -> " +
+            "lpad(hex((event_id * 31 + f * 17 + p * 7) % 256), 2, '0')), " +
+            "'')))")
+        Tables.events(s, d)
+          .select(col("event_type"),
+            avi_frame_sample(
+              avi_pack(frames, lit(12), lit(4), lit(4), lit(4)),
+              lit(3)).as("st"))
+          .select(col("event_type"), col("st.*"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("width")).cast("long").as("min_w"),
+            max(col("width")).cast("long").as("max_w"),
+            max(col("height")).cast("long").as("max_h"),
+            min(col("usec_per_frame")).cast("long").as("min_usec"),
+            max(col("fps")).cast("long").as("max_fps"),
+            sum(col("n_frames").cast("long")).as("total_frames"),
+            sum(col("n_keyframes").cast("long")).as("total_keyframes"),
+            sum(col("sampled_n").cast("long")).as("total_sampled"),
+            sum(col("sampled_sum")).as("total_sampled_sum"),
+            max(col("sampled_max")).cast("long").as("max_byte"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+    CAST(8 + event_id % 9 AS INT) AS nf
+  FROM events),
+k AS (SELECT event_id, event_type, nf,
+    len([x for x in range(0, nf) if x % 4 = 0]) AS nkey,
+    [x for x in range(0, nf) if x % 3 = 0] AS sidx
+  FROM e),
+pb AS (SELECT k.event_id,
+    (k.event_id * 31 + b.fx * 17 + r.p * 7) % 256 AS byte
+  FROM k, unnest(k.sidx) AS b(fx), unnest(range(0, 16)) AS r(p)),
+a AS (SELECT event_id, CAST(sum(byte) AS BIGINT) AS ssum,
+    max(byte) AS smax
+  FROM pb GROUP BY event_id)
+SELECT k.event_type, count(*) AS n,
+  CAST(4 AS BIGINT) AS min_w, CAST(4 AS BIGINT) AS max_w,
+  CAST(4 AS BIGINT) AS max_h, CAST(83333 AS BIGINT) AS min_usec,
+  CAST(12 AS BIGINT) AS max_fps,
+  CAST(sum(k.nf) AS BIGINT) AS total_frames,
+  CAST(sum(k.nkey) AS BIGINT) AS total_keyframes,
+  CAST(sum(len(k.sidx)) AS BIGINT) AS total_sampled,
+  CAST(sum(a.ssum) AS BIGINT) AS total_sampled_sum,
+  CAST(max(a.smax) AS BIGINT) AS max_byte
+FROM k JOIN a USING (event_id)
+GROUP BY k.event_type ORDER BY k.event_type NULLS FIRST""")),
+
+
+    // ---- X79: product-quantization ANN (PQ + ADC) --------------------------
+    // The third ANN scale path beside LSH bucketing (x03) and IVF coarse
+    // quantization (x37): product quantization (Jégou, Douze, Schmid 2011,
+    // "Product Quantization for Nearest Neighbor Search") — the technique
+    // every billion-vector system uses to fit the corpus in RAM. The 64-dim
+    // embedding splits into m=4 subspaces of 16 dims; each subspace trains a
+    // k=16-codeword codebook (the x37 deterministic-Lloyd recipe per
+    // subspace: md5-seeded init, broadcast-codebook argmin via the codegen
+    // l2_dist kernel with (dist, cid) tie-break, decimal-exact centroid
+    // update); every vector then ENCODES to 4 codes — 64 dims × 4 bytes
+    // compress to 4 bytes, a 64× memory reduction, which is the entire
+    // point at 100 TB. Search is ASYMMETRIC DISTANCE: per query, a
+    // 4×16-entry lookup table of squared query-to-codeword subdistances is
+    // built (quantized decimal(18,9) so the 4-term per-vector sum is
+    // order-free EXACT across engines), and each corpus vector's ADC score
+    // is just Σ lut[j][code_j] — table lookups, no float kernel per pair.
+    // Scale shape: codebooks and LUTs are broadcast (≤ 64 and 512 rows);
+    // encode is a broadcast join + map-side min_by partial agg (the n·k
+    // candidates never shuffle); the ADC scan shuffles one slim
+    // (qid, vec_id, adc) row per query-vector pair into the deterministic
+    // TWO-STAGE top-k (per-salt top-10, then top-10 of the ≤ 32×10
+    // survivors — layout-independent, skew-proof, the distributed top-k
+    // idiom). The output audits PQ against ground truth: per query,
+    // recall@10 overlap with the exact l2 top-10 (brute force is the
+    // baseline lane, exactly like x03). DuckDB replays the ENTIRE
+    // pipeline — training, encode, LUT, ADC, both top-10s — so the hash
+    // match pins every argmin, every code and both rankings. O-class.
+    GQuery("x79_pq_adc_ann",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L2 = graft.functions.GraftFunctions.l2_dist _
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val subExpr = "transform(sequence(0, 7), j -> " +
+          "struct(j AS j, slice(v, j * 8 + 1, 8) AS sv))"
+        val sub = e.select(col("vec_id"), explode(expr(subExpr)).as("x"))
+          .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
+        val wSeed = Window.orderBy(col("h"), col("vec_id"))
+        val seeds = e
+          .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(16)
+          .select(col("vec_id"), row_number().over(wSeed).as("cid"))
+        val c0 = sub.join(seeds, "vec_id")
+          .select(col("j"), col("cid"), col("sv").as("cv"))
+        // broadcast codebook + map-side min_by: the n·k candidate rows
+        // collapse to n·m in the partial aggregate before any exchange
+        def assign(cb: DataFrame): DataFrame =
+          sub.join(broadcast(cb), "j")
+            .withColumn("dist", L2(col("sv"), col("cv")))
+            .groupBy(col("vec_id"), col("j"))
+            .agg(min_by(struct(col("cid"), col("sv")),
+              struct(col("dist"), col("cid"))).as("sel"))
+            .select(col("vec_id"), col("j"), col("sel.cid").as("cid"),
+              col("sel.sv").as("sv"))
+        val c1 = assign(c0)
+          .select(col("j"), col("cid"), posexplode(col("sv")))
+          .groupBy(col("j"), col("cid"), col("pos"))
+          .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("j"), col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+            "x -> x.m)").as("cv"))
+          .localCheckpoint(true)
+        val enc = assign(c1).drop("sv").localCheckpoint(true)
+        val queries = e
+          .select(col("vec_id").as("qid"), col("v"),
+            md5(concat(lit("q:"), col("vec_id").cast("string"))).as("h"))
+          .orderBy(col("h"), col("qid")).limit(8)
+          .select(col("qid"), col("v")).localCheckpoint(true)
+        val qsub = queries
+          .select(col("qid"), explode(expr(subExpr)).as("x"))
+          .select(col("qid"), col("x.j").as("j"), col("x.sv").as("qv"))
+        val lut = qsub.join(c1, "j")
+          .withColumn("qd", L2(col("qv"), col("cv")))
+          .select(col("qid"), col("j"), col("cid"),
+            (col("qd") * col("qd")).cast("decimal(18,9)").as("qd2"))
+        val adc = enc.join(broadcast(lut), Seq("j", "cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("qd2")).as("score"))
+        val exact = e
+          .crossJoin(broadcast(queries.select(col("qid"), col("v").as("qv"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), L2(col("v"), col("qv")).as("score"))
+        def topk(df: DataFrame, k: Int): DataFrame = {
+          val w1 = Window.partitionBy(col("qid"), col("salt"))
+            .orderBy(col("score"), col("vec_id"))
+          val w2 = Window.partitionBy(col("qid"))
+            .orderBy(col("score"), col("vec_id"))
+          df.withColumn("salt", col("vec_id") % 32)
+            .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+            .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+            .select(col("qid"), col("vec_id"), col("rank"))
+        }
+        val at = topk(adc, 50).localCheckpoint(true) // ADC shortlist
+        val et = topk(exact, 10).localCheckpoint(true)
+        val hits = at.filter(col("rank") <= 10).select(col("qid"), col("vec_id"))
+          .join(et.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        // exact RERANK of the ADC shortlist — the production PQ pipeline:
+        // the compressed scan proposes 50 candidates, the float kernel then
+        // touches ONLY those 50 per query (50·d work vs n·d brute force)
+        val rr = at.select(col("qid"), col("vec_id"))
+          .join(e, "vec_id")
+          .join(broadcast(queries.select(col("qid"), col("v").as("qv"))), "qid")
+          .select(col("qid"), col("vec_id"), L2(col("v"), col("qv")).as("score"))
+        val rt = topk(rr, 10)
+        val rhits = rt.select(col("qid"), col("vec_id"))
+          .join(et.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits_rerank"))
+        val qcodes = enc
+          .join(queries.select(col("qid")), col("vec_id") === col("qid"))
+          .groupBy(col("qid"))
+          .agg(expr("array_join(transform(array_sort(collect_list(" +
+            "struct(j, cid))), x -> CAST(x.cid AS STRING)), '-')")
+            .as("q_codes"))
+        queries.select(col("qid"))
+          .join(hits, Seq("qid"), "left")
+          .join(rhits, Seq("qid"), "left")
+          .join(at.filter(col("rank") === 1)
+            .select(col("qid"), col("vec_id").as("adc_top1")), "qid")
+          .join(et.filter(col("rank") === 1)
+            .select(col("qid"), col("vec_id").as("exact_top1")), "qid")
+          .join(qcodes, "qid")
+          .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_hits_rerank"), lit(0L)).as("n_hits_rerank"),
+            col("adc_top1"), col("exact_top1"), col("q_codes"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (SELECT vec_id, j, v[j * 8 + 1 : (j + 1) * 8] AS sv
+  FROM e, unnest(range(0, 8)) AS r(j)),
+seeds AS (SELECT vec_id, row_number()
+    OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+  FROM e),
+c0 AS (SELECT sb.j, s.cid, sb.sv AS cv
+  FROM seeds s JOIN sub sb USING (vec_id) WHERE s.cid <= 16),
+a1 AS (SELECT vec_id, j, cid, sv FROM (
+    SELECT sb.vec_id, sb.j, c.cid, list_distance(sb.sv, c.cv) AS dist, sb.sv
+    FROM sub sb JOIN c0 c ON sb.j = c.j)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) = 1),
+u1 AS (SELECT j, cid, i AS pos,
+    CAST(sum(CAST(sv[i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+  FROM a1, unnest(range(1, 9)) AS r(i) GROUP BY j, cid, i),
+c1 AS (SELECT j, cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY j, cid),
+enc AS (SELECT vec_id, j, cid FROM (
+    SELECT sb.vec_id, sb.j, c.cid, list_distance(sb.sv, c.cv) AS dist
+    FROM sub sb JOIN c1 c ON sb.j = c.j)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) = 1),
+q AS (SELECT vec_id AS qid, v FROM e
+  ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+qsub AS (SELECT qid, j, v[j * 8 + 1 : (j + 1) * 8] AS qv
+  FROM q, unnest(range(0, 8)) AS r(j)),
+lutd AS (SELECT qs.qid, qs.j, c.cid, list_distance(qs.qv, c.cv) AS qd
+  FROM qsub qs JOIN c1 c ON qs.j = c.j),
+lut AS (SELECT qid, j, cid, CAST(qd * qd AS DECIMAL(18,9)) AS qd2 FROM lutd),
+adc AS (SELECT l.qid, en.vec_id, sum(l.qd2) AS score
+  FROM enc en JOIN lut l ON en.j = l.j AND en.cid = l.cid
+  WHERE en.vec_id <> l.qid GROUP BY l.qid, en.vec_id),
+at AS (SELECT qid, vec_id, row_number()
+    OVER (PARTITION BY qid ORDER BY score, vec_id) AS rank FROM adc),
+ex AS (SELECT q.qid, e.vec_id, list_distance(e.v, q.v) AS score
+  FROM e JOIN q ON e.vec_id <> q.qid),
+et AS (SELECT qid, vec_id, row_number()
+    OVER (PARTITION BY qid ORDER BY score, vec_id) AS rank FROM ex),
+hits AS (SELECT a.qid, count(*) AS n_hits
+  FROM (SELECT qid, vec_id FROM at WHERE rank <= 10) a
+  JOIN (SELECT qid, vec_id FROM et WHERE rank <= 10) b
+    USING (qid, vec_id)
+  GROUP BY a.qid),
+rt AS (SELECT qid, vec_id, row_number()
+    OVER (PARTITION BY qid ORDER BY score, vec_id) AS rank
+  FROM (SELECT a.qid, a.vec_id, ex.score
+    FROM at a JOIN ex USING (qid, vec_id) WHERE a.rank <= 50)),
+rhits AS (SELECT a.qid, count(*) AS n_hits_rerank
+  FROM (SELECT qid, vec_id FROM rt WHERE rank <= 10) a
+  JOIN (SELECT qid, vec_id FROM et WHERE rank <= 10) b
+    USING (qid, vec_id)
+  GROUP BY a.qid),
+qc AS (SELECT en.vec_id AS qid,
+    string_agg(CAST(en.cid AS VARCHAR), '-' ORDER BY en.j) AS q_codes
+  FROM enc en JOIN q ON en.vec_id = q.qid GROUP BY en.vec_id)
+SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+  coalesce(r.n_hits_rerank, 0) AS n_hits_rerank, a1t.adc_top1,
+  e1t.exact_top1, qc.q_codes
+FROM q LEFT JOIN hits h USING (qid) LEFT JOIN rhits r USING (qid)
+JOIN (SELECT qid, vec_id AS adc_top1 FROM at WHERE rank = 1) a1t USING (qid)
+JOIN (SELECT qid, vec_id AS exact_top1 FROM et WHERE rank = 1) e1t USING (qid)
+JOIN qc USING (qid)
+ORDER BY q.qid NULLS FIRST"""))
   )
 }

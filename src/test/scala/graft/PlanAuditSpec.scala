@@ -75,6 +75,16 @@ class PlanAuditSpec extends SparkSpec {
       s"changelog collapse is not below the merge join:\n$p")
   }
 
+  test("x80 video frame-sample is a pure per-row lane: no join, two exchanges") {
+    // encode → index-seek parse never shuffles; the only exchanges are the
+    // event_type rollup and the presentation sort, with a map-side partial
+    val p = SparkEntry.queries("x80_video_framesample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"per-row video lane must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2, s"extra shuffle appeared:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("x03 brute-force ANN broadcasts the query side") {
     val p = plan("x03_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"),

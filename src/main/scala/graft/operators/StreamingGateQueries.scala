@@ -528,6 +528,55 @@ SELECT event_id,
     AS DOUBLE) / 64.0) AS rms,
   (list_max(list_transform(s, x -> abs(x))) = 32768
     OR len(list_filter(s, x -> x = 32767 OR x = -32768)) > 0) AS hot_flag
-FROM sm ORDER BY event_id NULLS FIRST"""))
+FROM sm ORDER BY event_id NULLS FIRST""")),
+
+    // S63: streaming video QA — x80's AVI lane live, completing the live
+    // multimodal pair (s60 audio / s63 video). Every arriving event's frame
+    // stack round-trips through a REAL RIFF/AVI container (avi_pack encode →
+    // avi_frame_sample index-seeking parse, both codegen expressions) and
+    // emits its exact-integer gate row in append mode — per-row, zero
+    // state, scan-speed. The oracle computes the same statistics from the
+    // frame-byte definition without the AVI round trip, so the stream lane
+    // inherits x80's encode→index-seek→parse identity proof per event.
+    GQuery("s63_stream_video_qa",
+      (s, d) => {
+        val frames = expr(
+          "transform(sequence(0, 7 + CAST(event_id % 9 AS INT)), f -> " +
+            "unhex(array_join(transform(sequence(0, 15), p -> " +
+            "lpad(hex((event_id * 31 + f * 17 + p * 7) % 256), 2, '0')), " +
+            "'')))")
+        runToMemory(
+          eventStream(s, d)
+            .select(col("event_id"), graft.functions.GraftFunctions
+              .avi_frame_sample(graft.functions.GraftFunctions
+                .avi_pack(frames, lit(12), lit(4), lit(4), lit(4)),
+                lit(3)).as("st"))
+            .select(col("event_id"),
+              col("st.n_frames").cast("long").as("n_frames"),
+              col("st.n_keyframes").cast("long").as("n_keyframes"),
+              col("st.sampled_n").cast("long").as("sampled_n"),
+              col("st.sampled_sum").as("sampled_sum"),
+              col("st.sampled_max").cast("long").as("sampled_max"),
+              (col("st.sampled_max") === 255).as("sat_flag")),
+          "append").orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(8 + event_id % 9 AS INT) AS nf
+  FROM events),
+k AS (SELECT event_id, nf,
+    len([x for x in range(0, nf) if x % 4 = 0]) AS nkey,
+    [x for x in range(0, nf) if x % 3 = 0] AS sidx
+  FROM e),
+pb AS (SELECT k.event_id,
+    (k.event_id * 31 + b.fx * 17 + r.p * 7) % 256 AS byte
+  FROM k, unnest(k.sidx) AS b(fx), unnest(range(0, 16)) AS r(p)),
+a AS (SELECT event_id, CAST(sum(byte) AS BIGINT) AS ssum,
+    max(byte) AS smax
+  FROM pb GROUP BY event_id)
+SELECT k.event_id, CAST(k.nf AS BIGINT) AS n_frames,
+  CAST(k.nkey AS BIGINT) AS n_keyframes,
+  CAST(len(k.sidx) AS BIGINT) AS sampled_n,
+  a.ssum AS sampled_sum, CAST(a.smax AS BIGINT) AS sampled_max,
+  (a.smax = 255) AS sat_flag
+FROM k JOIN a USING (event_id) ORDER BY event_id NULLS FIRST"""))
   )
 }

@@ -18,6 +18,26 @@ class PipelineSpec extends SparkSpec {
     assert(exact.count() > 0, "corpus must contain planted near-dups")
   }
 
+  test("x79 PQ: rerank dominates raw ADC recall, codes are well-formed") {
+    val rows = q("x79_pq_adc_ann").collect()
+    assert(rows.length === 8, "eight seeded queries")
+    rows.foreach { r =>
+      val (nh, nhr) = (r.getAs[Long]("n_hits"), r.getAs[Long]("n_hits_rerank"))
+      assert(nh >= 0 && nh <= 10 && nhr <= 10, s"recall out of range: $r")
+      // structural theorem: any member of (ADC top-10 ∩ exact top-10) is in
+      // the ADC top-50 shortlist with fewer than 10 exact-better candidates
+      // present, so it survives the rerank — rerank can never lose recall
+      assert(nhr >= nh, s"rerank lost recall: $r")
+      val codes = r.getAs[String]("q_codes").split("-")
+      assert(codes.length === 8 &&
+        codes.forall(c => c.toInt >= 1 && c.toInt <= 16),
+        s"malformed PQ codes: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n_hits_rerank")).sum >
+      rows.map(_.getAs[Long]("n_hits")).sum,
+      "on this corpus the exact rerank must strictly improve total recall")
+  }
+
   test("planted near-dups are detected on synthetic docs") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

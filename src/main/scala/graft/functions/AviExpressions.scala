@@ -153,16 +153,24 @@ object AviCodec {
     pack(fs, fps, w, h, keyEvery)
   }
 
-  /** Canonical AVI 1.0 bytes; frames are raw Y800 (w*h bytes each). */
+  /** Canonical AVI 1.0 bytes; frames are raw Y800 (w*h bytes each).
+    * Returns null when the container would exceed the 2 GiB RIFF/array
+    * bound (LONG size math — a near-overflow stack must hit the NULL
+    * contract, never a negative-allocation crash). */
   def pack(frames: Array[Array[Byte]], fps: Int, w: Int, h: Int,
       keyEvery: Int): Array[Byte] = {
     val n = frames.length
     val frameLen = w * h
     val pad = frameLen & 1
     val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
-    val moviData = 4 + n * (8 + frameLen + pad)
-    val idxData = n * 16
-    val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idxData)
+    val moviDataL = 4L + n.toLong * (8L + frameLen + pad)
+    val idxDataL = n.toLong * 16L
+    val riffDataL = 4L + (8L + hdrlData) + (8L + moviDataL) + (8L + idxDataL)
+    if (w.toLong * h > Int.MaxValue || 8L + riffDataL > Int.MaxValue)
+      return null
+    val moviData = moviDataL.toInt
+    val idxData = idxDataL.toInt
+    val riffData = riffDataL.toInt
     val out = new Array[Byte](8 + riffData)
     val bb = java.nio.ByteBuffer.wrap(out)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

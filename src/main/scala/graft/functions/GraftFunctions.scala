@@ -109,6 +109,14 @@ object GraftFunctions {
   def avi_frame_sample(bytes: Column, every: Column): Column =
     c(AviFrameSample(x(bytes), x(every)))
 
+  /** encode an array<struct<name,data>> as a real POSIX ustar archive (the
+    * WebDataset shard layout); deterministic fixed metadata. */
+  def tar_pack(entries: Column): Column = c(TarPack(x(entries)))
+
+  /** walk a ustar header chain: one (name, size, chksum_ok, data_sum,
+    * data_max) row per entry, NULL for malformed archives. */
+  def tar_index(bytes: Column): Column = c(TarIndex(x(bytes)))
+
   /** Morton z-value of two 16-bit keys: bit-interleaves `a` (even positions)
     * and `b` (odd positions) so lexicographic order on the result is a
     * space-filling curve over (a, b) — sort-by-z clusters BOTH dimensions

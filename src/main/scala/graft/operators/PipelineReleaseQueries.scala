@@ -1213,6 +1213,83 @@ SELECT event_type,
     AS suppress_frac_k5,
   CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1_classes,
   CAST(sum(CASE WHEN l = 1 THEN n ELSE 0 END) AS BIGINT) AS l1_rows
-FROM cls GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
+FROM cls GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
+
+    // ---- X82: WebDataset-style tar sharding --------------------------------
+    // The packaging format multimodal training actually ships: fixed-count
+    // shards, each a REAL POSIX ustar archive holding one file per sample
+    // part ("{id}.txt" = the document's UTF-8 bytes, "{id}.meta" = a 16-byte
+    // sidecar) — exactly what a WebDataset loader consumes. tar_pack writes
+    // the genuine format (512-byte headers, octal fields, the space-seeded
+    // header checksum, block padding, double-zero EOF); tar_index walks the
+    // header chain back out, re-verifying every checksum and skipping
+    // payload blocks by their declared sizes — the O(headers) shard-listing
+    // access pattern a 100 TB corpus depends on. Every output column is
+    // derived from the PARSE (entry count, names, header sizes, payload
+    // byte-sums, archive length), while the oracle recomputes them from the
+    // table definition with no tar round trip — so the hash match proves
+    // encode→index is the identity on names, sizes, payload bytes AND that
+    // every re-computed checksum equals the stored one (all_ok=true is a
+    // parse output, not an assumption). Scale: one shard-key shuffle
+    // (8 docs/shard bounded collect_list — the WebDataset shard-assembly
+    // shape), per-row pack+index, exact-integer/string outputs. O-class.
+    // The independent-decoder proof (system tar lists the same entries)
+    // lives in TarSpec.
+    GQuery("x82_webdataset_shard",
+      (s, d) => {
+        val meta = expr("unhex(array_join(transform(sequence(0, 15), p -> " +
+          "lpad(hex((doc_id * 13 + p * 7) % 256), 2, '0')), ''))")
+        val pair = array(
+          struct(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            expr("encode(text, 'UTF-8')").as("data")),
+          struct(concat(col("doc_id").cast("string"), lit(".meta")).as("name"),
+            meta.as("data")))
+        val idx = graft.functions.GraftFunctions.tar_index(col("shard"))
+        t(s, d, "documents")
+          .select(expr("doc_id div 8").as("shard_id"), pair.as("pair"))
+          .groupBy(col("shard_id"))
+          .agg(expr("sort_array(flatten(collect_list(pair)))").as("entries"))
+          .select(col("shard_id"),
+            graft.functions.GraftFunctions.tar_pack(col("entries"))
+              .as("shard"))
+          .select(col("shard_id"), idx.as("idx"), length(col("shard"))
+            .cast("long").as("archive_bytes"))
+          .select(col("shard_id"),
+            size(col("idx")).cast("long").as("n_entries"),
+            expr("forall(idx, e -> e.chksum_ok)").as("all_ok"),
+            md5(expr("array_join(transform(idx, e -> e.name), ',')"))
+              .as("names_fp"),
+            expr("aggregate(filter(idx, e -> e.name LIKE '%.txt'), " +
+              "CAST(0 AS BIGINT), (a, e) -> a + e.size)").as("payload_bytes"),
+            expr("aggregate(filter(idx, e -> e.name LIKE '%.meta'), " +
+              "CAST(0 AS BIGINT), (a, e) -> a + e.data_sum)").as("meta_sum"),
+            col("archive_bytes"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id // 8 AS shard_id,
+    octet_length(encode(text)) AS tb
+  FROM documents),
+m AS (SELECT doc_id,
+    CAST(list_sum([(doc_id * 13 + p * 7) % 256 for p in range(0, 16)])
+      AS BIGINT) AS ms
+  FROM documents),
+names AS (SELECT shard_id, name FROM (
+    SELECT shard_id, CAST(doc_id AS VARCHAR) || '.txt' AS name FROM d
+    UNION ALL
+    SELECT shard_id, CAST(doc_id AS VARCHAR) || '.meta' AS name FROM d)),
+nf AS (SELECT shard_id, count(*) AS n_entries,
+    md5(string_agg(name, ',' ORDER BY name)) AS names_fp
+  FROM names GROUP BY shard_id),
+agg AS (SELECT d.shard_id,
+    CAST(sum(d.tb) AS BIGINT) AS payload_bytes,
+    CAST(sum(m.ms) AS BIGINT) AS meta_sum,
+    CAST(sum(512 + ((d.tb + 511) // 512) * 512 + 512 + 512) + 1024
+      AS BIGINT) AS archive_bytes
+  FROM d JOIN m USING (doc_id) GROUP BY d.shard_id)
+SELECT nf.shard_id, nf.n_entries, TRUE AS all_ok, nf.names_fp,
+  a.payload_bytes, a.meta_sum, a.archive_bytes
+FROM nf JOIN agg a USING (shard_id)
+ORDER BY shard_id NULLS FIRST"""))
   )
 }

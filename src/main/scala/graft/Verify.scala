@@ -65,10 +65,14 @@ object Verify {
     // AQE-off / codegen-off / different-shuffle-partitions arms use to
     // prove the registry's results are invariant to the physical-planning
     // knobs a cluster operator actually varies.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF segment '$kv' has no '=' (want k=v;k=v)")
+        }
+      })
     if (fault.contains("cluster")) {
       // speculation armed (inert on one host — see above — but this is the
       // exact conf a multi-host run would use), executors as separate JVMs

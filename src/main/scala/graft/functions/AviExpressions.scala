@@ -138,7 +138,11 @@ object AviCodec {
 
   def packChecked(frames: ArrayData, fps: Int, w: Int, h: Int,
       keyEvery: Int): Array[Byte] = {
-    if (fps <= 0 || w <= 0 || h <= 0 || keyEvery <= 0) return null
+    // fps > 1e6 would write dwMicroSecPerFrame = 0, which the parser
+    // rejects — refuse at encode time so pack→parse stays an identity on
+    // every payload pack emits
+    if (fps <= 0 || fps > 1000000 || w <= 0 || h <= 0 || keyEvery <= 0)
+      return null
     val n = frames.numElements()
     if (n == 0) return null
     val fs = new Array[Array[Byte]](n)

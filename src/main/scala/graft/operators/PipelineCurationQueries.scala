@@ -271,7 +271,11 @@ GROUP BY doc.lang ORDER BY doc.lang NULLS FIRST""")),
     // pre-combine map-side), linear in corpus bytes, no state.
     GQuery("x76_char_entropy_gate",
       (s, d) => {
+        // empty docs: sequence(1, 0) would yield a DESCENDING [1, 0] (two
+        // phantom empty-string chars) while the oracle's range(1, 1) yields
+        // none — pre-filter so both engines drop zero-length docs
         val cnt = spread(t(s, d, "documents"))
+          .filter(length(col("text")) > 0)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
             .as("ch"))

@@ -161,24 +161,14 @@ FROM g, wm GROUP BY user_id, sid, wm_ms
 HAVING max(us) + 1800000000 <= wm_ms * 1000
 ORDER BY user_id NULLS FIRST, ss NULLS FIRST""")),
 
-    // S05: watermark + late-data drop — adversarial replay (every 20th event
-    // arrives 2h late) through the custom source with small micro-batches so
-    // the watermark genuinely advances between batches; append-mode tumbling
-    // windows. G-class (the dropped set depends on batch boundaries by
-    // design); spec-tested for the drop/keep properties.
-    GQuery("s05_watermark_late_drop",
-      (s, d) => runToMemory(
-        replayStream(s, d, maxRowsPerTrigger = Some(adaptiveTrigger(s, d)), late = true)
-          .withColumn("ts", col("timestamp"))
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"))
-          .agg(count(lit(1)).as("n")),
-        "append")
-        .select(col("window.start").cast("long").as("ws_sec"), col("n"))
-        .orderBy(col("ws_sec")),
-      None),
+    // S05 (free-running watermark late-drop) was RETIRED from the registry
+    // in round 13 (VERDICT r12 #6): its batch-boundary-dependent drop set
+    // made it G-class by construction, and s05b below pins the identical
+    // semantics (late replay → watermark → append windows) with an exact
+    // oracle. The free-running behavior stays covered by StreamingSpec's
+    // drop/keep property tests over replayStream(late = true).
 
-    // S05b: the EXACT-oracle twin of s05 (VERDICT r10 #5). Adversarial
+    // S05b: the EXACT-oracle twin of the retired s05 (VERDICT r10 #5). Adversarial
     // late replay with the batch split PINNED to exactly THREE data
     // batches per partition (cap = ceil(|events|/3/3) rows each), which
     // makes the dropped set deterministic and expressible in SQL. Uses the

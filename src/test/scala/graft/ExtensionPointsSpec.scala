@@ -31,7 +31,12 @@ class ExtensionPointsSpec extends SparkSpec {
   }
 
   test("IVF ANN returns correct within-cluster neighbors") {
-    val res = SparkEntry.queries("x03_ann_ivf")(spark, sf)
+    // the UDAF-centroid IVF lane, exercised directly (its registry row was
+    // superseded in round 13 by the exact-oracle x03b_ann_ivf_exact twin)
+    val e = Tables.table(spark, sf, "embeddings")
+    val res = graft.GraftOps.annTopKIvf(e, col("vec_id"), col("embedding"),
+      col("label"), e.filter(col("vec_id") < 20), col("vec_id"),
+      col("embedding"), k = 3, dim = 64)
     assert(res.count() > 0)
     // every query produces at most k=3 ranked neighbors, ranks contiguous
     val bad = res.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))

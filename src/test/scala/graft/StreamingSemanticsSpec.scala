@@ -38,15 +38,32 @@ class StreamingSemanticsSpec extends SparkSpec {
   }
 
   test("watermark drops late events across micro-batches (s05 properties)") {
-    val res = SparkEntry.queries("s05_watermark_late_drop")(spark, sf)
-      .agg(sum("n")).collect()(0).getLong(0)
+    // the FREE-RUNNING late-drop lane (registry row retired in round 13 —
+    // s05b's pinned twin owns the oracle; this keeps the adaptive ~6-batch
+    // behavior property-covered): every 20th event arrives 2h late through
+    // the replay source, small micro-batches advance the watermark between
+    // triggers, append-mode windows drop what fell behind it
+    val log = ReplayLog.ensureLog(spark, sf, late = true)
     val total = Tables.events(spark, sf).count()
+    val cap = math.max(50L, total / ReplayLog.NumPartitions / 6)
+    def run(): Long = {
+      val name = s"s05_free_spec_${System.nanoTime()}"
+      val q = spark.readStream.format("graft-replay").option("path", log)
+        .option("maxRowsPerTrigger", cap.toString).load()
+        .withColumn("ts", col("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).agg(sum("n")).collect()(0).getLong(0)
+    }
+    val res = run()
     assert(res < total, s"late events must be dropped (kept $res of $total)")
     assert(res > total / 2, "most events must survive")
     // determinism: identical bounded replay -> identical result
-    val res2 = SparkEntry.queries("s05_watermark_late_drop")(spark, sf)
-      .agg(sum("n")).collect()(0).getLong(0)
-    assert(res === res2)
+    assert(res === run())
   }
 
   test("streaming tumbling agg equals the identical batch query") {

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's stdout/stderr instead of through the
+// logger: the logger's "[info] " line prefix meant no stdout line ever
+// began with '{', which is why the driver's bench-JSON parse (BENCH_r*.json
+// `parsed`) was null in every round 1-12. Bench's final compact JSON line
+// must reach the driver byte-identical.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

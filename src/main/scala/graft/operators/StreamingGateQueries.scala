@@ -235,6 +235,67 @@ FROM stg, tot ORDER BY stage NULLS FIRST""")),
   min(user_id) AS min_user, max(user_id) AS max_user
 FROM events GROUP BY 1 ORDER BY etype NULLS FIRST""")),
 
+    // S64: s55's decode with the schemas discovered BY SUBJECT (round 13,
+    // VERDICT r12 #5) — the bootstrap path real consumers use: nobody hands
+    // them ids, they resolve `{topic}-value` against the registry's subject
+    // surface (GET /subjects/events-value/versions/{1,latest}) and only then
+    // dispatch frames on the ids those versions map to. The resolved
+    // (id, version) pairs are ASSERTED before any decode — a registry whose
+    // subject chain doesn't match the frames fails loudly at plan time, not
+    // as a misdecoded column. Decode path, state shape and oracle are s55's
+    // (the envelope bytes are identical); only schema DISCOVERY differs.
+    // Same driver-side discipline: two subject fetches per plan, schema
+    // text then travels inside the serialized expression.
+    GQuery("s64_avro_decode_by_subject",
+      (s, d) => {
+        import graft.functions.GraftFunctions.avro_decode
+        val log = ReplayLog.ensureAvroLog(s, d)
+        val extUrl = sys.env.get("GRAFT_SCHEMA_REGISTRY_URL")
+        val double = if (extUrl.isEmpty) Some(new graft.sources.replay
+            .SchemaRegistry.Server(
+              Map(1 -> ReplayLog.AvroV1, 2 -> ReplayLog.AvroV2),
+              subjects = Map("events-value" -> Seq(1, 2))))
+          else None
+        val (schemaV1, schemaV2) = try {
+          val reg = new graft.sources.replay.SchemaRegistry.Client(
+            extUrl.getOrElse(double.get.url))
+          val v1 = reg.byVersion("events-value", 1)
+          val latest = reg.latest("events-value")
+          require(v1.id == 1 && latest.id == 2,
+            s"subject chain does not match the framed ids: " +
+              s"v1 -> ${v1.id}, latest -> ${latest.id}")
+          (v1.schema, latest.schema)
+        } finally double.foreach(_.close())
+        val stream = s.readStream.format("graft-replay").option("path", log).load()
+        val sid = expr("""CASE WHEN substring(value, 1, 1) = X'00'
+          THEN CAST(conv(hex(substring(value, 2, 4)), 16, 10) AS INT)
+          ELSE CAST(raise_error('confluent frame: bad magic byte') AS INT)
+          END""")
+        val body = expr("substring(value, 6, length(value) - 5)")
+        val decoded = stream.select(sid.as("sid"), body.as("body"))
+          .withColumn("r1", when(col("sid") === 1,
+            avro_decode(col("body"), schemaV1)))
+          .withColumn("r2", when(col("sid") === 2,
+            avro_decode(col("body"), schemaV2)))
+          .select(
+            coalesce(col("r1.user_id"), col("r2.user_id")).as("user_id"),
+            coalesce(col("r1.cents"), col("r2.cents")).as("cents"),
+            when(col("sid") === 1, lit("v1_legacy"))
+              .when(col("sid") === 2, col("r2.event_type"))
+              .otherwise(raise_error(concat(lit("unknown avro schema id "),
+                col("sid")))).as("etype"))
+        runToMemory(
+          decoded.groupBy(col("etype"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+              min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user")),
+          "complete").orderBy(col("etype"))
+      },
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'v1_legacy' ELSE event_type END AS etype,
+  count(*) AS n,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+  min(user_id) AS min_user, max(user_id) AS max_user
+FROM events GROUP BY 1 ORDER BY etype NULLS FIRST""")),
+
     // S56: the replay stream consumed over the KAFKA WIRE PROTOCOL — s35's
     // kafka twin: client=kafka against an in-process wire-faithful broker
     // (Metadata/ListOffsets/Fetch v4, RecordBatch v2), putting the wire

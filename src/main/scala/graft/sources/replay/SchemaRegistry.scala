@@ -41,14 +41,34 @@ object SchemaRegistry {
 
   /** Minimal registry double. `malformedIds` answer 200 with a non-JSON
     * body; `brokenIds` answer 500 with a non-JSON body — the two failure
-    * shapes a client must surface loudly rather than misparse. */
+    * shapes a client must surface loudly rather than misparse.
+    *
+    * Round 13 (VERDICT r12 #5) adds the SUBJECT surface — how producers
+    * actually discover ids: `subjects` maps a subject name to its ordered
+    * version list (ids; version n = the nth entry), served by
+    * `GET /subjects/{s}/versions/latest|{n}` with the registry's public
+    * `{subject, id, version, schema}` envelope, and grown by
+    * `POST /subjects/{s}/versions` with the public registration semantics —
+    * identical schema text returns the existing id (registration is
+    * idempotent), an Avro-invalid body is 422/42201, a BACKWARD-incompatible
+    * evolution is 409 (checked with Avro's own SchemaCompatibility, reader =
+    * candidate, writer = latest), anything else appends a fresh version
+    * under a fresh globally-unique id. */
   final class Server(schemas: Map[Int, String],
       malformedIds: Set[Int] = Set.empty,
-      brokenIds: Set[Int] = Set.empty) extends AutoCloseable {
+      brokenIds: Set[Int] = Set.empty,
+      subjects: Map[String, Seq[Int]] = Map.empty) extends AutoCloseable {
 
     /** Total requests served — lets specs pin the client's cache behavior
       * (second lookup of an id must not produce a second request). */
     val requests = new AtomicLong(0)
+
+    // mutable state behind the subject surface; one lock serializes
+    // registrations so version/id assignment is race-free
+    private val idStore = TrieMap.empty[Int, String] ++ schemas
+    private val subjectStore = TrieMap.empty[String, Vector[Int]] ++
+      subjects.view.mapValues(_.toVector)
+    private val regLock = new Object
 
     private val http =
       com.sun.net.httpserver.HttpServer.create(
@@ -68,13 +88,115 @@ object SchemaRegistry {
       id.toIntOption match {
         case Some(i) if malformedIds(i) => reply(200, "not json {{{", json = false)
         case Some(i) if brokenIds(i) => reply(500, "registry exploded", json = false)
-        case Some(i) if schemas.contains(i) =>
+        case Some(i) if idStore.contains(i) =>
           val node = mapper.createObjectNode()
-          node.put("schema", schemas(i))
+          node.put("schema", idStore(i))
           reply(200, mapper.writeValueAsString(node))
         case _ =>
           // the registry's public not-found shape: error_code 40403
           reply(404, """{"error_code":40403,"message":"Schema not found"}""")
+      }
+    })
+    http.createContext("/subjects/", { exchange =>
+      requests.incrementAndGet()
+      def reply(status: Int, body: String): Unit = {
+        val b = body.getBytes(UTF_8)
+        exchange.getResponseHeaders.add("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        exchange.sendResponseHeaders(status, b.length)
+        exchange.getResponseBody.write(b)
+        exchange.close()
+      }
+      def err(status: Int, code: Int, msg: String): Unit = {
+        val node = mapper.createObjectNode()
+        node.put("error_code", code); node.put("message", msg)
+        reply(status, mapper.writeValueAsString(node))
+      }
+      val segs = exchange.getRequestURI.getPath
+        .stripPrefix("/subjects/").split("/").toSeq
+      (exchange.getRequestMethod, segs) match {
+        // GET /subjects/{s}/versions/latest|{n} — the consumer read path
+        case ("GET", Seq(subject, "versions", vSel)) =>
+          subjectStore.get(subject) match {
+            case None => err(404, 40401, s"Subject '$subject' not found.")
+            case Some(vs) =>
+              val vOpt =
+                if (vSel == "latest") Some(vs.length)
+                else vSel.toIntOption.filter(v => v >= 1 && v <= vs.length)
+              vOpt match {
+                case None => err(404, 40402, s"Version $vSel not found.")
+                case Some(v) =>
+                  val node = mapper.createObjectNode()
+                  node.put("subject", subject)
+                  node.put("id", vs(v - 1))
+                  node.put("version", v)
+                  node.put("schema", idStore(vs(v - 1)))
+                  reply(200, mapper.writeValueAsString(node))
+              }
+          }
+        // GET /subjects/{s}/versions — the version listing
+        case ("GET", Seq(subject, "versions")) =>
+          subjectStore.get(subject) match {
+            case None => err(404, 40401, s"Subject '$subject' not found.")
+            case Some(vs) =>
+              reply(200, vs.indices.map(_ + 1).mkString("[", ",", "]"))
+          }
+        // POST /subjects/{s}/versions — the producer registration path
+        case ("POST", Seq(subject, "versions")) =>
+          val body = new String(
+            exchange.getRequestBody.readAllBytes(), UTF_8)
+          val schemaOpt = try {
+            Option(mapper.readTree(body).get("schema")).filter(_.isTextual)
+              .map(_.asText())
+          } catch { case _: Exception => None }
+          schemaOpt match {
+            case None => err(422, 42201,
+              "Invalid schema: request body must be {\"schema\": \"...\"}")
+            case Some(text) =>
+              val parsed =
+                try Some(new org.apache.avro.Schema.Parser().parse(text))
+                catch { case _: Exception => None }
+              parsed match {
+                case None => err(422, 42201, "Invalid schema: not valid Avro")
+                case Some(schema) => regLock.synchronized {
+                  val vs = subjectStore.getOrElse(subject, Vector.empty)
+                  vs.find(id => idStore(id) == text) match {
+                    case Some(existing) => // idempotent re-registration
+                      reply(200, s"""{"id":$existing}""")
+                    case None =>
+                      // BACKWARD compatibility vs the latest version:
+                      // the candidate (reader) must read data written with
+                      // the current latest (writer) — the registry default
+                      val compatible = vs.lastOption.forall { latestId =>
+                        val latest = new org.apache.avro.Schema.Parser()
+                          .parse(idStore(latestId))
+                        org.apache.avro.SchemaCompatibility
+                          .checkReaderWriterCompatibility(schema, latest)
+                          .getType ==
+                          org.apache.avro.SchemaCompatibility
+                            .SchemaCompatibilityType.COMPATIBLE
+                      }
+                      if (!compatible)
+                        err(409, 409, "Schema being registered is " +
+                          "incompatible with an earlier schema")
+                      else {
+                        // ids are global per schema TEXT (the public
+                        // registry dedupes across subjects): identical text
+                        // under another subject reuses its id, the new
+                        // version binding is what registration adds
+                        val id = idStore.collectFirst {
+                          case (i, t) if t == text => i
+                        }.getOrElse((idStore.keys ++ Seq(0)).max + 1)
+                        idStore.put(id, text)
+                        subjectStore.put(subject, vs :+ id)
+                        reply(200, s"""{"id":$id}""")
+                      }
+                  }
+                }
+              }
+          }
+        case _ =>
+          err(404, 40401, "Unsupported subjects path")
       }
     })
     http.start()
@@ -87,13 +209,101 @@ object SchemaRegistry {
     * philosophy: never a silent misparse): unknown id carries the
     * registry's error_code, a malformed body says so with a prefix of what
     * arrived. */
+  /** One resolved subject version: the registry's public envelope. */
+  final case class SubjectVersion(
+      subject: String, id: Int, version: Int, schema: String)
+
   final class Client(baseUrl: String) {
     private val cache = TrieMap.empty[Int, String]
+    // (subject, version) is immutable once assigned — cacheable; "latest"
+    // is NOT (a registration moves it), so latest() always round-trips
+    private val versionCache = TrieMap.empty[(String, Int), SubjectVersion]
     private val http = HttpClient.newHttpClient()
 
     /** The avro schema JSON registered under `id` (cached: registry ids are
       * immutable, so one fetch per id per process). */
     def schemaById(id: Int): String = cache.getOrElseUpdate(id, fetch(id))
+
+    /** Resolve a subject's LATEST version — the consumer bootstrap path
+      * (`GET /subjects/{s}/versions/latest`). Never cached: latest moves
+      * with every registration. */
+    def latest(subject: String): SubjectVersion =
+      fetchVersion(subject, "latest")
+
+    /** Resolve one pinned subject version (immutable ⇒ cached). */
+    def byVersion(subject: String, version: Int): SubjectVersion =
+      versionCache.getOrElseUpdate((subject, version),
+        fetchVersion(subject, version.toString))
+
+    /** Register a schema under a subject
+      * (`POST /subjects/{s}/versions`) and return its global id —
+      * idempotent for identical schema text; 409 (incompatible) and
+      * 422 (invalid) surface loudly with the registry's envelope. */
+    def register(subject: String, schema: String): Int = {
+      val node = mapper.createObjectNode()
+      node.put("schema", schema)
+      val req = HttpRequest.newBuilder(java.net.URI.create(
+          s"${baseUrl.stripSuffix("/")}/subjects/" +
+            java.net.URLEncoder.encode(subject, UTF_8) + "/versions"))
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .header("Accept", "application/vnd.schemaregistry.v1+json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(node)))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      if (resp.statusCode() != 200)
+        throw new IOException(s"schema registry: register under " +
+          s"'$subject' -> HTTP ${resp.statusCode()} (${errDetail(body)})")
+      val idNode = try mapper.readTree(body).get("id")
+        catch { case _: Exception => null }
+      if (idNode == null || !idNode.canConvertToInt)
+        throw new IOException(s"schema registry: register under " +
+          s"'$subject' -> 200 but no integer 'id': ${body.take(120)}")
+      idNode.asInt()
+    }
+
+    private def errDetail(body: String): String =
+      try {
+        val n = mapper.readTree(body)
+        s"error_code ${n.get("error_code").asInt()}: ${n.get("message").asText()}"
+      } catch { case _: Exception => s"non-JSON body: ${body.take(120)}" }
+
+    private def fetchVersion(subject: String, vSel: String): SubjectVersion = {
+      val req = HttpRequest.newBuilder(java.net.URI.create(
+          s"${baseUrl.stripSuffix("/")}/subjects/" +
+            java.net.URLEncoder.encode(subject, UTF_8) + s"/versions/$vSel"))
+        .header("Accept", "application/vnd.schemaregistry.v1+json")
+        .GET().build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      if (resp.statusCode() != 200)
+        throw new IOException(s"schema registry: subject '$subject' " +
+          s"version $vSel -> HTTP ${resp.statusCode()} (${errDetail(body)})")
+      val (id, version, schema) = try {
+        val n = mapper.readTree(body)
+        val s = n.get("schema")
+        if (s == null || !s.isTextual)
+          throw new IOException("no textual 'schema' field")
+        (n.get("id").asInt(), n.get("version").asInt(), s.asText())
+      } catch {
+        case e: IOException if e.getMessage == "no textual 'schema' field" =>
+          throw new IOException(s"schema registry: subject '$subject' " +
+            s"version $vSel -> 200 but the response has no textual " +
+            s"'schema' field: ${body.take(120)}")
+        case _: Exception =>
+          throw new IOException(s"schema registry: subject '$subject' " +
+            s"version $vSel -> 200 but the body is not JSON: ${body.take(120)}")
+      }
+      // same fetch-time Avro validation as the by-id path
+      try new org.apache.avro.Schema.Parser().parse(schema)
+      catch {
+        case e: Exception => throw new IOException(
+          s"schema registry: subject '$subject' version $vSel returned an " +
+            s"invalid avro schema (${e.getMessage}): ${schema.take(120)}")
+      }
+      SubjectVersion(subject, id, version, schema)
+    }
 
     private def fetch(id: Int): String = {
       val req = HttpRequest.newBuilder(

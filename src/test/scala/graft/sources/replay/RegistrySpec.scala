@@ -91,4 +91,92 @@ class RegistrySpec extends AnyFunSuite {
       assert(e.getMessage.contains("id 4"))
     }
   }
+
+  // ---- subject/version surface (round 13, VERDICT r12 #5) -----------------
+
+  private def withSubjects[A](f: (SchemaRegistry.Server, SchemaRegistry.Client) => A): A = {
+    val srv = new SchemaRegistry.Server(
+      Map(1 -> ReplayLog.AvroV1, 2 -> ReplayLog.AvroV2),
+      subjects = Map("events-value" -> Seq(1, 2)))
+    try f(srv, new SchemaRegistry.Client(srv.url)) finally srv.close()
+  }
+
+  test("subject latest + pinned version resolve id/version/schema") {
+    withSubjects { (_, c) =>
+      val latest = c.latest("events-value")
+      assert(latest.id == 2 && latest.version == 2)
+      assert(latest.schema == ReplayLog.AvroV2)
+      val v1 = c.byVersion("events-value", 1)
+      assert(v1.id == 1 && v1.version == 1 && v1.schema == ReplayLog.AvroV1)
+      // pinned versions cache; latest never does (it moves on registration)
+      val before = c.byVersion("events-value", 1)
+      assert(before eq c.byVersion("events-value", 1))
+    }
+  }
+
+  test("unknown subject is 40401; out-of-range version is 40402") {
+    withSubjects { (_, c) =>
+      val e1 = intercept[IOException](c.latest("nope-value"))
+      assert(e1.getMessage.contains("40401"))
+      val e2 = intercept[IOException](c.byVersion("events-value", 9))
+      assert(e2.getMessage.contains("40402"))
+    }
+  }
+
+  test("registering a compatible evolution appends a fresh version + id") {
+    withSubjects { (_, c) =>
+      // V3 adds a defaulted field — BACKWARD-compatible with V2
+      val v3 = """{"type":"record","name":"EventV2","fields":[
+        |{"name":"user_id","type":"long"},{"name":"cents","type":"long"},
+        |{"name":"event_type","type":"string"},
+        |{"name":"region","type":"string","default":"all"}]}""".stripMargin
+      val id = c.register("events-value", v3)
+      assert(id == 3, "fresh global id")
+      val latest = c.latest("events-value")
+      assert(latest.id == 3 && latest.version == 3 && latest.schema == v3)
+      // and the by-id path serves the newly registered schema too
+      assert(c.schemaById(3) == v3)
+    }
+  }
+
+  test("re-registering identical schema text is idempotent (same id)") {
+    withSubjects { (_, c) =>
+      assert(c.register("events-value", ReplayLog.AvroV1) == 1)
+      assert(c.register("events-value", ReplayLog.AvroV2) == 2)
+      assert(c.latest("events-value").version == 2, "no version appended")
+    }
+  }
+
+  test("an incompatible evolution is refused with 409") {
+    withSubjects { (_, c) =>
+      // dropping event_type AND retyping cents to string cannot read V2 data
+      val bad = """{"type":"record","name":"EventV2","fields":[
+        |{"name":"user_id","type":"long"},
+        |{"name":"cents","type":"string"}]}""".stripMargin
+      val e = intercept[IOException](c.register("events-value", bad))
+      assert(e.getMessage.contains("HTTP 409"))
+      assert(e.getMessage.contains("incompatible"))
+      assert(c.latest("events-value").version == 2, "nothing registered")
+    }
+  }
+
+  test("registering a non-Avro body is refused with 422/42201") {
+    withSubjects { (_, c) =>
+      val e = intercept[IOException](
+        c.register("events-value", """{"type":"record","name":"X"}"""))
+      assert(e.getMessage.contains("HTTP 422"))
+      assert(e.getMessage.contains("42201"))
+    }
+  }
+
+  test("registration under a NEW subject starts its version chain at 1") {
+    withSubjects { (_, c) =>
+      val id = c.register("orders-value", ReplayLog.AvroV1)
+      assert(id == 1, "identical text under ANOTHER subject: a real " +
+        "registry dedupes globally by schema text; ours matches within " +
+        "the subject store, so the pre-seeded global id is reused")
+      val got = c.latest("orders-value")
+      assert(got.version == 1 && got.schema == ReplayLog.AvroV1)
+    }
+  }
 }

@@ -4,9 +4,10 @@ import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream
 import java.net.{ServerSocket, Socket}
 
 /** Wire-faithful single-node Kafka broker double for [[KafkaLogClient]]:
-  * speaks the exact protocol subset the client consumes — Metadata v0,
-  * ListOffsets v1, Fetch v4 with RecordBatch v2, Produce v3 (+CRC-32C
-  * verification and idempotent-producer sequence absorption),
+  * speaks the exact protocol subset the client consumes — Metadata v0 AND
+  * the flexible (KIP-482) v9, ListOffsets v1/v2, Fetch v4 AND the flexible
+  * v12 with RecordBatch v2, ApiVersions v0 AND the flexible v3, Produce v3
+  * (+CRC-32C verification and idempotent-producer sequence absorption),
   * InitProducerId v0 — serving one
   * topic from a file-backed [[ReplayLog]] directory. Lives in MAIN scope
   * (like [[SocketLogServer]], the socket backend's double) so the declared
@@ -380,6 +381,10 @@ final class KafkaLogServer(dir: String, topic: String,
         val apiVersion = r.readShort()
         val correlationId = r.readInt()
         readString(r) // client id
+        // flexible (KIP-482) requests use header v2: the tagged-field
+        // buffer follows client_id
+        val flex = isFlexible(apiKey, apiVersion)
+        if (flex) skipTagged(r)
         val body = apiKey match {
           case ApiSaslHandshake if apiVersion == 1 =>
             val mech = readString(r)
@@ -460,6 +465,23 @@ final class KafkaLogServer(dir: String, topic: String,
                 o.writeShort(k); o.writeShort(lo); o.writeShort(hi)
               }
             } else o.writeInt(0)
+            bo.toByteArray
+          case ApiApiVersions if apiVersion == 3 =>
+            // the flexible form (compact array + per-key and trailing
+            // tagged buffers, throttle_time_ms after the array); request
+            // body = client_software_name/version + tags
+            readCompactString(r); readCompactString(r); skipTagged(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeShort(apiVersionsError)
+            if (apiVersionsError == 0) {
+              writeCompactArrayLen(o, apiRanges.size)
+              apiRanges.foreach { case (k, lo, hi) =>
+                o.writeShort(k); o.writeShort(lo); o.writeShort(hi)
+                writeEmptyTagged(o)
+              }
+            } else writeCompactArrayLen(o, 0)
+            o.writeInt(0)                  // throttle_time_ms
+            writeEmptyTagged(o)
             bo.toByteArray
           case _ if !authed =>
             // real brokers kill the connection on pre-auth API use
@@ -656,9 +678,11 @@ final class KafkaLogServer(dir: String, topic: String,
             }
             bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
+          case ApiMetadata if apiVersion == 9 => metadataV9(r)
           case ApiListOffsets if apiVersion == 1 || apiVersion == 2 =>
             listOffsets(r, apiVersion)
           case ApiFetch if apiVersion == 4 => fetch(r)
+          case ApiFetch if apiVersion == 12 => fetchV12(r)
           case ApiFindCoordinator if apiVersion == 0 =>
             readString(r)               // group id: single node = coordinator
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
@@ -714,8 +738,12 @@ final class KafkaLogServer(dir: String, topic: String,
           case other =>
             throw new IOException(s"fake broker: unsupported api $other v$apiVersion")
         }
-        out.writeInt(4 + body.length)
+        // flexible responses carry header v1 (correlation id + tagged
+        // buffer) — EXCEPT ApiVersions, pinned at header v0 per KIP-511
+        val flexHeader = flex && apiKey != ApiApiVersions
+        out.writeInt(4 + (if (flexHeader) 1 else 0) + body.length)
         out.writeInt(correlationId)
+        if (flexHeader) out.writeByte(0)   // empty tagged-field buffer
         out.write(body)
         out.flush()
       }
@@ -755,6 +783,59 @@ final class KafkaLogServer(dir: String, topic: String,
         o.writeInt(0)                   // no partitions
       }
     }
+    bo.toByteArray
+  }
+
+  /** Metadata over the flexible v9 frame — same topic/partition answers as
+    * [[metadata]], re-framed per KIP-482 (compact strings/arrays, tagged
+    * buffers, leader_epoch/offline_replicas/rack/cluster_id and the v8-v10
+    * authorized-operations fields). */
+  private def metadataV9(r: DataInputStream): Array[Byte] = {
+    val requested = {
+      val n = readCompactArrayLen(r)
+      if (n <= 0) activeTopic.toSeq
+      else (1 to n).map { _ =>
+        val name = readCompactString(r); skipTagged(r); name
+      }
+    }
+    r.readBoolean()                     // allow_auto_topic_creation
+    r.readBoolean()                     // include_cluster_authorized_operations
+    r.readBoolean()                     // include_topic_authorized_operations
+    skipTagged(r)
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeInt(0)                       // throttle_time_ms
+    writeCompactArrayLen(o, 1)          // brokers
+    o.writeInt(0); writeCompactString(o, "127.0.0.1"); o.writeInt(boundPort)
+    writeCompactString(o, null)         // rack
+    writeEmptyTagged(o)
+    writeCompactString(o, "graft-double") // cluster_id
+    o.writeInt(0)                       // controller_id
+    writeCompactArrayLen(o, requested.size)
+    requested.foreach { name =>
+      if (activeTopic.contains(name)) {
+        o.writeShort(0); writeCompactString(o, name)
+        o.writeBoolean(false)           // is_internal
+        val parts = partitionIds
+        writeCompactArrayLen(o, parts.size)
+        parts.foreach { p =>
+          o.writeShort(0); o.writeInt(p); o.writeInt(0) // error, id, leader
+          o.writeInt(0)                 // leader_epoch
+          writeCompactArrayLen(o, 1); o.writeInt(0)     // replicas [0]
+          writeCompactArrayLen(o, 1); o.writeInt(0)     // isr [0]
+          writeCompactArrayLen(o, 0)                    // offline_replicas
+          writeEmptyTagged(o)
+        }
+      } else {
+        o.writeShort(3)                 // UNKNOWN_TOPIC_OR_PARTITION
+        writeCompactString(o, name)
+        o.writeBoolean(false)
+        writeCompactArrayLen(o, 0)
+      }
+      o.writeInt(Int.MinValue)          // topic_authorized_operations: none
+      writeEmptyTagged(o)
+    }
+    o.writeInt(Int.MinValue)            // cluster_authorized_operations
+    writeEmptyTagged(o)
     bo.toByteArray
   }
 
@@ -828,6 +909,76 @@ final class KafkaLogServer(dir: String, topic: String,
         o.write(recordSet)
       }
     }
+    bo.toByteArray
+  }
+
+  /** Fetch over the flexible v12 frame — same record sets, LSO gating and
+    * aborted-transaction lists as [[fetch]], re-framed per KIP-482
+    * (session fields, leader-epoch fields, compact topic/partition arrays,
+    * COMPACT_NULLABLE_BYTES record sets, tagged buffers). Sessionless
+    * requests (epoch -1) only — which is all this dialect's client sends. */
+  private def fetchV12(r: DataInputStream): Array[Byte] = {
+    r.readInt(); r.readInt(); r.readInt(); r.readInt() // replica/wait/min/max
+    val isolation = r.readByte()
+    r.readInt()                         // session_id
+    val sessionEpoch = r.readInt()
+    if (sessionEpoch != -1)
+      throw new IOException("fake broker: fetch v12 incremental sessions " +
+        s"not supported (epoch $sessionEpoch; this double is sessionless)")
+    val nTopics = readCompactArrayLen(r)
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeInt(0)                       // throttle_time_ms
+    o.writeShort(0)                     // top-level error_code
+    o.writeInt(0)                       // session_id (sessionless)
+    writeCompactArrayLen(o, nTopics)
+    (1 to nTopics).foreach { _ =>
+      val name = readCompactString(r)
+      val nParts = readCompactArrayLen(r)
+      writeCompactString(o, name)
+      writeCompactArrayLen(o, nParts)
+      (1 to nParts).foreach { _ =>
+        val p = r.readInt()
+        r.readInt()                     // current_leader_epoch
+        val fetchOffset = r.readLong()
+        r.readInt()                     // last_fetched_epoch
+        r.readLong()                    // log_start_offset
+        r.readInt()                     // partition_max_bytes
+        skipTagged(r)                   // partition tags
+        val lso = lastStable(p)
+        val hw = endOffset(p)
+        val end = if (isolation == 1) lso else hw
+        o.writeInt(p); o.writeShort(0)
+        o.writeLong(hw)
+        o.writeLong(lso)
+        o.writeLong(0L)                 // log_start_offset
+        val aborted =
+          if (isolation == 1)
+            abortedOf(p).synchronized {
+              abortedOf(p).toVector.filter(_._3 >= fetchOffset)
+            }
+          else Vector.empty
+        writeCompactArrayLen(o, aborted.size)
+        aborted.foreach { case (pid, first, _) =>
+          o.writeLong(pid); o.writeLong(first)
+          writeEmptyTagged(o)
+        }
+        o.writeInt(-1)                  // preferred_read_replica
+        val recordSet =
+          if (fetchOffset >= end) Array.emptyByteArray
+          else encodeBatch(p, fetchOffset, math.min(end, fetchOffset + batchRecords))
+        writeCompactBytes(o, recordSet)
+        writeEmptyTagged(o)
+      }
+      skipTagged(r)                     // topic tags
+      writeEmptyTagged(o)
+    }
+    readCompactArrayLen(r) match {      // forgotten_topics_data
+      case n if n > 0 => (1 to n).foreach { _ =>
+        readCompactString(r); skipCompactIntArray(r); skipTagged(r)
+      }
+      case _ =>
+    }
+    writeEmptyTagged(o)
     bo.toByteArray
   }
 

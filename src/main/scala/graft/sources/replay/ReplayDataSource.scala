@@ -119,12 +119,21 @@ case class ReplayOptions(
     minPartitions: Int = 0,
     clientKind: String = "file",
     groupInstances: Int = 1,
-    groupInstanceId: Int = 0) {
+    groupInstanceId: Int = 0,
+    groupSubscribe: Boolean = false) {
   require(path != null, "option 'path' is required for the graft-replay source")
   require(groupInstances >= 1,
     s"consumer.group.instances must be >= 1, got $groupInstances")
   require(groupInstanceId >= 0 && groupInstanceId < groupInstances,
     s"consumer.group.instance.id must be in [0, $groupInstances), got $groupInstanceId")
+  require(!groupSubscribe || clientKind == "kafka",
+    "consumer.group.assignment=subscribe needs the broker-backed client " +
+      "(client=kafka): partition ownership comes from the group coordinator")
+  require(!groupSubscribe || consumerConf.contains("group.id"),
+    "consumer.group.assignment=subscribe requires consumer.group.id")
+  require(!groupSubscribe || groupInstances == 1,
+    "consumer.group.assignment=subscribe and consumer.group.instances are " +
+      "two ownership mechanisms — set one")
   /** Static consumer-group membership: does THIS reader own partition `p`?
     * Round-robin over partition ids — the deterministic, coordinator-free
     * analogue of the reference's one-consumer-per-partition queue split
@@ -204,7 +213,20 @@ object ReplayOptions {
       groupInstances =
         Option(opts.get("consumer.group.instances")).map(_.toInt).getOrElse(1),
       groupInstanceId =
-        Option(opts.get("consumer.group.instance.id")).map(_.toInt).getOrElse(0))
+        Option(opts.get("consumer.group.instance.id")).map(_.toInt).getOrElse(0),
+      // coordinator-DRIVEN ownership (round 13, VERDICT r12 #9): ≡
+      // librdkafka's subscribe() (reference tests/utils.rs:261-285 config
+      // seam) vs the manual assign() everything else models. "static"
+      // (default) keeps the instances/instance.id split above.
+      groupSubscribe =
+        Option(opts.get("consumer.group.assignment")).map(_.trim.toLowerCase)
+          .map {
+            case "subscribe" => true
+            case "static" => false
+            case other => throw new IllegalArgumentException(
+              "consumer.group.assignment must be 'static' or 'subscribe', " +
+                s"got '$other'")
+          }.getOrElse(false))
   }
 
   /** Kafka-style `minPartitions` range splitting: when fewer planned splits
@@ -537,7 +559,44 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
         Map("groupInstances" -> opts.groupInstances.toString,
           "groupInstanceId" -> opts.groupInstanceId.toString)
       else Map.empty[String, String]
-    (base ++ member ++ opts.consumerConf.get("group.id").map("groupId" -> _)).asJava
+    // subscribe mode: the coordinator-issued identity, so lag tooling can
+    // attribute this stream's share like any group member's
+    val subscribed = subscription.map { case (m, assigned) =>
+      Map("memberId" -> m.memberId,
+        "generation" -> m.generation.toString,
+        "assignedPartitions" -> assigned.toSeq.sorted.mkString(","))
+    }.getOrElse(Map.empty[String, String])
+    (base ++ member ++ subscribed ++
+      opts.consumerConf.get("group.id").map("groupId" -> _)).asJava
+  }
+
+  /** Coordinator-DRIVEN ownership (consumer.group.assignment=subscribe,
+    * round 13): one JoinGroup/SyncGroup dance when the stream first needs
+    * ownership, ≡ librdkafka's subscribe() (the seam the reference's config
+    * passthrough exposes, tests/utils.rs:261-285). COOPERATIVE-SPLIT ONLY,
+    * by design: the assignment is taken once and held for the stream's
+    * lifetime — Spark's planned-offset model owns its partitions for the
+    * run, so there is no mid-stream rebalance; cooperating streams must
+    * join within the coordinator's rebalance window (start them together),
+    * and a member added later triggers a rebalance the running streams do
+    * not follow. What the dance buys even so: DISJOINT coordinator-assigned
+    * shares visible to every Kafka tool, heartbeat-free honest departure
+    * (LeaveGroup on stop), and commit-back carrying the REAL
+    * (generation, memberId) so the coordinator generation-fences it. */
+  private lazy val subscription: Option[(KafkaGroupMembership, Set[Int])] =
+    if (!opts.groupSubscribe) None
+    else {
+      val kc = opts.client.asInstanceOf[KafkaLogClient]
+      val topic = opts.path.substring(opts.path.indexOf('/') + 1)
+      val m = new KafkaGroupMembership(kc, opts.consumerConf("group.id"), topic)
+      Some((m, m.join().toSet))
+    }
+
+  /** Does this stream own partition `p` — by coordinator assignment under
+    * subscribe mode, else by the static instances split. */
+  private def streamOwns(p: Int): Boolean = subscription match {
+    case Some((_, assigned)) => assigned(p)
+    case None => opts.owns(p)
   }
 
   /** Live (partition → record count) listing — re-taken every trigger so
@@ -548,7 +607,7 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     * instance owns — the whole stream (offsets, admission, planning) then
     * operates on its disjoint share, and mid-stream discovery assigns new
     * partitions by the same ownership rule. */
-  private def listEnds(): Map[Int, Long] = listAllEnds().filter { case (p, _) => opts.owns(p) }
+  private def listEnds(): Map[Int, Long] = listAllEnds().filter { case (p, _) => streamOwns(p) }
 
   /** Unfiltered listing, for validation that must see the whole log. */
   private def listAllEnds(): Map[Int, Long] =
@@ -577,7 +636,7 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
 
   override def initialOffset(): Offset = {
     val all = listAllEnds()
-    val ends = all.filter { case (p, _) => opts.owns(p) }
+    val ends = all.filter { case (p, _) => streamOwns(p) }
     // "unknown" is judged against the WHOLE log: an offsets entry for a
     // partition owned by a sibling group instance is valid, just not ours
     val unknown = opts.startingPerPartition.keySet -- all.keySet
@@ -704,7 +763,13 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     autoCommitGroup.foreach { g =>
       try {
         if (offsets.nonEmpty && offsets != lastCommitted) {
-          opts.client.commitOffsets(g, offsets)
+          subscription match {
+            // subscribe mode: commit under the coordinator-issued
+            // (generation, memberId) so the commit is generation-FENCED —
+            // a fenced-out zombie's commit is refused, like a real consumer
+            case Some((m, _)) => m.commitOffsets(offsets)
+            case None => opts.client.commitOffsets(g, offsets)
+          }
           lastCommitted = offsets
         }
       } catch {
@@ -721,9 +786,19 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     sendCommit(offs)
   }
 
-  override def stop(): Unit =
+  override def stop(): Unit = {
     sendCommit(if (availableNowEnd.isDefined) lastPlannedEnd
                else lastEngineCommitted)
+    // subscribe mode: honest departure — LeaveGroup tells the coordinator
+    // to rebalance the remainder instead of waiting out a session timeout
+    subscription.foreach { case (m, _) =>
+      try m.leave()
+      catch { case e: Exception =>
+        System.err.println(s"graft-replay: LeaveGroup failed " +
+          s"(coordinator will session-reap): ${e.getMessage}")
+      }
+    }
+  }
 }
 
 class ReplayBatch(opts: ReplayOptions,

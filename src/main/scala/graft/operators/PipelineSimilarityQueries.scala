@@ -48,7 +48,10 @@ FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
     // LSH-bucketed ANN (sign random projection, 4 planes -> 16 buckets):
     // candidates only join within a bucket — the shuffle-friendly scale path
     // (at 100 TB the bucket join replaces the cross product; more planes +
-    // multi-probe raise precision). G-class.
+    // multi-probe raise precision). G-class by the splitmix64 plane
+    // derivation (a 64-bit wraparound multiply DuckDB can't express); the
+    // operator SHAPE gets its exact oracle in x03c below, and this lane
+    // stays pinned by PipelineSpec (LSH ⊆ brute-force ranking).
     GQuery("x03_ann_lsh",
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -60,6 +63,85 @@ FROM r WHERE rank <= 5 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
           .orderBy(col("q_id"), col("rank"))
       },
       None),
+
+
+    // X03c: the LSH ANN lane with an EXACT DuckDB oracle (round 13, VERDICT
+    // r12 "the G list should contain only genuinely un-oracle-able ops").
+    // Same operator shape as x03_ann_lsh — sign-random-projection buckets,
+    // bucket-local candidate join (never all-pairs), per-query cosine top-k —
+    // but the plane signs derive from md5 (the x02c recipe: both engines can
+    // compute it) instead of splitmix64, and the projection accumulates in
+    // DECIMAL(27,15) (exact, order-invariant — the x03b recipe), so DuckDB
+    // replays signs, dots, bucket ids, candidates and ranking bit-for-bit.
+    // Scale notes: the sign table is 64 rows × 4 planes (broadcast); the
+    // bucket pass is one posexplode + map-side-combined groupBy per vector
+    // (O(dim) rows, partial-agg'd before the exchange); candidates join on
+    // the bucket id exactly like the G lane.
+    GQuery("x03c_ann_lsh_exact",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "embeddings")
+        val signCols = col("id").cast("int").as("pos") +:
+          (0 until 4).map(p => when(
+              expr(s"cast(conv(substr(md5(concat('lsh03:', '$p', ':', " +
+                s"cast(id as string))), 1, 1), 16, 10) as int) % 2 = 0"), 1)
+            .otherwise(-1).as(s"s$p"))
+        val signs = s.range(0, 64).select(signCols: _*)
+        val dotCols = (0 until 4).map(p =>
+          sum((col("x").cast("double") * col(s"s$p")).cast("decimal(27,15)"))
+            .as(s"dot$p"))
+        val buckets = e
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .withColumnRenamed("col", "x")
+          .join(broadcast(signs), "pos")
+          .groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
+          .select(col("vec_id"), (0 until 4).map(p =>
+              when(col(s"dot$p") >= 0, 1 << p).otherwise(0))
+            .reduce(_ + _).as("bucket"))
+        val corpus = e.join(buckets, "vec_id")
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+            col("bucket"))
+        val q = corpus.filter(col("n_id") < 20)
+          .select(col("n_id").as("q_id"), col("nv").as("qv"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        corpus.join(broadcast(q), Seq("bucket"))
+          .filter(col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"), col("bucket"),
+            graft.functions.GraftFunctions.cosine_sim(col("qv"), col("nv"))
+              .as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            col("bucket").cast("long").as("bucket"),
+            col("score").cast("decimal(18,6)").cast("double").as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+signs AS (SELECT i.i AS pos, p.p AS plane,
+    CASE WHEN CAST(concat('0x', substr(md5('lsh03:' || p.p || ':' || i.i),
+        1, 1)) AS INT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+  FROM (SELECT unnest(range(0, 64)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS p) p),
+dots AS (SELECT vec_id, plane,
+    sum(CAST(sg * v[CAST(pos AS INT) + 1] AS DECIMAL(27,15))) AS dot
+  FROM e CROSS JOIN signs GROUP BY 1, 2),
+bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0
+      THEN (1 << CAST(plane AS INT)) ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY 1),
+corpus AS (SELECT e.vec_id AS n_id, e.v AS nv, bk.bucket
+  FROM e JOIN bk USING (vec_id)),
+q AS (SELECT n_id AS q_id, nv AS qv, bucket FROM corpus WHERE n_id < 20),
+cand AS (SELECT q.q_id, c.n_id, c.bucket,
+    list_cosine_similarity(q.qv, c.nv) AS score
+  FROM corpus c JOIN q USING (bucket) WHERE c.n_id <> q.q_id),
+rk AS (SELECT q_id, n_id, bucket, score,
+    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+  FROM cand)
+SELECT q_id, rank, n_id, CAST(bucket AS BIGINT) AS bucket,
+  CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM rk WHERE rank <= 3
+ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
 
 
     // Embedding cosine near-dup pairs (threshold 0.45). O-class: same
@@ -121,29 +203,8 @@ ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
         val L2 = graft.functions.GraftFunctions.l2_dist _
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val wSeed = Window.orderBy(col("h"), col("vec_id"))
-        val c0 = e
-          .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(16)
-          .select(row_number().over(wSeed).as("cid"), col("v").as("cv"))
-        // broadcast codebook + map-side min_by: n·k candidates collapse to
-        // n in the partial aggregate before any exchange (the x79/x37 move)
-        def assign(cb: DataFrame, df: DataFrame, idc: String): DataFrame =
-          df.crossJoin(broadcast(cb))
-            .withColumn("dist", L2(col("v"), col("cv")))
-            .groupBy(col(idc))
-            .agg(min_by(struct(col("cid"), col("v")),
-              struct(col("dist"), col("cid"))).as("sel"))
-            .select(col(idc), col("sel.cid").as("cid"), col("sel.v").as("v"))
-        val c1 = assign(c0, e, "vec_id")
-          .select(col("cid"), posexplode(col("v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-            "x -> x.m)").as("cv"))
-          .localCheckpoint(true)
+        val assign = ivfAssign _
+        val c1 = ivfCodebook(e)
         val enc = assign(c1, e, "vec_id")
           .select(col("vec_id"), col("cid").as("cell"), col("v"))
         val q = e.filter(col("vec_id") < 20)
@@ -368,6 +429,149 @@ SELECT q_id,
   row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS rank,
   id, rrf FROM fused
 QUALIFY rank <= 10 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
+
+
+    // ---- X83: MMR diversity re-rank (round 13) -----------------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein '98): after the
+    // retrieval stage hands back a relevance-ranked pool, pick K results
+    // GREEDILY by λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the
+    // redundancy-suppressing re-rank every RAG stack runs between ANN and
+    // the context window (near-duplicate passages add tokens, not facts).
+    // Determinism contract: rel and pairwise sims quantize to DECIMAL(18,9)
+    // and the greedy objective runs entirely in exact decimal arithmetic
+    // (λ=0.7 as DECIMAL(2,1)), so both engines compare identical rationals —
+    // no FP tie ambiguity; n_id breaks exact ties. The K=5 greedy rounds are
+    // bounded DataFrame iterations (anti-join remaining → max-sim vs
+    // selected → argmax), NOT a driver-side loop over collect(); DuckDB
+    // replays the same five rounds unrolled (the x41 trainer-replay recipe).
+    // Scale: the pool stage is the pluggable ANN front (here brute-force
+    // top-12 over the tiny corpus; at 100 TB the x03b IVF / x03c LSH lanes
+    // feed it); the MMR rounds touch only #queries×pool rows partitioned by
+    // q_id — per-query-parallel, no cross-query state.
+    GQuery("x83_mmr_rerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cos = graft.functions.GraftFunctions.cosine_sim _
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wp = Window.partitionBy(col("q_id"))
+          .orderBy(col("rel").desc, col("n_id"))
+        val pool = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+          .join(broadcast(q), col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"), col("nv"),
+            cos(col("qv"), col("nv")).cast("decimal(18,9)").as("rel"))
+          .withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= 12)
+          .localCheckpoint(true)
+        val lam = "cast(0.7 as decimal(2,1))"
+        val mu = "cast(0.3 as decimal(2,1))"
+        var selected = pool.filter(col("pr") === 1)
+          .select(col("q_id"), col("n_id"), col("nv"), col("rel"),
+            lit(1).as("step"),
+            expr(s"$lam * rel").cast("decimal(20,10)").as("mmr"))
+        for (k <- 2 to 5) {
+          val prev = selected
+          val wk = Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("n_id"))
+          val pick = pool
+            .join(prev.select(col("q_id"), col("n_id")),
+              Seq("q_id", "n_id"), "left_anti")
+            .join(prev.select(col("q_id"), col("nv").as("sv")), "q_id")
+            .select(col("q_id"), col("n_id"), col("nv"), col("rel"),
+              cos(col("nv"), col("sv")).cast("decimal(18,9)").as("sim"))
+            .groupBy(col("q_id"), col("n_id"))
+            .agg(first(col("nv")).as("nv"), first(col("rel")).as("rel"),
+              max(col("sim")).as("ms"))
+            .select(col("q_id"), col("n_id"), col("nv"), col("rel"),
+              expr(s"$lam * rel - $mu * ms").cast("decimal(20,10)").as("score"))
+            .withColumn("rk", row_number().over(wk)).filter(col("rk") === 1)
+            .select(col("q_id"), col("n_id"), col("nv"), col("rel"),
+              lit(k).as("step"), col("score").as("mmr"))
+          selected = prev.unionByName(pick)
+        }
+        // decimal→DOUBLE→decimal(18,6): a direct decimal downscale would
+        // TRUNCATE in DuckDB but round in Spark; the double hop makes both
+        // engines round the same nearest-double (the repo-wide pattern)
+        selected.select(col("q_id"), col("step").cast("long").as("step"),
+            col("n_id"),
+            col("rel").cast("double").cast("decimal(18,6)")
+              .cast("double").as("rel"),
+            col("mmr").cast("double").cast("decimal(18,6)")
+              .cast("double").as("mmr"))
+          .orderBy(col("q_id"), col("step"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+rel AS (SELECT q.q_id, e.vec_id AS n_id, e.v AS nv,
+    CAST(list_cosine_similarity(q.qv, e.v) AS DECIMAL(18,9)) AS rel
+  FROM q JOIN e ON e.vec_id <> q.q_id),
+pool AS (SELECT q_id, n_id, nv, rel,
+    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS pr
+  FROM rel QUALIFY pr <= 12),
+sel1 AS (SELECT q_id, n_id, nv, rel, 1 AS step,
+    CAST(CAST(0.7 AS DECIMAL(2,1)) * rel AS DECIMAL(20,10)) AS mmr
+  FROM pool WHERE pr = 1),
+p2 AS (SELECT c.q_id, c.n_id, any_value(c.nv) AS nv, any_value(c.rel) AS rel,
+    max(CAST(list_cosine_similarity(c.nv, s.nv) AS DECIMAL(18,9))) AS ms
+  FROM (SELECT p.* FROM pool p ANTI JOIN sel1 x
+      ON p.q_id = x.q_id AND p.n_id = x.n_id) c
+  JOIN sel1 s ON s.q_id = c.q_id GROUP BY 1, 2),
+k2 AS (SELECT q_id, n_id, nv, rel, 2 AS step, score AS mmr FROM (
+    SELECT q_id, n_id, nv, rel,
+      CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+        - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) AS score,
+      row_number() OVER (PARTITION BY q_id ORDER BY
+        CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+          - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) DESC, n_id) AS rk
+    FROM p2) WHERE rk = 1),
+sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM k2),
+p3 AS (SELECT c.q_id, c.n_id, any_value(c.nv) AS nv, any_value(c.rel) AS rel,
+    max(CAST(list_cosine_similarity(c.nv, s.nv) AS DECIMAL(18,9))) AS ms
+  FROM (SELECT p.* FROM pool p ANTI JOIN sel2 x
+      ON p.q_id = x.q_id AND p.n_id = x.n_id) c
+  JOIN sel2 s ON s.q_id = c.q_id GROUP BY 1, 2),
+k3 AS (SELECT q_id, n_id, nv, rel, 3 AS step, score AS mmr FROM (
+    SELECT q_id, n_id, nv, rel,
+      CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+        - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) AS score,
+      row_number() OVER (PARTITION BY q_id ORDER BY
+        CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+          - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) DESC, n_id) AS rk
+    FROM p3) WHERE rk = 1),
+sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM k3),
+p4 AS (SELECT c.q_id, c.n_id, any_value(c.nv) AS nv, any_value(c.rel) AS rel,
+    max(CAST(list_cosine_similarity(c.nv, s.nv) AS DECIMAL(18,9))) AS ms
+  FROM (SELECT p.* FROM pool p ANTI JOIN sel3 x
+      ON p.q_id = x.q_id AND p.n_id = x.n_id) c
+  JOIN sel3 s ON s.q_id = c.q_id GROUP BY 1, 2),
+k4 AS (SELECT q_id, n_id, nv, rel, 4 AS step, score AS mmr FROM (
+    SELECT q_id, n_id, nv, rel,
+      CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+        - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) AS score,
+      row_number() OVER (PARTITION BY q_id ORDER BY
+        CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+          - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) DESC, n_id) AS rk
+    FROM p4) WHERE rk = 1),
+sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM k4),
+p5 AS (SELECT c.q_id, c.n_id, any_value(c.nv) AS nv, any_value(c.rel) AS rel,
+    max(CAST(list_cosine_similarity(c.nv, s.nv) AS DECIMAL(18,9))) AS ms
+  FROM (SELECT p.* FROM pool p ANTI JOIN sel4 x
+      ON p.q_id = x.q_id AND p.n_id = x.n_id) c
+  JOIN sel4 s ON s.q_id = c.q_id GROUP BY 1, 2),
+k5 AS (SELECT q_id, n_id, nv, rel, 5 AS step, score AS mmr FROM (
+    SELECT q_id, n_id, nv, rel,
+      CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+        - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) AS score,
+      row_number() OVER (PARTITION BY q_id ORDER BY
+        CAST(CAST(0.7 AS DECIMAL(2,1)) * rel
+          - CAST(0.3 AS DECIMAL(2,1)) * ms AS DECIMAL(20,10)) DESC, n_id) AS rk
+    FROM p5) WHERE rk = 1),
+sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM k5)
+SELECT q_id, CAST(step AS BIGINT) AS step, n_id,
+  CAST(CAST(CAST(rel AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS rel,
+  CAST(CAST(CAST(mmr AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mmr
+FROM sel5 ORDER BY q_id NULLS FIRST, step NULLS FIRST""")),
 
 
     // X39: PageRank, 3 fixed iterations over the part↔supplier bipartite
@@ -1055,4 +1259,40 @@ JOIN (SELECT qid, vec_id AS exact_top1 FROM et WHERE rank = 1) e1t USING (qid)
 JOIN qc USING (qid)
 ORDER BY q.qid NULLS FIRST"""))
   )
+
+  /** Nearest-centroid assignment: broadcast codebook + map-side min_by, so
+    * the n·k candidate rows collapse to n in the partial aggregate before
+    * any exchange (the x79/x37 move). `df` must carry (idc, v). */
+  private[operators] def ivfAssign(cb: DataFrame, df: DataFrame,
+      idc: String): DataFrame = {
+    val L2 = graft.functions.GraftFunctions.l2_dist _
+    df.crossJoin(broadcast(cb))
+      .withColumn("dist", L2(col("v"), col("cv")))
+      .groupBy(col(idc))
+      .agg(min_by(struct(col("cid"), col("v")),
+        struct(col("dist"), col("cid"))).as("sel"))
+      .select(col(idc), col("sel.cid").as("cid"), col("sel.v").as("v"))
+  }
+
+  /** The x03b exact-oracle coarse quantizer: md5-seeded k=16 init + ONE
+    * Lloyd round with decimal-exact centroid means (the x79 recipe) over
+    * `e` = (vec_id, v: array<double>). Deterministic and DuckDB-replayable
+    * stage by stage; shared by x03b (batch IVF) and s66 (streaming route). */
+  private[operators] def ivfCodebook(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeed = Window.orderBy(col("h"), col("vec_id"))
+    val c0 = e
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .select(row_number().over(wSeed).as("cid"), col("v").as("cv"))
+    ivfAssign(c0, e, "vec_id")
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "x -> x.m)").as("cv"))
+      .localCheckpoint(true)
+  }
 }

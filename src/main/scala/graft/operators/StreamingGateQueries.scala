@@ -673,6 +673,66 @@ SELECT k.event_id, CAST(k.nf AS BIGINT) AS n_frames,
   CAST(len(k.sidx) AS BIGINT) AS sampled_n,
   a.ssum AS sampled_sum, CAST(a.smax AS BIGINT) AS sampled_max,
   (a.smax = 255) AS sat_flag
-FROM k JOIN a USING (event_id) ORDER BY event_id NULLS FIRST"""))
+FROM k JOIN a USING (event_id) ORDER BY event_id NULLS FIRST""")),
+
+
+    // S66: streaming IVF routing (round 13) — the INGESTION half of the
+    // x03b ANN index: vectors arrive continuously (an embedding service's
+    // output topic) and each is routed to its inverted-file cell BEFORE it
+    // lands, so the index partition a vector belongs to is decided at
+    // stream time (the write path of every IVF store). The coarse
+    // quantizer is EXACTLY x03b's trained codebook (shared ivfCodebook
+    // helper: md5-seeded k=16 + one decimal-exact Lloyd round), collected
+    // driver-side as 16×64 doubles — the s59 bounded-broadcast pattern
+    // (16 rows, once per stream, never per batch). Routing is per-row:
+    // 16 codegen'd l2_dist kernels against centroid literals folded with
+    // least(struct(dist, cid)) — zero state, append mode, scan speed; ties
+    // break to the smaller cell id ≡ the oracle's ORDER BY dist, cid.
+    // At 100 TB: the codebook broadcast is O(k·dim) regardless of stream
+    // volume, and the output is already partitioned by cell for the sink.
+    GQuery("s66_stream_ivf_route",
+      (s, d) => {
+        val e = Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cb: Array[(Int, Seq[Double])] =
+          PipelineSimilarityQueries.ivfCodebook(e)
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        val L2 = graft.functions.GraftFunctions.l2_dist _
+        val vecStream = s.readStream
+          .schema(Tables.table(s, d, "embeddings").schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        val dv = col("embedding").cast("array<double>")
+        val cands = cb.map { case (cid, cv) =>
+          struct(L2(dv, typedlit(cv)).as("dist"), lit(cid).as("cid"))
+        }
+        val best = least(cands.toIndexedSeq: _*)
+        runToMemory(
+          vecStream.select(col("vec_id"),
+            best.getField("cid").cast("long").as("cell"),
+            best.getField("dist").cast("decimal(18,6)").cast("double")
+              .as("dist")),
+          "append").orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id, row_number()
+    OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+  FROM e),
+c0 AS (SELECT s.cid, e.v AS cv
+  FROM seeds s JOIN e USING (vec_id) WHERE s.cid <= 16),
+a1 AS (SELECT vec_id, cid, v FROM (
+    SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist, e.v
+    FROM e CROSS JOIN c0 c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+u1 AS (SELECT cid, i AS pos,
+    CAST(sum(CAST(v[i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+  FROM a1, unnest(range(1, 65)) AS r(i) GROUP BY cid, i),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM u1 GROUP BY cid),
+route AS (SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist
+    FROM e CROSS JOIN c1 c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cell,
+  CAST(CAST(dist AS DECIMAL(18,6)) AS DOUBLE) AS dist
+FROM route ORDER BY vec_id NULLS FIRST"""))
   )
 }

@@ -618,4 +618,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"blocklist pays a hash shuffle:\n$p")
   }
+
+  test("x03c LSH twin: bucket-local equi joins, never a cross product") {
+    val p = plan("x03c_ann_lsh_exact")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation degraded to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins (sign table + query side):\n$p")
+  }
+
+  test("x83 MMR rounds: equi joins only past the checkpointed pool") {
+    // the brute-force pool stage (all-pairs by definition) is cut off by
+    // localCheckpoint; the five greedy rounds must be (q_id[,n_id]) equi
+    // joins — a nested loop here would break the per-query-parallel claim
+    val p = plan("x83_mmr_rerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"an MMR round degraded to a nested loop:\n$p")
+  }
 }

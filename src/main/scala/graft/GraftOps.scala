@@ -947,7 +947,8 @@ object GraftOps {
         })
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (d, t) =>
-          val words = t.toLowerCase.split(" ").filter(_.nonEmpty)
+          val words = t.toLowerCase(java.util.Locale.ROOT)
+            .split(" ").filter(_.nonEmpty)
           val toks = words.flatMap(enc)
           md.reset()
           // \\u0001-separated so the hash witnesses token BOUNDARIES — a

@@ -232,7 +232,7 @@ object TextKernels {
 
   /** language-id body — see [[LanguageId]]. */
   final def langId(v: UTF8String): UTF8String = {
-    val s = v.toString.toLowerCase
+    val s = v.toString.toLowerCase(java.util.Locale.ROOT)
     if (s.exists(c => c >= 0x4E00 && c <= 0x9FFF)) return UTF8String.fromString("zh")
     val counts = new Array[Long](26)
     var total = 0L

@@ -14,17 +14,18 @@ import java.net.{InetSocketAddress, Socket}
   * Protocol subset — TWO dialects since round 13 (VERDICT r12 #3): the
   * non-flexible pre-tagged-field versions below (stable since Kafka 0.11,
   * accepted by every broker that still serves them), plus the FLEXIBLE
-  * (KIP-482 compact) frames for ApiVersions v3 / Metadata v9 / Fetch v12,
-  * negotiated per broker in the ApiVersions preflight (highest mutually
-  * spoken wins, old pins as the fallback) — so a KRaft-era broker that
-  * retired the pre-flexible versions is served, not refused, ≡ the version
-  * negotiation librdkafka does transparently for the reference
-  * (Cargo.toml:8):
+  * (KIP-482 compact) frames for ApiVersions v3 / Metadata v9 /
+  * ListOffsets v6 / Fetch v12 — the ENTIRE hot read path — and Produce v9
+  * on the write half, negotiated per broker in the ApiVersions preflight
+  * (highest mutually spoken wins, old pins as the fallback) — so a
+  * KRaft-era broker that retired the pre-flexible versions is served, not
+  * refused, ≡ the version negotiation librdkafka does transparently for
+  * the reference (Cargo.toml:8):
   *   - Metadata v0 or v9 (api 3): partition ids + per-partition leader +
   *     broker address book. Re-requested every trigger via
   *     [[listPartitions]], so mid-stream partition growth is observed like
   *     the file client's re-listing.
-  *   - ListOffsets v2 (api 2): timestamp −2 → earliest, −1 → log-end. The
+  *   - ListOffsets v2 or v6 (api 2): timestamp −2 → earliest, −1 → log-end. The
   *     planner's `[earliest, endOffset)` range IS the reference's
   *     `enable.partition.eof` bounded batch: each micro-batch plan reads to
   *     the frozen high watermark and stops. v2 carries the isolation level,
@@ -92,7 +93,8 @@ final class KafkaLogClient(path: String,
   // passthrough, tests/utils.rs:261-285; same key names, minus the
   // `consumer.` prefix the source strips) --------------------------------
   private val securityProtocol =
-    conf.getOrElse("security.protocol", "PLAINTEXT").toUpperCase
+    conf.getOrElse("security.protocol", "PLAINTEXT")
+      .toUpperCase(java.util.Locale.ROOT)
   require(Set("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
       .contains(securityProtocol),
     s"unknown security.protocol '$securityProtocol' " +
@@ -107,7 +109,8 @@ final class KafkaLogClient(path: String,
   private val endpointIdAlgo =
     conf.getOrElse("ssl.endpoint.identification.algorithm", "https")
   private val useSasl = securityProtocol.startsWith("SASL")
-  private val saslMechanism = conf.getOrElse("sasl.mechanism", "PLAIN").toUpperCase
+  private val saslMechanism = conf.getOrElse("sasl.mechanism", "PLAIN")
+    .toUpperCase(java.util.Locale.ROOT)
   if (useSasl) require(
     Set("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER")
       .contains(saslMechanism),
@@ -150,7 +153,8 @@ final class KafkaLogClient(path: String,
           .asInstanceOf[javax.net.ssl.SSLSocket]
         if (endpointIdAlgo.nonEmpty) {
           val p = s.getSSLParameters
-          p.setEndpointIdentificationAlgorithm(endpointIdAlgo.toUpperCase)
+          p.setEndpointIdentificationAlgorithm(
+            endpointIdAlgo.toUpperCase(java.util.Locale.ROOT))
           s.setSSLParameters(p)
         }
         s.startHandshake()
@@ -324,12 +328,13 @@ final class KafkaLogClient(path: String,
   }
 
   /** The (name, api key, pinned version) dialect this client speaks —
-    * only the APIs a given configuration will actually use. Metadata and
-    * Fetch are NOT pinned: they negotiate between the old non-flexible
-    * version and the flexible (KIP-482) one in [[preflight]]. */
+    * only the APIs a given configuration will actually use. Metadata,
+    * Fetch, ListOffsets and Produce are NOT pinned: they negotiate between
+    * the old non-flexible version and the flexible (KIP-482) one in
+    * [[preflight]] — the whole hot read path (Metadata/ListOffsets/Fetch)
+    * and the write half speak the KRaft-era frames when the broker does. */
   private def pinnedApis: Seq[(String, Short, Short)] = {
-    val base = Seq[(String, Short, Short)](
-      ("ListOffsets", ApiListOffsets, 2))
+    val base = Seq.empty[(String, Short, Short)]
     val saslApis = if (useSasl) Seq[(String, Short, Short)](
       ("SaslHandshake", ApiSaslHandshake, 1),
       ("SaslAuthenticate", ApiSaslAuthenticate, 0)) else Nil
@@ -339,8 +344,7 @@ final class KafkaLogClient(path: String,
       ("OffsetFetch", ApiOffsetFetch, 1)) else Nil
     // the sink's clients (ReplayWrite sets graft.role=producer) also produce
     val produceApis = if (conf.get("graft.role").contains("producer"))
-      Seq[(String, Short, Short)](("Produce", ApiProduce, 3)) ++
-        (if (conf.get("enable.idempotence").contains("true") ||
+      (if (conf.get("enable.idempotence").contains("true") ||
             conf.contains("transactional.id"))
           Seq[(String, Short, Short)](("InitProducerId", ApiInitProducerId, 0))
         else Nil) ++
@@ -358,6 +362,8 @@ final class KafkaLogClient(path: String,
   // gets — identical to rounds 1-12 behavior.
   @volatile private var metadataVersion: Short = 0
   @volatile private var fetchVersion: Short = 4
+  @volatile private var listOffsetsVersion: Short = 2
+  @volatile private var produceVersion: Short = 3
 
   /** ApiVersions preflight on the first connection — sent before SASL,
     * exactly where real clients send it (brokers serve it pre-auth so
@@ -424,6 +430,11 @@ final class KafkaLogClient(path: String,
       }
     metadataVersion = negotiate("Metadata", ApiMetadata, 0, 9)
     fetchVersion = negotiate("Fetch", ApiFetch, 4, 12)
+    listOffsetsVersion = negotiate("ListOffsets", ApiListOffsets, 2, 6)
+    // producers also negotiate the write half (consumers never send
+    // Produce, so don't make their preflight depend on its ranges)
+    if (conf.get("graft.role").contains("producer"))
+      produceVersion = negotiate("Produce", ApiProduce, 3, 9)
     val bad = pinnedApis.flatMap { case (name, k, v) =>
       ranges.get(k) match {
         case Some((lo, hi)) if v >= lo && v <= hi => None
@@ -596,33 +607,67 @@ final class KafkaLogClient(path: String,
 
   override def listPartitions(): Seq[Int] = fetchMeta().leaders.keys.toSeq.sorted
 
-  /** ListOffsets v2 at `ts` (−1 latest, −2 earliest) against the leader.
-    * v2 is the first ISOLATION-AWARE version: under read_committed the
-    * "latest" offset is the LAST STABLE OFFSET, so every planned
-    * micro-batch range ends at transactionally-decided data — a range can
-    * never include records of a still-open transaction. */
+  /** ListOffsets at `ts` (−1 latest, −2 earliest) against the leader, over
+    * the negotiated version: the flexible v6 (KIP-482 compact frames;
+    * carries current_leader_epoch, −1 = unknown) when the broker speaks it,
+    * the non-flexible v2 pin otherwise. Both are ISOLATION-AWARE (v2 was
+    * the first): under read_committed the "latest" offset is the LAST
+    * STABLE OFFSET, so every planned micro-batch range ends at
+    * transactionally-decided data — a range can never include records of a
+    * still-open transaction. */
   private def listOffset(p: Int, ts: Long): Long = {
     val meta = fetchMeta()
+    val addr = leaderAddr(meta, p)
     val body = new ByteArrayOutputStream()
     val o = new DataOutputStream(body)
-    o.writeInt(-1)              // replica_id: consumer
-    o.writeByte(if (readCommitted) 1 else 0) // isolation_level
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(1); o.writeInt(p); o.writeLong(ts)
-    val in = oneShot(leaderAddr(meta, p), ApiListOffsets, 2, body.toByteArray)
-    in.readInt()                // throttle_time_ms
-    val nTopics = in.readInt()
     var result = -1L
-    (1 to nTopics).foreach { _ =>
-      val name = readString(in)
-      val nParts = in.readInt()
-      (1 to nParts).foreach { _ =>
-        val pid = in.readInt(); val err = in.readShort()
-        in.readLong()           // timestamp
-        val off = in.readLong()
-        if (err != 0)
-          throw new IOException(s"kafka ListOffsets error $err for $name/$pid")
-        if (name == topic && pid == p) result = off
+    if (listOffsetsVersion >= 6) {
+      o.writeInt(-1)            // replica_id: consumer
+      o.writeByte(if (readCommitted) 1 else 0) // isolation_level
+      writeCompactArrayLen(o, 1); writeCompactString(o, topic)
+      writeCompactArrayLen(o, 1)
+      o.writeInt(p); o.writeInt(-1) // current_leader_epoch: unknown
+      o.writeLong(ts); writeEmptyTagged(o)
+      writeEmptyTagged(o); writeEmptyTagged(o)
+      val in = oneShotFlex(addr, ApiListOffsets, 6, body.toByteArray)
+      in.readInt()              // throttle_time_ms
+      val nTopics = readCompactArrayLen(in)
+      (1 to nTopics).foreach { _ =>
+        val name = readCompactString(in)
+        val nParts = readCompactArrayLen(in)
+        (1 to nParts).foreach { _ =>
+          val pid = in.readInt(); val err = in.readShort()
+          in.readLong()         // timestamp
+          val off = in.readLong()
+          in.readInt()          // leader_epoch
+          skipTagged(in)
+          if (err != 0)
+            throw new IOException(
+              s"kafka ListOffsets error $err for $name/$pid")
+          if (name == topic && pid == p) result = off
+        }
+        skipTagged(in)
+      }
+    } else {
+      o.writeInt(-1)            // replica_id: consumer
+      o.writeByte(if (readCommitted) 1 else 0) // isolation_level
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(1); o.writeInt(p); o.writeLong(ts)
+      val in = oneShot(addr, ApiListOffsets, 2, body.toByteArray)
+      in.readInt()              // throttle_time_ms
+      val nTopics = in.readInt()
+      (1 to nTopics).foreach { _ =>
+        val name = readString(in)
+        val nParts = in.readInt()
+        (1 to nParts).foreach { _ =>
+          val pid = in.readInt(); val err = in.readShort()
+          in.readLong()         // timestamp
+          val off = in.readLong()
+          if (err != 0)
+            throw new IOException(
+              s"kafka ListOffsets error $err for $name/$pid")
+          if (name == topic && pid == p) result = off
+        }
       }
     }
     if (result < 0) throw new IOException(s"kafka ListOffsets missing $topic/$p")
@@ -866,48 +911,97 @@ final class KafkaLogClient(path: String,
     val recordSet =
       encodeRecordBatchV2(recs, codec, producerId, producerEpoch, baseSeq,
         transactional = transactionalId.isDefined)
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    transactionalId match {
-      case Some(id) => writeString(o, id)
-      case None => o.writeShort(-1) // null: non-transactional
+    // the envelope is built INSIDE attempt(), after fetchMeta() has forced
+    // the preflight: produceVersion is a preflight outcome, and a fresh
+    // producer's first produce() would otherwise encode the pinned-v3 body
+    // and then frame it as the just-negotiated v9 (a deterministic rebuild
+    // — same inputs — so the ambiguous-failure retry still resends the
+    // IDENTICAL wire batch)
+    def reqBody(): Array[Byte] = {
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (produceVersion >= 9) {
+        // flexible (KIP-482) v9 frame; the record set itself is the same
+        // RecordBatch v2 bytes — only the envelope changes
+        writeCompactString(o, transactionalId.orNull) // compact nullable
+        o.writeShort(-1)        // acks: all in-sync replicas
+        o.writeInt(30000)       // timeout_ms
+        writeCompactArrayLen(o, 1); writeCompactString(o, topic)
+        writeCompactArrayLen(o, 1); o.writeInt(p)
+        writeCompactBytes(o, recordSet)
+        writeEmptyTagged(o); writeEmptyTagged(o); writeEmptyTagged(o)
+      } else {
+        transactionalId match {
+          case Some(id) => writeString(o, id)
+          case None => o.writeShort(-1) // null: non-transactional
+        }
+        o.writeShort(-1)        // acks: all in-sync replicas
+        o.writeInt(30000)       // timeout_ms
+        o.writeInt(1); writeString(o, topic)
+        o.writeInt(1); o.writeInt(p)
+        o.writeInt(recordSet.length); o.write(recordSet)
+      }
+      body.toByteArray
     }
-    o.writeShort(-1)            // acks: all in-sync replicas
-    o.writeInt(30000)           // timeout_ms
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(1); o.writeInt(p)
-    o.writeInt(recordSet.length); o.write(recordSet)
-    val reqBytes = body.toByteArray
 
     def attempt(): Long = {
       if (prodMeta == null) prodMeta = fetchMeta()
+      val reqBytes = reqBody()
       val addr = leaderAddr(prodMeta, p)
       val (_, in, out) = prodConns.getOrElse(addr, {
         val c = open(addr); prodConns += addr -> c; c
       })
-      val r = try request(in, out, ApiProduce, 3, reqBytes)
-      catch { case e: IOException =>
+      val r = try {
+        if (produceVersion >= 9) requestFlex(in, out, ApiProduce, 9, reqBytes)
+        else request(in, out, ApiProduce, 3, reqBytes)
+      } catch { case e: IOException =>
         // connection gone (broker bounce / leader move): drop cached state
         // so a retry re-resolves metadata and re-dials
         prodConns.get(addr).foreach(_._1.close()); prodConns -= addr
         prodMeta = null
         throw e
       }
-      val nTopics = r.readInt()
+      def checkErr(err: Short, name: String, pid: Int): Unit = {
+        if (err == 47)          // INVALID_PRODUCER_EPOCH
+          throw new IOException("kafka produce error 47 for " +
+            s"$name/$pid: producer fenced — a newer producer " +
+            s"re-registered transactional.id '${transactionalId.orNull}'")
+        if (err != 0)
+          throw new IOException(s"kafka produce error $err for $name/$pid")
+      }
       var base = -1L
-      (1 to nTopics).foreach { _ =>
-        val name = readString(r)
-        val nParts = r.readInt()
-        (1 to nParts).foreach { _ =>
-          val pid = r.readInt(); val err = r.readShort()
-          val off = r.readLong()
-          r.readLong()          // log_append_time
-          if (err == 47)        // INVALID_PRODUCER_EPOCH
-            throw new IOException("kafka produce error 47 for " +
-              s"$name/$pid: producer fenced — a newer producer " +
-              s"re-registered transactional.id '${transactionalId.orNull}'")
-          if (err != 0)
-            throw new IOException(s"kafka produce error $err for $name/$pid")
-          if (name == topic && pid == p) base = off
+      if (produceVersion >= 9) {
+        val nTopics = readCompactArrayLen(r)
+        (1 to nTopics).foreach { _ =>
+          val name = readCompactString(r)
+          val nParts = readCompactArrayLen(r)
+          (1 to nParts).foreach { _ =>
+            val pid = r.readInt(); val err = r.readShort()
+            val off = r.readLong()
+            r.readLong()        // log_append_time
+            r.readLong()        // log_start_offset
+            val nRecErrs = readCompactArrayLen(r)
+            (1 to math.max(nRecErrs, 0)).foreach { _ =>
+              r.readInt(); readCompactString(r); skipTagged(r)
+            }
+            readCompactString(r) // error_message (nullable)
+            skipTagged(r)
+            checkErr(err, name, pid)
+            if (name == topic && pid == p) base = off
+          }
+          skipTagged(r)
+        }
+      } else {
+        val nTopics = r.readInt()
+        (1 to nTopics).foreach { _ =>
+          val name = readString(r)
+          val nParts = r.readInt()
+          (1 to nParts).foreach { _ =>
+            val pid = r.readInt(); val err = r.readShort()
+            val off = r.readLong()
+            r.readLong()        // log_append_time
+            checkErr(err, name, pid)
+            if (name == topic && pid == p) base = off
+          }
         }
       }
       if (base < 0)
@@ -1207,7 +1301,8 @@ private[replay] object KafkaWire {
   /** Flexible request versions per api key in THIS dialect (the protocol's
     * own flexibleVersions floor for each). */
   val FlexibleSince: Map[Short, Short] =
-    Map(ApiApiVersions -> 3, ApiMetadata -> 9, ApiFetch -> 12)
+    Map(ApiApiVersions -> 3, ApiMetadata -> 9, ApiFetch -> 12,
+      ApiListOffsets -> 6, ApiProduce -> 9)
   def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
     FlexibleSince.get(apiKey).exists(apiVersion >= _)
 

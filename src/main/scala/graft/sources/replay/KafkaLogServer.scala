@@ -5,9 +5,11 @@ import java.net.{ServerSocket, Socket}
 
 /** Wire-faithful single-node Kafka broker double for [[KafkaLogClient]]:
   * speaks the exact protocol subset the client consumes — Metadata v0 AND
-  * the flexible (KIP-482) v9, ListOffsets v1/v2, Fetch v4 AND the flexible
-  * v12 with RecordBatch v2, ApiVersions v0 AND the flexible v3, Produce v3
-  * (+CRC-32C verification and idempotent-producer sequence absorption),
+  * the flexible (KIP-482) v9, ListOffsets v1/v2 AND the flexible v6,
+  * Fetch v4 AND the flexible v12 with RecordBatch v2, ApiVersions v0 AND
+  * the flexible v3, Produce v3 AND the flexible v9
+  * (+CRC-32C verification and idempotent-producer sequence absorption,
+  * shared verbatim between both Produce envelopes),
   * InitProducerId v0 — serving one
   * topic from a file-backed [[ReplayLog]] directory. Lives in MAIN scope
   * (like [[SocketLogServer]], the socket backend's double) so the declared
@@ -502,67 +504,7 @@ final class KafkaLogServer(dir: String, topic: String,
                 val p = r.readInt()
                 val len = r.readInt()
                 val rs = new Array[Byte](len); r.readFully(rs)
-                // a real broker's produce path: route check, CRC-32C
-                // verification (unlike the tolerant consume-side double),
-                // idempotence sequence check, then append + offset
-                // assignment under the log lock
-                val (err, baseOff) =
-                  if (!activeTopic.contains(name) || !partitionIds.contains(p))
-                    (3, -1L)            // UNKNOWN_TOPIC_OR_PARTITION
-                  else if (!crcValid(rs))
-                    (2, -1L)            // CORRUPT_MESSAGE
-                  else {
-                    val (pid, pepoch, baseSeq, lastSeq) = batchProducerInfo(rs)
-                    val transactional = batchIsTransactional(rs)
-                    // a transactional batch must come from a registered
-                    // transactional producer whose OPEN txn includes this
-                    // partition — otherwise INVALID_TXN_STATE, like a real
-                    // coordinator-backed partition leader; a STALE epoch
-                    // (a newer producer re-registered the id) is the
-                    // zombie-fencing reject, INVALID_PRODUCER_EPOCH
-                    val reg = if (txnId == null) None
-                      else Option(txnProducers.get(txnId))
-                    val fenced = transactional &&
-                      reg.exists(r => r._1 == pid && pepoch < r._2)
-                    val txnOk = !transactional || (
-                      reg.exists(r => r._1 == pid && r._2 == pepoch) &&
-                      Option(openTxns.get(pid))
-                        .exists(_.partitions.contains(p)))
-                    val tail = producedTail(p)
-                    if (fenced) (47, -1L)      // INVALID_PRODUCER_EPOCH
-                    else if (!txnOk) (48, -1L) // INVALID_TXN_STATE
-                    else tail.synchronized {
-                      val cached =
-                        if (pid < 0) null else seqStore.get((pid, p))
-                      if (pid >= 0 && cached != null &&
-                          baseSeq == cached._1 && lastSeq == cached._2) {
-                        // exact retransmit of the last acked batch: absorb —
-                        // ack the ORIGINAL offsets, append nothing (the
-                        // idempotent-producer contract)
-                        (0, cached._3)
-                      } else if (pid >= 0 &&
-                          ((cached == null && baseSeq != 0) ||
-                           (cached != null && baseSeq != cached._2 + 1))) {
-                        (45, -1L)       // OUT_OF_ORDER_SEQUENCE_NUMBER
-                      } else {
-                        val recs = decodeBatches(rs, 0L,
-                          needKey = true, needValue = true).toSeq
-                        val assigned = tail.lastOption.fold(baseCount(p))(_.end)
-                        tail += new TailBatch(assigned,
-                          recs.map { case (_, k, v, tsMs) => (k, v, tsMs) },
-                          pid, pepoch, baseSeq, transactional, None)
-                        if (transactional) {
-                          val txn = openTxns.get(pid)
-                          txn.synchronized {
-                            txn.firstOffsets.getOrElseUpdate(p, assigned)
-                          }
-                        }
-                        if (pid >= 0)
-                          seqStore.put((pid, p), (baseSeq, lastSeq, assigned))
-                        (0, assigned)
-                      }
-                    }
-                  }
+                val (err, baseOff) = produceAppend(txnId, name, p, rs)
                 o.writeInt(p); o.writeShort(err); o.writeLong(baseOff)
                 o.writeLong(-1L)        // log_append_time: create-time batch
               }
@@ -575,6 +517,43 @@ final class KafkaLogServer(dir: String, topic: String,
               throw new EOFException("fake broker: produce response dropped")
             }
             o.writeInt(0)               // throttle_time_ms (tails Produce)
+            bo.toByteArray
+          case ApiProduce if apiVersion == 9 =>
+            // flexible (KIP-482) v9 envelope; the append path (CRC check,
+            // idempotence, txn gating, offset assignment) is IDENTICAL to
+            // v3 — produceAppend is shared
+            val txnId = readCompactString(r) // transactional_id (nullable)
+            r.readShort(); r.readInt()  // acks, timeout_ms
+            val nTopics = readCompactArrayLen(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            writeCompactArrayLen(o, nTopics)
+            (1 to nTopics).foreach { _ =>
+              val name = readCompactString(r)
+              val nParts = readCompactArrayLen(r)
+              writeCompactString(o, name)
+              writeCompactArrayLen(o, nParts)
+              (1 to nParts).foreach { _ =>
+                val p = r.readInt()
+                val rs = readCompactBytes(r)
+                skipTagged(r)
+                val (err, baseOff) = produceAppend(txnId, name, p, rs)
+                o.writeInt(p); o.writeShort(err); o.writeLong(baseOff)
+                o.writeLong(-1L)        // log_append_time: create-time batch
+                o.writeLong(0L)         // log_start_offset
+                writeCompactArrayLen(o, 0) // record_errors
+                writeCompactString(o, null) // error_message
+                writeEmptyTagged(o)
+              }
+              skipTagged(r)
+              writeEmptyTagged(o)
+            }
+            skipTagged(r)
+            if (dropProduceResponses > 0) {
+              dropProduceResponses -= 1
+              throw new EOFException("fake broker: produce response dropped")
+            }
+            o.writeInt(0)               // throttle_time_ms (tails Produce)
+            writeEmptyTagged(o)
             bo.toByteArray
           case ApiInitProducerId if apiVersion == 0 =>
             val txnId = readString(r)   // transactional_id (nullable)
@@ -681,6 +660,7 @@ final class KafkaLogServer(dir: String, topic: String,
           case ApiMetadata if apiVersion == 9 => metadataV9(r)
           case ApiListOffsets if apiVersion == 1 || apiVersion == 2 =>
             listOffsets(r, apiVersion)
+          case ApiListOffsets if apiVersion == 6 => listOffsetsV6(r)
           case ApiFetch if apiVersion == 4 => fetch(r)
           case ApiFetch if apiVersion == 12 => fetchV12(r)
           case ApiFindCoordinator if apiVersion == 0 =>
@@ -748,6 +728,11 @@ final class KafkaLogServer(dir: String, topic: String,
         out.flush()
       }
     } catch {
+      // GRAFT_BROKER_DEBUG: surface per-connection parse/handler failures
+      // (normally swallowed like a real broker dropping a bad client) —
+      // the diagnostic seam that caught the round-13 v9 misframe
+      case e: Throwable if sys.env.contains("GRAFT_BROKER_DEBUG") =>
+        e.printStackTrace()
       case _: EOFException => // client done
       case _: IOException =>
     } finally sock.close()
@@ -861,6 +846,109 @@ final class KafkaLogServer(dir: String, topic: String,
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
       }
     }
+    bo.toByteArray
+  }
+
+  /** One partition's produce-append decision — a real broker's produce
+    * path: route check, CRC-32C verification (unlike the tolerant
+    * consume-side double), idempotence sequence check, transactional
+    * gating (zombie fencing by epoch, INVALID_TXN_STATE for unregistered
+    * txn batches), then append + offset assignment under the log lock.
+    * Shared verbatim by the non-flexible v3 and flexible v9 Produce
+    * handlers — only their envelopes differ. Returns (error, baseOffset). */
+  private def produceAppend(txnId: String, name: String, p: Int,
+      rs: Array[Byte]): (Int, Long) =
+    if (!activeTopic.contains(name) || !partitionIds.contains(p))
+      (3, -1L)                  // UNKNOWN_TOPIC_OR_PARTITION
+    else if (!crcValid(rs))
+      (2, -1L)                  // CORRUPT_MESSAGE
+    else {
+      val (pid, pepoch, baseSeq, lastSeq) = batchProducerInfo(rs)
+      val transactional = batchIsTransactional(rs)
+      // a transactional batch must come from a registered transactional
+      // producer whose OPEN txn includes this partition — otherwise
+      // INVALID_TXN_STATE, like a real coordinator-backed partition
+      // leader; a STALE epoch (a newer producer re-registered the id) is
+      // the zombie-fencing reject, INVALID_PRODUCER_EPOCH
+      val reg = if (txnId == null) None
+        else Option(txnProducers.get(txnId))
+      val fenced = transactional &&
+        reg.exists(r => r._1 == pid && pepoch < r._2)
+      val txnOk = !transactional || (
+        reg.exists(r => r._1 == pid && r._2 == pepoch) &&
+        Option(openTxns.get(pid))
+          .exists(_.partitions.contains(p)))
+      val tail = producedTail(p)
+      if (fenced) (47, -1L)      // INVALID_PRODUCER_EPOCH
+      else if (!txnOk) (48, -1L) // INVALID_TXN_STATE
+      else tail.synchronized {
+        val cached =
+          if (pid < 0) null else seqStore.get((pid, p))
+        if (pid >= 0 && cached != null &&
+            baseSeq == cached._1 && lastSeq == cached._2) {
+          // exact retransmit of the last acked batch: absorb — ack the
+          // ORIGINAL offsets, append nothing (the idempotent-producer
+          // contract)
+          (0, cached._3)
+        } else if (pid >= 0 &&
+            ((cached == null && baseSeq != 0) ||
+             (cached != null && baseSeq != cached._2 + 1))) {
+          (45, -1L)             // OUT_OF_ORDER_SEQUENCE_NUMBER
+        } else {
+          val recs = decodeBatches(rs, 0L,
+            needKey = true, needValue = true).toSeq
+          val assigned = tail.lastOption.fold(baseCount(p))(_.end)
+          tail += new TailBatch(assigned,
+            recs.map { case (_, k, v, tsMs) => (k, v, tsMs) },
+            pid, pepoch, baseSeq, transactional, None)
+          if (transactional) {
+            val txn = openTxns.get(pid)
+            txn.synchronized {
+              txn.firstOffsets.getOrElseUpdate(p, assigned)
+            }
+          }
+          if (pid >= 0)
+            seqStore.put((pid, p), (baseSeq, lastSeq, assigned))
+          (0, assigned)
+        }
+      }
+    }
+
+  /** ListOffsets over the flexible v6 frame (KIP-482) — same
+    * isolation-aware answers as v2 (read_committed "latest" = the LSO);
+    * the request adds current_leader_epoch (ignored: single-broker, one
+    * epoch) and the response a leader_epoch (−1, like a broker that does
+    * not track it). */
+  private def listOffsetsV6(r: DataInputStream): Array[Byte] = {
+    r.readInt()                         // replica id
+    val isolation = r.readByte()
+    val nTopics = readCompactArrayLen(r)
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    o.writeInt(0)                       // throttle_time_ms
+    writeCompactArrayLen(o, nTopics)
+    (1 to nTopics).foreach { _ =>
+      val name = readCompactString(r)
+      val nParts = readCompactArrayLen(r)
+      writeCompactString(o, name)
+      writeCompactArrayLen(o, nParts)
+      (1 to nParts).foreach { _ =>
+        val p = r.readInt()
+        r.readInt()                     // current_leader_epoch
+        val ts = r.readLong()
+        skipTagged(r)
+        val off =
+          if (ts == -2L) 0L
+          else if (isolation == 1) lastStable(p)
+          else endOffset(p)
+        o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
+        o.writeInt(-1)                  // leader_epoch: not tracked
+        writeEmptyTagged(o)
+      }
+      skipTagged(r)
+      writeEmptyTagged(o)
+    }
+    skipTagged(r)
+    writeEmptyTagged(o)
     bo.toByteArray
   }
 

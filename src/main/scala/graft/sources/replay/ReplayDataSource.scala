@@ -153,12 +153,12 @@ object ReplayOptions {
   def parse(opts: CaseInsensitiveStringMap): ReplayOptions = {
     // sentinels are matched case-insensitively like Kafka's option parsing
     val raw = Option(opts.get("startingOffsets"))
-    val sentinel = raw.map(_.trim.toLowerCase)
+    val sentinel = raw.map(_.trim.toLowerCase(java.util.Locale.ROOT))
     // consumer.auto.offset.reset supplies the start position ONLY when no
     // explicit startingOffset(s) option is present — Kafka's semantics for
     // "no committed offset" (an explicit option is the stronger contract)
     val autoReset = Option(opts.get("consumer.auto.offset.reset"))
-      .map(_.trim.toLowerCase)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(_ => raw.isEmpty && opts.get("startingOffset") == null)
     autoReset.foreach(v => require(v == "earliest" || v == "latest",
       s"consumer.auto.offset.reset must be 'earliest' or 'latest', got '$v'"))
@@ -189,7 +189,7 @@ object ReplayOptions {
       // opaque consumer conf pass-through (≡ conf: HashMap, execution.rs:34);
       // all other unknown keys are ignored like Spark's built-in sources do
       consumerConf = opts.asCaseSensitiveMap().asScala.toMap.collect {
-        case (k, v) if k.toLowerCase.startsWith("consumer.") =>
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("consumer.") =>
           k.substring("consumer.".length) -> v
       },
       // measured at sf0.1 (100k records, local[8], median-of-7): columnar
@@ -219,7 +219,8 @@ object ReplayOptions {
       // seam) vs the manual assign() everything else models. "static"
       // (default) keeps the instances/instance.id split above.
       groupSubscribe =
-        Option(opts.get("consumer.group.assignment")).map(_.trim.toLowerCase)
+        Option(opts.get("consumer.group.assignment"))
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT))
           .map {
             case "subscribe" => true
             case "static" => false

@@ -84,7 +84,7 @@ object ReplayWrite {
     h
   }
 
-  private[replay] def codecId(name: String): Int = name.toLowerCase match {
+  private[replay] def codecId(name: String): Int = name.toLowerCase(java.util.Locale.ROOT) match {
     case "none" | "uncompressed" => 0
     case "gzip" => 1
     case "snappy" => 2
@@ -115,7 +115,7 @@ class ReplayWriteBuilder(options: CaseInsensitiveStringMap,
     // producer.* passthrough, prefix stripped — mirror of the read side's
     // consumer.* conf (same security keys travel: security.protocol, sasl.*)
     val producerConf = options.asScala.collect {
-      case (k, v) if k.toLowerCase.startsWith("producer.") =>
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("producer.") =>
         k.substring("producer.".length) -> v
     }.toMap
     val batchRecords = producerConf.get("batch.records").map(_.toInt)
@@ -137,7 +137,7 @@ class ReplayWriteBuilder(options: CaseInsensitiveStringMap,
 
     val schema = info.schema()
     val unknown = schema.fieldNames.filterNot(f =>
-      ReplayWrite.WritableColumns.contains(f.toLowerCase))
+      ReplayWrite.WritableColumns.contains(f.toLowerCase(java.util.Locale.ROOT)))
     require(unknown.isEmpty,
       s"graft-replay sink got unwritable columns ${unknown.mkString(", ")} " +
         "(writable: key BINARY, value BINARY, timestamp TIMESTAMP, " +

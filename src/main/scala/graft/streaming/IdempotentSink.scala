@@ -32,8 +32,13 @@ object IdempotentSink {
       .write
       .mode("overwrite")
       // per-write option: only the partitions present in THIS dataframe (the
-      // one _batch_id) are replaced; committed batches are never touched
-      .option("partitionOverwriteMode", "dynamic")
+      // one _batch_id) are replaced; committed batches are never touched.
+      // Pre-uppercased: Spark's per-write option path upper-cases with the
+      // JVM default locale, and a Turkish-locale driver turns "dynamic"
+      // into DYNAMİC (dotted capital İ) → "No value found" (found by the
+      // round-13 locale-invariance sweep); an already-uppercase value makes
+      // that conversion a no-op under any locale
+      .option("partitionOverwriteMode", "DYNAMIC")
       .partitionBy(BatchCol)
       .parquet(out)
 

@@ -27,12 +27,13 @@ class KafkaPreflightSpec extends graft.SparkSpec {
   test("a KRaft-era broker that retired the pre-flexible versions is SERVED") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val modern = new KafkaLogServer(dir, "events")
-    // Fetch starts at v5 and Metadata at v1: the old pins are gone, but the
-    // flexible v12/v9 are in range — rounds 1-12 refused this broker; the
-    // negotiated dialect reads identical rows through the compact frames
+    // Fetch starts at v5, Metadata at v1 and ListOffsets at v6: every old
+    // pin is gone, but the flexible v12/v9/v6 are in range — rounds 1-12
+    // refused this broker; the negotiated dialect reads identical rows
+    // through the compact frames for the WHOLE read path
     val kraft = new KafkaLogServer(dir, "events",
       advertiseApis = Some(Seq[(Short, Short, Short)](
-        (1, 5, 13), (2, 0, 7), (3, 1, 12), (18, 0, 3))))
+        (1, 5, 13), (2, 6, 8), (3, 1, 12), (18, 0, 3))))
     try {
       val got = readAll(kraft.clientPath)
       assert(got.nonEmpty)
@@ -67,7 +68,9 @@ class KafkaPreflightSpec extends graft.SparkSpec {
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
       val msg = chain(e).map(_.getMessage).mkString(" | ")
-      assert(msg.contains("ListOffsets v2 (broker does not expose api 2)"),
+      // ListOffsets negotiates since round 13, so the missing key surfaces
+      // through the negotiate() branch, not the pinned-dialect check
+      assert(msg.contains("does not expose api 2 (ListOffsets)"),
         s"expected a missing-api error, got: $msg")
     } finally broker.close()
   }

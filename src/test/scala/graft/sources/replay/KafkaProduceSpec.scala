@@ -105,6 +105,53 @@ class KafkaProduceSpec extends graft.SparkSpec {
     }
   }
 
+  test("flexible Produce v9 round-trips bit-identically to the pinned v3") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    // graft.role=producer opts into the Produce negotiation (the sink's
+    // conf); the default double advertises v9 → flexible, the capped one
+    // tops out at v8 → the v3 pin. Same records, same offsets, same bytes.
+    val flexB = new KafkaLogServer(dir, "events")
+    val pinB = new KafkaLogServer(dir, "events",
+      advertiseApis = Some(Seq[(Short, Short, Short)](
+        (0, 0, 8), (1, 0, 11), (2, 0, 5), (3, 0, 8), (18, 0, 2))))
+    try {
+      val recs = (0 until 50).map(i =>
+        (bytes(s"fk-$i"), bytes(s"fv-$i" * 3), 1723700001000L + i))
+      val cf = new KafkaLogClient(flexB.clientPath,
+        Map("graft.role" -> "producer"))
+      val cp = new KafkaLogClient(pinB.clientPath,
+        Map("graft.role" -> "producer"))
+      val baseF = cf.produce(1, recs)
+      val baseP = cp.produce(1, recs)
+      assert(baseF === baseP, "both dialects must assign the same offsets")
+      def tail(c: KafkaLogClient, from: Long) = {
+        val f = c.openFrames(1, from, needKey = true, needValue = true)
+        try (0 until recs.size).map { _ =>
+          f.readFrame()
+          (new String(f.key, "UTF-8"), new String(f.value, "UTF-8"), f.tsUs)
+        } finally f.close()
+      }
+      assert(tail(cf, baseF) === tail(cp, baseP),
+        "v9 and v3 produced tails must read back identically")
+    } finally { flexB.close(); pinB.close() }
+  }
+
+  test("idempotent retransmit absorption holds over the flexible v9 frame") {
+    val broker = emptyBroker("idemflex")
+    try {
+      val c = new KafkaLogClient(broker.clientPath,
+        Map("enable.idempotence" -> "true", "graft.role" -> "producer"))
+      assert(c.produce(0,
+        (0 until 10).map(i => (bytes(s"k$i"), bytes(s"v$i"), 1000L + i))) === 0L)
+      broker.dropProduceResponses = 1
+      assert(c.produce(0,
+        (10 until 20).map(i => (bytes(s"k$i"), bytes(s"v$i"), 1000L + i))) === 10L,
+        "retry must be acked at the originally-assigned base offset")
+      assert(broker.producedCount(0) === 20,
+        "the v9 retransmit must be absorbed, not re-appended")
+    } finally broker.close()
+  }
+
   test("the broker verifies produce CRC-32C and answers CORRUPT_MESSAGE") {
     val good = encodeRecordBatchV2(Seq((null, bytes("x"), 1000L)), 0)
     assert(crcValid(good))

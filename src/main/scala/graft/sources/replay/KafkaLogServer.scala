@@ -555,9 +555,13 @@ final class KafkaLogServer(dir: String, topic: String,
             o.writeInt(0)               // throttle_time_ms (tails Produce)
             writeEmptyTagged(o)
             bo.toByteArray
-          case ApiInitProducerId if apiVersion == 0 =>
-            val txnId = readString(r)   // transactional_id (nullable)
+          case ApiInitProducerId if apiVersion == 0 || apiVersion == 2 =>
+            // v2 = the flexible twin (KIP-482 compact framing), identical
+            // assignment/fencing logic
+            val txnId =
+              if (apiVersion >= 2) readCompactString(r) else readString(r)
             val timeoutMs = r.readInt() // transaction_timeout_ms
+            if (apiVersion >= 2) skipTagged(r)
             val (pid, epoch) =
               if (txnId == null) (pidCounter.getAndIncrement(), 0: Short)
               else txnProducers.compute(txnId, (_, prev) =>
@@ -578,9 +582,11 @@ final class KafkaLogServer(dir: String, topic: String,
             o.writeShort(0)             // error
             o.writeLong(pid)
             o.writeShort(epoch)
+            if (apiVersion >= 2) writeEmptyTagged(o)
             bo.toByteArray
-          case ApiAddPartitionsToTxn if apiVersion == 0 =>
-            val txnId = readString(r)
+          case ApiAddPartitionsToTxn if apiVersion == 0 || apiVersion == 3 =>
+            val flexTxn = apiVersion >= 3
+            val txnId = if (flexTxn) readCompactString(r) else readString(r)
             val pid = r.readLong(); val pepoch = r.readShort()
             val reg = Option(txnProducers.get(txnId))
             val fenced = reg.exists(t => t._1 == pid && pepoch < t._2)
@@ -588,15 +594,15 @@ final class KafkaLogServer(dir: String, topic: String,
             if (registered)
               openTxns.computeIfAbsent(pid, _ => new OpenTxn(
                 Option(txnTimeouts.get(pid)).fold(60000)(_.intValue)))
-            val nTopics = r.readInt()
+            val nTopics = if (flexTxn) readCompactArrayLen(r) else r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(0)               // throttle_time_ms
-            o.writeInt(nTopics)
+            if (flexTxn) writeCompactArrayLen(o, nTopics) else o.writeInt(nTopics)
             (1 to nTopics).foreach { _ =>
-              val name = readString(r)
-              val nParts = r.readInt()
-              writeString(o, name)
-              o.writeInt(nParts)
+              val name = if (flexTxn) readCompactString(r) else readString(r)
+              val nParts = if (flexTxn) readCompactArrayLen(r) else r.readInt()
+              if (flexTxn) writeCompactString(o, name) else writeString(o, name)
+              if (flexTxn) writeCompactArrayLen(o, nParts) else o.writeInt(nParts)
               (1 to nParts).foreach { _ =>
                 val p = r.readInt()
                 val err =
@@ -610,13 +616,18 @@ final class KafkaLogServer(dir: String, topic: String,
                     0
                   }
                 o.writeInt(p); o.writeShort(err)
+                if (flexTxn) writeEmptyTagged(o)
               }
+              if (flexTxn) { skipTagged(r); writeEmptyTagged(o) }
             }
+            if (flexTxn) { skipTagged(r); writeEmptyTagged(o) }
             bo.toByteArray
-          case ApiEndTxn if apiVersion == 0 =>
-            val txnId = readString(r)
+          case ApiEndTxn if apiVersion == 0 || apiVersion == 3 =>
+            val flexTxn = apiVersion >= 3
+            val txnId = if (flexTxn) readCompactString(r) else readString(r)
             val pid = r.readLong(); val pepoch = r.readShort()
             val commit = r.readBoolean()
+            if (flexTxn) skipTagged(r)
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             o.writeInt(0)               // throttle_time_ms
             val reg = Option(txnProducers.get(txnId))
@@ -629,22 +640,44 @@ final class KafkaLogServer(dir: String, topic: String,
               endOpenTxn(pid, commit)
               o.writeShort(0)
             }
+            if (flexTxn) writeEmptyTagged(o)
             bo.toByteArray
-          case ApiCreateTopics if apiVersion == 0 =>
-            val nTopics = r.readInt()
+          case ApiCreateTopics if apiVersion == 0 || apiVersion == 5 =>
+            val flexCt = apiVersion >= 5
+            val nTopics = if (flexCt) readCompactArrayLen(r) else r.readInt()
             val reqs = (1 to nTopics).map { _ =>
-              val name = readString(r)
-              val nParts = r.readInt()
-              val rf = r.readShort()
-              val nAssign = r.readInt()
-              (1 to nAssign).foreach { _ => r.readInt(); skipIntArray(r) }
-              val nConfigs = r.readInt()
-              (1 to nConfigs).foreach { _ => readString(r); readString(r) }
-              (name, nParts, rf)
+              if (flexCt) {
+                val name = readCompactString(r)
+                val nParts = r.readInt()
+                val rf = r.readShort()
+                val nAssign = readCompactArrayLen(r)
+                (1 to math.max(nAssign, 0)).foreach { _ =>
+                  r.readInt(); skipCompactIntArray(r); skipTagged(r)
+                }
+                val nConfigs = readCompactArrayLen(r)
+                (1 to math.max(nConfigs, 0)).foreach { _ =>
+                  readCompactString(r); readCompactString(r); skipTagged(r)
+                }
+                skipTagged(r)
+                (name, nParts, rf)
+              } else {
+                val name = readString(r)
+                val nParts = r.readInt()
+                val rf = r.readShort()
+                val nAssign = r.readInt()
+                (1 to nAssign).foreach { _ => r.readInt(); skipIntArray(r) }
+                val nConfigs = r.readInt()
+                (1 to nConfigs).foreach { _ => readString(r); readString(r) }
+                (name, nParts, rf)
+              }
             }
             r.readInt()             // timeout_ms (in-process: instantaneous)
+            val validateOnly = if (flexCt) r.readBoolean() else false
+            if (flexCt) skipTagged(r)
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            o.writeInt(reqs.size)
+            if (flexCt) o.writeInt(0)   // throttle_time_ms
+            if (flexCt) writeCompactArrayLen(o, reqs.size)
+            else o.writeInt(reqs.size)
             reqs.foreach { case (name, nParts, rf) =>
               val err: Int =
                 if (activeTopic.contains(name)) 36 // TOPIC_ALREADY_EXISTS
@@ -652,9 +685,18 @@ final class KafkaLogServer(dir: String, topic: String,
                                                    // double is single-topic
                 else if (nParts < 1) 37            // INVALID_PARTITIONS
                 else if (rf != 1 && rf != -1) 38   // INVALID_REPLICATION_FACTOR
+                else if (validateOnly) 0           // checked, not created
                 else { created = Some((name, 0 until nParts)); 0 }
-              writeString(o, name); o.writeShort(err)
+              if (flexCt) {
+                writeCompactString(o, name); o.writeShort(err)
+                writeCompactString(o, null)      // error_message
+                o.writeInt(if (err == 0) nParts else -1)
+                o.writeShort(if (err == 0) 1 else -1)
+                writeCompactArrayLen(o, 0)       // configs
+                writeEmptyTagged(o)
+              } else { writeString(o, name); o.writeShort(err) }
             }
+            if (flexCt) writeEmptyTagged(o)
             bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiMetadata if apiVersion == 9 => metadataV9(r)
@@ -663,56 +705,94 @@ final class KafkaLogServer(dir: String, topic: String,
           case ApiListOffsets if apiVersion == 6 => listOffsetsV6(r)
           case ApiFetch if apiVersion == 4 => fetch(r)
           case ApiFetch if apiVersion == 12 => fetchV12(r)
-          case ApiFindCoordinator if apiVersion == 0 =>
-            readString(r)               // group id: single node = coordinator
+          case ApiFindCoordinator if apiVersion == 0 || apiVersion == 3 =>
+            val flexFc = apiVersion >= 3
+            if (flexFc) { readCompactString(r); r.readByte(); skipTagged(r) }
+            else readString(r)          // group id: single node = coordinator
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            o.writeShort(0); o.writeInt(0)
-            writeString(o, "127.0.0.1"); o.writeInt(boundPort)
+            if (flexFc) {
+              o.writeInt(0)             // throttle_time_ms
+              o.writeShort(0)           // error
+              writeCompactString(o, null) // error_message
+              o.writeInt(0)             // node id
+              writeCompactString(o, "127.0.0.1"); o.writeInt(boundPort)
+              writeEmptyTagged(o)
+            } else {
+              o.writeShort(0); o.writeInt(0)
+              writeString(o, "127.0.0.1"); o.writeInt(boundPort)
+            }
             bo.toByteArray
-          case ApiJoinGroup if apiVersion == 0 => groupCoordinator.joinGroup(r)
-          case ApiSyncGroup if apiVersion == 0 => groupCoordinator.syncGroup(r)
-          case ApiHeartbeat if apiVersion == 0 => groupCoordinator.heartbeat(r)
-          case ApiLeaveGroup if apiVersion == 0 => groupCoordinator.leaveGroup(r)
-          case ApiOffsetCommit if apiVersion == 2 =>
-            val group = readString(r)
+          case ApiJoinGroup if apiVersion == 0 || apiVersion == 6 =>
+            groupCoordinator.joinGroup(r, apiVersion)
+          case ApiSyncGroup if apiVersion == 0 || apiVersion == 4 =>
+            groupCoordinator.syncGroup(r, apiVersion)
+          case ApiHeartbeat if apiVersion == 0 || apiVersion == 4 =>
+            groupCoordinator.heartbeat(r, apiVersion)
+          case ApiLeaveGroup if apiVersion == 0 || apiVersion == 4 =>
+            groupCoordinator.leaveGroup(r, apiVersion)
+          case ApiOffsetCommit if apiVersion == 2 || apiVersion == 8 =>
+            val flexOc = apiVersion >= 8
+            val group = if (flexOc) readCompactString(r) else readString(r)
             val generation = r.readInt()
-            val member = readString(r)
-            r.readLong()                // retention
+            val member = if (flexOc) readCompactString(r) else readString(r)
+            if (flexOc) readCompactString(r) // group_instance_id
+            else r.readLong()                // retention (removed in v5+)
             // generation fencing: a member commit must carry the LIVE
             // generation; -1/"" is the simple consumer and always passes
             val fence = groupCoordinator.validateCommit(group, generation, member)
-            val nTopics = r.readInt()
+            val nTopics = if (flexOc) readCompactArrayLen(r) else r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            o.writeInt(nTopics)
+            if (flexOc) o.writeInt(0)   // throttle_time_ms
+            if (flexOc) writeCompactArrayLen(o, nTopics) else o.writeInt(nTopics)
             (1 to nTopics).foreach { _ =>
-              val name = readString(r)
-              val nParts = r.readInt()
-              writeString(o, name)
-              o.writeInt(nParts)
+              val name = if (flexOc) readCompactString(r) else readString(r)
+              val nParts = if (flexOc) readCompactArrayLen(r) else r.readInt()
+              if (flexOc) writeCompactString(o, name) else writeString(o, name)
+              if (flexOc) writeCompactArrayLen(o, nParts) else o.writeInt(nParts)
               (1 to nParts).foreach { _ =>
-                val p = r.readInt(); val off = r.readLong(); readString(r)
+                val p = r.readInt(); val off = r.readLong()
+                if (flexOc) {
+                  r.readInt()           // committed_leader_epoch
+                  readCompactString(r); skipTagged(r)
+                } else readString(r)    // metadata
                 if (fence == 0) committedStore.put((group, name, p), off)
                 o.writeInt(p); o.writeShort(fence)
+                if (flexOc) writeEmptyTagged(o)
               }
+              if (flexOc) { skipTagged(r); writeEmptyTagged(o) }
             }
+            if (flexOc) { skipTagged(r); writeEmptyTagged(o) }
             bo.toByteArray
-          case ApiOffsetFetch if apiVersion == 1 =>
-            val group = readString(r)
-            val nTopics = r.readInt()
+          case ApiOffsetFetch if apiVersion == 1 || apiVersion == 6 =>
+            val flexOf = apiVersion >= 6
+            val group = if (flexOf) readCompactString(r) else readString(r)
+            val nTopics = if (flexOf) readCompactArrayLen(r) else r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-            o.writeInt(nTopics)
-            (1 to nTopics).foreach { _ =>
-              val name = readString(r)
-              val nParts = r.readInt()
-              writeString(o, name)
-              o.writeInt(nParts)
+            if (flexOf) o.writeInt(0)   // throttle_time_ms
+            if (flexOf) writeCompactArrayLen(o, math.max(nTopics, 0))
+            else o.writeInt(nTopics)
+            (1 to math.max(nTopics, 0)).foreach { _ =>
+              val name = if (flexOf) readCompactString(r) else readString(r)
+              val nParts = if (flexOf) readCompactArrayLen(r) else r.readInt()
+              if (flexOf) writeCompactString(o, name) else writeString(o, name)
+              if (flexOf) writeCompactArrayLen(o, nParts) else o.writeInt(nParts)
               (1 to nParts).foreach { _ =>
                 val p = r.readInt()
                 val off = Option(committedStore.get((group, name, p)))
                   .map(Long.unbox).getOrElse(-1L)
                 o.writeInt(p); o.writeLong(off)
-                writeString(o, ""); o.writeShort(0)
+                if (flexOf) {
+                  o.writeInt(-1)        // committed_leader_epoch
+                  writeCompactString(o, ""); o.writeShort(0)
+                  writeEmptyTagged(o)
+                } else { writeString(o, ""); o.writeShort(0) }
               }
+              if (flexOf) { skipTagged(r); writeEmptyTagged(o) }
+            }
+            if (flexOf) {
+              skipTagged(r)
+              o.writeShort(0)           // top-level error_code
+              writeEmptyTagged(o)
             }
             bo.toByteArray
           case other =>
@@ -728,12 +808,15 @@ final class KafkaLogServer(dir: String, topic: String,
         out.flush()
       }
     } catch {
+      // a clean client disconnect is not a handler failure — even in debug
+      case _: EOFException => // client done
       // GRAFT_BROKER_DEBUG: surface per-connection parse/handler failures
       // (normally swallowed like a real broker dropping a bad client) —
-      // the diagnostic seam that caught the round-13 v9 misframe
-      case e: Throwable if sys.env.contains("GRAFT_BROKER_DEBUG") =>
+      // the diagnostic seam that caught the round-13 v9 misframe. NonFatal
+      // only: an OutOfMemoryError must propagate, not be swallowed.
+      case e: Throwable if sys.env.contains("GRAFT_BROKER_DEBUG") &&
+          scala.util.control.NonFatal(e) =>
         e.printStackTrace()
-      case _: EOFException => // client done
       case _: IOException =>
     } finally sock.close()
   }

@@ -233,6 +233,50 @@ ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
 FROM documents ORDER BY doc_id NULLS FIRST""")),
 
 
+    // The WINNOWING ALGORITHM replayed exactly (round 14, VERDICT r13 #6 —
+    // the x02c recipe applied to x04_fingerprint): same scheme as the
+    // winnow_fp kernel (k=8 char grams, w=4 windows, leftmost-min
+    // selection, XOR fold of the selected gram hashes; Schleimer/
+    // Wilkerson/Aiken SIGMOD'03) with ONE substitution — the gram hash is
+    // the cross-engine md5-prefix 60-bit value instead of FNV+splitmix64
+    // (64-bit wraparound multiplies, not DuckDB-expressible; the memory
+    // trap list). The kernel's "skip if same position as last pick" dedup
+    // is provably XOR-over-DISTINCT-picked-positions (picked positions are
+    // non-decreasing: a strictly-smaller later gram can never lose to, then
+    // beat, the same earlier gram), which is what both engines compute.
+    // Short docs (< k chars) degrade to one gram = the whole text, falling
+    // out of the same expressions (substring clamps on both engines). This
+    // twin pins window selection, position dedup and the XOR fold — the
+    // parts of x04_fingerprint the stride-4 min-hash twin above cannot see.
+    GQuery("x04b_fingerprint_winnow_exact",
+      (s, d) => spread(t(s, d, "documents"))
+        .withColumn("g", expr(
+          """transform(sequence(1, greatest(length(text) - 7, 1)),
+             i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))"""))
+        .withColumn("picks", expr(
+          """array_distinct(transform(sequence(1, greatest(size(g) - 3, 1)),
+             i -> aggregate(sequence(i, least(i + 3, size(g))), i,
+                    (best, j) -> if(element_at(g, j) < element_at(g, best), j, best))))"""))
+        .select(col("doc_id"), expr(
+          """aggregate(picks, cast(0 as bigint),
+             (acc, q) -> acc ^ element_at(g, q))""").as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+      i -> CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS gv
+  FROM documents),
+p AS (
+  SELECT doc_id, gv,
+    list_distinct(list_transform(range(1, greatest(len(gv) - 3, 1) + 1),
+      i -> list_reduce(range(i, least(i + 3, len(gv)) + 1),
+             (best, j) -> CASE WHEN gv[j] < gv[best] THEN j ELSE best END))) AS picks
+  FROM g)
+SELECT doc_id,
+  CAST(list_reduce(list_transform(picks, q -> gv[q]), (a, b) -> xor(a, b)) AS BIGINT) AS fp
+FROM p ORDER BY doc_id NULLS FIRST""")),
+
+
     // Document quality score: length / punctuation / stopword / uniqueness
     // signals combined into one 0..100 score plus a keep/flag/drop band — the
     // filter a training-data pipeline applies before dedup. Pure integer/

@@ -1283,14 +1283,29 @@ final class KafkaLogClient(path: String,
       (recordSet, aborted)
     }
 
-    /** One Fetch over the flexible v12 frame (KIP-482): sessionless
-      * (session_id 0, epoch -1 — a full fetch every request, the shape
-      * this planner's bounded ranges want; incremental sessions are a
-      * broker-side cache this dialect does not need), leader-epoch fields
-      * -1 (no epoch tracking), records as COMPACT_NULLABLE_BYTES. Same
+    // ---- KIP-227 fetch-session state (v12 only) ----------------------------
+    // session_id 0 + epoch 0 opens a session on the first fetch; the broker
+    // answers with a session id and every later fetch is INCREMENTAL
+    // (advancing epoch, delta partition state). `fetch.sessions=false`
+    // opts back into the sessionless shape (epoch -1). Cached-session
+    // errors (70/71 — eviction, stale epoch) reset to a full fetch, the
+    // librdkafka/Java-client fallback.
+    private val useFetchSessions =
+      conf.getOrElse("fetch.sessions", "true") == "true"
+    private var fetchSessionId = 0
+    private var fetchSessionEpoch = 0
+
+    /** One Fetch over the flexible v12 frame (KIP-482): leader-epoch
+      * fields -1 (no epoch tracking), records as COMPACT_NULLABLE_BYTES,
+      * and the KIP-227 session fields — incremental sessions by default
+      * (each fetch re-sends this cursor's one partition, whose offset
+      * advanced, and the broker may omit empty partitions from the
+      * response), sessionless (0, -1) with `fetch.sessions=false`. Same
       * record-set + aborted-txn semantics out as v4 — only the wire
       * differs. */
     private def fetchOnceV12(): (Array[Byte], Seq[AbortedTxn]) = {
+      val (sid, epoch) =
+        if (useFetchSessions) (fetchSessionId, fetchSessionEpoch) else (0, -1)
       val body = new ByteArrayOutputStream()
       val o = new DataOutputStream(body)
       o.writeInt(-1)            // replica_id
@@ -1298,8 +1313,8 @@ final class KafkaLogClient(path: String,
       o.writeInt(1)             // min_bytes
       o.writeInt(1 << 22)       // max_bytes
       o.writeByte(if (readCommitted) 1 else 0) // isolation_level
-      o.writeInt(0)             // session_id: sessionless
-      o.writeInt(-1)            // session_epoch: no incremental session
+      o.writeInt(sid)           // session_id
+      o.writeInt(epoch)         // session_epoch
       writeCompactArrayLen(o, 1)
       writeCompactString(o, topic)
       writeCompactArrayLen(o, 1)
@@ -1317,9 +1332,30 @@ final class KafkaLogClient(path: String,
       val in = requestFlex(sin, sout, ApiFetch, 12, body.toByteArray)
       in.readInt()              // throttle_time_ms
       val topErr = in.readShort()
+      if (topErr == 70 || topErr == 71) {
+        // FETCH_SESSION_ID_NOT_FOUND / INVALID_FETCH_SESSION_EPOCH: the
+        // broker evicted (or never had) our session — drain the error
+        // frame and retry ONCE as a session-opening full fetch
+        in.readInt()            // session_id
+        val n = readCompactArrayLen(in)
+        if (n > 0) throw new IOException(
+          s"kafka fetch v12 session error $topErr carried topic data")
+        skipTagged(in)
+        if (epoch <= 0)         // the full fetch itself failed: broker bug
+          throw new IOException(
+            s"kafka fetch v12 session error $topErr on a full fetch")
+        fetchSessionId = 0
+        fetchSessionEpoch = 0
+        return fetchOnceV12()
+      }
       if (topErr != 0)
         throw new IOException(s"kafka fetch v12 top-level error $topErr")
-      in.readInt()              // session_id
+      val respSessionId = in.readInt()
+      if (useFetchSessions) {
+        // a granted/kept session advances the epoch; id 0 = no session
+        fetchSessionId = respSessionId
+        fetchSessionEpoch = if (respSessionId == 0) 0 else epoch + 1
+      }
       val nTopics = readCompactArrayLen(in)
       var recordSet: Array[Byte] = null
       var aborted: Seq[AbortedTxn] = Nil

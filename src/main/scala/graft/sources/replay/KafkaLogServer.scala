@@ -1083,31 +1083,47 @@ final class KafkaLogServer(dir: String, topic: String,
     bo.toByteArray
   }
 
+  // ---- KIP-227 incremental fetch sessions -----------------------------------
+  /** One cached fetch session: the broker-side partition state an
+    * incremental fetch request delta-updates instead of restating. */
+  private final class FetchSession(val id: Int) {
+    /** next epoch this session accepts. */
+    var epoch: Int = 1
+    /** (topic, partition) → current fetch offset. */
+    val parts = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
+  }
+  private val fetchSessions =
+    new java.util.concurrent.ConcurrentHashMap[Integer, FetchSession]()
+  private val fetchSessionIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Test seam: drop every cached session — a real broker's cache
+    * eviction; the next incremental request answers
+    * FETCH_SESSION_ID_NOT_FOUND and the client must fall back to a full
+    * fetch. */
+  def evictFetchSessions(): Unit = fetchSessions.clear()
+
   /** Fetch over the flexible v12 frame — same record sets, LSO gating and
     * aborted-transaction lists as [[fetch]], re-framed per KIP-482
     * (session fields, leader-epoch fields, compact topic/partition arrays,
-    * COMPACT_NULLABLE_BYTES record sets, tagged buffers). Sessionless
-    * requests (epoch -1) only — which is all this dialect's client sends. */
+    * COMPACT_NULLABLE_BYTES record sets, tagged buffers). Speaks the full
+    * KIP-227 session protocol: sessionless (epoch -1), full fetch opening
+    * a session (epoch 0 → a fresh session id), and INCREMENTAL fetches
+    * (epoch n must match; partitions in the request update the cached
+    * state, forgotten ones leave it, and the response carries ONLY the
+    * session partitions that have data — the bandwidth shape of KIP-227).
+    * A missing session answers FETCH_SESSION_ID_NOT_FOUND (70), a stale
+    * epoch INVALID_FETCH_SESSION_EPOCH (71) — both top-level, both the
+    * signals a real client takes as "fall back to a full fetch". */
   private def fetchV12(r: DataInputStream): Array[Byte] = {
     r.readInt(); r.readInt(); r.readInt(); r.readInt() // replica/wait/min/max
     val isolation = r.readByte()
-    r.readInt()                         // session_id
+    val sessionId = r.readInt()
     val sessionEpoch = r.readInt()
-    if (sessionEpoch != -1)
-      throw new IOException("fake broker: fetch v12 incremental sessions " +
-        s"not supported (epoch $sessionEpoch; this double is sessionless)")
+    // parse the whole request first: sessions decide the response set
     val nTopics = readCompactArrayLen(r)
-    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-    o.writeInt(0)                       // throttle_time_ms
-    o.writeShort(0)                     // top-level error_code
-    o.writeInt(0)                       // session_id (sessionless)
-    writeCompactArrayLen(o, nTopics)
-    (1 to nTopics).foreach { _ =>
+    val requested = (1 to math.max(nTopics, 0)).flatMap { _ =>
       val name = readCompactString(r)
       val nParts = readCompactArrayLen(r)
-      writeCompactString(o, name)
-      writeCompactArrayLen(o, nParts)
-      (1 to nParts).foreach { _ =>
+      val ps = (1 to nParts).map { _ =>
         val p = r.readInt()
         r.readInt()                     // current_leader_epoch
         val fetchOffset = r.readLong()
@@ -1115,42 +1131,101 @@ final class KafkaLogServer(dir: String, topic: String,
         r.readLong()                    // log_start_offset
         r.readInt()                     // partition_max_bytes
         skipTagged(r)                   // partition tags
-        val lso = lastStable(p)
-        val hw = endOffset(p)
-        val end = if (isolation == 1) lso else hw
-        o.writeInt(p); o.writeShort(0)
-        o.writeLong(hw)
-        o.writeLong(lso)
-        o.writeLong(0L)                 // log_start_offset
-        val aborted =
-          if (isolation == 1)
-            abortedOf(p).synchronized {
-              abortedOf(p).toVector.filter(_._3 >= fetchOffset)
-            }
-          else Vector.empty
-        writeCompactArrayLen(o, aborted.size)
-        aborted.foreach { case (pid, first, _) =>
-          o.writeLong(pid); o.writeLong(first)
-          writeEmptyTagged(o)
-        }
-        o.writeInt(-1)                  // preferred_read_replica
-        val recordSet =
-          if (fetchOffset >= end) Array.emptyByteArray
-          else encodeBatch(p, fetchOffset, math.min(end, fetchOffset + batchRecords))
-        writeCompactBytes(o, recordSet)
-        writeEmptyTagged(o)
+        ((name, p), fetchOffset)
       }
       skipTagged(r)                     // topic tags
-      writeEmptyTagged(o)
+      ps
     }
-    readCompactArrayLen(r) match {      // forgotten_topics_data
-      case n if n > 0 => (1 to n).foreach { _ =>
-        readCompactString(r); skipCompactIntArray(r); skipTagged(r)
+    val forgotten = readCompactArrayLen(r) match { // forgotten_topics_data
+      case n if n > 0 => (1 to n).flatMap { _ =>
+        val name = readCompactString(r)
+        val m = readCompactArrayLen(r)
+        val ps = (1 to m).map(_ => (name, r.readInt()))
+        skipTagged(r)
+        ps
       }
-      case _ =>
+      case _ => Nil
     }
-    writeEmptyTagged(o)
-    bo.toByteArray
+    val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+    def errorResponse(code: Short): Array[Byte] = {
+      o.writeInt(0)                     // throttle_time_ms
+      o.writeShort(code)
+      o.writeInt(0)                     // session_id
+      writeCompactArrayLen(o, 0)        // no topics
+      writeEmptyTagged(o)
+      bo.toByteArray
+    }
+    // (answer set, session id to echo, incremental?) per the session rules
+    val resolved: Either[Short, (Seq[((String, Int), Long)], Int, Boolean)] =
+      if (sessionEpoch == -1) Right((requested, 0, false))
+      else if (sessionEpoch == 0) {
+        val s = new FetchSession(fetchSessionIds.incrementAndGet())
+        s.parts ++= requested
+        fetchSessions.put(s.id, s)
+        Right((requested, s.id, false))
+      } else Option(fetchSessions.get(sessionId)) match {
+        case None => Left(70)           // FETCH_SESSION_ID_NOT_FOUND
+        case Some(s) => s.synchronized {
+          if (sessionEpoch != s.epoch) Left(71) // INVALID_FETCH_SESSION_EPOCH
+          else {
+            s.epoch += 1
+            requested.foreach { case (tp, off) => s.parts(tp) = off }
+            forgotten.foreach(s.parts.remove)
+            Right((s.parts.toSeq, s.id, true))
+          }
+        }
+      }
+    resolved match {
+      case Left(code) => errorResponse(code)
+      case Right((answerSet, echoSessionId, incremental)) =>
+        // evaluate every partition, then (incremental only) omit the empty
+        // ones — a full fetch restates everything, KIP-227's response rule
+        val answers = answerSet.map { case ((name, p), fetchOffset) =>
+          val lso = lastStable(p)
+          val hw = endOffset(p)
+          val end = if (isolation == 1) lso else hw
+          val aborted =
+            if (isolation == 1)
+              abortedOf(p).synchronized {
+                abortedOf(p).toVector.filter(_._3 >= fetchOffset)
+              }
+            else Vector.empty
+          val recordSet =
+            if (fetchOffset >= end) Array.emptyByteArray
+            else encodeBatch(p, fetchOffset,
+              math.min(end, fetchOffset + batchRecords))
+          (name, p, hw, lso, aborted, recordSet)
+        }
+        val included =
+          if (incremental) answers.filter(a => a._6.nonEmpty || a._5.nonEmpty)
+          else answers
+        o.writeInt(0)                   // throttle_time_ms
+        o.writeShort(0)                 // top-level error_code
+        o.writeInt(echoSessionId)
+        val byTopic = included.groupBy(_._1).toSeq.sortBy(_._1)
+        writeCompactArrayLen(o, byTopic.size)
+        byTopic.foreach { case (name, parts) =>
+          writeCompactString(o, name)
+          writeCompactArrayLen(o, parts.size)
+          parts.foreach { case (_, p, hw, lso, aborted, recordSet) =>
+            o.writeInt(p); o.writeShort(0)
+            o.writeLong(hw)
+            o.writeLong(lso)
+            o.writeLong(0L)             // log_start_offset
+            writeCompactArrayLen(o, aborted.size)
+            aborted.foreach { case (pid, first, _) =>
+              o.writeLong(pid); o.writeLong(first)
+              writeEmptyTagged(o)
+            }
+            o.writeInt(-1)              // preferred_read_replica
+            writeCompactBytes(o, recordSet)
+            writeEmptyTagged(o)
+          }
+          writeEmptyTagged(o)
+        }
+        writeEmptyTagged(o)
+        bo.toByteArray
+    }
   }
 
   /** One RecordBatch v2 (or, with [[legacyMagic]], a pre-0.11 MessageSet)

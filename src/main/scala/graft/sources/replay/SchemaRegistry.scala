@@ -199,6 +199,64 @@ object SchemaRegistry {
           err(404, 40401, "Unsupported subjects path")
       }
     })
+    // POST /compatibility/subjects/{s}/versions/latest|{n} — the check real
+    // producers run BEFORE registering (round 14, VERDICT r13 #7): same
+    // BACKWARD rule as registration (candidate reads data written with the
+    // target version), answered as {"is_compatible": bool} WITHOUT mutating
+    // the registry.
+    http.createContext("/compatibility/subjects/", { exchange =>
+      requests.incrementAndGet()
+      def reply(status: Int, body: String): Unit = {
+        val b = body.getBytes(UTF_8)
+        exchange.getResponseHeaders.add("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        exchange.sendResponseHeaders(status, b.length)
+        exchange.getResponseBody.write(b)
+        exchange.close()
+      }
+      def err(status: Int, code: Int, msg: String): Unit = {
+        val node = mapper.createObjectNode()
+        node.put("error_code", code); node.put("message", msg)
+        reply(status, mapper.writeValueAsString(node))
+      }
+      val segs = exchange.getRequestURI.getPath
+        .stripPrefix("/compatibility/subjects/").split("/").toSeq
+      (exchange.getRequestMethod, segs) match {
+        case ("POST", Seq(subject, "versions", vSel)) =>
+          val body = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
+          val schemaOpt = try {
+            Option(mapper.readTree(body).get("schema")).filter(_.isTextual)
+              .map(_.asText())
+          } catch { case _: Exception => None }
+          val parsed = schemaOpt.flatMap { text =>
+            try Some(new org.apache.avro.Schema.Parser().parse(text))
+            catch { case _: Exception => None }
+          }
+          (subjectStore.get(subject), parsed) match {
+            case (_, None) => err(422, 42201,
+              "Invalid schema: request body must be {\"schema\": \"<avro>\"}")
+            case (None, _) => err(404, 40401, s"Subject '$subject' not found.")
+            case (Some(vs), Some(candidate)) =>
+              val vOpt =
+                if (vSel == "latest") Some(vs.length)
+                else vSel.toIntOption.filter(v => v >= 1 && v <= vs.length)
+              vOpt match {
+                case None => err(404, 40402, s"Version $vSel not found.")
+                case Some(v) =>
+                  val target = new org.apache.avro.Schema.Parser()
+                    .parse(idStore(vs(v - 1)))
+                  val ok = org.apache.avro.SchemaCompatibility
+                    .checkReaderWriterCompatibility(candidate, target)
+                    .getType ==
+                    org.apache.avro.SchemaCompatibility
+                      .SchemaCompatibilityType.COMPATIBLE
+                  reply(200, s"""{"is_compatible":$ok}""")
+              }
+          }
+        case _ =>
+          err(404, 40401, "Unsupported compatibility path")
+      }
+    })
     http.start()
 
     def url: String = s"http://127.0.0.1:${http.getAddress.getPort}"
@@ -261,6 +319,39 @@ object SchemaRegistry {
         throw new IOException(s"schema registry: register under " +
           s"'$subject' -> 200 but no integer 'id': ${body.take(120)}")
       idNode.asInt()
+    }
+
+    /** Pre-registration compatibility check
+      * (`POST /compatibility/subjects/{s}/versions/latest|{n}`): would
+      * `schema` be accepted against the subject's target version? The
+      * polite-producer step before [[register]] — a false here means a
+      * register would 409. Unknown subject/version and invalid schemas
+      * surface loudly with the registry's envelope. */
+    def compatible(subject: String, schema: String,
+        version: String = "latest"): Boolean = {
+      val node = mapper.createObjectNode()
+      node.put("schema", schema)
+      val req = HttpRequest.newBuilder(java.net.URI.create(
+          s"${baseUrl.stripSuffix("/")}/compatibility/subjects/" +
+            java.net.URLEncoder.encode(subject, UTF_8) +
+            s"/versions/$version"))
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .header("Accept", "application/vnd.schemaregistry.v1+json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(node)))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      if (resp.statusCode() != 200)
+        throw new IOException(s"schema registry: compatibility check under " +
+          s"'$subject' version $version -> HTTP ${resp.statusCode()} " +
+          s"(${errDetail(body)})")
+      val isCompat = try mapper.readTree(body).get("is_compatible")
+        catch { case _: Exception => null }
+      if (isCompat == null || !isCompat.isBoolean)
+        throw new IOException(s"schema registry: compatibility check under " +
+          s"'$subject' -> 200 but no boolean 'is_compatible': ${body.take(120)}")
+      isCompat.asBoolean()
     }
 
     private def errDetail(body: String): String =

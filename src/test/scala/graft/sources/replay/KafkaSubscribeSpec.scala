@@ -84,6 +84,55 @@ class KafkaSubscribeSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("a late joiner fences the running stream's commits LOUDLY — " +
+      "no silent clobber, no query failure (VERDICT r13 #5)") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val broker = new KafkaLogServer(dir, "events")
+    try {
+      // stream A: sole member of generation 1, auto-commit on
+      val opts = ReplayOptions.parse(new CaseInsensitiveStringMap(Map(
+        "path" -> broker.clientPath, "client" -> "kafka",
+        "consumer.group.id" -> "g-late",
+        "consumer.enable.auto.commit" -> "true",
+        "consumer.group.assignment" -> "subscribe").asJava))
+      val stream = new ReplayMicroBatchStream(opts)
+      val owned = stream.initialOffset().asInstanceOf[ReplayOffset]
+        .offsets.keySet
+      assert(owned.nonEmpty, "sole subscriber owns the log")
+      // one committed batch lands under (gen 1, memberId A)
+      val first = owned.map(p => p -> 2L).toMap
+      stream.commit(ReplayOffset(first))
+      assert(broker.committed("g-late") === first,
+        "pre-rebalance commit must land")
+      // the documented limitation made concrete: a member joins LATE — the
+      // coordinator opens a rebalance the running stream does not follow
+      // (stream A never rejoins, so the window evicts it and bumps the
+      // generation); the late joiner now owns everything A still reads
+      val late = new KafkaGroupMembership(
+        new KafkaLogClient(broker.clientPath), "g-late", "events")
+      assert(late.join().toSet === owned, "late joiner owns the whole log")
+      // stream A's next commit must be REFUSED by the generation fence —
+      // loudly (the commit-back warning names the coordinator error), not
+      // as a silent clobber of the new generation's offsets, and not as a
+      // query failure (progress stays checkpoint-safe)
+      val captured = new java.io.ByteArrayOutputStream()
+      val realErr = System.err
+      System.setErr(new java.io.PrintStream(captured, true, "UTF-8"))
+      try stream.commit(ReplayOffset(owned.map(p => p -> 5L).toMap))
+      finally System.setErr(realErr)
+      val msg = captured.toString("UTF-8")
+      assert(msg.contains("offset commit-back for group 'g-late' failed"),
+        s"fenced commit must warn loudly, got: '$msg'")
+      assert(msg.contains("error 25") || msg.contains("error 22"),
+        s"the warning must name the coordinator's fence, got: '$msg'")
+      assert(broker.committed("g-late") === first,
+        "the fenced commit must NOT land — the zombie cannot clobber " +
+          "its successor's offsets")
+      stream.stop() // evicted member: LeaveGroup's 25 is tolerated
+      late.leave()
+    } finally broker.close()
+  }
+
   test("subscribe mode validates its prerequisites loudly") {
     val e1 = intercept[IllegalArgumentException](ReplayOptions.parse(
       new CaseInsensitiveStringMap(Map(

@@ -169,6 +169,48 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("compatibility pre-check mirrors registration without mutating " +
+      "(VERDICT r13 #7)") {
+    withSubjects { (_, c) =>
+      // the compatible V3 evolution (defaulted new field): check says yes,
+      // and the check itself registers NOTHING
+      val v3 = """{"type":"record","name":"EventV2","fields":[
+        |{"name":"user_id","type":"long"},{"name":"cents","type":"long"},
+        |{"name":"event_type","type":"string"},
+        |{"name":"region","type":"string","default":"all"}]}""".stripMargin
+      assert(c.compatible("events-value", v3))
+      assert(c.latest("events-value").version == 2,
+        "a compatibility check must not register anything")
+      // the incompatible evolution: check says no — the polite producer
+      // now skips the register that would have drawn 409
+      val bad = """{"type":"record","name":"EventV2","fields":[
+        |{"name":"user_id","type":"long"},
+        |{"name":"cents","type":"string"}]}""".stripMargin
+      assert(!c.compatible("events-value", bad))
+      // pinned-version target: V2 added event_type with NO default, so it
+      // cannot read V1 data — incompatible against version 1, even though
+      // it IS the registered latest (proves the check targets the pinned
+      // version, not always latest); V1 against itself is compatible
+      assert(!c.compatible("events-value", ReplayLog.AvroV2, version = "1"))
+      assert(c.compatible("events-value", ReplayLog.AvroV1, version = "1"))
+    }
+  }
+
+  test("compatibility check failure shapes: unknown subject/version 404, " +
+      "invalid schema 422") {
+    withSubjects { (_, c) =>
+      val e1 = intercept[IOException](c.compatible("nope-value", ReplayLog.AvroV1))
+      assert(e1.getMessage.contains("40401"))
+      val e2 = intercept[IOException](
+        c.compatible("events-value", ReplayLog.AvroV1, version = "9"))
+      assert(e2.getMessage.contains("40402"))
+      val e3 = intercept[IOException](
+        c.compatible("events-value", """{"type":"record","name":"X"}"""))
+      assert(e3.getMessage.contains("HTTP 422") &&
+        e3.getMessage.contains("42201"))
+    }
+  }
+
   test("registration under a NEW subject starts its version chain at 1") {
     withSubjects { (_, c) =>
       val id = c.register("orders-value", ReplayLog.AvroV1)

@@ -421,6 +421,150 @@ SELECT cells.lang, guess, n, n_lang,
   CAST(CAST(CAST(n_ok AS DOUBLE) / n_total AS DECIMAL(18,6)) AS DOUBLE)
     AS accuracy
 FROM cells JOIN act ON cells.lang = act.lang, ov
-ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST"""))
+ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST""")),
+
+
+    // ---- X84: curation-gate agreement audit (round 14) ---------------------
+    // Inter-rater agreement across the three independent release gates —
+    // quality score (x04_quality), character entropy (x76), blocklist
+    // (x77) — each mapped onto the shared verdict set {keep, review,
+    // drop}, scored pairwise with Cohen's kappa. This is the classifier-
+    // consensus audit a curation team runs before trusting any single
+    // gate: high kappa between two gates means one is redundant; kappa
+    // near zero means they're filtering DIFFERENT populations and the
+    // pipeline needs both. Exactness: every count is an integer; kappa's
+    // chance-corrected form is computed from integer numerator and
+    // denominator — kappa = (n_agree·n − Σ_c a_c·b_c) / (n² − Σ_c a_c·b_c)
+    // — with ONE correctly-rounded double division quantized to
+    // DECIMAL(18,6) (the x40b single-division recipe), so both engines
+    // compare identical rationals. 100 TB shape: the quality and blocklist
+    // verdicts are per-row expressions fused into one scan; entropy needs
+    // the per-doc char histogram (one map-side-combined groupBy, the x76
+    // plan) joined back once on doc_id; the final aggregate is 3 rows.
+    GQuery("x84_gate_agreement",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents")).filter(length(col("text")) > 0)
+        // rater Q — x04_quality's integer score, bands renamed to verdicts
+        val stop = Seq("the", "a", "of", "and", "to")
+        val ws = split(lower(col("text")), " ")
+        def hits(terms: Seq[String]): Column =
+          size(filter(ws, w => array_contains(
+            array(terms.map(lit): _*), w))).cast("long")
+        // raters Q and C are per-row — fused into ONE projection over the scan
+        val qc = docs
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tok", size(col("w")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("score", expr("""least(n_tok, 400) * 25 div 400
+              + (25 - least(n_stop * 100 div n_tok, 25))
+              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
+          .withColumn("vq", when(col("score") >= 60, "keep")
+            .when(col("score") >= 40, "review").otherwise("drop"))
+          .withColumn("speed_hits", hits(Seq("fast", "slow")))
+          .withColumn("infra_hits", hits(Seq("spark", "table", "hash")))
+          .withColumn("vc",
+            when(col("speed_hits") >= 8 || col("infra_hits") >= 12, "drop")
+              .when(col("speed_hits") >= 5 || col("infra_hits") >= 8, "review")
+              .otherwise("keep"))
+          .select(col("doc_id"), col("vq"), col("vc"))
+        // rater E — x76's entropy gate (per-doc char histogram, one
+        // map-side-combined groupBy; decimal-quantized terms keep the
+        // Shannon sum order-free, exactly the proven x76 arithmetic)
+        val cnt = docs.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+          .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+        val e = cnt.join(tot, Seq("doc_id"))
+          .withColumn("term",
+            ((col("c").cast("double") / col("n").cast("double"))
+              * log(col("n").cast("double") / col("c").cast("double")))
+              .cast("decimal(18,9)"))
+          .groupBy(col("doc_id")).agg(sum(col("term")).as("st"))
+          .withColumn("bits", (col("st").cast("double") / log(lit(2.0)))
+            .cast("decimal(18,6)").cast("double"))
+          .select(col("doc_id"),
+            when(col("bits") < 4.0, "drop").when(col("bits") > 4.2, "review")
+              .otherwise("keep").as("ve"))
+        val v = qc.join(e, Seq("doc_id"))
+        val pairs = v.select(explode(array(
+            struct(lit("entropy_vs_blocklist").as("pair"),
+              col("ve").as("a"), col("vc").as("b")),
+            struct(lit("quality_vs_blocklist").as("pair"),
+              col("vq").as("a"), col("vc").as("b")),
+            struct(lit("quality_vs_entropy").as("pair"),
+              col("vq").as("a"), col("ve").as("b")))).as("p"))
+          .select(col("p.pair").as("pair"), col("p.a").as("a"),
+            col("p.b").as("b"))
+        pairs.groupBy(col("pair")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+            sum(when(col("a") === "keep", 1L).otherwise(0L)).as("a_keep"),
+            sum(when(col("a") === "review", 1L).otherwise(0L)).as("a_review"),
+            sum(when(col("a") === "drop", 1L).otherwise(0L)).as("a_drop"),
+            sum(when(col("b") === "keep", 1L).otherwise(0L)).as("b_keep"),
+            sum(when(col("b") === "review", 1L).otherwise(0L)).as("b_review"),
+            sum(when(col("b") === "drop", 1L).otherwise(0L)).as("b_drop"))
+          .withColumn("pe_num",
+            expr("a_keep * b_keep + a_review * b_review + a_drop * b_drop"))
+          .select(col("pair"), col("n_docs"), col("n_agree"),
+            expr("cast(cast(cast(n_agree as double) / n_docs " +
+              "as decimal(18,6)) as double)").as("agree_rate"),
+            expr("""cast(cast(cast(n_agree * n_docs - pe_num as double)
+                 / nullif(n_docs * n_docs - pe_num, 0)
+                 as decimal(18,6)) as double)""").as("kappa"))
+          .orderBy(col("pair"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+qm AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+qs AS (SELECT doc_id,
+    least(len(w), 400) * 25 // 400
+      + (25 - least(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) * 100 // len(w), 25))
+      + least(len(list_distinct(w)) * 50 // len(w), 50) AS score
+  FROM qm),
+vq AS (SELECT doc_id, CASE WHEN score >= 60 THEN 'keep'
+    WHEN score >= 40 THEN 'review' ELSE 'drop' END AS vq FROM qs),
+bf AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM d),
+bc AS (SELECT doc_id,
+    len(list_filter(ws, w -> list_contains(['fast','slow'], w))) AS sh,
+    len(list_filter(ws, w -> list_contains(['spark','table','hash'], w))) AS ih
+  FROM bf),
+vc AS (SELECT doc_id, CASE WHEN sh >= 8 OR ih >= 12 THEN 'drop'
+    WHEN sh >= 5 OR ih >= 8 THEN 'review' ELSE 'keep' END AS vc FROM bc),
+ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM d, unnest(range(1, length(text) + 1)) r(i)),
+cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+ent AS (SELECT cnt.doc_id,
+    sum(CAST((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)
+      AS DECIMAL(18,9))) AS st
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id),
+ve AS (SELECT doc_id, CASE
+    WHEN CAST(CAST(CAST(st AS DOUBLE) / ln(2.0) AS DECIMAL(18,6)) AS DOUBLE) < 4.0 THEN 'drop'
+    WHEN CAST(CAST(CAST(st AS DOUBLE) / ln(2.0) AS DECIMAL(18,6)) AS DOUBLE) > 4.2 THEN 'review'
+    ELSE 'keep' END AS ve FROM ent),
+v AS (SELECT vq.doc_id, vq, ve, vc
+  FROM vq JOIN ve USING (doc_id) JOIN vc USING (doc_id)),
+pairs AS (
+  SELECT 'quality_vs_entropy' AS pair, vq AS a, ve AS b FROM v
+  UNION ALL SELECT 'quality_vs_blocklist', vq, vc FROM v
+  UNION ALL SELECT 'entropy_vs_blocklist', ve, vc FROM v),
+agg AS (SELECT pair, count(*)::BIGINT AS n_docs,
+    CAST(sum((a = b)::INT) AS BIGINT) AS n_agree,
+    CAST(sum((a = 'keep')::INT) AS BIGINT) AS a_keep,
+    CAST(sum((a = 'review')::INT) AS BIGINT) AS a_review,
+    CAST(sum((a = 'drop')::INT) AS BIGINT) AS a_drop,
+    CAST(sum((b = 'keep')::INT) AS BIGINT) AS b_keep,
+    CAST(sum((b = 'review')::INT) AS BIGINT) AS b_review,
+    CAST(sum((b = 'drop')::INT) AS BIGINT) AS b_drop
+  FROM pairs GROUP BY pair)
+SELECT pair, n_docs, n_agree,
+  CAST(CAST(CAST(n_agree AS DOUBLE) / n_docs AS DECIMAL(18,6)) AS DOUBLE) AS agree_rate,
+  CAST(CAST(CAST(n_agree * n_docs - (a_keep*b_keep + a_review*b_review + a_drop*b_drop) AS DOUBLE)
+    / nullif(n_docs * n_docs - (a_keep*b_keep + a_review*b_review + a_drop*b_drop), 0)
+    AS DECIMAL(18,6)) AS DOUBLE) AS kappa
+FROM agg ORDER BY pair NULLS FIRST"""))
   )
 }

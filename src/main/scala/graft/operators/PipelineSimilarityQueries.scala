@@ -1257,7 +1257,80 @@ FROM q LEFT JOIN hits h USING (qid) LEFT JOIN rhits r USING (qid)
 JOIN (SELECT qid, vec_id AS adc_top1 FROM at WHERE rank = 1) a1t USING (qid)
 JOIN (SELECT qid, vec_id AS exact_top1 FROM et WHERE rank = 1) e1t USING (qid)
 JOIN qc USING (qid)
-ORDER BY q.qid NULLS FIRST"""))
+ORDER BY q.qid NULLS FIRST""")),
+
+
+    // ---- X85: embedding release-drift audit (round 14) ---------------------
+    // Did the embedding distribution MOVE between corpus releases? The
+    // corpus-health check run before re-using an ANN index / PQ codebook /
+    // IVF cells across releases (codebooks trained on release N are only
+    // valid for N+1 if the centroid geometry held). Releases derive from
+    // the x71 convention (prev = vec_id % 7 != 0, next = vec_id % 5 != 0 —
+    // integer rules both engines replay); per label-cluster: both release
+    // centroids, their L2 shift and cosine. Exactness: per-dim sums as
+    // DECIMAL(27,15) addends (order-free — the x03b centroid recipe), one
+    // correctly-rounded double division per mean, then the 64-term shift/
+    // dot/norm sums quantize each double addend to DECIMAL(27,15) (the
+    // x03c order-free-dot recipe) before summing; sqrt/divide on the exact
+    // aggregates are deterministic doubles, quantized DECIMAL(18,6) at the
+    // edge. 100 TB shape: ONE scan (both releases as conditional sums —
+    // no second read, no self-join), one map-side-combined (label, dim)
+    // aggregate of 64·|labels| rows, then a |labels|-row rollup: the whole
+    // audit is a single shuffle of centroid-sized data.
+    GQuery("x85_embedding_drift",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(col("embedding").cast("array<double>")))
+          .toDF("vec_id", "label", "pos", "x")
+        val cent = e.groupBy(col("label"), col("pos")).agg(
+            sum(when(col("vec_id") % 7 =!= 0,
+              col("x").cast("decimal(27,15)"))).as("sp"),
+            sum(when(col("vec_id") % 7 =!= 0, 1L).otherwise(0L)).as("np"),
+            sum(when(col("vec_id") % 5 =!= 0,
+              col("x").cast("decimal(27,15)"))).as("sn"),
+            sum(when(col("vec_id") % 5 =!= 0, 1L).otherwise(0L)).as("nn"))
+          .select(col("label"), col("np"), col("nn"),
+            (col("sp").cast("double") / col("np")).as("mp"),
+            (col("sn").cast("double") / col("nn")).as("mn"))
+        cent.groupBy(col("label")).agg(
+            max(col("np")).as("n_prev"), max(col("nn")).as("n_next"),
+            sum(expr("cast((mp - mn) * (mp - mn) as decimal(27,15))")).as("d2"),
+            sum(expr("cast(mp * mn as decimal(27,15))")).as("dot"),
+            sum(expr("cast(mp * mp as decimal(27,15))")).as("pp"),
+            sum(expr("cast(mn * mn as decimal(27,15))")).as("qq"))
+          .select(col("label"), col("n_prev"), col("n_next"),
+            expr("cast(cast(sqrt(cast(d2 as double)) as decimal(18,6)) " +
+              "as double)").as("l2_shift"),
+            expr("""cast(cast(cast(dot as double) /
+                 (sqrt(cast(pp as double)) * sqrt(cast(qq as double)))
+                 as decimal(18,6)) as double)""").as("cos_centroid"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, label, i AS pos, v[i] AS x
+  FROM e, unnest(range(1, 65)) r(i)),
+cent AS (SELECT label, pos,
+    CAST(sum(CASE WHEN vec_id % 7 <> 0 THEN CAST(x AS DECIMAL(27,15)) END)
+      AS DOUBLE) / sum(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS mp,
+    CAST(sum(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN CAST(x AS DECIMAL(27,15)) END)
+      AS DOUBLE) / sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS mn,
+    CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM ex GROUP BY label, pos),
+a AS (SELECT label, max(np) AS n_prev, max(nn) AS n_next,
+    sum(CAST((mp - mn) * (mp - mn) AS DECIMAL(27,15))) AS d2,
+    sum(CAST(mp * mn AS DECIMAL(27,15))) AS dot,
+    sum(CAST(mp * mp AS DECIMAL(27,15))) AS pp,
+    sum(CAST(mn * mn AS DECIMAL(27,15))) AS qq
+  FROM cent GROUP BY label)
+SELECT label, n_prev, n_next,
+  CAST(CAST(sqrt(CAST(d2 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS l2_shift,
+  CAST(CAST(CAST(dot AS DOUBLE) /
+      (sqrt(CAST(pp AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE)))
+    AS DECIMAL(18,6)) AS DOUBLE) AS cos_centroid
+FROM a ORDER BY label NULLS FIRST"""))
   )
 
   /** Nearest-centroid assignment: broadcast codebook + map-side min_by, so

@@ -733,6 +733,72 @@ route AS (SELECT vec_id, cid, dist FROM (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
 SELECT vec_id, CAST(cid AS BIGINT) AS cell,
   CAST(CAST(dist AS DECIMAL(18,6)) AS DOUBLE) AS dist
-FROM route ORDER BY vec_id NULLS FIRST"""))
+FROM route ORDER BY vec_id NULLS FIRST""")),
+
+
+    // ---- S67: streaming out-of-distribution gate (round 14) ---------------
+    // The live half of x85's release-drift audit: vectors arriving on a
+    // stream are scored against the RELEASE-N per-label centroids (the
+    // x85/x71 convention: prev = vec_id % 7 != 0) and far-from-centroid
+    // rows are flagged 'ood' — the ingestion filter that keeps an
+    // embedding store from silently absorbing a distribution shift the
+    // batch audit would only catch at the next release cut. Training is
+    // batch-side (the x85 decimal-exact centroid recipe), collected once
+    // driver-side as |labels|x64 doubles (the s59/s66 bounded-broadcast
+    // pattern — O(labels*dim) regardless of stream volume); scoring is
+    // per-row — the codegen l2_dist kernel against the row's own label's
+    // centroid literal via a label-dispatch CASE chain — zero state,
+    // append mode, scan speed. The 1.01 threshold is the p90 of this
+    // corpus's in-release distances (documented calibration constant);
+    // the flag compares the QUANTIZED distance so the band edge is exact
+    // on both engines. Unknown labels flag 'nolabel' rather than
+    // silently passing.
+    GQuery("s67_stream_ood_gate",
+      (s, d) => {
+        val e = Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val centRows = e.filter(col("vec_id") % 7 =!= 0)
+          .select(col("label"), posexplode(col("v")))
+          .toDF("label", "pos", "x")
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("x").cast("decimal(27,15)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+        val cents: Seq[(Long, Seq[Double])] = centRows
+          .groupBy(_.getLong(0)).toSeq
+          .map { case (l, rs) =>
+            l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+          .sortBy(_._1)
+        val L2 = graft.functions.GraftFunctions.l2_dist _
+        val vecStream = s.readStream
+          .schema(Tables.table(s, d, "embeddings").schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        val dv = col("embedding").cast("array<double>")
+        val lbl = col("label").cast("long")
+        val rawDist = cents.foldLeft(lit(null).cast("double")) {
+          case (acc, (l, cv)) => when(lbl === l, L2(dv, typedlit(cv)))
+            .otherwise(acc)
+        }
+        val dist = rawDist.cast("decimal(18,6)").cast("double")
+        runToMemory(
+          vecStream.select(col("vec_id"), lbl.as("label"), dist.as("dist"),
+            when(dist.isNull, "nolabel").when(dist > 1.01, "ood")
+              .otherwise("in").as("flag")),
+          "append").orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT label, i AS pos,
+    CAST(sum(CAST(v[i] AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+  FROM e, unnest(range(1, 65)) r(i) WHERE vec_id % 7 <> 0 GROUP BY label, i),
+cv AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label),
+d AS (SELECT e.vec_id, e.label,
+    CAST(CAST(list_distance(e.v, cv.c) AS DECIMAL(18,6)) AS DOUBLE) AS dist
+  FROM e LEFT JOIN cv USING (label))
+SELECT vec_id, label, dist,
+  CASE WHEN dist IS NULL THEN 'nolabel'
+       WHEN dist > 1.01 THEN 'ood' ELSE 'in' END AS flag
+FROM d ORDER BY vec_id NULLS FIRST"""))
   )
 }

@@ -635,4 +635,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"an MMR round degraded to a nested loop:\n$p")
   }
+
+  test("x04b winnowing twin is a pure per-row scan — no joins, no hash shuffle") {
+    val p = plan("x04b_fingerprint_winnow_exact")
+    assert(!p.contains("Join"), s"winnowing grew a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"winnowing pays a hash shuffle (it is per-document HOF work):\n$p")
+  }
+
+  test("x84 gate agreement: doc_id equi joins only, 3-row final rollup") {
+    // quality+blocklist verdicts fuse into the scan; entropy joins back on
+    // doc_id; a nested loop anywhere would break the one-pass claim
+    val p = plan("x84_gate_agreement")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gate agreement degraded to a nested loop:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("x85 drift audit: one scan, conditional-sum centroids, no self-join") {
+    val p = plan("x85_embedding_drift")
+    assert(!p.contains("Join"),
+      s"drift audit grew a join (it must be one-scan conditional sums):\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
 }

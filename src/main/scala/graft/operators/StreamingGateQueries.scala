@@ -452,6 +452,65 @@ FROM events ORDER BY key NULLS FIRST""")),
       Some("""SELECT 'Key ' || event_id AS key, len(props) AS vlen
 FROM events ORDER BY key NULLS FIRST""")),
 
+    // S68 (round 14): the EXACTLY-ONCE consume-transform-produce loop
+    // through the hash gate — librdkafka's send_offsets_to_transaction
+    // (AddOffsetsToTxn api 25 + TxnOffsetCommit api 28, both dialects):
+    // consumer offsets staged inside the producer's transaction become
+    // visible ATOMICALLY with its commit marker, so "input consumed" and
+    // "output produced" are one decision. Two transactions: the first
+    // commits 32 transformed rows plus its input offset (32); the second
+    // produces 32 more and stages offset 64, then ABORTS — neither its
+    // data nor its offset may leak. The read_committed DSv2 read plus the
+    // group's fetched offset are the oracle-hashed output: a leaked
+    // aborted row, a lost committed row, or an offset landing early/late/
+    // at the aborted value all change the hash. The 64-row driver fetch
+    // is a bounded wire-gate fixture (like s58's decoys), not a corpus
+    // path.
+    GQuery("s68_kafka_txn_offsets_roundtrip",
+      (s, d) => {
+        val dir = Files.createTempDirectory(tmpBase, "kafka-ctp").toString
+        val broker = new graft.sources.replay.KafkaLogServer(dir, "ctp",
+          explicitPartitions = Some(Seq(0)))
+        var prod: graft.sources.replay.KafkaLogClient = null
+        try {
+          val input = Tables.events(s, d)
+            .select(col("event_id")).orderBy(col("event_id")).limit(64)
+            .collect().map(_.getLong(0))
+          prod = new graft.sources.replay.KafkaLogClient(broker.clientPath,
+            Map("transactional.id" -> "ctp-gate", "graft.role" -> "producer"))
+          def transformed(ids: Seq[Long]) = ids.map(id =>
+            (null: Array[Byte], s"out $id".getBytes("UTF-8"), id))
+          prod.beginTxn()
+          prod.produce(0, transformed(input.take(32).toSeq))
+          prod.sendOffsetsToTxn("ctp-gate-group", Map(0 -> 32L))
+          prod.endTxn(commit = true)
+          prod.beginTxn()
+          prod.produce(0, transformed(input.drop(32).toSeq))
+          prod.sendOffsetsToTxn("ctp-gate-group", Map(0 -> 64L))
+          prod.endTxn(commit = false)
+          val groupOffset = new graft.sources.replay.KafkaLogClient(
+            broker.clientPath)
+            .committedOffsets("ctp-gate-group", Seq(0)).getOrElse(0, -1L)
+          s.read.format("graft-replay")
+            .option("client", "kafka").option("path", broker.clientPath)
+            .load()
+            .select(col("offset"), col("value").cast("string").as("value"))
+            .withColumn("group_offset", lit(groupOffset))
+            .orderBy(col("offset"))
+            .localCheckpoint(true)
+        } finally {
+          if (prod != null)
+            try prod.closeProducer() catch { case _: Throwable => () }
+          broker.close()
+        }
+      },
+      Some("""WITH f AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS off
+  FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 32))
+SELECT CAST(off AS BIGINT) AS "offset", 'out ' || event_id AS value,
+  CAST(32 AS BIGINT) AS group_offset
+FROM f ORDER BY off""")),
+
     // S61: the ADMIN lifecycle through the hash gate — the broker starts
     // TOPICLESS (requireCreate), the client creates the 3-partition topic
     // over the wire (CreateTopics, api 19 — the reference harness's

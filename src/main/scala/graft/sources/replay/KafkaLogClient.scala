@@ -936,6 +936,11 @@ final class KafkaLogClient(path: String,
   private val seqByPartition = scala.collection.mutable.Map.empty[Int, Int]
   private var txnOpen = false
   private val txnPartitions = scala.collection.mutable.Set.empty[Int]
+  /** true once sendOffsetsToTxn staged offsets in the open txn — the txn
+    * then has broker-side state even with zero data partitions, so EndTxn
+    * must go to the wire (the local empty-txn resolution would leak the
+    * staged offsets forever). */
+  private var txnHasOffsets = false
 
   private def ensureProducerId(): Unit = if (idempotent && producerId < 0) {
     val (_, r) = oneShotVersioned(bootstrap, "InitProducerId",
@@ -972,6 +977,7 @@ final class KafkaLogClient(path: String,
     require(!txnOpen, "a transaction is already open")
     ensureProducerId()
     txnPartitions.clear()
+    txnHasOffsets = false
     txnOpen = true
   }
 
@@ -1016,6 +1022,101 @@ final class KafkaLogClient(path: String,
     txnPartitions += p
   }
 
+  /** Commit CONSUMER offsets inside the open transaction — librdkafka's
+    * send_offsets_to_transaction, the heart of the exactly-once
+    * consume-transform-produce loop: the offsets become visible to
+    * OffsetFetch atomically with the transaction's COMMIT marker (an
+    * abort drops them), so "input consumed" and "output produced" are one
+    * decision. Two wire steps, each speaking both dialects:
+    * AddOffsetsToTxn (api 25, v0 or flexible v3) registers the group's
+    * offsets topic with the transaction at the txn coordinator, then
+    * TxnOffsetCommit (api 28, v0 or flexible v3) stages the offsets at
+    * the GROUP coordinator under the producer's (pid, epoch) — a fenced
+    * zombie is rejected at either step (90/47), an unregistered producer
+    * with INVALID_TXN_STATE (48). The v3 frame carries the KIP-447
+    * (generation, member) fields; this simple-consumer path sends
+    * (-1, "") exactly like [[commitOffsets]]. */
+  def sendOffsetsToTxn(group: String, offsets: Map[Int, Long]): Unit =
+    synchronized {
+      require(transactionalId.isDefined,
+        "sendOffsetsToTxn requires producer transactional.id")
+      require(txnOpen,
+        "sendOffsetsToTxn must be called inside beginTxn()/endTxn()")
+      if (offsets.isEmpty) return
+      ensureProducerId()
+      val (_, ar) = oneShotVersioned(bootstrap, "AddOffsetsToTxn",
+        ApiAddOffsetsToTxn, 0, 3) { v =>
+        val body = new ByteArrayOutputStream()
+        val o = new DataOutputStream(body)
+        if (v >= 3) writeCompactString(o, transactionalId.get)
+        else writeString(o, transactionalId.get)
+        o.writeLong(producerId); o.writeShort(producerEpoch)
+        if (v >= 3) { writeCompactString(o, group); writeEmptyTagged(o) }
+        else writeString(o, group)
+        body.toByteArray
+      }
+      ar.readInt()              // throttle_time_ms
+      val aerr = ar.readShort()
+      if (aerr == 90) throw new IOException(
+        "kafka AddOffsetsToTxn error 90: producer fenced — a newer " +
+          s"producer re-registered transactional.id '${transactionalId.get}'")
+      if (aerr != 0)
+        throw new IOException(s"kafka AddOffsetsToTxn error $aerr")
+      // from here the broker HAS an open txn for this pid: EndTxn must go
+      // to the wire even if the TxnOffsetCommit below fails and the
+      // caller aborts
+      txnHasOffsets = true
+      val (v, r) = oneShotVersioned(coordinator(group), "TxnOffsetCommit",
+        ApiTxnOffsetCommit, 0, 3) { v =>
+        val body = new ByteArrayOutputStream()
+        val o = new DataOutputStream(body)
+        if (v >= 3) {
+          writeCompactString(o, transactionalId.get)
+          writeCompactString(o, group)
+          o.writeLong(producerId); o.writeShort(producerEpoch)
+          o.writeInt(-1)        // generation_id: simple consumer (KIP-447)
+          writeCompactString(o, "")   // member_id
+          writeCompactString(o, null) // group_instance_id
+          writeCompactArrayLen(o, 1); writeCompactString(o, topic)
+          writeCompactArrayLen(o, offsets.size)
+          offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+            o.writeInt(p); o.writeLong(off)
+            o.writeInt(-1)      // committed_leader_epoch (v2+)
+            writeCompactString(o, "")
+            writeEmptyTagged(o)
+          }
+          writeEmptyTagged(o); writeEmptyTagged(o)
+        } else {
+          writeString(o, transactionalId.get)
+          writeString(o, group)
+          o.writeLong(producerId); o.writeShort(producerEpoch)
+          o.writeInt(1); writeString(o, topic)
+          o.writeInt(offsets.size)
+          offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+            o.writeInt(p); o.writeLong(off); writeString(o, "")
+          }
+        }
+        body.toByteArray
+      }
+      r.readInt()               // throttle_time_ms
+      val nTopics = if (v >= 3) readCompactArrayLen(r) else r.readInt()
+      (1 to nTopics).foreach { _ =>
+        val name = if (v >= 3) readCompactString(r) else readString(r)
+        val nParts = if (v >= 3) readCompactArrayLen(r) else r.readInt()
+        (1 to nParts).foreach { _ =>
+          val pid = r.readInt(); val err = r.readShort()
+          if (v >= 3) skipTagged(r)
+          if (err == 47) throw new IOException(
+            s"kafka TxnOffsetCommit error 47 for $name/$pid: producer " +
+              "fenced — a newer producer re-registered transactional.id " +
+              s"'${transactionalId.get}'")
+          if (err != 0) throw new IOException(
+            s"kafka TxnOffsetCommit error $err for $name/$pid group '$group'")
+        }
+        if (v >= 3) skipTagged(r)
+      }
+    }
+
   /** EndTxn v0: commit (true) or abort (false) the open transaction — the
     * coordinator writes the control markers into every added partition.
     * On a single-broker cluster the bootstrap IS the coordinator; a
@@ -1023,11 +1124,12 @@ final class KafkaLogClient(path: String,
     * first (the group path above shows the shape). */
   def endTxn(commit: Boolean): Unit = synchronized {
     require(txnOpen, "no open transaction to end")
-    if (txnPartitions.isEmpty) {
+    if (txnPartitions.isEmpty && !txnHasOffsets) {
       // Empty transaction: the coordinator only learns of a txn at the
-      // first AddPartitionsToTxn, so an EndTxn here would draw
-      // INVALID_TXN_STATE from a real broker. The Java client resolves an
-      // empty commit/abort locally the same way.
+      // first AddPartitionsToTxn/AddOffsetsToTxn, so an EndTxn here would
+      // draw INVALID_TXN_STATE from a real broker. The Java client
+      // resolves an empty commit/abort locally the same way. (Staged
+      // offsets count as broker-side state: then EndTxn MUST go out.)
       txnOpen = false
       return
     }
@@ -1050,6 +1152,7 @@ final class KafkaLogClient(path: String,
     if (err != 0) throw new IOException(s"kafka EndTxn error $err")
     txnOpen = false
     txnPartitions.clear()
+    txnHasOffsets = false
   }
 
   /** Append `recs` = (key, value, timestampMs) to `topic`/`p` as one
@@ -1442,7 +1545,9 @@ private[replay] object KafkaWire {
   val ApiCreateTopics: Short = 19
   val ApiInitProducerId: Short = 22
   val ApiAddPartitionsToTxn: Short = 24
+  val ApiAddOffsetsToTxn: Short = 25
   val ApiEndTxn: Short = 26
+  val ApiTxnOffsetCommit: Short = 28
   val ApiSaslAuthenticate: Short = 36
   val ClientId = "graft"
 
@@ -1515,7 +1620,8 @@ private[replay] object KafkaWire {
       ApiFindCoordinator -> 3, ApiOffsetCommit -> 8, ApiOffsetFetch -> 6,
       ApiJoinGroup -> 6, ApiHeartbeat -> 4, ApiLeaveGroup -> 4,
       ApiSyncGroup -> 4, ApiInitProducerId -> 2,
-      ApiAddPartitionsToTxn -> 3, ApiEndTxn -> 3, ApiCreateTopics -> 5)
+      ApiAddPartitionsToTxn -> 3, ApiAddOffsetsToTxn -> 3,
+      ApiEndTxn -> 3, ApiTxnOffsetCommit -> 3, ApiCreateTopics -> 5)
   def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
     FlexibleSince.get(apiKey).exists(apiVersion >= _)
 

@@ -61,7 +61,8 @@ final class KafkaLogServer(dir: String, topic: String,
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
       (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (17, 0, 1),
-      (18, 0, 3), (19, 0, 7), (22, 0, 4), (24, 0, 3), (26, 0, 3), (36, 0, 2)))
+      (18, 0, 3), (19, 0, 7), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
+      (28, 0, 3), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -162,6 +163,14 @@ final class KafkaLogServer(dir: String, topic: String,
   private final class OpenTxn(timeoutMs: Int) {
     val partitions = scala.collection.mutable.Set.empty[Int]
     val firstOffsets = scala.collection.mutable.Map.empty[Int, Long]
+    /** Consumer offsets STAGED inside this transaction (TxnOffsetCommit,
+      * api 28): (group, topic, partition) → offset. Real coordinators
+      * write these to __consumer_offsets with the transactional marker —
+      * they become visible ONLY when the commit marker lands; an abort
+      * (including the timeout reaper's and the fencing abort) drops them.
+      * The exactly-once consume-transform-produce contract. */
+    val stagedOffsets =
+      scala.collection.mutable.Map.empty[(String, String, Int), Long]
     /** transaction.timeout.ms deadline — crossed = reaped (abort + fence). */
     val deadline: Long = System.currentTimeMillis() + math.max(timeoutMs, 1)
   }
@@ -209,6 +218,14 @@ final class KafkaLogServer(dir: String, topic: String,
               }
             }
           }
+        }
+      }
+      // staged consumer offsets (TxnOffsetCommit) land EXACTLY when the
+      // transaction commits — an abort (incl. the reaper's and the
+      // fencing abort) drops them, never partially
+      if (commit) txn.synchronized {
+        txn.stagedOffsets.foreach { case (k, off) =>
+          committedStore.put(k, off)
         }
       }
       openTxns.remove(pid)
@@ -621,6 +638,82 @@ final class KafkaLogServer(dir: String, topic: String,
               if (flexTxn) { skipTagged(r); writeEmptyTagged(o) }
             }
             if (flexTxn) { skipTagged(r); writeEmptyTagged(o) }
+            bo.toByteArray
+          case ApiAddOffsetsToTxn if apiVersion == 0 || apiVersion == 3 =>
+            // registers the consumer group's offsets with the open txn —
+            // same fencing/registration rules as AddPartitionsToTxn; the
+            // double needs no per-group marker partition (offsets stage
+            // inside the OpenTxn), but the txn must exist from here on
+            val flexAo = apiVersion >= 3
+            val txnId = if (flexAo) readCompactString(r) else readString(r)
+            val pid = r.readLong(); val pepoch = r.readShort()
+            if (flexAo) readCompactString(r) else readString(r) // group_id
+            if (flexAo) skipTagged(r)
+            val reg = Option(txnProducers.get(txnId))
+            val fenced = reg.exists(t => t._1 == pid && pepoch < t._2)
+            val registered = reg.exists(t => t._1 == pid && t._2 == pepoch)
+            if (registered && !fenced)
+              openTxns.computeIfAbsent(pid, _ => new OpenTxn(
+                Option(txnTimeouts.get(pid)).fold(60000)(_.intValue)))
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            o.writeShort(
+              if (fenced) 90            // PRODUCER_FENCED
+              else if (!registered) 48  // INVALID_TXN_STATE
+              else 0)
+            if (flexAo) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiTxnOffsetCommit if apiVersion == 0 || apiVersion == 3 =>
+            // stage consumer offsets INSIDE the transaction: they land in
+            // committedStore only when the COMMIT marker does (endOpenTxn)
+            val flexTo = apiVersion >= 3
+            val txnId = if (flexTo) readCompactString(r) else readString(r)
+            val group = if (flexTo) readCompactString(r) else readString(r)
+            val pid = r.readLong(); val pepoch = r.readShort()
+            val (generation, member) =
+              if (flexTo) {
+                val g = r.readInt()
+                val m = readCompactString(r)
+                readCompactString(r)    // group_instance_id
+                (g, m)
+              } else (-1, "")
+            val reg = Option(txnProducers.get(txnId))
+            val fenced = reg.exists(t => t._1 == pid && pepoch < t._2)
+            val registered = reg.exists(t => t._1 == pid && t._2 == pepoch)
+            val txn = openTxns.get(pid)
+            // KIP-447: the v3 frame also carries the consumer's
+            // (generation, member) — fenced-out consumers are rejected by
+            // the group coordinator exactly like a plain OffsetCommit
+            val groupFence =
+              groupCoordinator.validateCommit(group, generation, member)
+            val code: Int =
+              if (fenced) 47            // INVALID_PRODUCER_EPOCH
+              else if (!registered || txn == null) 48 // INVALID_TXN_STATE
+              else groupFence
+            val nTopics = if (flexTo) readCompactArrayLen(r) else r.readInt()
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            if (flexTo) writeCompactArrayLen(o, nTopics) else o.writeInt(nTopics)
+            (1 to nTopics).foreach { _ =>
+              val name = if (flexTo) readCompactString(r) else readString(r)
+              val nParts = if (flexTo) readCompactArrayLen(r) else r.readInt()
+              if (flexTo) writeCompactString(o, name) else writeString(o, name)
+              if (flexTo) writeCompactArrayLen(o, nParts) else o.writeInt(nParts)
+              (1 to nParts).foreach { _ =>
+                val p = r.readInt(); val off = r.readLong()
+                if (flexTo) {
+                  r.readInt()           // committed_leader_epoch (v2+)
+                  readCompactString(r); skipTagged(r)
+                } else readString(r)    // metadata
+                if (code == 0) txn.synchronized {
+                  txn.stagedOffsets((group, name, p)) = off
+                }
+                o.writeInt(p); o.writeShort(code)
+                if (flexTo) writeEmptyTagged(o)
+              }
+              if (flexTo) { skipTagged(r); writeEmptyTagged(o) }
+            }
+            if (flexTo) { skipTagged(r); writeEmptyTagged(o) }
             bo.toByteArray
           case ApiEndTxn if apiVersion == 0 || apiVersion == 3 =>
             val flexTxn = apiVersion >= 3

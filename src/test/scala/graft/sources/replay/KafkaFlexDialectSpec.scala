@@ -49,21 +49,24 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     (19, 5, 7),   // CreateTopics: v5+
     (22, 2, 4),   // InitProducerId: v2+
     (24, 3, 3),   // AddPartitionsToTxn: v3
-    (26, 3, 3))   // EndTxn: v3
+    (25, 3, 3),   // AddOffsetsToTxn: v3
+    (26, 3, 3),   // EndTxn: v3
+    (28, 3, 3))   // TxnOffsetCommit: v3
 
   /** Every API capped BELOW its flexible floor — a pre-KIP-482 vintage. */
   private val vintageRanges = Seq[(Short, Short, Short)](
     (0, 0, 8), (1, 0, 11), (2, 0, 5), (3, 0, 8), (8, 0, 7), (9, 0, 5),
     (10, 0, 2), (11, 0, 5), (12, 0, 3), (13, 0, 3), (14, 0, 3),
     (17, 0, 1), (18, 0, 3), (36, 0, 2),
-    (19, 0, 4), (22, 0, 1), (24, 0, 2), (26, 0, 2))
+    (19, 0, 4), (22, 0, 1), (24, 0, 2), (25, 0, 2), (26, 0, 2),
+    (28, 0, 2))
 
   /** The full client matrix against one advertisement: transactional
     * produce (commit + abort), read_committed consume, group membership
     * join/heartbeat/commit/leave, simple commit-back, CreateTopics.
     * Returns the observable outcomes for cross-advertisement comparison. */
   private def runAllLanes(advertise: Seq[(Short, Short, Short)])
-      : (Seq[(Long, String)], Seq[Int], Map[Int, Long], Map[Int, Long]) = {
+      : (Seq[(Long, String)], Seq[Int], Map[Int, Long], Map[Int, Long], Map[Int, Long]) = {
     val dir = java.nio.file.Files.createTempDirectory("kafka-flex").toString
     val broker = new KafkaLogServer(dir, "flex", requireCreate = true,
       advertiseApis = Some(advertise))
@@ -83,6 +86,13 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
       prod.beginTxn()
       prod.produce(0, Seq((null, bytes("drop-1"), 1003L)))
       prod.endTxn(commit = false)
+      // exactly-once consume-transform-produce: offsets staged inside a
+      // txn land only with its commit (AddOffsetsToTxn + TxnOffsetCommit
+      // — both dialect arms of apis 25/28 ride this lane)
+      prod.beginTxn()
+      prod.produce(1, Seq((null, bytes("keep-4"), 1004L)))
+      prod.sendOffsetsToTxn("flex-ctp", Map(0 -> 2L))
+      prod.endTxn(commit = true)
       prod.closeProducer()
 
       // read_committed consume of partition 0 (bounded cursor, like DSv2)
@@ -107,18 +117,23 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
       cons.commitOffsets("flex-simple", Map(0 -> 1L))
       val simple = cons.committedOffsets("flex-simple", Seq(0, 1))
 
-      (rows.result(), assigned, fenced, simple)
+      // the txn-staged offsets landed with the commit above
+      val ctp = cons.committedOffsets("flex-ctp", Seq(0, 1))
+
+      (rows.result(), assigned, fenced, simple, ctp)
     } finally broker.close()
   }
 
   test("a KRaft broker that retired EVERY pre-flexible version serves " +
       "admin, transactions, membership and commit-back") {
-    val (rows, assigned, fenced, simple) = runAllLanes(retiredRanges)
+    val (rows, assigned, fenced, simple, ctp) = runAllLanes(retiredRanges)
     assert(rows.map(_._2) === Seq("keep-1", "keep-2"),
       s"read_committed rows over the flexible frames: $rows")
     assert(assigned === Seq(0, 1), "sole member owns both partitions")
     assert(fenced === Map(0 -> 2L, 1 -> 1L), "member commit landed")
     assert(simple === Map(0 -> 1L), "simple commit-back round-trips")
+    assert(ctp === Map(0 -> 2L),
+      "txn-staged offsets must land with the transaction's commit")
   }
 
   test("a vintage pre-flexible broker produces the identical outcomes " +

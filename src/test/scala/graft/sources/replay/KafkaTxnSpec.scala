@@ -303,6 +303,85 @@ class KafkaTxnSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("sendOffsetsToTxn: consumer offsets land ATOMICALLY with the commit " +
+      "marker (the exactly-once consume-transform-produce loop)") {
+    val broker = emptyBroker("txn-offs")
+    try {
+      val p = producer(broker, "ctp")
+      p.beginTxn()
+      p.produce(0, Seq((null, bytes("out-1"), 1000L)))
+      p.sendOffsetsToTxn("ctp-group", Map(0 -> 7L, 1 -> 3L))
+      // BEFORE the commit: neither the produced data nor the offsets are
+      // visible — the whole point of staging them in one transaction
+      assert(broker.committed("ctp-group").isEmpty,
+        "offsets visible before the commit marker")
+      val c = new KafkaLogClient(broker.clientPath)
+      assert(c.committedOffsets("ctp-group", Seq(0, 1)).isEmpty,
+        "OffsetFetch must not see staged offsets")
+      p.endTxn(commit = true)
+      assert(broker.committed("ctp-group") === Map(0 -> 7L, 1 -> 3L),
+        "offsets must land with the commit")
+      assert(c.committedOffsets("ctp-group", Seq(0, 1)) ===
+        Map(0 -> 7L, 1 -> 3L))
+      assert(drain(broker, 0, "read_committed").map(_._2) === Seq("out-1"),
+        "produced data commits with the same marker")
+      p.closeProducer()
+    } finally broker.close()
+  }
+
+  test("an ABORTED transaction drops its staged offsets — never partially") {
+    val broker = emptyBroker("txn-offs-abort")
+    try {
+      val p = producer(broker, "ctp-a")
+      // seed a pre-existing committed offset OUTSIDE any transaction: the
+      // abort must leave it untouched
+      val c = new KafkaLogClient(broker.clientPath)
+      c.commitOffsets("ctp-a-group", Map(0 -> 2L))
+      p.beginTxn()
+      p.produce(0, Seq((null, bytes("drop-me"), 1000L)))
+      p.sendOffsetsToTxn("ctp-a-group", Map(0 -> 9L, 1 -> 9L))
+      p.endTxn(commit = false)
+      assert(broker.committed("ctp-a-group") === Map(0 -> 2L),
+        "abort must drop staged offsets and keep the pre-txn value")
+      assert(drain(broker, 0, "read_committed").isEmpty,
+        "aborted data stays invisible")
+      p.closeProducer()
+    } finally broker.close()
+  }
+
+  test("an offsets-only transaction (no data partitions) still EndTxns on " +
+      "the wire and commits the offsets") {
+    val broker = emptyBroker("txn-offs-only")
+    try {
+      val p = producer(broker, "ctp-o")
+      p.beginTxn()
+      p.sendOffsetsToTxn("ctp-o-group", Map(1 -> 5L))
+      p.endTxn(commit = true) // must NOT resolve locally like an empty txn
+      assert(broker.committed("ctp-o-group") === Map(1 -> 5L),
+        "offsets-only txn must reach the coordinator's EndTxn")
+      p.closeProducer()
+    } finally broker.close()
+  }
+
+  test("a fenced zombie's sendOffsetsToTxn is rejected at the wire") {
+    val broker = emptyBroker("txn-offs-fence")
+    try {
+      val zombie = producer(broker, "ctp-f")
+      zombie.beginTxn()
+      zombie.produce(0, Seq((null, bytes("z"), 1000L)))
+      // a NEW producer re-registers the same transactional.id → epoch bump
+      val successor = producer(broker, "ctp-f")
+      successor.beginTxn()
+      val e = intercept[java.io.IOException] {
+        zombie.sendOffsetsToTxn("ctp-f-group", Map(0 -> 1L))
+      }
+      assert(e.getMessage.contains("fenced"), s"got: ${e.getMessage}")
+      assert(broker.committed("ctp-f-group").isEmpty)
+      successor.endTxn(commit = false)
+      successor.closeProducer(); zombie.closeProducer()
+    } finally broker.close()
+  }
+
   test("an empty transaction commits (and aborts) without a wire error") {
     // The broker only creates the txn at the first AddPartitionsToTxn, so
     // an EndTxn for a zero-produce txn would draw INVALID_TXN_STATE; the

@@ -565,6 +565,92 @@ SELECT pair, n_docs, n_agree,
   CAST(CAST(CAST(n_agree * n_docs - (a_keep*b_keep + a_review*b_review + a_drop*b_drop) AS DOUBLE)
     / nullif(n_docs * n_docs - (a_keep*b_keep + a_review*b_review + a_drop*b_drop), 0)
     AS DECIMAL(18,6)) AS DOUBLE) AS kappa
-FROM agg ORDER BY pair NULLS FIRST"""))
+FROM agg ORDER BY pair NULLS FIRST""")),
+
+
+    // ---- X86: quality-score calibration audit (round 14) -------------------
+    // Is the quality score's MAGNITUDE trustworthy, not just its ranking?
+    // The reliability table a curation team builds before using score/100
+    // as a sampling weight or a mixture prior: docs binned by score decile,
+    // each bin's observed keep-rate under an INDEPENDENT gate (x77's
+    // blocklist verdict) against the bin's mean predicted keep-probability
+    // (score/100), plus the corpus Expected Calibration Error. Exactness:
+    // every count and score sum is an integer; a bin's |observed −
+    // predicted| gap has the exact integer numerator |100·n_keep −
+    // sum_score|, so ECE = Σ_b |100·n_keep_b − sum_score_b| / (100·N) is
+    // ONE correctly-rounded double division of exact integers (the x40b
+    // recipe), identical on both engines. 100 TB shape: both gates fuse
+    // into one scan projection, one map-side-combined groupBy onto ≤11
+    // bins, and the ECE window runs over those ≤11 rows — the audit costs
+    // one pass over the corpus and shuffles 11 rows.
+    GQuery("x86_score_calibration",
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to")
+        val ws = split(lower(col("text")), " ")
+        def hits(terms: Seq[String]): Column =
+          size(filter(ws, w => array_contains(
+            array(terms.map(lit): _*), w))).cast("long")
+        val scored = spread(t(s, d, "documents"))
+          .filter(length(col("text")) > 0)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tok", size(col("w")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("score", expr("""least(n_tok, 400) * 25 div 400
+              + (25 - least(n_stop * 100 div n_tok, 25))
+              + least(n_uniq * 50 div n_tok, 50)""").cast("long"))
+          .withColumn("speed_hits", hits(Seq("fast", "slow")))
+          .withColumn("infra_hits", hits(Seq("spark", "table", "hash")))
+          .withColumn("kept",
+            when(col("speed_hits") >= 5 || col("infra_hits") >= 8, 0L)
+              .otherwise(1L))
+        val bins = scored
+          .withColumn("bin", expr("score div 10").cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_keep"),
+            sum(col("score")).as("sum_score"))
+        val w = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        bins
+          .withColumn("gap_num",
+            abs(lit(100L) * col("n_keep") - col("sum_score")))
+          .withColumn("ece_num", sum(col("gap_num")).over(w))
+          .withColumn("n_total", sum(col("n_docs")).over(w))
+          .select(col("bin"), col("n_docs"), col("n_keep"),
+            expr("cast(cast(cast(n_keep as double) / n_docs " +
+              "as decimal(18,6)) as double)").as("keep_rate"),
+            expr("cast(cast(cast(sum_score as double) / (100 * n_docs) " +
+              "as decimal(18,6)) as double)").as("mean_pred"),
+            expr("cast(cast(cast(ece_num as double) / (100 * n_total) " +
+              "as decimal(18,6)) as double)").as("ece"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+m AS (SELECT doc_id, string_split(text, ' ') AS w,
+    string_split(lower(text), ' ') AS ws FROM d),
+sc AS (SELECT doc_id,
+    least(len(w), 400) * 25 // 400
+      + (25 - least(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) * 100 // len(w), 25))
+      + least(len(list_distinct(w)) * 50 // len(w), 50) AS score,
+    CASE WHEN len(list_filter(ws, x -> list_contains(['fast','slow'], x))) >= 5
+           OR len(list_filter(ws, x -> list_contains(['spark','table','hash'], x))) >= 8
+         THEN 0 ELSE 1 END AS kept
+  FROM m),
+bins AS (SELECT score // 10 AS bin, count(*)::BIGINT AS n_docs,
+    CAST(sum(kept) AS BIGINT) AS n_keep,
+    CAST(sum(score) AS BIGINT) AS sum_score
+  FROM sc GROUP BY 1),
+tot AS (SELECT CAST(sum(abs(100 * n_keep - sum_score)) AS BIGINT) AS ece_num,
+    CAST(sum(n_docs) AS BIGINT) AS n_total FROM bins)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_keep,
+  CAST(CAST(CAST(n_keep AS DOUBLE) / n_docs AS DECIMAL(18,6)) AS DOUBLE)
+    AS keep_rate,
+  CAST(CAST(CAST(sum_score AS DOUBLE) / (100 * n_docs) AS DECIMAL(18,6))
+    AS DOUBLE) AS mean_pred,
+  CAST(CAST(CAST(ece_num AS DOUBLE) / (100 * n_total) AS DECIMAL(18,6))
+    AS DOUBLE) AS ece
+FROM bins, tot ORDER BY bin NULLS FIRST"""))
   )
 }

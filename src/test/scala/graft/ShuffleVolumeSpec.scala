@@ -109,4 +109,22 @@ class ShuffleVolumeSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sv_li_b")
     spark.sql("DROP TABLE IF EXISTS sv_ord_b")
   }
+
+  test("x85 drift audit shuffles centroid-sized data, never the vectors") {
+    // the claim in SCALE.md/SURVEY: the whole audit is a single shuffle of
+    // (label, dim) partial sums — the raw embedding bytes (64 doubles per
+    // vector) must NOT cross an exchange. Map-side partial aggregation
+    // collapses each task's rows to at most |labels|x64 partials before
+    // the one hash exchange.
+    val vecBytes = Tables.table(spark, sf01, "embeddings")
+      .agg(count(lit(1))).head.getLong(0) * 64 * 8
+    val moved = shuffleBytes {
+      SparkEntry.queries("x85_embedding_drift")(spark, sf01).collect()
+    }
+    // generous factor: partials + presentation-sort rows are far below
+    // even a tenth of the raw vector volume
+    assert(moved * 10 < vecBytes,
+      s"x85 shuffled $moved B vs raw vectors $vecBytes B — the one-scan " +
+        "conditional-sum design must move only centroid partials")
+  }
 }

@@ -507,13 +507,19 @@ ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST""")),
             sum(when(col("b") === "keep", 1L).otherwise(0L)).as("b_keep"),
             sum(when(col("b") === "review", 1L).otherwise(0L)).as("b_review"),
             sum(when(col("b") === "drop", 1L).otherwise(0L)).as("b_drop"))
+          // kappa arithmetic in DECIMAL: BIGINT n_docs*n_docs wraps silently
+          // past ~3.04e9 docs (while DuckDB would raise) — DECIMAL(17,0)
+          // operands keep every intermediate width ≤ 38 on BOTH engines and
+          // stay exact to 10^17 documents, far beyond the 100 TB corpus
           .withColumn("pe_num",
-            expr("a_keep * b_keep + a_review * b_review + a_drop * b_drop"))
+            expr("""cast(a_keep as decimal(17,0)) * cast(b_keep as decimal(17,0))
+                 + cast(a_review as decimal(17,0)) * cast(b_review as decimal(17,0))
+                 + cast(a_drop as decimal(17,0)) * cast(b_drop as decimal(17,0))"""))
           .select(col("pair"), col("n_docs"), col("n_agree"),
             expr("cast(cast(cast(n_agree as double) / n_docs " +
               "as decimal(18,6)) as double)").as("agree_rate"),
-            expr("""cast(cast(cast(n_agree * n_docs - pe_num as double)
-                 / nullif(n_docs * n_docs - pe_num, 0)
+            expr("""cast(cast(cast(cast(n_agree as decimal(17,0)) * cast(n_docs as decimal(17,0)) - pe_num as double)
+                 / nullif(cast(n_docs as decimal(17,0)) * cast(n_docs as decimal(17,0)) - pe_num, 0)
                  as decimal(18,6)) as double)""").as("kappa"))
           .orderBy(col("pair"))
       },
@@ -559,13 +565,20 @@ agg AS (SELECT pair, count(*)::BIGINT AS n_docs,
     CAST(sum((b = 'keep')::INT) AS BIGINT) AS b_keep,
     CAST(sum((b = 'review')::INT) AS BIGINT) AS b_review,
     CAST(sum((b = 'drop')::INT) AS BIGINT) AS b_drop
-  FROM pairs GROUP BY pair)
+  FROM pairs GROUP BY pair),
+dec AS (SELECT pair, n_docs, n_agree,
+    CAST(n_agree AS DECIMAL(17,0)) AS d_agree,
+    CAST(n_docs AS DECIMAL(17,0)) AS d_docs,
+    CAST(a_keep AS DECIMAL(17,0)) * CAST(b_keep AS DECIMAL(17,0))
+      + CAST(a_review AS DECIMAL(17,0)) * CAST(b_review AS DECIMAL(17,0))
+      + CAST(a_drop AS DECIMAL(17,0)) * CAST(b_drop AS DECIMAL(17,0)) AS pe_num
+  FROM agg)
 SELECT pair, n_docs, n_agree,
   CAST(CAST(CAST(n_agree AS DOUBLE) / n_docs AS DECIMAL(18,6)) AS DOUBLE) AS agree_rate,
-  CAST(CAST(CAST(n_agree * n_docs - (a_keep*b_keep + a_review*b_review + a_drop*b_drop) AS DOUBLE)
-    / nullif(n_docs * n_docs - (a_keep*b_keep + a_review*b_review + a_drop*b_drop), 0)
+  CAST(CAST(CAST(d_agree * d_docs - pe_num AS DOUBLE)
+    / nullif(d_docs * d_docs - pe_num, 0)
     AS DECIMAL(18,6)) AS DOUBLE) AS kappa
-FROM agg ORDER BY pair NULLS FIRST""")),
+FROM dec ORDER BY pair NULLS FIRST""")),
 
 
     // ---- X86: quality-score calibration audit (round 14) -------------------

@@ -51,8 +51,13 @@ private[replay] final class GroupCoordinator {
     /** members that have re-joined the current rebalance window. */
     val rejoined = scala.collection.mutable.Set[String]()
     /** KIP-394: broker-assigned ids handed out with MEMBER_ID_REQUIRED,
-      * waiting for the client's rejoin. Not group members yet. */
-    val pending = scala.collection.mutable.Set[String]()
+      * waiting for the client's rejoin. Not group members yet.
+      * memberId → (handout millis, requested session timeout ms): a
+      * crash-looping client that never rejoins would otherwise leak one
+      * pending id per attempt — the unbounded growth KIP-394 exists to
+      * prevent — so reapExpired drops handouts older than the session
+      * timeout the client itself requested. */
+    val pending = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
     var leader: String = null
     var protocolName: String = "range"
     var assignments = Map.empty[String, Array[Byte]]
@@ -93,6 +98,11 @@ private[replay] final class GroupCoordinator {
     * Stable group forces a rebalance (heartbeats start answering 27). */
   private def reapExpired(g: Group): Unit = {
     val now = System.currentTimeMillis()
+    // pending (KIP-394) ids expire on the session timeout the handout's
+    // JoinGroup requested — they never heartbeat, so handout time is the
+    // only liveness signal there is
+    g.pending.filterInPlace { case (_, (handedOut, sessionMs)) =>
+      now - handedOut <= sessionMs }
     val dead = g.members.keys.filter(m =>
       now - g.lastSeen.getOrElse(m, now) > g.members(m)._2).toSeq
     if (dead.nonEmpty) {
@@ -157,10 +167,10 @@ private[replay] final class GroupCoordinator {
         memberId = s"graft-member-${memberCounter.incrementAndGet()}"
         if (version >= 4) {
           // KIP-394: hand out the id, park nothing, demand a rejoin
-          g.pending += memberId
+          g.pending(memberId) = (System.currentTimeMillis(), sessionTimeout)
           return errResp(79, memberId)  // MEMBER_ID_REQUIRED
         }
-      } else if (g.pending.remove(memberId)) {
+      } else if (g.pending.remove(memberId).isDefined) {
         // the KIP-394 rejoin: enters the group as a new member below
       } else if (!g.members.contains(memberId)) {
         // a ghost of a past generation: real coordinators answer 25 and the

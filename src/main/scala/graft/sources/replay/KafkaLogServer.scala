@@ -1185,14 +1185,28 @@ final class KafkaLogServer(dir: String, topic: String,
     /** (topic, partition) → current fetch offset. */
     val parts = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
   }
+  /** Session cache, access-ordered and CAPPED like a real broker's
+    * `max.incremental.fetch.session.cache.slots`: every full fetch (epoch 0)
+    * creates a session and long runs with many micro-batch cursors would
+    * otherwise grow broker memory without bound. Evicting the LRU session is
+    * safe by protocol — the orphaned client's next incremental fetch answers
+    * FETCH_SESSION_ID_NOT_FOUND (70) and it falls back to a full fetch,
+    * the path [[evictFetchSessions]] already exercises. All access under
+    * the map's own monitor. */
+  private val fetchSessionSlots = 64
   private val fetchSessions =
-    new java.util.concurrent.ConcurrentHashMap[Integer, FetchSession]()
+    new java.util.LinkedHashMap[Integer, FetchSession](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Integer, FetchSession]): Boolean =
+        size() > fetchSessionSlots
+    }
   private val fetchSessionIds = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Test seam: drop every cached session — a real broker's cache
     * eviction; the next incremental request answers
     * FETCH_SESSION_ID_NOT_FOUND and the client must fall back to a full
     * fetch. */
-  def evictFetchSessions(): Unit = fetchSessions.clear()
+  def evictFetchSessions(): Unit =
+    fetchSessions.synchronized { fetchSessions.clear() }
 
   /** Fetch over the flexible v12 frame — same record sets, LSO gating and
     * aborted-transaction lists as [[fetch]], re-framed per KIP-482
@@ -1254,9 +1268,9 @@ final class KafkaLogServer(dir: String, topic: String,
       else if (sessionEpoch == 0) {
         val s = new FetchSession(fetchSessionIds.incrementAndGet())
         s.parts ++= requested
-        fetchSessions.put(s.id, s)
+        fetchSessions.synchronized { fetchSessions.put(s.id, s) }
         Right((requested, s.id, false))
-      } else Option(fetchSessions.get(sessionId)) match {
+      } else Option(fetchSessions.synchronized { fetchSessions.get(sessionId) }) match {
         case None => Left(70)           // FETCH_SESSION_ID_NOT_FOUND
         case Some(s) => s.synchronized {
           if (sessionEpoch != s.epoch) Left(71) // INVALID_FETCH_SESSION_EPOCH

@@ -155,6 +155,38 @@ class KafkaCodecSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("fetch-session cache is capped: 70 concurrent cursors evict LRU, delivery survives") {
+    // ADVICE r14: real brokers cap the KIP-227 cache
+    // (max.incremental.fetch.session.cache.slots) — ours holds 64 slots and
+    // evicts least-recently-used. Opening 70 cursors overflows the cache;
+    // the earliest cursor's session is gone, its next incremental fetch
+    // answers FETCH_SESSION_ID_NOT_FOUND (70), and the client's full-fetch
+    // fallback must deliver every record anyway.
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val broker = new KafkaLogServer(dir, "events", batchRecords = 7)
+    try {
+      val c = new KafkaLogClient(broker.clientPath)
+      val p = c.listPartitions().head
+      val end = c.endOffset(p)
+      val first = c.openFrames(p, 0L, needKey = false, needValue = false)
+      try {
+        assert(first.readFrameBefore(end)) // opens session #1
+        val firstSeen = Seq.newBuilder[Long]
+        firstSeen += first.frameOffset
+        // 69 more cursors, one fetch each — blows past the 64-slot cap and
+        // LRU-evicts session #1
+        (1 to 69).foreach { _ =>
+          val fr = c.openFrames(p, 0L, needKey = false, needValue = false)
+          try { assert(fr.readFrameBefore(end)) } finally fr.close()
+        }
+        while (first.readFrameBefore(end)) firstSeen += first.frameOffset
+        assert(firstSeen.result() === (0L until end),
+          "LRU eviction must be survived via full-fetch fallback, " +
+            "no record skipped or duplicated")
+      } finally first.close()
+    } finally broker.close()
+  }
+
   test("unknown codec ids fail loudly, not silently") {
     val e = intercept[IOException] {
       KafkaWire.decompressed(5, new ByteArrayInputStream(Array[Byte]()))

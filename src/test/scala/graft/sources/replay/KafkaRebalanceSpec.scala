@@ -144,6 +144,64 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
     }
   }
 
+  test("KIP-394 pending member ids expire on the requested session timeout") {
+    // ADVICE r14: a crash-looping client that receives MEMBER_ID_REQUIRED
+    // and never rejoins must not leak one pending id per attempt — the
+    // coordinator reaps handouts older than the session timeout the
+    // client itself requested. Observable over the wire: a rejoin with an
+    // expired handout answers UNKNOWN_MEMBER_ID (25), while a prompt
+    // rejoin enters the group normally.
+    withBroker { (_, path) =>
+      val c = new KafkaLogClient(path)
+      def joinV6(member: String, sessionMs: Int): (Short, String) = {
+        val (v, in) = c.oneShotVersioned(c.coordinator("g-pending"),
+          "JoinGroup", KafkaWire.ApiJoinGroup, 0, 6) { v =>
+          assert(v === 6, "this broker must negotiate flexible JoinGroup")
+          val bo = new java.io.ByteArrayOutputStream()
+          val o = new java.io.DataOutputStream(bo)
+          KafkaWire.writeCompactString(o, "g-pending")
+          o.writeInt(sessionMs); o.writeInt(sessionMs) // session, rebalance
+          KafkaWire.writeCompactString(o, member)
+          KafkaWire.writeCompactString(o, null) // group_instance_id
+          KafkaWire.writeCompactString(o, "consumer")
+          KafkaWire.writeCompactArrayLen(o, 1)
+          KafkaWire.writeCompactString(o, "range")
+          // subscription metadata: version 0, topics ["events"], no user data
+          val mb = new java.io.ByteArrayOutputStream()
+          val mo = new java.io.DataOutputStream(mb)
+          mo.writeShort(0); mo.writeInt(1); KafkaWire.writeString(mo, "events")
+          mo.writeInt(0)
+          KafkaWire.writeCompactBytes(o, mb.toByteArray)
+          KafkaWire.writeEmptyTagged(o)
+          KafkaWire.writeEmptyTagged(o)
+          bo.toByteArray
+        }
+        assert(v === 6)
+        in.readInt()                    // throttle_time_ms
+        val err = in.readShort()
+        in.readInt()                    // generation
+        KafkaWire.readCompactString(in) // protocol
+        KafkaWire.readCompactString(in) // leader
+        val myId = KafkaWire.readCompactString(in)
+        (err, myId)
+      }
+      // handout with a short session; never rejoin until it lapses
+      val (e1, id1) = joinV6("", 600)
+      assert(e1 === 79, "empty member id on v4+ must answer MEMBER_ID_REQUIRED")
+      assert(id1.nonEmpty)
+      Thread.sleep(900)
+      val (e2, _) = joinV6(id1, 600)
+      assert(e2 === 25,
+        "an expired pending handout must be reaped, not honored forever")
+      // control: a prompt rejoin with a live handout enters the group
+      val (e3, id3) = joinV6("", 5000)
+      assert(e3 === 79)
+      val (e4, id4) = joinV6(id3, 5000)
+      assert(e4 === 0, "a live pending handout must still admit the member")
+      assert(id4 === id3)
+    }
+  }
+
   test("simultaneous first joiners land in one generation with a split") {
     withBroker { (_, path) =>
       val ms = (1 to 3).map(_ => new KafkaGroupMembership(

@@ -79,6 +79,11 @@ object GraftFunctions {
   def bloom_might_contain(bloom: Column, item: Column): Column =
     c(BloomMightContain(x(bloom), x(item)))
 
+  /** visible-text extraction from an HTML page (raw-text excision, comment
+    * drop, entity decode, block-tag line boundaries, whitespace collapse);
+    * lines joined by \n. The crawled-corpus tag-strip step. */
+  def html_text(html: Column): Column = c(HtmlText(x(html)))
+
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal record: opaque binary payload + typed metadata, the
@@ -39,6 +39,47 @@ private[operators] object PipelineShared {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
+
+  /** Synthesized HTML page for the x87/s69 extraction lane — the x70/x80
+    * encode→parse identity recipe applied to markup: every document is
+    * wrapped in a deterministic page whose template deliberately carries
+    * the crawl-soup traps (a script with an embedded `"</div>"` string and
+    * a bare `<`, a style block with a `>` selector, a comment containing
+    * tags, a quoted attribute containing `>`, `&nbsp;`/named/decimal/hex
+    * character references, an inline tag splitting a word, tab/newline
+    * noise around the body text, and an odd-doc-only `<aside>`), so
+    * [[graft.functions.HtmlCodec.text]] recovering EXACTLY the six known
+    * lines proves the whole walk. The DuckDB oracle never parses HTML — it
+    * reconstructs the expected extraction from the raw columns. */
+  private[operators] def htmlPage: Column = concat(
+    lit("<!DOCTYPE html>\n<html lang=\""), col("lang"), lit("\">\n<head>\n"),
+    lit("\t<meta charset=\"utf-8\">\n"),
+    lit("\t<title>Doc "), col("doc_id").cast("string"), lit(" :: "),
+    col("source"), lit("</title>\n"),
+    lit("\t<style>\n\t\tbody { margin: 0; }\n\t\tp > span { color: #fff; }\n\t</style>\n"),
+    lit("\t<script>\n\t\tvar n = 1 < 2 && \"</div>\"; // &amp; tag soup trap\n\t</script>\n"),
+    lit("</head>\n<body>\n"),
+    lit("\t<nav><a href=\"/\">Home</a>&nbsp;| <a href=\"/about\" title=\"x > y\">About</a></nav>\n"),
+    lit("\t<!-- nav boilerplate <p>comment trap</p> -->\n"),
+    lit("\t<h1>Doc <b>&#72;</b>eader "), col("doc_id").cast("string"), lit("</h1>\n"),
+    lit("\t<div   class=\"main\">\n\t\t<p>\n\t\t\t"), col("text"), lit("\n\t\t</p>\n"),
+    when(col("doc_id") % 2 === 1,
+      lit("\t\t<aside>odd &amp; aside</aside>\n")).otherwise(lit("")),
+    lit("\t</div>\n"),
+    lit("\t<footer>&#169; "), col("source"), lit(" &#x2014; fin</footer>\n"),
+    lit("</body>\n</html>"))
+
+  /** The six expected extraction lines of [[htmlPage]], as DuckDB SQL over
+    * (doc_id, source, text) — line 5 only for odd doc_ids (NULL otherwise;
+    * concat_ws skips NULLs on both engines). */
+  private[operators] val htmlExpectedDuck: String =
+    """concat_ws(chr(10),
+      'Doc ' || doc_id || ' :: ' || source,
+      'Home | About',
+      'Doc Header ' || doc_id,
+      text,
+      CASE WHEN doc_id % 2 = 1 THEN 'odd & aside' END,
+      chr(169) || ' ' || source || ' ' || chr(8212) || ' fin')"""
 
   /** The exact-Jaccard pair set over `documents` at (k=5, j>=0.5), shared
     * verbatim by x02_ngram_jaccard, x07_dedup_clusters and

@@ -972,6 +972,112 @@ FROM sc ORDER BY doc_id NULLS FIRST""")),
          AS DECIMAL(18,6)) AS DOUBLE) > 0.3
       OR CAST(sum(n_chars) AS DOUBLE) / count(*) < 100.0
     THEN 'block' ELSE 'keep' END AS verdict
-FROM documents GROUP BY source ORDER BY source NULLS FIRST"""))
+FROM documents GROUP BY source ORDER BY source NULLS FIRST""")),
+
+
+    // ---- X87: HTML text extraction (round 15, VERDICT r14 #2) --------------
+    // The crawled-corpus ingestion lane the engine was missing: strip tags,
+    // excise script/style, decode entities, normalize whitespace — the step
+    // AHEAD of x43's chunk dedup in a real 100 TB pipeline. Proven with the
+    // x70/x80 encode→parse identity recipe: each document is wrapped in a
+    // synthesized page full of crawl-soup traps (PipelineShared.htmlPage),
+    // html_text must recover EXACTLY the six known lines, and the oracle
+    // reconstructs those lines in DuckDB from the raw columns — the
+    // full-extraction md5 checksum pins every byte of the walk without
+    // DuckDB ever parsing HTML. 100 TB shape: generation + extraction +
+    // line stats are ONE per-row scan projection (zero joins), the rollup
+    // is a map-side-combined groupBy onto |sources| rows.
+    GQuery("x87_html_extract",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val ext = docs.select(col("doc_id"), col("source"), col("text"),
+            html_text(htmlPage).as("ext"))
+          .withColumn("lines", split(col("ext"), "\n"))
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT)"))
+        ext.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(col("lines")).cast("long")).as("n_lines"),
+            sum(length(col("ext")).cast("long")).as("n_chars"),
+            sum(when(element_at(col("lines"), 4) === col("text"), 1L)
+              .otherwise(0L)).as("n_roundtrip_ok"),
+            expr("bit_xor(h)").as("checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source, text, $htmlExpectedDuck AS ext FROM d)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(len(string_split(ext, chr(10)))) AS BIGINT) AS n_lines,
+  CAST(sum(length(ext)) AS BIGINT) AS n_chars,
+  CAST(sum((string_split(ext, chr(10))[4] = text)::INT) AS BIGINT)
+    AS n_roundtrip_ok,
+  bit_xor(CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT)) AS checksum
+FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // X87b: boilerplate-line removal over the extracted corpus — the CCNet
+    // step after tag-strip: a line that appears in ≥ 80% of a source's
+    // documents (nav, footer chrome) is boilerplate and is excised; content
+    // lines (title/heading/body carry the doc_id or the text) survive, and
+    // the ~50%-frequency odd-doc aside proves the threshold bites. Integer-
+    // exact test (df*10 >= n_docs*8). 100 TB shape: ONE (source, line)
+    // map-side-combined shuffle builds the document-frequency table; the
+    // boilerplate set is tiny by construction (≤ lines/0.8·n_docs per
+    // source) and broadcasts back for the anti join — the corpus itself
+    // shuffles once and never self-joins.
+    GQuery("x87b_html_boilerplate",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val lines = docs
+          .select(col("doc_id"), col("source"), html_text(htmlPage).as("ext"))
+          .select(col("doc_id"), col("source"),
+            explode(split(col("ext"), "\n")).as("line"))
+        val dfreq = lines.groupBy(col("source"), col("line"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nsrc = docs.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val boiler = dfreq.join(broadcast(nsrc), Seq("source"))
+          .filter(col("df") * 10 >= col("n_docs") * 8)
+          .select(col("source"), col("line"))
+        val bAgg = boiler.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_boiler_lines"),
+            sum(length(col("line")).cast("long")).as("boiler_chars"))
+        val kept = lines.join(broadcast(boiler), Seq("source", "line"),
+          "left_anti")
+        val kAgg = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept_lines"),
+            sum(length(col("line")).cast("long")).as("kept_chars"))
+        nsrc.join(bAgg, Seq("source")).join(kAgg, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_boiler_lines"),
+            col("boiler_chars"), col("n_kept_lines"), col("kept_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+lines AS (
+  SELECT doc_id, source, unnest(string_split($htmlExpectedDuck, chr(10)))
+    AS line FROM d),
+dfreq AS (SELECT source, line, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1, 2),
+nsrc AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY 1),
+boiler AS (SELECT dfreq.source, line FROM dfreq JOIN nsrc USING (source)
+  WHERE df * 10 >= n_docs * 8),
+bagg AS (SELECT source, count(*)::BIGINT AS n_boiler_lines,
+    CAST(sum(length(line)) AS BIGINT) AS boiler_chars
+  FROM boiler GROUP BY 1),
+kept AS (SELECT l.source, l.line FROM lines l ANTI JOIN boiler b
+  ON l.source = b.source AND l.line = b.line),
+kagg AS (SELECT source, count(*)::BIGINT AS n_kept_lines,
+    CAST(sum(length(line)) AS BIGINT) AS kept_chars
+  FROM kept GROUP BY 1)
+SELECT source, n_docs, n_boiler_lines, boiler_chars, n_kept_lines, kept_chars
+FROM nsrc JOIN bagg USING (source) JOIN kagg USING (source)
+ORDER BY source NULLS FIRST"""))
   )
 }

@@ -858,6 +858,44 @@ d AS (SELECT e.vec_id, e.label,
 SELECT vec_id, label, dist,
   CASE WHEN dist IS NULL THEN 'nolabel'
        WHEN dist > 1.01 THEN 'ood' ELSE 'in' END AS flag
-FROM d ORDER BY vec_id NULLS FIRST"""))
+FROM d ORDER BY vec_id NULLS FIRST""")),
+
+
+    // S69: streaming HTML text extraction — x87's live half (round 15,
+    // VERDICT r14 #2): crawled pages arrive on a stream and are
+    // tag-stripped BEFORE anything downstream (chunking, dedup, quality)
+    // sees them. Pure per-row projection (synthesize the trap-laden page,
+    // html_text it, emit exact line/char stats + a full-extraction md5
+    // checksum), APPEND mode through the distributed sink — extraction at
+    // scan speed, zero state, zero shuffle; the per-doc checksum pins
+    // every byte of the streamed walk against the batch-side oracle.
+    GQuery("s69_stream_html_extract",
+      (s, d) => {
+        import PipelineShared.htmlPage
+        val rows = StreamingQueries.docStream(s, d)
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"),
+            graft.functions.GraftFunctions.html_text(htmlPage).as("ext"))
+          .withColumn("lines", split(col("ext"), "\n"))
+          .select(col("doc_id"), col("source"),
+            size(col("lines")).cast("long").as("n_lines"),
+            length(col("ext")).cast("long").as("n_chars"),
+            (element_at(col("lines"), 4) === col("text")).as("roundtrip_ok"),
+            expr("CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        runToMemory(rows, "append").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source, text, ${PipelineShared.htmlExpectedDuck} AS ext
+  FROM d)
+SELECT doc_id, source,
+  CAST(len(string_split(ext, chr(10))) AS BIGINT) AS n_lines,
+  CAST(length(ext) AS BIGINT) AS n_chars,
+  string_split(ext, chr(10))[4] = text AS roundtrip_ok,
+  CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT) AS h
+FROM e ORDER BY doc_id NULLS FIRST"""))
   )
 }

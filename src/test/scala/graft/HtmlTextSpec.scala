@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{GraftFunctions, HtmlCodec}
+import org.apache.spark.sql.functions._
+
+/** Unit contract for [[HtmlCodec.text]] (the x87/s69 extraction walk):
+  * the documented semantics on hand-built pages, the crawl-soup traps, and
+  * hostile/garbage inputs that must degrade to text, never throw. */
+class HtmlTextSpec extends SparkSpec {
+
+  private def t(html: String): String = HtmlCodec.text(html)
+
+  test("basic page: blocks become lines, inline tags vanish") {
+    assert(t("<html><body><h1>Ti</h1><p>Hello <b>wor</b>ld</p></body></html>")
+      === "Ti\nHello world")
+  }
+
+  test("script/style raw text is excised, embedded close-alikes stay dead") {
+    assert(t("""<p>a</p><script>var s = "</div>"; if (1 < 2) {}</script><p>b</p>""")
+      === "a\nb")
+    assert(t("<style>p > span { color: red }</style><p>x</p>") === "x")
+    // case-insensitive close tag
+    assert(t("<SCRIPT>junk</ScRiPt><p>y</p>") === "y")
+    // unterminated raw text swallows the rest
+    assert(t("<p>z</p><script>never closed <p>gone</p>") === "z")
+  }
+
+  test("comments and declarations drop, tags inside comments included") {
+    assert(t("<!DOCTYPE html><p>a</p><!-- <p>not me</p> --><p>b</p>")
+      === "a\nb")
+    assert(t("<!-- unterminated <p>gone") === "")
+    assert(t("<?xml version=\"1.0\"?><p>ok</p>") === "ok")
+  }
+
+  test("quoted attributes may contain > and quotes") {
+    assert(t("""<a href="/x" title="a > b">link</a> tail""") === "link tail")
+    assert(t("""<a title='it"s > fine'>q</a>""") === "q")
+  }
+
+  test("entities: named, decimal, hex, nbsp, and non-entities stay literal") {
+    assert(t("<p>&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;</p>")
+      === "<tag> & \"q\" 'a'")
+    assert(t("<p>&#72;&#101;&#x78;</p>") === "Hex")
+    assert(t("<p>a&nbsp;b</p>") === "a b")
+    assert(t("<p>AT&T and R&D; fish &chips;</p>") === "AT&T and R&D; fish &chips;")
+    // supplementary plane codepoint round-trips
+    assert(t("<p>&#x1F600;</p>") === new String(Character.toChars(0x1F600)))
+  }
+
+  test("whitespace collapses, lines trim, empty lines drop") {
+    assert(t("<p>\n\t  a   b\t\tc  \n</p>") === "a b c")
+    assert(t("<p>  </p><p>x</p><div>\t</div>") === "x")
+    // literal nbsp characters collapse like spaces (corpus cleaning)
+    assert(t("<p>a" + "\u00a0\u00a0" + "b</p>") === "a b")
+  }
+
+  test("garbage never throws: bare <, unterminated tags, empty, null") {
+    assert(t("1 < 2 and 3 > 2") === "1 < 2 and 3 > 2")
+    assert(t("<p>trailing open <") === "trailing open <")
+    assert(t("<p>cut mid-tag <a href=\"x") === "cut mid-tag")
+    assert(t("") === "")
+    // "<>" is literal text; "<//>" parses as an empty-named inline tag
+    assert(t("<><//><p>ok</p>") === "<>\nok")
+    assert(HtmlCodec.text(null) === null)
+  }
+
+  test("expression: codegen and interpreted agree over the corpus pages") {
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .limit(64)
+    val page = PipelineShared.htmlPage
+    val a = docs.select(col("doc_id"),
+      GraftFunctions.html_text(page).as("e")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a.nonEmpty)
+    a.values.foreach { e =>
+      assert(!e.contains("var n ="), "script content must be excised")
+      assert(!e.contains("margin"), "style content must be excised")
+      assert(!e.contains("comment trap"), "comments must drop")
+      assert(!e.contains("  "), "no double spaces after normalization")
+      assert(e.contains("Home | About"), "nav line must extract")
+    }
+    // interpreted path (direct eval through HtmlCodec) must match codegen
+    val raw = docs.select(col("doc_id"), page.as("html")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    raw.foreach { case (id, html) =>
+      assert(HtmlCodec.text(html) === a(id),
+        s"codegen/interpreted divergence on doc $id")
+    }
+  }
+}

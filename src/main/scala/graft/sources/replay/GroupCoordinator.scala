@@ -115,6 +115,36 @@ private[replay] final class GroupCoordinator {
     }
   }
 
+  /** DescribeGroups (api 15) view of one group: (state, protocolType,
+    * protocolName, members = (memberId, metadata, assignment)). Unknown
+    * groups answer state "Dead" with empty strings — real-broker
+    * semantics: not an error on the wire. Reaps lazily like every other
+    * accessor so a dead member never shows in the roster. */
+  def describe(groupId: String): (String, String, String, Seq[(String, Array[Byte], Array[Byte])]) = {
+    val g = groups.get(groupId)
+    if (g == null) ("Dead", "", "", Nil)
+    else g.synchronized {
+      reapExpired(g)
+      if (g.members.isEmpty) ("Empty", "consumer", "", Nil)
+      else (g.state, "consumer", g.protocolName,
+        g.members.toSeq.map { case (m, (md, _)) =>
+          (m, md, g.assignments.getOrElse(m, Array.emptyByteArray))
+        })
+    }
+  }
+
+  /** ListGroups (api 16) roster: (groupId, protocolType, state), sorted
+    * for deterministic wire output. */
+  def list(): Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    groups.asScala.toSeq.sortBy(_._1).map { case (id, g) =>
+      g.synchronized {
+        reapExpired(g)
+        (id, "consumer", if (g.members.isEmpty) "Empty" else g.state)
+      }
+    }
+  }
+
   // ---- version-dependent framing helpers ------------------------------------
   private def rdStr(r: DataInputStream, flex: Boolean): String =
     if (flex) readCompactString(r) else readString(r)

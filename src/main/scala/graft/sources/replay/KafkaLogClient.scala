@@ -579,6 +579,147 @@ final class KafkaLogClient(path: String,
     }
   }
 
+  /** DeleteTopics (api 20, v0 or the flexible v5) — CreateTopics' dual,
+    * completing the rdkafka AdminClient lifecycle the reference harness
+    * links (create_topics, tests/utils.rs:104-117; deletion is how that
+    * harness tears down). Throws the NAMED Kafka error on any per-topic
+    * failure — deleting a topic that does not exist answers
+    * UNKNOWN_TOPIC_OR_PARTITION, never silence. */
+  def deleteTopics(names: Seq[String], timeoutMs: Int = 30000): Unit = {
+    val (v, in) = oneShotVersioned(bootstrap, "DeleteTopics",
+      ApiDeleteTopics, 0, 5) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      if (v >= 4) {
+        writeCompactArrayLen(o, names.size)
+        names.foreach(writeCompactString(o, _))
+        o.writeInt(timeoutMs)
+        writeEmptyTagged(o)
+      } else {
+        o.writeInt(names.size)
+        names.foreach(writeString(o, _))
+        o.writeInt(timeoutMs)
+      }
+      body.toByteArray
+    }
+    val failed =
+      if (v >= 4) {
+        in.readInt()            // throttle_time_ms
+        val n = readCompactArrayLen(in)
+        (1 to n).map { _ =>
+          val name = readCompactString(in)
+          val err = in.readShort()
+          if (v >= 5) readCompactString(in) // error_message (nullable)
+          skipTagged(in)
+          (name, err)
+        }.filter(_._2 != 0)
+      } else {
+        if (v >= 1) in.readInt() // throttle_time_ms
+        val n = in.readInt()
+        (1 to n).map(_ => (readString(in), in.readShort()))
+          .filter(_._2 != 0)
+      }
+    if (failed.nonEmpty) {
+      val named = failed.map { case (t, e) =>
+        val name = e match {
+          case 3 => "UNKNOWN_TOPIC_OR_PARTITION"
+          case 29 => "TOPIC_AUTHORIZATION_FAILED"
+          case 42 => "INVALID_REQUEST"
+          case other => s"error $other"
+        }
+        s"'$t' -> $name"
+      }
+      throw new IOException(s"kafka DeleteTopics failed: ${named.mkString(", ")}")
+    }
+  }
+
+  /** One group's DescribeGroups (api 15) view: Kafka state name
+    * (Stable/Empty/PreparingRebalance/CompletingRebalance, or Dead for an
+    * unknown group), protocol type, and the live member ids. */
+  final case class GroupInfo(state: String, protocolType: String,
+      members: Seq[String])
+
+  /** DescribeGroups (api 15, v0 or the flexible v5) — the admin view of
+    * consumer-group membership (state machine + member roster) that
+    * rdkafka's AdminClient and every ops dashboard polls. An unknown group
+    * is NOT an error on the wire: real brokers answer state "Dead"; this
+    * client surfaces exactly that. */
+  def describeGroups(groups: Seq[String]): Map[String, GroupInfo] = {
+    val addr = groups.headOption.map(coordinator).getOrElse(bootstrap)
+    val (v, in) = oneShotVersioned(addr, "DescribeGroups",
+      ApiDescribeGroups, 0, 5) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      if (v >= 5) {
+        writeCompactArrayLen(o, groups.size)
+        groups.foreach(writeCompactString(o, _))
+        o.writeBoolean(false)   // include_authorized_operations
+        writeEmptyTagged(o)
+      } else {
+        o.writeInt(groups.size)
+        groups.foreach(writeString(o, _))
+      }
+      body.toByteArray
+    }
+    if (v >= 1) in.readInt()    // throttle_time_ms
+    val n = if (v >= 5) readCompactArrayLen(in) else in.readInt()
+    (1 to n).map { _ =>
+      val err = in.readShort()
+      val gid = if (v >= 5) readCompactString(in) else readString(in)
+      val state = if (v >= 5) readCompactString(in) else readString(in)
+      val ptype = if (v >= 5) readCompactString(in) else readString(in)
+      if (v >= 5) readCompactString(in) else readString(in) // protocol_data
+      val nm = if (v >= 5) readCompactArrayLen(in) else in.readInt()
+      val members = (1 to nm).map { _ =>
+        val mid = if (v >= 5) readCompactString(in) else readString(in)
+        if (v >= 5) readCompactString(in) // group_instance_id (v4+)
+        if (v >= 5) readCompactString(in) else readString(in) // client_id
+        if (v >= 5) readCompactString(in) else readString(in) // client_host
+        def skipBytes(): Unit =
+          if (v >= 5) readCompactBytes(in)
+          else { val len = in.readInt(); in.skipBytes(math.max(len, 0)) }
+        skipBytes()             // member_metadata
+        skipBytes()             // member_assignment
+        if (v >= 5) skipTagged(in)
+        mid
+      }
+      if (v >= 5) { in.readInt(); skipTagged(in) } // authorized_operations
+      if (err != 0)
+        throw new IOException(s"kafka DescribeGroups error $err for '$gid'")
+      gid -> GroupInfo(state, ptype, members)
+    }.toMap
+  }
+
+  /** ListGroups (api 16, v0 or the flexible v4) — enumerate the broker's
+    * consumer groups; v4 carries per-group state and an optional
+    * states filter. On a vintage (v0) broker the state comes back "" —
+    * the field does not exist there, recorded honestly. */
+  def listGroups(states: Seq[String] = Nil): Seq[(String, String)] = {
+    val (v, in) = oneShotVersioned(bootstrap, "ListGroups",
+      ApiListGroups, 0, 4) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      if (v >= 4) {
+        writeCompactArrayLen(o, states.size)
+        states.foreach(writeCompactString(o, _))
+        writeEmptyTagged(o)
+      }
+      // v0: empty request body
+      body.toByteArray
+    }
+    if (v >= 1) in.readInt()    // throttle_time_ms
+    val err = in.readShort()
+    if (err != 0) throw new IOException(s"kafka ListGroups error $err")
+    val n = if (v >= 3) readCompactArrayLen(in) else in.readInt()
+    (1 to n).map { _ =>
+      val gid = if (v >= 3) readCompactString(in) else readString(in)
+      if (v >= 3) readCompactString(in) else readString(in) // protocol_type
+      val state = if (v >= 4) { val s = readCompactString(in); s } else ""
+      if (v >= 3) skipTagged(in)
+      (gid, state)
+    }
+  }
+
   // ---- metadata ------------------------------------------------------------
 
   private case class Meta(brokers: Map[Int, String], leaders: Map[Int, Int])
@@ -1540,9 +1681,12 @@ private[replay] object KafkaWire {
   val ApiHeartbeat: Short = 12
   val ApiLeaveGroup: Short = 13
   val ApiSyncGroup: Short = 14
+  val ApiDescribeGroups: Short = 15
+  val ApiListGroups: Short = 16
   val ApiSaslHandshake: Short = 17
   val ApiApiVersions: Short = 18
   val ApiCreateTopics: Short = 19
+  val ApiDeleteTopics: Short = 20
   val ApiInitProducerId: Short = 22
   val ApiAddPartitionsToTxn: Short = 24
   val ApiAddOffsetsToTxn: Short = 25
@@ -1621,7 +1765,8 @@ private[replay] object KafkaWire {
       ApiJoinGroup -> 6, ApiHeartbeat -> 4, ApiLeaveGroup -> 4,
       ApiSyncGroup -> 4, ApiInitProducerId -> 2,
       ApiAddPartitionsToTxn -> 3, ApiAddOffsetsToTxn -> 3,
-      ApiEndTxn -> 3, ApiTxnOffsetCommit -> 3, ApiCreateTopics -> 5)
+      ApiEndTxn -> 3, ApiTxnOffsetCommit -> 3, ApiCreateTopics -> 5,
+      ApiDescribeGroups -> 5, ApiListGroups -> 3, ApiDeleteTopics -> 4)
   def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
     FlexibleSince.get(apiKey).exists(apiVersion >= _)
 

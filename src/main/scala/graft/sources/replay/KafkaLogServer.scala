@@ -60,9 +60,9 @@ final class KafkaLogServer(dir: String, topic: String,
   private val apiRanges: Seq[(Short, Short, Short)] =
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
-      (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (17, 0, 1),
-      (18, 0, 3), (19, 0, 7), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
-      (28, 0, 3), (36, 0, 2)))
+      (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (15, 0, 5),
+      (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (20, 0, 5), (22, 0, 4),
+      (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (36, 0, 2)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -122,15 +122,23 @@ final class KafkaLogServer(dir: String, topic: String,
     * `tests/utils.rs:104-117`). The double stays single-topic by design:
     * creating a second distinct topic answers INVALID_REQUEST. */
   @volatile private var created: Option[(String, Seq[Int])] = None
+  /** DeleteTopics (api 20) tombstone for the FILE-BACKED base topic: once
+    * deleted, the broker is topicless (every topic request answers
+    * UNKNOWN_TOPIC_OR_PARTITION) and a re-created topic starts EMPTY —
+    * the base log segments never resurrect, exactly a real broker's
+    * delete+recreate. Wire-created topics delete by clearing [[created]]. */
+  @volatile private var baseDeleted = false
   /** The topic this broker currently serves, if any. */
   private def activeTopic: Option[String] =
-    created.map(_._1).orElse(if (requireCreate) None else Some(topic))
+    created.map(_._1).orElse(
+      if (requireCreate || baseDeleted) None else Some(topic))
   private def partitionIds: Seq[Int] =
     created.map(_._2).getOrElse(
-      if (requireCreate) Nil
+      if (requireCreate || baseDeleted) Nil
       else explicitPartitions.getOrElse(ReplayLog.listPartitions(dir)))
   private def baseCount(p: Int): Long =
-    if ((explicitPartitions.isDefined || requireCreate) &&
+    if (baseDeleted) 0L
+    else if ((explicitPartitions.isDefined || requireCreate) &&
         !ReplayLog.logFile(dir, p).exists()) 0L
     else ReplayLog.safeRecordCount(dir, p)
   private def producedTail(p: Int) = produced.computeIfAbsent(p,
@@ -790,6 +798,111 @@ final class KafkaLogServer(dir: String, topic: String,
               } else { writeString(o, name); o.writeShort(err) }
             }
             if (flexCt) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiDeleteTopics if apiVersion == 0 || apiVersion == 5 =>
+            // CreateTopics' dual (VERDICT r14 #6): deleting the active
+            // topic tombstones it — data (file-backed base AND produced
+            // tails) never resurrects on re-create, fetch sessions holding
+            // its partition state are dropped, and every subsequent topic
+            // request answers UNKNOWN_TOPIC_OR_PARTITION
+            val flexDt = apiVersion >= 4
+            val nNames = if (flexDt) readCompactArrayLen(r) else r.readInt()
+            val names = (1 to nNames).map(_ =>
+              if (flexDt) readCompactString(r) else readString(r))
+            r.readInt()                 // timeout_ms (in-process)
+            if (flexDt) skipTagged(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            if (flexDt) o.writeInt(0)   // throttle_time_ms
+            if (flexDt) writeCompactArrayLen(o, names.size)
+            else o.writeInt(names.size)
+            names.foreach { name =>
+              val err: Int =
+                if (activeTopic.contains(name)) {
+                  created = None
+                  baseDeleted = true
+                  produced.clear()
+                  evictFetchSessions()
+                  0
+                } else 3                // UNKNOWN_TOPIC_OR_PARTITION
+              if (flexDt) {
+                writeCompactString(o, name); o.writeShort(err)
+                writeCompactString(o, null) // error_message (v5+)
+                writeEmptyTagged(o)
+              } else { writeString(o, name); o.writeShort(err) }
+            }
+            if (flexDt) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiDescribeGroups if apiVersion == 0 || apiVersion == 5 =>
+            val flexDg = apiVersion >= 5
+            val nGroups = if (flexDg) readCompactArrayLen(r) else r.readInt()
+            val gids = (1 to nGroups).map(_ =>
+              if (flexDg) readCompactString(r) else readString(r))
+            if (flexDg) { r.readBoolean(); skipTagged(r) } // include_authz
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            if (flexDg) o.writeInt(0)   // throttle_time_ms (v1+)
+            if (flexDg) writeCompactArrayLen(o, gids.size)
+            else o.writeInt(gids.size)
+            gids.foreach { gid =>
+              val (state, ptype, pname, members) = groupCoordinator.describe(gid)
+              o.writeShort(0)           // error_code (unknown group = Dead)
+              if (flexDg) {
+                writeCompactString(o, gid)
+                writeCompactString(o, state)
+                writeCompactString(o, ptype)
+                writeCompactString(o, pname)
+                writeCompactArrayLen(o, members.size)
+                members.foreach { case (mid, md, assign) =>
+                  writeCompactString(o, mid)
+                  writeCompactString(o, null) // group_instance_id (v4+)
+                  writeCompactString(o, mid)  // client_id: the double's
+                  writeCompactString(o, "/127.0.0.1") // stand-ins
+                  writeCompactBytes(o, md)
+                  writeCompactBytes(o, assign)
+                  writeEmptyTagged(o)
+                }
+                o.writeInt(Int.MinValue) // authorized_operations: omitted
+                writeEmptyTagged(o)
+              } else {
+                writeString(o, gid); writeString(o, state)
+                writeString(o, ptype); writeString(o, pname)
+                o.writeInt(members.size)
+                members.foreach { case (mid, md, assign) =>
+                  writeString(o, mid)
+                  writeString(o, mid)          // client_id
+                  writeString(o, "/127.0.0.1") // client_host
+                  o.writeInt(md.length); o.write(md)
+                  o.writeInt(assign.length); o.write(assign)
+                }
+              }
+            }
+            if (flexDg) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiListGroups if apiVersion == 0 || apiVersion == 4 =>
+            val flexLg = apiVersion >= 3
+            val statesFilter: Set[String] =
+              if (apiVersion >= 4) {
+                val n = readCompactArrayLen(r)
+                val st = (1 to n).map(_ => readCompactString(r)).toSet
+                skipTagged(r)
+                st
+              } else Set.empty
+            val all = groupCoordinator.list()
+            val shown =
+              if (statesFilter.isEmpty) all
+              else all.filter(g => statesFilter.contains(g._3))
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            if (flexLg) o.writeInt(0)   // throttle_time_ms (v1+)
+            o.writeShort(0)             // error_code
+            if (flexLg) writeCompactArrayLen(o, shown.size)
+            else o.writeInt(shown.size)
+            shown.foreach { case (gid, ptype, state) =>
+              if (flexLg) {
+                writeCompactString(o, gid); writeCompactString(o, ptype)
+                if (apiVersion >= 4) writeCompactString(o, state)
+                writeEmptyTagged(o)
+              } else { writeString(o, gid); writeString(o, ptype) }
+            }
+            if (flexLg) writeEmptyTagged(o)
             bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiMetadata if apiVersion == 9 => metadataV9(r)

@@ -47,6 +47,9 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     (14, 4, 5),   // SyncGroup: v4+
     (17, 1, 1), (18, 0, 3), (36, 0, 2),
     (19, 5, 7),   // CreateTopics: v5+
+    (20, 4, 5),   // DeleteTopics: v4+
+    (15, 5, 5),   // DescribeGroups: v5
+    (16, 3, 4),   // ListGroups: v3+
     (22, 2, 4),   // InitProducerId: v2+
     (24, 3, 3),   // AddPartitionsToTxn: v3
     (25, 3, 3),   // AddOffsetsToTxn: v3
@@ -57,8 +60,8 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
   private val vintageRanges = Seq[(Short, Short, Short)](
     (0, 0, 8), (1, 0, 11), (2, 0, 5), (3, 0, 8), (8, 0, 7), (9, 0, 5),
     (10, 0, 2), (11, 0, 5), (12, 0, 3), (13, 0, 3), (14, 0, 3),
-    (17, 0, 1), (18, 0, 3), (36, 0, 2),
-    (19, 0, 4), (22, 0, 1), (24, 0, 2), (25, 0, 2), (26, 0, 2),
+    (15, 0, 4), (16, 0, 2), (17, 0, 1), (18, 0, 3), (36, 0, 2),
+    (19, 0, 4), (20, 0, 3), (22, 0, 1), (24, 0, 2), (25, 0, 2), (26, 0, 2),
     (28, 0, 2))
 
   /** The full client matrix against one advertisement: transactional
@@ -66,7 +69,8 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     * join/heartbeat/commit/leave, simple commit-back, CreateTopics.
     * Returns the observable outcomes for cross-advertisement comparison. */
   private def runAllLanes(advertise: Seq[(Short, Short, Short)])
-      : (Seq[(Long, String)], Seq[Int], Map[Int, Long], Map[Int, Long], Map[Int, Long]) = {
+      : (Seq[(Long, String)], Seq[Int], Map[Int, Long], Map[Int, Long],
+         Map[Int, Long], (String, String, Int, String, Boolean, Boolean, Boolean)) = {
     val dir = java.nio.file.Files.createTempDirectory("kafka-flex").toString
     val broker = new KafkaLogServer(dir, "flex", requireCreate = true,
       advertiseApis = Some(advertise))
@@ -109,6 +113,11 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
       val member = new KafkaGroupMembership(cons, "flex-group", "flex")
       val assigned = member.join()
       assert(member.heartbeat(), "stable group heartbeat must be clean")
+      // admin group views while the member is live (apis 15/16, r14 #6):
+      // member ids are counter-assigned, so compare state + roster SIZE
+      val descr = cons.describeGroups(Seq("flex-group"))("flex-group")
+      val groupSeen = cons.listGroups().exists(_._1 == "flex-group")
+      val ghost = cons.describeGroups(Seq("flex-ghost"))("flex-ghost")
       member.commitOffsets(Map(0 -> 2L, 1 -> 1L))
       val fenced = broker.committed("flex-group")
       member.leave()
@@ -120,13 +129,25 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
       // the txn-staged offsets landed with the commit above
       val ctp = cons.committedOffsets("flex-ctp", Seq(0, 1))
 
-      (rows.result(), assigned, fenced, simple, ctp)
+      // DeleteTopics (api 20) lifecycle dual: unknown name refuses NAMED,
+      // deleting the live topic makes a fresh client's metadata answer 3
+      val delUnknown = intercept[IOException] {
+        cons.deleteTopics(Seq("never-created"))
+      }.getMessage.contains("UNKNOWN_TOPIC_OR_PARTITION")
+      cons.deleteTopics(Seq("flex"))
+      val goneAfterDelete = intercept[IOException] {
+        new KafkaLogClient(s"${broker.address}/flex").endOffset(0)
+      }.getMessage.contains("error 3")
+
+      (rows.result(), assigned, fenced, simple, ctp,
+        (descr.state, descr.protocolType, descr.members.size,
+          ghost.state, groupSeen, delUnknown, goneAfterDelete))
     } finally broker.close()
   }
 
   test("a KRaft broker that retired EVERY pre-flexible version serves " +
       "admin, transactions, membership and commit-back") {
-    val (rows, assigned, fenced, simple, ctp) = runAllLanes(retiredRanges)
+    val (rows, assigned, fenced, simple, ctp, admin) = runAllLanes(retiredRanges)
     assert(rows.map(_._2) === Seq("keep-1", "keep-2"),
       s"read_committed rows over the flexible frames: $rows")
     assert(assigned === Seq(0, 1), "sole member owns both partitions")
@@ -134,6 +155,8 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     assert(simple === Map(0 -> 1L), "simple commit-back round-trips")
     assert(ctp === Map(0 -> 2L),
       "txn-staged offsets must land with the transaction's commit")
+    assert(admin === ("Stable", "consumer", 1, "Dead", true, true, true),
+      s"DescribeGroups/ListGroups/DeleteTopics lane: $admin")
   }
 
   test("a vintage pre-flexible broker produces the identical outcomes " +

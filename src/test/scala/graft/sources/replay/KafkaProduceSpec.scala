@@ -62,6 +62,41 @@ class KafkaProduceSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("DeleteTopics: create → produce → delete → UNKNOWN_TOPIC; " +
+      "re-create starts EMPTY, data never resurrects") {
+    val dir = java.nio.file.Files.createTempDirectory("kafka-del").toString
+    val broker = new KafkaLogServer(dir, "life", requireCreate = true)
+    try {
+      val c = new KafkaLogClient(broker.clientPath,
+        Map("graft.role" -> "producer"))
+      c.createTopics(Seq("life" -> 2))
+      c.produce(0, Seq((bytes("k"), bytes("v1"), 1723700000000L)))
+      c.produce(1, Seq((null, bytes("v2"), 1723700000001L)))
+      assert(c.endOffset(0) === 1L && c.endOffset(1) === 1L)
+      // deleting a name that was never created refuses loudly
+      val eu = intercept[java.io.IOException](c.deleteTopics(Seq("ghost")))
+      assert(eu.getMessage.contains("UNKNOWN_TOPIC_OR_PARTITION"), eu.getMessage)
+      // the real delete: a fresh client's metadata answers 3
+      c.deleteTopics(Seq("life"))
+      val eg = intercept[java.io.IOException](
+        new KafkaLogClient(broker.clientPath).endOffset(0))
+      assert(eg.getMessage.contains("error 3"), eg.getMessage)
+      // deleting twice is UNKNOWN too (it is gone)
+      val e2 = intercept[java.io.IOException](c.deleteTopics(Seq("life")))
+      assert(e2.getMessage.contains("UNKNOWN_TOPIC_OR_PARTITION"), e2.getMessage)
+      // re-create: the topic exists again and is EMPTY — the pre-delete
+      // records must not resurrect (real delete+recreate semantics)
+      val c2 = new KafkaLogClient(broker.clientPath,
+        Map("graft.role" -> "producer"))
+      c2.createTopics(Seq("life" -> 2))
+      assert(c2.endOffset(0) === 0L && c2.endOffset(1) === 0L,
+        "re-created topic must start empty")
+      c2.produce(0, Seq((null, bytes("fresh"), 1723700000002L)))
+      assert(c2.endOffset(0) === 1L)
+      c.closeProducer(); c2.closeProducer()
+    } finally broker.close()
+  }
+
   test("produce appends after the base log and round-trips bit-identically") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val broker = new KafkaLogServer(dir, "events")

@@ -144,6 +144,33 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
     }
   }
 
+  test("DescribeGroups/ListGroups: live roster, Empty after leave, Dead ghosts") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      val m1 = new KafkaGroupMembership(c1, "g-desc", "events")
+      val m2 = new KafkaGroupMembership(c2, "g-desc", "events")
+      val t = new Thread(() => m1.join())
+      t.start()
+      m2.join(); t.join(5000)
+      // both members visible, group Stable, members carry the real ids
+      val d = c1.describeGroups(Seq("g-desc"))("g-desc")
+      assert(d.state === "Stable" && d.protocolType === "consumer")
+      assert(d.members.toSet === Set(m1.memberId, m2.memberId),
+        s"roster must carry the live member ids: $d")
+      assert(c1.listGroups().contains(("g-desc", "Stable")))
+      // a state filter that excludes Stable hides the group (v4 lane)
+      assert(!c1.listGroups(Seq("Empty")).exists(_._1 === "g-desc"))
+      // an unknown group answers Dead — not an error
+      assert(c1.describeGroups(Seq("g-ghost"))("g-ghost").state === "Dead")
+      m1.leave(); m2.leave()
+      val after = c1.describeGroups(Seq("g-desc"))("g-desc")
+      assert(after.state === "Empty" && after.members.isEmpty,
+        s"after both leave the group must describe Empty: $after")
+      assert(c1.listGroups(Seq("Empty")).exists(_._1 === "g-desc"))
+    }
+  }
+
   test("KIP-394 pending member ids expire on the requested session timeout") {
     // ADVICE r14: a crash-looping client that receives MEMBER_ID_REQUIRED
     // and never rejoins must not leak one pending id per attempt — the

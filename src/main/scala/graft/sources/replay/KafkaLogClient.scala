@@ -192,6 +192,13 @@ final class KafkaLogClient(path: String,
         scramAuthenticate(in, out, scram.stripPrefix("SCRAM-"),
           need("sasl.username"), need("sasl.password"))
     }
+    // KIP-368: arm (or re-arm) this connection's re-auth clock from the
+    // broker-advertised session lifetime
+    if (lastSessionLifetimeMs > 0 &&
+        !conf.get("sasl.disable.reauth").contains("true"))
+      sessionDeadlines.put(out,
+        System.currentTimeMillis() + lastSessionLifetimeMs * 9 / 10)
+    lastSessionLifetimeMs = 0L
     ()
   }
 
@@ -240,21 +247,57 @@ final class KafkaLogClient(path: String,
     }
   }
 
-  /** One SaslAuthenticate v0 round trip; returns the server's auth_bytes
-    * (empty for PLAIN), throws on a non-zero error code. */
+  /** One SaslAuthenticate round trip (v1 when the broker serves it, else
+    * the v0 pin); returns the server's auth_bytes (empty for PLAIN),
+    * throws on a non-zero error code. A v1 response's trailing
+    * session_lifetime_ms (KIP-368) lands in [[lastSessionLifetimeMs]] —
+    * the re-authentication clock for long-lived connections. */
   private def saslRound(in: DataInputStream, out: DataOutputStream,
       token: Array[Byte]): Array[Byte] = {
+    val v: Short = brokerRanges.flatMap(_.get(ApiSaslAuthenticate)) match {
+      case Some((lo, hi)) if lo <= 1 && 1 <= hi => 1
+      case _ => 0
+    }
     val ab = new ByteArrayOutputStream(); val ao = new DataOutputStream(ab)
-    ao.writeInt(token.length); ao.write(token)
-    val ar = request(in, out, ApiSaslAuthenticate, 0, ab.toByteArray)
+    ab.reset(); ao.writeInt(token.length); ao.write(token)
+    val ar = request(in, out, ApiSaslAuthenticate, v, ab.toByteArray)
     val aerr = ar.readShort()
     val msg = readString(ar)
     if (aerr != 0)
       throw new IOException("kafka SASL authentication failed (error " +
         s"$aerr${Option(msg).filter(_.nonEmpty).map(": " + _).getOrElse("")})")
     val n = ar.readInt()
-    if (n <= 0) Array.emptyByteArray
-    else { val b = new Array[Byte](n); ar.readFully(b); b }
+    val bytes =
+      if (n <= 0) Array.emptyByteArray
+      else { val b = new Array[Byte](n); ar.readFully(b); b }
+    if (v >= 1) lastSessionLifetimeMs = ar.readLong()
+    bytes
+  }
+
+  /** session_lifetime_ms from the most recent v1 SaslAuthenticate response
+    * on this thread of control (0 = broker requires no re-auth). Written
+    * by [[saslRound]], consumed by [[authenticate]]. */
+  @volatile private var lastSessionLifetimeMs: Long = 0L
+
+  /** KIP-368 re-auth deadlines per live connection (weak keys: one-shot
+    * connections vanish with their sockets; only the long-lived fetch
+    * cursor stays). Deadline = auth time + 90% of the advertised lifetime,
+    * the official client's windowing idea without its jitter (determinism
+    * over a double matters more here). */
+  private val sessionDeadlines = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataOutputStream, java.lang.Long]())
+
+  /** Re-authenticate in place (SaslHandshake + SaslAuthenticate over the
+    * SAME socket, interleaved between normal requests — the KIP-368 client
+    * flow) when this connection's session deadline passed. Long-lived
+    * connections (the fetch cursor) call this before each request; without
+    * it a streaming read against a broker with connections.max.reauth.ms
+    * set dies mid-stream. Test seam: `consumer.sasl.disable.reauth=true`
+    * lets a spec PROVE the broker-side kill is real. */
+  private def maybeReauth(in: DataInputStream, out: DataOutputStream): Unit = {
+    if (!useSasl) return
+    val d = sessionDeadlines.get(out)
+    if (d != null && System.currentTimeMillis() >= d) authenticate(in, out)
   }
 
   /** SCRAM client exchange (RFC 5802, SHA-256/512 parameterization per
@@ -1479,6 +1522,7 @@ final class KafkaLogClient(path: String,
 
     private def fetchMore(): Unit = {
       ensureConn()
+      maybeReauth(sin, sout)
       val (recordSet, aborted) =
         if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4()
       if (recordSet == null || recordSet.isEmpty)

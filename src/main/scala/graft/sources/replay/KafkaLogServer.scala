@@ -44,7 +44,8 @@ final class KafkaLogServer(dir: String, topic: String,
     advertiseApis: Option[Seq[(Short, Short, Short)]] = None,
     apiVersionsError: Short = 0,
     explicitPartitions: Option[Seq[Int]] = None,
-    requireCreate: Boolean = false) extends AutoCloseable {
+    requireCreate: Boolean = false,
+    maxReauthMs: Long = 0L) extends AutoCloseable {
   import KafkaWire._
 
   require(legacyMagic.forall(m => m == 0 || m == 1),
@@ -325,6 +326,16 @@ final class KafkaLogServer(dir: String, topic: String,
       // SASL listener before any other API is served
       var mechanism: String = null
       var authed = !saslEnabled
+      // KIP-368 (connections.max.reauth.ms): a successful authentication
+      // starts a session clock; v1+ SaslAuthenticate responses advertise
+      // the lifetime, and a connection that keeps issuing data APIs past
+      // it without re-authenticating is KILLED, like a real broker.
+      var sessionExpiry = Long.MaxValue
+      def markAuthed(): Unit = {
+        authed = true
+        if (maxReauthMs > 0)
+          sessionExpiry = System.currentTimeMillis() + maxReauthMs
+      }
       // OAUTHBEARER failure flow (RFC 7628 §3.2.3): after a bad token the
       // server sends the error JSON as a *challenge*, the client answers
       // with the dummy %x01 byte, and only then does the server fail the
@@ -412,6 +423,15 @@ final class KafkaLogServer(dir: String, topic: String,
         // buffer follows client_id
         val flex = isFlexible(apiKey, apiVersion)
         if (flex) skipTagged(r)
+        // KIP-368 enforcement: past the session lifetime only the re-auth
+        // sequence (and ApiVersions) is served; anything else kills the
+        // connection, exactly a real broker with connections.max.reauth.ms
+        if (authed && maxReauthMs > 0 &&
+            System.currentTimeMillis() > sessionExpiry &&
+            apiKey != ApiSaslHandshake && apiKey != ApiSaslAuthenticate &&
+            apiKey != ApiApiVersions)
+          throw new IOException("fake broker: SASL session lifetime " +
+            "exceeded without re-authentication (KIP-368)")
         val body = apiKey match {
           case ApiSaslHandshake if apiVersion == 1 =>
             val mech = readString(r)
@@ -424,7 +444,7 @@ final class KafkaLogServer(dir: String, topic: String,
             } else o.writeShort(33)     // UNSUPPORTED_SASL_MECHANISM
             o.writeInt(saslMechs.size); saslMechs.foreach(writeString(o, _))
             bo.toByteArray
-          case ApiSaslAuthenticate if apiVersion == 0 =>
+          case ApiSaslAuthenticate if apiVersion == 0 || apiVersion == 1 =>
             if (mechanism == null)
               throw new IOException("fake broker: authenticate before handshake")
             val n = r.readInt()
@@ -435,7 +455,7 @@ final class KafkaLogServer(dir: String, topic: String,
               val ok = parts.length == 3 &&
                 sasl.contains((parts(1), parts(2)))
               if (ok) {
-                authed = true
+                markAuthed()
                 o.writeShort(0); o.writeShort(-1)  // no error message
               } else {
                 o.writeShort(58)        // SASL_AUTHENTICATION_FAILED
@@ -454,7 +474,7 @@ final class KafkaLogServer(dir: String, topic: String,
                 val Bearer = "n,,\u0001auth=Bearer (.+)\u0001\u0001".r
                 msg match {
                   case Bearer(t) if oauthToken.contains(t) =>
-                    authed = true
+                    markAuthed()
                     o.writeShort(0); o.writeShort(-1)
                     o.writeInt(0)       // success: empty auth_bytes
                   case _ =>
@@ -474,12 +494,15 @@ final class KafkaLogServer(dir: String, topic: String,
                 writeString(o, err)
                 o.writeInt(0)
               } else {
-                if (done) authed = true
+                if (done) markAuthed()
                 o.writeShort(0); o.writeShort(-1)
                 val rb = reply.getBytes("UTF-8")
                 o.writeInt(rb.length); o.write(rb)
               }
             }
+            // KIP-368: v1+ responses carry session_lifetime_ms (0 = the
+            // broker does not require re-authentication)
+            if (apiVersion >= 1) o.writeLong(maxReauthMs)
             bo.toByteArray
           case ApiApiVersions if apiVersion == 0 =>
             // served pre-auth, like real brokers (clients use it to

@@ -74,6 +74,54 @@ class KafkaSecuritySpec extends graft.SparkSpec {
     } finally { open.close(); gated.close() }
   }
 
+  test("KIP-368: a long-lived cursor re-authenticates across the session " +
+      "lifetime; a client that skips re-auth is killed by the broker") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    // 700 ms session lifetime, 7-record batches → a full-partition drain
+    // takes many fetches and MUST cross the lifetime at least once
+    val gated = new KafkaLogServer(dir, "events", batchRecords = 7,
+      sasl = Some((user, pass)), maxReauthMs = 700L)
+    try {
+      val saslConf = Map(
+        "security.protocol" -> "SASL_PLAINTEXT",
+        "sasl.mechanism" -> "PLAIN",
+        "sasl.username" -> user, "sasl.password" -> pass)
+      def drain(c: KafkaLogClient): Seq[Long] = {
+        val p = c.listPartitions().head
+        val end = c.endOffset(p)
+        assert(end > 21, "need several fetches to cross the lifetime")
+        val frames = c.openFrames(p, 0L, needKey = false, needValue = false)
+        try {
+          val out = Seq.newBuilder[Long]
+          var slept = false
+          while (frames.readFrameBefore(end)) {
+            out += frames.frameOffset
+            if (!slept && frames.frameOffset == 10L) {
+              Thread.sleep(1000)        // past the 700 ms lifetime
+              slept = true
+            }
+          }
+          out.result()
+        } finally frames.close()
+      }
+      // re-authenticating client: the drain crosses the lifetime and
+      // survives (maybeReauth re-runs handshake+authenticate in place)
+      val c = new KafkaLogClient(gated.clientPath, saslConf)
+      val got = drain(c)
+      assert(got === (0L until got.length.toLong),
+        "re-auth must lose or duplicate nothing")
+      // control: the same client with re-auth disabled is KILLED by the
+      // broker after the lifetime — proving the enforcement (and that the
+      // positive path's survival came from real re-authentication)
+      val dis = new KafkaLogClient(gated.clientPath,
+        saslConf + ("sasl.disable.reauth" -> "true"))
+      val e = intercept[Exception](drain(dis))
+      assert(e.isInstanceOf[IOException] ||
+        e.isInstanceOf[java.io.EOFException],
+        s"expected the broker to kill the expired session, got $e")
+    } finally gated.close()
+  }
+
   test("wrong password fails loudly with the broker's error 58") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val gated = new KafkaLogServer(dir, "events", sasl = Some((user, pass)))

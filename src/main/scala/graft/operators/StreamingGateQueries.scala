@@ -584,12 +584,14 @@ FROM events ORDER BY key NULLS FIRST""")),
         // train with EXACTLY x69's engine formulation (hash-proven against
         // the oracle), then collect the 512 micro-unit longs driver-side
         val tot = bc.agg(sum(col("cc")).as("c"), sum(col("tc")).as("t"))
-        val rates6: Map[Long, Long] = bc.crossJoin(broadcast(tot))
-          .select(col("b"),
-            (log(((col("tc") + lit(1.0)) / (col("t") + lit(512))) /
-              ((col("cc") + lit(1.0)) / (col("c") + lit(512))))
-              .cast("decimal(18,6)") * lit(1000000)).cast("long").as("lr6"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val rates6: Map[Long, Long] = graft.GraftOps.boundedCollect(
+          bc.crossJoin(broadcast(tot))
+            .select(col("b"),
+              (log(((col("tc") + lit(1.0)) / (col("t") + lit(512))) /
+                ((col("cc") + lit(1.0)) / (col("c") + lit(512))))
+                .cast("decimal(18,6)") * lit(1000000)).cast("long").as("lr6")),
+          512, "s59 DSIR bucket-rate table (hash domain is 512 buckets)")
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val default6 = tot.select(
           (log((col("c") + lit(512.0)) / (col("t") + lit(512.0)))
             .cast("decimal(18,6)") * lit(1000000)).cast("long"))
@@ -753,9 +755,10 @@ FROM k JOIN a USING (event_id) ORDER BY event_id NULLS FIRST""")),
       (s, d) => {
         val e = Tables.table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val cb: Array[(Int, Seq[Double])] =
-          PipelineSimilarityQueries.ivfCodebook(e)
-            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        val cb: Array[(Int, Seq[Double])] = graft.GraftOps.boundedCollect(
+          PipelineSimilarityQueries.ivfCodebook(e),
+          16, "s66 IVF coarse codebook (k = 16 centroids)")
+          .map(r => r.getInt(0) -> r.getSeq[Double](1))
         val L2 = graft.functions.GraftFunctions.l2_dist _
         val vecStream = s.readStream
           .schema(Tables.table(s, d, "embeddings").schema)
@@ -817,13 +820,16 @@ FROM route ORDER BY vec_id NULLS FIRST""")),
         val e = Tables.table(s, d, "embeddings")
           .select(col("vec_id"), col("label").cast("long").as("label"),
             col("embedding").cast("array<double>").as("v"))
-        val centRows = e.filter(col("vec_id") % 7 =!= 0)
-          .select(col("label"), posexplode(col("v")))
-          .toDF("label", "pos", "x")
-          .groupBy(col("label"), col("pos"))
-          .agg((sum(col("x").cast("decimal(27,15)")).cast("double") /
-            count(lit(1))).as("m"))
-          .collect()
+        val centRows = graft.GraftOps.boundedCollect(
+          e.filter(col("vec_id") % 7 =!= 0)
+            .select(col("label"), posexplode(col("v")))
+            .toDF("label", "pos", "x")
+            .groupBy(col("label"), col("pos"))
+            .agg((sum(col("x").cast("decimal(27,15)")).cast("double") /
+              count(lit(1))).as("m")),
+          1 << 18, "s67 release centroids (|labels| <= 4096 labels x 64 dims " +
+            "- the ONE corpus-dependent broadcast; more labels than that " +
+            "need a broadcast-join dispatch, not a driver CASE chain)")
         val cents: Seq[(Long, Seq[Double])] = centRows
           .groupBy(_.getLong(0)).toSeq
           .map { case (l, rs) =>

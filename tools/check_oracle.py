@@ -87,6 +87,22 @@ PAIR_SUBS = {
         "  WHERE " + J + " >= 0.5)",
         "pairs AS (SELECT da AS anchor, db AS positive, j FROM pair_memo "
         "WHERE j >= 0.5)")],
+    # x64's pair stage runs over ALL documents (toks is unfiltered), only
+    # the CTE alias differs (sh5)
+    "x64_release_funnel": [(
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db\n"
+        "  FROM sh5 a JOIN sh5 b ON a.doc_id < b.doc_id\n"
+        "  WHERE " + J + " >= 0.5)",
+        "pairs AS (SELECT da, db FROM pair_memo WHERE j >= 0.5)")],
+    # x73's TRUE pair set is the same join (alias shd); its banded
+    # candidate side stays self-computed — that is the thing being audited
+    "x73_lsh_recall_audit": [(
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n    "
+        + J + " AS j\n"
+        "  FROM shd a JOIN shd b ON a.doc_id < b.doc_id\n"
+        "  WHERE " + J + " >= 0.5)",
+        "pairs AS (SELECT da AS doc_a, db AS doc_b, j FROM pair_memo "
+        "WHERE j >= 0.5)")],
     # x06's pairs run over the exact-dedup SUBSET `ded`; jaccard is
     # text-determined, so restricting the corpus-wide memo to pairs with
     # both endpoints in `ded` is the identical set

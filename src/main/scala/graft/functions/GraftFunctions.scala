@@ -84,6 +84,15 @@ object GraftFunctions {
     * lines joined by \n. The crawled-corpus tag-strip step. */
   def html_text(html: Column): Column = c(HtmlText(x(html)))
 
+  /** hrefs of a page's <a> elements in document order, entity-decoded
+    * (crawl-frontier extraction; commented-out/raw-text links excluded). */
+  def html_links(html: Column): Column = c(HtmlLinks(x(html)))
+
+  /** deterministic URL canonicalization: lowercase scheme/host, default
+    * ports and fragments dropped, utm_* params removed, surviving params
+    * sorted — the crawl-dedup key. */
+  def url_canon(url: Column): Column = c(UrlCanon(x(url)))
+
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 

@@ -81,6 +81,40 @@ private[operators] object PipelineShared {
       CASE WHEN doc_id % 2 = 1 THEN 'odd & aside' END,
       chr(169) || ' ' || source || ' ' || chr(8212) || ' fin')"""
 
+  /** Synthesized link page for the x88/x89/s70 crawl-link lanes: four
+    * anchors per document with the traps a canonicalizer and a frontier
+    * extractor must survive — an uppercase host with an explicit default
+    * port and a fragment, `&amp;`-encoded query separators, unsorted
+    * params with a `utm_` tracker mixed in, a NON-default port that must
+    * be kept, a single-quoted href, an `<a>` with no href, and an anchor
+    * each inside a script block and a comment (which must NOT enter the
+    * frontier). Two of the links encode a deterministic doc→target graph
+    * (targets (7·id+13)%97 and (3·id+5)%97) so the extracted frontier
+    * feeds a real link-graph operator. */
+  private[operators] def htmlLinkPage: Column = {
+    val m1 = ((col("doc_id") * 7 + 13) % 97).cast("string")
+    val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
+    concat(
+      lit("<html>\n<head><script>var dead = \"<a href='https://trap.example.com/x'>\";</script></head>\n<body>\n"),
+      lit("<nav><a href=\"https://WWW.Example.COM:443/home?utm_source=feed&amp;x=1#top\">Home</a></nav>\n"),
+      lit("<!-- <a href=\"https://comment.example.com/never\">dead</a> -->\n"),
+      lit("<p>see <a href=\"HTTP://example.com/doc/"), m1,
+      lit("?b=2&amp;utm_campaign=z&amp;a=1\">ref</a>,\n"),
+      lit("<a href='https://cdn.example.com:8080/asset/"),
+      col("doc_id").cast("string"), lit(".png?v=3'>img</a> and\n"),
+      lit("<a href=\"https://"), col("source"), lit(".example.org/page/"), m2,
+      lit("/\" rel=\"next\">next</a></p>\n"),
+      lit("<a class=\"dead\">no href</a>\n</body>\n</html>"))
+  }
+
+  /** The four expected canonical URLs of [[htmlLinkPage]], as DuckDB SQL
+    * expressions over (doc_id, source) — in document order. */
+  private[operators] val linkCanonDuck: Seq[String] = Seq(
+    "'https://www.example.com/home?x=1'",
+    "'http://example.com/doc/' || ((doc_id * 7 + 13) % 97) || '?a=1&b=2'",
+    "'https://cdn.example.com:8080/asset/' || doc_id || '.png?v=3'",
+    "'https://' || source || '.example.org/page/' || ((doc_id * 3 + 5) % 97) || '/'")
+
   /** The exact-Jaccard pair set over `documents` at (k=5, j>=0.5), shared
     * verbatim by x02_ngram_jaccard, x07_dedup_clusters and
     * x07_dedup_clusters_star — memoized once per (session, dir) and

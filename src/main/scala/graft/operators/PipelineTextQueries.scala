@@ -1078,6 +1078,127 @@ kagg AS (SELECT source, count(*)::BIGINT AS n_kept_lines,
   FROM kept GROUP BY 1)
 SELECT source, n_docs, n_boiler_lines, boiler_chars, n_kept_lines, kept_chars
 FROM nsrc JOIN bagg USING (source) JOIN kagg USING (source)
-ORDER BY source NULLS FIRST"""))
+ORDER BY source NULLS FIRST""")),
+
+
+    // ---- X88: URL canonicalization + crawl-frontier dedup (round 15) -------
+    // The step between x87's tag strip and any fetch queue or outlink
+    // count: extract the page's anchors (html_links — script/comment
+    // anchors excluded), canonicalize each (url_canon — case, default
+    // ports, fragments, utm_* trackers, param order), and aggregate the
+    // frontier per host. Proven by the identity recipe: the synthesized
+    // pages carry every canonicalizer trap, DuckDB reconstructs the four
+    // expected canonical URLs per document from raw columns, and the
+    // md5-fold checksum pins every byte of extract+canonicalize. 100 TB
+    // shape: per-row extraction (one scan, zero joins), one
+    // map-side-combined groupBy onto |hosts| rows.
+    GQuery("x88_url_canonicalize",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val canon = docs
+          .select(col("doc_id"),
+            explode(html_links(htmlLinkPage)).as("link"))
+          .select(url_canon(col("link")).as("canon"))
+          .withColumn("host",
+            regexp_extract(col("canon"), "^[a-z]+://([^/:?#]+)", 1))
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(canon), 1, 15), 16, 10) AS BIGINT)"))
+        canon.groupBy(col("host")).agg(
+            count(lit(1)).as("n_links"),
+            countDistinct(col("canon")).as("n_distinct"),
+            expr("bit_xor(h)").as("checksum"))
+          .orderBy(col("host"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+canon AS (
+  SELECT ${linkCanonDuck(0)} AS canon FROM d
+  UNION ALL SELECT ${linkCanonDuck(1)} FROM d
+  UNION ALL SELECT ${linkCanonDuck(2)} FROM d
+  UNION ALL SELECT ${linkCanonDuck(3)} FROM d),
+ch AS (SELECT canon, regexp_extract(canon, '^[a-z]+://([^/:?#]+)', 1) AS host,
+    CAST(concat('0x', substr(md5(canon), 1, 15)) AS BIGINT) AS h
+  FROM canon)
+SELECT host, count(*) AS n_links,
+  CAST(count(DISTINCT canon) AS BIGINT) AS n_distinct,
+  bit_xor(h) AS checksum
+FROM ch GROUP BY host ORDER BY host NULLS FIRST""")),
+
+    // X89: outlink-graph PageRank — the crawl-graph composition: the
+    // frontier EXTRACTED FROM REAL MARKUP (x88's lanes) becomes the edge
+    // list of x39's Pregel-lowered PageRank. Documents (packed 2k) link to
+    // the two deterministic targets their pages carry (packed 2t+1);
+    // 3 exact iterations over stationary edges, top-20. The oracle
+    // reconstructs the same edges from raw columns and unrolls the three
+    // iterations in SQL (the proven x39 recipe) — so the chain
+    // synthesize→extract→canonicalize→parse-target→rank is pinned
+    // end-to-end. 100 TB shape: identical to x39 — destination-partitioned
+    // stationary edges, decimal-quantized messages, broadcast rank deltas.
+    GQuery("x89_outlink_pagerank",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val canon = docs
+          .select(col("doc_id"), explode(html_links(htmlLinkPage)).as("link"))
+          .select(col("doc_id"), url_canon(col("link")).as("canon"))
+        val t1 = regexp_extract(col("canon"),
+          "^http://example\\.com/doc/([0-9]+)\\?", 1)
+        val t2 = regexp_extract(col("canon"),
+          "\\.example\\.org/page/([0-9]+)/$", 1)
+        val tgt = when(t1 =!= "", t1).when(t2 =!= "", t2)
+        val base = canon.select(col("doc_id"), tgt.as("t"))
+          .filter(col("t").isNotNull)
+          .select((col("doc_id") * 2).as("a"),
+            (col("t").cast("long") * 2 + 1).as("b")).distinct()
+        val edges = base.select(expr(
+          "inline(array(named_struct('a', a, 'b', b), " +
+            "named_struct('a', b, 'b', a)))"))
+        val r = graft.GraftOps.pageRank(edges, iters = 3)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("node"))
+        r.orderBy(col("r").desc, col("node")).limit(20)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"),
+            when(col("node") % 2 === 0,
+              concat(lit("d"), expr("node div 2")))
+              .otherwise(concat(lit("t"), expr("node div 2"))).as("node"),
+            col("r").cast("decimal(18,10)").cast("double").as("score"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+base AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT doc_id * 2 AS a, ((doc_id * 7 + 13) % 97) * 2 + 1 AS b FROM d
+    UNION ALL
+    SELECT doc_id * 2, ((doc_id * 3 + 5) % 97) * 2 + 1 FROM d)),
+edges AS (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),
+outdeg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM outdeg),
+r0 AS (SELECT a AS node, 1.0 / nn AS r FROM outdeg, nn),
+m1 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
+  FROM r0 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
+r1 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
+  FROM m1, nn GROUP BY node, nn),
+m2 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
+  FROM r1 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
+r2 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
+  FROM m2, nn GROUP BY node, nn),
+m3 AS (SELECT e.b AS node, CAST(r.r / o.deg AS DECIMAL(28,12)) AS m
+  FROM r2 r JOIN outdeg o ON r.node = o.a JOIN edges e ON e.a = o.a),
+r3 AS (SELECT node, 0.15 / nn + 0.85 * CAST(sum(m) AS DOUBLE) AS r
+  FROM m3, nn GROUP BY node, nn),
+ranked AS (SELECT node, r,
+    row_number() OVER (ORDER BY r DESC, node) AS rank FROM r3)
+SELECT rank,
+  CASE WHEN node % 2 = 0 THEN 'd' || (node // 2)
+       ELSE 't' || (node // 2) END AS node,
+  CAST(CAST(r AS DECIMAL(18,10)) AS DOUBLE) AS score
+FROM ranked WHERE rank <= 20 ORDER BY rank NULLS FIRST"""))
   )
 }

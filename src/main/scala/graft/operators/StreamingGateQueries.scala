@@ -902,6 +902,49 @@ SELECT doc_id, source,
   CAST(length(ext) AS BIGINT) AS n_chars,
   string_split(ext, chr(10))[4] = text AS roundtrip_ok,
   CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT) AS h
+FROM e ORDER BY doc_id NULLS FIRST""")),
+
+
+    // S70: streaming outlink extraction gate — x88's live half: pages
+    // arrive on a stream, their anchors are extracted (script/comment
+    // anchors never enter the frontier) and canonicalized per row, and
+    // each page emits its frontier stats — link count, how many stay on
+    // the page's own site, and an md5 xor-fold over the canonical URLs
+    // that pins every byte of the streamed extract+canonicalize chain.
+    // Pure per-row projection, APPEND mode, zero state, zero shuffle.
+    GQuery("s70_stream_outlink_gate",
+      (s, d) => {
+        import PipelineShared.htmlLinkPage
+        val G = graft.functions.GraftFunctions
+        val rows = StreamingQueries.docStream(s, d)
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+          .select(col("doc_id"), col("source"),
+            transform(G.html_links(htmlLinkPage),
+              u => G.url_canon(u)).as("cs"))
+          .select(col("doc_id"), col("source"),
+            size(col("cs")).cast("long").as("n_links"),
+            size(filter(col("cs"), c => c.startsWith(
+              concat(lit("https://"), col("source"), lit(".example.org/")))))
+              .cast("long").as("n_onsite"),
+            expr("""aggregate(cs, CAST(0 AS BIGINT), (acc, u) ->
+              acc ^ CAST(conv(substr(md5(u), 1, 15), 16, 10) AS BIGINT))""")
+              .as("h"))
+        runToMemory(rows, "append").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source,
+    [${PipelineShared.linkCanonDuck.mkString(", ")}] AS cs
+  FROM d)
+SELECT doc_id, source,
+  CAST(len(cs) AS BIGINT) AS n_links,
+  CAST(len(list_filter(cs, c -> starts_with(c,
+    'https://' || source || '.example.org/'))) AS BIGINT) AS n_onsite,
+  list_reduce(list_transform(cs, u ->
+    CAST(concat('0x', substr(md5(u), 1, 15)) AS BIGINT)),
+    (a, b) -> xor(a, b)) AS h
 FROM e ORDER BY doc_id NULLS FIRST"""))
   )
 }

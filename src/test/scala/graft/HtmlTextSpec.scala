@@ -65,6 +65,53 @@ class HtmlTextSpec extends SparkSpec {
     assert(HtmlCodec.text(null) === null)
   }
 
+  private def ls(html: String): Seq[String] = HtmlCodec.links(html).toSeq
+  private def uc(u: String): String = HtmlCodec.urlCanon(u)
+
+  test("html_links: document order, quoting styles, entity decode, no-href skip") {
+    assert(ls("""<a href="/x">a</a><p><a href='/y'>b</a></p><a class="z">c</a>""")
+      === Seq("/x", "/y"))
+    assert(ls("""<a href="/p?a=1&amp;b=2">e</a>""") === Seq("/p?a=1&b=2"))
+    assert(ls("""<a HREF="/up">case</a><a href=/bare>bare</a>""")
+      === Seq("/up", "/bare"))
+    // attribute order and other attributes don't matter
+    assert(ls("""<a rel="next" title="x > y" href="/q">t</a>""") === Seq("/q"))
+  }
+
+  test("html_links: script/comment anchors never enter the frontier") {
+    assert(ls("""<script>var s = "<a href='/dead'>";</script><a href="/live">x</a>""")
+      === Seq("/live"))
+    assert(ls("""<!-- <a href="/dead">gone</a> --><a href="/live">x</a>""")
+      === Seq("/live"))
+    assert(ls("") === Seq.empty)
+    assert(ls("<a href=") === Seq.empty)
+    assert(HtmlCodec.links(null) === null)
+  }
+
+  test("url_canon: case, default ports, fragments, trackers, param order") {
+    assert(uc("https://WWW.Example.COM:443/home?utm_source=feed&x=1#top")
+      === "https://www.example.com/home?x=1")
+    assert(uc("HTTP://Example.com/doc/5?b=2&utm_campaign=z&a=1")
+      === "http://example.com/doc/5?a=1&b=2")
+    // non-default port kept; empty path becomes /
+    assert(uc("https://cdn.example.com:8080/a.png?v=3")
+      === "https://cdn.example.com:8080/a.png?v=3")
+    assert(uc("http://h.example:80") === "http://h.example/")
+    // only utm_* params drop; all-params-dropped removes the '?'
+    assert(uc("https://a.b/p?utm_a=1&UTM_b=2") === "https://a.b/p")
+    // path case and param values preserved
+    assert(uc("https://A.B/Path/File?Z=9&a=2") === "https://a.b/Path/File?Z=9&a=2")
+  }
+
+  test("url_canon: relative links, mailto and garbage pass through trimmed") {
+    assert(uc("/relative/path?x=1") === "/relative/path?x=1")
+    assert(uc("mailto:a@b.c") === "mailto:a@b.c")
+    assert(uc("  https://x.y/z  ") === "https://x.y/z")
+    assert(uc("not a url") === "not a url")
+    assert(uc("://nohost") === "://nohost")
+    assert(HtmlCodec.urlCanon(null) === null)
+  }
+
   test("expression: codegen and interpreted agree over the corpus pages") {
     val docs = Tables.table(spark, sf, "documents")
       .filter(col("text").isNotNull && length(col("text")) > 0)

@@ -667,6 +667,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("x88 url canonicalization is a pure per-row scan — no joins") {
+    // synthesize page + html_links + explode + url_canon fuse into one
+    // per-row pipeline; the rollup is map-side-combined onto |hosts| rows
+    val p = plan("x88_url_canonicalize")
+    assert(!p.contains("Join"), s"frontier extraction grew a join:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("x89 outlink pagerank keeps x39's shape: broadcast ranks, stationary edges") {
+    // (the BroadcastNestedLoopJoin in this plan is pageRank's broadcast
+    // ONE-ROW node-count aggregate — same accepted shape as x39)
+    val p = plan("x89_outlink_pagerank")
+    assert(!p.contains("SortMergeJoin"),
+      s"an iteration shuffled the stationary edge table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the link-graph rank degraded to a cartesian product:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected one broadcast rank join per superstep, got $bhj:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

@@ -676,6 +676,51 @@ final class KafkaLogClient(path: String,
     }
   }
 
+  /** OffsetDelete (api 47, v0 — its only version; KIP-496) — drop a
+    * group's committed offsets for the given partitions of the bootstrap
+    * topic. The administrative reset an operator runs before re-consuming
+    * from scratch. Named failures: a group the coordinator has never seen
+    * answers GROUP_ID_NOT_FOUND; a group whose live members still
+    * subscribe to the topic refuses per-partition with
+    * GROUP_SUBSCRIBED_TO_TOPIC — offsets of an ACTIVE subscription are
+    * never yanked out from under it. */
+  def offsetDelete(group: String, partitions: Seq[Int]): Unit = {
+    val (s, in, out) = open(coordinator(group))
+    try {
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      writeString(o, group)
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(partitions.size); partitions.foreach(o.writeInt)
+      val r = request(in, out, ApiOffsetDelete, 0, body.toByteArray)
+      val gerr = r.readShort()
+      if (gerr == 69)
+        throw new IOException(
+          s"kafka OffsetDelete: GROUP_ID_NOT_FOUND for '$group'")
+      if (gerr != 0)
+        throw new IOException(s"kafka OffsetDelete error $gerr for '$group'")
+      r.readInt()                 // throttle_time_ms (after error: KIP-496)
+      val nT = r.readInt()
+      val failed = (1 to nT).flatMap { _ =>
+        val name = readString(r)
+        val nP = r.readInt()
+        (1 to nP).map { _ => (name, r.readInt(), r.readShort()) }
+      }.filter(_._3 != 0)
+      if (failed.nonEmpty) {
+        val named = failed.map { case (t, p, e) =>
+          val n = e match {
+            case 86 => "GROUP_SUBSCRIBED_TO_TOPIC"
+            case 3 => "UNKNOWN_TOPIC_OR_PARTITION"
+            case other => s"error $other"
+          }
+          s"$t/$p -> $n"
+        }
+        throw new IOException(
+          s"kafka OffsetDelete failed: ${named.mkString(", ")}")
+      }
+    } finally s.close()
+  }
+
   /** One group's DescribeGroups (api 15) view: Kafka state name
     * (Stable/Empty/PreparingRebalance/CompletingRebalance, or Dead for an
     * unknown group), protocol type, and the live member ids. */
@@ -1737,6 +1782,7 @@ private[replay] object KafkaWire {
   val ApiEndTxn: Short = 26
   val ApiTxnOffsetCommit: Short = 28
   val ApiSaslAuthenticate: Short = 36
+  val ApiOffsetDelete: Short = 47
   val ClientId = "graft"
 
   /** One aborted transaction from a Fetch response's per-partition

@@ -63,7 +63,7 @@ final class KafkaLogServer(dir: String, topic: String,
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
       (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (15, 0, 5),
       (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (20, 0, 5), (22, 0, 4),
-      (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (36, 0, 2)))
+      (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (36, 0, 2), (47, 0, 0)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -926,6 +926,48 @@ final class KafkaLogServer(dir: String, topic: String,
               } else { writeString(o, gid); writeString(o, ptype) }
             }
             if (flexLg) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiOffsetDelete if apiVersion == 0 =>
+            // KIP-496: administrative offset reset. Unknown group answers
+            // GROUP_ID_NOT_FOUND (69) at the group level; a group whose
+            // LIVE members still subscribe refuses per-partition with
+            // GROUP_SUBSCRIBED_TO_TOPIC (86) — an active subscription's
+            // offsets are never yanked; otherwise the committed offsets
+            // are dropped (idempotent: deleting an absent offset is 0).
+            val group = readString(r)
+            val nT = r.readInt()
+            val req = (1 to nT).flatMap { _ =>
+              val name = readString(r)
+              val nP = r.readInt()
+              (1 to nP).map(_ => (name, r.readInt()))
+            }
+            val (gState, _, _, members) = groupCoordinator.describe(group)
+            val groupKnown = gState != "Dead" || {
+              import scala.jdk.CollectionConverters._
+              committedStore.asScala.keys.exists(_._1 == group)
+            }
+            val live = members.nonEmpty
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            if (!groupKnown) {
+              o.writeShort(69)          // GROUP_ID_NOT_FOUND
+              o.writeInt(0)             // throttle_time_ms
+              o.writeInt(0)             // no topics
+            } else {
+              o.writeShort(0)
+              o.writeInt(0)             // throttle_time_ms
+              val byTopic = req.groupBy(_._1)
+              o.writeInt(byTopic.size)
+              byTopic.toSeq.sortBy(_._1).foreach { case (name, ps) =>
+                writeString(o, name)
+                o.writeInt(ps.size)
+                ps.foreach { case (_, p) =>
+                  val err: Int =
+                    if (live) 86        // GROUP_SUBSCRIBED_TO_TOPIC
+                    else { committedStore.remove((group, name, p)); 0 }
+                  o.writeInt(p); o.writeShort(err)
+                }
+              }
+            }
             bo.toByteArray
           case ApiMetadata if apiVersion == 0 => metadata(r)
           case ApiMetadata if apiVersion == 9 => metadataV9(r)

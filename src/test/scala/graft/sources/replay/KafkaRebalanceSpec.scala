@@ -171,6 +171,33 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
     }
   }
 
+  test("OffsetDelete: simple-group offsets drop; live groups refuse; ghosts 69") {
+    withBroker { (_, path) =>
+      val c = new KafkaLogClient(path)
+      c.commitOffsets("g-od", Map(0 -> 5L, 1 -> 7L))
+      assert(c.committedOffsets("g-od", Seq(0, 1)) === Map(0 -> 5L, 1 -> 7L))
+      c.offsetDelete("g-od", Seq(0))
+      assert(c.committedOffsets("g-od", Seq(0, 1)) === Map(1 -> 7L))
+      c.offsetDelete("g-od", Seq(0, 1)) // idempotent on the gone one
+      assert(c.committedOffsets("g-od", Seq(0, 1)) === Map.empty)
+      // a group the coordinator has never seen answers 69, named
+      val eg = intercept[java.io.IOException](
+        c.offsetDelete("g-ghost", Seq(0)))
+      assert(eg.getMessage.contains("GROUP_ID_NOT_FOUND"), eg.getMessage)
+      // a live subscribed group's offsets are never yanked
+      val m = new KafkaGroupMembership(c, "g-live", "events")
+      m.join(); m.commitOffsets(Map(0 -> 3L))
+      val el = intercept[java.io.IOException](
+        c.offsetDelete("g-live", Seq(0)))
+      assert(el.getMessage.contains("GROUP_SUBSCRIBED_TO_TOPIC"), el.getMessage)
+      assert(c.committedOffsets("g-live", Seq(0)) === Map(0 -> 3L))
+      m.leave()
+      // Empty group: deletion allowed
+      c.offsetDelete("g-live", Seq(0))
+      assert(c.committedOffsets("g-live", Seq(0)) === Map.empty)
+    }
+  }
+
   test("KIP-394 pending member ids expire on the requested session timeout") {
     // ADVICE r14: a crash-looping client that receives MEMBER_ID_REQUIRED
     // and never rejoins must not leak one pending id per attempt — the

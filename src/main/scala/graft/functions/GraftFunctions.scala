@@ -93,6 +93,12 @@ object GraftFunctions {
     * sorted — the crawl-dedup key. */
   def url_canon(url: Column): Column = c(UrlCanon(x(url)))
 
+  /** robots.txt fetchability decision for a fixed crawler token (RFC 9309
+    * core: prefix rules, longest-match, Allow wins ties, specific group
+    * shadows '*'). */
+  def robots_allowed(robots: Column, pathq: Column, agent: String): Column =
+    c(RobotsAllowed(x(robots), x(pathq), agent))
+
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 

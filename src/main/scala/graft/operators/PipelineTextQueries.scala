@@ -1199,6 +1199,55 @@ SELECT rank,
   CASE WHEN node % 2 = 0 THEN 'd' || (node // 2)
        ELSE 't' || (node // 2) END AS node,
   CAST(CAST(r AS DECIMAL(18,10)) AS DOUBLE) AS score
-FROM ranked WHERE rank <= 20 ORDER BY rank NULLS FIRST"""))
+FROM ranked WHERE rank <= 20 ORDER BY rank NULLS FIRST""")),
+
+    // ---- X90: robots.txt politeness gate (round 15) -------------------------
+    // The fetch-or-not decision ahead of any crawl: each source publishes a
+    // robots.txt (RFC 9309 core semantics — prefix rules, LONGEST match
+    // wins, Allow wins ties, and a crawler's own group SHADOWS the '*'
+    // group entirely), and every extracted+canonicalized outlink is gated
+    // for two crawlers: 'graftbot' (has its own group: /page/ blocked but
+    // /page/1 carved back out — the longest-match test) and a generic bot
+    // (falls to '*': /doc/ and /asset/ blocked — and the graftbot
+    // comparison proves the '*' rules do NOT leak into a specific group).
+    // The oracle never parses robots: the expected verdict of every URL
+    // class is analytic from the construction, so the whole
+    // synthesize→extract→canonicalize→strip-origin→evaluate chain is
+    // pinned by integer counts. 100 TB shape: pure per-row scan (zero
+    // joins), |sources|-row rollup.
+    GQuery("x90_robots_gate",
+      (s, d) => {
+        val robots = concat(
+          lit("# robots for "), col("source"), lit("\n"),
+          lit("User-agent: graftbot\nDisallow: /page/\nAllow: /page/1\n\n"),
+          lit("User-agent: *\nDisallow: /asset/\nDisallow: /doc/\nCrawl-delay: 2\n"))
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val urls = docs
+          .select(col("source"), robots.as("robots"),
+            explode(html_links(htmlLinkPage)).as("link"))
+          .select(col("source"), col("robots"),
+            regexp_replace(url_canon(col("link")),
+              "^[a-z]+://[^/]+", "").as("pathq"))
+        urls.select(col("source"),
+            robots_allowed(col("robots"), col("pathq"), "graftbot")
+              .cast("int").as("bot"),
+            robots_allowed(col("robots"), col("pathq"), "OtherBot")
+              .cast("int").as("any"))
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_urls"),
+            sum(col("bot")).cast("long").as("n_bot_allowed"),
+            sum(col("any")).cast("long").as("n_any_allowed"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL)
+SELECT source, 4 * count(*) AS n_urls,
+  CAST(sum(3 + (CAST((doc_id * 3 + 5) % 97 AS VARCHAR) LIKE '1%')::INT)
+    AS BIGINT) AS n_bot_allowed,
+  2 * count(*) AS n_any_allowed
+FROM d GROUP BY source ORDER BY source NULLS FIRST"""))
   )
 }

@@ -945,6 +945,68 @@ SELECT doc_id, source,
   list_reduce(list_transform(cs, u ->
     CAST(concat('0x', substr(md5(u), 1, 15)) AS BIGINT)),
     (a, b) -> xor(a, b)) AS h
-FROM e ORDER BY doc_id NULLS FIRST"""))
+FROM e ORDER BY doc_id NULLS FIRST""")),
+
+
+    // S71: streaming boilerplate excision — x87b's live half: the
+    // ≥80%-document-frequency boilerplate set is trained ONCE on the
+    // released corpus (batch side, persisted — a stream-static join
+    // re-executes the static plan every micro-batch), and arriving pages
+    // are tag-stripped and their lines anti-joined against it per row.
+    // History never enters stream state (the s30/s54 pattern); the stream
+    // side is append-mode per-line rows with the ORIGINAL line position,
+    // so downstream chunkers see the page layout minus the chrome.
+    GQuery("s71_stream_boilerplate_excision",
+      (s, d) => {
+        import PipelineShared.htmlPage
+        val G = graft.functions.GraftFunctions
+        def clean(df: DataFrame): DataFrame = df
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val docsStatic = clean(Tables.table(s, d, "documents"))
+        val linesStatic = docsStatic
+          .select(col("doc_id"), col("source"),
+            G.html_text(htmlPage).as("ext"))
+          .select(col("doc_id"), col("source"),
+            explode(split(col("ext"), "\n")).as("line"))
+        val dfreq = linesStatic.groupBy(col("source"), col("line"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nsrc = docsStatic.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val boiler = dfreq.join(broadcast(nsrc), Seq("source"))
+          .filter(col("df") * 10 >= col("n_docs") * 8)
+          .select(col("source"), col("line"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        boiler.count()
+        val streamKept = clean(StreamingQueries.docStream(s, d))
+          .select(col("doc_id"), col("source"),
+            posexplode(split(G.html_text(htmlPage), "\n")))
+          .toDF("doc_id", "source", "pos", "line")
+          .join(broadcast(boiler), Seq("source", "line"), "left_anti")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("line"))
+        runToMemory(streamKept, "append").orderBy(col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+lines AS (
+  SELECT doc_id, source, 0 AS pos, 'Doc ' || doc_id || ' :: ' || source AS line FROM d
+  UNION ALL SELECT doc_id, source, 1, 'Home | About' FROM d
+  UNION ALL SELECT doc_id, source, 2, 'Doc Header ' || doc_id FROM d
+  UNION ALL SELECT doc_id, source, 3, text FROM d
+  UNION ALL SELECT doc_id, source, 4, 'odd & aside' FROM d WHERE doc_id % 2 = 1
+  UNION ALL SELECT doc_id, source,
+    CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 4 END,
+    chr(169) || ' ' || source || ' ' || chr(8212) || ' fin' FROM d),
+dfreq AS (SELECT source, line, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1, 2),
+nsrc AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY 1),
+boiler AS (SELECT dfreq.source, line FROM dfreq JOIN nsrc USING (source)
+  WHERE df * 10 >= n_docs * 8),
+kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN boiler b
+  ON l.source = b.source AND l.line = b.line)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, line
+FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST"""))
   )
 }

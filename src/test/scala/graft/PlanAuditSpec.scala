@@ -687,6 +687,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 3, s"expected one broadcast rank join per superstep, got $bhj:\n$p")
   }
 
+  test("x90 robots gate is a pure per-row scan — no joins") {
+    val p = plan("x90_robots_gate")
+    assert(!p.contains("Join"), s"robots gate grew a join:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

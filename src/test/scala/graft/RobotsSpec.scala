@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.RobotsCodec
+
+/** RFC 9309 core-semantics contracts for the x90 robots gate. */
+class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val txt =
+    """# sample
+      |User-agent: graftbot
+      |Disallow: /page/
+      |Allow: /page/1
+      |
+      |User-agent: *
+      |Disallow: /asset/
+      |Disallow: /doc/
+      |Crawl-delay: 2
+      |""".stripMargin
+
+  private def bot(p: String) = RobotsCodec.allowed(txt, "graftbot", p)
+  private def any(p: String) = RobotsCodec.allowed(txt, "OtherBot", p)
+
+  test("longest match wins; Allow wins ties") {
+    assert(!bot("/page/5/"))
+    assert(bot("/page/15/"), "Allow /page/1 (len 7) outranks Disallow /page/ (len 6)")
+    assert(bot("/page/1"))
+    // tie: Allow and Disallow of equal length -> Allow
+    val tie = "User-agent: *\nDisallow: /x\nAllow: /x\n"
+    assert(RobotsCodec.allowed(tie, "anybot", "/x/y"))
+  }
+
+  test("a specific group shadows '*' entirely") {
+    assert(bot("/doc/5?a=1"), "'*' Disallow /doc/ must not leak into graftbot")
+    assert(bot("/asset/1.png"))
+    assert(!any("/doc/5?a=1"))
+    assert(!any("/asset/1.png"))
+    assert(any("/page/5/"), "'*' has no /page rule")
+  }
+
+  test("agent token match is case-insensitive and exact") {
+    assert(!RobotsCodec.allowed(txt, "GRAFTBOT", "/page/5/"))
+    // a different token falls to '*'
+    assert(RobotsCodec.allowed(txt, "graftbot2", "/page/5/"))
+  }
+
+  test("no matching group, empty/garbage robots, unknown fields => allowed") {
+    assert(RobotsCodec.allowed("User-agent: onlybot\nDisallow: /", "me", "/x"))
+    assert(RobotsCodec.allowed("", "me", "/x"))
+    assert(RobotsCodec.allowed("complete garbage\nno colons here", "me", "/x"))
+    assert(RobotsCodec.allowed("Sitemap: https://x/s.xml", "me", "/x"))
+    assert(RobotsCodec.allowed(null, "me", "/x"))
+    // empty Disallow value = no restriction (classic REP)
+    assert(RobotsCodec.allowed("User-agent: *\nDisallow:\n", "me", "/x"))
+  }
+
+  test("multiple groups for the same agent union their rules") {
+    val multi =
+      "User-agent: a\nDisallow: /one\n\nUser-agent: a\nDisallow: /two\n"
+    assert(!RobotsCodec.allowed(multi, "a", "/one/x"))
+    assert(!RobotsCodec.allowed(multi, "a", "/two/x"))
+    assert(RobotsCodec.allowed(multi, "a", "/three"))
+  }
+
+  test("comments strip; consecutive user-agent lines share one group") {
+    val shared =
+      "User-agent: a # primary\nUser-agent: b\nDisallow: /x # block\n"
+    assert(!RobotsCodec.allowed(shared, "a", "/x/1"))
+    assert(!RobotsCodec.allowed(shared, "b", "/x/1"))
+  }
+}

@@ -99,6 +99,16 @@ object GraftFunctions {
   def robots_allowed(robots: Column, pathq: Column, agent: String): Column =
     c(RobotsAllowed(x(robots), x(pathq), agent))
 
+  /** one genuine WARC/1.0 record (version line, named headers,
+    * Content-Length, CRLFCRLF terminator) for a fixed WARC-Type. */
+  def warc_record(uri: Column, tsMs: Column, payload: Column,
+      wtype: String): Column =
+    c(WarcRecord(x(uri), x(tsMs), x(payload), wtype))
+
+  /** parse a concatenation of WARC records back into (wtype, uri,
+    * n_bytes, payload) structs; NULL for malformed shards. */
+  def warc_extract(bytes: Column): Column = c(WarcExtract(x(bytes)))
+
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 

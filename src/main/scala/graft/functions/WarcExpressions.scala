@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real WARC (ISO 28500 / WARC/1.0) record encode + parse — the container
+  * a 100 TB crawled corpus actually arrives in (Common Crawl ships WARC;
+  * the x87/x88/x90 lanes start from its response payloads). Same no-stub
+  * standard as the WAV/AVI/ustar containers: `warc_record` writes genuine
+  * records (version line, named headers, Content-Length, the spec's
+  * CRLF CRLF record terminator), `warc_extract` walks them back by
+  * header-declared lengths — encode→parse must be the identity on every
+  * payload byte, which the oracle checks from the raw construction
+  * without ever parsing WARC. */
+object WarcCodec {
+
+  private val dateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** One WARC/1.0 record: headers + payload + CRLFCRLF terminator.
+    * WARC-Date renders the ms timestamp second-truncated in UTC (fixed
+    * width — deterministic bytes). */
+  def record(wtype: String, uri: String, tsMs: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    if (wtype == null || uri == null || payload == null) return null
+    val mt = if (wtype == "response") "response" else "request"
+    val header =
+      s"WARC/1.0\r\n" +
+      s"WARC-Type: $wtype\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: ${dateFmt.format(java.time.Instant.ofEpochMilli(tsMs))}\r\n" +
+      s"WARC-Record-ID: <urn:graft:$wtype:$tsMs>\r\n" +
+      s"Content-Type: application/http;msgtype=$mt\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    val hb = header.getBytes("UTF-8")
+    val out = new Array[Byte](hb.length + payload.length + 4)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(payload, 0, out, hb.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  val recordType: StructType = StructType(Seq(
+    StructField("wtype", StringType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Parse a concatenation of WARC records: version line, header block to
+    * the first CRLFCRLF, Content-Length payload bytes, CRLFCRLF record
+    * terminator, repeat. Header names case-insensitive per the spec.
+    * Returns NULL for anything malformed (bad magic, missing
+    * Content-Length, truncated payload or terminator) — the ingestion
+    * lane's "undecodable shard" flag, never a crash. */
+  def extract(bytes: Array[Byte]): GenericArrayData = {
+    if (bytes == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    def indexOfCrlfCrlf(from: Int): Int = {
+      var k = from
+      while (k + 3 < bytes.length) {
+        if (bytes(k) == '\r' && bytes(k + 1) == '\n' &&
+            bytes(k + 2) == '\r' && bytes(k + 3) == '\n') return k
+        k += 1
+      }
+      -1
+    }
+    while (i < bytes.length) {
+      val hEnd = indexOfCrlfCrlf(i)
+      if (hEnd < 0) return null
+      val header = new String(bytes, i, hEnd - i, "UTF-8")
+      val lines = header.split("\r\n", -1)
+      if (lines.isEmpty || !lines(0).startsWith("WARC/")) return null
+      var wtype: String = null
+      var uri: String = null
+      var clen = -1
+      lines.iterator.drop(1).foreach { l =>
+        val c = l.indexOf(':')
+        if (c > 0) {
+          val k = l.substring(0, c).trim.toLowerCase(Locale.ROOT)
+          val v = l.substring(c + 1).trim
+          k match {
+            case "warc-type" => wtype = v
+            case "warc-target-uri" => uri = v
+            case "content-length" =>
+              try clen = Integer.parseInt(v)
+              catch { case _: NumberFormatException => return null }
+            case _ =>
+          }
+        }
+      }
+      if (wtype == null || uri == null || clen < 0) return null
+      val pStart = hEnd + 4
+      if (pStart + clen + 4 > bytes.length) return null
+      val payload = java.util.Arrays.copyOfRange(bytes, pStart, pStart + clen)
+      if (bytes(pStart + clen) != '\r' || bytes(pStart + clen + 1) != '\n' ||
+          bytes(pStart + clen + 2) != '\r' || bytes(pStart + clen + 3) != '\n')
+        return null
+      out += InternalRow(UTF8String.fromString(wtype),
+        UTF8String.fromString(uri), clen, payload)
+      i = pStart + clen + 4
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def recordU8(wtype: String, uri: UTF8String, tsMs: Long,
+      payload: Array[Byte]): Array[Byte] =
+    if (uri == null) null else record(wtype, uri.toString, tsMs, payload)
+}
+
+/** `warc_record(uri, ts_ms, payload)` for a fixed WARC-Type. */
+case class WarcRecord(first: Expression, second: Expression,
+    third: Expression, wtype: String)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_record"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(StringType, LongType, BinaryType)
+
+  override def nullSafeEval(uri: Any, ts: Any, payload: Any): Any =
+    WarcCodec.recordU8(wtype, uri.asInstanceOf[UTF8String],
+      ts.asInstanceOf[Long], payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("wtype", wtype, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (u, t, p) => s"""
+      ${ev.value} = graft.functions.WarcCodec.recordU8($w, $u, $t, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `warc_extract(bytes)` → array of (wtype, uri, n_bytes, payload). */
+case class WarcExtract(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType =
+    ArrayType(WarcCodec.recordType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_extract"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(BinaryType)
+
+  override def nullSafeEval(v: Any): Any =
+    WarcCodec.extract(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.extract($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1248,6 +1248,73 @@ SELECT source, 4 * count(*) AS n_urls,
   CAST(sum(3 + (CAST((doc_id * 3 + 5) % 97 AS VARCHAR) LIKE '1%')::INT)
     AS BIGINT) AS n_bot_allowed,
   2 * count(*) AS n_any_allowed
-FROM d GROUP BY source ORDER BY source NULLS FIRST"""))
+FROM d GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- X91: WARC ingestion round trip (round 15) --------------------------
+    // The container a crawled corpus actually arrives in (Common Crawl
+    // ships WARC, ISO 28500): each document becomes a genuine two-record
+    // WARC shard — the request record and the response record whose
+    // payload is the x87 trap-laden page — ENCODED by warc_record (version
+    // line, named headers, Content-Length, the CRLFCRLF terminator) and
+    // PARSED BACK by warc_extract walking header-declared lengths. The
+    // response payload then flows the x87 extraction, so the FULL
+    // ingestion chain — pack → parse → payload-identity → tag-strip — is
+    // pinned by md5 checksums the oracle computes from raw columns without
+    // ever parsing WARC or HTML. A shifted byte anywhere (wrong
+    // Content-Length, missed terminator, header drift) breaks the
+    // checksums. 100 TB shape: pure per-row scan, zero joins,
+    // |sources|-row rollup.
+    GQuery("x91_warc_ingest",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
+        val uri = concat(lit("https://"), col("source"),
+          lit(".example.org/page/"), m2, lit("/"))
+        val reqPay = concat(lit("GET /page/"), m2, lit("/")).cast("binary")
+        val ts = lit(1723700000000L) + col("doc_id")
+        val warc = concat(
+          warc_record(uri, ts, reqPay, "request"),
+          warc_record(uri, ts, htmlPage.cast("binary"), "response"))
+        val rows = docs.select(col("doc_id"), col("source"), col("text"),
+            uri.as("uri"), warc_extract(warc).as("recs"))
+          .withColumn("req", element_at(col("recs"), 1))
+          .withColumn("resp", element_at(col("recs"), 2))
+          .withColumn("ext",
+            html_text(col("resp.payload").cast("string")))
+          .withColumn("ok",
+            (size(col("recs")) === 2 &&
+              col("req.wtype") === "request" &&
+              col("resp.wtype") === "response" &&
+              col("req.uri") === col("uri") &&
+              col("resp.uri") === col("uri") &&
+              element_at(split(col("ext"), "\n"), 4) === col("text"))
+              .cast("int"))
+        rows.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(col("recs")).cast("long")).as("n_records"),
+            sum(col("ok")).cast("long").as("n_ok"),
+            sum(col("req.n_bytes").cast("long")).as("req_bytes"),
+            expr("bit_xor(CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT))")
+              .as("text_checksum"),
+            expr("bit_xor(CAST(conv(substr(md5(CAST(req.payload AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+              .as("req_checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source, text,
+    $htmlExpectedDuck AS ext,
+    'GET /page/' || ((doc_id * 3 + 5) % 97) || '/' AS req
+  FROM d)
+SELECT source, count(*) AS n_docs,
+  2 * count(*) AS n_records,
+  count(*) AS n_ok,
+  CAST(sum(length(req)) AS BIGINT) AS req_bytes,
+  bit_xor(CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT)) AS text_checksum,
+  bit_xor(CAST(concat('0x', substr(md5(req), 1, 15)) AS BIGINT)) AS req_checksum
+FROM e GROUP BY source ORDER BY source NULLS FIRST"""))
   )
 }

@@ -693,6 +693,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("x91 WARC ingest is a pure per-row scan — no joins") {
+    val p = plan("x91_warc_ingest")
+    assert(!p.contains("Join"), s"WARC ingest grew a join:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

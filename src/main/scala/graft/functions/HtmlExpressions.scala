@@ -130,7 +130,18 @@ object HtmlCodec {
           val tagEnd = if (k < n) k + 1 else n
           if (!closing && (name == "script" || name == "style")) {
             flushLine()
-            val close = indexOfIgnoreCase(html, "</" + name, tagEnd)
+            // WHATWG raw-text close: "</name" must be followed by '>',
+            // '/', or ASCII whitespace — "</scriptfoo>" does NOT end a
+            // script element and must not leak its body into text.
+            var close = indexOfIgnoreCase(html, "</" + name, tagEnd)
+            while (close >= 0 && {
+                val after = close + 2 + name.length
+                after < n && {
+                  val ch = html.charAt(after)
+                  ch != '>' && ch != '/' && ch != ' ' && ch != '\t' &&
+                    ch != '\n' && ch != '\r' && ch != '\f'
+                }
+              }) close = indexOfIgnoreCase(html, "</" + name, close + 1)
             if (close < 0) i = n
             else {
               var g = close + 2 + name.length

@@ -62,7 +62,11 @@ object RobotsCodec {
           case "disallow" =>
             inAgents = false
             if (value.nonEmpty) rules = (false, value) :: rules
-          case _ => inAgents = false // Crawl-delay, Sitemap, ... ignored
+          case _ => // Crawl-delay, Sitemap, ...: ignored. RFC 9309 closes a
+            // user-agent group only on RULE lines — an unknown field between
+            // consecutive User-agent lines must NOT split the group, so
+            // "User-agent: a / Sitemap: s / User-agent: b / Disallow: /x"
+            // gives BOTH agents the Disallow.
         }
       }
     }

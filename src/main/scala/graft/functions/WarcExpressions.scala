@@ -99,7 +99,10 @@ object WarcCodec {
       }
       if (wtype == null || uri == null || clen < 0) return null
       val pStart = hEnd + 4
-      if (pStart + clen + 4 > bytes.length) return null
+      // Long arithmetic: a hostile Content-Length near Int.MaxValue would
+      // wrap `pStart + clen + 4` negative and sail past an int comparison,
+      // turning the "malformed shard => NULL" contract into a crash.
+      if (pStart.toLong + clen.toLong + 4L > bytes.length.toLong) return null
       val payload = java.util.Arrays.copyOfRange(bytes, pStart, pStart + clen)
       if (bytes(pStart + clen) != '\r' || bytes(pStart + clen + 1) != '\n' ||
           bytes(pStart + clen + 2) != '\r' || bytes(pStart + clen + 3) != '\n')

@@ -181,11 +181,16 @@ final class KafkaLogClient(path: String,
         s"kafka SASL handshake rejected mechanism $saslMechanism (error $herr)")
     def need(k: String) = conf.getOrElse(k, throw new IOException(
       s"$securityProtocol requires consumer.$k"))
-    saslMechanism match {
+    // session_lifetime_ms is threaded as a VALUE from the final
+    // SaslAuthenticate leg to here (not a shared field): two connections
+    // authenticating concurrently on one client must not consume each
+    // other's lifetime, or a long-lived fetch cursor ends up with no
+    // re-auth deadline and the broker kills it mid-stream.
+    val lifetimeMs: Long = saslMechanism match {
       case "PLAIN" =>
         // SaslAuthenticate v0: PLAIN token = [authzid] NUL user NUL password
         saslRound(in, out, ("\u0000" + need("sasl.username") + "\u0000" +
-          need("sasl.password")).getBytes("UTF-8"))
+          need("sasl.password")).getBytes("UTF-8"))._2
       case "OAUTHBEARER" =>
         oauthBearerAuthenticate(in, out)
       case scram => // SCRAM-SHA-256 / SCRAM-SHA-512
@@ -194,11 +199,10 @@ final class KafkaLogClient(path: String,
     }
     // KIP-368: arm (or re-arm) this connection's re-auth clock from the
     // broker-advertised session lifetime
-    if (lastSessionLifetimeMs > 0 &&
+    if (lifetimeMs > 0 &&
         !conf.get("sasl.disable.reauth").contains("true"))
       sessionDeadlines.put(out,
-        System.currentTimeMillis() + lastSessionLifetimeMs * 9 / 10)
-    lastSessionLifetimeMs = 0L
+        System.currentTimeMillis() + lifetimeMs * 9 / 10)
     ()
   }
 
@@ -220,7 +224,7 @@ final class KafkaLogClient(path: String,
     * shape). A refreshing provider callback is deliberately out of scope:
     * each connection re-reads the file, so external rotation works. */
   private def oauthBearerAuthenticate(in: DataInputStream,
-      out: DataOutputStream): Unit = {
+      out: DataOutputStream): Long = {
     val token = conf.get("sasl.oauthbearer.token")
       .orElse(conf.get("sasl.oauthbearer.token.file").map { f =>
         new String(java.nio.file.Files.readAllBytes(
@@ -230,7 +234,7 @@ final class KafkaLogClient(path: String,
         "consumer.sasl.oauthbearer.token or .token.file"))
     require(!token.exists(c => c == '\u0001' || c.isControl),
       "OAUTHBEARER token must not contain control characters")
-    val challenge = saslRound(in, out,
+    val (challenge, lifetimeMs) = saslRound(in, out,
       ("n,,\u0001auth=Bearer " + token + "\u0001\u0001").getBytes("UTF-8"))
     if (challenge.nonEmpty) {
       // RFC 7628 §3.2.3: a non-empty server message after the initial
@@ -245,15 +249,18 @@ final class KafkaLogClient(path: String,
       throw new IOException(
         s"kafka OAUTHBEARER authentication failed: $errJson")
     }
+    lifetimeMs
   }
 
   /** One SaslAuthenticate round trip (v1 when the broker serves it, else
-    * the v0 pin); returns the server's auth_bytes (empty for PLAIN),
-    * throws on a non-zero error code. A v1 response's trailing
-    * session_lifetime_ms (KIP-368) lands in [[lastSessionLifetimeMs]] —
-    * the re-authentication clock for long-lived connections. */
+    * the v0 pin); returns (server auth_bytes — empty for PLAIN —,
+    * session_lifetime_ms), throwing on a non-zero error code. The lifetime
+    * (KIP-368, 0 when v0 or the broker requires no re-auth) is returned as
+    * a value and threaded per connection by the callers — never parked in
+    * shared state, so concurrent authentications cannot steal each other's
+    * re-auth clock. */
   private def saslRound(in: DataInputStream, out: DataOutputStream,
-      token: Array[Byte]): Array[Byte] = {
+      token: Array[Byte]): (Array[Byte], Long) = {
     val v: Short = brokerRanges.flatMap(_.get(ApiSaslAuthenticate)) match {
       case Some((lo, hi)) if lo <= 1 && 1 <= hi => 1
       case _ => 0
@@ -270,14 +277,9 @@ final class KafkaLogClient(path: String,
     val bytes =
       if (n <= 0) Array.emptyByteArray
       else { val b = new Array[Byte](n); ar.readFully(b); b }
-    if (v >= 1) lastSessionLifetimeMs = ar.readLong()
-    bytes
+    val lifetimeMs = if (v >= 1) ar.readLong() else 0L
+    (bytes, lifetimeMs)
   }
-
-  /** session_lifetime_ms from the most recent v1 SaslAuthenticate response
-    * on this thread of control (0 = broker requires no re-auth). Written
-    * by [[saslRound]], consumed by [[authenticate]]. */
-  @volatile private var lastSessionLifetimeMs: Long = 0L
 
   /** KIP-368 re-auth deadlines per live connection (weak keys: one-shot
     * connections vanish with their sockets; only the long-lived fetch
@@ -314,7 +316,7 @@ final class KafkaLogClient(path: String,
     * Passwords are raw UTF-8 (Kafka's SaslPrep is the identity for the
     * ASCII passwords it documents); usernames get the =2C/=3D escapes. */
   private def scramAuthenticate(in: DataInputStream, out: DataOutputStream,
-      shaAlgo: String, user: String, password: String): Unit = {
+      shaAlgo: String, user: String, password: String): Long = {
     val b64e = java.util.Base64.getEncoder
     val b64d = java.util.Base64.getDecoder
     val hmacAlgo = "Hmac" + shaAlgo.replace("-", "")
@@ -331,7 +333,7 @@ final class KafkaLogClient(path: String,
     val cnonce = b64e.withoutPadding.encodeToString(nb)
     val clientFirstBare = s"n=$saslUser,r=$cnonce"
     val serverFirst = new String(
-      saslRound(in, out, ("n,," + clientFirstBare).getBytes("UTF-8")), "UTF-8")
+      saslRound(in, out, ("n,," + clientFirstBare).getBytes("UTF-8"))._1, "UTF-8")
     val attrs = serverFirst.split(",").collect {
       case a if a.length >= 2 && a.charAt(1) == '=' =>
         a.substring(0, 1) -> a.substring(2)
@@ -358,9 +360,12 @@ final class KafkaLogClient(path: String,
       clientFinalNoProof).getBytes("UTF-8")
     val clientSig = hmac(digest(clientKey), authMessage)
     val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
-    val serverFinal = new String(saslRound(in, out,
+    // the lifetime rides the FINAL SaslAuthenticate leg (the broker arms
+    // the session only once authentication completes)
+    val (serverFinalBytes, lifetimeMs) = saslRound(in, out,
       (clientFinalNoProof + ",p=" + b64e.encodeToString(proof))
-        .getBytes("UTF-8")), "UTF-8")
+        .getBytes("UTF-8"))
+    val serverFinal = new String(serverFinalBytes, "UTF-8")
     val serverSig = hmac(hmac(salted, "Server Key".getBytes("UTF-8")), authMessage)
     val v = serverFinal.split(",").find(_.startsWith("v="))
       .getOrElse(throw new IOException(
@@ -368,6 +373,7 @@ final class KafkaLogClient(path: String,
     if (!java.security.MessageDigest.isEqual(b64d.decode(v.drop(2)), serverSig))
       throw new IOException("kafka SCRAM server signature mismatch — the " +
         "broker does not hold these credentials (mutual auth failed)")
+    lifetimeMs
   }
 
   /** The (name, api key, pinned version) dialect this client speaks with

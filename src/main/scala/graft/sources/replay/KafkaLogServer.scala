@@ -845,6 +845,10 @@ final class KafkaLogServer(dir: String, topic: String,
                   baseDeleted = true
                   produced.clear()
                   evictFetchSessions()
+                  // real brokers also drop the topic's committed group
+                  // offsets: after delete+recreate an OffsetFetch must NOT
+                  // return stale offsets pointing into the vanished log
+                  committedStore.keySet.removeIf(_._2 == name)
                   0
                 } else 3                // UNKNOWN_TOPIC_OR_PARTITION
               if (flexDt) {

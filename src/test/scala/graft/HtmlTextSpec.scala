@@ -24,6 +24,16 @@ class HtmlTextSpec extends SparkSpec {
     assert(t("<SCRIPT>junk</ScRiPt><p>y</p>") === "y")
     // unterminated raw text swallows the rest
     assert(t("<p>z</p><script>never closed <p>gone</p>") === "z")
+    // WHATWG: "</scriptfoo>" is NOT a close tag — the name must be followed
+    // by '>', '/', or whitespace; script content must stay excised past it
+    // (ADVICE r15).
+    assert(t("""<script>var a = "</scriptfoo>"; leak?</script><p>ok</p>""")
+      === "ok")
+    assert(t("<style>p</stylesheet> { x } </style><p>q</p>") === "q")
+    // whitespace / solidus after the name DO close per the spec
+    assert(t("<script>s</script ><p>w1</p>") === "w1")
+    assert(t("<script>s</script/><p>w2</p>") === "w2")
+    assert(t("<script>s</script\n><p>w3</p>") === "w3")
   }
 
   test("comments and declarations drop, tags inside comments included") {

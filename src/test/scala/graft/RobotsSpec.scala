@@ -67,4 +67,20 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!RobotsCodec.allowed(shared, "a", "/x/1"))
     assert(!RobotsCodec.allowed(shared, "b", "/x/1"))
   }
+
+  test("an unknown field between User-agent lines does not split the group") {
+    // RFC 9309: groups close only on RULE lines — a Sitemap/Crawl-delay
+    // between consecutive User-agent lines leaves both agents in ONE group
+    // sharing the rules (ADVICE r15).
+    val txt = "User-agent: a\nSitemap: https://x/s.xml\n" +
+      "User-agent: b\nDisallow: /x\n"
+    assert(!RobotsCodec.allowed(txt, "a", "/x/1"),
+      "agent a must inherit the group's Disallow")
+    assert(!RobotsCodec.allowed(txt, "b", "/x/1"))
+    assert(RobotsCodec.allowed(txt, "a", "/y"))
+    // but a rule line still closes the group: a later User-agent starts fresh
+    val closed = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert(RobotsCodec.allowed(closed, "a", "/y/1"))
+    assert(!RobotsCodec.allowed(closed, "b", "/y/1"))
+  }
 }

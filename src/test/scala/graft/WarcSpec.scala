@@ -57,6 +57,20 @@ class WarcSpec extends AnyFunSuite {
       "an empty shard is zero records, not an error")
   }
 
+  test("hostile Content-Length near Int.MaxValue is NULL, not a crash") {
+    // pStart + clen + 4 would wrap negative in int arithmetic and sail
+    // past the bounds guard into copyOfRange (ADVICE r15) — the long-math
+    // check must flag the shard malformed instead.
+    val w = ("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: u://x\r\nContent-Length: 2147483640\r\n\r\n" +
+      "ok\r\n\r\n").getBytes
+    assert(WarcCodec.extract(w) == null)
+    val w2 = ("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: u://x\r\nContent-Length: " + Int.MaxValue +
+      "\r\n\r\nok\r\n\r\n").getBytes
+    assert(WarcCodec.extract(w2) == null)
+  }
+
   test("header names parse case-insensitively") {
     val w = ("WARC/1.0\r\nwarc-type: request\r\n" +
       "WARC-TARGET-URI: u://x\r\ncontent-length: 2\r\n\r\nok\r\n\r\n").getBytes

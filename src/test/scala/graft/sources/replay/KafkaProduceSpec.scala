@@ -73,6 +73,9 @@ class KafkaProduceSpec extends graft.SparkSpec {
       c.produce(0, Seq((bytes("k"), bytes("v1"), 1723700000000L)))
       c.produce(1, Seq((null, bytes("v2"), 1723700000001L)))
       assert(c.endOffset(0) === 1L && c.endOffset(1) === 1L)
+      // commit a group offset into the topic — deletion must take it down
+      c.commitOffsets("lifecycle-g", Map(0 -> 1L))
+      assert(c.committedOffsets("lifecycle-g", Seq(0)) === Map(0 -> 1L))
       // deleting a name that was never created refuses loudly
       val eu = intercept[java.io.IOException](c.deleteTopics(Seq("ghost")))
       assert(eu.getMessage.contains("UNKNOWN_TOPIC_OR_PARTITION"), eu.getMessage)
@@ -91,6 +94,12 @@ class KafkaProduceSpec extends graft.SparkSpec {
       c2.createTopics(Seq("life" -> 2))
       assert(c2.endOffset(0) === 0L && c2.endOffset(1) === 0L,
         "re-created topic must start empty")
+      // and the group offsets committed into the OLD incarnation are gone:
+      // a real broker removes the topic's committed offsets on delete, so
+      // OffsetFetch after recreate must not point into the vanished log
+      // (ADVICE r15).
+      assert(c2.committedOffsets("lifecycle-g", Seq(0)).getOrElse(0, -1L)
+        === -1L, "stale committed offset survived delete+recreate")
       c2.produce(0, Seq((null, bytes("fresh"), 1723700000002L)))
       assert(c2.endOffset(0) === 1L)
       c.closeProducer(); c2.closeProducer()

@@ -109,6 +109,25 @@ object GraftFunctions {
     * n_bytes, payload) structs; NULL for malformed shards. */
   def warc_extract(bytes: Column): Column = c(WarcExtract(x(bytes)))
 
+  /** one WARC record as one gzip member — the *.warc.gz framing crawled
+    * corpora ship in (one member per record, members concatenated). */
+  def warc_gz_record(uri: Column, tsMs: Column, payload: Column,
+      wtype: String): Column =
+    c(WarcGzRecord(x(uri), x(tsMs), x(payload), wtype))
+
+  /** inflate concatenated gzip members and parse the WARC records inside;
+    * NULL for malformed shards (bad member, CRC mismatch, inflation bomb). */
+  def warc_gz_extract(bytes: Column): Column = c(WarcGzExtract(x(bytes)))
+
+  /** charset-aware bytes→text decode (WHATWG order: BOM → Content-Type
+    * charset → meta prescan → UTF-8), STRICT — poisoned/unknown encodings
+    * decode to NULL, never to replacement characters. A NULL content_type
+    * is treated as "no transport declaration". */
+  def decode_charset(bytes: Column, contentType: Column): Column =
+    c(DecodeCharset(x(bytes),
+      x(org.apache.spark.sql.functions.coalesce(contentType,
+        org.apache.spark.sql.functions.lit("")))))
+
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 

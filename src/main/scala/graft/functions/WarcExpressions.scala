@@ -119,6 +119,123 @@ object WarcCodec {
     if (uri == null) null else record(wtype, uri.toString, tsMs, payload)
 }
 
+/** Per-record gzip member framing — the shape crawled corpora actually
+  * ship in (`*.warc.gz`): each WARC record is compressed as its OWN gzip
+  * member and the members are concatenated, so a reader can split a shard
+  * at member boundaries without inflating the whole file (ISO 28500 annex;
+  * Common Crawl's distribution format). `warc_gz_record` emits one member
+  * per record; `warc_gz_extract` inflates a concatenation of members (the
+  * JDK inflater consumes successive members natively) and hands the raw
+  * stream to [[WarcCodec.extract]]. Malformation anywhere — bad gzip
+  * magic, a corrupt member, a CRC mismatch, an inflation bomb past the
+  * cap — degrades to NULL, never a crash. Known JDK leniency, documented:
+  * trailing NON-gzip bytes after a complete member are silently ignored
+  * by GZIPInputStream rather than flagged. */
+object WarcGzCodec {
+
+  /** Inflated-size cap per shard: hostile crawl data can carry gzip bombs,
+    * and "malformed shard => NULL" must hold for them too instead of
+    * OOM-ing an executor. 256 MiB is ~250× a normal WARC shard payload. */
+  val MaxInflatedBytes: Long = 256L << 20
+
+  /** One gzip member wrapping `bytes`. The JDK writes a fixed header
+    * (MTIME=0, XFL=0) so the member bytes are deterministic per input. */
+  def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
+    val bo = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(bytes); gz.finish(); gz.close()
+    bo.toByteArray
+  }
+
+  /** Inflate a concatenation of gzip members back to the raw byte stream;
+    * NULL on any malformed member or past [[MaxInflatedBytes]]. */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
+    if (bytes.length == 0) return Array.emptyByteArray
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 1 << 16)
+      val bo = new java.io.ByteArrayOutputStream(bytes.length * 2 + 64)
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        total += n
+        if (total > MaxInflatedBytes) return null
+        bo.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      bo.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  def warcGzRecord(wtype: String, uri: UTF8String, tsMs: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val rec = WarcCodec.recordU8(wtype, uri, tsMs, payload)
+    if (rec == null) null else gzMember(rec)
+  }
+
+  def warcGzExtract(bytes: Array[Byte]): GenericArrayData = {
+    val raw = gunzipAll(bytes)
+    if (raw == null) null else WarcCodec.extract(raw)
+  }
+}
+
+/** `warc_gz_record(uri, ts_ms, payload)` — one WARC record as one gzip
+  * member (the *.warc.gz framing), for a fixed WARC-Type. */
+case class WarcGzRecord(first: Expression, second: Expression,
+    third: Expression, wtype: String)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_gz_record"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(StringType, LongType, BinaryType)
+
+  override def nullSafeEval(uri: Any, ts: Any, payload: Any): Any =
+    WarcGzCodec.warcGzRecord(wtype, uri.asInstanceOf[UTF8String],
+      ts.asInstanceOf[Long], payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("wtype", wtype, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (u, t, p) => s"""
+      ${ev.value} = graft.functions.WarcGzCodec.warcGzRecord($w, $u, $t, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `warc_gz_extract(bytes)` — inflate concatenated gzip members and parse
+  * the WARC records inside; NULL for malformed shards. */
+case class WarcGzExtract(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType =
+    ArrayType(WarcCodec.recordType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_gz_extract"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(BinaryType)
+
+  override def nullSafeEval(v: Any): Any =
+    WarcGzCodec.warcGzExtract(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcGzCodec.warcGzExtract($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `warc_record(uri, ts_ms, payload)` for a fixed WARC-Type. */
 case class WarcRecord(first: Expression, second: Expression,
     third: Expression, wtype: String)

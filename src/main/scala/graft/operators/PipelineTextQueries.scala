@@ -1315,6 +1315,83 @@ SELECT source, count(*) AS n_docs,
   CAST(sum(length(req)) AS BIGINT) AS req_bytes,
   bit_xor(CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT)) AS text_checksum,
   bit_xor(CAST(concat('0x', substr(md5(req), 1, 15)) AS BIGINT)) AS req_checksum
+FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // ---- X92: warc.gz members + charset-aware decode (round 16) -------------
+    // The REAL Common Crawl arrival shape (VERDICT r15 #1): each WARC
+    // record compressed as its OWN gzip member, members concatenated into
+    // the shard, and response payloads arriving as BYTES in a
+    // declared-or-sniffed encoding. Per doc: a request record + a response
+    // record whose payload is the x87 trap page encoded by doc_id%4 —
+    // 0: UTF-8 declared in the Content-Type header (quoted param),
+    // 1: UTF-16BE behind its BOM (no declaration — BOM sniff),
+    // 2: UTF-16LE behind an explicit FF FE BOM,
+    // 3: UTF-8 declared only by the page's own <meta charset> (prescan).
+    // warc_gz_record → warc_gz_extract → decode_charset must reproduce the
+    // page STRING exactly (ok pins full-page identity), and the decoded
+    // output then feeds the x87 html_text lane, whose line checksums the
+    // oracle computes from raw columns without gzip, WARC, charsets, or
+    // HTML. 100 TB shape: pure per-row scan, zero joins; the gzip round
+    // trip is the dominant (and inherent) CPU cost.
+    GQuery("x92_warc_gz_charset",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
+        val uri = concat(lit("https://"), col("source"),
+          lit(".example.org/page/"), m2, lit("/"))
+        val reqPay = concat(lit("GET /page/"), m2, lit("/")).cast("binary")
+        val ts = lit(1723700000000L) + col("doc_id")
+        val arm = (col("doc_id") % 4).cast("int")
+        val payload =
+          when(arm === 1, encode(htmlPage, "UTF-16")) // FE FF BOM + BE
+            .when(arm === 2, concat(
+              lit(Array(0xFF.toByte, 0xFE.toByte)),
+              encode(htmlPage, "UTF-16LE")))
+            .otherwise(encode(htmlPage, "UTF-8"))
+        val ctype = when(arm === 0, lit("text/html; charset=\"UTF-8\""))
+          .otherwise(lit("text/html"))
+        val shard = concat(
+          warc_gz_record(uri, ts, reqPay, "request"),
+          warc_gz_record(uri, ts, payload, "response"))
+        val rows = docs.select(col("doc_id"), col("source"), col("text"),
+            col("lang"), uri.as("uri"), arm.as("arm"), ctype.as("ctype"),
+            warc_gz_extract(shard).as("recs"))
+          .withColumn("req", element_at(col("recs"), 1))
+          .withColumn("resp", element_at(col("recs"), 2))
+          .withColumn("page",
+            decode_charset(col("resp.payload"), col("ctype")))
+          .withColumn("ext", html_text(col("page")))
+          .withColumn("ok",
+            (size(col("recs")) === 2 &&
+              col("req.wtype") === "request" &&
+              col("resp.wtype") === "response" &&
+              col("req.uri") === col("uri") &&
+              col("resp.uri") === col("uri") &&
+              col("page") === htmlPage &&
+              element_at(split(col("ext"), "\n"), 4) === col("text"))
+              .cast("int"))
+        rows.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ok")).cast("long").as("n_ok"),
+            sum((col("arm") === 0).cast("int")).cast("long").as("n_hdr"),
+            sum((col("arm") === 1 || col("arm") === 2).cast("int"))
+              .cast("long").as("n_bom"),
+            sum((col("arm") === 3).cast("int")).cast("long").as("n_meta"),
+            expr("bit_xor(CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT))")
+              .as("text_checksum"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source, text, $htmlExpectedDuck AS ext FROM d)
+SELECT source, count(*) AS n_docs, count(*) AS n_ok,
+  CAST(sum((doc_id % 4 = 0)::INT) AS BIGINT) AS n_hdr,
+  CAST(sum((doc_id % 4 IN (1, 2))::INT) AS BIGINT) AS n_bom,
+  CAST(sum((doc_id % 4 = 3)::INT) AS BIGINT) AS n_meta,
+  bit_xor(CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT)) AS text_checksum
 FROM e GROUP BY source ORDER BY source NULLS FIRST"""))
   )
 }

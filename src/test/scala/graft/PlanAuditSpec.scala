@@ -699,6 +699,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("x92 warc.gz + charset decode is a pure per-row scan — no joins") {
+    val p = plan("x92_warc_gz_charset")
+    assert(!p.contains("Join"), s"warc.gz ingest grew a join:\n$p")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

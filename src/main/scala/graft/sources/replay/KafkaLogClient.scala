@@ -682,6 +682,124 @@ final class KafkaLogClient(path: String,
     }
   }
 
+  /** DeleteRecords (api 21, v1 or the flexible v2) — advance a
+    * partition's log-start offset, truncating everything below it: the
+    * rdkafka AdminClient's delete_records, the log-surgery call an
+    * operator uses to reclaim space or unstick a consumer. Per-partition
+    * target offset; -1 means "truncate to the high watermark". Returns the
+    * new low watermark per partition. A real broker's post-conditions —
+    * which the double reproduces and KafkaProduceSpec pins — are that
+    * ListOffsets earliest MOVES to the low watermark and a fetch below it
+    * answers OFFSET_OUT_OF_RANGE. Named per-partition failures: deleting
+    * past the high watermark is OFFSET_OUT_OF_RANGE; an unknown
+    * topic/partition answers UNKNOWN_TOPIC_OR_PARTITION. */
+  def deleteRecords(offsets: Map[Int, Long],
+      timeoutMs: Int = 30000): Map[Int, Long] = {
+    if (offsets.isEmpty) return Map.empty
+    val (v, in) = oneShotVersioned(bootstrap, "DeleteRecords",
+      ApiDeleteRecords, 1, 2) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      val flex = v >= 2
+      if (flex) writeCompactArrayLen(o, 1) else o.writeInt(1)
+      if (flex) writeCompactString(o, topic) else writeString(o, topic)
+      if (flex) writeCompactArrayLen(o, offsets.size)
+      else o.writeInt(offsets.size)
+      offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+        o.writeInt(p); o.writeLong(off)
+        if (flex) writeEmptyTagged(o)
+      }
+      if (flex) writeEmptyTagged(o)
+      o.writeInt(timeoutMs)
+      if (flex) writeEmptyTagged(o)
+      body.toByteArray
+    }
+    val flex = v >= 2
+    in.readInt()                // throttle_time_ms
+    val nT = if (flex) readCompactArrayLen(in) else in.readInt()
+    var lows = Map.empty[Int, Long]
+    var failed = List.empty[(Int, Short)]
+    (1 to nT).foreach { _ =>
+      val name = if (flex) readCompactString(in) else readString(in)
+      val nP = if (flex) readCompactArrayLen(in) else in.readInt()
+      (1 to nP).foreach { _ =>
+        val p = in.readInt()
+        val low = in.readLong()
+        val err = in.readShort()
+        if (flex) skipTagged(in)
+        if (err != 0) failed ::= (p, err)
+        else if (name == topic) lows += p -> low
+      }
+      if (flex) skipTagged(in)
+    }
+    if (flex) skipTagged(in)
+    if (failed.nonEmpty) {
+      val named = failed.reverse.map { case (p, e) =>
+        val n = e match {
+          case 1 => "OFFSET_OUT_OF_RANGE"
+          case 3 => "UNKNOWN_TOPIC_OR_PARTITION"
+          case 44 => "POLICY_VIOLATION"
+          case other => s"error $other"
+        }
+        s"p$p -> $n"
+      }
+      throw new IOException(
+        s"kafka DeleteRecords failed: ${named.mkString(", ")}")
+    }
+    lows
+  }
+
+  /** DeleteGroups (api 42, v1 or the flexible v2) — remove consumer
+    * groups and their committed offsets wholesale: OffsetDelete's
+    * group-level sibling and the last call of the rdkafka AdminClient
+    * surface the reference links. Groups are routed to their own
+    * coordinator (FindCoordinator per group, batched per address) like the
+    * official client. Named failures: a group with LIVE members answers
+    * NON_EMPTY_GROUP — membership is never yanked; an unknown group
+    * answers GROUP_ID_NOT_FOUND. */
+  def deleteGroups(groups: Seq[String]): Unit = {
+    if (groups.isEmpty) return
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, Short)]
+    groups.groupBy(coordinator).foreach { case (addr, gs) =>
+      val (v, in) = oneShotVersioned(addr, "DeleteGroups",
+        ApiDeleteGroups, 1, 2) { v =>
+        val body = new ByteArrayOutputStream()
+        val o = new DataOutputStream(body)
+        if (v >= 2) {
+          writeCompactArrayLen(o, gs.size)
+          gs.foreach(writeCompactString(o, _))
+          writeEmptyTagged(o)
+        } else {
+          o.writeInt(gs.size)
+          gs.foreach(writeString(o, _))
+        }
+        body.toByteArray
+      }
+      in.readInt()              // throttle_time_ms
+      val n = if (v >= 2) readCompactArrayLen(in) else in.readInt()
+      (1 to n).foreach { _ =>
+        val gid = if (v >= 2) readCompactString(in) else readString(in)
+        val err = in.readShort()
+        if (v >= 2) skipTagged(in)
+        if (err != 0) failed += ((gid, err))
+      }
+      if (v >= 2) skipTagged(in)
+    }
+    if (failed.nonEmpty) {
+      val named = failed.map { case (g, e) =>
+        val n = e match {
+          case 68 => "NON_EMPTY_GROUP"
+          case 69 => "GROUP_ID_NOT_FOUND"
+          case 30 => "GROUP_AUTHORIZATION_FAILED"
+          case other => s"error $other"
+        }
+        s"'$g' -> $n"
+      }
+      throw new IOException(
+        s"kafka DeleteGroups failed: ${named.mkString(", ")}")
+    }
+  }
+
   /** OffsetDelete (api 47, v0 — its only version; KIP-496) — drop a
     * group's committed offsets for the given partitions of the bootstrap
     * topic. The administrative reset an operator runs before re-consuming
@@ -983,6 +1101,9 @@ final class KafkaLogClient(path: String,
   }
 
   override def endOffset(p: Int): Long = listOffset(p, -1L)
+  /** Earliest readable offset — the log-start / DeleteRecords low
+    * watermark (ListOffsets timestamp -2). */
+  def startOffset(p: Int): Long = listOffset(p, -2L)
   override def recordCount(p: Int): Long =
     math.max(0L, listOffset(p, -1L) - listOffset(p, -2L))
   override def sizeInBytes(p: Int): Long = recordCount(p) * 1024L
@@ -1782,12 +1903,14 @@ private[replay] object KafkaWire {
   val ApiApiVersions: Short = 18
   val ApiCreateTopics: Short = 19
   val ApiDeleteTopics: Short = 20
+  val ApiDeleteRecords: Short = 21
   val ApiInitProducerId: Short = 22
   val ApiAddPartitionsToTxn: Short = 24
   val ApiAddOffsetsToTxn: Short = 25
   val ApiEndTxn: Short = 26
   val ApiTxnOffsetCommit: Short = 28
   val ApiSaslAuthenticate: Short = 36
+  val ApiDeleteGroups: Short = 42
   val ApiOffsetDelete: Short = 47
   val ClientId = "graft"
 
@@ -1862,7 +1985,8 @@ private[replay] object KafkaWire {
       ApiSyncGroup -> 4, ApiInitProducerId -> 2,
       ApiAddPartitionsToTxn -> 3, ApiAddOffsetsToTxn -> 3,
       ApiEndTxn -> 3, ApiTxnOffsetCommit -> 3, ApiCreateTopics -> 5,
-      ApiDescribeGroups -> 5, ApiListGroups -> 3, ApiDeleteTopics -> 4)
+      ApiDescribeGroups -> 5, ApiListGroups -> 3, ApiDeleteTopics -> 4,
+      ApiDeleteRecords -> 2, ApiDeleteGroups -> 2)
   def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
     FlexibleSince.get(apiKey).exists(apiVersion >= _)
 

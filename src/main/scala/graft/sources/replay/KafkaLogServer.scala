@@ -62,8 +62,9 @@ final class KafkaLogServer(dir: String, topic: String,
     advertiseApis.getOrElse(Seq[(Short, Short, Short)](
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
       (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (15, 0, 5),
-      (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (20, 0, 5), (22, 0, 4),
-      (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (36, 0, 2), (47, 0, 0)))
+      (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (20, 0, 5), (21, 0, 2),
+      (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (36, 0, 2),
+      (42, 0, 2), (47, 0, 0)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -80,6 +81,16 @@ final class KafkaLogServer(dir: String, topic: String,
       ctx.getServerSocketFactory.createServerSocket(port)
   }
   @volatile private var closed = false
+
+  /** DeleteRecords (api 21) low watermark per partition — the log-start
+    * offset a real broker persists on truncation. Fetches below it answer
+    * OFFSET_OUT_OF_RANGE and ListOffsets earliest returns it instead of 0;
+    * records themselves stay in the double's storage (like segment files
+    * awaiting cleanup) but are unreachable through the protocol. */
+  private val logStart =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private def logStartOffset(p: Int): Long =
+    Option(logStart.get(p)).fold(0L)(_.longValue)
 
   /** (group, topic, partition) → committed offset — the coordinator state. */
   private val committedStore =
@@ -849,6 +860,8 @@ final class KafkaLogServer(dir: String, topic: String,
                   // offsets: after delete+recreate an OffsetFetch must NOT
                   // return stale offsets pointing into the vanished log
                   committedStore.keySet.removeIf(_._2 == name)
+                  // ...and a re-created topic starts with log-start 0
+                  logStart.clear()
                   0
                 } else 3                // UNKNOWN_TOPIC_OR_PARTITION
               if (flexDt) {
@@ -930,6 +943,89 @@ final class KafkaLogServer(dir: String, topic: String,
               } else { writeString(o, gid); writeString(o, ptype) }
             }
             if (flexLg) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiDeleteRecords if apiVersion == 1 || apiVersion == 2 =>
+            // api 21: advance the log-start offset ("low watermark") —
+            // log truncation. Post-conditions a real broker guarantees and
+            // the double reproduces: ListOffsets earliest answers the new
+            // low watermark; a fetch below it answers OFFSET_OUT_OF_RANGE.
+            // offset -1 truncates to the high watermark; an offset past
+            // the HW is OFFSET_OUT_OF_RANGE; truncation is monotonic (a
+            // lower request never moves the watermark back).
+            val flexDr = apiVersion >= 2
+            val nT = if (flexDr) readCompactArrayLen(r) else r.readInt()
+            val req = (1 to nT).map { _ =>
+              val name = if (flexDr) readCompactString(r) else readString(r)
+              val nP = if (flexDr) readCompactArrayLen(r) else r.readInt()
+              val ps = (1 to nP).map { _ =>
+                val p = r.readInt(); val off = r.readLong()
+                if (flexDr) skipTagged(r)
+                (p, off)
+              }
+              if (flexDr) skipTagged(r)
+              (name, ps)
+            }
+            r.readInt()                 // timeout_ms (in-process)
+            if (flexDr) skipTagged(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            if (flexDr) writeCompactArrayLen(o, req.size) else o.writeInt(req.size)
+            req.foreach { case (name, ps) =>
+              if (flexDr) writeCompactString(o, name) else writeString(o, name)
+              if (flexDr) writeCompactArrayLen(o, ps.size) else o.writeInt(ps.size)
+              ps.foreach { case (p, off) =>
+                val (low, err): (Long, Int) =
+                  if (!activeTopic.contains(name) || !partitionIds.contains(p))
+                    (-1L, 3)            // UNKNOWN_TOPIC_OR_PARTITION
+                  else {
+                    val hw = endOffset(p)
+                    val target = if (off == -1L) hw else off
+                    if (target > hw) (-1L, 1) // OFFSET_OUT_OF_RANGE
+                    else {
+                      val nl = math.max(logStartOffset(p), target)
+                      logStart.put(p, nl)
+                      (nl, 0)
+                    }
+                  }
+                o.writeInt(p); o.writeLong(low); o.writeShort(err)
+                if (flexDr) writeEmptyTagged(o)
+              }
+              if (flexDr) writeEmptyTagged(o)
+            }
+            if (flexDr) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiDeleteGroups if apiVersion == 1 || apiVersion == 2 =>
+            // api 42: remove consumer groups wholesale — OffsetDelete's
+            // group-level sibling. A group with LIVE members answers
+            // NON_EMPTY_GROUP (68): membership is never yanked. A group
+            // the coordinator never saw (no state, no committed offsets)
+            // answers GROUP_ID_NOT_FOUND (69). Deletion drops BOTH the
+            // membership state and every committed offset of the group.
+            val flexDg = apiVersion >= 2
+            val nG = if (flexDg) readCompactArrayLen(r) else r.readInt()
+            val gids = (1 to nG).map(_ =>
+              if (flexDg) readCompactString(r) else readString(r))
+            if (flexDg) skipTagged(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            if (flexDg) writeCompactArrayLen(o, gids.size) else o.writeInt(gids.size)
+            gids.foreach { gid =>
+              import scala.jdk.CollectionConverters._
+              val hasOffsets = committedStore.asScala.keys.exists(_._1 == gid)
+              val err: Int = groupCoordinator.delete(gid) match {
+                // offsets-only groups (simple consumers that never joined)
+                // exist on a real broker as Empty coordinator groups —
+                // deletable, offsets dropped
+                case 69 if hasOffsets => 0
+                case c => c
+              }
+              if (err == 0) committedStore.keySet.removeIf(_._1 == gid)
+              if (flexDg) {
+                writeCompactString(o, gid); o.writeShort(err)
+                writeEmptyTagged(o)
+              } else { writeString(o, gid); o.writeShort(err) }
+            }
+            if (flexDg) writeEmptyTagged(o)
             bo.toByteArray
           case ApiOffsetDelete if apiVersion == 0 =>
             // KIP-496: administrative offset reset. Unknown group answers
@@ -1198,7 +1294,7 @@ final class KafkaLogServer(dir: String, topic: String,
       (1 to nParts).foreach { _ =>
         val p = r.readInt(); val ts = r.readLong()
         val off =
-          if (ts == -2L) 0L
+          if (ts == -2L) logStartOffset(p) // earliest = the low watermark
           else if (isolation == 1) lastStable(p)
           else endOffset(p)
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
@@ -1295,7 +1391,7 @@ final class KafkaLogServer(dir: String, topic: String,
         val ts = r.readLong()
         skipTagged(r)
         val off =
-          if (ts == -2L) 0L
+          if (ts == -2L) logStartOffset(p) // earliest = the low watermark
           else if (isolation == 1) lastStable(p)
           else endOffset(p)
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
@@ -1332,7 +1428,11 @@ final class KafkaLogServer(dir: String, topic: String,
         // a read_committed fetch never serves past the LSO — records of a
         // still-open transaction are not yet decided
         val end = if (isolation == 1) lso else hw
-        o.writeInt(p); o.writeShort(0)
+        // a fetch below the log-start offset (DeleteRecords truncation)
+        // answers OFFSET_OUT_OF_RANGE like a real broker whose segments
+        // are gone — the consumer must reset, not silently skip
+        val oor = fetchOffset < logStartOffset(p)
+        o.writeInt(p); o.writeShort(if (oor) 1 else 0)
         o.writeLong(hw)                 // high watermark
         o.writeLong(lso)                // last stable offset
         // only spans whose MARKER is at or beyond the fetch offset — a
@@ -1349,7 +1449,7 @@ final class KafkaLogServer(dir: String, topic: String,
           o.writeLong(pid); o.writeLong(first)
         }
         val recordSet =
-          if (fetchOffset >= end) Array.emptyByteArray
+          if (oor || fetchOffset >= end) Array.emptyByteArray
           else encodeBatch(p, fetchOffset, math.min(end, fetchOffset + batchRecords))
         o.writeInt(recordSet.length)
         o.write(recordSet)
@@ -1473,20 +1573,23 @@ final class KafkaLogServer(dir: String, topic: String,
           val lso = lastStable(p)
           val hw = endOffset(p)
           val end = if (isolation == 1) lso else hw
+          // below the DeleteRecords low watermark: OFFSET_OUT_OF_RANGE
+          val oor = fetchOffset < logStartOffset(p)
           val aborted =
-            if (isolation == 1)
+            if (isolation == 1 && !oor)
               abortedOf(p).synchronized {
                 abortedOf(p).toVector.filter(_._3 >= fetchOffset)
               }
             else Vector.empty
           val recordSet =
-            if (fetchOffset >= end) Array.emptyByteArray
+            if (oor || fetchOffset >= end) Array.emptyByteArray
             else encodeBatch(p, fetchOffset,
               math.min(end, fetchOffset + batchRecords))
-          (name, p, hw, lso, aborted, recordSet)
+          (name, p, hw, lso, aborted, recordSet, oor)
         }
         val included =
-          if (incremental) answers.filter(a => a._6.nonEmpty || a._5.nonEmpty)
+          if (incremental)
+            answers.filter(a => a._6.nonEmpty || a._5.nonEmpty || a._7)
           else answers
         o.writeInt(0)                   // throttle_time_ms
         o.writeShort(0)                 // top-level error_code
@@ -1496,11 +1599,11 @@ final class KafkaLogServer(dir: String, topic: String,
         byTopic.foreach { case (name, parts) =>
           writeCompactString(o, name)
           writeCompactArrayLen(o, parts.size)
-          parts.foreach { case (_, p, hw, lso, aborted, recordSet) =>
-            o.writeInt(p); o.writeShort(0)
+          parts.foreach { case (_, p, hw, lso, aborted, recordSet, oor) =>
+            o.writeInt(p); o.writeShort(if (oor) 1 else 0)
             o.writeLong(hw)
             o.writeLong(lso)
-            o.writeLong(0L)             // log_start_offset
+            o.writeLong(logStartOffset(p))
             writeCompactArrayLen(o, aborted.size)
             aborted.foreach { case (pid, first, _) =>
               o.writeLong(pid); o.writeLong(first)

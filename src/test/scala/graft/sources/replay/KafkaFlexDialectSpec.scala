@@ -54,7 +54,9 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     (24, 3, 3),   // AddPartitionsToTxn: v3
     (25, 3, 3),   // AddOffsetsToTxn: v3
     (26, 3, 3),   // EndTxn: v3
-    (28, 3, 3))   // TxnOffsetCommit: v3
+    (28, 3, 3),   // TxnOffsetCommit: v3
+    (21, 2, 2),   // DeleteRecords: flexible v2 only
+    (42, 2, 2))   // DeleteGroups: flexible v2 only
 
   /** Every API capped BELOW its flexible floor — a pre-KIP-482 vintage. */
   private val vintageRanges = Seq[(Short, Short, Short)](
@@ -62,7 +64,7 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     (10, 0, 2), (11, 0, 5), (12, 0, 3), (13, 0, 3), (14, 0, 3),
     (15, 0, 4), (16, 0, 2), (17, 0, 1), (18, 0, 3), (36, 0, 2),
     (19, 0, 4), (20, 0, 3), (22, 0, 1), (24, 0, 2), (25, 0, 2), (26, 0, 2),
-    (28, 0, 2))
+    (28, 0, 2), (21, 0, 1), (42, 0, 1))
 
   /** The full client matrix against one advertisement: transactional
     * produce (commit + abort), read_committed consume, group membership
@@ -70,7 +72,8 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     * Returns the observable outcomes for cross-advertisement comparison. */
   private def runAllLanes(advertise: Seq[(Short, Short, Short)])
       : (Seq[(Long, String)], Seq[Int], Map[Int, Long], Map[Int, Long],
-         Map[Int, Long], (String, String, Int, String, Boolean, Boolean, Boolean)) = {
+         Map[Int, Long], (String, String, Int, String, Boolean, Boolean,
+           Boolean, (Long, Long, Long), Boolean, Boolean)) = {
     val dir = java.nio.file.Files.createTempDirectory("kafka-flex").toString
     val broker = new KafkaLogServer(dir, "flex", requireCreate = true,
       advertiseApis = Some(advertise))
@@ -129,6 +132,18 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
       // the txn-staged offsets landed with the commit above
       val ctp = cons.committedOffsets("flex-ctp", Seq(0, 1))
 
+      // DeleteRecords (api 21) both dialects: truncate p0 below offset 2 —
+      // the low watermark returns, earliest moves, the HW stays
+      val lows = cons.deleteRecords(Map(0 -> 2L))
+      val truncated = (lows(0), cons.startOffset(0), cons.endOffset(0))
+      // DeleteGroups (api 42) both dialects: the simple group deletes
+      // wholesale; deleting it again is the NAMED ghost error
+      cons.deleteGroups(Seq("flex-simple"))
+      val dgGone = cons.committedOffsets("flex-simple", Seq(0, 1)).isEmpty
+      val dgGhost = intercept[IOException] {
+        cons.deleteGroups(Seq("flex-simple"))
+      }.getMessage.contains("GROUP_ID_NOT_FOUND")
+
       // DeleteTopics (api 20) lifecycle dual: unknown name refuses NAMED,
       // deleting the live topic makes a fresh client's metadata answer 3
       val delUnknown = intercept[IOException] {
@@ -141,7 +156,8 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
 
       (rows.result(), assigned, fenced, simple, ctp,
         (descr.state, descr.protocolType, descr.members.size,
-          ghost.state, groupSeen, delUnknown, goneAfterDelete))
+          ghost.state, groupSeen, delUnknown, goneAfterDelete,
+          truncated, dgGone, dgGhost))
     } finally broker.close()
   }
 
@@ -155,8 +171,10 @@ class KafkaFlexDialectSpec extends graft.SparkSpec {
     assert(simple === Map(0 -> 1L), "simple commit-back round-trips")
     assert(ctp === Map(0 -> 2L),
       "txn-staged offsets must land with the transaction's commit")
-    assert(admin === ("Stable", "consumer", 1, "Dead", true, true, true),
-      s"DescribeGroups/ListGroups/DeleteTopics lane: $admin")
+    assert(admin === ("Stable", "consumer", 1, "Dead", true, true, true,
+      (2L, 2L, 5L), true, true),
+      s"DescribeGroups/ListGroups/DeleteTopics/DeleteRecords/DeleteGroups " +
+        s"lane: $admin")
   }
 
   test("a vintage pre-flexible broker produces the identical outcomes " +

@@ -106,6 +106,44 @@ class KafkaProduceSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("DeleteRecords: earliest moves to the low watermark, a fetch below " +
+      "it answers OFFSET_OUT_OF_RANGE, truncation is monotonic") {
+    val broker = emptyBroker("trunc")
+    try {
+      val c = new KafkaLogClient(broker.clientPath,
+        Map("graft.role" -> "producer"))
+      (0 until 5).foreach(i =>
+        c.produce(0, Seq((bytes(s"k$i"), bytes(s"v$i"), 1723700000000L + i))))
+      assert(c.endOffset(0) === 5L && c.startOffset(0) === 0L)
+      // truncate below offset 3: the low watermark returns and earliest moves
+      assert(c.deleteRecords(Map(0 -> 3L)) === Map(0 -> 3L))
+      assert(c.startOffset(0) === 3L, "ListOffsets earliest must move")
+      assert(c.endOffset(0) === 5L, "the high watermark must not move")
+      // fetch below the low watermark: OFFSET_OUT_OF_RANGE, not silence
+      val fr = c.openFrames(0, 0L, needKey = true, needValue = true)
+      val eo = intercept[java.io.IOException](try fr.readFrame() finally fr.close())
+      assert(eo.getMessage.contains("error 1"), eo.getMessage)
+      // fetch AT the low watermark serves the surviving records
+      val ok = c.openFrames(0, 3L, needKey = true, needValue = true)
+      try {
+        ok.readFrame(); assert(new String(ok.value, "UTF-8") === "v3")
+        ok.readFrame(); assert(new String(ok.value, "UTF-8") === "v4")
+      } finally ok.close()
+      // monotonic: a LOWER target never moves the watermark back
+      assert(c.deleteRecords(Map(0 -> 1L)) === Map(0 -> 3L))
+      // -1 truncates to the high watermark
+      assert(c.deleteRecords(Map(0 -> -1L)) === Map(0 -> 5L))
+      assert(c.startOffset(0) === 5L)
+      // past the high watermark: the NAMED error
+      val ep = intercept[java.io.IOException](c.deleteRecords(Map(0 -> 99L)))
+      assert(ep.getMessage.contains("OFFSET_OUT_OF_RANGE"), ep.getMessage)
+      // unknown partition: the named routing error
+      val eu = intercept[java.io.IOException](c.deleteRecords(Map(9 -> 0L)))
+      assert(eu.getMessage.contains("UNKNOWN_TOPIC_OR_PARTITION"), eu.getMessage)
+      c.closeProducer()
+    } finally broker.close()
+  }
+
   test("produce appends after the base log and round-trips bit-identically") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val broker = new KafkaLogServer(dir, "events")

@@ -198,6 +198,114 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
     }
   }
 
+  test("DeleteGroups: offsets drop with the group; live groups refuse; " +
+      "ghosts 69; joined-then-left groups delete wholesale") {
+    withBroker { (_, path) =>
+      val c = new KafkaLogClient(path)
+      // offsets-only (simple consumer) group: deletable, offsets gone
+      c.commitOffsets("g-dg", Map(0 -> 5L, 1 -> 7L))
+      c.deleteGroups(Seq("g-dg"))
+      assert(c.committedOffsets("g-dg", Seq(0, 1)) === Map.empty)
+      // ...and once deleted the group is a ghost: 69, named
+      val e2 = intercept[java.io.IOException](c.deleteGroups(Seq("g-dg")))
+      assert(e2.getMessage.contains("GROUP_ID_NOT_FOUND"), e2.getMessage)
+      // a group the coordinator never saw answers the same named error
+      val eg = intercept[java.io.IOException](c.deleteGroups(Seq("g-ghost")))
+      assert(eg.getMessage.contains("GROUP_ID_NOT_FOUND"), eg.getMessage)
+      // a group with LIVE members is never yanked: NON_EMPTY_GROUP
+      val m = new KafkaGroupMembership(c, "g-dglive", "events")
+      m.join(); m.commitOffsets(Map(0 -> 3L))
+      val el = intercept[java.io.IOException](c.deleteGroups(Seq("g-dglive")))
+      assert(el.getMessage.contains("NON_EMPTY_GROUP"), el.getMessage)
+      assert(c.committedOffsets("g-dglive", Seq(0)) === Map(0 -> 3L),
+        "a refused delete must leave the offsets intact")
+      // after leave the group is Empty: deletable, state + offsets drop
+      m.leave()
+      c.deleteGroups(Seq("g-dglive"))
+      assert(c.committedOffsets("g-dglive", Seq(0)) === Map.empty)
+      val e3 = intercept[java.io.IOException](c.deleteGroups(Seq("g-dglive")))
+      assert(e3.getMessage.contains("GROUP_ID_NOT_FOUND"), e3.getMessage)
+    }
+  }
+
+  test("KIP-429 cooperative-sticky: a partition never changes owner inside " +
+      "one rebalance — revoke round, then the assign round") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      val m1 = new KafkaGroupMembership(c1, "g-coop", "events",
+        strategy = "cooperative-sticky")
+      val p1 = m1.join()
+      assert(p1 === Seq(0, 1, 2) && !m1.needsRejoin)
+      // a second cooperative member joins on another thread
+      val m2 = new KafkaGroupMembership(c2, "g-coop", "events",
+        strategy = "cooperative-sticky")
+      val p2ref = new java.util.concurrent.atomic.AtomicReference[Seq[Int]]
+      val t = new Thread(() => p2ref.set(m2.join()))
+      t.start()
+      var deadline = System.currentTimeMillis() + 5000
+      while (m1.heartbeat() && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      // ROUND 1 (revocation): m1 keeps a fair-share SUBSET of what it
+      // owned; the partition that must move is withheld from everyone —
+      // m2 receives NOTHING this generation
+      val p1r1 = m1.join()
+      t.join(5000)
+      val p2r1 = p2ref.get()
+      assert(p1r1.size === 2 && p1r1.forall(p1.contains),
+        s"m1 must keep a subset of its owned partitions, got $p1r1")
+      assert(p2r1 != null && p2r1.isEmpty,
+        s"round 1 must withhold the moving partition from m2, got $p2r1")
+      assert(m1.needsRejoin && m1.lastRevoked.size === 1,
+        "the old owner must be told to rejoin after revoking")
+      assert(!m2.needsRejoin, "the newcomer revoked nothing")
+      val moving = m1.lastRevoked.head
+      // ROUND 2 (assignment): the revoking member rejoins; m2 learns via
+      // heartbeat and rejoins; the withheld partition lands on m2
+      val p2ref2 = new java.util.concurrent.atomic.AtomicReference[Seq[Int]]
+      val t2 = new Thread(() => {
+        val d2 = System.currentTimeMillis() + 5000
+        while (m2.heartbeat() && System.currentTimeMillis() < d2)
+          Thread.sleep(20)
+        p2ref2.set(m2.join())
+      })
+      t2.start()
+      val p1r2 = m1.join()
+      t2.join(5000)
+      val p2r2 = p2ref2.get()
+      assert(p1r2 === p1r1, "sticky: the survivor's partitions never moved")
+      assert(p2r2 === Seq(moving),
+        s"round 2 must hand the revoked partition to m2, got $p2r2")
+      assert(!m1.needsRejoin && !m2.needsRejoin, "converged in two rounds")
+      assert((p1r2 ++ p2r2).sorted === Seq(0, 1, 2), "cover after converge")
+      // incremental departure: m2 leaves; its partition is UNOWNED, so m1
+      // reclaims it in ONE round without its own partitions ever moving
+      m2.leave()
+      deadline = System.currentTimeMillis() + 5000
+      while (m1.heartbeat() && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val p1r3 = m1.join()
+      assert(p1r3 === Seq(0, 1, 2) && !m1.needsRejoin,
+        "a freed partition is assignable immediately — single round")
+      m1.leave()
+    }
+  }
+
+  test("mixed assignors: a joiner sharing no protocol with the group is " +
+      "refused with INCONSISTENT_GROUP_PROTOCOL") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      val eager = new KafkaGroupMembership(c1, "g-mixed", "events")
+      eager.join()
+      val coop = new KafkaGroupMembership(c2, "g-mixed", "events",
+        strategy = "cooperative-sticky")
+      val e = intercept[java.io.IOException](coop.join())
+      assert(e.getMessage.contains("error 23"), e.getMessage)
+      eager.leave()
+    }
+  }
+
   test("KIP-394 pending member ids expire on the requested session timeout") {
     // ADVICE r14: a crash-looping client that receives MEMBER_ID_REQUIRED
     // and never rejoins must not leak one pending id per attempt — the

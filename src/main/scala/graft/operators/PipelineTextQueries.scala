@@ -206,6 +206,21 @@ ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
       Some(graft.functions.LanguageId.oracleSql)),
 
 
+    // Trained language ID (round 16, VERDICT r15 #6): Laplace-smoothed
+    // multinomial Naive Bayes fit on the even-doc_id half, classifying
+    // every doc; log-probs decimal-quantized (x27 recipe), scores summed
+    // as exact decimals, argmax replayed identically in DuckDB. The x78b
+    // audit scores this on the untouched odd-half holdout — see its
+    // commentary for why the majority prior is this corpus's Bayes
+    // ceiling (the label is chi-square-independent of the text).
+    GQuery("x04_langid2",
+      (s, d) => langid2(s, d)
+        .select(col("doc_id"), col("guess"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $langid2OracleCte
+SELECT doc_id, guess, lang FROM nbpred ORDER BY doc_id NULLS FIRST""")),
+
+
     // Winnowing rolling-hash fingerprint per document. G-class.
     GQuery("x04_fingerprint",
       (s, d) => t(s, d, "documents")

@@ -705,6 +705,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("x04_langid2: the NB model joins back as a broadcast, never an SMJ") {
+    // training is one (lang, word) shuffle; the model and the per-lang
+    // constants are tiny aggregates that must BROADCAST into the scoring
+    // pass — a sort-merge join there would shuffle the exploded corpus a
+    // second time for a 200-row model
+    val p = plan("x04_langid2")
+    assert(!p.contains("SortMergeJoin"),
+      s"langid2 scoring degraded to a sort-merge join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the NB model to broadcast into the scoring pass:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

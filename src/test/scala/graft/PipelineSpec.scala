@@ -18,6 +18,25 @@ class PipelineSpec extends SparkSpec {
     assert(exact.count() > 0, "corpus must contain planted near-dups")
   }
 
+  test("x03d IVF-PQ composition: recall@10 matches or beats the full-scan " +
+      "x79 pipeline while touching only the routed cells") {
+    val x79 = q("x79_pq_adc_ann")
+      .agg(sum(col("n_hits_rerank"))).collect()(0).getLong(0)
+    val rows = q("x03d_ivf_pq_ann").collect()
+    assert(rows.length === 8, "the same eight seeded queries as x79")
+    val x03d = rows.map(_.getAs[Long]("n_hits_rerank")).sum
+    val total = Tables.table(spark, sf, "embeddings").count()
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_cand")
+      assert(nc > 0 && nc < total,
+        s"routing must prune: $nc candidates of $total corpus vectors")
+    }
+    // VERDICT r15 #7's bar: the composition's recall is >= the full-ADC
+    // x79 pipeline's (routing prunes PQ impostors from the shortlist)
+    assert(x03d >= x79,
+      s"IVF-PQ recall $x03d fell below the full-scan PQ recall $x79")
+  }
+
   test("x79 PQ: rerank dominates raw ADC recall, codes are well-formed") {
     val rows = q("x79_pq_adc_ann").collect()
     assert(rows.length === 8, "eight seeded queries")

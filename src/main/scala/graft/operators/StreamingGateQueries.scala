@@ -1007,6 +1007,69 @@ boiler AS (SELECT dfreq.source, line FROM dfreq JOIN nsrc USING (source)
 kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN boiler b
   ON l.source = b.source AND l.line = b.line)
 SELECT doc_id, CAST(pos AS BIGINT) AS pos, line
-FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST"""))
+FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
+
+
+    // S72: streaming warc.gz ingestion gate — x92's live half: crawl
+    // shards arrive on the stream as per-record gzip members and each row
+    // runs the FULL ingestion chain in place — inflate the members, parse
+    // the WARC records by declared lengths, charset-decode the response
+    // payload (the doc_id%4 declaration arms of x92: header param /
+    // UTF-16BE+BOM / UTF-16LE+BOM / meta prescan), tag-strip the decoded
+    // page — and emits per-record verdicts: record count, the
+    // full-chain identity flag (decoded page byte-equal to the
+    // construction AND the extraction's 4th line equal to the raw text),
+    // and an md5 fold over the extracted lines that pins every byte.
+    // Pure per-row projection, APPEND mode, zero state, zero shuffle —
+    // the shape a 100 TB live-crawl intake runs at scan speed.
+    GQuery("s72_stream_warc_gz_gate",
+      (s, d) => {
+        import PipelineShared.htmlPage
+        val G = graft.functions.GraftFunctions
+        val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
+        val uri = concat(lit("https://"), col("source"),
+          lit(".example.org/page/"), m2, lit("/"))
+        val reqPay = concat(lit("GET /page/"), m2, lit("/")).cast("binary")
+        val ts = lit(1723700000000L) + col("doc_id")
+        val arm = (col("doc_id") % 4).cast("int")
+        val payload =
+          when(arm === 1, encode(htmlPage, "UTF-16"))
+            .when(arm === 2, concat(
+              lit(Array(0xFF.toByte, 0xFE.toByte)),
+              encode(htmlPage, "UTF-16LE")))
+            .otherwise(encode(htmlPage, "UTF-8"))
+        val ctype = when(arm === 0, lit("text/html; charset=\"UTF-8\""))
+          .otherwise(lit("text/html"))
+        val shard = concat(
+          G.warc_gz_record(uri, ts, reqPay, "request"),
+          G.warc_gz_record(uri, ts, payload, "response"))
+        val rows = StreamingQueries.docStream(s, d)
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"), col("lang"),
+            arm.as("arm"), ctype.as("ctype"),
+            G.warc_gz_extract(shard).as("recs"))
+          .withColumn("page", G.decode_charset(
+            col("recs").getItem(1).getField("payload"), col("ctype")))
+          .withColumn("ext", G.html_text(col("page")))
+          .select(col("doc_id"), col("source"), col("arm"),
+            size(col("recs")).cast("long").as("n_records"),
+            (size(col("recs")) === 2 &&
+              col("page") === htmlPage &&
+              element_at(split(col("ext"), "\n"), 4) === col("text"))
+              .as("ok"),
+            expr("CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+        runToMemory(rows, "append").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source, text,
+    ${PipelineShared.htmlExpectedDuck} AS ext FROM d)
+SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS arm,
+  CAST(2 AS BIGINT) AS n_records, true AS ok,
+  CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT) AS h
+FROM e ORDER BY doc_id NULLS FIRST"""))
   )
 }

@@ -1692,11 +1692,34 @@ final class KafkaLogClient(path: String,
       sock = s; sin = in; sout = out
     }
 
+    // spark-kafka's failOnDataLoss seam: with consumer.fail.on.data.loss
+    // = false, a fetch below the log-start offset (DeleteRecords surgery
+    // or retention truncation racing the reader) skips forward to the
+    // earliest readable offset and continues — loudly — instead of
+    // failing the task. Default TRUE: silent data loss is never the
+    // default posture.
+    private val failOnDataLoss =
+      conf.getOrElse("fail.on.data.loss", "true") != "false"
+
     private def fetchMore(): Unit = {
       ensureConn()
       maybeReauth(sin, sout)
       val (recordSet, aborted) =
-        if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4()
+        try { if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4() }
+        catch {
+          case e: IOException if !failOnDataLoss && e.getMessage != null &&
+              e.getMessage.contains("fetch error 1") =>
+            // OFFSET_OUT_OF_RANGE: confirm it is a truncation gap (the
+            // earliest readable offset moved past our cursor), then skip
+            val earliest = startOffset(p)
+            if (earliest <= nextOffset) throw e
+            System.err.println(s"[graft-replay] DATA LOSS on $topic/$p: " +
+              s"offsets [$nextOffset, $earliest) were truncated below the " +
+              "log-start offset; skipping forward " +
+              "(consumer.fail.on.data.loss=false)")
+            nextOffset = earliest
+            if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4()
+        }
       if (recordSet == null || recordSet.isEmpty)
         throw new EOFException(
           s"kafka fetch returned no data for $topic/$p at offset $nextOffset")

@@ -144,6 +144,33 @@ class KafkaProduceSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("fail.on.data.loss=false: a reader below the truncation point " +
+      "skips forward to the earliest offset instead of dying") {
+    val broker = emptyBroker("dloss")
+    try {
+      val p = new KafkaLogClient(broker.clientPath,
+        Map("graft.role" -> "producer"))
+      (0 until 5).foreach(i =>
+        p.produce(0, Seq((null, bytes(s"v$i"), 1723700000000L + i))))
+      p.deleteRecords(Map(0 -> 3L))
+      p.closeProducer()
+      // default posture: loud failure (proven in the DeleteRecords test);
+      // opted out: skip to earliest and serve the surviving records
+      val c = new KafkaLogClient(broker.clientPath,
+        Map("fail.on.data.loss" -> "false"))
+      val fr = c.openFrames(0, 0L, needKey = false, needValue = true)
+      try {
+        fr.readFrame(); assert(new String(fr.value, "UTF-8") === "v3")
+        assert(fr.frameOffset === 3L, "cursor must land AT the low watermark")
+        fr.readFrame(); assert(new String(fr.value, "UTF-8") === "v4")
+      } finally fr.close()
+      // a genuine past-the-end read is NOT data loss and must still fail
+      // loudly even with the option set (the guard in fetchMore)
+      val fr2 = c.openFrames(0, 99L, needKey = false, needValue = true)
+      intercept[Exception](try fr2.readFrame() finally fr2.close())
+    } finally broker.close()
+  }
+
   test("produce appends after the base log and round-trips bit-identically") {
     val dir = ReplayLog.ensureLog(spark, sf)
     val broker = new KafkaLogServer(dir, "events")

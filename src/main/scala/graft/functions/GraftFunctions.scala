@@ -99,6 +99,15 @@ object GraftFunctions {
   def robots_allowed(robots: Column, pathq: Column, agent: String): Column =
     c(RobotsAllowed(x(robots), x(pathq), agent))
 
+  /** group-scoped Crawl-delay seconds for a fixed crawler token (-1 =
+    * none declared) — the per-host politeness interval a scheduler uses. */
+  def robots_crawl_delay(robots: Column, agent: String): Column =
+    c(RobotsCrawlDelay(x(robots), agent))
+
+  /** every Sitemap URL of a robots.txt in document order (global
+    * directive, not group-scoped). */
+  def robots_sitemaps(robots: Column): Column = c(RobotsSitemaps(x(robots)))
+
   /** one genuine WARC/1.0 record (version line, named headers,
     * Content-Length, CRLFCRLF terminator) for a fixed WARC-Type. */
   def warc_record(uri: Column, tsMs: Column, payload: Column,

@@ -34,16 +34,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object RobotsCodec {
 
   private final case class Group(agents: List[String],
-      rules: List[(Boolean, String)])
+      rules: List[(Boolean, String)], delay: Long)
 
-  private def parse(robots: String): List[Group] = {
+  private def parse(robots: String): List[Group] = parseAll(robots)._1
+
+  /** (groups, sitemaps). Crawl-delay (the de-facto Bing/Yandex extension,
+    * not in RFC 9309) is GROUP-SCOPED: the first valid value seen in a
+    * group sticks; -1 = absent. Sitemap is GLOBAL (its spec says location
+    * independent) and collected in document order. Neither closes a
+    * user-agent group — RFC 9309 closes groups only on RULE lines. */
+  private def parseAll(robots: String): (List[Group], List[String]) = {
     var groups = List.empty[Group]
+    var sitemaps = List.empty[String]
     var agents = List.empty[String]
     var rules = List.empty[(Boolean, String)]
+    var delay = -1L
     var inAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups = Group(agents.reverse, rules.reverse) :: groups
-      agents = Nil; rules = Nil
+      if (agents.nonEmpty)
+        groups = Group(agents.reverse, rules.reverse, delay) :: groups
+      agents = Nil; rules = Nil; delay = -1L
     }
     robots.split("\n", -1).foreach { raw =>
       val hash = raw.indexOf('#')
@@ -62,7 +72,15 @@ object RobotsCodec {
           case "disallow" =>
             inAgents = false
             if (value.nonEmpty) rules = (false, value) :: rules
-          case _ => // Crawl-delay, Sitemap, ...: ignored. RFC 9309 closes a
+          case "crawl-delay" =>
+            // group content, but NOT a group-closing rule line; first
+            // valid value wins, garbage is ignored (allow-on-broken)
+            if (delay < 0)
+              try { val v = value.toLong; if (v >= 0) delay = v }
+              catch { case _: NumberFormatException => }
+          case "sitemap" =>
+            if (value.nonEmpty) sitemaps = value :: sitemaps
+          case _ => // other unknown fields: ignored. RFC 9309 closes a
             // user-agent group only on RULE lines — an unknown field between
             // consecutive User-agent lines must NOT split the group, so
             // "User-agent: a / Sitemap: s / User-agent: b / Disallow: /x"
@@ -71,7 +89,7 @@ object RobotsCodec {
       }
     }
     flush()
-    groups.reverse
+    (groups.reverse, sitemaps.reverse)
   }
 
   def allowed(robots: String, agent: String, pathq: String): Boolean = {
@@ -98,6 +116,37 @@ object RobotsCodec {
   def allowedU8(robots: UTF8String, agent: UTF8String, pathq: UTF8String): Boolean =
     allowed(robots.toString, if (agent == null) "" else agent.toString,
       pathq.toString)
+
+  /** Effective Crawl-delay seconds for `agent` — the politeness interval
+    * a scheduler leaves between fetches to one host. Group selection is
+    * [[allowed]]'s (specific groups shadow `*`); among the chosen groups
+    * the first declared delay wins; -1 = no delay declared (or unreadable
+    * robots — the caller applies its own default). */
+  def crawlDelay(robots: String, agent: String): Long = {
+    if (robots == null) return -1L
+    val groups = parse(robots)
+    if (groups.isEmpty) return -1L
+    val tok = if (agent == null) "" else agent.toLowerCase(Locale.ROOT)
+    val specific = groups.filter(_.agents.contains(tok))
+    val chosen =
+      if (specific.nonEmpty) specific else groups.filter(_.agents.contains("*"))
+    chosen.find(_.delay >= 0).map(_.delay).getOrElse(-1L)
+  }
+
+  def crawlDelayU8(robots: UTF8String, agent: UTF8String): Long =
+    crawlDelay(robots.toString, if (agent == null) "" else agent.toString)
+
+  /** All Sitemap URLs in document order (the directive is global per its
+    * spec — not scoped to any user-agent group). Empty array when none. */
+  def sitemaps(robots: String): Array[String] =
+    if (robots == null) Array.empty
+    else parseAll(robots)._2.toArray
+
+  def sitemapsU8(robots: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemaps(robots.toString).map(s => UTF8String.fromString(s))
+        .toArray[Any])
 }
 
 /** Catalyst expression for [[RobotsCodec.allowed]] — codegen'd; the agent
@@ -126,4 +175,53 @@ case class RobotsAllowed(left: Expression, right: Expression, agent: String)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
+}
+
+/** `robots_crawl_delay(robots_txt)` for a fixed agent — the group-scoped
+  * politeness interval ([[RobotsCodec.crawlDelay]]; -1 = none declared). */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(StringType)
+
+  override def nullSafeEval(robots: Any): Any =
+    RobotsCodec.crawlDelay(robots.asInstanceOf[UTF8String].toString, agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev, r =>
+      s"graft.functions.RobotsCodec.crawlDelay($r.toString(), $agentRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `robots_sitemaps(robots_txt)` — every Sitemap URL in document order
+  * (global directive, not group-scoped). */
+case class RobotsSitemaps(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_sitemaps"
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbsType] =
+    Seq(StringType)
+
+  override def nullSafeEval(robots: Any): Any =
+    RobotsCodec.sitemapsU8(robots.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r =>
+      s"graft.functions.RobotsCodec.sitemapsU8($r)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

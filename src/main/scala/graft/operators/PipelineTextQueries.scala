@@ -1265,6 +1265,100 @@ SELECT source, 4 * count(*) AS n_urls,
   2 * count(*) AS n_any_allowed
 FROM d GROUP BY source ORDER BY source NULLS FIRST""")),
 
+    // ---- X93: politeness-scheduled crawl frontier (round 16) ----------------
+    // The composition a crawler actually runs between discovery and fetch:
+    // x88's extracted+canonicalized frontier, grouped by TARGET host,
+    // gated by each host's robots.txt (x90's evaluator), de-duplicated,
+    // deterministically ordered, and assigned politeness fetch slots —
+    // slot = rank · Crawl-delay, with the delay read from the crawler's
+    // OWN robots group (the new group-scoped robots_crawl_delay; the `*`
+    // group's different delay must NOT leak in, same shadowing as rules)
+    // and the host's Sitemap URLs surfaced (robots_sitemaps — global
+    // directive). The oracle reconstructs every host's allowed set, the
+    // string-ordered schedule and its checksum from raw columns without
+    // parsing robots or HTML. 100 TB shape: one per-row extraction scan,
+    // one (host, url) distinct + rank shuffle — exactly the frontier
+    // dedup a crawl scheduler shards by host anyway; robots text rides
+    // the row (in production: a broadcast per-host policy table).
+    GQuery("x93_crawl_schedule",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+        val canon = docs
+          .select(col("doc_id"), explode(html_links(htmlLinkPage)).as("link"))
+          .select(url_canon(col("link")).as("url"))
+          .filter(col("url").rlike("^https?://"))
+          .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+          .withColumn("pathq", regexp_replace(col("url"), "^[a-z]+://[^/]+", ""))
+          .distinct()
+        val robots = concat(
+          lit("# robots for "), col("host"), lit("\n"),
+          lit("User-agent: graftbot\nCrawl-delay: 3\n"),
+          lit("Disallow: /page/\nAllow: /page/1\n"),
+          lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n\n"),
+          lit("User-agent: *\nDisallow: /asset/\nDisallow: /doc/\n"),
+          lit("Crawl-delay: 2\n"))
+        val gated = canon
+          .withColumn("allowed",
+            robots_allowed(robots, col("pathq"), "graftbot"))
+          .withColumn("delay", robots_crawl_delay(robots, "graftbot"))
+          .withColumn("n_sitemaps", size(robots_sitemaps(robots)).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host")).orderBy(col("url"))
+        val sched = gated.filter(col("allowed"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("long") * col("delay"))
+        val blocked = gated.filter(!col("allowed"))
+          .groupBy(col("host")).agg(count(lit(1)).as("n_blocked"))
+        sched.groupBy(col("host")).agg(
+            count(lit(1)).as("n_allowed"),
+            first(col("delay")).as("delay"),
+            first(col("n_sitemaps")).as("n_sitemaps"),
+            max(col("slot")).as("last_slot"),
+            expr("bit_xor(CAST(conv(substr(md5(concat(url, ':', CAST(slot AS STRING))), 1, 15), 16, 10) AS BIGINT))")
+              .as("sched_checksum"))
+          .join(blocked, Seq("host"), "left")
+          .select(col("host"), col("n_allowed"),
+            coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+            col("delay"), col("n_sitemaps"), col("last_slot"),
+            col("sched_checksum"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+urls AS (
+  SELECT DISTINCT 'www.example.com' AS host,
+    'https://www.example.com/home?x=1' AS url, true AS allowed FROM d
+  UNION
+  SELECT DISTINCT 'example.com',
+    'http://example.com/doc/' || ((doc_id * 7 + 13) % 97) || '?a=1&b=2',
+    true FROM d
+  UNION
+  SELECT DISTINCT 'cdn.example.com:8080',
+    'https://cdn.example.com:8080/asset/' || doc_id || '.png?v=3',
+    true FROM d
+  UNION
+  SELECT DISTINCT source || '.example.org',
+    'https://' || source || '.example.org/page/' || ((doc_id * 3 + 5) % 97) || '/',
+    CAST((doc_id * 3 + 5) % 97 AS VARCHAR) LIKE '1%' FROM d),
+sched AS (SELECT host, url,
+    3 * (row_number() OVER (PARTITION BY host ORDER BY url) - 1) AS slot
+  FROM urls WHERE allowed),
+agg AS (SELECT host, count(*)::BIGINT AS n_allowed,
+    CAST(max(slot) AS BIGINT) AS last_slot,
+    bit_xor(CAST(concat('0x',
+      substr(md5(url || ':' || CAST(slot AS VARCHAR)), 1, 15)) AS BIGINT))
+      AS sched_checksum
+  FROM sched GROUP BY host),
+blk AS (SELECT host, count(*)::BIGINT AS n_blocked FROM urls
+  WHERE NOT allowed GROUP BY host)
+SELECT a.host, a.n_allowed, coalesce(b.n_blocked, 0) AS n_blocked,
+  CAST(3 AS BIGINT) AS delay, CAST(1 AS BIGINT) AS n_sitemaps,
+  a.last_slot, a.sched_checksum
+FROM agg a LEFT JOIN blk b USING (host)
+ORDER BY a.host NULLS FIRST""")),
+
     // ---- X91: WARC ingestion round trip (round 15) --------------------------
     // The container a crawled corpus actually arrives in (Common Crawl
     // ships WARC, ISO 28500): each document becomes a genuine two-record

@@ -717,6 +717,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the NB model to broadcast into the scoring pass:\n$p")
   }
 
+  test("x93 crawl schedule: per-row extraction, one host-keyed rank " +
+      "shuffle, no nested loops") {
+    val p = plan("x93_crawl_schedule")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"crawl schedule degraded to a nested loop:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"blocked-count join should broadcast at this cardinality:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

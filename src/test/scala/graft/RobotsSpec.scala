@@ -68,6 +68,39 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!RobotsCodec.allowed(shared, "b", "/x/1"))
   }
 
+  test("crawl-delay: group-scoped, shadowed like rules, first value wins, " +
+      "garbage ignored, absent = -1") {
+    val both = "User-agent: graftbot\nCrawl-delay: 3\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 2\nDisallow: /y\n"
+    assert(RobotsCodec.crawlDelay(both, "graftbot") === 3L)
+    assert(RobotsCodec.crawlDelay(both, "GRAFTBOT") === 3L, "token case-fold")
+    assert(RobotsCodec.crawlDelay(both, "otherbot") === 2L, "* fallback")
+    // the crawler's own group SHADOWS * even when it declares no delay
+    val shadow = "User-agent: graftbot\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n"
+    assert(RobotsCodec.crawlDelay(shadow, "graftbot") === -1L)
+    // first valid value wins; garbage values are ignored
+    assert(RobotsCodec.crawlDelay(
+      "User-agent: a\nCrawl-delay: nope\nCrawl-delay: 5\nCrawl-delay: 9\n",
+      "a") === 5L)
+    assert(RobotsCodec.crawlDelay("", "a") === -1L)
+    assert(RobotsCodec.crawlDelay(null, "a") === -1L)
+    // a crawl-delay between User-agent lines neither splits the group nor
+    // escapes it
+    val mid = "User-agent: a\nCrawl-delay: 7\nUser-agent: b\nDisallow: /x\n"
+    assert(RobotsCodec.crawlDelay(mid, "a") === 7L)
+    assert(RobotsCodec.crawlDelay(mid, "b") === 7L)
+  }
+
+  test("sitemaps: global, document order, empty when none") {
+    val txt = "Sitemap: https://x/s1.xml\nUser-agent: a\nDisallow: /\n" +
+      "Sitemap: https://x/s2.xml\n"
+    assert(RobotsCodec.sitemaps(txt).toSeq ===
+      Seq("https://x/s1.xml", "https://x/s2.xml"))
+    assert(RobotsCodec.sitemaps("User-agent: *\nDisallow:\n").isEmpty)
+    assert(RobotsCodec.sitemaps(null).isEmpty)
+  }
+
   test("an unknown field between User-agent lines does not split the group") {
     // RFC 9309: groups close only on RULE lines — a Sitemap/Crawl-delay
     // between consecutive User-agent lines leaves both agents in ONE group

@@ -35,8 +35,51 @@ object CharsetCodec {
 
   private val ctCharset = java.util.regex.Pattern.compile(
     "(?i)charset\\s*=\\s*\"?([A-Za-z0-9._:+-]+)\"?")
-  private val metaCharset = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]*charset\\s*=\\s*['\"]?([A-Za-z0-9._:+-]+)")
+  private val metaTag = java.util.regex.Pattern.compile(
+    "(?i)<meta[\\s/][^>]*>")
+  private val attrPat = java.util.regex.Pattern.compile(
+    "(?i)([a-z-]+)\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+
+  /** The WHATWG meta prescan over the byte-oriented head view: walk each
+    * `<meta ...>` tag and read charset ONLY from the places the spec
+    * reads it — a `charset` ATTRIBUTE, or the `charset=` parameter of a
+    * `content` attribute when `http-equiv` is Content-Type. A bare
+    * `charset=` substring inside some other attribute value (e.g. a
+    * description mentioning charsets) must NOT hijack the decode.
+    * Pragmatic simplification vs the full spec: tags are delimited by the
+    * next '>', so a literal '>' inside a quoted meta attribute value
+    * truncates that tag's attribute scan (it cannot select a charset the
+    * page did not declare — at worst the declaration is missed and the
+    * row falls through to strict UTF-8). */
+  private def metaPrescan(head: String): String = {
+    val m = metaTag.matcher(head)
+    while (m.find()) {
+      val tag = m.group()
+      var charset: String = null
+      var httpEquiv: String = null
+      var content: String = null
+      val am = attrPat.matcher(tag)
+      while (am.find()) {
+        val v =
+          if (am.group(3) != null) am.group(3)
+          else if (am.group(4) != null) am.group(4)
+          else am.group(5)
+        am.group(1).toLowerCase(java.util.Locale.ROOT) match {
+          case "charset" => if (charset == null) charset = v
+          case "http-equiv" => if (httpEquiv == null) httpEquiv = v
+          case "content" => if (content == null) content = v
+          case _ =>
+        }
+      }
+      if (charset != null && charset.nonEmpty) return charset.trim
+      if (httpEquiv != null && httpEquiv.equalsIgnoreCase("content-type") &&
+          content != null) {
+        val cm = ctCharset.matcher(content)
+        if (cm.find()) return cm.group(1)
+      }
+    }
+    null
+  }
 
   /** `contentType` empty/absent means "no transport declaration". */
   def decode(bytes: Array[Byte], contentType: String): String = {
@@ -54,11 +97,11 @@ object CharsetCodec {
       val m = ctCharset.matcher(contentType)
       if (m.find()) return strictNamed(bytes, m.group(1))
     }
-    // 3. meta prescan (first 1024 bytes, byte-oriented)
+    // 3. meta prescan (first 1024 bytes, byte-oriented, attribute-aware)
     val head = new String(bytes, 0, math.min(bytes.length, 1024),
       StandardCharsets.ISO_8859_1)
-    val mm = metaCharset.matcher(head)
-    if (mm.find()) return strictNamed(bytes, mm.group(1))
+    val metaCs = metaPrescan(head)
+    if (metaCs != null) return strictNamed(bytes, metaCs)
     // 4. fallback
     strict(bytes, 0, StandardCharsets.UTF_8)
   }

@@ -156,7 +156,11 @@ object WarcGzCodec {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      val bo = new java.io.ByteArrayOutputStream(bytes.length * 2 + 64)
+      // initial-capacity HINT in long arithmetic, capped: `length * 2 + 64`
+      // in int would wrap negative past ~1 GiB input and throw
+      // IllegalArgumentException — a crash, not the contracted NULL
+      val bo = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 2 + 64, 1L << 24).toInt)
       val buf = new Array[Byte](1 << 16)
       var total = 0L
       var n = in.read(buf)

@@ -301,6 +301,41 @@ FROM toks)"""
   /** Connected-components oracle shared by x07 (min-label) and x07b
     * (star-contraction): DuckDB replays the transitive closure with a
     * recursive CTE over the same exact-Jaccard pair set. */
+  /** The warc.gz shard construction shared VERBATIM by x92 (batch) and
+    * s72 (streaming twin) — the two lanes' common oracle recipe only
+    * holds while their encodings stay bit-identical, so the arm
+    * selection, payload encodings and Content-Type strings are
+    * single-sourced here. Per doc: a request record + a response record
+    * whose payload is the x87 trap page encoded by doc_id%4 —
+    * 0: UTF-8 declared in the Content-Type header (quoted param),
+    * 1: UTF-16BE behind its BOM (no declaration — BOM sniff),
+    * 2: UTF-16LE behind an explicit FF FE BOM,
+    * 3: UTF-8 declared only by the page's own <meta charset> (prescan). */
+  private[operators] def warcGzArm: Column = (col("doc_id") % 4).cast("int")
+
+  private[operators] def warcGzCtype: Column =
+    when(warcGzArm === 0, lit("text/html; charset=\"UTF-8\""))
+      .otherwise(lit("text/html"))
+
+  private[operators] def warcPageUri: Column =
+    concat(lit("https://"), col("source"), lit(".example.org/page/"),
+      ((col("doc_id") * 3 + 5) % 97).cast("string"), lit("/"))
+
+  private[operators] def warcGzShard: Column = {
+    val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
+    val reqPay = concat(lit("GET /page/"), m2, lit("/")).cast("binary")
+    val ts = lit(1723700000000L) + col("doc_id")
+    val payload =
+      when(warcGzArm === 1, encode(htmlPage, "UTF-16")) // FE FF BOM + BE
+        .when(warcGzArm === 2, concat(
+          lit(Array(0xFF.toByte, 0xFE.toByte)),
+          encode(htmlPage, "UTF-16LE")))
+        .otherwise(encode(htmlPage, "UTF-8"))
+    concat(
+      warc_gz_record(warcPageUri, ts, reqPay, "request"),
+      warc_gz_record(warcPageUri, ts, payload, "response"))
+  }
+
   /** Trained word-level Naive Bayes language classifier (round 16,
     * VERDICT r15 #6, the x04_langid upgrade): Laplace-smoothed
     * multinomial NB fit on the EVEN-doc_id half of the labeled corpus,

@@ -1097,53 +1097,11 @@ GROUP BY k.event_type ORDER BY k.event_type NULLS FIRST""")),
     // match pins every argmin, every code and both rankings. O-class.
     GQuery("x79_pq_adc_ann",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val L2 = graft.functions.GraftFunctions.l2_dist _
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val subExpr = "transform(sequence(0, 7), j -> " +
-          "struct(j AS j, slice(v, j * 8 + 1, 8) AS sv))"
-        val sub = e.select(col("vec_id"), explode(expr(subExpr)).as("x"))
-          .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
-        val wSeed = Window.orderBy(col("h"), col("vec_id"))
-        val seeds = e
-          .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(16)
-          .select(col("vec_id"), row_number().over(wSeed).as("cid"))
-        val c0 = sub.join(seeds, "vec_id")
-          .select(col("j"), col("cid"), col("sv").as("cv"))
-        // broadcast codebook + map-side min_by: the n·k candidate rows
-        // collapse to n·m in the partial aggregate before any exchange
-        def assign(cb: DataFrame): DataFrame =
-          sub.join(broadcast(cb), "j")
-            .withColumn("dist", L2(col("sv"), col("cv")))
-            .groupBy(col("vec_id"), col("j"))
-            .agg(min_by(struct(col("cid"), col("sv")),
-              struct(col("dist"), col("cid"))).as("sel"))
-            .select(col("vec_id"), col("j"), col("sel.cid").as("cid"),
-              col("sel.sv").as("sv"))
-        val c1 = assign(c0)
-          .select(col("j"), col("cid"), posexplode(col("sv")))
-          .groupBy(col("j"), col("cid"), col("pos"))
-          .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy(col("j"), col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-            "x -> x.m)").as("cv"))
-          .localCheckpoint(true)
-        val enc = assign(c1).drop("sv").localCheckpoint(true)
-        val queries = e
-          .select(col("vec_id").as("qid"), col("v"),
-            md5(concat(lit("q:"), col("vec_id").cast("string"))).as("h"))
-          .orderBy(col("h"), col("qid")).limit(8)
-          .select(col("qid"), col("v")).localCheckpoint(true)
-        val qsub = queries
-          .select(col("qid"), explode(expr(subExpr)).as("x"))
-          .select(col("qid"), col("x.j").as("j"), col("x.sv").as("qv"))
-        val lut = qsub.join(c1, "j")
-          .withColumn("qd", L2(col("qv"), col("cv")))
-          .select(col("qid"), col("j"), col("cid"),
-            (col("qd") * col("qd")).cast("decimal(18,9)").as("qd2"))
+        // PQ train/encode/queries/LUT: single-sourced with x03d
+        val (c1, enc, queries, lut) = pqPipeline(e)
         val adc = enc.join(broadcast(lut), Seq("j", "cid"))
           .filter(col("vec_id") =!= col("qid"))
           .groupBy(col("qid"), col("vec_id"))
@@ -1152,18 +1110,8 @@ GROUP BY k.event_type ORDER BY k.event_type NULLS FIRST""")),
           .crossJoin(broadcast(queries.select(col("qid"), col("v").as("qv"))))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), L2(col("v"), col("qv")).as("score"))
-        def topk(df: DataFrame, k: Int): DataFrame = {
-          val w1 = Window.partitionBy(col("qid"), col("salt"))
-            .orderBy(col("score"), col("vec_id"))
-          val w2 = Window.partitionBy(col("qid"))
-            .orderBy(col("score"), col("vec_id"))
-          df.withColumn("salt", col("vec_id") % 32)
-            .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
-            .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
-            .select(col("qid"), col("vec_id"), col("rank"))
-        }
-        val at = topk(adc, 50).localCheckpoint(true) // ADC shortlist
-        val et = topk(exact, 10).localCheckpoint(true)
+        val at = saltedTopK(adc, 50).localCheckpoint(true) // ADC shortlist
+        val et = saltedTopK(exact, 10).localCheckpoint(true)
         val hits = at.filter(col("rank") <= 10).select(col("qid"), col("vec_id"))
           .join(et.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
@@ -1174,7 +1122,7 @@ GROUP BY k.event_type ORDER BY k.event_type NULLS FIRST""")),
           .join(e, "vec_id")
           .join(broadcast(queries.select(col("qid"), col("v").as("qv"))), "qid")
           .select(col("qid"), col("vec_id"), L2(col("v"), col("qv")).as("score"))
-        val rt = topk(rr, 10)
+        val rt = saltedTopK(rr, 10)
         val rhits = rt.select(col("qid"), col("vec_id"))
           .join(et.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_hits_rerank"))
@@ -1268,7 +1216,7 @@ ORDER BY q.qid NULLS FIRST""")),
     // and the float kernel reranks just the 100-candidate shortlist. This is the
     // operator a billion-vector index actually runs: memory = 8-byte codes
     // (32× compression), scan cost = |corpus|·nprobe/ncells table lookups
-    // instead of n·d flops, rerank = 50·d per query. All three stages are
+    // instead of n·d flops, rerank = 100·d per query. All three stages are
     // the proven machineries composed — coarse codebook + route (x03b),
     // PQ train/encode/LUT/ADC (x79), two-stage deterministic top-k — so
     // DuckDB replays the ENTIRE composed pipeline and the output also
@@ -1293,43 +1241,9 @@ ORDER BY q.qid NULLS FIRST""")),
         val cells = ivfAssign(coarse, e, "vec_id")
           .select(col("vec_id"), col("cid").as("cell"))
           .localCheckpoint(true)
-        // PQ codebooks + codes (x79 machinery)
-        val subExpr = "transform(sequence(0, 7), j -> " +
-          "struct(j AS j, slice(v, j * 8 + 1, 8) AS sv))"
-        val sub = e.select(col("vec_id"), explode(expr(subExpr)).as("x"))
-          .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
-        val wSeed = Window.orderBy(col("h"), col("vec_id"))
-        val seeds = e
-          .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(16)
-          .select(col("vec_id"), row_number().over(wSeed).as("cid"))
-        val c0 = sub.join(seeds, "vec_id")
-          .select(col("j"), col("cid"), col("sv").as("cv"))
-        def assign(cb: DataFrame): DataFrame =
-          sub.join(broadcast(cb), "j")
-            .withColumn("dist", L2(col("sv"), col("cv")))
-            .groupBy(col("vec_id"), col("j"))
-            .agg(min_by(struct(col("cid"), col("sv")),
-              struct(col("dist"), col("cid"))).as("sel"))
-            .select(col("vec_id"), col("j"), col("sel.cid").as("cid"),
-              col("sel.sv").as("sv"))
-        val c1 = assign(c0)
-          .select(col("j"), col("cid"), posexplode(col("sv")))
-          .groupBy(col("j"), col("cid"), col("pos"))
-          .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy(col("j"), col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-            "x -> x.m)").as("cv"))
-          .localCheckpoint(true)
-        val enc = assign(c1).drop("sv").localCheckpoint(true)
-        // x79's query set, so recall is directly comparable
-        val queries = e
-          .select(col("vec_id").as("qid"), col("v"),
-            md5(concat(lit("q:"), col("vec_id").cast("string"))).as("h"))
-          .orderBy(col("h"), col("qid")).limit(8)
-          .select(col("qid"), col("v")).localCheckpoint(true)
-        // ROUTE: nprobe=4 nearest coarse cells per query
+        // PQ train/encode/queries/LUT: single-sourced with x79
+        val (c1, enc, queries, lut) = pqPipeline(e)
+        // ROUTE: nprobe=6 nearest coarse cells per query
         val wr = Window.partitionBy(col("qid"))
           .orderBy(col("dist"), col("cid"))
         val route = queries.crossJoin(broadcast(coarse))
@@ -1342,41 +1256,23 @@ ORDER BY q.qid NULLS FIRST""")),
         val cand = cells.join(broadcast(route), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"))
-        // per-query ADC lookup tables (decimal-exact)
-        val qsub = queries
-          .select(col("qid"), explode(expr(subExpr)).as("x"))
-          .select(col("qid"), col("x.j").as("j"), col("x.sv").as("qv"))
-        val lut = qsub.join(c1, "j")
-          .withColumn("qd", L2(col("qv"), col("cv")))
-          .select(col("qid"), col("j"), col("cid"),
-            (col("qd") * col("qd")).cast("decimal(18,9)").as("qd2"))
         val adc = cand.join(enc, "vec_id")
           .join(broadcast(lut), Seq("qid", "j", "cid"))
           .groupBy(col("qid"), col("vec_id"))
           .agg(sum(col("qd2")).as("score"))
-        def topk(df: DataFrame, k: Int): DataFrame = {
-          val w1 = Window.partitionBy(col("qid"), col("salt"))
-            .orderBy(col("score"), col("vec_id"))
-          val w2 = Window.partitionBy(col("qid"))
-            .orderBy(col("score"), col("vec_id"))
-          df.withColumn("salt", col("vec_id") % 32)
-            .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
-            .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
-            .select(col("qid"), col("vec_id"), col("rank"))
-        }
-        val at = topk(adc, 100).localCheckpoint(true)
+        val at = saltedTopK(adc, 100).localCheckpoint(true)
         // ground truth: full-corpus exact top-10 (audit only)
         val exact = e
           .crossJoin(broadcast(queries.select(col("qid"), col("v").as("qv"))))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), L2(col("v"), col("qv")).as("score"))
-        val et = topk(exact, 10).localCheckpoint(true)
+        val et = saltedTopK(exact, 10).localCheckpoint(true)
         // exact rerank of the routed-ADC shortlist
         val rr = at.select(col("qid"), col("vec_id"))
           .join(e, "vec_id")
           .join(broadcast(queries.select(col("qid"), col("v").as("qv"))), "qid")
           .select(col("qid"), col("vec_id"), L2(col("v"), col("qv")).as("score"))
-        val rt = topk(rr, 10)
+        val rt = saltedTopK(rr, 10)
         val rhits = rt.select(col("qid"), col("vec_id"))
           .join(et.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_hits_rerank"))
@@ -1542,6 +1438,82 @@ SELECT label, n_prev, n_next,
     AS DECIMAL(18,6)) AS DOUBLE) AS cos_centroid
 FROM a ORDER BY label NULLS FIRST"""))
   )
+
+
+  /** 8 x 8-dim subspace split of (id, v) — the PQ decomposition. */
+  private def pqSub(df: DataFrame, idc: String): DataFrame = {
+    val subExpr = "transform(sequence(0, 7), j -> " +
+      "struct(j AS j, slice(v, j * 8 + 1, 8) AS sv))"
+    df.select(col(idc), explode(expr(subExpr)).as("x"))
+      .select(col(idc), col("x.j").as("j"), col("x.sv").as("sv"))
+  }
+
+  /** The PQ machinery shared VERBATIM by x79 (full-scan ADC) and x03d
+    * (the IVFADC composition) — single-sourced so the cross-engine-
+    * sensitive choices (md5 seed selection, decimal-exact centroid
+    * update, (dist, cid) tie-break, LUT quantization, the 8-query seed
+    * derivation) cannot diverge between the twins. Returns (c1 subspace
+    * codebooks, enc codes, queries, lut), each lineage-truncated exactly
+    * as x79 always did. */
+  private def pqPipeline(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val L2 = graft.functions.GraftFunctions.l2_dist _
+    val sub = pqSub(e, "vec_id")
+    val wSeed = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = e
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .select(col("vec_id"), row_number().over(wSeed).as("cid"))
+    val c0 = sub.join(seeds, "vec_id")
+      .select(col("j"), col("cid"), col("sv").as("cv"))
+    // broadcast codebook + map-side min_by: the n*k candidate rows
+    // collapse to n*m in the partial aggregate before any exchange
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "j")
+        .withColumn("dist", L2(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(struct(col("cid"), col("sv")),
+          struct(col("dist"), col("cid"))).as("sel"))
+        .select(col("vec_id"), col("j"), col("sel.cid").as("cid"),
+          col("sel.sv").as("sv"))
+    val c1 = assign(c0)
+      .select(col("j"), col("cid"), posexplode(col("sv")))
+      .groupBy(col("j"), col("cid"), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("j"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "x -> x.m)").as("cv"))
+      .localCheckpoint(true)
+    val enc = assign(c1).drop("sv").localCheckpoint(true)
+    val queries = e
+      .select(col("vec_id").as("qid"), col("v"),
+        md5(concat(lit("q:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("qid")).limit(8)
+      .select(col("qid"), col("v")).localCheckpoint(true)
+    val lut = pqSub(queries, "qid").withColumnRenamed("sv", "qv")
+      .join(c1, "j")
+      .withColumn("qd", L2(col("qv"), col("cv")))
+      .select(col("qid"), col("j"), col("cid"),
+        (col("qd") * col("qd")).cast("decimal(18,9)").as("qd2"))
+    (c1, enc, queries, lut)
+  }
+
+  /** Deterministic two-stage (salted) distributed top-k over
+    * (qid, vec_id, score) — per-salt top-k, then top-k of the <= 32*k
+    * survivors; layout-independent and skew-proof. */
+  private def saltedTopK(df: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("qid"), col("salt"))
+      .orderBy(col("score"), col("vec_id"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("score"), col("vec_id"))
+    df.withColumn("salt", col("vec_id") % 32)
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
 
   /** Nearest-centroid assignment: broadcast codebook + map-side min_by, so
     * the n·k candidate rows collapse to n in the partial aggregate before

@@ -1447,26 +1447,11 @@ FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
         val docs = spread(t(s, d, "documents"))
           .filter(col("text").isNotNull && length(col("text")) > 0 &&
             col("lang").isNotNull && col("source").isNotNull)
-        val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
-        val uri = concat(lit("https://"), col("source"),
-          lit(".example.org/page/"), m2, lit("/"))
-        val reqPay = concat(lit("GET /page/"), m2, lit("/")).cast("binary")
-        val ts = lit(1723700000000L) + col("doc_id")
-        val arm = (col("doc_id") % 4).cast("int")
-        val payload =
-          when(arm === 1, encode(htmlPage, "UTF-16")) // FE FF BOM + BE
-            .when(arm === 2, concat(
-              lit(Array(0xFF.toByte, 0xFE.toByte)),
-              encode(htmlPage, "UTF-16LE")))
-            .otherwise(encode(htmlPage, "UTF-8"))
-        val ctype = when(arm === 0, lit("text/html; charset=\"UTF-8\""))
-          .otherwise(lit("text/html"))
-        val shard = concat(
-          warc_gz_record(uri, ts, reqPay, "request"),
-          warc_gz_record(uri, ts, payload, "response"))
+        // arm/ctype/shard: single-sourced with s72 (PipelineShared)
         val rows = docs.select(col("doc_id"), col("source"), col("text"),
-            col("lang"), uri.as("uri"), arm.as("arm"), ctype.as("ctype"),
-            warc_gz_extract(shard).as("recs"))
+            col("lang"), warcPageUri.as("uri"), warcGzArm.as("arm"),
+            warcGzCtype.as("ctype"),
+            warc_gz_extract(warcGzShard).as("recs"))
           .withColumn("req", element_at(col("recs"), 1))
           .withColumn("resp", element_at(col("recs"), 2))
           .withColumn("page",

@@ -1024,31 +1024,15 @@ FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
     // the shape a 100 TB live-crawl intake runs at scan speed.
     GQuery("s72_stream_warc_gz_gate",
       (s, d) => {
-        import PipelineShared.htmlPage
+        import PipelineShared.{htmlPage, warcGzArm, warcGzCtype, warcGzShard}
         val G = graft.functions.GraftFunctions
-        val m2 = ((col("doc_id") * 3 + 5) % 97).cast("string")
-        val uri = concat(lit("https://"), col("source"),
-          lit(".example.org/page/"), m2, lit("/"))
-        val reqPay = concat(lit("GET /page/"), m2, lit("/")).cast("binary")
-        val ts = lit(1723700000000L) + col("doc_id")
-        val arm = (col("doc_id") % 4).cast("int")
-        val payload =
-          when(arm === 1, encode(htmlPage, "UTF-16"))
-            .when(arm === 2, concat(
-              lit(Array(0xFF.toByte, 0xFE.toByte)),
-              encode(htmlPage, "UTF-16LE")))
-            .otherwise(encode(htmlPage, "UTF-8"))
-        val ctype = when(arm === 0, lit("text/html; charset=\"UTF-8\""))
-          .otherwise(lit("text/html"))
-        val shard = concat(
-          G.warc_gz_record(uri, ts, reqPay, "request"),
-          G.warc_gz_record(uri, ts, payload, "response"))
+        // arm/ctype/shard: single-sourced with x92 (PipelineShared)
         val rows = StreamingQueries.docStream(s, d)
           .filter(col("text").isNotNull && length(col("text")) > 0 &&
             col("lang").isNotNull && col("source").isNotNull)
           .select(col("doc_id"), col("source"), col("text"), col("lang"),
-            arm.as("arm"), ctype.as("ctype"),
-            G.warc_gz_extract(shard).as("recs"))
+            warcGzArm.as("arm"), warcGzCtype.as("ctype"),
+            G.warc_gz_extract(warcGzShard).as("recs"))
           .withColumn("page", G.decode_charset(
             col("recs").getItem(1).getField("payload"), col("ctype")))
           .withColumn("ext", G.html_text(col("page")))

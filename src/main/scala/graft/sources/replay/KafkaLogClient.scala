@@ -1704,13 +1704,21 @@ final class KafkaLogClient(path: String,
     private def fetchMore(): Unit = {
       ensureConn()
       maybeReauth(sin, sout)
-      val (recordSet, aborted) =
-        try { if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4() }
+      val fetched =
+        try Some(if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4())
         catch {
+          // EXACT per-partition error 1 — "fetch error 1 for t/p"; a
+          // substring match on "error 1" would also swallow errors
+          // 10-19/100+ and misclassify unrelated failures as truncation
           case e: IOException if !failOnDataLoss && e.getMessage != null &&
-              e.getMessage.contains("fetch error 1") =>
+              e.getMessage.contains("fetch error 1 for") =>
             // OFFSET_OUT_OF_RANGE: confirm it is a truncation gap (the
-            // earliest readable offset moved past our cursor), then skip
+            // earliest readable offset moved past our cursor), then skip —
+            // WITHOUT refetching inline: the caller re-evaluates its
+            // bounds first, so a truncation that swallowed the entire
+            // remaining planned range ends the read gracefully
+            // (readFrameBefore returns false) instead of EOF-crashing on
+            // an empty fetch at the high watermark
             val earliest = startOffset(p)
             if (earliest <= nextOffset) throw e
             System.err.println(s"[graft-replay] DATA LOSS on $topic/$p: " +
@@ -1718,8 +1726,10 @@ final class KafkaLogClient(path: String,
               "log-start offset; skipping forward " +
               "(consumer.fail.on.data.loss=false)")
             nextOffset = earliest
-            if (fetchVersion >= 12) fetchOnceV12() else fetchOnceV4()
+            None
         }
+      if (fetched.isEmpty) return
+      val (recordSet, aborted) = fetched.get
       if (recordSet == null || recordSet.isEmpty)
         throw new EOFException(
           s"kafka fetch returned no data for $topic/$p at offset $nextOffset")

@@ -136,6 +136,32 @@ class WarcGzSpec extends AnyFunSuite {
     assert(d(s.getBytes("UTF-8"), "") === s)
   }
 
+  test("decode_charset: meta prescan reads only real declarations — a " +
+      "charset= substring in an unrelated attribute cannot hijack") {
+    def d(b: Array[Byte], ct: String) = CharsetCodec.decode(b, ct)
+    val s = "café 中文"
+    // a description MENTIONING a charset must not select it...
+    val trap = "<html><head>" +
+      "<meta name=\"description\" content=\"how to set charset=big5 here\">" +
+      "<meta charset=\"utf-8\"></head><body>" + s
+    assert(d(trap.getBytes("UTF-8"), "") === trap,
+      "the description's charset=big5 hijacked the decode")
+    // ...and with NO real declaration after it, the trap page falls
+    // through to strict UTF-8 (not Big5)
+    val traponly = "<html><head>" +
+      "<meta name=\"description\" content=\"set charset=big5 here\">" +
+      "</head><body>" + s
+    assert(d(traponly.getBytes("UTF-8"), "") === traponly)
+    // http-equiv content-type remains the one place content= counts
+    val he = "<html><head><meta http-equiv=\"content-type\" " +
+      "content=\"text/html; charset=utf-8\"></head>" + s
+    assert(d(he.getBytes("UTF-8"), "") === he)
+    // a non-content-type http-equiv's content= does NOT count
+    val refresh = "<html><head><meta http-equiv=\"refresh\" " +
+      "content=\"0; url=/x?charset=big5\"></head><body>" + s
+    assert(d(refresh.getBytes("UTF-8"), "") === refresh)
+  }
+
   test("decode_charset: poisoned rows are NULL, never mojibake") {
     def d(b: Array[Byte], ct: String) = CharsetCodec.decode(b, ct)
     // invalid UTF-8 under the fallback arm

@@ -168,6 +168,16 @@ class KafkaProduceSpec extends graft.SparkSpec {
       // loudly even with the option set (the guard in fetchMore)
       val fr2 = c.openFrames(0, 99L, needKey = false, needValue = true)
       intercept[Exception](try fr2.readFrame() finally fr2.close())
+      // truncation that swallowed the ENTIRE remaining planned range:
+      // the bounded read ends gracefully (false), it does not EOF-crash
+      val p2 = new KafkaLogClient(broker.clientPath,
+        Map("graft.role" -> "producer"))
+      p2.deleteRecords(Map(0 -> -1L)) // truncate to the high watermark
+      p2.closeProducer()
+      val fr3 = c.openFrames(0, 0L, needKey = false, needValue = true)
+      try assert(!fr3.readFrameBefore(5L),
+        "a fully-truncated planned range must end the read, not crash")
+      finally fr3.close()
     } finally broker.close()
   }
 

@@ -137,6 +137,13 @@ object GraftFunctions {
       x(org.apache.spark.sql.functions.coalesce(contentType,
         org.apache.spark.sql.functions.lit("")))))
 
+  /** text→bytes under a fixed WHATWG charset label — the test-data
+    * constructor's inverse of decode_charset (real pipelines only decode;
+    * the x92 shard builder needs the legacy bytes to exist). NULL when a
+    * char has no byte in the target encoding. */
+  def encode_whatwg(str: Column, label: String): Column =
+    c(EncodeWhatwg(x(str), label))
+
   /** DEFLATE-compressed byte length of a string (compression-ratio signal). */
   def deflate_len(text: Column): Column = c(DeflateLength(x(text)))
 

@@ -74,10 +74,16 @@ object RobotsCodec {
             if (value.nonEmpty) rules = (false, value) :: rules
           case "crawl-delay" =>
             // group content, but NOT a group-closing rule line; first
-            // valid value wins, garbage is ignored (allow-on-broken)
+            // valid value wins, garbage is ignored (allow-on-broken).
+            // Fractional delays ("Crawl-delay: 0.5" — accepted in the
+            // wild by Bing/Yandex) round UP: politeness never rounds
+            // toward impoliteness.
             if (delay < 0)
-              try { val v = value.toLong; if (v >= 0) delay = v }
-              catch { case _: NumberFormatException => }
+              try {
+                val v = value.toDouble
+                if (v >= 0 && !v.isNaN && !v.isInfinity)
+                  delay = math.ceil(v).toLong
+              } catch { case _: NumberFormatException => }
           case "sitemap" =>
             if (value.nonEmpty) sitemaps = value :: sitemaps
           case _ => // other unknown fields: ignored. RFC 9309 closes a

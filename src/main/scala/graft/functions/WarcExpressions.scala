@@ -124,13 +124,17 @@ object WarcCodec {
   * member and the members are concatenated, so a reader can split a shard
   * at member boundaries without inflating the whole file (ISO 28500 annex;
   * Common Crawl's distribution format). `warc_gz_record` emits one member
-  * per record; `warc_gz_extract` inflates a concatenation of members (the
-  * JDK inflater consumes successive members natively) and hands the raw
-  * stream to [[WarcCodec.extract]]. Malformation anywhere — bad gzip
-  * magic, a corrupt member, a CRC mismatch, an inflation bomb past the
-  * cap — degrades to NULL, never a crash. Known JDK leniency, documented:
-  * trailing NON-gzip bytes after a complete member are silently ignored
-  * by GZIPInputStream rather than flagged. */
+  * per record; `warc_gz_extract` inflates a concatenation of members
+  * member-by-member (explicit RFC 1952 header parse + raw Inflater + CRC32
+  * and ISIZE trailer verification, so EVERY input byte is accounted for)
+  * and hands the raw stream to [[WarcCodec.extract]]. Malformation
+  * anywhere — bad gzip magic, a corrupt member, a CRC mismatch, an
+  * inflation bomb past the cap, or ANY leftover bytes that do not form a
+  * valid member (a shard corrupted or truncated exactly at a member
+  * boundary) — degrades to NULL, never a crash and never a silently
+  * shortened record list. (The JDK's GZIPInputStream treats an invalid
+  * header on a subsequent member as clean EOF, which would drop records
+  * without a trace — the one leniency this codec refuses.) */
 object WarcGzCodec {
 
   /** Inflated-size cap per shard: hostile crawl data can carry gzip bombs,
@@ -148,31 +152,91 @@ object WarcGzCodec {
     bo.toByteArray
   }
 
+  /** RFC 1952 member header: returns the offset of the first deflate byte,
+    * or -1 when the bytes at `off` are not a well-formed gzip header. */
+  private def parseGzHeader(bytes: Array[Byte], off: Int): Int = {
+    if (off + 10 > bytes.length) return -1
+    if ((bytes(off) & 0xFF) != 0x1F || (bytes(off + 1) & 0xFF) != 0x8B ||
+        bytes(off + 2) != 8) return -1
+    val flg = bytes(off + 3) & 0xFF
+    if ((flg & 0xE0) != 0) return -1 // reserved FLG bits must be zero
+    var p = off + 10 // past MTIME(4) + XFL + OS
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) return -1
+      val xlen = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+      p += 2 + xlen
+      if (p > bytes.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return -1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      if (p >= bytes.length) return -1
+      p += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC
+      p += 2
+      if (p > bytes.length) return -1
+    }
+    p
+  }
+
+  private def le32(bytes: Array[Byte], off: Int): Long =
+    (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+      ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+
   /** Inflate a concatenation of gzip members back to the raw byte stream;
-    * NULL on any malformed member or past [[MaxInflatedBytes]]. */
+    * NULL on any malformed member, past [[MaxInflatedBytes]], or when EOF
+    * is reached with unconsumed bytes that do not form a complete member —
+    * so corruption AT a member boundary surfaces as the contracted NULL
+    * instead of a silently shortened stream. */
   def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     if (bytes == null) return null
     if (bytes.length == 0) return Array.emptyByteArray
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 1 << 16)
       // initial-capacity HINT in long arithmetic, capped: `length * 2 + 64`
       // in int would wrap negative past ~1 GiB input and throw
       // IllegalArgumentException — a crash, not the contracted NULL
       val bo = new java.io.ByteArrayOutputStream(
         math.min(bytes.length.toLong * 2 + 64, 1L << 24).toInt)
       val buf = new Array[Byte](1 << 16)
+      var off = 0
       var total = 0L
-      var n = in.read(buf)
-      while (n > 0) {
-        total += n
-        if (total > MaxInflatedBytes) return null
-        bo.write(buf, 0, n)
-        n = in.read(buf)
+      while (off < bytes.length) {
+        off = parseGzHeader(bytes, off)
+        if (off < 0) return null
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, off, bytes.length - off)
+          val crc = new java.util.zip.CRC32
+          var memberOut = 0L
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) return null // truncated deflate
+            if (n > 0) {
+              crc.update(buf, 0, n)
+              memberOut += n
+              total += n
+              if (total > MaxInflatedBytes) return null
+              bo.write(buf, 0, n)
+            }
+          }
+          off = bytes.length - inf.getRemaining
+          // trailer: CRC32 + ISIZE (mod 2^32), both little-endian
+          if (off + 8 > bytes.length) return null
+          if (le32(bytes, off) != crc.getValue) return null
+          if (le32(bytes, off + 4) != (memberOut & 0xFFFFFFFFL)) return null
+          off += 8
+        } finally inf.end()
       }
-      in.close()
       bo.toByteArray
-    } catch { case _: java.io.IOException => null }
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+      case _: java.io.IOException => null
+    }
   }
 
   def warcGzRecord(wtype: String, uri: UTF8String, tsMs: Long,

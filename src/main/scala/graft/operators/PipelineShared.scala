@@ -306,15 +306,49 @@ FROM toks)"""
     * holds while their encodings stay bit-identical, so the arm
     * selection, payload encodings and Content-Type strings are
     * single-sourced here. Per doc: a request record + a response record
-    * whose payload is the x87 trap page encoded by doc_id%4 —
+    * whose payload is the x87 trap page encoded by doc_id%7 —
     * 0: UTF-8 declared in the Content-Type header (quoted param),
     * 1: UTF-16BE behind its BOM (no declaration — BOM sniff),
     * 2: UTF-16LE behind an explicit FF FE BOM,
-    * 3: UTF-8 declared only by the page's own <meta charset> (prescan). */
-  private[operators] def warcGzArm: Column = (col("doc_id") % 4).cast("int")
+    * 3: UTF-8 declared only by the page's own <meta charset> (prescan),
+    * 4: windows-1252 bytes MISLABELLED `iso-8859-1` — the mislabel the
+    *    WHATWG label table exists for: the payload carries curly quotes /
+    *    em-dash / € / ™ in 0x80–0x9F (plus a bare 0x81, one of the five
+    *    bytes the JDK cp1252 decoder rejects), and only the
+    *    latin1→cp1252 remap round-trips them (raw Charset.forName
+    *    decodes C1 controls — mojibake, spec-proven wrong);
+    * 5: shift_jis declared in the header (WHATWG shift_jis = windows-31j
+    *    with the NEC/IBM extensions), kanji/katakana in the trap comment;
+    * 6: iso-8859-2 declared via its `latin2` ALIAS label (the alias rows
+    *    of the WHATWG table), Polish/Czech letters in the trap comment.
+    * Arms 4–6 inject their non-ASCII inside an HTML COMMENT appended to
+    * the page, which html_text strips — so the extraction-lane oracle
+    * (ext line checksums over raw columns) is untouched while the decode
+    * identity (`page === warcGzPage`) pins every legacy byte. */
+  private[operators] def warcGzArm: Column = (col("doc_id") % 7).cast("int")
+
+  /** cp1252 trap: “…” U+201C/D, — U+2014, € U+20AC, ™ U+2122, é U+00E9,
+    * plus U+0081 — a C1 control the WHATWG index maps but the JDK
+    * rejects, so only the hand-rolled exact-index decoder survives it. */
+  private[operators] val w1252Trap: String =
+    "\n<!-- “café” — €1 ™ \u0081 -->"
+  private[operators] val sjisTrap: String =
+    "\n<!-- 日本語テスト ソフト -->"
+  private[operators] val latin2Trap: String =
+    "\n<!-- Łódź žluťoučký -->"
+
+  /** The page each arm actually serves (and what decode must reproduce). */
+  private[operators] def warcGzPage: Column =
+    when(warcGzArm === 4, concat(htmlPage, lit(w1252Trap)))
+      .when(warcGzArm === 5, concat(htmlPage, lit(sjisTrap)))
+      .when(warcGzArm === 6, concat(htmlPage, lit(latin2Trap)))
+      .otherwise(htmlPage)
 
   private[operators] def warcGzCtype: Column =
     when(warcGzArm === 0, lit("text/html; charset=\"UTF-8\""))
+      .when(warcGzArm === 4, lit("text/html; charset=iso-8859-1"))
+      .when(warcGzArm === 5, lit("text/html; charset=shift_jis"))
+      .when(warcGzArm === 6, lit("text/html; charset=latin2"))
       .otherwise(lit("text/html"))
 
   private[operators] def warcPageUri: Column =
@@ -330,6 +364,11 @@ FROM toks)"""
         .when(warcGzArm === 2, concat(
           lit(Array(0xFF.toByte, 0xFE.toByte)),
           encode(htmlPage, "UTF-16LE")))
+        // legacy arms encode through the same WHATWG label table the
+        // decoder resolves (iso-8859-1 ⇒ cp1252 bytes — the mislabel)
+        .when(warcGzArm === 4, encode_whatwg(warcGzPage, "iso-8859-1"))
+        .when(warcGzArm === 5, encode_whatwg(warcGzPage, "shift_jis"))
+        .when(warcGzArm === 6, encode_whatwg(warcGzPage, "latin2"))
         .otherwise(encode(htmlPage, "UTF-8"))
     concat(
       warc_gz_record(warcPageUri, ts, reqPay, "request"),

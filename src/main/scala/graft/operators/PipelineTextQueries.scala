@@ -1431,11 +1431,15 @@ FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
     // record compressed as its OWN gzip member, members concatenated into
     // the shard, and response payloads arriving as BYTES in a
     // declared-or-sniffed encoding. Per doc: a request record + a response
-    // record whose payload is the x87 trap page encoded by doc_id%4 —
+    // record whose payload is the x87 trap page encoded by doc_id%7 —
     // 0: UTF-8 declared in the Content-Type header (quoted param),
     // 1: UTF-16BE behind its BOM (no declaration — BOM sniff),
     // 2: UTF-16LE behind an explicit FF FE BOM,
-    // 3: UTF-8 declared only by the page's own <meta charset> (prescan).
+    // 3: UTF-8 declared only by the page's own <meta charset> (prescan),
+    // 4: windows-1252 bytes MISLABELLED iso-8859-1 (the WHATWG label
+    //    remap arm — curly quotes/em-dash/€/0x81 in 0x80–0x9F),
+    // 5: shift_jis by header, 6: iso-8859-2 via its `latin2` alias
+    //    (see PipelineShared.warcGzShard for the full arm contract).
     // warc_gz_record → warc_gz_extract → decode_charset must reproduce the
     // page STRING exactly (ok pins full-page identity), and the decoded
     // output then feeds the x87 html_text lane, whose line checksums the
@@ -1463,7 +1467,7 @@ FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
               col("resp.wtype") === "response" &&
               col("req.uri") === col("uri") &&
               col("resp.uri") === col("uri") &&
-              col("page") === htmlPage &&
+              col("page") === warcGzPage &&
               element_at(split(col("ext"), "\n"), 4) === col("text"))
               .cast("int"))
         rows.groupBy(col("source")).agg(
@@ -1473,6 +1477,7 @@ FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
             sum((col("arm") === 1 || col("arm") === 2).cast("int"))
               .cast("long").as("n_bom"),
             sum((col("arm") === 3).cast("int")).cast("long").as("n_meta"),
+            sum((col("arm") >= 4).cast("int")).cast("long").as("n_legacy"),
             expr("bit_xor(CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT))")
               .as("text_checksum"))
           .orderBy(col("source"))
@@ -1482,9 +1487,10 @@ FROM e GROUP BY source ORDER BY source NULLS FIRST""")),
     AND lang IS NOT NULL AND source IS NOT NULL),
 e AS (SELECT doc_id, source, text, $htmlExpectedDuck AS ext FROM d)
 SELECT source, count(*) AS n_docs, count(*) AS n_ok,
-  CAST(sum((doc_id % 4 = 0)::INT) AS BIGINT) AS n_hdr,
-  CAST(sum((doc_id % 4 IN (1, 2))::INT) AS BIGINT) AS n_bom,
-  CAST(sum((doc_id % 4 = 3)::INT) AS BIGINT) AS n_meta,
+  CAST(sum((doc_id % 7 = 0)::INT) AS BIGINT) AS n_hdr,
+  CAST(sum((doc_id % 7 IN (1, 2))::INT) AS BIGINT) AS n_bom,
+  CAST(sum((doc_id % 7 = 3)::INT) AS BIGINT) AS n_meta,
+  CAST(sum((doc_id % 7 >= 4)::INT) AS BIGINT) AS n_legacy,
   bit_xor(CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT)) AS text_checksum
 FROM e GROUP BY source ORDER BY source NULLS FIRST"""))
   )

@@ -1024,7 +1024,7 @@ FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
     // the shape a 100 TB live-crawl intake runs at scan speed.
     GQuery("s72_stream_warc_gz_gate",
       (s, d) => {
-        import PipelineShared.{htmlPage, warcGzArm, warcGzCtype, warcGzShard}
+        import PipelineShared.{warcGzArm, warcGzCtype, warcGzPage, warcGzShard}
         val G = graft.functions.GraftFunctions
         // arm/ctype/shard: single-sourced with x92 (PipelineShared)
         val rows = StreamingQueries.docStream(s, d)
@@ -1039,7 +1039,7 @@ FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
           .select(col("doc_id"), col("source"), col("arm"),
             size(col("recs")).cast("long").as("n_records"),
             (size(col("recs")) === 2 &&
-              col("page") === htmlPage &&
+              col("page") === warcGzPage &&
               element_at(split(col("ext"), "\n"), 4) === col("text"))
               .as("ok"),
             expr("CAST(conv(substr(md5(ext), 1, 15), 16, 10) AS BIGINT)")
@@ -1051,7 +1051,7 @@ FROM kept ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""")),
     AND lang IS NOT NULL AND source IS NOT NULL),
 e AS (SELECT doc_id, source, text,
     ${PipelineShared.htmlExpectedDuck} AS ext FROM d)
-SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS arm,
+SELECT doc_id, source, CAST(doc_id % 7 AS INT) AS arm,
   CAST(2 AS BIGINT) AS n_records, true AS ok,
   CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT) AS h
 FROM e ORDER BY doc_id NULLS FIRST"""))

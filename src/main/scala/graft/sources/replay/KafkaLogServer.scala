@@ -944,7 +944,7 @@ final class KafkaLogServer(dir: String, topic: String,
             }
             if (flexLg) writeEmptyTagged(o)
             bo.toByteArray
-          case ApiDeleteRecords if apiVersion == 1 || apiVersion == 2 =>
+          case ApiDeleteRecords if apiVersion >= 0 && apiVersion <= 2 =>
             // api 21: advance the log-start offset ("low watermark") —
             // log truncation. Post-conditions a real broker guarantees and
             // the double reproduces: ListOffsets earliest answers the new
@@ -994,7 +994,7 @@ final class KafkaLogServer(dir: String, topic: String,
             }
             if (flexDr) writeEmptyTagged(o)
             bo.toByteArray
-          case ApiDeleteGroups if apiVersion == 1 || apiVersion == 2 =>
+          case ApiDeleteGroups if apiVersion >= 0 && apiVersion <= 2 =>
             // api 42: remove consumer groups wholesale — OffsetDelete's
             // group-level sibling. A group with LIVE members answers
             // NON_EMPTY_GROUP (68): membership is never yanked. A group

@@ -90,6 +90,22 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val mid = "User-agent: a\nCrawl-delay: 7\nUser-agent: b\nDisallow: /x\n"
     assert(RobotsCodec.crawlDelay(mid, "a") === 7L)
     assert(RobotsCodec.crawlDelay(mid, "b") === 7L)
+    // fractional delays (Bing/Yandex accept them in the wild) round UP —
+    // politeness never rounds toward impoliteness; they are VALID values,
+    // not garbage, so they also satisfy "first value wins"
+    assert(RobotsCodec.crawlDelay("User-agent: a\nCrawl-delay: 0.5\n", "a")
+      === 1L)
+    assert(RobotsCodec.crawlDelay(
+      "User-agent: a\nCrawl-delay: 2.25\nCrawl-delay: 9\n", "a") === 3L)
+    assert(RobotsCodec.crawlDelay("User-agent: a\nCrawl-delay: 4.0\n", "a")
+      === 4L)
+    // non-finite and negative numerics stay garbage (allow-on-broken)
+    assert(RobotsCodec.crawlDelay("User-agent: a\nCrawl-delay: NaN\n", "a")
+      === -1L)
+    assert(RobotsCodec.crawlDelay("User-agent: a\nCrawl-delay: Infinity\n",
+      "a") === -1L)
+    assert(RobotsCodec.crawlDelay("User-agent: a\nCrawl-delay: -2\n", "a")
+      === -1L)
   }
 
   test("sitemaps: global, document order, empty when none") {

@@ -86,12 +86,50 @@ class WarcGzSpec extends AnyFunSuite {
     assert(WarcGzCodec.warcGzExtract(Array.emptyByteArray).numElements() === 0)
   }
 
-  test("documented JDK leniency: trailing non-gzip bytes are ignored") {
+  test("member-boundary corruption => NULL, never a silently shortened " +
+      "record list (the JDK leniency the codec refuses)") {
     val good = WarcGzCodec.gzMember(rec("request", "u://x", 0L, "GET /"))
-    val got = WarcGzCodec.warcGzExtract(good ++ "junk".getBytes)
-    assert(got != null && got.numElements() === 1,
-      "GZIPInputStream drops trailing garbage after a complete member — " +
-        "records before it still parse (leniency documented in WarcGzCodec)")
+    val second = WarcGzCodec.gzMember(rec("response", "u://x", 0L, "payload"))
+    // trailing non-gzip bytes after a complete member: GZIPInputStream
+    // would treat this as clean EOF and drop them — the contract is NULL
+    assert(WarcGzCodec.warcGzExtract(good ++ "junk".getBytes) == null)
+    // a second member truncated INSIDE its header — corruption exactly at
+    // a member boundary must not return a shortened one-record list
+    assert(WarcGzCodec.warcGzExtract(good ++ second.take(6)) == null)
+    // a second member whose magic is flipped: same boundary case
+    val flipped = second.clone(); flipped(0) = 0x00
+    assert(WarcGzCodec.warcGzExtract(good ++ flipped) == null)
+    // garbage BETWEEN two valid members is also accounted input => NULL
+    assert(WarcGzCodec.warcGzExtract(good ++ "x".getBytes ++ second) == null)
+    // and the well-formed two-member shard still parses
+    val ok = WarcGzCodec.warcGzExtract(good ++ second)
+    assert(ok != null && ok.numElements() === 2)
+  }
+
+  test("gz member trailer is verified: bad stored CRC or ISIZE => NULL") {
+    val good = WarcGzCodec.gzMember(rec("request", "u://x", 0L, "GET /"))
+    val badCrc = good.clone()
+    badCrc(good.length - 6) = (badCrc(good.length - 6) ^ 0x7F).toByte
+    assert(WarcGzCodec.warcGzExtract(badCrc) == null)
+    val badSize = good.clone()
+    badSize(good.length - 1) = (badSize(good.length - 1) ^ 0x7F).toByte
+    assert(WarcGzCodec.warcGzExtract(badSize) == null)
+  }
+
+  test("gz members with FNAME/FEXTRA/FCOMMENT/FHCRC header fields parse " +
+      "(real gzip tools emit them)") {
+    assume(haveGzip, "system gzip not present")
+    val a = rec("request", "u://x/5", 0L, "GET /5")
+    // gzip -N stores the original file name (FNAME) when given a file
+    val dir = Files.createTempDirectory("gzhdr")
+    val f = dir.resolve("record.bin")
+    Files.write(f, a)
+    val (c1, m1) = run(Seq("/usr/bin/gzip", "-c", "-N", f.toString),
+      Array.emptyByteArray)
+    assert(c1 === 0)
+    val back = WarcGzCodec.gunzipAll(m1)
+    assert(back != null && java.util.Arrays.equals(back, a),
+      "FNAME-bearing member must inflate to the exact record bytes")
   }
 
   test("inflation bomb past the cap => NULL, not an executor OOM") {
@@ -168,8 +206,19 @@ class WarcGzSpec extends AnyFunSuite {
     assert(d(Array(0xC3.toByte, 0x28.toByte), "") == null)
     // bytes that do not conform to the DECLARED charset
     assert(d(Array(0xC3.toByte, 0x28.toByte), "text/html; charset=utf-8") == null)
-    // unknown / illegal charset names
-    assert(d("x".getBytes, "text/html; charset=x-no-such-cs") == null)
+    // an UNRECOGNIZED label is skipped per WHATWG "get an encoding"
+    // failure semantics — sniffing continues (here to the UTF-8
+    // fallback), it does NOT poison the row by itself...
+    assert(d("x".getBytes, "text/html; charset=x-no-such-cs") === "x")
+    // ...a typo'd transport label with a CORRECT meta declaration decodes
+    val typoHdr = "<html><head><meta charset=\"utf-8\"></head>café"
+    assert(d(typoHdr.getBytes("UTF-8"), "text/html; charset=uft-8")
+      === typoHdr)
+    // ...and non-conforming bytes under the fallback still poison
+    assert(d(Array(0xC3.toByte, 0x28.toByte),
+      "text/html; charset=x-no-such-cs") == null)
+    // the replacement encoding (iso-2022-kr & friends) poisons by contract
+    assert(d("anything".getBytes, "text/html; charset=iso-2022-kr") == null)
     // undeclared BOM-less UTF-16 with any non-ASCII char falls through to
     // strict UTF-8 => NULL (a pure-ASCII UTF-16 stream is technically
     // valid UTF-8 — NUL + ASCII — and decodes as NUL-ridden text; only a
@@ -180,5 +229,71 @@ class WarcGzSpec extends AnyFunSuite {
     // empty payload decodes to the empty string (not NULL)
     assert(d(Array.emptyByteArray, "") === "")
     assert(d(null, "") == null)
+  }
+
+  test("WHATWG label mapping: iso-8859-1/latin1/ascii decode as " +
+      "windows-1252 — and the raw-forName counterfactual is mojibake") {
+    def d(b: Array[Byte], ct: String) = CharsetCodec.decode(b, ct)
+    // “deluxe” — €1 as cp1252 bytes, labelled iso-8859-1 (the real-web lie)
+    val bytes = Array(0x93, 0x64, 0x65, 0x6C, 0x75, 0x78, 0x65, 0x94, 0x20,
+      0x97, 0x20, 0x80, 0x31).map(_.toByte)
+    val want = "“deluxe” — €1"
+    assert(d(bytes, "text/html; charset=iso-8859-1") === want)
+    assert(d(bytes, "text/html; charset=latin1") === want)
+    assert(d(bytes, "text/html; charset=US-ASCII") === want)
+    assert(d(bytes, "text/html; charset=\" Windows-1252 \"") === want)
+    // counterfactual: raw Charset.forName("ISO-8859-1") maps 0x93/0x94/
+    // 0x97/0x80 to C1 CONTROLS — silently corrupted training text. This
+    // is the bug the label table exists to prevent.
+    val mojibake = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(mojibake !== want)
+    assert(mojibake.charAt(0) === '\u0093', "raw latin-1 gives C1 controls")
+    // the five bytes the JDK cp1252 decoder REJECTS decode to C1 controls
+    // per the exact WHATWG index (hand-rolled decoder, not JDK)
+    val undef = Array(0x81, 0x8D, 0x8F, 0x90, 0x9D).map(_.toByte)
+    assert(d(undef, "text/html; charset=iso-8859-1")
+      === "\u0081\u008D\u008F\u0090\u009D")
+  }
+
+  test("WHATWG label mapping: shift_jis ⇒ windows-31j, euc-kr ⇒ UHC, " +
+      "latin2 alias ⇒ iso-8859-2, meta utf-16 ⇒ utf-8") {
+    def d(b: Array[Byte], ct: String) = CharsetCodec.decode(b, ct)
+    val jp = "日本語テスト" // 日本語テスト
+    val sjBytes = jp.getBytes(java.nio.charset.Charset.forName("windows-31j"))
+    assert(d(sjBytes, "text/html; charset=shift_jis") === jp)
+    assert(d(sjBytes, "text/html; charset=sjis") === jp)
+    assert(d(sjBytes, "text/html; charset=x-sjis") === jp)
+    val pl = "Łódź" // Łódź
+    val l2Bytes = pl.getBytes(java.nio.charset.Charset.forName("ISO-8859-2"))
+    assert(d(l2Bytes, "text/html; charset=latin2") === pl)
+    assert(d(l2Bytes, "text/html; charset=iso_8859-2:1987") === pl)
+    // HTML §prescan: an in-band utf-16 declaration means utf-8 bytes
+    val metaPage = "<html><head><meta charset=\"utf-16\"></head>café"
+    assert(d(metaPage.getBytes("UTF-8"), "") === metaPage)
+    // x-user-defined: ASCII passthrough + U+F780 private-use ramp
+    val xud = Array(0x41, 0x80, 0xFF).map(_.toByte)
+    assert(d(xud, "text/html; charset=x-user-defined") === "A\uF780\uF7FF")
+    // korean UHC: a hangul syllable outside original EUC-KR still decodes
+    val kr = "한글 웸" // 한글 + a UHC-only syllable
+    val krBytes = kr.getBytes(java.nio.charset.Charset.forName("x-windows-949"))
+    assert(d(krBytes, "text/html; charset=euc-kr") === kr)
+  }
+
+  test("encode_whatwg is decode's exact inverse on the legacy arms") {
+    val s = "a “quoted” — café € \u0081 z"
+    val b = CharsetCodec.encode(s, "iso-8859-1") // label ⇒ cp1252 bytes
+    assert(b != null)
+    assert((b.indexWhere(x => (x & 0xFF) == 0x93)) >= 0, "curly quote byte")
+    assert(CharsetCodec.decode(b, "text/html; charset=latin1") === s)
+    // a char cp1252 cannot carry ⇒ null (strict, no replacement bytes)
+    assert(CharsetCodec.encode("中", "iso-8859-1") == null)
+    // shift_jis arm round trip
+    val jp = "ASCII & ソフト" // katakana incl. the 0x835C SO-trap
+    val jb = CharsetCodec.encode(jp, "shift_jis")
+    assert(jb != null &&
+      CharsetCodec.decode(jb, "text/html; charset=shift_jis") === jp)
+    // unknown label ⇒ null (the builder must not guess)
+    assert(CharsetCodec.encode("x", "x-no-such-cs") == null)
+    assert(CharsetCodec.encode(null, "latin1") == null)
   }
 }

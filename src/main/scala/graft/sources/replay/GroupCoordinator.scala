@@ -64,6 +64,12 @@ private[replay] final class GroupCoordinator {
       * prevent — so reapExpired drops handouts older than the session
       * timeout the client itself requested. */
     val pending = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+    /** KIP-345 static membership: group.instance.id → current member id.
+      * A restart carrying the same instance id swaps in a fresh member id
+      * WITHOUT a rebalance (while Stable); the PREVIOUS incarnation — or
+      * any other live holder of the instance id — is answered
+      * FENCED_INSTANCE_ID (82) on its next join/sync/heartbeat/commit. */
+    val staticIds = scala.collection.mutable.LinkedHashMap[String, String]()
     var leader: String = null
     var protocolName: String = "range"
     var assignments = Map.empty[String, Array[Byte]]
@@ -115,6 +121,9 @@ private[replay] final class GroupCoordinator {
       dead.foreach { m =>
         g.members.remove(m); g.lastSeen.remove(m); g.rejoined.remove(m)
       }
+      // static registrations die with their member: an instance id whose
+      // member lapsed must be claimable fresh (KIP-345 session semantics)
+      g.staticIds.filterInPlace((_, m) => g.members.contains(m))
       if (g.members.isEmpty) {
         g.state = "Empty"; g.assignments = Map.empty; g.notifyAll()
       } else openRebalance(g)
@@ -186,7 +195,7 @@ private[replay] final class GroupCoordinator {
     val sessionTimeout = r.readInt()
     if (version >= 1) r.readInt()       // rebalance_timeout_ms
     var memberId = rdStr(r, flex)
-    if (flex) readCompactString(r)      // group_instance_id
+    val instanceId = if (flex) readCompactString(r) else null // KIP-345
     val protocolType = rdStr(r, flex)
     val nProtocols = if (flex) readCompactArrayLen(r) else r.readInt()
     val protocols = (1 to nProtocols).map { _ =>
@@ -217,6 +226,77 @@ private[replay] final class GroupCoordinator {
     val g = group(groupId)
     g.synchronized {
       reapExpired(g)
+      // success response at the CURRENT group state (shared by the normal
+      // post-window path and the KIP-345 rejoin-without-rebalance path)
+      def okResp(member: String): Array[Byte] = {
+        if (flex) o.writeInt(0)         // throttle_time_ms
+        o.writeShort(0)
+        o.writeInt(g.generation)
+        wrStr(o, flex, g.protocolName)
+        wrStr(o, flex, g.leader)
+        wrStr(o, flex, member)
+        val listed: Seq[(String, Array[Byte])] =
+          if (member == g.leader)
+            g.members.toSeq.map { case (m, (ps, _)) =>
+              (m, ps.find(_._1 == g.protocolName).map(_._2)
+                .getOrElse(Array.emptyByteArray))
+            }
+          else Nil
+        if (flex) {
+          writeCompactArrayLen(o, listed.size)
+          listed.foreach { case (m, md) =>
+            writeCompactString(o, m)
+            writeCompactString(o,
+              g.staticIds.find(_._2 == m).map(_._1).orNull)
+            writeCompactBytes(o, md)
+            writeEmptyTagged(o)
+          }
+          writeEmptyTagged(o)
+        } else {
+          o.writeInt(listed.size)
+          listed.foreach { case (m, md) =>
+            writeString(o, m); o.writeInt(md.length); o.write(md)
+          }
+        }
+        bo.toByteArray
+      }
+      val static = instanceId != null && instanceId.nonEmpty
+      var staticFresh = false           // instance id registered this call
+      if (static) g.staticIds.get(instanceId) match {
+        case Some(registered) if memberId.nonEmpty && memberId != registered =>
+          // a SECOND live holder of the instance id (or a fenced-out old
+          // incarnation retrying with its stale member id)
+          return errResp(82, memberId)  // FENCED_INSTANCE_ID
+        case Some(registered) if memberId.isEmpty =>
+          // new incarnation (rolling restart): swap a fresh member id into
+          // the registered slot — the old incarnation is implicitly fenced
+          val newId = s"graft-member-${memberCounter.incrementAndGet()}"
+          g.members.remove(registered).foreach(_ => ())
+          g.lastSeen.remove(registered)
+          val wasRejoined = g.rejoined.remove(registered)
+          g.members(newId) = (protocols, sessionTimeout)
+          g.lastSeen(newId) = System.currentTimeMillis()
+          if (wasRejoined) g.rejoined += newId
+          g.staticIds(instanceId) = newId
+          if (g.leader == registered) g.leader = newId
+          g.assignments.get(registered).foreach { a =>
+            g.assignments = g.assignments - registered + (newId -> a)
+          }
+          memberId = newId
+          // KIP-345's point: while the group is Stable, the restart keeps
+          // the GENERATION and the stored assignment — answer immediately,
+          // no rebalance, no window; SyncGroup hands the assignment back
+          if (g.state == "Stable") return okResp(memberId)
+          staticFresh = true            // mid-rebalance: join the window
+        case Some(_) =>                 // same member id: normal rejoin
+        case None =>
+          // first appearance: static members SKIP the KIP-394 dance (the
+          // instance id already prevents the member-leak it guards against)
+          if (memberId.isEmpty)
+            memberId = s"graft-member-${memberCounter.incrementAndGet()}"
+          g.staticIds(instanceId) = memberId
+          staticFresh = true
+      }
       if (memberId.isEmpty) {
         memberId = s"graft-member-${memberCounter.incrementAndGet()}"
         if (version >= 4) {
@@ -226,7 +306,7 @@ private[replay] final class GroupCoordinator {
         }
       } else if (g.pending.remove(memberId).isDefined) {
         // the KIP-394 rejoin: enters the group as a new member below
-      } else if (!g.members.contains(memberId)) {
+      } else if (!g.members.contains(memberId) && !staticFresh) {
         // a ghost of a past generation: real coordinators answer 25 and the
         // client rejoins blank
         return errResp(25, memberId)
@@ -275,36 +355,8 @@ private[replay] final class GroupCoordinator {
         g.rejoined.foreach(m => if (g.members.contains(m)) g.lastSeen(m) = closed)
         g.notifyAll()
       }
-      if (flex) o.writeInt(0)           // throttle_time_ms
-      o.writeShort(0)
-      o.writeInt(g.generation)
-      wrStr(o, flex, g.protocolName)
-      wrStr(o, flex, g.leader)
-      wrStr(o, flex, memberId)
-      val listed: Seq[(String, Array[Byte])] =
-        if (memberId == g.leader)
-          g.members.toSeq.map { case (m, (ps, _)) =>
-            (m, ps.find(_._1 == g.protocolName).map(_._2)
-              .getOrElse(Array.emptyByteArray))
-          }
-        else Nil
-      if (flex) {
-        writeCompactArrayLen(o, listed.size)
-        listed.foreach { case (m, md) =>
-          writeCompactString(o, m)
-          writeCompactString(o, null)   // group_instance_id
-          writeCompactBytes(o, md)
-          writeEmptyTagged(o)
-        }
-        writeEmptyTagged(o)
-      } else {
-        o.writeInt(listed.size)
-        listed.foreach { case (m, md) =>
-          writeString(o, m); o.writeInt(md.length); o.write(md)
-        }
-      }
+      okResp(memberId)
     }
-    bo.toByteArray
   }
 
   /** SyncGroup (v0 or the flexible v4): the leader delivers every member's
@@ -315,7 +367,7 @@ private[replay] final class GroupCoordinator {
     val groupId = rdStr(r, flex)
     val generation = r.readInt()
     val memberId = rdStr(r, flex)
-    if (flex) readCompactString(r)      // group_instance_id
+    val instanceId = if (flex) readCompactString(r) else null // KIP-345
     val nAssign = if (flex) readCompactArrayLen(r) else r.readInt()
     val assigns = (1 to nAssign).map { _ =>
       val m = rdStr(r, flex)
@@ -346,11 +398,21 @@ private[replay] final class GroupCoordinator {
     val g = group(groupId)
     g.synchronized {
       reapExpired(g)
+      // KIP-345: a stale incarnation syncing under a replaced instance id
+      // is fenced BEFORE the unknown-member answer (its member id was
+      // swapped out, but the instance id pins the real cause)
+      if (instanceId != null && instanceId.nonEmpty &&
+          g.staticIds.get(instanceId).exists(_ != memberId)) return err(82)
       if (!g.members.contains(memberId)) return err(25)
       if (generation != g.generation) return err(22)
       if (g.state == "PreparingRebalance") return err(27)
       g.lastSeen(memberId) = System.currentTimeMillis()
-      if (memberId == g.leader && assigns.nonEmpty) {
+      // leader assignments land only while CompletingRebalance — a sync
+      // that arrives Stable (e.g. a KIP-345 static leader rejoin, which
+      // recomputes client-side out of habit) answers the CACHED assignment
+      // and must not perturb the live generation's ownership
+      if (memberId == g.leader && assigns.nonEmpty &&
+          g.state == "CompletingRebalance") {
         g.assignments = assigns
         g.state = "Stable"
         g.notifyAll()
@@ -372,13 +434,16 @@ private[replay] final class GroupCoordinator {
     val groupId = rdStr(r, flex)
     val generation = r.readInt()
     val memberId = rdStr(r, flex)
-    if (flex) { readCompactString(r); skipTagged(r) } // group_instance_id
+    val instanceId =
+      if (flex) { val i = readCompactString(r); skipTagged(r); i } else null
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
     val g = group(groupId)
     g.synchronized {
       reapExpired(g)
       val code =
-        if (!g.members.contains(memberId)) 25
+        if (instanceId != null && instanceId.nonEmpty &&
+            g.staticIds.get(instanceId).exists(_ != memberId)) 82
+        else if (!g.members.contains(memberId)) 25
         else if (generation != g.generation) 22
         else {
           g.lastSeen(memberId) = System.currentTimeMillis()
@@ -396,26 +461,39 @@ private[replay] final class GroupCoordinator {
   def leaveGroup(r: DataInputStream, version: Short): Array[Byte] = {
     val flex = version >= 4
     val groupId = rdStr(r, flex)
-    val leaving: Seq[String] =
+    val leaving: Seq[(String, String)] =
       if (flex) {
         val n = readCompactArrayLen(r)
         val ms = (1 to n).map { _ =>
           val m = readCompactString(r)
-          readCompactString(r)          // group_instance_id
+          val inst = readCompactString(r) // group_instance_id (KIP-345)
           skipTagged(r)
-          m
+          (m, inst)
         }
         skipTagged(r)
         ms
-      } else Seq(readString(r))
+      } else Seq((readString(r), null))
     val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
     val g = group(groupId)
     g.synchronized {
-      val codes = leaving.map { memberId =>
-        if (!g.members.contains(memberId)) memberId -> 25
+      val codes = leaving.map { case (requested, inst) =>
+        // KIP-345 admin removal: a static member may be removed BY
+        // INSTANCE ID alone (empty/sentinel member id resolves through the
+        // registration); a mismatched live holder is fenced, not removed
+        val static = inst != null && inst.nonEmpty
+        val memberId =
+          if (static && (requested == null || requested.isEmpty))
+            g.staticIds.getOrElse(inst, requested)
+          else requested
+        if (static && g.staticIds.get(inst).exists(m =>
+            memberId != null && memberId.nonEmpty && m != memberId))
+          requested -> 82               // FENCED_INSTANCE_ID
+        else if (memberId == null || !g.members.contains(memberId))
+          requested -> 25
         else {
           g.members.remove(memberId); g.lastSeen.remove(memberId)
           g.rejoined.remove(memberId)
+          g.staticIds.filterInPlace((_, m) => m != memberId)
           if (g.members.isEmpty) {
             g.state = "Empty"; g.assignments = Map.empty; g.notifyAll()
           } else openRebalance(g)
@@ -426,9 +504,9 @@ private[replay] final class GroupCoordinator {
         o.writeInt(0)                   // throttle_time_ms
         o.writeShort(0)                 // top-level: per-member codes below
         writeCompactArrayLen(o, codes.size)
-        codes.foreach { case (m, c) =>
+        codes.zip(leaving).foreach { case ((m, c), (_, inst)) =>
           writeCompactString(o, m)
-          writeCompactString(o, null)   // group_instance_id
+          writeCompactString(o, inst)   // echo the request's instance id
           o.writeShort(c)
           writeEmptyTagged(o)
         }
@@ -443,12 +521,17 @@ private[replay] final class GroupCoordinator {
     * REAL generation must match the group's current one and the member
     * must be live, else 22/25 (how the coordinator stops a fenced-out
     * consumer from clobbering its successor's offsets). */
-  def validateCommit(groupId: String, generation: Int, memberId: String): Int = {
+  def validateCommit(groupId: String, generation: Int, memberId: String,
+      instanceId: String = null): Int = {
     if (generation == -1) return 0
     val g = group(groupId)
     g.synchronized {
       reapExpired(g)
-      if (!g.members.contains(memberId)) 25
+      // KIP-345: a commit from a replaced incarnation is fenced by its
+      // instance id even though its member id is already gone
+      if (instanceId != null && instanceId.nonEmpty &&
+          g.staticIds.get(instanceId).exists(_ != memberId)) 82
+      else if (!g.members.contains(memberId)) 25
       else if (generation != g.generation) 22
       else { g.lastSeen(memberId) = System.currentTimeMillis(); 0 }
     }

@@ -47,10 +47,23 @@ import KafkaWire._
   */
 final class KafkaGroupMembership(client: KafkaLogClient, group: String,
     topic: String, sessionTimeoutMs: Int = 10000,
-    strategy: String = "range") {
+    strategy: String = "range",
+    groupInstanceId: Option[String] = None) {
 
   require(strategy == "range" || strategy == "cooperative-sticky",
     s"unsupported partition.assignment.strategy '$strategy'")
+  require(groupInstanceId.forall(_.nonEmpty),
+    "group.instance.id must be non-empty when set")
+  /** KIP-345 static membership: a set `group.instance.id` makes restarts
+    * of this consumer REJOIN WITHOUT A REBALANCE — the coordinator swaps a
+    * fresh member id into the registered slot and hands back the same
+    * generation and assignment, so a rolling restart never stops the
+    * group. A second live holder of the instance id (or the replaced old
+    * incarnation) is FENCED: error 82 surfaces as a named exception, never
+    * a silent dual-consume. Requires the flexible dialect (JoinGroup v5+
+    * carries the field); a v0-only broker refuses loudly. */
+  private def static: Boolean = groupInstanceId.isDefined
+  private def instanceIdOrNull: String = groupInstanceId.orNull
   /** KIP-429: the cooperative assignor never moves a partition between
     * two members inside one rebalance — the old owner must first REVOKE
     * (the partition is withheld from everyone for that generation), then a
@@ -139,6 +152,9 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
         throw new IOException(s"kafka group '$group': join did not settle " +
           s"after $attempts attempts")
       val (jv, jr) = call("JoinGroup", ApiJoinGroup, 0, 6) { v =>
+        if (static && v < 5)
+          throw new IOException(s"kafka group '$group': static membership " +
+            s"(group.instance.id) requires JoinGroup v5+, broker offered v$v")
         val jb = new ByteArrayOutputStream(); val jo = new DataOutputStream(jb)
         val md = subscriptionMetadata
         if (v >= 6) {
@@ -146,7 +162,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
           jo.writeInt(sessionTimeoutMs)
           jo.writeInt(sessionTimeoutMs) // rebalance_timeout_ms
           writeCompactString(jo, memberIdV)
-          writeCompactString(jo, null)  // group_instance_id: dynamic member
+          writeCompactString(jo, instanceIdOrNull) // KIP-345 (null = dynamic)
           writeCompactString(jo, "consumer")
           writeCompactArrayLen(jo, 1)
           writeCompactString(jo, strategy)
@@ -178,6 +194,11 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
           throw new IOException(s"kafka JoinGroup answered " +
             s"MEMBER_ID_REQUIRED without a member id for group '$group'")
       }
+      else if (jerr == 82)
+        throw new IOException(s"kafka group '$group': FENCED_INSTANCE_ID — " +
+          s"another consumer holds group.instance.id " +
+          s"'${groupInstanceId.getOrElse("")}' (or this incarnation was " +
+          "replaced by a newer one)")
       else if (jerr != 0)
         throw new IOException(s"kafka JoinGroup error $jerr for group '$group'")
       else {
@@ -269,7 +290,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
             writeCompactString(so, group)
             so.writeInt(gen)
             writeCompactString(so, myId)
-            writeCompactString(so, null) // group_instance_id
+            writeCompactString(so, instanceIdOrNull) // KIP-345
             writeCompactArrayLen(so, assignments.size)
             assignments.foreach { case (m, ps) =>
               writeCompactString(so, m)
@@ -294,6 +315,11 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
         val serr = sr.readShort()
         if (serr == 27 || serr == 22) { Thread.sleep(50) } // window re-opened
         else if (serr == 25) { memberIdV = "" }
+        else if (serr == 82)
+          throw new IOException(s"kafka group '$group': FENCED_INSTANCE_ID " +
+            s"on SyncGroup — instance id " +
+            s"'${groupInstanceId.getOrElse("")}' was claimed by a newer " +
+            "incarnation")
         else if (serr != 0)
           throw new IOException(s"kafka SyncGroup error $serr for group '$group'")
         else {
@@ -344,7 +370,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
         writeCompactString(o, group)
         o.writeInt(generationV)
         writeCompactString(o, memberIdV)
-        writeCompactString(o, null) // group_instance_id
+        writeCompactString(o, instanceIdOrNull) // KIP-345
         writeEmptyTagged(o)
       } else {
         writeString(o, group)
@@ -359,6 +385,10 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
       case 27 => false
       case 22 => false
       case 25 => memberIdV = ""; false
+      case 82 => throw new IOException(s"kafka group '$group': " +
+        s"FENCED_INSTANCE_ID on Heartbeat — instance id " +
+        s"'${groupInstanceId.getOrElse("")}' was claimed by a newer " +
+        "incarnation; this consumer must shut down, not rejoin")
       case e => throw new IOException(
         s"kafka Heartbeat error $e for group '$group'")
     }
@@ -373,7 +403,7 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
         writeCompactString(o, group)
         writeCompactArrayLen(o, 1) // members (batched since v3)
         writeCompactString(o, memberIdV)
-        writeCompactString(o, null) // group_instance_id
+        writeCompactString(o, instanceIdOrNull) // KIP-345
         writeEmptyTagged(o)
         writeEmptyTagged(o)
       } else {
@@ -405,5 +435,6 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
     * ILLEGAL_GENERATION and the commit must not land. Framing (v2 or the
     * flexible v8) is shared with the simple path in [[KafkaLogClient]]. */
   def commitOffsets(offsets: Map[Int, Long]): Unit =
-    client.commitOffsetsAs(group, generationV, memberIdV, offsets)
+    client.commitOffsetsAs(group, generationV, memberIdV, offsets,
+      instanceIdOrNull)
 }

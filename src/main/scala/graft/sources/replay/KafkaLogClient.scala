@@ -932,6 +932,122 @@ final class KafkaLogClient(path: String,
     }
   }
 
+  /** One topic config's effective state as DescribeConfigs reports it:
+    * value, source (5 = static default, 1 = dynamic topic override),
+    * read-only flag, sensitivity. */
+  final case class ConfigEntry(value: String, source: Int,
+      readOnly: Boolean, sensitive: Boolean)
+
+  /** DescribeConfigs (api 32, pinned v1 or the flexible v4): the effective
+    * topic configs — every config when `keys` is empty, else the requested
+    * subset. The remaining rdkafka AdminClient read surface after the
+    * round-15/16 admin tail (every ops dashboard reads configs). */
+  def describeConfigs(topicName: String,
+      keys: Seq[String] = Nil): Map[String, ConfigEntry] = {
+    val (v, in) = oneShotVersioned(bootstrap, "DescribeConfigs",
+      ApiDescribeConfigs, 1, 4) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      if (v >= 4) {
+        writeCompactArrayLen(o, 1)
+        o.writeByte(2)          // resource_type: TOPIC
+        writeCompactString(o, topicName)
+        if (keys.isEmpty) writeCompactArrayLen(o, -1) // null = all configs
+        else {
+          writeCompactArrayLen(o, keys.size)
+          keys.foreach(writeCompactString(o, _))
+        }
+        writeEmptyTagged(o)
+        o.writeBoolean(false)   // include_synonyms
+        o.writeBoolean(false)   // include_documentation
+        writeEmptyTagged(o)
+      } else {
+        o.writeInt(1)
+        o.writeByte(2)
+        writeString(o, topicName)
+        if (keys.isEmpty) o.writeInt(-1)
+        else { o.writeInt(keys.size); keys.foreach(writeString(o, _)) }
+        o.writeBoolean(false)   // include_synonyms
+      }
+      body.toByteArray
+    }
+    in.readInt()                // throttle_time_ms
+    val nRes = if (v >= 4) readCompactArrayLen(in) else in.readInt()
+    require(nRes == 1, s"expected one resource result, got $nRes")
+    def rdStr(): String =
+      if (v >= 4) readCompactString(in) else readString(in)
+    val err = in.readShort()
+    val msg = rdStr()
+    in.readByte()               // resource_type
+    val rname = rdStr()
+    if (err != 0)
+      throw new IOException(
+        s"kafka DescribeConfigs error $err for topic '$rname'" +
+          Option(msg).fold("")(m => s": $m"))
+    val nCfg = if (v >= 4) readCompactArrayLen(in) else in.readInt()
+    (1 to nCfg).map { _ =>
+      val key = rdStr()
+      val value = rdStr()
+      val readOnly = in.readBoolean()
+      val source = in.readByte().toInt // config_source (v1+)
+      val sensitive = in.readBoolean()
+      val nSyn = if (v >= 4) readCompactArrayLen(in) else in.readInt()
+      (1 to nSyn).foreach { _ =>
+        rdStr(); rdStr(); in.readByte()
+        if (v >= 4) skipTagged(in)
+      }
+      if (v >= 3) { in.readByte(); rdStr() } // config_type, documentation
+      if (v >= 4) skipTagged(in)
+      key -> ConfigEntry(value, source, readOnly, sensitive)
+    }.toMap
+  }
+
+  /** IncrementalAlterConfigs (api 44, pinned v0 or the flexible v1):
+    * apply (key, op, value) ops to a topic's dynamic config — op 0 SET,
+    * 1 DELETE, 2 APPEND, 3 SUBTRACT (list configs only). Per-resource
+    * errors surface as named exceptions (INVALID_CONFIG 40 for unknown
+    * keys/bad values, never a silent no-op). */
+  def incrementalAlterConfigs(topicName: String,
+      ops: Seq[(String, Int, String)],
+      validateOnly: Boolean = false): Unit = {
+    val (v, in) = oneShotVersioned(bootstrap, "IncrementalAlterConfigs",
+      ApiIncrementalAlterConfigs, 0, 1) { v =>
+      val body = new ByteArrayOutputStream()
+      val o = new DataOutputStream(body)
+      def wStr(s: String): Unit =
+        if (v >= 1) writeCompactString(o, s)
+        else if (s == null) o.writeShort(-1)
+        else writeString(o, s)
+      if (v >= 1) writeCompactArrayLen(o, 1) else o.writeInt(1)
+      o.writeByte(2)            // resource_type: TOPIC
+      wStr(topicName)
+      if (v >= 1) writeCompactArrayLen(o, ops.size) else o.writeInt(ops.size)
+      ops.foreach { case (key, op, value) =>
+        wStr(key)
+        o.writeByte(op)
+        wStr(value)
+        if (v >= 1) writeEmptyTagged(o)
+      }
+      if (v >= 1) writeEmptyTagged(o)
+      o.writeBoolean(validateOnly)
+      if (v >= 1) writeEmptyTagged(o)
+      body.toByteArray
+    }
+    in.readInt()                // throttle_time_ms
+    val nRes = if (v >= 1) readCompactArrayLen(in) else in.readInt()
+    (1 to nRes).foreach { _ =>
+      val err = in.readShort()
+      val msg = if (v >= 1) readCompactString(in) else readString(in)
+      in.readByte()             // resource_type
+      val rname = if (v >= 1) readCompactString(in) else readString(in)
+      if (v >= 1) skipTagged(in)
+      if (err != 0)
+        throw new IOException(
+          s"kafka IncrementalAlterConfigs error $err for topic '$rname'" +
+            Option(msg).fold("")(m => s": $m"))
+    }
+  }
+
   // ---- metadata ------------------------------------------------------------
 
   private case class Meta(brokers: Map[Int, String], leaders: Map[Int, Int])
@@ -1150,7 +1266,8 @@ final class KafkaLogClient(path: String,
     * membership seam passes its coordinator-issued identity so commits are
     * generation-fenced. */
   private[replay] def commitOffsetsAs(group: String, generation: Int,
-      memberId: String, offsets: Map[Int, Long]): Unit = {
+      memberId: String, offsets: Map[Int, Long],
+      groupInstanceId: String = null): Unit = {
     if (offsets.isEmpty) return
     val (v, in) = oneShotVersioned(coordinator(group), "OffsetCommit",
       ApiOffsetCommit, 2, 8) { v =>
@@ -1159,7 +1276,7 @@ final class KafkaLogClient(path: String,
         writeCompactString(o, group)
         o.writeInt(generation)
         writeCompactString(o, memberId)
-        writeCompactString(o, null) // group_instance_id: dynamic member
+        writeCompactString(o, groupInstanceId) // KIP-345 (null = dynamic)
         writeCompactArrayLen(o, 1); writeCompactString(o, topic)
         writeCompactArrayLen(o, offsets.size)
         offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
@@ -1942,8 +2059,10 @@ private[replay] object KafkaWire {
   val ApiAddOffsetsToTxn: Short = 25
   val ApiEndTxn: Short = 26
   val ApiTxnOffsetCommit: Short = 28
+  val ApiDescribeConfigs: Short = 32
   val ApiSaslAuthenticate: Short = 36
   val ApiDeleteGroups: Short = 42
+  val ApiIncrementalAlterConfigs: Short = 44
   val ApiOffsetDelete: Short = 47
   val ClientId = "graft"
 
@@ -2019,7 +2138,8 @@ private[replay] object KafkaWire {
       ApiAddPartitionsToTxn -> 3, ApiAddOffsetsToTxn -> 3,
       ApiEndTxn -> 3, ApiTxnOffsetCommit -> 3, ApiCreateTopics -> 5,
       ApiDescribeGroups -> 5, ApiListGroups -> 3, ApiDeleteTopics -> 4,
-      ApiDeleteRecords -> 2, ApiDeleteGroups -> 2)
+      ApiDeleteRecords -> 2, ApiDeleteGroups -> 2,
+      ApiDescribeConfigs -> 4, ApiIncrementalAlterConfigs -> 1)
   def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
     FlexibleSince.get(apiKey).exists(apiVersion >= _)
 

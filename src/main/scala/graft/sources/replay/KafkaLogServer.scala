@@ -63,8 +63,8 @@ final class KafkaLogServer(dir: String, topic: String,
       (0, 0, 9), (1, 0, 13), (2, 0, 7), (3, 0, 12), (8, 0, 8), (9, 0, 8),
       (10, 0, 4), (11, 0, 9), (12, 0, 4), (13, 0, 5), (14, 0, 5), (15, 0, 5),
       (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7), (20, 0, 5), (21, 0, 2),
-      (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (36, 0, 2),
-      (42, 0, 2), (47, 0, 0)))
+      (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3), (28, 0, 3), (32, 1, 4),
+      (36, 0, 2), (42, 0, 2), (44, 0, 1), (47, 0, 0)))
 
   // TLS listener: keystore (path, password) holds the broker's key+cert —
   // the exact shape a real broker's ssl.keystore.location configures
@@ -91,6 +91,23 @@ final class KafkaLogServer(dir: String, topic: String,
     new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
   private def logStartOffset(p: Int): Long =
     Option(logStart.get(p)).fold(0L)(_.longValue)
+
+  /** Dynamic topic configs (DescribeConfigs api 32 / IncrementalAlterConfigs
+    * api 44): (topic, key) → value overrides layered over
+    * [[KafkaLogServer.TopicConfigDefaults]]. Deleting a topic purges its
+    * overrides (a re-created topic starts from defaults, like a real
+    * broker). The produce path ENFORCES max.message.bytes — a batch
+    * larger than the effective value answers MESSAGE_TOO_LARGE (10) — so
+    * an altered config is observable in broker behavior, not just echoed
+    * back by describe. */
+  private val topicConfigs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def effectiveConfig(t: String, key: String): Option[String] =
+    Option(topicConfigs.get((t, key)))
+      .orElse(KafkaLogServer.TopicConfigDefaults.get(key).map(_._1))
+  private def maxMessageBytes(t: String): Int =
+    effectiveConfig(t, "max.message.bytes").map(_.toInt)
+      .getOrElse(1048588)
 
   /** (group, topic, partition) → committed offset — the coordinator state. */
   private val committedStore =
@@ -712,13 +729,13 @@ final class KafkaLogServer(dir: String, topic: String,
             val txnId = if (flexTo) readCompactString(r) else readString(r)
             val group = if (flexTo) readCompactString(r) else readString(r)
             val pid = r.readLong(); val pepoch = r.readShort()
-            val (generation, member) =
+            val (generation, member, instTo) =
               if (flexTo) {
                 val g = r.readInt()
                 val m = readCompactString(r)
-                readCompactString(r)    // group_instance_id
-                (g, m)
-              } else (-1, "")
+                val i = readCompactString(r) // group_instance_id (KIP-345)
+                (g, m, i)
+              } else (-1, "", null)
             val reg = Option(txnProducers.get(txnId))
             val fenced = reg.exists(t => t._1 == pid && pepoch < t._2)
             val registered = reg.exists(t => t._1 == pid && t._2 == pepoch)
@@ -727,7 +744,7 @@ final class KafkaLogServer(dir: String, topic: String,
             // (generation, member) — fenced-out consumers are rejected by
             // the group coordinator exactly like a plain OffsetCommit
             val groupFence =
-              groupCoordinator.validateCommit(group, generation, member)
+              groupCoordinator.validateCommit(group, generation, member, instTo)
             val code: Int =
               if (fenced) 47            // INVALID_PRODUCER_EPOCH
               else if (!registered || txn == null) 48 // INVALID_TXN_STATE
@@ -860,6 +877,9 @@ final class KafkaLogServer(dir: String, topic: String,
                   // offsets: after delete+recreate an OffsetFetch must NOT
                   // return stale offsets pointing into the vanished log
                   committedStore.keySet.removeIf(_._2 == name)
+                  // ...its dynamic config overrides (a re-created topic
+                  // starts from the static defaults)...
+                  topicConfigs.keySet.removeIf(_._1 == name)
                   // ...and a re-created topic starts with log-start 0
                   logStart.clear()
                   0
@@ -1027,6 +1047,152 @@ final class KafkaLogServer(dir: String, topic: String,
             }
             if (flexDg) writeEmptyTagged(o)
             bo.toByteArray
+          case ApiDescribeConfigs if apiVersion >= 1 && apiVersion <= 4 =>
+            // api 32: the AdminClient's config read — the effective value
+            // of every (or each requested) topic config, with its source
+            // (5 = static default, 1 = dynamic topic override). The double
+            // serves resource type 2 (TOPIC) for its single topic; other
+            // resource types answer INVALID_REQUEST (42) per-resource,
+            // unknown topics UNKNOWN_TOPIC_OR_PARTITION (3) — named
+            // errors, never a dropped connection.
+            val flexDc = apiVersion >= 4
+            val nRes = if (flexDc) readCompactArrayLen(r) else r.readInt()
+            val resources = (1 to nRes).map { _ =>
+              val rtype = r.readByte()
+              val rname = if (flexDc) readCompactString(r) else readString(r)
+              val nKeys = if (flexDc) readCompactArrayLen(r) else r.readInt()
+              val keys: Seq[String] =
+                if (nKeys < 0) null
+                else (1 to nKeys).map(_ =>
+                  if (flexDc) readCompactString(r) else readString(r))
+              if (flexDc) skipTagged(r)
+              (rtype, rname, keys)
+            }
+            r.readBoolean()             // include_synonyms (v1+)
+            if (apiVersion >= 3) r.readBoolean() // include_documentation
+            if (flexDc) skipTagged(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            if (flexDc) writeCompactArrayLen(o, resources.size)
+            else o.writeInt(resources.size)
+            def wStr(s: String): Unit =
+              if (flexDc) writeCompactString(o, s)
+              else if (s == null) o.writeShort(-1) // nullable string
+              else writeString(o, s)
+            resources.foreach { case (rtype, rname, keys) =>
+              val err: Int =
+                if (rtype != 2) 42      // INVALID_REQUEST: only TOPIC here
+                else if (!activeTopic.contains(rname)) 3
+                else 0
+              o.writeShort(err)
+              wStr(if (err == 0) null else s"resource error $err")
+              o.writeByte(rtype); wStr(rname)
+              val listed: Seq[String] =
+                if (err != 0) Nil
+                else if (keys == null || keys.isEmpty)
+                  KafkaLogServer.TopicConfigDefaults.keys.toSeq.sorted
+                else keys
+              if (flexDc) writeCompactArrayLen(o, listed.size)
+              else o.writeInt(listed.size)
+              listed.foreach { key =>
+                val dyn = Option(topicConfigs.get((rname, key)))
+                val dflt = KafkaLogServer.TopicConfigDefaults.get(key)
+                wStr(key)
+                wStr(dyn.orElse(dflt.map(_._1)).orNull) // value (null = unknown key)
+                o.writeBoolean(false)   // read_only
+                o.writeByte(if (dyn.isDefined) 1 else 5) // config_source
+                o.writeBoolean(false)   // is_sensitive
+                if (flexDc) writeCompactArrayLen(o, 0) else o.writeInt(0) // synonyms
+                if (apiVersion >= 3) {
+                  o.writeByte(dflt.map(_._2.toInt).getOrElse(0)) // config_type
+                  wStr(null)            // documentation
+                }
+                if (flexDc) writeEmptyTagged(o)
+              }
+              if (flexDc) writeEmptyTagged(o)
+            }
+            if (flexDc) writeEmptyTagged(o)
+            bo.toByteArray
+          case ApiIncrementalAlterConfigs if apiVersion == 0 || apiVersion == 1 =>
+            // api 44: the AdminClient's config write — SET/DELETE/APPEND/
+            // SUBTRACT ops per config, validate_only dry runs, per-resource
+            // named errors (INVALID_CONFIG 40 for unknown keys, bad values,
+            // or list-ops on non-list configs). Applied overrides are
+            // OBSERVABLE: the produce path enforces max.message.bytes.
+            val flexIa = apiVersion >= 1
+            val nRes = if (flexIa) readCompactArrayLen(r) else r.readInt()
+            val resources = (1 to nRes).map { _ =>
+              val rtype = r.readByte()
+              val rname = if (flexIa) readCompactString(r) else readString(r)
+              val nCfg = if (flexIa) readCompactArrayLen(r) else r.readInt()
+              val cfgs = (1 to nCfg).map { _ =>
+                val key = if (flexIa) readCompactString(r) else readString(r)
+                val op = r.readByte()
+                val value = if (flexIa) readCompactString(r) else readString(r)
+                if (flexIa) skipTagged(r)
+                (key, op, value)
+              }
+              if (flexIa) skipTagged(r)
+              (rtype, rname, cfgs)
+            }
+            val validateOnly = r.readBoolean()
+            if (flexIa) skipTagged(r)
+            val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
+            o.writeInt(0)               // throttle_time_ms
+            if (flexIa) writeCompactArrayLen(o, resources.size)
+            else o.writeInt(resources.size)
+            resources.foreach { case (rtype, rname, cfgs) =>
+              def badValue(key: String, v: String): Boolean =
+                KafkaLogServer.TopicConfigDefaults.get(key).exists {
+                  case (_, 3, _) => // INT
+                    try { v.toInt; false } catch { case _: Exception => true }
+                  case (_, 5, _) => // LONG
+                    try { v.toLong; false } catch { case _: Exception => true }
+                  case _ => false
+                }
+              val err: Int =
+                if (rtype != 2) 42      // INVALID_REQUEST
+                else if (!activeTopic.contains(rname)) 3
+                else cfgs.collectFirst {
+                  case (key, _, _)
+                      if !KafkaLogServer.TopicConfigDefaults.contains(key) =>
+                    40                  // INVALID_CONFIG: unknown key
+                  case (key, op, _)
+                      if (op == 2 || op == 3) &&
+                        !KafkaLogServer.TopicConfigDefaults(key)._3 =>
+                    40                  // list op on a non-list config
+                  case (key, op, v)
+                      if op == 0 && (v == null || badValue(key, v)) =>
+                    40                  // SET needs a well-typed value
+                  case (_, op, _) if op < 0 || op > 3 =>
+                    42                  // unknown operation
+                }.getOrElse(0)
+              if (err == 0 && !validateOnly) cfgs.foreach {
+                case (key, 0, v) => topicConfigs.put((rname, key), v) // SET
+                case (key, 1, _) => topicConfigs.remove((rname, key)) // DELETE
+                case (key, 2, v) =>     // APPEND to the effective list
+                  val cur = effectiveConfig(rname, key).getOrElse("")
+                  val items = cur.split(",").filter(_.nonEmpty).toSeq
+                  if (!items.contains(v))
+                    topicConfigs.put((rname, key), (items :+ v).mkString(","))
+                case (key, 3, v) =>     // SUBTRACT from the effective list
+                  val cur = effectiveConfig(rname, key).getOrElse("")
+                  val items = cur.split(",").filter(_.nonEmpty).toSeq
+                  topicConfigs.put((rname, key),
+                    items.filterNot(_ == v).mkString(","))
+                case _ =>
+              }
+              o.writeShort(err)
+              val msg = if (err == 0) null else s"config error $err"
+              if (flexIa) writeCompactString(o, msg)
+              else if (msg == null) o.writeShort(-1) // nullable string
+              else writeString(o, msg)
+              o.writeByte(rtype)
+              if (flexIa) writeCompactString(o, rname) else writeString(o, rname)
+              if (flexIa) writeEmptyTagged(o)
+            }
+            if (flexIa) writeEmptyTagged(o)
+            bo.toByteArray
           case ApiOffsetDelete if apiVersion == 0 =>
             // KIP-496: administrative offset reset. Unknown group answers
             // GROUP_ID_NOT_FOUND (69) at the group level; a group whose
@@ -1106,11 +1272,15 @@ final class KafkaLogServer(dir: String, topic: String,
             val group = if (flexOc) readCompactString(r) else readString(r)
             val generation = r.readInt()
             val member = if (flexOc) readCompactString(r) else readString(r)
-            if (flexOc) readCompactString(r) // group_instance_id
-            else r.readLong()                // retention (removed in v5+)
+            val instOc =
+              if (flexOc) readCompactString(r) // group_instance_id (KIP-345)
+              else { r.readLong(); null }      // retention (removed in v5+)
             // generation fencing: a member commit must carry the LIVE
-            // generation; -1/"" is the simple consumer and always passes
-            val fence = groupCoordinator.validateCommit(group, generation, member)
+            // generation; -1/"" is the simple consumer and always passes.
+            // KIP-345: a replaced static incarnation is fenced (82) by its
+            // instance id so it can never clobber its successor's offsets.
+            val fence =
+              groupCoordinator.validateCommit(group, generation, member, instOc)
             val nTopics = if (flexOc) readCompactArrayLen(r) else r.readInt()
             val bo = new ByteArrayOutputStream(); val o = new DataOutputStream(bo)
             if (flexOc) o.writeInt(0)   // throttle_time_ms
@@ -1314,6 +1484,11 @@ final class KafkaLogServer(dir: String, topic: String,
       rs: Array[Byte]): (Int, Long) =
     if (!activeTopic.contains(name) || !partitionIds.contains(p))
       (3, -1L)                  // UNKNOWN_TOPIC_OR_PARTITION
+    else if (rs.length > maxMessageBytes(name))
+      (10, -1L)                 // MESSAGE_TOO_LARGE: the max.message.bytes
+                                // topic config (alterable via api 44) is
+                                // enforced where a real partition leader
+                                // enforces it — at append time
     else if (!crcValid(rs))
       (2, -1L)                  // CORRUPT_MESSAGE
     else {
@@ -1804,4 +1979,21 @@ final class KafkaLogServer(dir: String, topic: String,
     closed = true
     server.close()
   }
+}
+
+private[replay] object KafkaLogServer {
+  /** Topic config defaults the double serves (a real broker's static
+    * layer): key → (default value, config_type per the protocol's
+    * ConfigType enum — 1 BOOLEAN, 2 STRING, 3 INT, 5 LONG, 7 LIST —
+    * and whether APPEND/SUBTRACT apply, i.e. the config is LIST-typed).
+    * config_source: 5 = DEFAULT_CONFIG for these, 1 = DYNAMIC_TOPIC_CONFIG
+    * for an altered override. None are sensitive, none read-only. */
+  val TopicConfigDefaults: Map[String, (String, Byte, Boolean)] = Map(
+    "retention.ms" -> (("604800000", 5: Byte, false)),
+    "retention.bytes" -> (("-1", 5: Byte, false)),
+    "max.message.bytes" -> (("1048588", 3: Byte, false)),
+    "segment.bytes" -> (("1073741824", 3: Byte, false)),
+    "min.insync.replicas" -> (("1", 3: Byte, false)),
+    "compression.type" -> (("producer", 2: Byte, false)),
+    "cleanup.policy" -> (("delete", 7: Byte, true)))
 }

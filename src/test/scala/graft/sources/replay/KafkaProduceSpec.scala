@@ -614,4 +614,93 @@ class KafkaProduceSpec extends graft.SparkSpec {
         "(values bit-identical, timestamps at broker ms precision)")
     } finally { src.close(); dst.close() }
   }
+
+  test("DescribeConfigs/IncrementalAlterConfigs: a config write reads back " +
+      "AND is enforced by the produce path (max.message.bytes)") {
+    val broker = emptyBroker("cfg")
+    try {
+      val c = new KafkaLogClient(broker.clientPath)
+      // static defaults: full listing, source 5 (DEFAULT_CONFIG)
+      val all = c.describeConfigs("cfg")
+      assert(all("max.message.bytes").value === "1048588")
+      assert(all("max.message.bytes").source === 5)
+      assert(all("cleanup.policy").value === "delete")
+      assert(all.size === 7, s"the full static layer lists: ${all.keys}")
+      // subset read
+      val one = c.describeConfigs("cfg", Seq("retention.ms"))
+      assert(one.keySet === Set("retention.ms"))
+      assert(one("retention.ms").value === "604800000")
+      // SET: the override reads back with source 1 (DYNAMIC_TOPIC_CONFIG)
+      c.incrementalAlterConfigs("cfg", Seq(("max.message.bytes", 0, "600")))
+      val after = c.describeConfigs("cfg", Seq("max.message.bytes"))
+      assert(after("max.message.bytes").value === "600")
+      assert(after("max.message.bytes").source === 1)
+      // ...and the broker ENFORCES it: an oversized batch answers
+      // MESSAGE_TOO_LARGE (10), a small one lands
+      val big = intercept[java.io.IOException](
+        c.produce(0, Seq((null, new Array[Byte](2000), 1000L))))
+      assert(big.getMessage.contains("error 10"), big.getMessage)
+      assert(c.produce(1, Seq((null, bytes("small"), 1000L))) === 0L)
+      // DELETE restores the default and the big produce lands again
+      c.incrementalAlterConfigs("cfg", Seq(("max.message.bytes", 1, null)))
+      assert(c.describeConfigs("cfg",
+        Seq("max.message.bytes"))("max.message.bytes").source === 5)
+      c.produce(2, Seq((null, new Array[Byte](2000), 1001L)))
+      // validate_only dry-runs: checked, not applied
+      c.incrementalAlterConfigs("cfg", Seq(("retention.ms", 0, "1")),
+        validateOnly = true)
+      assert(c.describeConfigs("cfg",
+        Seq("retention.ms"))("retention.ms").value === "604800000")
+      // APPEND/SUBTRACT work on the LIST config...
+      c.incrementalAlterConfigs("cfg", Seq(("cleanup.policy", 2, "compact")))
+      assert(c.describeConfigs("cfg",
+        Seq("cleanup.policy"))("cleanup.policy").value === "delete,compact")
+      c.incrementalAlterConfigs("cfg", Seq(("cleanup.policy", 3, "delete")))
+      assert(c.describeConfigs("cfg",
+        Seq("cleanup.policy"))("cleanup.policy").value === "compact")
+      // ...and are refused by NAME on a non-list config
+      val listErr = intercept[java.io.IOException](
+        c.incrementalAlterConfigs("cfg", Seq(("retention.ms", 2, "5"))))
+      assert(listErr.getMessage.contains("error 40"), listErr.getMessage)
+      // unknown keys and malformed values answer INVALID_CONFIG (40)
+      val unk = intercept[java.io.IOException](
+        c.incrementalAlterConfigs("cfg", Seq(("no.such.config", 0, "1"))))
+      assert(unk.getMessage.contains("error 40"), unk.getMessage)
+      val bad = intercept[java.io.IOException](
+        c.incrementalAlterConfigs("cfg", Seq(("retention.ms", 0, "soon"))))
+      assert(bad.getMessage.contains("error 40"), bad.getMessage)
+      // unknown topics answer UNKNOWN_TOPIC_OR_PARTITION on both apis
+      val dg = intercept[java.io.IOException](c.describeConfigs("ghost"))
+      assert(dg.getMessage.contains("error 3"), dg.getMessage)
+      val ag = intercept[java.io.IOException](
+        c.incrementalAlterConfigs("ghost", Seq(("retention.ms", 0, "1"))))
+      assert(ag.getMessage.contains("error 3"), ag.getMessage)
+    } finally broker.close()
+  }
+
+  test("config lifecycle over the PINNED dialect (DescribeConfigs v1, " +
+      "IncrementalAlterConfigs v0) matches the flexible one") {
+    val dir = java.nio.file.Files.createTempDirectory("kafka-cfg").toString
+    val broker = new KafkaLogServer(dir, "cfgv", requireCreate = true,
+      advertiseApis = Some(Seq[(Short, Short, Short)](
+        (0, 0, 8), (1, 0, 11), (2, 0, 5), (3, 0, 8), (10, 0, 2),
+        (18, 0, 3), (19, 0, 4), (20, 0, 3), (32, 1, 3), (44, 0, 0))))
+    try {
+      val c = new KafkaLogClient(broker.clientPath)
+      c.createTopics(Seq("cfgv" -> 3))
+      assert(c.describeConfigs("cfgv")("segment.bytes").value === "1073741824")
+      c.incrementalAlterConfigs("cfgv", Seq(("max.message.bytes", 0, "700")))
+      val e = c.describeConfigs("cfgv", Seq("max.message.bytes"))
+      assert(e("max.message.bytes").value === "700" &&
+        e("max.message.bytes").source === 1)
+      val big = intercept[java.io.IOException](
+        c.produce(0, Seq((null, new Array[Byte](2000), 1000L))))
+      assert(big.getMessage.contains("error 10"), big.getMessage)
+      // DeleteTopics purges the override: recreate starts from defaults
+      c.deleteTopics(Seq("cfgv"))
+      c.createTopics(Seq("cfgv" -> 3))
+      assert(c.describeConfigs("cfgv",
+        Seq("max.message.bytes"))("max.message.bytes").source === 5)
+    } finally broker.close()
+  }
 }

@@ -381,4 +381,75 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
       ms.foreach(_.leave())
     }
   }
+
+  test("KIP-345 static membership: a restart with group.instance.id keeps " +
+      "the generation and assignment — no rebalance") {
+    withBroker { (_, path) =>
+      val cA = new KafkaLogClient(path)
+      val cB = new KafkaLogClient(path)
+      val a1 = new KafkaGroupMembership(cA, "g-static", "events",
+        groupInstanceId = Some("app-1"))
+      val pA1 = a1.join()
+      assert(a1.generation === 1)
+      // a dynamic second member joins; both settle in generation 2
+      val b = new KafkaGroupMembership(cB, "g-static", "events")
+      val pBref = new java.util.concurrent.atomic.AtomicReference[Seq[Int]]
+      val t = new Thread(() => pBref.set(b.join()))
+      t.start()
+      val deadline = System.currentTimeMillis() + 5000
+      while (a1.heartbeat() && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val pA = a1.join(); t.join(5000)
+      val pB = pBref.get()
+      assert(pB != null && (pA ++ pB).sorted === Seq(0, 1, 2))
+      val gen = a1.generation
+      assert(gen === b.generation)
+      // "rolling restart": a NEW incarnation (fresh client, blank member
+      // id) joins with the SAME instance id — the coordinator swaps it
+      // into the registered slot and answers at the SAME generation with
+      // the SAME assignment, without opening a rebalance
+      val cA2 = new KafkaLogClient(path)
+      val a2 = new KafkaGroupMembership(cA2, "g-static", "events",
+        groupInstanceId = Some("app-1"))
+      val pA2 = a2.join()
+      assert(a2.generation === gen,
+        s"static rejoin must keep generation $gen, got ${a2.generation}")
+      assert(pA2 === pA, s"static rejoin must keep assignment $pA, got $pA2")
+      assert(b.heartbeat(),
+        "the survivor must see NO rebalance from a static restart")
+      assert(a2.heartbeat())
+      // the restarted incarnation can commit under the kept generation
+      a2.commitOffsets(Map(pA2.head -> 1L))
+      a2.leave(); b.leave()
+    }
+  }
+
+  test("KIP-345 fencing: the replaced incarnation answers " +
+      "FENCED_INSTANCE_ID (82) on heartbeat, join, and commit") {
+    withBroker { (_, path) =>
+      val c1 = new KafkaLogClient(path)
+      val c2 = new KafkaLogClient(path)
+      val a1 = new KafkaGroupMembership(c1, "g-fence", "events",
+        groupInstanceId = Some("app-9"))
+      val p1 = a1.join()
+      assert(p1 === Seq(0, 1, 2))
+      // a second live holder of the same instance id claims the slot
+      val a2 = new KafkaGroupMembership(c2, "g-fence", "events",
+        groupInstanceId = Some("app-9"))
+      val p2 = a2.join()
+      assert(p2 === p1 && a2.generation === a1.generation)
+      // the OLD incarnation is now fenced on every surface, by name
+      val hb = intercept[java.io.IOException](a1.heartbeat())
+      assert(hb.getMessage.contains("FENCED_INSTANCE_ID"), hb.getMessage)
+      val jn = intercept[java.io.IOException](a1.join())
+      assert(jn.getMessage.contains("FENCED_INSTANCE_ID"), jn.getMessage)
+      val cm = intercept[java.io.IOException](
+        a1.commitOffsets(Map(0 -> 5L)))
+      assert(cm.getMessage.contains("82"), cm.getMessage)
+      // the new incarnation is unaffected
+      assert(a2.heartbeat())
+      a2.commitOffsets(Map(0 -> 7L))
+      a2.leave()
+    }
+  }
 }

@@ -820,34 +820,30 @@ FROM route ORDER BY vec_id NULLS FIRST""")),
         val e = Tables.table(s, d, "embeddings")
           .select(col("vec_id"), col("label").cast("long").as("label"),
             col("embedding").cast("array<double>").as("v"))
-        val centRows = graft.GraftOps.boundedCollect(
-          e.filter(col("vec_id") % 7 =!= 0)
-            .select(col("label"), posexplode(col("v")))
-            .toDF("label", "pos", "x")
-            .groupBy(col("label"), col("pos"))
-            .agg((sum(col("x").cast("decimal(27,15)")).cast("double") /
-              count(lit(1))).as("m")),
-          1 << 18, "s67 release centroids (|labels| <= 4096 labels x 64 dims " +
-            "- the ONE corpus-dependent broadcast; more labels than that " +
-            "need a broadcast-join dispatch, not a driver CASE chain)")
-        val cents: Seq[(Long, Seq[Double])] = centRows
-          .groupBy(_.getLong(0)).toSeq
-          .map { case (l, rs) =>
-            l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
-          .sortBy(_._1)
-        val L2 = graft.functions.GraftFunctions.l2_dist _
+        val centsDf = e.filter(col("vec_id") % 7 =!= 0)
+          .select(col("label"), posexplode(col("v")))
+          .toDF("label", "pos", "x")
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("x").cast("decimal(27,15)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+            "x -> x.m)").as("c"))
         val vecStream = s.readStream
           .schema(Tables.table(s, d, "embeddings").schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(d)
         val dv = col("embedding").cast("array<double>")
         val lbl = col("label").cast("long")
-        val rawDist = cents.foldLeft(lit(null).cast("double")) {
-          case (acc, (l, cv)) => when(lbl === l, L2(dv, typedlit(cv)))
-            .otherwise(acc)
-        }
-        val dist = rawDist.cast("decimal(18,6)").cast("double")
+        // label dispatch with the AUTOMATIC fallback (VERDICT r16 #7):
+        // <= 4096 labels fold into the zero-join CASE chain; a wider label
+        // space takes the broadcast-join path with byte-identical output
+        // (GraftOps.withCentroidDist, CentroidDispatchSpec)
+        val dispatched = graft.GraftOps.withCentroidDist(
+          vecStream.select(col("vec_id"), lbl.as("label"), dv.as("v")),
+          centsDf, col("v"), col("label"))
+        val dist = col("dist").cast("decimal(18,6)").cast("double")
         runToMemory(
-          vecStream.select(col("vec_id"), lbl.as("label"), dist.as("dist"),
+          dispatched.select(col("vec_id"), col("label"), dist.as("dist"),
             when(dist.isNull, "nolabel").when(dist > 1.01, "ood")
               .otherwise("in").as("flag")),
           "append").orderBy(col("vec_id"))
@@ -1054,6 +1050,87 @@ e AS (SELECT doc_id, source, text,
 SELECT doc_id, source, CAST(doc_id % 7 AS INT) AS arm,
   CAST(2 AS BIGINT) AS n_records, true AS ok,
   CAST(concat('0x', substr(md5(ext), 1, 15)) AS BIGINT) AS h
+FROM e ORDER BY doc_id NULLS FIRST""")),
+
+    // S73: streaming politeness gate — x93's live half (VERDICT r16 #5).
+    // Each ARRIVING page emits its outlink fetch schedule: links extracted
+    // and canonicalized (x88), gated per-link by the target host's robots
+    // verdict (x90), the survivors ordered deterministically (canonical
+    // URL) and assigned politeness slots slot_i = i · Crawl-delay(host_i),
+    // with the host's Sitemap count surfaced — the feed a live crawl
+    // scheduler shards by host downstream. ZERO stateful operators,
+    // append mode: the robots policy rides the row (in production a
+    // broadcast per-host table — the s07 stream-static shape) and the
+    // slot rank is local to the page's own emission, so no watermark, no
+    // state store, no cross-row coordination. The oracle reconstructs
+    // every page's allowed set, schedule and checksum from raw columns
+    // without parsing robots or HTML (the x93 recipe, per-doc).
+    GQuery("s73_stream_politeness_gate",
+      (s, d) => {
+        import PipelineShared.htmlLinkPage
+        val G = graft.functions.GraftFunctions
+        def host(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          regexp_extract(u, "^[a-z]+://([^/]+)", 1)
+        def pathq(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          regexp_replace(u, "^[a-z]+://[^/]+", "")
+        def robotsFor(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+          lit("# robots for "), h, lit("\n"),
+          lit("User-agent: graftbot\nCrawl-delay: 3\n"),
+          lit("Disallow: /page/\nAllow: /page/1\n"),
+          lit("Sitemap: https://"), h, lit("/sitemap.xml\n\n"),
+          lit("User-agent: *\nDisallow: /asset/\nDisallow: /doc/\n"),
+          lit("Crawl-delay: 2\n"))
+        val rows = StreamingQueries.docStream(s, d)
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("lang").isNotNull && col("source").isNotNull)
+          .select(col("doc_id"), col("source"),
+            transform(G.html_links(htmlLinkPage),
+              u => G.url_canon(u)).as("cs"))
+          .withColumn("allowed", array_sort(filter(col("cs"),
+            u => G.robots_allowed(robotsFor(host(u)), pathq(u), "graftbot"))))
+          .select(col("doc_id"), col("source"),
+            size(col("allowed")).cast("long").as("n_allowed"),
+            (size(col("cs")) - size(col("allowed"))).cast("long")
+              .as("n_blocked"),
+            // per-host group-scoped delay (the * group's 2 must not leak)
+            G.robots_crawl_delay(robotsFor(host(element_at(col("allowed"), 1))),
+              "graftbot").as("delay"),
+            // one Sitemap per gated host: summed over the allowed set
+            aggregate(col("allowed"), lit(0L), (acc, u) =>
+              acc + size(G.robots_sitemaps(robotsFor(host(u)))).cast("long"))
+              .as("n_sitemaps"),
+            // schedule: slot_i = i · delay(host_i) over the sorted survivors
+            aggregate(
+              zip_with(col("allowed"),
+                sequence(lit(0), size(col("allowed")) - 1),
+                (u, i) => concat(u, lit(":"), (i.cast("long") *
+                  G.robots_crawl_delay(robotsFor(host(u)), "graftbot"))
+                    .cast("string"))),
+              lit(0L), (acc, su) => acc.bitwiseXOR(
+                conv(substring(md5(su), 1, 15), 16, 10).cast("long")))
+              .as("sched_checksum"))
+        runToMemory(rows, "append").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND lang IS NOT NULL AND source IS NOT NULL),
+e AS (SELECT doc_id, source,
+    list_sort(list_filter([
+      'https://www.example.com/home?x=1',
+      'http://example.com/doc/' || ((doc_id * 7 + 13) % 97) || '?a=1&b=2',
+      'https://cdn.example.com:8080/asset/' || doc_id || '.png?v=3',
+      CASE WHEN CAST((doc_id * 3 + 5) % 97 AS VARCHAR) LIKE '1%'
+        THEN 'https://' || source || '.example.org/page/' ||
+          ((doc_id * 3 + 5) % 97) || '/' END], u -> u IS NOT NULL)) AS allowed
+  FROM d)
+SELECT doc_id, source,
+  CAST(len(allowed) AS BIGINT) AS n_allowed,
+  CAST(4 - len(allowed) AS BIGINT) AS n_blocked,
+  CAST(3 AS BIGINT) AS delay,
+  CAST(len(allowed) AS BIGINT) AS n_sitemaps,
+  list_reduce(list_transform(allowed, (u, i) ->
+    CAST(concat('0x', substr(md5(u || ':' || ((i - 1) * 3)), 1, 15)) AS BIGINT)),
+    (a, b) -> xor(a, b)) AS sched_checksum
 FROM e ORDER BY doc_id NULLS FIRST"""))
   )
 }

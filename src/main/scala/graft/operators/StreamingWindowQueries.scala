@@ -328,6 +328,41 @@ SELECT event_id % 3 AS "partition", count(*) AS n,
 FROM events, s WHERE event_id // 3 >= so
 GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
 
+    // S74: start a replay at a REAL timestamp (KIP-79 / Kafka's
+    // offsetsForTimes — VERDICT r16 #8): `startingTimestamp` resolves each
+    // partition's start to the earliest record whose timestamp >= T; a
+    // partition with no such record starts at its end. T derives from the
+    // corpus (min + 3/5 of the event-time span, integer µs→ms) so DuckDB
+    // replays the cut exactly; the std log is per-partition
+    // timestamp-monotonic, so "first offset at/after T onward" equals the
+    // oracle's ts-filter. The kafka-wire twin of this resolution (both
+    // ListOffsets dialects, vs the file client's index) is pinned by
+    // ReplayTimestampSpec.
+    GQuery("s74_stream_timestamp_start",
+      (s, d) => {
+        val mm = Tables.events(s, d)
+          .agg(min(Tables.tsUs), max(Tables.tsUs)).head()
+        val tMs = (mm.getLong(0) +
+          (mm.getLong(1) - mm.getLong(0)) / 5L * 3L) / 1000L
+        val log = ReplayLog.ensureLog(s, d)
+        runToMemory(
+          s.readStream.format("graft-replay").option("path", log)
+            .option("startingTimestamp", tMs.toString).load(),
+          "append")
+          .groupBy(col("partition").cast("long").as("partition"))
+          .agg(count(lit(1)).as("n"), min(col("offset")).as("min_offset"),
+            min(unix_micros(col("timestamp"))).as("first_ts_us"))
+          .orderBy(col("partition"))
+      },
+      Some("""WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events),
+t AS (SELECT (lo + (hi - lo) // 5 * 3) // 1000 AS tms FROM mm)
+SELECT event_id % 3 AS "partition", count(*) AS n,
+  min(event_id // 3) AS min_offset,
+  min(epoch_us(ts)) AS first_ts_us
+FROM events, t WHERE epoch_us(ts) // 1000 >= tms
+GROUP BY 1 ORDER BY "partition" NULLS FIRST""")),
+
     // S23: Kafka-shaped per-partition startingOffsets JSON — partition 0
     // starts at record 10, partition 2 at record 25, partition 1 (unlisted)
     // falls back to earliest. The envelope derivation is deterministic

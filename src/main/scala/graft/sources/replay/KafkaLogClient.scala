@@ -1157,7 +1157,24 @@ final class KafkaLogClient(path: String,
     * STABLE OFFSET, so every planned micro-batch range ends at
     * transactionally-decided data — a range can never include records of a
     * still-open transaction. */
-  private def listOffset(p: Int, ts: Long): Long = {
+  private def listOffset(p: Int, ts: Long): Long =
+    listOffsetRaw(p, ts) match {
+      case off if off >= 0 => off
+      case _ => throw new IOException(s"kafka ListOffsets missing $topic/$p")
+    }
+
+  /** ListOffsets by REAL timestamp (KIP-79 semantics the v6 path always
+    * accepted but no lane exercised — VERDICT r16 #8): the earliest offset
+    * whose record timestamp is >= `tsMs`, None when the log holds no such
+    * record. Works over both dialects (the broker double resolves v2 and
+    * v6 identically). */
+  override def offsetForTimestamp(p: Int, tsMs: Long): Option[Long] = {
+    require(tsMs >= 0, s"offsetForTimestamp needs a real timestamp, got $tsMs")
+    val off = listOffsetRaw(p, tsMs)
+    if (off < 0) None else Some(off)
+  }
+
+  private def listOffsetRaw(p: Int, ts: Long): Long = {
     val meta = fetchMeta()
     val addr = leaderAddr(meta, p)
     val body = new ByteArrayOutputStream()
@@ -1212,8 +1229,7 @@ final class KafkaLogClient(path: String,
         }
       }
     }
-    if (result < 0) throw new IOException(s"kafka ListOffsets missing $topic/$p")
-    result
+    result // -1 = no answer (timestamp past the log end, or topic missing)
   }
 
   override def endOffset(p: Int): Long = listOffset(p, -1L)

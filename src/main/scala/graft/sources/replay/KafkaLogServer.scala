@@ -1448,6 +1448,41 @@ final class KafkaLogServer(dir: String, topic: String,
     bo.toByteArray
   }
 
+  /** ListOffsets by REAL timestamp (KIP-79): the earliest VISIBLE offset
+    * whose record timestamp (ms) is >= `tsMs`, or -1 when none — scanning
+    * the file-backed base log (µs timestamps on disk, served as ms on the
+    * wire) and then the produced tail's decoded records, exactly the
+    * records a fetch at the same isolation would serve. A real broker
+    * resolves this from its time index; the double's sequential scan is
+    * the same contract at test scale. Bounds: never below the
+    * DeleteRecords low watermark, never at/past `cap` (the HW, or the LSO
+    * under read_committed — undecided records have no public timestamp). */
+  private def offsetForTimestamp(p: Int, tsMs: Long, cap: Long): Long = {
+    val lo = logStartOffset(p)
+    val bc = math.min(baseCount(p), cap)
+    if (bc > 0 && lo < bc) {
+      val fr = new FrameStream(dir, p, lo, needKey = false, needValue = false)
+      try {
+        var off = lo
+        while (off < bc) {
+          fr.readFrame()
+          if (fr.tsUs / 1000L >= tsMs) return off
+          off += 1
+        }
+      } finally fr.close()
+    }
+    producedTail(p).synchronized {
+      producedTail(p).foreach { b =>
+        if (b.control.isEmpty) b.recs.zipWithIndex.foreach {
+          case ((_, _, ts), i) =>
+            val o = b.base + i
+            if (o >= lo && o < cap && ts >= tsMs) return o
+        }
+      }
+    }
+    -1L
+  }
+
   private def listOffsets(r: DataInputStream, version: Short): Array[Byte] = {
     r.readInt()                         // replica id
     // v2 added the isolation level: read_committed's "latest" is the LSO
@@ -1465,6 +1500,8 @@ final class KafkaLogServer(dir: String, topic: String,
         val p = r.readInt(); val ts = r.readLong()
         val off =
           if (ts == -2L) logStartOffset(p) // earliest = the low watermark
+          else if (ts >= 0L) offsetForTimestamp(p, ts,
+            if (isolation == 1) lastStable(p) else endOffset(p))
           else if (isolation == 1) lastStable(p)
           else endOffset(p)
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)
@@ -1567,6 +1604,8 @@ final class KafkaLogServer(dir: String, topic: String,
         skipTagged(r)
         val off =
           if (ts == -2L) logStartOffset(p) // earliest = the low watermark
+          else if (ts >= 0L) offsetForTimestamp(p, ts,
+            if (isolation == 1) lastStable(p) else endOffset(p))
           else if (isolation == 1) lastStable(p)
           else endOffset(p)
         o.writeInt(p); o.writeShort(0); o.writeLong(ts); o.writeLong(off)

@@ -54,6 +54,30 @@ trait LogClient {
   def openFrames(p: Int, start: Long, needKey: Boolean,
       needValue: Boolean): FrameReader
 
+  /** Earliest offset whose record TIMESTAMP (milliseconds) is >= `tsMs` —
+    * Kafka's ListOffsets-by-timestamp contract (offsetsForTimes); None
+    * when no such record exists. The default implementation scans frames
+    * from the log head (correct for any dense client; the file client's
+    * O(1) byte index makes the scan one sequential read) — the kafka-wire
+    * client overrides with the broker's ListOffsets answer, and the spec
+    * pins the two against each other. */
+  def offsetForTimestamp(p: Int, tsMs: Long): Option[Long] = {
+    require(tsMs >= 0, s"offsetForTimestamp needs a real timestamp, got $tsMs")
+    val end = endOffset(p)
+    if (end <= 0) return None
+    val fr = openFrames(p, 0L, needKey = false, needValue = false)
+    try {
+      var off = 0L
+      while (off < end) {
+        if (!fr.readFrameBefore(end)) return None
+        val o = if (fr.frameOffset >= 0) fr.frameOffset else off
+        if (fr.tsUs / 1000L >= tsMs) return Some(o)
+        off += 1
+      }
+      None
+    } finally fr.close()
+  }
+
   /** Commit consumed offsets back under a consumer group — OBSERVABILITY,
     * not progress truth (the checkpoint WAL owns restart semantics, exactly
     * as the reference's rdkafka auto-commit never feeds back into its

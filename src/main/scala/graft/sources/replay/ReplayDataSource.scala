@@ -112,6 +112,7 @@ case class ReplayOptions(
     maxTriggerDelayMs: Long,
     startingUniform: Long,
     startingPerPartition: Map[Int, Long],
+    startingTimestampMs: Option[Long] = None,
     failOnDataLoss: Boolean,
     consumerConf: Map[String, String],
     columnarBatchSize: Int = 0,
@@ -140,11 +141,29 @@ case class ReplayOptions(
     * (execution.rs:75) extended to N cooperating readers. Disjointness and
     * coverage hold by construction: every partition has exactly one owner. */
   def owns(p: Int): Boolean = p % groupInstances == groupInstanceId
+  require(startingTimestampMs.isEmpty ||
+    (startingPerPartition.isEmpty && startingUniform == 0L && !startingLatest),
+    "startingTimestamp and startingOffset(s) are two start policies — set one")
+
   /** starting record index for partition p with current end `end`; the
     * "latest" sentinel starts at the end (only new records are read). */
   def startFor(p: Int, end: Long = Long.MaxValue): Long =
     if (startingLatest) end
     else startingPerPartition.getOrElse(p, startingUniform)
+
+  /** [[startFor]] with the KIP-79 timestamp policy resolved through the
+    * client: `startingTimestamp` starts each partition at the earliest
+    * record whose timestamp (ms) is >= the option; a partition holding no
+    * such record starts at its END (Kafka's offsetsForTimes → latest
+    * semantics — only future records qualify). Resolution happens where
+    * starts are planned (stream initialOffset / batch planning); committed
+    * checkpoints own restarts as always. */
+  def startForResolved(c: LogClient, p: Int, end: Long): Long =
+    startingTimestampMs match {
+      case Some(ts) => c.offsetForTimestamp(p, ts)
+        .map(o => math.min(o, end)).getOrElse(end)
+      case None => startFor(p, end)
+    }
   /** planning-side log client (driver): fresh per use, clients are cheap. */
   def client: LogClient = LogClient.create(clientKind, path, consumerConf)
 }
@@ -185,6 +204,11 @@ object ReplayOptions {
         Option(opts.get("maxTriggerDelayMs")).map(_.toLong).getOrElse(15L * 60 * 1000),
       startingUniform = Option(opts.get("startingOffset")).map(_.toLong).getOrElse(0L),
       startingPerPartition = perPartition,
+      startingTimestampMs = Option(opts.get("startingTimestamp")).map { v =>
+        val ts = v.toLong
+        require(ts >= 0, s"startingTimestamp must be an epoch-ms >= 0, got $ts")
+        ts
+      },
       failOnDataLoss = Option(opts.get("failOnDataLoss")).forall(_.toBoolean),
       // opaque consumer conf pass-through (≡ conf: HashMap, execution.rs:34);
       // all other unknown keys are ignored like Spark's built-in sources do
@@ -462,7 +486,7 @@ class ReplayScan(opts: ReplayOptions,
   // dev/test convenience constructor (path only, defaults otherwise)
   def this(path: String, maxRowsPerTrigger: Option[Long]) =
     this(ReplayOptions(path, maxRowsPerTrigger, None, 15L * 60 * 1000, 0L,
-      Map.empty, failOnDataLoss = true, Map.empty))
+      Map.empty, None, failOnDataLoss = true, Map.empty))
   private def fieldIdx: Array[Int] =
     prunedSchema.fieldNames.map(ReplayDataSource.Schema.fieldIndex)
   override def readSchema(): StructType = prunedSchema
@@ -627,7 +651,7 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     * failOnDataLoss contract: an explicit start past the partition's end is
     * either an error or a clamp. */
   private def initialStart(p: Int, end: Long): Long = {
-    val req = opts.startFor(p, end)
+    val req = opts.startForResolved(client, p, end)
     if (req > end && opts.failOnDataLoss)
       throw new IllegalStateException(
         s"startingOffsets requests offset $req past the end ($end) of partition $p " +
@@ -823,7 +847,7 @@ class ReplayBatch(opts: ReplayOptions,
       .filter(p => range.parts.forall(_.contains(p)))
       .flatMap { p =>
         val end0 = math.min(client.endOffset(p), range.offHi)
-        val req = opts.startFor(p, end0)
+        val req = opts.startForResolved(client, p, end0)
         if (req > end0 && opts.failOnDataLoss)
           throw new IllegalStateException(
             s"startingOffsets requests offset $req past the end ($end0) of partition $p")

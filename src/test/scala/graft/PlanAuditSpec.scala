@@ -727,6 +727,37 @@ class PlanAuditSpec extends SparkSpec {
       s"blocked-count join should broadcast at this cardinality:\n$p")
   }
 
+  test("x03e serve plan reads ONLY the persisted index artifacts: no " +
+      "embeddings scan, no re-train, routed cells prune as partitions") {
+    // building the query runs TRAIN (writes the index); the RETURNED plan
+    // is the serve half — the production separation the pin protects
+    val df = SparkEntry.queries("x03e_ivf_pq_serve")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("embeddings.parquet"),
+      s"serve plan scans the corpus table — the split is broken:\n$p")
+    assert(p.contains("graft_ivf_index"),
+      s"serve plan does not read the persisted index:\n$p")
+    // the routed-cell filter reaches the index read as a PARTITION filter
+    // (cell is the hive partition column), so a serve reads nprobe/nlist
+    // of the index directories, not all of them
+    val idxScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("/index")) => f
+    }
+    assert(idxScans.nonEmpty, "no index file scan found")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      "routed cells must prune index partitions, not filter post-read")
+  }
+
+  test("s73 politeness gate is a pure per-row projection — no joins, " +
+      "no stateful operators") {
+    val p = plan("s73_stream_politeness_gate")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the live gate must not join:\n$p")
+    assert(!p.contains("StateStore"),
+      s"the live gate must be stateless:\n$p")
+  }
+
   test("x87b boilerplate: equi joins only, boilerplate set broadcasts back") {
     // document-frequency is ONE (source, line) shuffle; the tiny boiler
     // set must come back as a broadcast anti join, never a shuffle of the

@@ -227,7 +227,7 @@ class ReplaySourceSpec extends SparkSpec {
     // maxTriggerDelayMs elapses, then closes the batch with what's there —
     // the reference's time-OR-rows loop bound (execution.rs:87)
     val opts = ReplayOptions(log, None, Some(Long.MaxValue / 4), 600L, 0L,
-      Map.empty, failOnDataLoss = true, Map.empty)
+      Map.empty, None, failOnDataLoss = true, Map.empty)
     val stream = new ReplayMicroBatchStream(opts)
     val start = stream.initialOffset()
     val limit = stream.getDefaultReadLimit

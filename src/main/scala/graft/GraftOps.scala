@@ -33,10 +33,11 @@ object GraftOps {
     * on both paths. */
   def withCentroidDist(df: DataFrame, cents: DataFrame, vec: Column,
       label: Column, maxCase: Int = 4096): DataFrame = {
-    val nLabels = cents.count()
-    if (nLabels <= maxCase) {
-      val rows = boundedCollect(cents, maxCase,
-        s"centroid CASE-chain dispatch (counted $nLabels labels)")
+    // ONE capped fetch both sizes the label space and delivers the
+    // centroids (a separate count() would run the full centroid
+    // aggregation twice — it is the dominant cost of the caller's build)
+    val rows = cents.limit(maxCase + 1).collect()
+    if (rows.length <= maxCase) {
       val folded = rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
         .foldLeft(lit(null).cast("double")) { case (acc, (l, cv)) =>

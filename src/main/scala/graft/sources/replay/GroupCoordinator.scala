@@ -285,9 +285,15 @@ private[replay] final class GroupCoordinator {
           memberId = newId
           // KIP-345's point: while the group is Stable, the restart keeps
           // the GENERATION and the stored assignment — answer immediately,
-          // no rebalance, no window; SyncGroup hands the assignment back
-          if (g.state == "Stable") return okResp(memberId)
-          staticFresh = true            // mid-rebalance: join the window
+          // no rebalance, no window; SyncGroup hands the assignment back.
+          // But ONLY when the new incarnation still advertises the group's
+          // elected protocol — a redeploy that changed assignors must
+          // rebalance (real coordinators: updateStaticMemberAndRebalance)
+          if (g.state == "Stable" &&
+              protocols.exists(_._1 == g.protocolName))
+            return okResp(memberId)
+          staticFresh = true            // protocol change or mid-rebalance:
+                                        // join the window (rebalance below)
         case Some(_) =>                 // same member id: normal rejoin
         case None =>
           // first appearance: static members SKIP the KIP-394 dance (the

@@ -152,9 +152,13 @@ final class KafkaGroupMembership(client: KafkaLogClient, group: String,
         throw new IOException(s"kafka group '$group': join did not settle " +
           s"after $attempts attempts")
       val (jv, jr) = call("JoinGroup", ApiJoinGroup, 0, 6) { v =>
-        if (static && v < 5)
+        // the instance id only rides the FLEXIBLE body this client writes
+        // (v6); guarding at the field's protocol floor (v5) would pass a
+        // version whose body builder silently drops the field
+        if (static && v < 6)
           throw new IOException(s"kafka group '$group': static membership " +
-            s"(group.instance.id) requires JoinGroup v5+, broker offered v$v")
+            s"(group.instance.id) needs the flexible JoinGroup dialect " +
+            s"(v6 in this client); negotiation picked v$v")
         val jb = new ByteArrayOutputStream(); val jo = new DataOutputStream(jb)
         val md = subscriptionMetadata
         if (v >= 6) {

@@ -1161,6 +1161,9 @@ final class KafkaLogServer(dir: String, topic: String,
                       if (op == 2 || op == 3) &&
                         !KafkaLogServer.TopicConfigDefaults(key)._3 =>
                     40                  // list op on a non-list config
+                  case (_, op, v) if (op == 2 || op == 3) && v == null =>
+                    40                  // APPEND/SUBTRACT need a value —
+                                        // never persist a literal "null"
                   case (key, op, v)
                       if op == 0 && (v == null || badValue(key, v)) =>
                     40                  // SET needs a well-typed value

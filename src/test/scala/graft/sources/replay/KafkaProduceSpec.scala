@@ -662,6 +662,12 @@ class KafkaProduceSpec extends graft.SparkSpec {
       val listErr = intercept[java.io.IOException](
         c.incrementalAlterConfigs("cfg", Seq(("retention.ms", 2, "5"))))
       assert(listErr.getMessage.contains("error 40"), listErr.getMessage)
+      // a NULL value on a list op is refused — never a literal "null" write
+      val nul = intercept[java.io.IOException](
+        c.incrementalAlterConfigs("cfg", Seq(("cleanup.policy", 2, null))))
+      assert(nul.getMessage.contains("error 40"), nul.getMessage)
+      assert(c.describeConfigs("cfg",
+        Seq("cleanup.policy"))("cleanup.policy").value === "compact")
       // unknown keys and malformed values answer INVALID_CONFIG (40)
       val unk = intercept[java.io.IOException](
         c.incrementalAlterConfigs("cfg", Seq(("no.such.config", 0, "1"))))

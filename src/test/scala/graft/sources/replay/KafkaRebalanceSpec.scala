@@ -452,4 +452,25 @@ class KafkaRebalanceSpec extends graft.SparkSpec {
       a2.leave()
     }
   }
+
+  test("KIP-345: a static restart that CHANGED assignors rebalances " +
+      "instead of keeping the stale generation") {
+    withBroker { (_, path) =>
+      val a1 = new KafkaGroupMembership(new KafkaLogClient(path),
+        "g-proto", "events", groupInstanceId = Some("app-p"))
+      a1.join()
+      assert(a1.generation === 1)
+      // redeploy with a different partition.assignment.strategy: the
+      // coordinator must NOT hand back the old generation/assignment —
+      // the elected protocol changed (updateStaticMemberAndRebalance)
+      val a2 = new KafkaGroupMembership(new KafkaLogClient(path),
+        "g-proto", "events", strategy = "cooperative-sticky",
+        groupInstanceId = Some("app-p"))
+      val p2 = a2.join()
+      assert(a2.generation === 2,
+        s"assignor change must bump the generation, got ${a2.generation}")
+      assert(p2 === Seq(0, 1, 2))
+      a2.leave()
+    }
+  }
 }

@@ -74,8 +74,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (round-robin assignment; the reference's one-consumer-per-partition
   *     queue split of execution.rs:75 extended to N readers, without a
   *     broker coordinator), with mid-stream-discovered partitions assigned
-  *     by the same rule; and `consumer.group.id` is reported in source
-  *     metrics. Everything else
+  *     by the same rule; `consumer.group.id` is reported in source
+  *     metrics; under `consumer.group.assignment=subscribe`,
+  *     `consumer.group.static.instance.id` (KIP-345, round 17) makes the
+  *     stream a STATIC group member — stop() keeps its slot (no
+  *     LeaveGroup) and a restarted run rejoins at the SAME generation and
+  *     assignment, no rebalance (the name is distinct from the
+  *     graft-specific integer round-robin option above), with
+  *     `consumer.partition.assignment.strategy` choosing the assignor.
+  *     Everything else
   *     (`bootstrap.servers`, timeouts, ...) is carried opaquely for the
   *     broker-backed client — this file-backed default has no use for them;
   *   - `columnarBatchSize` (default 4096) — records per `ColumnarBatch`
@@ -613,7 +620,17 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     else {
       val kc = opts.client.asInstanceOf[KafkaLogClient]
       val topic = opts.path.substring(opts.path.indexOf('/') + 1)
-      val m = new KafkaGroupMembership(kc, opts.consumerConf("group.id"), topic)
+      // KIP-345 (round 17): `consumer.group.static.instance.id` makes
+      // this stream a STATIC member — a restarted run rejoins without a
+      // rebalance, keeping the group's generation and this share intact
+      // (the name avoids the graft-specific integer
+      // consumer.group.instance.id round-robin option). The assignor
+      // rides Kafka's own partition.assignment.strategy key.
+      val m = new KafkaGroupMembership(kc, opts.consumerConf("group.id"),
+        topic,
+        strategy = opts.consumerConf
+          .getOrElse("partition.assignment.strategy", "range"),
+        groupInstanceId = opts.consumerConf.get("group.static.instance.id"))
       Some((m, m.join().toSet))
     }
 
@@ -815,14 +832,18 @@ class ReplayMicroBatchStream(opts: ReplayOptions,
     sendCommit(if (availableNowEnd.isDefined) lastPlannedEnd
                else lastEngineCommitted)
     // subscribe mode: honest departure — LeaveGroup tells the coordinator
-    // to rebalance the remainder instead of waiting out a session timeout
-    subscription.foreach { case (m, _) =>
-      try m.leave()
-      catch { case e: Exception =>
-        System.err.println(s"graft-replay: LeaveGroup failed " +
-          s"(coordinator will session-reap): ${e.getMessage}")
+    // to rebalance the remainder instead of waiting out a session timeout.
+    // A STATIC member (KIP-345) deliberately does NOT leave: its slot must
+    // survive the restart so the successor rejoins rebalance-free; the
+    // session timeout reaps it if no successor ever comes.
+    if (opts.consumerConf.get("group.static.instance.id").isEmpty)
+      subscription.foreach { case (m, _) =>
+        try m.leave()
+        catch { case e: Exception =>
+          System.err.println(s"graft-replay: LeaveGroup failed " +
+            s"(coordinator will session-reap): ${e.getMessage}")
+        }
       }
-    }
   }
 }
 

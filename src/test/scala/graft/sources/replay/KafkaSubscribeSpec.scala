@@ -63,6 +63,39 @@ class KafkaSubscribeSpec extends graft.SparkSpec {
     } finally broker.close()
   }
 
+  test("a STATIC subscriber (consumer.group.static.instance.id) restarts " +
+      "without a rebalance: slot survives stop(), generation is kept") {
+    val dir = ReplayLog.ensureLog(spark, sf)
+    val broker = new KafkaLogServer(dir, "events")
+    try {
+      def staticOpts = ReplayOptions.parse(new CaseInsensitiveStringMap(Map(
+        "path" -> broker.clientPath, "client" -> "kafka",
+        "consumer.group.id" -> "g-static-sub",
+        "consumer.group.assignment" -> "subscribe",
+        "consumer.group.static.instance.id" -> "stream-A").asJava))
+      val s1 = new ReplayMicroBatchStream(staticOpts)
+      val owned1 = s1.initialOffset().asInstanceOf[ReplayOffset].offsets.keySet
+      val gen1 = s1.metrics(java.util.Optional.empty())
+        .asScala("generation").toInt
+      s1.stop()
+      // KIP-345: the static member did NOT leave — its slot survives the
+      // stop so the restart can claim it rebalance-free
+      val c = new KafkaLogClient(broker.clientPath)
+      val d = c.describeGroups(Seq("g-static-sub"))("g-static-sub")
+      assert(d.state === "Stable" && d.members.size === 1,
+        s"the static slot must survive stop(): $d")
+      // restart: same instance id ⇒ same generation, same ownership
+      val s2 = new ReplayMicroBatchStream(staticOpts)
+      try {
+        val owned2 = s2.initialOffset().asInstanceOf[ReplayOffset].offsets.keySet
+        assert(owned2 === owned1)
+        assert(s2.metrics(java.util.Optional.empty())
+          .asScala("generation").toInt === gen1,
+          "a static restart must keep the group generation")
+      } finally s2.stop()
+    } finally broker.close()
+  }
+
   test("a sole subscriber owns every partition and reads the full log") {
     import org.apache.spark.sql.functions._
     val dir = ReplayLog.ensureLog(spark, sf)

@@ -55,6 +55,7 @@ object Graft {
     "word_shingles" -> (es => WordShingles(es(0),
       if (es.length > 1) lit2Int(es(1)) else 5)),
     "avg_hash64" -> (es => AvgHash64(es(0))),
+    "pack_bytes" -> (es => PackBytes(es(0))),
     "wav_pcm16" -> (es => WavEncodePcm16(es(0), es(1))),
     "wav_stats" -> (es => WavStats(es(0))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),

@@ -1112,6 +1112,14 @@ object GraftOps {
     val nN = broadcast(outdegC.agg(count(lit(1)).cast("double").as("nn")))
     var r = outdegC.crossJoin(nN)
       .select(col("a").as("node"), (lit(1.0d) / col("nn")).as("r"))
+    // NOTE (round-17 optimization pass): per-iteration localCheckpoint of `r`
+    // was tried here to stop broadcast rebuilds re-executing earlier
+    // supersteps, and MEASURED SLOWER at sf0.1 (x39 3.16 -> 3.96 s, x89
+    // 1.79 -> 2.47 s standalone min-of-3): the superstep recompute is cheap
+    // next to the persist + extra job boundaries at this state size, and in
+    // copartition mode (the trillion-edge variant) there are no broadcast
+    // rebuilds — the whole iteration tree executes ONCE in a single DAG, so
+    // nothing is re-executed at scale either. Left as-is deliberately.
     for (_ <- 1 to iters) {
       val rside = if (copartition) r else broadcast(r)
       // merge hint in copartition mode: at trillion-edge scale neither side

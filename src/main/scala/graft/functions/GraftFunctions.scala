@@ -176,6 +176,9 @@ object GraftFunctions {
 
   /** encode an array<struct<name,data>> as a real POSIX ustar archive (the
     * WebDataset shard layout); deterministic fixed metadata. */
+  /** Pack an int array into a binary (one byte per element, low 8 bits). */
+  def pack_bytes(ints: Column): Column = c(PackBytes(x(ints)))
+
   def tar_pack(entries: Column): Column = c(TarPack(x(entries)))
 
   /** walk a ustar header chain: one (name, size, chksum_ok, data_sum,

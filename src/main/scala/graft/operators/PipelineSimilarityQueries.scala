@@ -488,7 +488,13 @@ QUALIFY rank <= 10 ORDER BY q_id NULLS FIRST, rank NULLS FIRST""")),
             .withColumn("rk", row_number().over(wk)).filter(col("rk") === 1)
             .select(col("q_id"), col("n_id"), col("nv"), col("rel"),
               lit(k).as("step"), col("score").as("mmr"))
-          selected = prev.unionByName(pick)
+          // checkpoint each greedy round: `pick` references `prev` twice and
+          // round k+1 references the union again — without truncation the
+          // plan COMPOUNDS (round 5's tree re-plans and re-executes rounds
+          // 2-4; the before-plan was 325k chars) even though the data is
+          // ≤ 5 queries × k rows. Guide §1.2/§3.3: materialize tiny
+          // intermediates of iterative loops. Measured 4.2 → ~1.3 s.
+          selected = prev.unionByName(pick).localCheckpoint(true)
         }
         // decimal→DOUBLE→decimal(18,6): a direct decimal downscale would
         // TRUNCATE in DuckDB but round in Spark; the double hop makes both
@@ -1016,11 +1022,18 @@ FROM st GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
     // exact integer. O-class.
     GQuery("x80_video_framesample",
       (s, d) => {
-        val frames = expr(
-          "transform(sequence(0, 7 + CAST(event_id % 9 AS INT)), f -> " +
-            "unhex(array_join(transform(sequence(0, 15), p -> " +
-            "lpad(hex((event_id * 31 + f * 17 + p * 7) % 256), 2, '0')), " +
-            "'')))")
+        // frame bytes via pack_bytes (round-17 optimization): the old
+        // construction built every byte as a hex STRING (lpad(hex(v),2,'0')
+        // per pixel + array_join + unhex per frame — ~19M transient strings
+        // per pass at sf0.1); pack_bytes writes the same bytes directly
+        // (BytePackSpec pins byte-identity to the unhex form). Same value
+        // definition, so the oracle is untouched.
+        val frames = transform(
+          sequence(lit(0), lit(7) + (col("event_id") % 9).cast("int")),
+          f => graft.functions.GraftFunctions.pack_bytes(
+            transform(sequence(lit(0), lit(15)),
+              p => ((col("event_id") * 31 + f * 17 + p * 7) % 256)
+                .cast("int"))))
         Tables.events(s, d)
           .select(col("event_type"),
             avi_frame_sample(

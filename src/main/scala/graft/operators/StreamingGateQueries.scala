@@ -569,17 +569,20 @@ FROM events ORDER BY key NULLS FIRST""")),
           END)""")
         val bucket = "CAST(conv(substr(md5(concat('dsir69:', f)), 1, 6), " +
           "16, 10) AS BIGINT) % 512"
-        val dc = Tables.table(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), col("source"),
-            explode(feats).as("f"))
-          .select(col("doc_id"), col("source"), expr(bucket).as("b"))
-          .groupBy(col("doc_id"), col("source"), col("b"))
-          .agg(count(lit(1)).as("dc"))
-        val bc = dc.groupBy(col("b"))
-          .agg(sum(col("dc")).as("cc"),
-            sum(when(col("source") === "src0", col("dc"))
+        // train in ONE aggregation keyed by bucket (guide §2.3 "aggregate
+        // before you shuffle"): the former per-(doc_id, source, b) pre-group
+        // fed ONLY this rollup, so it was a full extra exchange of
+        // ~|docs|x|buckets| rows for nothing — sum over per-doc counts
+        // == direct count, conditional sum == conditional count. Map-side
+        // partial aggregation collapses the feature stream to <= 512 rows
+        // per task before the single exchange.
+        val bc = Tables.table(s, d, "documents")
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"), explode(feats).as("f"))
+          .select(col("source"), expr(bucket).as("b"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("cc"),
+            sum(when(col("source") === "src0", lit(1L))
               .otherwise(lit(0L))).as("tc"))
         // train with EXACTLY x69's engine formulation (hash-proven against
         // the oracle), then collect the 512 micro-unit longs driver-side
@@ -697,11 +700,14 @@ FROM sm ORDER BY event_id NULLS FIRST""")),
     // inherits x80's encode→index-seek→parse identity proof per event.
     GQuery("s63_stream_video_qa",
       (s, d) => {
-        val frames = expr(
-          "transform(sequence(0, 7 + CAST(event_id % 9 AS INT)), f -> " +
-            "unhex(array_join(transform(sequence(0, 15), p -> " +
-            "lpad(hex((event_id * 31 + f * 17 + p * 7) % 256), 2, '0')), " +
-            "'')))")
+        // pack_bytes frame generator — see x80 (same bytes, no per-pixel
+        // hex-string round trip; BytePackSpec pins the equivalence)
+        val frames = transform(
+          sequence(lit(0), lit(7) + (col("event_id") % 9).cast("int")),
+          f => graft.functions.GraftFunctions.pack_bytes(
+            transform(sequence(lit(0), lit(15)),
+              p => ((col("event_id") * 31 + f * 17 + p * 7) % 256)
+                .cast("int"))))
         runToMemory(
           eventStream(s, d)
             .select(col("event_id"), graft.functions.GraftFunctions

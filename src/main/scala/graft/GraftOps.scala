@@ -881,12 +881,21 @@ object GraftOps {
   def bpeVocab(docs: DataFrame, text: Column, merges: Int, batch: Int): DataFrame = {
     val spark = docs.sparkSession
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    // distinct-word frequency table, words as single-char symbol arrays
-    var words = materialize(spreadSmall(docs)
+    // distinct-word frequency table, words as single-char symbol arrays.
+    // Round-17 optimization: LAZY persist instead of materialize() — each
+    // round's candidate collect is the job that populates the current words
+    // cache (one job per round instead of a count + a collect), and the
+    // FINAL round's re-segmentation is never computed at all (it used to be
+    // materialized and immediately unpersisted). The previous round's table
+    // stays cached until the collect that reads the next one has run, so
+    // nothing recomputes from scratch. x41: 4.29 -> measured below.
+    var words = spreadSmall(docs)
       .select(explode(split(lower(text), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(split(col("word"), "(?!^)(?=.)").as("syms"), col("freq")))
+      .select(split(col("word"), "(?!^)(?=.)").as("syms"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevWords: DataFrame = null
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -904,6 +913,9 @@ object GraftOps {
         .agg(sum(col("freq")).as("pair_freq"))
         .orderBy(col("pair_freq").desc, col("l"), col("r"))
         .limit(want * 4).collect()
+      // this collect just materialized the current words cache — the
+      // previous round's table has no remaining consumer
+      if (prevWords != null) { prevWords.unpersist(); prevWords = null }
       if (cand.isEmpty) exhausted = true
       else {
         // greedy prefix of mutually symbol-disjoint pairs (merged symbols
@@ -921,7 +933,9 @@ object GraftOps {
         // merge — a narrow fold; non-overlapping by construction (the
         // merged symbol won't re-match `a` unless it literally equals it,
         // which IS the BPE semantics), and disjoint pairs can't interact.
-        val next = materialize(words.select(
+        // Lazy persist: the NEXT round's candidate collect computes this off
+        // the still-cached current table and caches it in the same job.
+        val next = words.select(
           aggregate(col("syms"),
             array().cast("array<string>"),
             (acc, s) => {
@@ -932,11 +946,13 @@ object GraftOps {
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
               }.otherwise(grow)
             }).as("syms"),
-          col("freq")))
-        words.unpersist()
+          col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prevWords = words
         words = next
       }
     }
+    if (prevWords != null) prevWords.unpersist()
     words.unpersist()
     spark.createDataFrame(learned.toSeq)
       .toDF("rank", "left", "right", "merged", "pair_freq")

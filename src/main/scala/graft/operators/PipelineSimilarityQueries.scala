@@ -1411,13 +1411,29 @@ ORDER BY q.qid NULLS FIRST""")),
         val codes = enc.groupBy(col("vec_id"))
           .agg(expr("transform(array_sort(collect_list(struct(j, cid))), " +
             "x -> x.cid)").as("codes"))
-        coarse.write.mode("overwrite").parquet(s"$base/centroids")
-        c1.write.mode("overwrite").parquet(s"$base/codebooks")
-        queries.write.mode("overwrite").parquet(s"$base/queries")
-        cells.join(codes, "vec_id")
-          .select(col("cell"), col("vec_id"), col("v"), col("codes"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$base/index")
+        // the four artifact writes are mutually independent (coarse/c1/
+        // queries are checkpointed scans; the inverted file derives from the
+        // checkpointed coarse+enc) — submit them concurrently so later
+        // writes back-fill the tail of earlier ones (guide §2.6 "overlap
+        // independent jobs"); each write is its own output directory, so
+        // commit protocols don't interact.
+        val writes = Seq[() => Unit](
+          () => coarse.write.mode("overwrite").parquet(s"$base/centroids"),
+          () => c1.write.mode("overwrite").parquet(s"$base/codebooks"),
+          () => queries.write.mode("overwrite").parquet(s"$base/queries"),
+          () => cells.join(codes, "vec_id")
+            .select(col("cell"), col("vec_id"), col("v"), col("codes"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$base/index"))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val fs = writes.map(w => scala.concurrent.Future(w()))
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fs),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
         // ---- SERVE: persisted artifacts ONLY from here on ----
         val cent = s.read.parquet(s"$base/centroids")
         val cb = s.read.parquet(s"$base/codebooks")

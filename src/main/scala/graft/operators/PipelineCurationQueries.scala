@@ -468,9 +468,15 @@ ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST""")),
           .select(col("doc_id"), col("lang"), col("mguess").as("guess"))
           .withColumn("model", lit("majority"))
         val preds = nb.unionByName(heur).unionByName(majPred)
+        // checkpoint the 15-row per-(model,lang) rollup: it feeds BOTH the
+        // per-lang rows and the ALL rollup, and without truncation the union
+        // re-executed the entire upstream — including the full NB train+
+        // score (langid2) — twice per run (round-17 optimization; the x83
+        // recompute pattern)
         val perLang = preds.groupBy(col("model"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum((col("guess") === col("lang")).cast("long")).as("n_right"))
+          .localCheckpoint(true)
         val all = perLang.groupBy(col("model"))
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("n_right")).as("n_right"))
@@ -482,8 +488,13 @@ ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST""")),
         // (lang, word) chi-square independence over the FULL corpus
         val toks = docs.select(col("lang"),
           explode(split(col("text"), " ")).as("w"))
+        // checkpoint the contingency cells (|langs|x|vocab| rows, ~155 at
+        // sf0.1): FIVE consumers read them (row totals, column totals, the
+        // grid left join, the grand total, the dims count) and each used to
+        // re-execute the full-corpus explode+count (round-17 optimization)
         val cells = toks.groupBy(col("lang"), col("w"))
           .agg(count(lit(1)).as("o"))
+          .localCheckpoint(true)
         val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
         val colT = cells.groupBy(col("w")).agg(sum(col("o")).as("ct"))
         val grand = cells.agg(sum(col("o")).as("g"))

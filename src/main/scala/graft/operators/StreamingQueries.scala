@@ -48,10 +48,35 @@ object StreamingQueries {
     * partitions — 32 (the batch default here) quadruples per-batch commit
     * overhead for no parallelism gain at this state size. At 100 TB the same
     * knob scales up with cluster size instead. */
-  private[operators] def runToMemory(df: DataFrame, mode: String): DataFrame = {
+  private[operators] def runToMemory(df: DataFrame, mode: String): DataFrame =
+    runToMemory(df, mode, noDataBatch = true)
+
+  /** [[runToMemory]] with an opt-out of Spark's terminal no-data micro-batch
+    * (round-17 optimization). For an INNER stream-stream join run to
+    * completion with AvailableNow, the final empty batch only EVICTS state —
+    * it can never emit a row (inner matches emit during data batches) — yet
+    * it pays a full trigger: incremental re-plan plus a state-store commit on
+    * every partition x store (measured 1.4 s of s08's 3.9 s). A bounded
+    * backfill doesn't need end-of-run eviction: the query terminates and the
+    * checkpoint is scratch. ONLY valid when the terminal batch provably
+    * cannot emit (inner joins); outer joins and append-mode window/session
+    * aggregates EMIT from that batch and must keep the default. The conf is
+    * flipped on the (single-threaded) harness session around the run and
+    * restored after termination. */
+  private[operators] def runToMemory(df: DataFrame, mode: String,
+      noDataBatch: Boolean): DataFrame = {
     // the 8-partition state sizing lives on the per-parent CLONED session
     // (streamSession) that every query fn here runs on — never set session-
     // globally, which would leak into concurrent batch queries.
+    val sess = df.sparkSession
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = sess.conf.get(ndKey, "true")
+    if (!noDataBatch) sess.conf.set(ndKey, "false")
+    try runToMemoryImpl(df, mode)
+    finally if (!noDataBatch) sess.conf.set(ndKey, ndPrev)
+  }
+
+  private def runToMemoryImpl(df: DataFrame, mode: String): DataFrame = {
     val ckpt = Files.createTempDirectory(tmpBase, "graft-ckpt").toString
     if (mode == "append") {
       // append-mode outputs can be TABLE-sized (the s01/s23/s25 envelopes

@@ -275,7 +275,8 @@ GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""")),
             col("v_user") === col("p_user")
               && col("p_ts") >= col("v_ts")
               && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")),
-          "append")
+          "append", noDataBatch = false) // inner join: terminal batch
+                                         // evicts only, never emits
           .select(col("view_id"), col("purchase_id"))
           .orderBy(col("view_id"), col("purchase_id"))
       },
@@ -450,7 +451,8 @@ ORDER BY h NULLS FIRST""")),
             col("k1") === col("k2")
               && col("t2") >= col("t1") - expr("INTERVAL 1 HOUR")
               && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR")),
-          "append")
+          "append", noDataBatch = false) // inner join: terminal batch
+                                         // evicts only, never emits
           .select(col("k1"), col("o1"), col("o2"))
           .orderBy(col("k1"))
       },

@@ -857,6 +857,9 @@ ORDER BY d.doc_id NULLS FIRST""")),
           .groupBy(col("event_type"))
           .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
             countDistinct(col("user_id")).as("exact"))
+          // |event_type| rows, two consumers (per-stratum + ALL rollup):
+          // checkpoint so the sketch build scans the events once (round 17)
+          .localCheckpoint(true)
         val per = sk.select(col("event_type"),
           hll_sketch_estimate(col("sk")).as("est"), col("exact"))
         val total = sk.agg(

@@ -584,6 +584,10 @@ FROM events ORDER BY key NULLS FIRST""")),
           .agg(count(lit(1)).as("cc"),
             sum(when(col("source") === "src0", lit(1L))
               .otherwise(lit(0L))).as("tc"))
+          // checkpoint the <=512-row bucket table: THREE driver fetches read
+          // it (tot, the rates6 collect, the default6 collect) and each used
+          // to re-execute the full corpus explode+md5 training scan
+          .localCheckpoint(true)
         // train with EXACTLY x69's engine formulation (hash-proven against
         // the oracle), then collect the 512 micro-unit longs driver-side
         val tot = bc.agg(sum(col("cc")).as("c"), sum(col("tc")).as("t"))

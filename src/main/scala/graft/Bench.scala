@@ -87,6 +87,12 @@ object Bench {
     // r12 #7): the layout cost stays visible as its own line instead of
     // inflating the exchange-free SMJ's number ~10x.
     val bucketName = "setup_buckets"
+    // The shared ANN training artifacts (coarse codebook, inverted file, PQ
+    // codebooks/codes/queries — reused by x79/x03b/x03d/x03e/s66), split
+    // out the same way in round 18 (VERDICT r17 #1): trained once per rep,
+    // charged to a named setup line instead of whichever ANN lane runs
+    // first. ADDITIVE bench change only — no query removed or renamed.
+    val annName = "setup_ann_memo"
     def timedSetup(name: String)(body: => Unit): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { body; true }
@@ -107,7 +113,9 @@ object Bench {
         timedSetup(setupName)(
           operators.PipelineQueries.warmPairMemo(spark, sfDir)),
         timedSetup(bucketName)(
-          operators.RelationalQueries3.ensureBucketTables(spark, sfDir)))
+          operators.RelationalQueries3.ensureBucketTables(spark, sfDir)),
+        timedSetup(annName)(
+          operators.PipelineQueries.warmAnnMemo(spark, sfDir)))
       else Seq.empty // BENCH_ONLY = standalone adjudication: the named
                      // query pays its own memo, like a cold process would
       setup ++ registry.map { q =>
@@ -132,8 +140,8 @@ object Bench {
     // time-to-throw is not a throughput number) and listed separately.
     val byName = runs.flatten.groupBy(_._1)
     val ordered =
-      (if (only.isEmpty) Seq(setupName, bucketName) else Seq.empty) ++
-        registry.map(_.name)
+      (if (only.isEmpty) Seq(setupName, bucketName, annName)
+       else Seq.empty) ++ registry.map(_.name)
     val good = ordered.flatMap { n =>
       val oks = byName(n).collect { case (_, v, true) => v }
       if (oks.isEmpty) None else Some(n -> oks.min)
@@ -202,8 +210,8 @@ object Bench {
     // n_queries counts REGISTRY queries only; the shared-setup lines
     // (setup_pair_memo, setup_buckets) are timed and present in the map
     // but are not queries (VERDICT r14 cosmetic note)
-    val nRegistry =
-      good.count(g => g._1 != setupName && g._1 != bucketName)
+    val nRegistry = good.count(g =>
+      g._1 != setupName && g._1 != bucketName && g._1 != annName)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nRegistry,"n_setup":${good.size - nRegistry},"failed":$fs,"sf":"$sfDir","queries":$qsTop$pointer}""")
     System.out.flush()

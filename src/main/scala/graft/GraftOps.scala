@@ -671,6 +671,14 @@ object GraftOps {
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       nbrs.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo")) // v > u >= m: canonical
+        // NOTE (r18 A/B): dropping this intermediate repartition+distinct is
+        // provably set-identical at the round boundary (smallStar's window
+        // min is duplicate-insensitive and smallStar ends in its own
+        // distinct; StarContractionSpec stayed green) but measured FLAT —
+        // x07_star 5.34 -> 5.49 s standalone min-of-3: the loop is per-round
+        // job-latency-bound at this scale, not exchange-bound. Kept, since
+        // the dedup also bounds the multiset blowup between rewrites at
+        // 100 TB edge counts.
         .repartition(n, col("hi"), col("lo")).distinct()
     }
 

@@ -174,11 +174,11 @@ object GraftFunctions {
   def avi_frame_sample(bytes: Column, every: Column): Column =
     c(AviFrameSample(x(bytes), x(every)))
 
-  /** encode an array<struct<name,data>> as a real POSIX ustar archive (the
-    * WebDataset shard layout); deterministic fixed metadata. */
   /** Pack an int array into a binary (one byte per element, low 8 bits). */
   def pack_bytes(ints: Column): Column = c(PackBytes(x(ints)))
 
+  /** encode an array<struct<name,data>> as a real POSIX ustar archive (the
+    * WebDataset shard layout); deterministic fixed metadata. */
   def tar_pack(entries: Column): Column = c(TarPack(x(entries)))
 
   /** walk a ustar header chain: one (name, size, chksum_ok, data_sum,

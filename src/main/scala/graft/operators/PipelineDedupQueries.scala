@@ -318,13 +318,13 @@ FROM r ORDER BY doc_id NULLS FIRST""")),
     GQuery("x33_threshold_sweep",
       (s, d) => {
         import s.implicits._
-        // checkpoint the scored pairs: the plan forks into the pair-count
-        // and distinct-doc branches, which would otherwise re-run the
-        // expensive inverted-index join once EACH (2× the dominant stage;
-        // the scored-pair table itself is tiny — survivors of the 0.25 cut)
-        val pairs = graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
-          col("doc_id"), col("text"), k = 5, threshold = 0.25)
-          .localCheckpoint()
+        // the memoized 0.25-threshold scored pair table (round 18): the
+        // expensive inverted-index join is the SAME computation the shared
+        // pair memo runs (candidate stage is threshold-independent), so the
+        // sweep reads the setup_pair_memo table instead of re-running it.
+        // The memo is already checkpointed — the pair-count and distinct-doc
+        // branches both read the materialized table.
+        val pairs = PipelineShared.scoredPairs025(s, d)
         val thr = Seq(25L, 35L, 50L, 65L, 80L).toDF("thr_pct")
         val pp = pairs.crossJoin(thr)
           .filter(col("j") >= col("thr_pct").cast("double") / 100.0)

@@ -15,14 +15,22 @@ import org.apache.spark.sql.SparkSession
   */
 object PipelineQueries {
 
-  /** Drop memoized pair tables (Bench calls this between registry reps so a
-    * repeat pass re-pays pair generation instead of timing a cache hit). */
-  private[graft] def resetMemo(): Unit = PipelineShared.resetMemo()
+  /** Drop memoized pair/ANN tables (Bench calls this between registry reps
+    * so a repeat pass re-pays generation instead of timing a cache hit). */
+  private[graft] def resetMemo(): Unit = {
+    PipelineShared.resetMemo()
+    PipelineSimilarityQueries.resetAnnMemo()
+  }
 
   /** Materialize the shared pair table eagerly as Bench's NAMED
     * `setup_pair_memo` step (see PipelineShared for why). */
   private[graft] def warmPairMemo(s: SparkSession, d: String): Unit =
     PipelineShared.warmPairMemo(s, d)
+
+  /** Materialize the shared ANN training artifacts eagerly as Bench's NAMED
+    * `setup_ann_memo` step (see PipelineSimilarityQueries for why). */
+  private[graft] def warmAnnMemo(s: SparkSession, d: String): Unit =
+    PipelineSimilarityQueries.warmAnnMemo(s, d)
 
   /** The registry, in family order. Query bodies live in the five family
     * files (round-11 split, VERDICT r10 #9); every name and oracle is

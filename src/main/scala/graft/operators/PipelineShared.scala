@@ -126,11 +126,21 @@ private[operators] object PipelineShared {
     * compute the candidate pair table once, write it, feed every consumer. */
   private val pairMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+  /** Scored exact-Jaccard pairs at j >= 0.25 — the SUPERSET table the
+    * round-18 memo actually holds. jaccardNearDups' candidate stage is
+    * threshold-INDEPENDENT (inverted index + df cap; the threshold is only
+    * the final filter on the exact j), so memoizing at the lowest consumer
+    * threshold (x33's 0.25 sweep floor) lets x33 reuse the memo verbatim
+    * while every 0.5 consumer applies a provably-equal `j >= 0.5` filter —
+    * identical candidate set, identical exact j doubles, same rows as the
+    * threshold=0.5 call the memo held before. */
+  private[operators] def scoredPairs025(s: SparkSession, d: String): DataFrame =
     pairMemo.computeIfAbsent((s, d), _ =>
       graft.GraftOps.jaccardNearDups(t(s, d, "documents"),
-        col("doc_id"), col("text"), k = 5, threshold = 0.5)
+        col("doc_id"), col("text"), k = 5, threshold = 0.25)
         .localCheckpoint())
+  private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    scoredPairs025(s, d).filter(col("j") >= 0.5)
 
   /** Drop memoized pair tables (Bench calls this between registry reps so a
     * repeat pass re-pays pair generation instead of timing a cache hit). */
@@ -146,7 +156,7 @@ private[operators] object PipelineShared {
     * round-10 verdict traced a 1.5–1.8× flag family to exactly that
     * accounting ambiguity. */
   private[graft] def warmPairMemo(s: SparkSession, d: String): Unit = {
-    nearDupPairs(s, d)
+    scoredPairs025(s, d)
     ()
   }
 

@@ -204,8 +204,10 @@ ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val assign = ivfAssign _
-        val c1 = ivfCodebook(e)
-        val enc = assign(c1, e, "vec_id")
+        // coarse codebook + inverted file: memo-backed (setup_ann_memo) —
+        // identical lineage to the private ivfCodebook/ivfAssign it replaces
+        val c1 = coarseIndex(s, d)
+        val enc = cellsIndexIfWarm(s, d)
           .select(col("vec_id"), col("cid").as("cell"), col("v"))
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v"))
@@ -1027,7 +1029,10 @@ FROM st GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
         // per pixel + array_join + unhex per frame — ~19M transient strings
         // per pass at sf0.1); pack_bytes writes the same bytes directly
         // (BytePackSpec pins byte-identity to the unhex form). Same value
-        // definition, so the oracle is untouched.
+        // definition, so the oracle is untouched. PRECONDITION (ADVICE
+        // r17): the pinned identity holds for inputs in 0..255 only —
+        // event_id is non-negative and the value is %256-reduced here, so
+        // the toByte low-8-bit vs hex-truncation divergence is unreachable.
         val frames = transform(
           sequence(lit(0), lit(7) + (col("event_id") % 9).cast("int")),
           f => graft.functions.GraftFunctions.pack_bytes(
@@ -1113,8 +1118,9 @@ GROUP BY k.event_type ORDER BY k.event_type NULLS FIRST""")),
         val L2 = graft.functions.GraftFunctions.l2_dist _
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // PQ train/encode/queries/LUT: single-sourced with x03d
-        val (c1, enc, queries, lut) = pqPipeline(e)
+        // PQ train/encode/queries/LUT: single-sourced with x03d (memoized
+        // once per run — the setup_ann_memo step; identical lineage)
+        val (c1, enc, queries, lut) = pqPipeline(s, d)
         val adc = enc.join(broadcast(lut), Seq("j", "cid"))
           .filter(col("vec_id") =!= col("qid"))
           .groupBy(col("qid"), col("vec_id"))
@@ -1249,13 +1255,14 @@ ORDER BY q.qid NULLS FIRST""")),
         val L2 = graft.functions.GraftFunctions.l2_dist _
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // coarse IVF cells (x03b machinery): 16 cells, every vector filed
-        val coarse = ivfCodebook(e)
-        val cells = ivfAssign(coarse, e, "vec_id")
+        // coarse IVF cells (x03b machinery) + PQ artifacts: memo-backed —
+        // warm fills both chains as overlapped jobs if absent (guide §2.6)
+        warmAnnMemo(s, d)
+        val coarse = coarseIndex(s, d)
+        val cells = cellsIndex(s, d)
           .select(col("vec_id"), col("cid").as("cell"))
-          .localCheckpoint(true)
         // PQ train/encode/queries/LUT: single-sourced with x79
-        val (c1, enc, queries, lut) = pqPipeline(e)
+        val (c1, enc, queries, lut) = pqPipeline(s, d)
         // ROUTE: nprobe=6 nearest coarse cells per query
         val wr = Window.partitionBy(col("qid"))
           .orderBy(col("dist"), col("cid"))
@@ -1402,12 +1409,13 @@ ORDER BY q.qid NULLS FIRST""")),
         val L2 = graft.functions.GraftFunctions.l2_dist _
         // ---- TRAIN: build + persist the index artifacts (once) ----
         val base = graft.Scratch.dir("graft_ivf_index", d)
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val coarse = ivfCodebook(e)
-        val cells = ivfAssign(coarse, e, "vec_id")
+        // training artifacts are memo-backed (setup_ann_memo) — warm fills
+        // the coarse and PQ chains as overlapped jobs if absent
+        warmAnnMemo(s, d)
+        val coarse = coarseIndex(s, d)
+        val cells = cellsIndex(s, d)
           .select(col("vec_id"), col("cid").as("cell"), col("v"))
-        val (c1, enc, queries, _) = pqPipeline(e)
+        val (c1, enc, queries, _) = pqPipeline(s, d)
         val codes = enc.groupBy(col("vec_id"))
           .agg(expr("transform(array_sort(collect_list(struct(j, cid))), " +
             "x -> x.cid)").as("codes"))
@@ -1425,14 +1433,28 @@ ORDER BY q.qid NULLS FIRST""")),
             .select(col("cell"), col("vec_id"), col("v"), col("codes"))
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$base/index"))
+        val sc = s.sparkContext
+        val group = s"x03e-index-write-${java.util.UUID.randomUUID()}"
         val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          val fs = writes.map(w => scala.concurrent.Future(w()))
+          // each write runs under a shared job group so a failure can
+          // cancel the in-flight siblings instead of leaving background
+          // jobs running after the exception propagates (ADVICE r17)
+          val fs = writes.map(w => scala.concurrent.Future {
+            sc.setJobGroup(group, "x03e index artifact write")
+            try w() finally sc.clearJobGroup()
+          })
           scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(fs),
-            scala.concurrent.duration.Duration.Inf)
+            scala.concurrent.duration.Duration(600, "s"))
+        } catch {
+          case t: Throwable =>
+            sc.cancelJobGroup(group)
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw t
         } finally pool.shutdown()
         // ---- SERVE: persisted artifacts ONLY from here on ----
         val cent = s.read.parquet(s"$base/centroids")
@@ -1637,56 +1659,159 @@ FROM a ORDER BY label NULLS FIRST"""))
       .select(col(idc), col("x.j").as("j"), col("x.sv").as("sv"))
   }
 
-  /** The PQ machinery shared VERBATIM by x79 (full-scan ADC) and x03d
-    * (the IVFADC composition) — single-sourced so the cross-engine-
-    * sensitive choices (md5 seed selection, decimal-exact centroid
-    * update, (dist, cid) tie-break, LUT quantization, the 8-query seed
-    * derivation) cannot diverge between the twins. Returns (c1 subspace
-    * codebooks, enc codes, queries, lut), each lineage-truncated exactly
-    * as x79 always did. */
-  private def pqPipeline(e: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** The (vec_id, v) view every ANN lane trains and serves from — a single
+    * definition so the memo keys below always see the identical lineage. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  // ---- Shared, memoized ANN training artifacts (round 18, VERDICT r17 #1).
+  // x79 / x03b / x03d / x03e / s66 each re-trained the identical coarse
+  // codebook and/or PQ machinery from scratch (deterministic: md5 seeds,
+  // decimal-exact Lloyd), so the training jobs ran up to 4x per registry
+  // pass. The setup_pair_memo pattern applies verbatim: compute once per
+  // (session, dir), lineage-truncate with an eager localCheckpoint (which
+  // the bench harness's per-query clearCache() does not evict), reset
+  // between bench reps, and charge the warm-up to a NAMED setup step
+  // (setup_ann_memo) so the cost stays visible instead of landing on
+  // whichever lane runs first. Standalone (BENCH_ONLY) runs still pay the
+  // full training inside the query via computeIfAbsent. Results are
+  // unchanged — the memo holds the exact same checkpointed DataFrames the
+  // lanes built privately before.
+  private val coarseMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** Trained coarse (IVF) codebook: 16 centroids. Shared by x03b/x03d/x03e
+    * and s66's driver-side collect. */
+  private[operators] def coarseIndex(s: SparkSession, d: String): DataFrame =
+    coarseMemo.computeIfAbsent((s, d), _ => ivfCodebook(emb(s, d)))
+
+  /** Full-corpus coarse assignment (vec_id, cid, v) — the inverted file.
+    * Shared by x03b (in-cell candidates), x03d (cell prune) and x03e (the
+    * persisted index rows). */
+  private[operators] def cellsIndex(s: SparkSession, d: String): DataFrame =
+    cellsMemo.computeIfAbsent((s, d), _ =>
+      ivfAssign(coarseIndex(s, d), emb(s, d), "vec_id").localCheckpoint(true))
+
+  /** The memoized inverted file when a setup-warmed run already holds it,
+    * else the SAME lazy assign the caller ran privately before the memo
+    * existed. x03b consumes cells exactly once (pipelined into its
+    * candidate join), so an eager materialization only pays off when the
+    * table is shared — a standalone run should not buy it (measured
+    * 1.39 → 1.6 s standalone with the eager path; identical lineage, so
+    * results cannot differ between the two branches). */
+  private[operators] def cellsIndexIfWarm(s: SparkSession, d: String): DataFrame =
+    Option(cellsMemo.get((s, d))).getOrElse(
+      ivfAssign(coarseIndex(s, d), emb(s, d), "vec_id"))
+
+  /** Trained PQ artifacts (c1 subspace codebooks, enc codes, queries) —
+    * single-sourced so the cross-engine-sensitive choices (md5 seed
+    * selection, decimal-exact centroid update, (dist, cid) tie-break, the
+    * 8-query seed derivation) cannot diverge between x79/x03d/x03e. The
+    * `queries` checkpoint is independent of the c1→enc chain, so the two
+    * subtrees run as overlapped jobs (guide §2.6). */
+  private[operators] def pqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    pqMemo.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val L2 = graft.functions.GraftFunctions.l2_dist _
+      val e = emb(s, d)
+      val sub = pqSub(e, "vec_id")
+      val wSeed = Window.orderBy(col("h"), col("vec_id"))
+      val seeds = e
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .select(col("vec_id"), row_number().over(wSeed).as("cid"))
+      val c0 = sub.join(seeds, "vec_id")
+        .select(col("j"), col("cid"), col("sv").as("cv"))
+      // broadcast codebook + map-side min_by: the n*k candidate rows
+      // collapse to n*m in the partial aggregate before any exchange
+      def assign(cb: DataFrame): DataFrame =
+        sub.join(broadcast(cb), "j")
+          .withColumn("dist", L2(col("sv"), col("cv")))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min_by(struct(col("cid"), col("sv")),
+            struct(col("dist"), col("cid"))).as("sel"))
+          .select(col("vec_id"), col("j"), col("sel.cid").as("cid"),
+            col("sel.sv").as("sv"))
+      // the 8-query selection only scans e — independent of the codebook
+      // chain; run its checkpoint job concurrently with c1/enc
+      val qPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      val fq = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(qPool)
+        scala.concurrent.Future(e
+          .select(col("vec_id").as("qid"), col("v"),
+            md5(concat(lit("q:"), col("vec_id").cast("string"))).as("h"))
+          .orderBy(col("h"), col("qid")).limit(8)
+          .select(col("qid"), col("v")).localCheckpoint(true))
+      } finally qPool.shutdown()
+      val c1 = assign(c0)
+        .select(col("j"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("j"), col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("j"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "x -> x.m)").as("cv"))
+        .localCheckpoint(true)
+      val enc = assign(c1).drop("sv").localCheckpoint(true)
+      val queries = scala.concurrent.Await.result(
+        fq, scala.concurrent.duration.Duration(600, "s"))
+      (c1, enc, queries)
+    })
+
+  /** Warm every ANN memo as overlapped jobs — the Bench setup_ann_memo
+    * step. The coarse→cells chain and the PQ chain are independent
+    * subtrees over the same scan, so they back-fill each other's task
+    * tails (guide §2.6). */
+  private[graft] def warmAnnMemo(s: SparkSession, d: String): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = Seq(
+        scala.concurrent.Future { cellsIndex(s, d); () },
+        scala.concurrent.Future { pqIndex(s, d); () })
+      fs.foreach(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration(600, "s")))
+    } finally pool.shutdown()
+  }
+
+  /** Drop the memoized ANN artifacts (Bench calls this between registry
+    * reps via PipelineQueries.resetMemo so a repeat pass re-trains). */
+  private[graft] def resetAnnMemo(): Unit = {
+    coarseMemo.values.forEach(_.unpersist())
+    cellsMemo.values.forEach(_.unpersist())
+    pqMemo.values.forEach { case (a, b, c) =>
+      a.unpersist(); b.unpersist(); c.unpersist()
+    }
+    coarseMemo.clear(); cellsMemo.clear(); pqMemo.clear()
+  }
+
+  /** The broadcastable per-query ADC lookup table (|q|·m·k = 1024 rows),
+    * derived lazily from the memoized queries × codebooks. */
+  private def pqLut(queries: DataFrame, c1: DataFrame): DataFrame = {
     val L2 = graft.functions.GraftFunctions.l2_dist _
-    val sub = pqSub(e, "vec_id")
-    val wSeed = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = e
-      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(16)
-      .select(col("vec_id"), row_number().over(wSeed).as("cid"))
-    val c0 = sub.join(seeds, "vec_id")
-      .select(col("j"), col("cid"), col("sv").as("cv"))
-    // broadcast codebook + map-side min_by: the n*k candidate rows
-    // collapse to n*m in the partial aggregate before any exchange
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), "j")
-        .withColumn("dist", L2(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(min_by(struct(col("cid"), col("sv")),
-          struct(col("dist"), col("cid"))).as("sel"))
-        .select(col("vec_id"), col("j"), col("sel.cid").as("cid"),
-          col("sel.sv").as("sv"))
-    val c1 = assign(c0)
-      .select(col("j"), col("cid"), posexplode(col("sv")))
-      .groupBy(col("j"), col("cid"), col("pos"))
-      .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
-        count(lit(1))).as("m"))
-      .groupBy(col("j"), col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-        "x -> x.m)").as("cv"))
-      .localCheckpoint(true)
-    val enc = assign(c1).drop("sv").localCheckpoint(true)
-    val queries = e
-      .select(col("vec_id").as("qid"), col("v"),
-        md5(concat(lit("q:"), col("vec_id").cast("string"))).as("h"))
-      .orderBy(col("h"), col("qid")).limit(8)
-      .select(col("qid"), col("v")).localCheckpoint(true)
-    val lut = pqSub(queries, "qid").withColumnRenamed("sv", "qv")
+    pqSub(queries, "qid").withColumnRenamed("sv", "qv")
       .join(c1, "j")
       .withColumn("qd", L2(col("qv"), col("cv")))
       .select(col("qid"), col("j"), col("cid"),
         (col("qd") * col("qd")).cast("decimal(18,9)").as("qd2"))
-    (c1, enc, queries, lut)
+  }
+
+  /** The PQ machinery shared VERBATIM by x79 (full-scan ADC), x03d (the
+    * IVFADC composition) and x03e (train/serve split) — memo-backed since
+    * round 18. Returns (c1 subspace codebooks, enc codes, queries, lut),
+    * lineage-truncated exactly as x79 always built them. */
+  private def pqPipeline(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (c1, enc, queries) = pqIndex(s, d)
+    (c1, enc, queries, pqLut(queries, c1))
   }
 
   /** Deterministic two-stage (salted) distributed top-k over

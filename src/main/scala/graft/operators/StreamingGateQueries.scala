@@ -101,6 +101,9 @@ private[operators] object StreamingGateQueries {
               size(col("sh")).cast("double") < 0.15)
           .withColumn("p3", score >= 0.6)
           .select(col("tok"), col("p2"), col("p3"))
+        // NOTE (r18): the only stateful operator is the unwatermarked
+        // dropDuplicates("h") — no terminal no-data batch is scheduled, so
+        // the s18-style opt-out measured as a no-op (2.05 vs 2.48 s, noise)
         val sunk = runToMemory(flags, "append")
         val raw = ds.filter(isFresh)
           .agg(count(lit(1)).as("n_docs"),
@@ -705,7 +708,9 @@ FROM sm ORDER BY event_id NULLS FIRST""")),
     GQuery("s63_stream_video_qa",
       (s, d) => {
         // pack_bytes frame generator — see x80 (same bytes, no per-pixel
-        // hex-string round trip; BytePackSpec pins the equivalence)
+        // hex-string round trip; BytePackSpec pins the equivalence).
+        // PRECONDITION (ADVICE r17): identity pinned for 0..255 inputs
+        // only; event_id >= 0 and %256 reduction keep it in range here.
         val frames = transform(
           sequence(lit(0), lit(7) + (col("event_id") % 9).cast("int")),
           f => graft.functions.GraftFunctions.pack_bytes(
@@ -766,7 +771,7 @@ FROM k JOIN a USING (event_id) ORDER BY event_id NULLS FIRST""")),
         val e = Tables.table(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val cb: Array[(Int, Seq[Double])] = graft.GraftOps.boundedCollect(
-          PipelineSimilarityQueries.ivfCodebook(e),
+          PipelineSimilarityQueries.coarseIndex(s, d),
           16, "s66 IVF coarse codebook (k = 16 centroids)")
           .map(r => r.getInt(0) -> r.getSeq[Double](1))
         val L2 = graft.functions.GraftFunctions.l2_dist _

@@ -63,17 +63,38 @@ object StreamingQueries {
     * aggregates EMIT from that batch and must keep the default. The conf is
     * flipped on the (single-threaded) harness session around the run and
     * restored after termination. */
+  /** Guard for the noDataBatch conf flip (ADVICE r17): the flip mutates the
+    * shared harness session for the duration of the blocking run, which is
+    * only safe while streaming queries run strictly sequentially (true
+    * today). If a concurrent stream ever starts inside the flipped window
+    * it would silently inherit enabled=false and could drop terminal-batch
+    * emissions — fail loudly instead. */
+  private val ndFlipOwner =
+    new java.util.concurrent.atomic.AtomicReference[Thread](null)
+
   private[operators] def runToMemory(df: DataFrame, mode: String,
       noDataBatch: Boolean): DataFrame = {
     // the 8-partition state sizing lives on the per-parent CLONED session
     // (streamSession) that every query fn here runs on — never set session-
     // globally, which would leak into concurrent batch queries.
     val sess = df.sparkSession
+    val owner = ndFlipOwner.get()
+    require(owner == null || owner == Thread.currentThread(),
+      s"streaming query started while thread '${owner.getName}' holds the " +
+        "noDataMicroBatches=false window — concurrent streams would " +
+        "silently inherit the flipped conf; serialize the runs instead")
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = sess.conf.get(ndKey, "true")
-    if (!noDataBatch) sess.conf.set(ndKey, "false")
+    if (!noDataBatch) {
+      require(ndFlipOwner.compareAndSet(null, Thread.currentThread()),
+        "concurrent noDataBatch=false streaming runs")
+      sess.conf.set(ndKey, "false")
+    }
     try runToMemoryImpl(df, mode)
-    finally if (!noDataBatch) sess.conf.set(ndKey, ndPrev)
+    finally if (!noDataBatch) {
+      sess.conf.set(ndKey, ndPrev)
+      ndFlipOwner.set(null)
+    }
   }
 
   private def runToMemoryImpl(df: DataFrame, mode: String): DataFrame = {
@@ -123,6 +144,16 @@ object StreamingQueries {
     harness.computeIfAbsent(parent, p => {
       val c = p.newSession()
       c.conf.set("spark.sql.shuffle.partitions", "8")
+      // A/B seam (round 18): semicolon-separated k=v pairs applied to the
+      // CLONED stream session only — parameterises scale-dependent state
+      // store choices (provider class, state compression codec) for
+      // measurement sweeps without touching the batch session or the bench
+      // contract. Unset (the default, and every driver run) = stock confs.
+      sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(_.split(";")
+        .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          c.conf.set(k.trim, v.trim)
+        })
       c
     })
 

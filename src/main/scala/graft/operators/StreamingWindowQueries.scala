@@ -236,6 +236,9 @@ ORDER BY ws_sec NULLS FIRST""")),
       (s, d) => runToMemory(
         replayStream(s, d).unionAll(replayStream(s, d))
           .dropDuplicates("partition", "offset"),
+        // NOTE (r18): unwatermarked dedup never schedules a terminal no-data
+        // batch (nothing to evict), so the s18-style opt-out is a no-op here
+        // — A/B measured 1.20 vs 1.35 s (noise); left at the default
         "append")
         .groupBy(col("partition").cast("long").as("partition"))
         .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"))
@@ -299,7 +302,11 @@ ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""")),
           .withColumn("ts", col("timestamp"))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("partition", "offset"),
-        "append")
+        // terminal-batch proof: watermarked dedup emits each kept row in the
+        // data batch it first arrives in; the terminal no-data batch only
+        // EVICTS expired dedup keys and provably cannot emit — and a bounded
+        // run's checkpoint is scratch, so the eviction itself is dead work
+        "append", noDataBatch = false)
         .groupBy(col("partition").cast("long").as("partition"))
         .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"))
         .orderBy(col("partition")),

@@ -93,6 +93,12 @@ object Bench {
     // charged to a named setup line instead of whichever ANN lane runs
     // first. ADDITIVE bench change only — no query removed or renamed.
     val annName = "setup_ann_memo"
+    // The shared NB language-id prediction table (trained once, read by
+    // x04_langid2 and x78b_langid2_audit), split out the same way.
+    val langidName = "setup_langid_memo"
+    // The shared near-dup cluster assignment (one min-label CC run over the
+    // memoized pair table, read by x07/x32/x56/x64), split out the same way.
+    val ccName = "setup_cc_memo"
     def timedSetup(name: String)(body: => Unit): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { body; true }
@@ -115,7 +121,11 @@ object Bench {
         timedSetup(bucketName)(
           operators.RelationalQueries3.ensureBucketTables(spark, sfDir)),
         timedSetup(annName)(
-          operators.PipelineQueries.warmAnnMemo(spark, sfDir)))
+          operators.PipelineQueries.warmAnnMemo(spark, sfDir)),
+        timedSetup(langidName)(
+          operators.PipelineQueries.warmLangidMemo(spark, sfDir)),
+        timedSetup(ccName)(
+          operators.PipelineQueries.warmCcMemo(spark, sfDir)))
       else Seq.empty // BENCH_ONLY = standalone adjudication: the named
                      // query pays its own memo, like a cold process would
       setup ++ registry.map { q =>
@@ -140,7 +150,8 @@ object Bench {
     // time-to-throw is not a throughput number) and listed separately.
     val byName = runs.flatten.groupBy(_._1)
     val ordered =
-      (if (only.isEmpty) Seq(setupName, bucketName, annName)
+      (if (only.isEmpty)
+         Seq(setupName, bucketName, annName, langidName, ccName)
        else Seq.empty) ++ registry.map(_.name)
     val good = ordered.flatMap { n =>
       val oks = byName(n).collect { case (_, v, true) => v }
@@ -210,8 +221,8 @@ object Bench {
     // n_queries counts REGISTRY queries only; the shared-setup lines
     // (setup_pair_memo, setup_buckets) are timed and present in the map
     // but are not queries (VERDICT r14 cosmetic note)
-    val nRegistry = good.count(g =>
-      g._1 != setupName && g._1 != bucketName && g._1 != annName)
+    val setupNames = Set(setupName, bucketName, annName, langidName, ccName)
+    val nRegistry = good.count(g => !setupNames(g._1))
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nRegistry,"n_setup":${good.size - nRegistry},"failed":$fs,"sf":"$sfDir","queries":$qsTop$pointer}""")
     System.out.flush()

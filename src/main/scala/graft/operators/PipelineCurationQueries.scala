@@ -454,7 +454,9 @@ ORDER BY cells.lang NULLS FIRST, guess NULLS FIRST""")),
           .filter(col("text").isNotNull && length(col("text")) > 0 &&
             col("lang").isNotNull)
         val hold = docs.filter(col("doc_id") % 2 === 1)
-        val nb = langid2(s, d).filter(col("doc_id") % 2 === 1)
+        // memo-backed since round 18 (setup_langid_memo) — the NB
+        // train+score is shared with x04_langid2 instead of re-trained here
+        val nb = langid2Memo(s, d).filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"), col("lang"), col("guess"))
           .withColumn("model", lit("nb"))
         val heur = hold.select(col("doc_id"), col("lang"),

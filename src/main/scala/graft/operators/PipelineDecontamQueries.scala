@@ -242,8 +242,7 @@ FROM b GROUP BY split ORDER BY split NULLS FIRST""")),
     // with the quadratic oracles pruned at sf0.1).
     GQuery("x56_leakage_free_split",
       (s, d) => {
-        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
+        val clusters = nearDupClusters(s, d) // shared CC memo (r18)
         val docs = t(s, d, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("tok"))

@@ -219,8 +219,9 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
     // directly compared). O-class: DuckDB replays the closure with a
     // recursive CTE over the same exact-Jaccard pair set.
     GQuery("x07_dedup_clusters",
-      (s, d) => graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
+      // memo-backed since round 18 (setup_cc_memo): identical min-label
+      // loop, shared with x32/x56/x64 instead of re-run per lane
+      (s, d) => nearDupClusters(s, d)
         .orderBy(col("doc_id")),
       Some(x07OracleSql)),
 
@@ -247,8 +248,7 @@ ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""")),
     GQuery("x32_cluster_keeper",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
+        val clusters = nearDupClusters(s, d) // shared CC memo (r18)
         val assigned = docs.select(col("doc_id"))
           .join(clusters, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -32,6 +32,16 @@ object PipelineQueries {
   private[graft] def warmAnnMemo(s: SparkSession, d: String): Unit =
     PipelineSimilarityQueries.warmAnnMemo(s, d)
 
+  /** Materialize the shared NB language-id predictions eagerly as Bench's
+    * NAMED `setup_langid_memo` step (see PipelineShared for why). */
+  private[graft] def warmLangidMemo(s: SparkSession, d: String): Unit =
+    PipelineShared.warmLangidMemo(s, d)
+
+  /** Materialize the shared near-dup cluster assignment eagerly as Bench's
+    * NAMED `setup_cc_memo` step (see PipelineShared for why). */
+  private[graft] def warmCcMemo(s: SparkSession, d: String): Unit =
+    PipelineShared.warmCcMemo(s, d)
+
   /** The registry, in family order. Query bodies live in the five family
     * files (round-11 split, VERDICT r10 #9); every name and oracle is
     * byte-identical to the pre-split registry. */

@@ -866,8 +866,7 @@ FROM kept GROUP BY 1 ORDER BY split NULLS FIRST""")),
             size(split(col("text"), " ")).cast("long").as("tok"))
           .withColumn("h", md5(col("text")))
         val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
-        val clusters = graft.GraftOps.dedupClusters(nearDupPairs(s, d),
-          col("doc_a"), col("doc_b"))
+        val clusters = nearDupClusters(s, d) // shared CC memo (r18)
         val withC = base.join(keeper, "h")
           .join(clusters, Seq("doc_id"), "left")
           .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))

@@ -21,7 +21,7 @@ case class MMFeature(doc_id: Long, n_bytes: Long, n_chunks: Long,
   * and the table loader. Split out of the former monolithic
   * PipelineQueries in round 11 (VERDICT r10 #9).
   */
-private[operators] object PipelineShared {
+private[graft] object PipelineShared {
 
 
   private[operators] def t(s: SparkSession, d: String, n: String): DataFrame = Tables.table(s, d, n)
@@ -142,11 +142,54 @@ private[operators] object PipelineShared {
   private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
     scoredPairs025(s, d).filter(col("j") >= 0.5)
 
+  /** Memoized near-dup cluster assignment (round 18): x07_dedup_clusters,
+    * x32_cluster_keeper, x56_leakage_free_split and x64_release_funnel all
+    * ran the IDENTICAL `dedupClusters(nearDupPairs, doc_a, doc_b)` min-label
+    * loop — a production pipeline computes the cluster assignment once and
+    * feeds every decision layer from it. Same memo contract as the pair
+    * table (computed per (session, dir), eagerly checkpointed, reset
+    * between bench reps, warmed by the named setup_cc_memo step; standalone
+    * runs pay their own loop). x07_dedup_clusters_star is NOT rewired — its
+    * declared machinery is the star-contraction algorithm itself. */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[operators] def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    ccMemo.computeIfAbsent((s, d), _ =>
+      graft.GraftOps.dedupClusters(nearDupPairs(s, d),
+        col("doc_a"), col("doc_b")).localCheckpoint())
+
+  private[graft] def warmCcMemo(s: SparkSession, d: String): Unit = {
+    nearDupClusters(s, d)
+    ()
+  }
+
+  /** Memoized trained-classifier predictions (round 18): x04_langid2 and
+    * x78b_langid2_audit each ran the FULL NB train+score ([[langid2]]) —
+    * the production separation is train once, read the prediction table
+    * everywhere. Same contract as the pair memo: computed once per
+    * (session, dir), eagerly checkpointed, reset between bench reps,
+    * warmed by the named setup_langid_memo step; standalone runs pay their
+    * own training via computeIfAbsent. The memoized lineage IS langid2's —
+    * results cannot differ. */
+  private val langidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[operators] def langid2Memo(s: SparkSession, d: String): DataFrame =
+    langidMemo.computeIfAbsent((s, d), _ => langid2(s, d).localCheckpoint())
+
+  private[graft] def warmLangidMemo(s: SparkSession, d: String): Unit = {
+    langid2Memo(s, d)
+    ()
+  }
+
   /** Drop memoized pair tables (Bench calls this between registry reps so a
     * repeat pass re-pays pair generation instead of timing a cache hit). */
   private[graft] def resetMemo(): Unit = {
     pairMemo.values.forEach(df => df.unpersist())
     pairMemo.clear()
+    ccMemo.values.forEach(df => df.unpersist())
+    ccMemo.clear()
+    langidMemo.values.forEach(df => df.unpersist())
+    langidMemo.clear()
   }
 
   /** Materialize the shared pair table eagerly (localCheckpoint runs the
@@ -396,7 +439,7 @@ FROM toks)"""
     * (lang, word) training shuffle, broadcast model (|langs|·|vocab|
     * rows), one doc-keyed scoring shuffle — x17's accepted shape.
     * Returns (doc_id, lang, guess). */
-  private[operators] def langid2(s: SparkSession, d: String): DataFrame = {
+  private[graft] def langid2(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q9 = (c: org.apache.spark.sql.Column) =>
       c.cast("decimal(18,9)").cast("double")

@@ -214,7 +214,9 @@ ORDER BY pair_freq DESC, l NULLS FIRST, r NULLS FIRST LIMIT 50""")),
     // commentary for why the majority prior is this corpus's Bayes
     // ceiling (the label is chi-square-independent of the text).
     GQuery("x04_langid2",
-      (s, d) => langid2(s, d)
+      // memo-backed since round 18 (setup_langid_memo): identical lineage,
+      // shared with x78b's audit instead of re-training the NB per lane
+      (s, d) => langid2Memo(s, d)
         .select(col("doc_id"), col("guess"), col("lang"))
         .orderBy(col("doc_id")),
       Some(s"""WITH $langid2OracleCte

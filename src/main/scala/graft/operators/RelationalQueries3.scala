@@ -39,6 +39,13 @@ object RelationalQueries3 {
       val li = s"graft_b_li_$suf"; val ord = s"graft_b_ord_$suf"
       s.sql(s"DROP TABLE IF EXISTS $li")
       s.sql(s"DROP TABLE IF EXISTS $ord")
+      // NOTE (r18, examined): the two writes are independent and could
+      // overlap (guide §2.6, the x03e pattern), but the whole helper
+      // measures 0.22-0.23 s standalone min-of-3 — the 3.4-5.3 s
+      // setup_buckets line in full-registry runs is single-JVM adjacency
+      // (GC/page-cache inheritance), not work in this function, so the
+      // thread pool would buy nothing measurable here. At 100 TB the
+      // layout job doing two full table rewrites SHOULD overlap them.
       t(s, d, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/li").mode("overwrite").saveAsTable(li)
       t(s, d, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -709,8 +709,12 @@ class PlanAuditSpec extends SparkSpec {
     // training is one (lang, word) shuffle; the model and the per-lang
     // constants are tiny aggregates that must BROADCAST into the scoring
     // pass — a sort-merge join there would shuffle the exploded corpus a
-    // second time for a 200-row model
-    val p = plan("x04_langid2")
+    // second time for a 200-row model. Since round 18 x04 returns the
+    // memoized prediction table (setup_langid_memo), so the shape lives in
+    // the TRAINING lineage — audit langid2 itself, which is exactly what
+    // the memo materializes.
+    val p = operators.PipelineShared.langid2(spark, sf)
+      .queryExecution.sparkPlan.toString
     assert(!p.contains("SortMergeJoin"),
       s"langid2 scoring degraded to a sort-merge join:\n$p")
     assert(p.contains("BroadcastHashJoin"),
